@@ -1,0 +1,82 @@
+"""Small dimension builders.
+
+These mirror the reference's ``diccionarios.*`` tables (SURVEY.md §1.1) —
+vip thresholds, day-part blocks, age brackets, business-day calendars.
+All are at most a few thousand rows, so every join against them should be
+(and is, via explicit ``F.broadcast``) a broadcast hash join: at 100 TB the
+fact side streams through map tasks with zero shuffle for these lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import day_to_date
+
+# Reference dicc_vips: minute thresholds for the vip funnel tiers vip0..vip40
+# (audio_digital.py:395-396, README.md:9).
+VIP_TIERS = [0, 1, 5, 20, 40]
+
+# Reference dicc_tramo_etario: age brackets
+# (Complex_user_superposition_by_hour_etl.ipynb cell 7).
+AGE_BRACKETS = [
+    ("13 a 17", 13, 17),
+    ("18 a 24", 18, 24),
+    ("25 a 34", 25, 34),
+    ("35 a 44", 35, 44),
+    ("45 a 54", 45, 54),
+    ("55 a 64", 55, 64),
+    ("65 o mas", 65, 200),
+]
+
+# Reference dicc_bloque: 7 labeled day-part hour ranges, last one wrapping
+# past midnight ('21 a 06') (indicadores_cia.py:637-645, 670-714).
+DAY_PART_BLOCKS = [
+    ("6 a 7", 6, 7),
+    ("7 a 9", 7, 9),
+    ("9 a 12", 9, 12),
+    ("12 a 14", 12, 14),
+    ("14 a 18", 14, 18),
+    ("18 a 21", 18, 21),
+    ("21 a 06", 21, 30),  # wraps: hours 21-23 plus 0-5 (encoded as 24..29)
+]
+
+# Deterministic holiday rule for the synthetic calendar: day-of-month 7 and
+# 19 are feriados (stands in for dicc_feriados_interferiados,
+# indicadores_cia.py:140-143 / the gob.cl holidays API of programas_live.py:278-282).
+FERIADO_DAYS_OF_MONTH = (7, 19)
+
+
+def vips_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(v,) for v in VIP_TIERS], "vip int")
+
+
+def age_brackets_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(AGE_BRACKETS, "tramo string, edad_inf int, edad_sup int")
+
+
+def day_part_blocks_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DAY_PART_BLOCKS, "bloque string, hora_inicio int, hora_fin int")
+
+
+def day_grid(spark: SparkSession, start_day: int, end_day: int) -> DataFrame:
+    """All epoch-days in [start_day, end_day] with calendar attributes —
+    the engine's dicc_fechas/dicc_feriados stand-in. Generated with
+    sequence()+explode (the Spark form of GENERATE_DATE_ARRAY+UNNEST used
+    in the superposition notebooks, cell 2)."""
+    df = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start_day), F.lit(end_day))).alias("day_num")
+    )
+    fecha = day_to_date(F.col("day_num"))
+    return df.select(
+        F.col("day_num"),
+        fecha.alias("fecha"),
+        F.dayofweek(fecha).alias("dow"),  # 1=Sunday .. 7=Saturday
+        F.dayofmonth(fecha).isin(*FERIADO_DAYS_OF_MONTH).alias("feriado"),
+    ).withColumn(
+        # business day = Mon..Fri and not a holiday (reference
+        # indicadores_cia.py:143-148: `dia between 2 and 6`, feriado false)
+        "habil",
+        F.col("dow").between(2, 6) & ~F.col("feriado"),
+    )

@@ -1,0 +1,57 @@
+"""Query registry — the correctness surface behind ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query (a ``(spark, sf_dir) -> DataFrame`` callable) plus, where
+SQL-expressible, an equivalent ANSI-SQL oracle string that DuckDB runs on
+the same parquet tables. Column names/types are aligned on both sides so
+the driver's order-insensitive value hash matches.
+
+Parity rules used throughout (see functions.py):
+* interval math in epoch-µs integers (unix_micros ↔ epoch_us);
+* dates derived by epoch-day integer arithmetic (session-tz-proof);
+* double SUMs routed through decimal (order-insensitive, bit-exact);
+* TRUNC(x,1) as floor(x*10)/10 on both sides;
+* every computed column explicitly aliased and typed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 codes
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    ops: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, ops=ops, bench=bench,
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+# Populate the registry (import order = SURVEY §7.1 build order).
+from etl_python_airflow_bigquery_spark.queries import core  # noqa: E402,F401

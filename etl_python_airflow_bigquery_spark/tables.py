@@ -1,0 +1,56 @@
+"""Testdata table loaders.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` (stream
+fact), ``documents`` and ``embeddings`` (LLM-pipeline extensions) under
+``/root/testdata/sf*/`` (TESTDATA.md). These stand in for the reference's
+production tables per the mapping in FIXTURES.md (e.g. ``events`` plays
+``consumo.consumo_detalle``, the playback-session fact declared at
+reference consumo_detalle.py:270-306; ``customer`` plays the user
+registries of indicadores_cia.py:53-70).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → full Catalyst pushdown
+    (filters, column pruning, row-group skipping) for every query built
+    on top.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    default; ``nanosAsLong`` loads it as a raw epoch-nanos BIGINT, which
+    the engine's integer-µs arithmetic consumes directly (functions.py).
+    Set unconditionally so behavior doesn't depend on the caller's session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can be expressed
+    in either DataFrame or SQL form (same Catalyst plan)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
