@@ -1,0 +1,472 @@
+"""Join-layer queries — the richest part of the reference (SURVEY.md §2.4).
+
+Every join family gets a named, oracle-checked query: theta-on-threshold
+(J4), bracket range (J5), anti (J7), semi (J8), right/calendar-completion
+(J10), general interval overlap (J3), validity windows (P9), plus the
+multi-branch registry union (O2/O3) over the snowflake dims (J1/J2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.dims import (
+    age_brackets_dim,
+    day_grid,
+    vips_dim,
+)
+from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_HOUR,
+    clipped_micros,
+    dsum,
+    nanos_to_micros,
+    trunc1,
+)
+from etl_python_airflow_bigquery_spark.operators.intervals import (
+    interval_overlap_join,
+    sessions_from_events,
+)
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# J4 — theta join on vip thresholds
+# --------------------------------------------------------------------------
+
+_FUNNEL_VIP_ORACLE = """
+SELECT v.vip, e.event_type,
+       CAST(count(*) AS BIGINT) AS starts,
+       CAST(sum(CAST(coalesce(e.value, 0) AS DECIMAL(28,6))) AS DOUBLE) AS minutos,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS usuarios,
+       CAST(count(DISTINCT md5(concat_ws('|', e.user_id, e.event_type))) AS BIGINT) AS dispositivos
+FROM events e
+JOIN (VALUES (0), (1), (5), (20), (40)) v(vip)
+  ON coalesce(e.value, 0) >= v.vip
+GROUP BY v.vip, e.event_type
+"""
+
+
+@register("funnel_vip", oracle=_FUNNEL_VIP_ORACLE, ops=("J4", "A1", "A2"), bench=True)
+def funnel_vip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIP-tier funnel: each session row matches every tier ≤ its minutes —
+    intentional row multiplication via a theta join (reference
+    ``IFNULL(consumo.minutes,0) >= vips.vip``, audio_digital.py:395-396).
+
+    Plan: the 5-row tier dim broadcasts; Catalyst plans a broadcast
+    nested-loop join whose inner side is 5 rows — effectively a map-side
+    flatMap, no shuffle until the final agg. Device identity is the
+    md5 fingerprint idiom of consumo_registrados.py:113.
+    """
+    events = load_table(spark, sf_dir, "events")
+    vips = vips_dim(spark)
+    minutes = F.coalesce(F.col("value"), F.lit(0.0))
+    return (
+        events.join(F.broadcast(vips), minutes >= F.col("vip"))
+        .groupBy("vip", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("starts"),
+            dsum(minutes).alias("minutos"),
+            F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+            F.countDistinct(F.md5(F.concat_ws("|", "user_id", "event_type")))
+            .cast("bigint")
+            .alias("dispositivos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — bracket range join (age tramos)
+# --------------------------------------------------------------------------
+
+_TRAMO_ORACLE = """
+WITH usuarios AS (
+    SELECT c_custkey, c_acctbal, CAST(c_custkey % 80 + 10 AS INT) AS edad
+    FROM customer
+),
+tramos(tramo, edad_inf, edad_sup) AS (
+    VALUES ('13 a 17', 13, 17), ('18 a 24', 18, 24), ('25 a 34', 25, 34),
+           ('35 a 44', 35, 44), ('45 a 54', 45, 54), ('55 a 64', 55, 64),
+           ('65 o mas', 65, 200)
+)
+SELECT t.tramo,
+       CAST(count(*) AS BIGINT) AS usuarios,
+       CAST(sum(CAST(u.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS saldo_total,
+       floor(CAST(sum(CAST(u.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10) / 10 AS saldo_prom
+FROM usuarios u
+JOIN tramos t ON u.edad BETWEEN t.edad_inf AND t.edad_sup
+GROUP BY t.tramo
+"""
+
+
+@register("tramo_etario", oracle=_TRAMO_ORACLE, ops=("J5", "A1", "A3"))
+def tramo_etario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic split by age bracket — broadcast non-equi range join to
+    the tramo dim (reference `edad between tramo.edad_inf and edad_sup`,
+    Complex_user_superposition_by_hour_etl.ipynb cell 7)."""
+    customer = load_table(spark, sf_dir, "customer")
+    usuarios = customer.select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 80 + 10).cast("int").alias("edad")
+    )
+    tramos = age_brackets_dim(spark)
+    joined = usuarios.join(
+        F.broadcast(tramos),
+        F.col("edad").between(F.col("edad_inf"), F.col("edad_sup")),
+    )
+    agg = joined.groupBy("tramo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("usuarios"),
+        dsum("c_acctbal").alias("saldo_total"),
+    )
+    return agg.select(
+        "tramo",
+        "usuarios",
+        "saldo_total",
+        trunc1(F.col("saldo_total") / F.col("usuarios")).alias("saldo_prom"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — anti join (data-quality nulls report)
+# --------------------------------------------------------------------------
+
+_ANTI_NULOS_ORACLE = """
+SELECT l.l_partkey,
+       CAST(count(*) AS BIGINT) AS lineas,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS ordenes
+FROM lineitem l
+WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 != 0)
+GROUP BY l.l_partkey
+"""
+
+
+@register("anti_join_nulos", oracle=_ANTI_NULOS_ORACLE, ops=("J7", "P10", "A2"))
+def anti_join_nulos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anti-join: fact rows whose dimension key is missing
+    from the (gappy) available-shows dim — the reference's scheduled
+    nulls-report query (email_nulos.py:25-36), fixture-gapped per
+    FIXTURES.md (p_partkey % 7 == 0 rows removed from the dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    available = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 != 0)
+    missing = li.join(
+        F.broadcast(available.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_anti",
+    )
+    return missing.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lineas"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("ordenes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 chained — priority cohort segmentation
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH compradores AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+seg1 AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
+seg2 AS (
+    SELECT c.c_custkey FROM customer c
+    WHERE c.c_custkey IN (SELECT user_id FROM compradores)
+      AND c.c_custkey NOT IN (SELECT c_custkey FROM seg1)
+),
+seg3 AS (
+    SELECT c.c_custkey FROM customer c
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_custkey NOT IN (SELECT c_custkey FROM seg1)
+      AND c.c_custkey NOT IN (SELECT c_custkey FROM seg2)
+)
+SELECT 'premium' AS segmento, c_custkey AS user_id FROM seg1
+UNION ALL SELECT 'comprador', c_custkey FROM seg2
+UNION ALL SELECT 'building', c_custkey FROM seg3
+"""
+
+
+@register("cohort_chain", oracle=_COHORT_ORACLE, ops=("J7", "J8", "O2", "P10"))
+def cohort_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority cohort chain: each segment excludes all earlier ones via
+    stacked anti-joins (reference Bigquery_to_csv.ipynb cell 3's
+    shows→deportivos→ficciones chain; 5-deep in Bigquery_to_csv_2.ipynb)."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    compradores = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+    )
+    seg1 = customer.where(F.col("c_acctbal") > 8000).select("c_custkey")
+    seg2 = (
+        customer.join(compradores, "c_custkey", "left_semi")
+        .select("c_custkey")
+        .join(seg1, "c_custkey", "left_anti")
+    )
+    seg3 = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(seg1, "c_custkey", "left_anti")
+        .join(seg2, "c_custkey", "left_anti")
+    )
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("segmento"), F.col("c_custkey").alias("user_id")
+    )
+    return tag(seg1, "premium").unionByName(tag(seg2, "comprador")).unionByName(
+        tag(seg3, "building")
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — semi join (mailing segmentation)
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT lower(c_name) || '@rdf.cl' AS email, c_mktsegment AS segmento
+FROM customer
+WHERE c_custkey IN (
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 50
+)
+"""
+
+
+@register("semi_join_mailing", oracle=_SEMI_ORACLE, ops=("J8",))
+def semi_join_mailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list membership: emails of users with qualifying consumption
+    (reference Mailing_campaign_segmenttion.ipynb tag_shows cells) — a
+    left-semi join, never a join+distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    listeners = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    return customer.join(listeners, "c_custkey", "left_semi").select(
+        F.concat(F.lower("c_name"), F.lit("@rdf.cl")).alias("email"),
+        F.col("c_mktsegment").alias("segmento"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J10 — right join calendar completion
+# --------------------------------------------------------------------------
+
+_CALENDAR_ORACLE = """
+WITH dias AS (
+    SELECT CAST(d.d AS DATE) AS fecha
+    FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) d(d)
+),
+signups AS (
+    SELECT epoch_us(ts) // 86400000000 AS day_num, count(*) AS q
+    FROM events WHERE event_type = 'signup'
+    GROUP BY 1
+)
+SELECT strftime(d.fecha, '%Y-%m-%d') AS fecha,
+       day(d.fecha) IN (7, 19) AS feriado,
+       CAST(coalesce(s.q, 0) AS BIGINT) AS q_signups
+FROM signups s
+RIGHT JOIN dias d
+  ON DATE '1970-01-01' + CAST(s.day_num AS INT) = d.fecha
+"""
+
+
+@register("right_join_calendar", oracle=_CALENDAR_ORACLE, ops=("J10", "P6"))
+def right_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completion: sparse per-day counts right-joined to the full
+    date range with zero/false-fill (reference ApiFeriados gen_df_final
+    cell: holidays right-joined to all dates + fillna(False))."""
+    events = load_table(spark, sf_dir, "events")
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy(F.expr("ts div 86400000000000").alias("day_num"))
+        .agg(F.count(F.lit(1)).alias("q"))
+    )
+    # 2024-01-01 .. 2024-01-31 = epoch days 19723..19753
+    dias = day_grid(spark, 19723, 19753).select("day_num", "fecha", "feriado")
+    return signups.join(F.broadcast(dias), "day_num", "right").select(
+        F.date_format("fecha", "yyyy-MM-dd").alias("fecha"),
+        "feriado",
+        F.coalesce(F.col("q"), F.lit(0)).cast("bigint").alias("q_signups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 general — interval-overlap join against program airings
+# --------------------------------------------------------------------------
+
+_PROGRAMA_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+programas AS (
+    SELECT o_orderkey AS programa_id,
+           1704067200000000 + (o_orderkey % 720) * 3600000000 AS p_s_us,
+           1704067200000000 + (o_orderkey % 720) * 3600000000
+               + (o_orderkey % 4 + 1) * 3600000000 AS p_e_us
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+)
+SELECT p.programa_id,
+       CAST(count(*) AS BIGINT) AS sesiones,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS audiencia,
+       CAST(sum(least(s.e_us, p.p_e_us) - greatest(s.s_us, p.p_s_us)) AS DOUBLE)
+           / 60000000.0 AS minutos
+FROM sess s
+JOIN programas p
+  ON s.s_us < p.p_e_us AND s.e_us > p.p_s_us
+GROUP BY p.programa_id
+"""
+
+
+@register(
+    "programas_live",
+    oracle=_PROGRAMA_ORACLE,
+    ops=("J3", "A4", "A2", "P6"),
+    bench=True,
+)
+def programas_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-program audience: sessions interval-overlap-joined to program
+    airing windows with clipping (reference programas_live.py:443-452 +
+    the J3 predicate of consumo_registrados.py:165-170).
+
+    Programs are arbitrary (non-grid) intervals, so this exercises the
+    bucketed interval_overlap_join: both sides explode into hour buckets,
+    equi-join on bucket, refine by the exact predicate, dedup exactly via
+    the overlap-start bucket. At scale this is a shuffled hash join on
+    bucket — never a nested loop.
+    """
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events")).select(
+        "user_id", "s_us", "e_us"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    base_us = F.lit(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z
+    programas = (
+        orders.where((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 10 == 0))
+        .select(
+            F.col("o_orderkey").alias("programa_id"),
+            (base_us + (F.col("o_orderkey") % 720) * F.lit(US_PER_HOUR)).alias("p_s_us"),
+            (
+                base_us
+                + (F.col("o_orderkey") % 720) * F.lit(US_PER_HOUR)
+                + (F.col("o_orderkey") % 4 + 1) * F.lit(US_PER_HOUR)
+            ).alias("p_e_us"),
+        )
+    )
+    joined = interval_overlap_join(
+        sessions, programas, "s_us", "e_us", "p_s_us", "p_e_us", bucket_us=US_PER_HOUR
+    )
+    return joined.groupBy("programa_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sesiones"),
+        F.countDistinct("user_id").cast("bigint").alias("audiencia"),
+        (
+            F.sum(
+                clipped_micros(
+                    F.col("s_us"), F.col("e_us"), F.col("p_s_us"), F.col("p_e_us")
+                )
+            ).cast("double")
+            / F.lit(60_000_000.0)
+        ).alias("minutos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9 — validity-window (SCD-ish) filter
+# --------------------------------------------------------------------------
+
+_VALIDITY_ORACLE = """
+WITH soportes(event_type, dia_inicio, dia_fin) AS (
+    VALUES ('click', 19723, 19737), ('view', 19730, 19753),
+           ('purchase', 19723, 19753), ('signup', 19738, 19753),
+           ('error', 19723, 19723)
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS valor_total
+FROM events e
+JOIN soportes s ON e.event_type = s.event_type
+WHERE epoch_us(e.ts) // 86400000000 BETWEEN s.dia_inicio AND s.dia_fin
+GROUP BY e.event_type
+"""
+
+
+@register("validity_window", oracle=_VALIDITY_ORACLE, ops=("P9", "J1"))
+def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand validity-window clamp: rows only count inside their
+    entity's [start_soporte, end_soporte] range (reference
+    audio_digital.py:287-299, mapa_consumo.py:138-150)."""
+    events = load_table(spark, sf_dir, "events")
+    soportes = spark.createDataFrame(
+        [
+            ("click", 19723, 19737),
+            ("view", 19730, 19753),
+            ("purchase", 19723, 19753),
+            ("signup", 19738, 19753),
+            ("error", 19723, 19723),
+        ],
+        "event_type string, dia_inicio int, dia_fin int",
+    )
+    day_num = F.expr("ts div 86400000000000")
+    return (
+        events.join(F.broadcast(soportes), "event_type")
+        .where(day_num.between(F.col("dia_inicio"), F.col("dia_fin")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("eventos"),
+            dsum("value").alias("valor_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O2/O3 + J1/J2 — registry union over the snowflake dims
+# --------------------------------------------------------------------------
+
+_REGISTRY_UNION_ORACLE = """
+WITH usuarios AS (
+    SELECT c_custkey AS user_id, c_nationkey AS nationkey, 'radios' AS fuente
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey + 100000 AS user_id, s_nationkey, 'emisor' AS fuente
+    FROM supplier
+)
+SELECT r.r_name AS region, n.n_name AS nacion, u.fuente,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS usuarios
+FROM usuarios u
+JOIN nation n ON u.nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name, u.fuente
+"""
+
+
+@register("registry_union", oracle=_REGISTRY_UNION_ORACLE, ops=("O2", "O3", "J1", "A2"))
+def registry_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two user registries unioned then rolled up the snowflake dims
+    (reference `userradios UNION ALL useremisor`,
+    consumo_bloques_hora.py:119-129; FK→dim equi joins of §2.4 J1)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    usuarios = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("radios").alias("fuente"),
+    ).unionByName(
+        supplier.select(
+            (F.col("s_suppkey") + 100000).alias("user_id"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.lit("emisor").alias("fuente"),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        usuarios.join(F.broadcast(nation), usuarios.nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nacion"),
+            F.col("fuente"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("usuarios"))
+    )
