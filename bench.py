@@ -1,0 +1,64 @@
+"""Headline benchmark — the engine's feedback loop (SURVEY.md §6).
+
+Runs every ``bench=True`` query in the registry against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via a count over the final frame
+(``df.toPandas`` would add Arrow transfer noise; the driver's correctness
+pass already checks values). A warm-up run of the flagship absorbs JVM/
+codegen startup so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY  # noqa: E402
+from etl_python_airflow_bigquery_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    names = [n for n, q in REGISTRY.items() if q.bench] or list(REGISTRY)
+
+    # Warm-up: JVM classloading + whole-stage codegen compile.
+    REGISTRY[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

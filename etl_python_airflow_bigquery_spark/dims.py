@@ -48,16 +48,26 @@ DAY_PART_BLOCKS = [
 FERIADO_DAYS_OF_MONTH = (7, 19)
 
 
+def values_dim(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Tiny literal dim as a SQL VALUES LocalRelation — stays entirely
+    JVM-side (a ``spark.createDataFrame`` on Python tuples becomes a
+    Python-RDD scan with unknown stats, which defeats broadcast planning
+    and re-serializes through Python on every run)."""
+    fmt = lambda v: f"'{v}'" if isinstance(v, str) else str(v)  # noqa: E731
+    values = ", ".join("(" + ", ".join(fmt(v) for v in row) + ")" for row in rows)
+    return spark.sql(f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})")
+
+
 def vips_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(v,) for v in VIP_TIERS], "vip int")
+    return values_dim(spark, [(v,) for v in VIP_TIERS], ["vip"])
 
 
 def age_brackets_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(AGE_BRACKETS, "tramo string, edad_inf int, edad_sup int")
+    return values_dim(spark, AGE_BRACKETS, ["tramo", "edad_inf", "edad_sup"])
 
 
 def day_part_blocks_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DAY_PART_BLOCKS, "bloque string, hora_inicio int, hora_fin int")
+    return values_dim(spark, DAY_PART_BLOCKS, ["bloque", "hora_inicio", "hora_fin"])
 
 
 def day_grid(spark: SparkSession, start_day: int, end_day: int) -> DataFrame:

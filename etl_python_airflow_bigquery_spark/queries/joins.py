@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from etl_python_airflow_bigquery_spark.dims import (
     age_brackets_dim,
     day_grid,
+    values_dim,
     vips_dim,
 )
 from etl_python_airflow_bigquery_spark.functions import (
@@ -397,7 +398,8 @@ def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity's [start_soporte, end_soporte] range (reference
     audio_digital.py:287-299, mapa_consumo.py:138-150)."""
     events = load_table(spark, sf_dir, "events")
-    soportes = spark.createDataFrame(
+    soportes = values_dim(
+        spark,
         [
             ("click", 19723, 19737),
             ("view", 19730, 19753),
@@ -405,7 +407,7 @@ def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("signup", 19738, 19753),
             ("error", 19723, 19723),
         ],
-        "event_type string, dia_inicio int, dia_fin int",
+        ["event_type", "dia_inicio", "dia_fin"],
     )
     day_num = F.expr("ts div 86400000000000")
     return (
