@@ -56,3 +56,5 @@ def register(
 # Populate the registry (import order = SURVEY §7.1 build order).
 from etl_python_airflow_bigquery_spark.queries import core  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import joins  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import reshape  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import analytic  # noqa: E402,F401

@@ -1,0 +1,339 @@
+"""Analytic-layer queries (SURVEY.md §7.1 step 8): the superposition
+self-join pipeline, month-to-date expanding distinct, ranking/frame
+windows, top-k, date-part joins, and cross-join grid completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.dims import day_part_blocks_dim, day_grid
+from etl_python_airflow_bigquery_spark.functions import dsum, trunc1
+from etl_python_airflow_bigquery_spark.operators.intervals import (
+    explode_to_hour_grid,
+    sessions_from_events,
+)
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# J9/A13 — audience-overlap (superposición) matrix via self-join
+# --------------------------------------------------------------------------
+
+_SUPER_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+atoms AS (
+    SELECT DISTINCT s.user_id,
+           g.i // 24 AS day_num,
+           g.i % 24 AS hora
+    FROM sess s, LATERAL unnest(generate_series(s.s_us // 3600000000,
+                                                (s.e_us - 1) // 3600000000)) AS g(i)
+    WHERE s.e_us > s.s_us
+)
+SELECT a.hora AS periodo,
+       b.hora AS periodo_referencia,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS usuarios
+FROM atoms a
+JOIN atoms b ON a.user_id = b.user_id AND a.day_num = b.day_num
+GROUP BY 1, 2
+"""
+
+
+@register("superposicion_hora", oracle=_SUPER_ORACLE, ops=("J9", "A13", "A2"), bench=True)
+def superposicion_hora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every hour pair, how many distinct
+    users listened in both hours of the same day (reference
+    Complex_user_superposition_by_hour_etl.ipynb cells 2-4 — pandas
+    self-merge + groupby nunique, the clearest memory-wall case in the
+    reference; SURVEY.md §3.3).
+
+    Spark-first: distinct user-hour atoms (bounded: ≤ users × 24 × days),
+    self-joined on (user_id, day) — an equi hash join Catalyst shuffles
+    on the join key, not a cartesian — then a distinct-count per pair.
+    At 100 TB the atom table is orders of magnitude smaller than raw
+    sessions; the 24×24 output is constant."""
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+    atoms = (
+        explode_to_hour_grid(sessions)
+        .select(
+            "user_id",
+            F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
+            (F.col("hour_idx") % 24).cast("bigint").alias("hora"),
+        )
+        .distinct()
+    )
+    a = atoms.alias("a")
+    b = atoms.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day_num") == F.col("b.day_num")),
+    )
+    return pairs.groupBy(
+        F.col("a.hora").alias("periodo"),
+        F.col("b.hora").alias("periodo_referencia"),
+    ).agg(F.countDistinct(F.col("a.user_id")).cast("bigint").alias("usuarios"))
+
+
+# --------------------------------------------------------------------------
+# A7/W1 — month-to-date expanding distinct audience
+# --------------------------------------------------------------------------
+
+_ACUMULADO_ORACLE = """
+WITH daily AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day_num
+    FROM events
+),
+firstseen AS (
+    SELECT user_id,
+           (day_num // 30) AS mes,
+           min(day_num) AS first_day
+    FROM daily GROUP BY 1, 2
+),
+per_day AS (
+    SELECT mes, first_day AS day_num, count(*) AS nuevos
+    FROM firstseen GROUP BY 1, 2
+),
+dias AS (SELECT DISTINCT (day_num // 30) AS mes, day_num FROM daily)
+SELECT d.day_num,
+       CAST(sum(p.nuevos) AS BIGINT) AS usuarios_acumulados
+FROM dias d
+JOIN per_day p ON p.mes = d.mes AND p.day_num <= d.day_num
+GROUP BY d.day_num
+"""
+
+
+@register("acumulado_diario", oracle=_ACUMULADO_ORACLE, ops=("A7", "W1", "A2"))
+def acumulado_diario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date expanding distinct audience per day.
+
+    The reference re-scans a growing [month_start, D) window per day
+    (acumulado_diario.py:125-167,318-326) — O(days × month of data).
+    Spark-first: each user's FIRST active day per month is found once
+    (one groupBy), then a cumulative window sum over the day series
+    yields the same curve in two shuffles total, independent of the
+    number of days. (Months here are fixed 30-day epoch blocks — the
+    synthetic calendar's convention.)"""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        "user_id", F.expr("ts div 86400000000000").alias("day_num")
+    ).distinct()
+    mes = (F.col("day_num") / 30).cast("bigint")
+    firstseen = daily.groupBy("user_id", mes.alias("mes")).agg(
+        F.min("day_num").alias("first_day")
+    )
+    per_day = firstseen.groupBy("mes", F.col("first_day").alias("day_num")).agg(
+        F.count(F.lit(1)).alias("nuevos")
+    )
+    dias = daily.select(mes.alias("mes"), "day_num").distinct()
+    w = Window.partitionBy("mes").orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dias.join(per_day, ["mes", "day_num"], "left")
+        .withColumn("nuevos", F.coalesce(F.col("nuevos"), F.lit(0)))
+        .withColumn("usuarios_acumulados", F.sum("nuevos").over(w).cast("bigint"))
+        .select("day_num", "usuarios_acumulados")
+    )
+
+
+# --------------------------------------------------------------------------
+# W — ranking / analytic / frame windows (general capability parity)
+# --------------------------------------------------------------------------
+
+_RANKING_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(row_number() OVER w AS BIGINT) AS pos,
+       CAST(rank() OVER w AS BIGINT) AS ranking,
+       lag(c_acctbal, 1, 0.0) OVER w AS saldo_anterior,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6)))
+            OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS saldo_acumulado
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("ranking_ventanas", oracle=_RANKING_ORACLE, ops=("W1",))
+def ranking_ventanas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic/frame windows — absent from the reference's SQL
+    (SURVEY.md §2.6: no OVER anywhere) but required for capability
+    parity; the idiomatic form of its manual expanding/cumulative
+    patterns. Deterministic total order via the (balance, key) tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.rank().over(w).cast("bigint").alias("ranking"),
+        F.lag("c_acctbal", 1, 0.0).over(w).alias("saldo_anterior"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("saldo_acumulado"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O7 — top-k
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS ingresos
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY ingresos DESC, l_partkey
+LIMIT 10
+"""
+
+
+@register("top_contenidos", oracle=_TOPK_ORACLE, ops=("O7", "O1", "A1"))
+def top_contenidos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 contents by revenue — orderBy+limit compiles to
+    TakeOrderedAndProject (a per-partition top-k + single-driver merge,
+    never a full sort) — the scale-correct top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("ingresos"))
+        .orderBy(F.col("ingresos").desc(), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J12 — date-part equi join (calendar month alignment)
+# --------------------------------------------------------------------------
+
+_DATEPART_ORACLE = """
+WITH mensual AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o_orderdate) AS INTEGER) AS mes,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_mes
+    FROM orders GROUP BY 1, 2
+)
+SELECT o.o_orderkey, m.anio, m.mes,
+       floor(o.o_totalprice / m.total_mes * 1000) / 1000 AS participacion
+FROM orders o
+JOIN mensual m ON year(o.o_orderdate) = m.anio AND month(o.o_orderdate) = m.mes
+"""
+
+
+@register("date_part_join", oracle=_DATEPART_ORACLE, ops=("J12", "A1"))
+def date_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows aligned to their calendar month's aggregate by an
+    EXTRACT-on-both-sides equi join (reference
+    programas_live.py:409-412,422-426). o_orderdate is TIMESTAMP_NTZ so
+    year()/month() are tz-independent on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    mensual = orders.groupBy(
+        F.year("o_orderdate").alias("anio"), F.month("o_orderdate").alias("mes")
+    ).agg(dsum("o_totalprice").alias("total_mes"))
+    return (
+        orders.join(
+            F.broadcast(mensual),
+            (F.year("o_orderdate") == mensual.anio)
+            & (F.month("o_orderdate") == mensual.mes),
+        )
+        .select(
+            "o_orderkey",
+            "anio",
+            "mes",
+            (F.floor(F.col("o_totalprice") / F.col("total_mes") * 1000) / 1000).alias(
+                "participacion"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J6/A13 — cross-join grid completion with zero-fill
+# --------------------------------------------------------------------------
+
+_GRID_ORACLE = """
+WITH dias AS (
+    SELECT d FROM generate_series(19723, 19753) t(d)
+),
+bloques(bloque, h_lo, h_hi) AS (
+    VALUES ('6a7', 6, 7), ('7a9', 7, 9), ('9a12', 9, 12), ('12a14', 12, 14),
+           ('14a18', 14, 18), ('18a21', 18, 21), ('21a06', 21, 30)
+),
+grid AS (SELECT d.d AS day_num, b.bloque FROM dias d CROSS JOIN bloques b),
+sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+atoms AS (
+    SELECT DISTINCT s.user_id, g.i // 24 AS day_num,
+           CASE WHEN g.i % 24 = 6 THEN '6a7'
+                WHEN g.i % 24 BETWEEN 7 AND 8 THEN '7a9'
+                WHEN g.i % 24 BETWEEN 9 AND 11 THEN '9a12'
+                WHEN g.i % 24 BETWEEN 12 AND 13 THEN '12a14'
+                WHEN g.i % 24 BETWEEN 14 AND 17 THEN '14a18'
+                WHEN g.i % 24 BETWEEN 18 AND 20 THEN '18a21'
+                ELSE '21a06' END AS bloque
+    FROM sess s, LATERAL unnest(generate_series(s.s_us // 3600000000,
+                                                (s.e_us - 1) // 3600000000)) AS g(i)
+    WHERE s.e_us > s.s_us
+),
+counts AS (
+    SELECT day_num, bloque, count(DISTINCT user_id) AS usuarios
+    FROM atoms GROUP BY 1, 2
+)
+SELECT g.day_num, g.bloque,
+       CAST(coalesce(c.usuarios, 0) AS BIGINT) AS usuarios
+FROM grid g
+LEFT JOIN counts c ON g.day_num = c.day_num AND g.bloque = c.bloque
+"""
+
+
+@register("grid_completion", oracle=_GRID_ORACLE, ops=("J6", "J11", "A13"))
+def grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (day × day-part block) cell with zero-filled distinct
+    audience — the superposition notebooks' df_comb grid pattern
+    (cells 5-6, 10-13): cross-join the full period grid, left-join the
+    sparse counts, fill zeros so downstream consumers see a dense
+    matrix."""
+    from etl_python_airflow_bigquery_spark.queries.reshape import _bloque_col
+
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+    atoms = (
+        explode_to_hour_grid(sessions)
+        .select(
+            "user_id",
+            F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
+            _bloque_col((F.col("hour_idx") % 24).cast("int")).alias("bloque"),
+        )
+        .distinct()
+    )
+    counts = atoms.groupBy("day_num", "bloque").agg(
+        F.countDistinct("user_id").alias("usuarios")
+    )
+    dias = day_grid(spark, 19723, 19753).select(F.col("day_num").cast("bigint"))
+    bloques = day_part_blocks_dim(spark).select(
+        F.regexp_replace(F.col("bloque"), " ", "").alias("bloque")
+    )
+    grid = dias.crossJoin(bloques)
+    return (
+        grid.join(counts, ["day_num", "bloque"], "left")
+        .select(
+            "day_num",
+            "bloque",
+            F.coalesce(F.col("usuarios"), F.lit(0)).cast("bigint").alias("usuarios"),
+        )
+    )

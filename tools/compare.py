@@ -50,6 +50,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         try:
             eq = (av.astype("object").where(av.notna(), None)
                   == bv.astype("object").where(bv.notna(), None))
+            eq = eq | (av.isna() & bv.isna())  # null == null
         except Exception as exc:  # noqa: BLE001
             problems.append(f"col {col}: compare error {exc}")
             continue
