@@ -58,3 +58,6 @@ from etl_python_airflow_bigquery_spark.queries import core  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import joins  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import reshape  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import analytic  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import text  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import similarity  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import dedup  # noqa: E402,F401

@@ -1,0 +1,368 @@
+"""Near-duplicate detection over ``documents`` (BASELINE north-star):
+n-gram Jaccard via shingle posting lists, MinHash+LSH banding, and
+SimHash with nibble-blocked Hamming pairing. All candidate generation is
+equi-join based (posting lists / band buckets / nibble blocks) — never an
+all-pairs cross product — so each scheme survives a 100 TB corpus: cost
+is Σ bucket², tuned by shingle rarity / band count / nibble width.
+
+Cross-engine determinism: shingle and token hashes are md5-prefix int64s
+(see text.hex_hash); MinHash permutations are integer LCG draws; Jaccard
+thresholds compare integers (2·∩ ≥ ∪); emitted ratios are floor-scaled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.dims import values_dim
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# Word-3-gram shingles, distinct per doc.
+_SHINGLES_SQL = """
+sh AS (
+    SELECT DISTINCT d.doc_id, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         LATERAL unnest(generate_series(1, len(d.w) - 2)) AS g(i)
+    WHERE len(d.w) >= 3
+),
+tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard — exact near-dup via shingle posting lists
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c)) / 1000 AS jaccard
+FROM inter i
+JOIN tam ta ON ta.doc_id = i.doc_a
+JOIN tam tb ON tb.doc_id = i.doc_b
+WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: docs become distinct word-3-gram
+    shingle sets; candidate pairs arise ONLY from the posting-list
+    self-join on shingle (docs sharing ≥1 shingle), then the integer
+    test 2·∩ ≥ ∪ keeps pairs at Jaccard ≥ 0.5. Shuffle cost tracks
+    posting-list skew — rare shingles keep it near-linear."""
+    sh = _shingles(spark, sf_dir)
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("c").cast("double")
+                    * 1000
+                    / (F.col("na") + F.col("nb") - F.col("c"))
+                )
+                / 1000
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+_N_PERM = 16
+_BAND_ROWS = 4
+_MERSENNE = 2147483647
+
+
+def _perm_params() -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) LCG draws for the 16 permutations —
+    embedded literally in BOTH engines' plans."""
+    out = []
+    for i in range(1, _N_PERM + 1):
+        a = (1103515245 * i + 12345) % (_MERSENNE - 1) + 1
+        b = (1103515245 * (i + 100) + 54321) % _MERSENNE
+        out.append((i, a, b))
+    return out
+
+
+_PERMS_SQL = "perms(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in _perm_params()
+) + ")"
+
+_BANDS = [(b, list(range(b * _BAND_ROWS + 1, (b + 1) * _BAND_ROWS + 1))) for b in range(_N_PERM // _BAND_ROWS)]
+
+_MINSIG_SQL = f"""
+h0 AS (
+    SELECT doc_id, {_hex_hash_sql("s", _MERSENNE)} AS h FROM sh
+),
+minh AS (
+    SELECT h0.doc_id, p.i, min((p.a * h0.h + p.b) % {_MERSENNE}) AS mh
+    FROM h0 CROSS JOIN perms p
+    GROUP BY 1, 2
+),
+firmas AS (
+    SELECT doc_id,
+           {", ".join(f"min(mh) FILTER (i = {i}) AS m{i}" for i in range(1, _N_PERM + 1))}
+    FROM minh GROUP BY 1
+),
+baldes AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS banda, md5("
+        + " || ',' || ".join(f"CAST(m{i} AS VARCHAR)" for i in cols)
+        + ") AS clave FROM firmas"
+        for b, cols in _BANDS
+    )}
+)
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_PERMS_SQL},
+{_MINSIG_SQL.strip()},
+candidatos AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM baldes a
+    JOIN baldes b ON a.banda = b.banda AND a.clave = b.clave
+                 AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS c
+    FROM candidatos c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c)) / 1000 AS jaccard
+FROM inter i
+JOIN tam ta ON ta.doc_id = i.doc_a
+JOIN tam tb ON tb.doc_id = i.doc_b
+WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, ops=("DD2",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (the public shingle→minhash→band→bucket-join
+    scheme): 16 LCG permutations → 4 bands of 4 rows; docs colliding in
+    any band become candidates via an equi join on (band, band-key);
+    exact Jaccard then verifies at 0.5. At scale only signatures (16
+    ints/doc) shuffle for candidate generation — the full shingle sets
+    are touched again only for the verified candidates."""
+    sh = _shingles(spark, sf_dir)
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    perms = values_dim(spark, _perm_params(), ["i", "a", "b"])
+    h0 = sh.select("doc_id", hex_hash(F.col("s"), _MERSENNE).alias("h"))
+    minh = (
+        h0.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _MERSENNE).alias("mh"))
+    )
+    firmas = minh.groupBy("doc_id").pivot("i", list(range(1, _N_PERM + 1))).agg(
+        F.min("mh")
+    )
+    bucket_branches = [
+        firmas.select(
+            "doc_id",
+            F.lit(b).alias("banda"),
+            F.md5(
+                F.concat_ws(",", *[F.col(str(i)).cast("string") for i in cols])
+            ).alias("clave"),
+        )
+        for b, cols in _BANDS
+    ]
+    baldes = bucket_branches[0]
+    for br in bucket_branches[1:]:
+        baldes = baldes.unionByName(br)
+    a = baldes.select(F.col("doc_id").alias("doc_a"), "banda", "clave")
+    b = baldes.select(F.col("doc_id").alias("doc_b"), "banda", "clave")
+    candidatos = (
+        a.join(b, ["banda", "clave"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        candidatos.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("c").cast("double")
+                    * 1000
+                    / (F.col("na") + F.col("nb") - F.col("c"))
+                )
+                / 1000
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — 16-bit signatures + nibble-blocked Hamming pairs
+# --------------------------------------------------------------------------
+
+_N_BITS = 32
+
+_SIMHASH_SQL = f"""
+palabras AS (
+    SELECT d.doc_id, g.w AS palabra
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS g(w)
+),
+wh AS (
+    SELECT doc_id, {_hex_hash_sql("palabra")} AS h FROM palabras
+),
+bits AS (
+    SELECT w.doc_id, b.b,
+           sum(CASE WHEN (w.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM wh w CROSS JOIN generate_series(0, {_N_BITS - 1}) b(b)
+    GROUP BY 1, 2
+),
+firmas AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+)
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_SQL.strip()}
+SELECT doc_id, simhash FROM firmas
+"""
+
+
+def _simhash_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("palabra")
+    ).select("doc_id", hex_hash(F.col("palabra")).alias("h"))
+    bits_dim = spark.range(_N_BITS).select(F.col("id").cast("int").alias("b"))
+    bits = (
+        wh.crossJoin(F.broadcast(bits_dim))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, ops=("DD3",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (Charikar): each token hash votes ±1
+    on every bit position; the sign vector packs into an int. Token
+    hashing and voting are one explode + two grouped sums — linear,
+    shuffle only on doc_id."""
+    return _simhash_frames(spark, sf_dir)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_SQL.strip()},
+nibbles AS (
+    SELECT doc_id, simhash, k.k, (simhash >> (k.k * 8)) & 255 AS nib
+    FROM firmas CROSS JOIN generate_series(0, 3) k(k)
+),
+candidatos AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                    b.doc_id AS doc_b, b.simhash AS sh_b
+    FROM nibbles a
+    JOIN nibbles b ON a.k = b.k AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM candidatos
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, ops=("DD3",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: signatures split into 4 bytes; by
+    pigeonhole, any pair at Hamming ≤ 3 shares at least one aligned
+    byte, so candidates come from an equi join on (position, byte)
+    and the exact Hamming test filters. Signature-only shuffles — the
+    token-level data never re-enters."""
+    firmas = _simhash_frames(spark, sf_dir)
+    k = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    nibbles = firmas.crossJoin(F.broadcast(k)).select(
+        "doc_id", "simhash", "k", F.expr("shiftright(simhash, k * 8) & 255").alias("nib")
+    )
+    a = nibbles.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "k", "nib"
+    )
+    b = nibbles.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "k", "nib"
+    )
+    candidatos = (
+        a.join(b, ["k", "nib"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sh_a", "doc_b", "sh_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return candidatos.where(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )

@@ -1,0 +1,331 @@
+"""Similarity search over the ``embeddings`` table (BASELINE north-star):
+brute-force cosine top-k (the correctness baseline), coarse-quantized
+near-dup (IVF-style blocking by label), and random-hyperplane LSH (the
+100 TB scale path — candidates come from an equi join on bucket, never
+an all-pairs product).
+
+Determinism: every dot product is the sum of ``floor(x*y*1e12)``
+integers — exact, order-insensitive, and bit-identical in Spark and
+DuckDB — and cosines derived from those integers compare identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+DIM = 64
+SCALE = int(1e12)
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Integer-scaled dot product of two float arrays: each elementwise
+    product floors to micro-units (×1e12) and sums as int64 — exact and
+    order-insensitive, so Spark and DuckDB agree bit-for-bit. Max
+    |element| ~1 ⇒ per-term ≤1e12, 64 terms ≤ 6.4e13 ≪ int64 max."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(float(SCALE))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _scaled_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), k -> "
+        f"CAST(floor(CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE) * 1e12) "
+        f"AS BIGINT)))"
+    )
+
+
+def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+_NORMS_SQL = f"""
+norms AS (
+    SELECT vec_id, {_scaled_dot_sql("embedding", "embedding")} AS nn
+    FROM embeddings
+)
+"""
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", scaled_dot(F.col("embedding"), F.col("embedding")).alias("nn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k — the ANN correctness baseline
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH {_NORMS_SQL.strip()},
+consultas AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+pares AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {_scaled_dot_sql("q.embedding", "c.embedding")} AS dot
+    FROM consultas q
+    JOIN embeddings c ON c.vec_id != q.vec_id
+),
+scored AS (
+    SELECT p.query_id, p.cand_id,
+           CAST(p.dot AS DOUBLE) / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE))
+               AS cos,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY CAST(p.dot AS DOUBLE)
+                                       / sqrt(CAST(nq.nn AS DOUBLE)
+                                              * CAST(nc.nn AS DOUBLE)) DESC,
+                                       p.cand_id) AS pos
+    FROM pares p
+    JOIN norms nq ON nq.vec_id = p.query_id
+    JOIN norms nc ON nc.vec_id = p.cand_id
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM scored WHERE pos <= 5
+"""
+
+
+@register("similarity_topk", oracle=_TOPK_ORACLE, ops=("NN1", "O7"), bench=True)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (every 50th vector is a
+    query). Scale shape: the query side is small → broadcast it against
+    the candidate scan (map-side scoring, no shuffle of the big side);
+    the per-query top-k is a partitioned window over query_id — at
+    1000 executors each query's candidates rank locally after one
+    shuffle on query_id. The LSH variant below removes even that."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(spark, sf_dir)
+    consultas = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pares = emb.join(
+        F.broadcast(consultas), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        scaled_dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        pares.join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup with coarse-quantizer blocking (IVF-style)
+# --------------------------------------------------------------------------
+
+_NEAR_DUP_ORACLE = f"""
+WITH {_NORMS_SQL.strip()},
+pares AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_scaled_dot_sql("a.embedding", "b.embedding")} AS dot
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b, CAST(p.label AS INTEGER) AS label,
+       floor(CAST(p.dot AS DOUBLE)
+             / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) * 1e6) / 1e6
+           AS similitud
+FROM pares p
+JOIN norms na ON na.vec_id = p.vec_a
+JOIN norms nb ON nb.vec_id = p.vec_b
+WHERE CAST(p.dot AS DOUBLE)
+      / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_NEAR_DUP_ORACLE, ops=("DD5", "NN2"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with coarse blocking: pairs
+    form only inside a coarse cell (here the ``label`` column plays the
+    IVF centroid assignment), turning O(n²) into Σ O(cell²) — an equi
+    hash join on label. Pairs at cosine ≥ 0.3 survive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pares = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b", "label", scaled_dot(F.col("ea"), F.col("eb")).alias("dot"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nn").alias("nb"))
+    scored = (
+        pares.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
+    )
+    return scored.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        F.col("label").cast("int").alias("label"),
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH — the 100 TB scale path
+# --------------------------------------------------------------------------
+
+N_PLANES = 8
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2001
+
+
+def _plane_weight_sql(p: str, d: str) -> str:
+    # w(p,d) ∈ [-1000, 1000], deterministic integer LCG — identical math
+    # in both engines, no floats.
+    return f"(({_LCG_A} * ({p} * {DIM} + {d}) + {_LCG_C}) % {_LCG_M} - 1000)"
+
+
+_LSH_ORACLE = f"""
+WITH planos AS (
+    SELECT p.p, d.d, {_plane_weight_sql("p.p", "d.d")} AS w
+    FROM generate_series(0, {N_PLANES - 1}) p(p)
+    CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+elems AS (
+    SELECT e.vec_id, d.d,
+           CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS ev
+    FROM embeddings e CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+proy AS (
+    SELECT el.vec_id, pl.p, sum(pl.w * el.ev) AS proj
+    FROM elems el JOIN planos pl ON pl.d = el.d
+    GROUP BY 1, 2
+),
+baldes AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS balde
+    FROM proy GROUP BY 1
+),
+{_NORMS_SQL.strip()},
+candidatos AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.balde
+    FROM baldes a JOIN baldes b ON a.balde = b.balde AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b, c.balde,
+           {_scaled_dot_sql("ea.embedding", "eb.embedding")} AS dot,
+           na.nn AS na, nb.nn AS nb
+    FROM candidatos c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    JOIN norms na ON na.vec_id = c.vec_a
+    JOIN norms nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, balde,
+       floor(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1e6) / 1e6 AS similitud
+FROM scored
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3
+"""
+
+
+@register("similarity_lsh", oracle=_LSH_ORACLE, ops=("NN3", "DD5"))
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup: 8 deterministic integer
+    hyperplanes sign-hash every vector into one of 256 buckets; pairs
+    form ONLY inside a bucket (equi join), then exact cosine verifies.
+    This is the all-pairs-free scale path — at 100 TB the bucket join
+    shuffles each vector once; candidate volume is Σ bucket², tunable
+    via the plane count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    planos = (
+        spark.range(N_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d")))
+        .withColumn(
+            "w",
+            (
+                F.lit(_LCG_A).cast("long")
+                * (F.col("p").cast("long") * DIM + F.col("d"))
+                + F.lit(_LCG_C)
+            )
+            % F.lit(_LCG_M)
+            - F.lit(1000),
+        )
+    )
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "ev_raw")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("ev_raw").cast("double") * 1e6).cast("long").alias("ev"),
+    )
+    proy = (
+        elems.join(F.broadcast(planos), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("ev")).alias("proj"))
+    )
+    baldes = proy.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("balde")
+    )
+    a = baldes.select(F.col("vec_id").alias("vec_a"), "balde")
+    b = baldes.select(F.col("vec_id").alias("vec_b"), F.col("balde").alias("balde_b"))
+    candidatos = a.join(
+        b, (F.col("balde") == F.col("balde_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b", "balde")
+
+    norms = _norms(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nn").alias("nb"))
+    scored = (
+        candidatos.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ),
+        )
+    )
+    return scored.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        "balde",
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+    )

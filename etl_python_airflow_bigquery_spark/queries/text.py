@@ -1,0 +1,303 @@
+"""Text-analysis operators for the training-data pipeline (BASELINE
+north-star; SURVEY.md §7.4.8): exact dedup, token counting, quality
+scoring, n-gram language ID, and winnowing document fingerprints — all
+over the ``documents`` table, all pure Column expressions (JVM-side,
+whole-stage codegen; the per-doc work is map-only so it scales linearly
+with partitions and shuffles only for the final roll-ups).
+
+Cross-engine determinism rules (shared with similarity.py):
+* token/char hashes come from md5-hex prefixes parsed as int64 —
+  identical in Spark (``conv(...,16,10)``) and DuckDB (``'0x'||`` cast);
+* any float that feeds a comparison is first scaled to an integer
+  (``floor(x * 10^k)``), so sums are exact and order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.dims import values_dim
+from etl_python_airflow_bigquery_spark.functions import trunc1
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# Shared stopword list (the synthetic vocab's function words).
+STOPWORDS = ("the", "a", "or", "and", "of")
+
+# BPE-ish token regex: alpha runs, digit runs, single other non-space chars.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def hex_hash(col: Column, mod: int | None = None) -> Column:
+    """Deterministic int64 hash: first 15 hex chars of md5 → integer.
+    15 hex chars = 60 bits, safely inside int64. DuckDB twin:
+    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h % F.lit(mod) if mod else h
+
+
+def _hex_hash_sql(expr: str, mod: int | None = None) -> str:
+    h = f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+    return f"({h} % {mod})" if mod else h
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash-groupBy
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS huella,
+       CAST(min(doc_id) AS BIGINT) AS doc_id_kept,
+       CAST(count(*) AS BIGINT) AS n_copias,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, ops=("DD1", "A2"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy keeping the lowest doc_id per
+    distinct text. One shuffle on the 128-bit hash — the canonical
+    at-scale exact dedup (hash, not full-text, as the shuffle key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("huella")).agg(
+        F.min("doc_id").cast("bigint").alias("doc_id_kept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copias"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting — whitespace + BPE-ish regex + chars/4 estimate
+# --------------------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_ws,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS tokens_re,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens_est
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_ORACLE, ops=("TX1",))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    tokenizer, chars/4 heuristic. Map-only; the regex stays in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens_ws"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("tokens_re"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — length/stopword/diversity ratios
+# --------------------------------------------------------------------------
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, n_chars,
+           string_split(text, ' ') AS palabras
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, n_chars,
+           len(palabras) AS n_palabras,
+           len(list_filter(palabras, w -> list_contains({_STOP_LIST_SQL}, w)))
+               AS n_stopwords,
+           len(list_distinct(palabras)) AS n_distintas
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_palabras AS BIGINT) AS n_palabras,
+       floor(CAST(n_stopwords AS DOUBLE) / n_palabras * 1000) / 1000 AS ratio_stop,
+       floor(CAST(n_distintas AS DOUBLE) / n_palabras * 1000) / 1000 AS ratio_distintas,
+       floor(CAST(n_chars AS DOUBLE) / n_palabras * 10) / 10 AS largo_palabra,
+       CAST(n_palabras BETWEEN 20 AND 1000
+            AND (CAST(n_stopwords AS DOUBLE) / n_palabras) BETWEEN 0.01 AND 0.6
+            AS BOOLEAN) AS aprobado
+FROM stats
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, ops=("TX2",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring per document: word count, stopword ratio, distinct
+    ratio, mean word length, and a Gopher-style keep/drop rule. Ratios
+    floor-truncated so both engines emit identical decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    palabras = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(palabras).alias("n_palabras"),
+        F.size(F.filter(palabras, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stopwords"
+        ),
+        F.size(F.array_distinct(palabras)).alias("n_distintas"),
+    )
+    ratio = lambda n, d, k: F.floor(n.cast("double") / d * k) / k  # noqa: E731
+    return base.select(
+        "doc_id",
+        F.col("n_palabras").cast("bigint").alias("n_palabras"),
+        ratio(F.col("n_stopwords"), F.col("n_palabras"), 1000).alias("ratio_stop"),
+        ratio(F.col("n_distintas"), F.col("n_palabras"), 1000).alias("ratio_distintas"),
+        ratio(F.col("n_chars"), F.col("n_palabras"), 10).alias("largo_palabra"),
+        (
+            F.col("n_palabras").between(20, 1000)
+            & (F.col("n_stopwords").cast("double") / F.col("n_palabras")).between(
+                0.01, 0.6
+            )
+        ).alias("aprobado"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID — char-trigram profile voting
+# --------------------------------------------------------------------------
+
+# Tiny per-language character-trigram profiles (public n-gram-profile
+# language-ID technique à la Cavnar-Trenkle). Deliberately small; the
+# synthetic corpus shares one vocabulary so the vote mostly lands on the
+# profile with the most frequent trigrams — the operator's plumbing
+# (explode → broadcast join → argmax) is the point.
+LANG_PROFILES = [
+    ("en", "the"), ("en", "ing"), ("en", "and"), ("en", "or "),
+    ("es", "os "), ("es", "la "), ("es", "es "), ("es", "de "),
+    ("de", "sch"), ("de", "der"), ("de", "ein"), ("de", "ung"),
+    ("fr", "le "), ("fr", "ent"), ("fr", "que"), ("fr", "es "),
+    ("zh", "zh "), ("zh", "shi"), ("zh", "de "), ("zh", "ng "),
+]
+
+_LANG_ORACLE = """
+WITH tri AS (
+    SELECT d.doc_id, substring(d.text, g.i, 3) AS trigram
+    FROM documents d, LATERAL unnest(generate_series(1, d.n_chars - 2)) AS g(i)
+    WHERE d.n_chars >= 3
+),
+perfiles(lang_p, trigram) AS (
+    VALUES ('en','the'),('en','ing'),('en','and'),('en','or '),
+           ('es','os '),('es','la '),('es','es '),('es','de '),
+           ('de','sch'),('de','der'),('de','ein'),('de','ung'),
+           ('fr','le '),('fr','ent'),('fr','que'),('fr','es '),
+           ('zh','zh '),('zh','shi'),('zh','de '),('zh','ng ')
+),
+votos AS (
+    SELECT t.doc_id, p.lang_p, count(*) AS matches
+    FROM tri t JOIN perfiles p ON t.trigram = p.trigram
+    GROUP BY 1, 2
+),
+mejor AS (
+    SELECT doc_id, lang_p, matches,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY matches DESC, lang_p) AS rn
+    FROM votos
+)
+SELECT d.doc_id, d.lang AS lang_real,
+       coalesce(m.lang_p, 'unknown') AS lang_pred,
+       CAST(coalesce(m.matches, 0) AS BIGINT) AS votos
+FROM documents d
+LEFT JOIN mejor m ON m.doc_id = d.doc_id AND m.rn = 1
+"""
+
+
+@register("lang_id_ngram", oracle=_LANG_ORACLE, ops=("TX3",))
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: explode each doc into trigrams,
+    broadcast-join the profile table, vote per (doc, lang), argmax via
+    row_number. The profile join is a broadcast; the heavy explode is
+    map-side; one shuffle for the vote."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.where(F.col("n_chars") >= 3).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars") - 2)).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 3)").alias("trigram"))
+    perfiles = values_dim(spark, LANG_PROFILES, ["lang_p", "trigram"])
+    votos = tri.join(F.broadcast(perfiles), "trigram").groupBy("doc_id", "lang_p").agg(
+        F.count(F.lit(1)).alias("matches")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("matches").desc(), F.col("lang_p"))
+    mejor = votos.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return docs.join(mejor, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("lang_real"),
+        F.coalesce(F.col("lang_p"), F.lit("unknown")).alias("lang_pred"),
+        F.coalesce(F.col("matches"), F.lit(0)).cast("bigint").alias("votos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting — winnowing (rolling k-gram min-hash)
+# --------------------------------------------------------------------------
+
+_K_GRAM = 5
+_WIN = 4
+_FP_MOD = 1_000_000_007
+
+_FP_ORACLE = f"""
+WITH grams AS (
+    SELECT d.doc_id, g.i AS pos,
+           {_hex_hash_sql("substring(d.text, g.i, 5)", _FP_MOD)} AS h
+    FROM documents d, LATERAL unnest(generate_series(1, d.n_chars - 4)) AS g(i)
+    WHERE d.n_chars >= 5
+),
+winmin AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           pos
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp
+    FROM winmin
+    WHERE pos <= (SELECT max(pos) FROM grams g2 WHERE g2.doc_id = winmin.doc_id) - 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_huellas,
+       CAST(min(fp) AS BIGINT) AS huella_min
+FROM fps GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE, ops=("TX4", "W1"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the public Schleimer/Wilkerson/Aiken
+    scheme): hash every 5-char gram, keep the min hash of each sliding
+    window of 4, dedup — a robust content fingerprint for near-dup and
+    plagiarism-style matching. The window min runs per-doc (partitioned
+    window, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.where(F.col("n_chars") >= _K_GRAM).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars") - (_K_GRAM - 1))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        hex_hash(F.expr(f"substring(text, pos, {_K_GRAM})"), _FP_MOD).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN - 1)
+    wmax = Window.partitionBy("doc_id")
+    winmin = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.max("pos").over(wmax).alias("max_pos"),
+    ).where(F.col("pos") <= F.col("max_pos") - (_WIN - 1))
+    fps = winmin.select("doc_id", "fp").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_huellas"),
+        F.min("fp").cast("bigint").alias("huella_min"),
+    )
