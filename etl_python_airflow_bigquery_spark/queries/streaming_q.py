@@ -1,0 +1,97 @@
+"""Oracle-checked streaming entries: each runs a real Structured
+Streaming job (file source → stateful agg → availableNow drain) and
+returns the final result as a batch DataFrame, so the driver's DuckDB
+oracle validates the STREAMING plan's answer — proof the micro-batch
+path reproduces batch semantics exactly (SURVEY.md §5: "tumbling 1h
+counts equal the batch answer on the same data").
+
+Timestamps are emitted as epoch-µs BIGINTs: window()/session_window()
+bucket on the epoch instant (tz-independent), but a TimestampType output
+column would re-render in the driver's session zone — integers can't.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.streaming.jobs import (
+    events_dir_for,
+    hourly_counts,
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+)
+
+_HOURLY_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hora_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS valor
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_hourly", oracle=_HOURLY_ORACLE, ops=("ST1", "W2"))
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregates computed BY THE STREAMING ENGINE
+    (readStream → withWatermark → window → availableNow drain), checked
+    against the batch oracle — late-data tolerance comes from the
+    watermark instead of the reference's delete-and-reload lookback."""
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    agg = hourly_counts(stream).select(
+        F.unix_micros("hora_inicio").alias("hora_us"),
+        "event_type",
+        "eventos",
+        "valor",
+    )
+    return run_to_memory(agg, f"hourly_{uuid.uuid4().hex[:8]}")
+
+
+_SESSIONS_ORACLE = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t_us FROM events
+),
+marcado AS (
+    SELECT user_id, t_us,
+           CASE WHEN t_us - lag(t_us, 1, t_us)
+                         OVER (PARTITION BY user_id ORDER BY t_us)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS nueva
+    FROM ev
+),
+islas AS (
+    SELECT user_id, t_us,
+           sum(nueva) OVER (PARTITION BY user_id ORDER BY t_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sesion
+    FROM marcado
+)
+SELECT user_id,
+       CAST(min(t_us) AS BIGINT) AS inicio_us,
+       CAST(max(t_us) + 1800000000 AS BIGINT) AS fin_us,
+       CAST(count(*) AS BIGINT) AS eventos
+FROM islas
+GROUP BY user_id, sesion
+"""
+
+
+@register("streaming_sessions", oracle=_SESSIONS_ORACLE, ops=("ST2", "W1"))
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session intervals rebuilt BY ``session_window`` in a streaming
+    job, oracle-checked against the gaps-and-islands batch formulation.
+    session_window semantics: events merge while the next arrives
+    strictly inside the previous event's 30-min horizon, and the session
+    end extends 30 min past the last event — the oracle mirrors both."""
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    ses = sessionize(stream).select(
+        "user_id",
+        F.unix_micros("inicio").alias("inicio_us"),
+        F.unix_micros("fin").alias("fin_us"),
+        "eventos",
+    )
+    return run_to_memory(ses, f"sessions_{uuid.uuid4().hex[:8]}")

@@ -1,0 +1,155 @@
+"""Structured Streaming jobs (SURVEY.md §2.10).
+
+The reference's "real-time" story is hourly Airflow re-runs with a
+``dias_remplazo`` reprocessing lookback — a manual watermark
+(descarga_hora.py:24-60, consumo_detalle.py:317-340). Here that becomes
+native Structured Streaming:
+
+* file-source ``readStream`` over the events parquet (micro-batch; in
+  production the same plan binds to Kafka/files unchanged),
+* ``withWatermark(ts, N days)`` — the lookback, now enforced by state
+  eviction instead of delete-and-reload,
+* tumbling ``window(ts, '1 hour')`` aggregates (the reference's
+  hora/diario trunc buckets, audio_digital.py:186-187),
+* ``session_window(ts, '30 minutes')`` — the idiomatic rebuild of
+  consumo_detalle-style session intervals from raw events,
+* ``foreachBatch`` + dynamic partition overwrite — K3's idempotent
+  refresh per micro-batch,
+* ``Trigger.availableNow`` — bounded catch-up runs, the streaming twin
+  of the reference's scheduled backfills.
+
+State growth is bounded by the watermark horizon × key cardinality;
+no custom state stores are needed (SURVEY.md §2.10 conclusion).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.writes import refresh_window
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+WATERMARK = "4 days"  # the reference's dias_remplazo lookback
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events parquet. ``ts`` arrives as raw
+    epoch-nanos (nanosAsLong) and is surfaced as a proper timestamp for
+    watermarking; the explicit schema keeps the source from running a
+    batch inference scan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour per-type aggregates with late-data tolerance =
+    the reprocessing lookback. Works on both a stream (stateful, late
+    rows folded in until the watermark passes) and a batch frame (plain
+    window agg) — one definition, two execution modes."""
+    return (
+        events.withWatermark("ts_utc", WATERMARK)
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("eventos"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("valor"),
+        )
+        .select(
+            F.col("w.start").alias("hora_inicio"),
+            "event_type",
+            "eventos",
+            "valor",
+        )
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Session rebuild via ``session_window``: consecutive events of a
+    user closer than the gap merge into one interval — the streaming
+    form of the consumo_detalle session fact (and of the batch
+    gaps-and-islands query ``sessionization``)."""
+    return (
+        events.withWatermark("ts_utc", WATERMARK)
+        .groupBy(F.session_window("ts_utc", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("eventos"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("inicio"),
+            F.col("w.end").alias("fin"),
+            "eventos",
+        )
+    )
+
+
+def run_hourly_refresh(
+    spark: SparkSession,
+    events_dir: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """End-to-end micro-batch pipeline: stream → hourly aggregates →
+    foreachBatch dynamic-partition-overwrite refresh, availableNow (runs
+    until the source is drained, then stops — a catch-up run). Each
+    micro-batch replaces exactly the day-partitions it touches, so
+    re-running after failure is idempotent (K3 semantics)."""
+    agg = hourly_counts(read_events_stream(spark, events_dir))
+    with_dia = agg.withColumn("dia", F.to_date("hora_inicio"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        refresh_window(batch_df, out_path, ["dia"], cluster_cols=["event_type"])
+
+    q = (
+        with_dia.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a streaming frame into an in-memory table (availableNow,
+    complete mode) and return the final batch result — used by tests and
+    by the oracle-checked ``streaming_hourly`` query entry to prove the
+    streaming plan reproduces the batch answer."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def events_dir_for(sf_dir: str) -> str:
+    """The file-stream source requires a DIRECTORY of files (its
+    listing-based discovery model); the testdata ships one parquet file
+    per table, so expose it through a per-sf symlink directory. In
+    production this is simply the landing directory micro-batches drop
+    into (consumo_detalle's 12-hour chunks, reference
+    consumo_detalle.py:44-77)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    stream_dir = os.path.join("/tmp", "spark_graft_streams", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stream_dir

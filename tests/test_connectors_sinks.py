@@ -1,0 +1,128 @@
+"""Sources / sinks / orchestration tests (S1-S11, K7-K9, G1-G6) — the
+network boundaries are injected fakes; retry/chunk/flatten/render logic
+runs for real."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.orchestration import Task, job_matrix, run_pipeline
+from etl_python_airflow_bigquery_spark.sinks import (
+    render_html_report,
+    segment_dictionary,
+    send_email_report,
+)
+from etl_python_airflow_bigquery_spark.sources.connectors import (
+    csv_export_source,
+    ga_source,
+    gen_windows,
+    rest_metrics_source,
+    with_retry,
+)
+
+US_PER_HOUR = 3_600_000_000
+
+
+def test_gen_windows_chunks_and_guard():
+    ws = gen_windows(0, 30 * US_PER_HOUR)
+    assert len(ws) == 3 and ws[-1] == (24 * US_PER_HOUR, 30 * US_PER_HOUR)
+    assert gen_windows(10, 10) == []
+
+
+def test_with_retry_recovers():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return [{"ok": 1}]
+
+    assert with_retry(flaky, retries=5) == [{"ok": 1}]
+    assert calls["n"] == 3
+    with pytest.raises(RuntimeError, match="failed after 2"):
+        with_retry(lambda: (_ for _ in ()).throw(IOError()), retries=2)
+
+
+def test_rest_metrics_source_per_window(spark):
+    def fake_api(spec):
+        assert "dimensions" in spec
+        return [{"hora_us": spec["date_start_us"], "starts": 7}]
+
+    df = rest_metrics_source(
+        spark,
+        fake_api,
+        {"dimensions": ["hour"]},
+        schema="hora_us LONG, starts LONG",
+        windows=gen_windows(0, 36 * US_PER_HOUR),
+    )
+    assert df.count() == 3
+    assert df.agg(F.sum("starts")).first()[0] == 21
+
+
+def test_csv_source_explicit_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("user_id,minutos\n1,10.5\n2,3.25\n")
+    df = csv_export_source(spark, str(p), "user_id LONG, minutos DOUBLE")
+    assert df.schema.simpleString() == "struct<user_id:bigint,minutos:double>"
+    assert df.count() == 2
+
+
+def test_ga_source_flattens_report(spark):
+    report = {
+        "dimensionHeaders": [{"name": "pais"}],
+        "metricHeaders": [{"name": "sesiones"}],
+        "rows": [
+            {"dimensionValues": [{"value": "cl"}], "metricValues": [{"value": "5"}]},
+            {"dimensionValues": [{"value": "ar"}], "metricValues": [{"value": "3"}]},
+        ],
+    }
+    df = ga_source(spark, [report], "pais STRING, sesiones DOUBLE")
+    assert {r["pais"]: r["sesiones"] for r in df.collect()} == {"cl": 5.0, "ar": 3.0}
+
+
+def test_html_report_and_email_gate(spark):
+    df = spark.createDataFrame([(1, "a<b")], "id INT, nota STRING")
+    html_doc = render_html_report(df, "nulos & errores")
+    assert "a&lt;b" in html_doc and "nulos &amp; errores" in html_doc
+
+    sent = []
+    ok = send_email_report(df, "t", ["x@y"], lambda s, to, h: sent.append(s))
+    assert ok and sent == ["t"]
+    assert not send_email_report(df, "t", ["x@y"], lambda *a: sent.append("no"), skip=True)
+    assert sent == ["t"]  # gated send never called
+
+
+def test_segment_dictionary(spark):
+    df = spark.createDataFrame(
+        [("vip", "ana@x"), ("vip", "bo@x"), ("free", "cy@x")], "tag STRING, email STRING"
+    )
+    d = json.loads(segment_dictionary(df, "tag", "email"))
+    assert d == {"vip": ["ana@x", "bo@x"], "free": ["cy@x"]}
+
+
+def test_run_pipeline_flags_and_blocking():
+    order = []
+    tasks = [
+        Task("a", lambda: order.append("a")),
+        Task("b", lambda: (_ for _ in ()).throw(ValueError("boom")), depends_on=("a",), retries=2),
+        Task("c", lambda: order.append("c"), depends_on=("b",)),
+        Task("d", lambda: order.append("d"), depends_on=("a",)),
+        Task("skipme", lambda: order.append("s"), gate=lambda: False),
+    ]
+    m = run_pipeline(tasks)
+    assert m.statuses == {
+        "a": "ok", "b": "failed", "c": "blocked", "d": "ok", "skipme": "skipped"
+    }
+    assert not m.ok and "boom" in m.errors["b"]
+    assert order == ["a", "d"]
+
+
+def test_job_matrix():
+    combos = job_matrix(agg=["hour", "day"], vip=[0, 1, 5])
+    assert len(combos) == 6
+    assert {"agg": "hour", "vip": 5} in combos
