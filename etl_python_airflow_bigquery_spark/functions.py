@@ -37,6 +37,15 @@ def micros(ts_col_name: str) -> Column:
     ).cast("long")
 
 
+def ntz_lit(iso: str) -> Column:
+    """TIMESTAMP_NTZ literal for filter predicates on parquet NTZ
+    columns. Comparing the COLUMN directly against this literal yields a
+    plain `col <= ts` DataFilter that reaches the parquet scan (row-group
+    stats pruning); wrapping the column in ``micros()`` arithmetic does
+    not push down. Wall-clock semantics — tz-proof like micros()."""
+    return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+
+
 def nanos_to_micros(ns_col_name: str) -> Column:
     """Raw parquet-nanos BIGINT column → epoch microseconds via integer
     ``div`` (never float math: epoch-nanos exceed double's 53-bit mantissa).

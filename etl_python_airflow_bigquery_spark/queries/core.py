@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import day_grid
 from etl_python_airflow_bigquery_spark.functions import (
-    micros,
+    ntz_lit,
     safe_div,
     trunc1,
 )
@@ -166,8 +166,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
     return (
-        # epoch-µs comparison: tz-proof (1998-09-02T00:00:00Z = 904694400000000)
-        li.where(micros("l_shipdate") <= F.lit(904_694_400_000_000))
+        # NTZ-literal comparison (not micros() arithmetic) so the filter
+        # pushes to the parquet scan; wall-clock ⇒ tz-proof either way.
+        li.where(F.col("l_shipdate") <= ntz_lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),

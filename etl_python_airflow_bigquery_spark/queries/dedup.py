@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.dims import values_dim
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
 from etl_python_airflow_bigquery_spark.tables import load_table
@@ -194,29 +193,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are touched again only for the verified candidates."""
     sh = _shingles(spark, sf_dir)
     tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    perms = values_dim(spark, _perm_params(), ["i", "a", "b"])
     h0 = sh.select("doc_id", hex_hash(F.col("s"), _MERSENNE).alias("h"))
-    minh = (
-        h0.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _MERSENNE).alias("mh"))
+    # All 16 permuted minima in ONE aggregation pass (single shuffle on
+    # doc_id, map-side combinable) — a perms-dim cross join + pivot would
+    # add a 16x row blowup plus two extra shuffles for the same numbers.
+    firmas = h0.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(str(i))
+            for i, a, b in _perm_params()
+        ]
     )
-    firmas = minh.groupBy("doc_id").pivot("i", list(range(1, _N_PERM + 1))).agg(
-        F.min("mh")
-    )
-    bucket_branches = [
-        firmas.select(
-            "doc_id",
-            F.lit(b).alias("banda"),
-            F.md5(
-                F.concat_ws(",", *[F.col(str(i)).cast("string") for i in cols])
-            ).alias("clave"),
+    # One stack() projection emits all 4 (band, key) rows per doc — a
+    # 4-way unionByName would recompute the signature aggregation per
+    # branch.
+    stack_args: list = []
+    for b, cols in _BANDS:
+        stack_args.append(F.lit(b))
+        stack_args.append(
+            F.md5(F.concat_ws(",", *[F.col(str(i)).cast("string") for i in cols]))
         )
-        for b, cols in _BANDS
-    ]
-    baldes = bucket_branches[0]
-    for br in bucket_branches[1:]:
-        baldes = baldes.unionByName(br)
+    baldes = firmas.select(
+        "doc_id",
+        F.stack(F.lit(len(_BANDS)), *stack_args).alias("banda", "clave"),
+    )
     a = baldes.select(F.col("doc_id").alias("doc_a"), "banda", "clave")
     b = baldes.select(F.col("doc_id").alias("doc_b"), "banda", "clave")
     candidatos = (

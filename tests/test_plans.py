@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+Correctness tests prove the numbers; these prove the SHAPE that keeps
+the numbers cheap at 100 TB: filters/projections reaching the parquet
+scan, dims broadcasting, the interval join never degenerating into a
+nested loop, top-k compiling to TakeOrderedAndProject."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # date filter reaches the scan as a plain comparison
+    assert "l_shipdate" in scan and "timestampdiff" not in scan
+    assert "1998-09-02" in scan
+    # column pruning: untouched columns never leave the reader
+    assert "l_tax" not in scan and "l_suppkey" not in scan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    # snowflake dims (nation/region) must broadcast, never sort-merge
+    plan = plan_of(spark, sf_dir, "registry_union")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    # 5-row tier dim: BNLJ is the correct physical choice for non-equi
+    plan = plan_of(spark, sf_dir, "funnel_vip")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    # the bucket-refine rewrite must plan as a hash join on the bucket
+    # key — a raw overlap predicate would appear as BNLJ/Cartesian
+    plan = plan_of(spark, sf_dir, "programas_live")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_contenidos")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_single_fact_shuffle(spark, sf_dir):
+    # indicadores_total: the calendar join must broadcast; the only
+    # fact-side exchanges are the aggregation's
+    plan = plan_of(spark, sf_dir, "indicadores_total")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "bucket_key"),
+    [
+        ("dedup_minhash_lsh", "clave"),
+        ("similarity_lsh", "balde"),
+        ("dedup_simhash_pairs", "nib"),
+    ],
+)
+def test_lsh_candidates_via_keyed_join(spark, sf_dir, name, bucket_key):
+    # candidate generation = equi join ON THE BUCKET KEY, never an
+    # all-pairs product over the vectors/docs. (Tiny constant dims — the
+    # 8x64 hyperplane grid — may legitimately cross-join.)
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    keyed = [
+        l
+        for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "HashJoin" in l) and bucket_key in l
+    ]
+    assert keyed, f"no keyed candidate join on {bucket_key!r} found"
