@@ -65,3 +65,4 @@ from etl_python_airflow_bigquery_spark.queries import lifecycle  # noqa: E402,F4
 from etl_python_airflow_bigquery_spark.queries import streaming_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import enrich_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import multimodal_q  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import extras  # noqa: E402,F401

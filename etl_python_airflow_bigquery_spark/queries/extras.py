@@ -1,0 +1,344 @@
+"""Coverage-completing queries for the remaining SURVEY.md §2 rows:
+U3 (timetable normalizer), U4 (metadata-driven segment evaluator),
+P4/P5/P8 (null/IN-list/regex predicates), O4 (EXCEPT semantics),
+A6 (global scalar aggregate), J2 (chained left-merge enrichment), plus
+the multi-granularity rollup (hora/diario/mensual in ONE pass via
+grouping sets — the Spark-idiomatic form of the reference computing
+three separate period marts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import US_PER_HOUR, dsum
+from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# U3 — horario_ipsos timetable normalizer (pure column exprs)
+# --------------------------------------------------------------------------
+
+_IPSOS_ORACLE = """
+WITH sess AS (
+    SELECT event_id, user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+)
+SELECT event_id, user_id,
+       (s_us // 3600000000) * 3600000000 AS inicio_oficial_us,
+       ((e_us - 1) // 3600000000 + 1) * 3600000000 AS fin_oficial_us
+FROM sess
+WHERE e_us > s_us
+"""
+
+
+@register("horario_ipsos", oracle=_IPSOS_ORACLE, ops=("U3", "P2"))
+def horario_ipsos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``horario_ipsos`` UDF — round a program interval
+    down to :00 and up to the next hour boundary
+    (programas_live.py:104-123) — is NOT a UDF here: it is integer
+    floor/ceil arithmetic, fully inside whole-stage codegen."""
+    sess = sessions_from_events(load_table(spark, sf_dir, "events"))
+    hour = F.lit(US_PER_HOUR)
+    return sess.where(F.col("e_us") > F.col("s_us")).select(
+        "event_id",
+        "user_id",
+        (F.floor(F.col("s_us") / hour) * hour).cast("long").alias("inicio_oficial_us"),
+        ((F.floor((F.col("e_us") - 1) / hour) + 1) * hour)
+        .cast("long")
+        .alias("fin_oficial_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U4 — metadata-driven segment evaluator (dynamic filter exprs)
+# --------------------------------------------------------------------------
+
+# The reference's user_tags metadata table: (tag, column, op, value) rows
+# evaluated dynamically against the user frame
+# (Update_function_for_Mailing_segmentation.ipynb final cell).
+SEGMENT_RULES = [
+    ("saldo_alto", "c_acctbal", ">", "8000"),
+    ("construccion", "c_mktsegment", "==", "BUILDING"),
+    ("maquinaria", "c_mktsegment", "==", "MACHINERY"),
+    ("deudores", "c_acctbal", "<", "0"),
+]
+
+
+def _rule_to_filter(column: str, op: str, value: str) -> Column:
+    c = F.col(column)
+    if op == ">":
+        return c > float(value)
+    if op == "<":
+        return c < float(value)
+    if op == "==":
+        return c == value
+    if op == "isin":
+        return c.isin(*value.split("|"))
+    if op == "notnull":
+        return c.isNotNull()
+    raise ValueError(f"unknown segment op {op!r}")
+
+
+_SEGMENT_ORACLE = """
+SELECT 'saldo_alto' AS tag, c_custkey AS user_id FROM customer WHERE c_acctbal > 8000
+UNION ALL
+SELECT 'construccion', c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'maquinaria', c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+UNION ALL
+SELECT 'deudores', c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("segment_evaluator", oracle=_SEGMENT_ORACLE, ops=("U4", "O2"))
+def segment_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven segmentation: rule rows compile to Column
+    predicates at plan time (driver-side loop over METADATA, not data),
+    one filtered branch per tag, unioned. Catalyst sees ordinary
+    filters — each branch prunes/pushes independently."""
+    customer = load_table(spark, sf_dir, "customer")
+    branches = [
+        customer.where(_rule_to_filter(colname, op, val)).select(
+            F.lit(tag).alias("tag"), F.col("c_custkey").alias("user_id")
+        )
+        for tag, colname, op, val in SEGMENT_RULES
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+# --------------------------------------------------------------------------
+# P4/P5/P8 — null / IN-list / regex predicate census
+# --------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT p_partkey, p_brand, p_type
+FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND NOT regexp_matches(p_name, '[=;"]')
+  AND p_type IS NOT NULL
+  AND contains(lower(p_type), 'a')
+"""
+
+
+@register("filtros_census", oracle=_FILTER_ORACLE, ops=("P4", "P5", "P8"))
+def filtros_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate census: IN-list membership (email_ratpack.py:47),
+    forbidden-character regex exclusion (mapa_consumo.py:168), NULL
+    guard, substring containment (CONTAINS_SUBSTR). All are scan-level
+    filters Catalyst pushes into the parquet reader where possible."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & ~F.col("p_name").rlike('[=;"]')
+        & F.col("p_type").isNotNull()
+        & F.lower(F.col("p_type")).contains("a")
+    ).select("p_partkey", "p_brand", "p_type")
+
+
+# --------------------------------------------------------------------------
+# O4 — EXCEPT semantics
+# --------------------------------------------------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey AS user_id FROM customer
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+
+@register("except_inactivos", oracle=_EXCEPT_ORACLE, ops=("O4", "J7"))
+def except_inactivos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered users with zero click events — EXCEPT set semantics
+    (the reference reaches them via anti-join chains, §2.4 J7; here the
+    native exceptAll-after-distinct form)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    clickers = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id")
+    )
+    return customer.distinct().exceptAll(clickers.distinct())
+
+
+# --------------------------------------------------------------------------
+# A6 — global scalar aggregate
+# --------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT CAST(count(DISTINCT md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type)))
+            AS BIGINT) AS dispositivos,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS minutos
+FROM events
+"""
+
+
+@register("global_scalar", oracle=_SCALAR_ORACLE, ops=("A6", "A2"))
+def global_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row global aggregate — the reference's one-number device
+    count (email_ratpack.py:44-48). Partial aggregation makes this a
+    near-free full scan at any size."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct(
+            F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type"))
+        )
+        .cast("bigint")
+        .alias("dispositivos"),
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        dsum("value").alias("minutos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — chained left-merge enrichment (the 13-merge notebook)
+# --------------------------------------------------------------------------
+
+_MERGE_CHAIN_ORACLE = """
+SELECT c.c_custkey AS platform_id,
+       c.c_name,
+       n.n_name AS nacion,
+       r.r_name AS region,
+       s.s_name AS emisor,
+       coalesce(e.q_eventos, 0) AS q_eventos,
+       coalesce(o.q_ordenes, 0) AS q_ordenes
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON c.c_nationkey = s.s_nationkey AND s.s_suppkey = c.c_custkey % 10 + 1
+LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS q_eventos
+           FROM events GROUP BY 1) e ON e.user_id = c.c_custkey
+LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS q_ordenes
+           FROM orders GROUP BY 1) o ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("merge_chain", oracle=_MERGE_CHAIN_ORACLE, ops=("J2", "J1"))
+def merge_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained left-merge enrichment on one key — the reference's 13
+    consecutive ``pd.merge(..., how='left', on='platform_id')`` cells
+    (Merging_csv_Bigquery.ipynb). Spark chains them lazily; Catalyst
+    broadcast-plans every small side, so the fact column sees one pass."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+    eventos = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q_eventos"))
+    )
+    ordenes = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q_ordenes"))
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(
+            F.broadcast(supplier),
+            (customer.c_nationkey == supplier.s_nationkey)
+            & (supplier.s_suppkey == customer.c_custkey % 10 + 1),
+            "left",
+        )
+        .join(eventos, eventos.user_id == customer.c_custkey, "left")
+        .join(F.broadcast(ordenes), ordenes.o_custkey == customer.c_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("platform_id"),
+            "c_name",
+            F.col("n_name").alias("nacion"),
+            F.col("r_name").alias("region"),
+            F.col("s_name").alias("emisor"),
+            F.coalesce(F.col("q_eventos"), F.lit(0)).alias("q_eventos"),
+            F.coalesce(F.col("q_ordenes"), F.lit(0)).alias("q_ordenes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W2+ — multi-granularity rollup in one pass (grouping sets)
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CASE WHEN GROUPING(dia) = 0 AND GROUPING(hora) = 0 THEN 'hora'
+            WHEN GROUPING(dia) = 0 THEN 'diario'
+            ELSE 'mensual' END AS periodo,
+       coalesce(dia, -1) AS dia,
+       coalesce(hora, -1) AS hora,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS minutos
+FROM (
+    SELECT epoch_us(ts) // 86400000000 AS dia,
+           (epoch_us(ts) % 86400000000) // 3600000000 AS hora,
+           value
+    FROM events
+)
+GROUP BY GROUPING SETS ((dia, hora), (dia), ())
+"""
+
+
+@register("rollup_periodos", oracle=_ROLLUP_ORACLE, ops=("W2", "A1"), bench=True)
+def rollup_periodos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes its hora/diario/mensual marts as three
+    separate queries over the same fact (dicc_fechas periodo branches,
+    indicadores_cia.py:130-144); grouping sets produce all three
+    granularities in ONE scan + one shuffle — the hypertable-rollup
+    pattern done the Catalyst way."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("ts div 86400000000000").alias("dia"),
+        F.expr("(ts % 86400000000000) div 3600000000000").alias("hora"),
+        "value",
+    )
+    grouped = base.groupingSets([["dia", "hora"], ["dia"], []], "dia", "hora").agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        dsum("value").alias("minutos"),
+        F.grouping("dia").alias("g_dia"),
+        F.grouping("hora").alias("g_hora"),
+    )
+    periodo = (
+        F.when((F.col("g_dia") == 0) & (F.col("g_hora") == 0), F.lit("hora"))
+        .when(F.col("g_dia") == 0, F.lit("diario"))
+        .otherwise(F.lit("mensual"))
+    )
+    return grouped.select(
+        periodo.alias("periodo"),
+        F.coalesce(F.col("dia"), F.lit(-1)).alias("dia"),
+        F.coalesce(F.col("hora"), F.lit(-1)).alias("hora"),
+        "eventos",
+        "minutos",
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 at 100 TB — approx_count_distinct variant (rows-only)
+# --------------------------------------------------------------------------
+
+
+@register("approx_distinct_devices", oracle=None, ops=("A2",))
+def approx_distinct_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale variant of the exact device counts: HyperLogLog++
+    via approx_count_distinct (rsd 1%). No oracle — sketch estimates are
+    engine-specific by design (SURVEY.md §7.4.3: exact kept for parity,
+    approx exposed for scale); the driver's rows-only check applies."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct(
+            F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type")),
+            rsd=0.01,
+        ).alias("dispositivos_aprox"),
+        F.countDistinct(
+            F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type"))
+        ).alias("dispositivos_exactos"),
+    )
