@@ -37,6 +37,25 @@ def micros(ts_col_name: str) -> Column:
     ).cast("long")
 
 
+def ntz_from_us(us: Column) -> Column:
+    """Epoch-µs integer → TIMESTAMP_NTZ (UTC wall clock) via pure
+    timestamp arithmetic — NEVER ``timestamp_micros`` + cast, whose NTZ
+    rendering depends on the session time zone."""
+    return F.timestamp_add(
+        "MICROSECOND", us, F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    )
+
+
+def to_santiago(us: Column) -> Column:
+    """UTC instant (epoch µs) → America/Santiago wall clock, as
+    TIMESTAMP_NTZ — the reference's ``DATETIME(ts, 'America/Santiago')``
+    (indicadores_cia.py:123-124). ``convert_timezone`` on NTZ inputs is
+    session-tz-independent and DST-correct via the IANA database (the
+    DuckDB twin is ``timezone('America/Santiago', timezone('UTC', ts))``).
+    """
+    return F.convert_timezone(F.lit("UTC"), F.lit("America/Santiago"), ntz_from_us(us))
+
+
 def ntz_lit(iso: str) -> Column:
     """TIMESTAMP_NTZ literal for filter predicates on parquet NTZ
     columns. Comparing the COLUMN directly against this literal yields a

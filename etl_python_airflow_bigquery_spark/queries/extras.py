@@ -342,3 +342,44 @@ def approx_distinct_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type"))
         ).alias("dispositivos_exactos"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.8 tz-shift — Santiago local-time audience (the DATETIME(ts, tz) idiom)
+# --------------------------------------------------------------------------
+
+_LOCAL_ORACLE = """
+WITH loc AS (
+    SELECT user_id, value,
+           timezone('America/Santiago', timezone('UTC', ts)) AS ts_scl
+    FROM events
+)
+SELECT CAST(strftime(ts_scl, '%Y-%m-%d') AS VARCHAR) AS dia_local,
+       CAST(hour(ts_scl) AS INTEGER) AS hora_local,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM loc
+GROUP BY 1, 2
+"""
+
+
+@register("audiencia_local", oracle=_LOCAL_ORACLE, ops=("P7", "W2"))
+def audiencia_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LOCAL-day/hour audience in America/Santiago — the reference's
+    store-UTC / compute-local convention (``DATETIME(start_date,
+    'America/Santiago')``, indicadores_cia.py:123-124), via
+    ``convert_timezone`` on NTZ values: session-tz-independent and
+    DST-correct through the IANA database on both engines."""
+    from etl_python_airflow_bigquery_spark.functions import to_santiago
+
+    events = load_table(spark, sf_dir, "events")
+    loc = events.select(
+        "user_id", to_santiago(F.expr("ts div 1000")).alias("ts_scl")
+    )
+    return loc.groupBy(
+        F.date_format("ts_scl", "yyyy-MM-dd").alias("dia_local"),
+        F.hour("ts_scl").cast("int").alias("hora_local"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for the scalar building blocks — including the DST risk
+called out in SURVEY.md §7.4.2: America/Santiago transitions must be
+IANA-correct and independent of the Spark session time zone."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import (
+    clipped_micros,
+    day_to_date,
+    epoch_day,
+    hour_of_day,
+    safe_div,
+    to_santiago,
+    trunc1,
+)
+
+US = 1_000_000
+
+
+def one_row(spark, **cols):
+    df = spark.range(1)
+    for k, v in cols.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def test_clipped_micros_cases(spark):
+    df = one_row(spark).select(
+        clipped_micros(F.lit(10), F.lit(20), F.lit(5), F.lit(15)).alias("overlap"),
+        clipped_micros(F.lit(10), F.lit(20), F.lit(25), F.lit(30)).alias("disjoint"),
+        clipped_micros(F.lit(10), F.lit(20), F.lit(0), F.lit(100)).alias("contained"),
+        clipped_micros(F.lit(10), F.lit(20), F.lit(20), F.lit(30)).alias("adjacent"),
+    )
+    r = df.first()
+    assert (r["overlap"], r["disjoint"], r["contained"], r["adjacent"]) == (5, 0, 10, 0)
+
+
+def test_trunc1_matches_floor_semantics(spark):
+    r = one_row(spark).select(
+        trunc1(F.lit(1.26)).alias("a"),
+        trunc1(F.lit(-1.26)).alias("b"),  # floor → -1.3, NOT round-toward-zero
+        trunc1(F.lit(2.0)).alias("c"),
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (1.2, -1.3, 2.0)
+
+
+def test_safe_div_zero_guard(spark):
+    r = one_row(spark).select(
+        safe_div(F.lit(10.0), F.lit(0)).alias("z"),
+        safe_div(F.lit(10.0), F.lit(None).cast("long")).alias("n"),
+        safe_div(F.lit(10.0), F.lit(4)).alias("ok"),
+    ).first()
+    assert (r["z"], r["n"], r["ok"]) == (0.0, 0.0, 2.5)
+
+
+def test_epoch_day_and_date_roundtrip(spark):
+    us = 1_704_067_200 * US  # 2024-01-01T00:00:00Z
+    r = one_row(spark).select(
+        epoch_day(F.lit(us)).alias("d"),
+        day_to_date(epoch_day(F.lit(us))).cast("string").alias("fecha"),
+        hour_of_day(F.lit(us + 5 * 3600 * US)).alias("h"),
+    ).first()
+    assert (r["d"], r["fecha"], r["h"]) == (19723, "2024-01-01", 5)
+
+
+def test_santiago_dst_transition(spark):
+    """Chile leaves DST 2024-04-07: 00:00 local jumps back to 23:00 of
+    the previous wall hour (UTC-3 → UTC-4). One second before the
+    transition instant (04:00Z) must land on 23:59:59 local; the
+    instant itself on 00:00:00 local — session tz must not matter."""
+    before = 1_712_458_799 * US  # 2024-04-07T02:59:59Z
+    at = 1_712_462_400 * US      # 2024-04-07T04:00:00Z
+    r = one_row(spark).select(
+        to_santiago(F.lit(before)).cast("string").alias("b"),
+        to_santiago(F.lit(at)).cast("string").alias("a"),
+    ).first()
+    assert r["b"] == "2024-04-06 23:59:59"
+    assert r["a"] == "2024-04-07 00:00:00"
+
+
+def test_santiago_summer_offset(spark):
+    """January (Chile summer, UTC-3): midnight UTC is 21:00 previous day."""
+    us = 1_704_067_200 * US
+    r = one_row(spark).select(to_santiago(F.lit(us)).cast("string").alias("s")).first()
+    assert r["s"] == "2023-12-31 21:00:00"
