@@ -383,3 +383,27 @@ def audiencia_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("eventos"),
         F.countDistinct("user_id").cast("bigint").alias("usuarios"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-proof distinct — salted two-level aggregation (exact)
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("salted_distinct", oracle=_SALTED_ORACLE, ops=("A2",))
+def salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users computed skew-proof: two-level
+    salted aggregation (operators/skew.py) — the hot event_type's
+    distinct set spreads over 16 reducers instead of one. The oracle is
+    the PLAIN count(distinct): salting must not change the answer."""
+    from etl_python_airflow_bigquery_spark.operators.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(events, ["event_type"], "user_id", "usuarios")

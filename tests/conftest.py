@@ -34,3 +34,10 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis forbids function-scoped
+    fixtures from re-setup; session scope is safe here)."""
+    return spark

@@ -1,0 +1,62 @@
+"""Property-based evidence for the bucketed interval-overlap join: on
+random interval sets (including boundary-hugging and bucket-spanning
+ones) it must produce EXACTLY the pairs of the brute-force O(n·m)
+definition — the dedup-by-overlap-start-bucket trick may drop no pair
+and duplicate none (SURVEY.md §7.4.1)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.intervals import (
+    explode_to_buckets,
+    interval_overlap_join,
+)
+
+BUCKET = 100  # tiny bucket width so intervals frequently span buckets
+
+interval = st.tuples(
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=1, max_value=350),
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(interval, min_size=1, max_size=12),
+    rights=st.lists(interval, min_size=1, max_size=12),
+)
+def test_bucketed_join_equals_bruteforce(spark_prop, lefts, rights):
+    spark = spark_prop
+    ldf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(lefts)], "lid int, s_us long, e_us long"
+    )
+    rdf = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(rights)], "rid int, r_s long, r_e long"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "s_us", "e_us", "r_s", "r_e", bucket_us=BUCKET
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, (ls, le) in enumerate(lefts)
+        for j, (rs, re) in enumerate(rights)
+        if ls < re and le > rs
+    }
+    assert got == expected
+
+
+def test_explode_to_buckets_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 101), (3, 99, 100), (4, 100, 200), (5, 50, 250)],
+        "id int, s long, e long",
+    )
+    out = explode_to_buckets(df, F.col("s"), F.col("e"), 100, "b")
+    got = {(r["id"], r["b"]) for r in out.collect()}
+    # interval ending exactly on a boundary stays OUT of the next bucket
+    assert got == {(1, 0), (2, 0), (2, 1), (3, 0), (4, 1), (5, 0), (5, 1), (5, 2)}
