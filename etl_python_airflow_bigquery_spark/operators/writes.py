@@ -66,6 +66,9 @@ def refresh_window(
     if cluster_cols:
         out = out.sortWithinPartitions(*cluster_cols)
     out.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    # overwrite replaced files under existing partitions — drop any cached
+    # file listing so readers in this session see the new data
+    spark.catalog.refreshByPath(path)
 
 
 def merge_upsert(

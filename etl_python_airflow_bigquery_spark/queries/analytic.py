@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import day_part_blocks_dim, day_grid
-from etl_python_airflow_bigquery_spark.functions import dsum, trunc1
+from etl_python_airflow_bigquery_spark.functions import dsum
 from etl_python_airflow_bigquery_spark.operators.intervals import (
     explode_to_hour_grid,
     sessions_from_events,

@@ -21,7 +21,6 @@ from etl_python_airflow_bigquery_spark.functions import (
     US_PER_HOUR,
     clipped_micros,
     dsum,
-    nanos_to_micros,
     trunc1,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import (

@@ -7,7 +7,6 @@ pipeline is value-verified, not just smoke-tested."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.operators.multimodal import (
     media_features,

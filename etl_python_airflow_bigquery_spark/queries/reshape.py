@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.functions import (
     dsum,
-    micros,
     safe_div,
     trunc1,
 )

@@ -18,7 +18,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import values_dim
-from etl_python_airflow_bigquery_spark.functions import trunc1
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
