@@ -23,6 +23,7 @@ from etl_python_airflow_bigquery_spark.streaming.jobs import (
     hourly_counts,
     read_events_stream,
     run_to_memory,
+    run_to_memory_update,
     sessionize,
 )
 
@@ -95,3 +96,28 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eventos",
     )
     return run_to_memory(ses, f"sessions_{uuid.uuid4().hex[:8]}")
+
+
+_ACUM_STREAM_ORACLE = """
+SELECT (epoch_us(ts) // 86400000000) // 30 AS mes,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios_acumulados
+FROM events
+GROUP BY 1
+"""
+
+
+@register("streaming_expanding_distinct", oracle=_ACUM_STREAM_ORACLE, ops=("ST2", "A7"))
+def streaming_expanding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    exact per-month expanding distinct audience held in GroupState.
+    The source drains in one availableNow run, so the final emitted
+    cumulative counts equal the batch month-distinct — which is exactly
+    what the oracle checks."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        expanding_distinct_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    out = expanding_distinct_stream(stream.select("ts", "user_id"))
+    df = run_to_memory_update(out, f"acum_{uuid.uuid4().hex[:8]}")
+    return df

@@ -73,3 +73,20 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     small report frames (the reference's to_csv outputs)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_excel(dfs: dict[str, DataFrame], path: str, max_rows: int = 100_000) -> bool:
+    """K7: multi-sheet Excel export (the reference's pd.ExcelWriter,
+    Bigquery_to_csv.ipynb cells 2-4). Driver-side by design — report
+    frames only (row cap enforced). Gated on openpyxl availability:
+    returns False if the engine runs without it."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return False
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+        for sheet, df in dfs.items():
+            df.limit(max_rows).toPandas().to_excel(xl, sheet_name=sheet[:31], index=False)
+    return True

@@ -153,3 +153,66 @@ def events_dir_for(sf_dir: str) -> str:
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     return stream_dir
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator — exact expanding distinct via GroupState
+# --------------------------------------------------------------------------
+
+ACUM_OUT_SCHEMA = "mes BIGINT, usuarios_acumulados BIGINT"
+ACUM_STATE_SCHEMA = "seen ARRAY<BIGINT>"
+
+
+def _acum_fn(key, pdfs, state):
+    """applyInPandasWithState worker: per month-key, fold each batch's
+    user_ids into the running seen-set and emit the cumulative distinct
+    count. State = the sorted seen array (exact; at production scale a
+    sketch or RocksDB state store backs the same shape)."""
+    import pandas as pd
+
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        seen.update(int(u) for u in pdf["user_id"])
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"mes": [key[0]], "usuarios_acumulados": [len(seen)]})
+
+
+def expanding_distinct_stream(events: DataFrame) -> DataFrame:
+    """A7's streaming twin as a CUSTOM STATEFUL OPERATOR: exact
+    month-to-date distinct audience maintained in GroupState across
+    micro-batches (the reference re-scans growing windows instead,
+    acumulado_diario.py:318-326). Output mode 'update': each batch
+    emits the refreshed cumulative count per month."""
+    with_mes = events.select(
+        (F.expr("ts div 86400000000000") / 30).cast("bigint").alias("mes"),
+        "user_id",
+    )
+    return with_mes.groupBy("mes").applyInPandasWithState(
+        _acum_fn,
+        outputStructType=ACUM_OUT_SCHEMA,
+        stateStructType=ACUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory_update(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain an update-mode stateful stream into memory and return the
+    final cumulative row per key. Update mode appends every batch's
+    emission to the memory sink; the cumulative count is monotonically
+    nondecreasing per key, so max() recovers the final state regardless
+    of how many micro-batches ran."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("mes")
+        .agg(F.max("usuarios_acumulados").cast("bigint").alias("usuarios_acumulados"))
+    )
