@@ -365,3 +365,91 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidatos.where(hamming <= 3).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Frequency-capped Jaccard — the corpus-scale variant
+# --------------------------------------------------------------------------
+
+_DF_CAP = 20
+
+_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+raras AS (
+    SELECT s FROM sh GROUP BY s HAVING count(*) <= {_DF_CAP}
+),
+candidatos AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a
+    JOIN raras r ON a.s = r.s
+    JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS c
+    FROM candidatos c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c)) / 1000 AS jaccard
+FROM inter i
+JOIN tam ta ON ta.doc_id = i.doc_a
+JOIN tam tb ON tb.doc_id = i.doc_b
+WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+"""
+
+
+@register("dedup_jaccard_capped", oracle=_CAPPED_ORACLE, ops=("DD4",))
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped Jaccard (the 100 TB form of dedup_ngram_jaccard,
+    SCALING.md known-limits): candidate pairs may only form through
+    shingles appearing in ≤20 docs, capping the posting-list self-join
+    at O(cap²) per shingle — stop-shingle blowup is impossible by
+    construction. Verification still uses the FULL shingle sets, so any
+    surviving pair's Jaccard is exact; pairs whose overlap is entirely
+    stop-shingles are the documented recall tradeoff."""
+    sh = _shingles(spark, sf_dir)
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    raras = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _DF_CAP)
+        .select("s")
+    )
+    rare_postings = sh.join(raras, "s")
+    a = rare_postings.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    candidatos = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        candidatos.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("c").cast("double")
+                    * 1000
+                    / (F.col("na") + F.col("nb") - F.col("c"))
+                )
+                / 1000
+            ).alias("jaccard"),
+        )
+    )

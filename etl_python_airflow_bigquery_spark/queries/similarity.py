@@ -442,3 +442,131 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF with data-derived cells — nearest-of-k-seeds coarse quantizer
+# --------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev
+    FROM embeddings
+),
+semillas AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros WHERE vec_id % 100 = 0),
+dist AS (
+    SELECT e.vec_id, s.seed_id,
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    k -> (e.ev[k] - s.sv[k]) * (e.ev[k] - s.sv[k]))) AS d2
+    FROM enteros e CROSS JOIN semillas s
+),
+celdas AS (
+    SELECT vec_id, seed_id AS celda
+    FROM (SELECT vec_id, seed_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, seed_id) AS rn
+          FROM dist)
+    WHERE rn = 1
+),
+normas AS (
+    SELECT vec_id,
+           list_sum(list_transform(generate_series(1, {DIM}), k -> ev[k] * ev[k])) AS nn
+    FROM enteros
+),
+pares AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ca.celda,
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    k -> ea.ev[k] * eb.ev[k])) AS dot
+    FROM celdas ca
+    JOIN celdas cb ON ca.celda = cb.celda AND ca.vec_id < cb.vec_id
+    JOIN enteros ea ON ea.vec_id = ca.vec_id
+    JOIN enteros eb ON eb.vec_id = cb.vec_id
+    JOIN (SELECT vec_id FROM embeddings) a ON a.vec_id = ca.vec_id
+    JOIN (SELECT vec_id FROM embeddings) b ON b.vec_id = cb.vec_id
+)
+SELECT p.vec_a, p.vec_b, p.celda,
+       floor(CAST(p.dot AS DOUBLE)
+             / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) * 1e6) / 1e6
+           AS similitud
+FROM pares p
+JOIN normas na ON na.vec_id = p.vec_a
+JOIN normas nb ON nb.vec_id = p.vec_b
+WHERE CAST(p.dot AS DOUBLE)
+      / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.3
+"""
+
+
+@register("similarity_ivf", oracle=_IVF_ORACLE, ops=("NN2", "DD5"))
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF near-dup with DATA-DERIVED cells: every 100th vector seeds a
+    centroid; each vector assigns to its nearest seed (integer-scaled
+    squared-L2 argmin — a one-step deterministic k-means); pairs form
+    only within a cell and exact cosine verifies at 0.3. The full
+    Lloyd's iteration is the same assign step repeated with recomputed
+    means — the shuffle shape (broadcast seeds, map-side argmin, equi
+    join on cell) is already the production one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enteros = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("ev"),
+    )
+    semillas = enteros.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+    dist = enteros.crossJoin(F.broadcast(semillas)).select(
+        "vec_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    celdas = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("celda"))
+    )
+    normas = enteros.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nn"),
+    )
+    ca = celdas.select(F.col("vec_id").alias("vec_a"), "celda")
+    cb = celdas.select(F.col("vec_id").alias("vec_b"), F.col("celda").alias("celda_b"))
+    ea = enteros.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("ea"))
+    eb = enteros.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("eb"))
+    na = normas.select(F.col("vec_id").alias("vec_a"), F.col("nn").alias("na"))
+    nb = normas.select(F.col("vec_id").alias("vec_b"), F.col("nn").alias("nb"))
+    pares = (
+        ca.join(cb, (F.col("celda") == F.col("celda_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "celda",
+            F.aggregate(
+                F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    scored = (
+        pares.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
+    )
+    return scored.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        "celda",
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+    )

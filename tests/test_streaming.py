@@ -33,3 +33,51 @@ def test_hourly_refresh_matches_batch(spark, sf_dir, tmp_path):
         spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck2")
     )
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Chunk the events into several files -> maxFilesPerTrigger=1 forces
+    multiple micro-batches; stateful aggregation across batches must
+    still equal the batch answer (watermark folding, no lost state)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        expanding_distinct_stream,
+        hourly_counts,
+        read_events_stream,
+        run_to_memory,
+        run_to_memory_update,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    # 4 chunks by event_id -> 4 files -> 4 micro-batches
+    events.withColumn("chunk", F.col("event_id") % 4).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(landing)
+    n_files = len([f for f in os.listdir(landing) if f.endswith(".parquet")])
+    assert n_files >= 2
+
+    stream = read_events_stream(spark, landing)
+
+    hourly = run_to_memory(
+        hourly_counts(stream).select(
+            F.unix_micros("hora_inicio").alias("hora_us"), "event_type", "eventos"
+        ),
+        "mb_hourly",
+    )
+    batch_hourly = events.groupBy(
+        F.expr("ts div 3600000000000").alias("hora"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("eventos"))
+    assert hourly.count() == batch_hourly.count()
+    assert hourly.agg(F.sum("eventos")).first()[0] == events.count()
+
+    acum = run_to_memory_update(
+        expanding_distinct_stream(stream.select("ts", "user_id")), "mb_acum"
+    )
+    batch_acum = events.select(
+        (F.expr("ts div 86400000000000") / 30).cast("bigint").alias("mes"), "user_id"
+    ).groupBy("mes").agg(F.countDistinct("user_id").alias("u"))
+    got = {r["mes"]: r["usuarios_acumulados"] for r in acum.collect()}
+    want = {r["mes"]: r["u"] for r in batch_acum.collect()}
+    assert got == want
