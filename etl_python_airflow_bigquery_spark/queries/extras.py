@@ -9,10 +9,10 @@ three separate period marts).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import US_PER_HOUR, dsum
+from etl_python_airflow_bigquery_spark.functions import US_PER_HOUR, dsum, micros
 from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
@@ -407,3 +407,140 @@ def salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return salted_count_distinct(events, ["event_type"], "user_id", "usuarios")
+
+
+# --------------------------------------------------------------------------
+# As-of join — latest prior order per event (DuckDB native ASOF oracle)
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+),
+ord AS (
+    -- same tie rule as the Spark side: one order per (user, instant),
+    -- keeping the max key — ASOF on ties is otherwise nondeterministic
+    SELECT o_custkey, o_orderkey, o_totalprice, epoch_us(o_orderdate) AS o_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.t_us,
+       o.o_orderkey AS orden_previa,
+       o.o_totalprice AS monto_previo
+FROM ev e
+ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.t_us >= o.o_us
+"""
+
+
+@register("asof_ultima_orden", oracle=_ASOF_ORACLE, ops=("J3", "W1"))
+def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the LATEST
+    order of its user at or before the event instant — the time-series
+    operator Spark lacks natively, composed as union + one windowed
+    carry-forward pass (single shuffle on user_id). Checked against
+    DuckDB's NATIVE ASOF JOIN. Ties on o_us resolved to the max
+    o_orderkey on both sides (deterministic)."""
+    from etl_python_airflow_bigquery_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t_us")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ord_df = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            micros("o_orderdate").alias("o_us"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        # dedupe simultaneous orders deterministically (keep max key) so
+        # the carry-forward and DuckDB's ASOF pick the same row
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id", "o_us").orderBy(
+                    F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(
+        ev, ord_df, on="user_id", left_ts="t_us", right_ts="o_us",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("o_orderkey").alias("orden_previa"),
+        F.col("o_totalprice").alias("monto_previo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch — deterministic distinct estimator (a novel-sketch entry)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_ORACLE = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h
+    FROM events
+),
+rk AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_exact
+    FROM hashes
+)
+SELECT event_type,
+       CAST(max(n_exact) AS BIGINT) AS usuarios_exactos,
+       CAST(CASE WHEN max(n_exact) <= {_KMV_K} THEN max(n_exact)
+                 ELSE CAST(floor(({_KMV_K} - 1) * 1152921504606846976.0
+                                 / max(CASE WHEN rn = {_KMV_K} THEN h END)) AS BIGINT)
+            END AS BIGINT) AS usuarios_estimados
+FROM rk
+WHERE rn <= {_KMV_K}
+GROUP BY event_type
+"""
+
+
+@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",))
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (the public KMV/bottom-k
+    estimator): keep the k smallest 60-bit hashes per group; the kth
+    minimum's position in the hash space estimates cardinality as
+    (k-1)/kth_normalized. Unlike HLL it is DETERMINISTIC given the hash,
+    so the oracle checks it exactly — and it is mergeable (union the
+    bottom-k sets) which is what makes it a distributed sketch. Hash
+    space = 16^15 = 2^60 (the md5-prefix domain of text.hex_hash)."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    events = load_table(spark, sf_dir, "events")
+    hashes = events.select(
+        "event_type", hex_hash(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    rk = hashes.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_exact"),
+    ).where(F.col("rn") <= _KMV_K)
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    n_exact = F.max("n_exact")
+    estimate = F.when(n_exact <= _KMV_K, n_exact).otherwise(
+        F.floor((_KMV_K - 1) * F.lit(1152921504606846976.0) / kth).cast("bigint")
+    )
+    return rk.groupBy("event_type").agg(
+        n_exact.cast("bigint").alias("usuarios_exactos"),
+        estimate.cast("bigint").alias("usuarios_estimados"),
+    )
