@@ -409,8 +409,14 @@ def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "dia_inicio", "dia_fin"],
     )
     day_num = F.expr("ts div 86400000000000")
+    # coarse prefilter over the GLOBAL validity envelope [min(dia_inicio),
+    # max(dia_fin)] — plain int comparisons on the raw ts column, so they
+    # push to the parquet scan (row-group pruning); the exact per-brand
+    # clamp refines after the broadcast join
+    lo_ns, hi_ns = 19723 * 86_400_000_000_000, (19753 + 1) * 86_400_000_000_000
     return (
-        events.join(F.broadcast(soportes), "event_type")
+        events.where((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns))
+        .join(F.broadcast(soportes), "event_type")
         .where(day_num.between(F.col("dia_inicio"), F.col("dia_fin")))
         .groupBy("event_type")
         .agg(

@@ -88,3 +88,26 @@ def test_lsh_candidates_via_keyed_join(spark, sf_dir, name, bucket_key):
         if ("SortMergeJoin" in l or "HashJoin" in l) and bucket_key in l
     ]
     assert keyed, f"no keyed candidate join on {bucket_key!r} found"
+
+
+def test_validity_window_coarse_filter_pushes(spark, sf_dir):
+    # the global-envelope ts prefilter must reach the events scan as a
+    # plain int comparison (pushable), even though the exact per-brand
+    # clamp is join-dependent
+    plan = plan_of(spark, sf_dir, "validity_window")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "events" in l)
+    assert "GreaterThanOrEqual(ts" in scan or "ts#" in scan and ">=" in scan
+
+
+def test_asof_single_exchange_no_product(spark, sf_dir):
+    # as-of join = union + one windowed carry-forward: no join operator
+    # over the data at all, and exactly one shuffle key (user_id)
+    plan = plan_of(spark, sf_dir, "asof_ultima_orden")
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_capped_jaccard_keyed_candidates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_jaccard_capped")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
