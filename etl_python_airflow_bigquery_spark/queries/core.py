@@ -180,3 +180,70 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         )
     )
+
+
+_FINDE_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+atoms AS (
+    SELECT s.user_id, s.s_us, s.e_us, g.i AS hour_idx
+    FROM sess s, LATERAL unnest(generate_series(s.s_us // 3600000000,
+                                                (s.e_us - 1) // 3600000000)) AS g(i)
+    WHERE s.e_us > s.s_us
+),
+clipped AS (
+    SELECT user_id,
+           hour_idx // 24 AS day_num,
+           greatest(least(e_us, (hour_idx + 1) * 3600000000)
+                    - greatest(s_us, hour_idx * 3600000000), 0) AS clip_us
+    FROM atoms
+),
+finde AS (
+    SELECT user_id, day_num, clip_us
+    FROM clipped c
+    WHERE NOT (dayofweek(DATE '1970-01-01' + CAST(c.day_num AS INT)) BETWEEN 1 AND 5
+               AND day(DATE '1970-01-01' + CAST(c.day_num AS INT)) NOT IN (7, 19))
+)
+SELECT user_id,
+       CAST(sum(clip_us) AS DOUBLE) / 60000000.0 AS sum_minutos,
+       CAST(count(DISTINCT day_num) AS BIGINT) AS q_dias,
+       floor((CASE WHEN count(DISTINCT day_num) = 0 THEN 0.0
+                   ELSE (CAST(sum(clip_us) AS DOUBLE) / 60000000.0)
+                        / count(DISTINCT day_num) END) * 10) / 10 AS prom
+FROM finde
+GROUP BY user_id
+"""
+
+
+@register(
+    "indicadores_finde",
+    oracle=_FINDE_ORACLE,
+    ops=("P7", "A1", "A2", "A3", "A4"),
+)
+def indicadores_finde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekend/holiday INVERSE of the flagship — reference
+    indicadores_cia.py:766-779 computes the same indicators over
+    non-business days (weekends + feriados). Same exploded-atom plan;
+    only the broadcast calendar filter flips (NOT habil)."""
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+    atoms = explode_to_hour_grid(sessions).withColumn(
+        "day_num", F.floor(F.col("hour_idx") / 24).cast("int")
+    )
+    cal = day_grid(spark, GRID_START_DAY, GRID_END_DAY)
+    finde = atoms.join(
+        F.broadcast(cal.where(~F.col("habil")).select("day_num")), "day_num"
+    )
+    agg = finde.groupBy("user_id").agg(
+        (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("sum_minutos"),
+        F.countDistinct("day_num").cast("bigint").alias("q_dias"),
+    )
+    return agg.select(
+        "user_id",
+        "sum_minutos",
+        "q_dias",
+        trunc1(safe_div(F.col("sum_minutos"), F.col("q_dias"))).alias("prom"),
+    )

@@ -120,3 +120,87 @@ def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("eventos"),
         F.countDistinct("user_id").cast("bigint").alias("usuarios"),
     )
+
+
+# --------------------------------------------------------------------------
+# S5/S6 + A12 — GA demographic pipeline end to end
+# --------------------------------------------------------------------------
+
+_GA_PIPE_ORACLE = """
+WITH demo AS (
+    SELECT event_type AS metrica,
+           CASE user_id % 4 WHEN 0 THEN 'f18-34' WHEN 1 THEN 'f35+'
+                            WHEN 2 THEN 'm18-34' ELSE 'm35+' END AS demografico,
+           CAST(count(*) AS DOUBLE) AS sesiones
+    FROM events GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type AS metrica,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_metric
+    FROM events GROUP BY 1
+)
+SELECT d.metrica, d.demografico, d.sesiones,
+       round(t.total_metric * d.sesiones
+             / (sum(d.sesiones) OVER (PARTITION BY d.metrica))) AS asignado
+FROM demo d JOIN totals t USING (metrica)
+"""
+
+
+@register("trafico_ga_pipeline", oracle=_GA_PIPE_ORACLE, ops=("S5", "A12", "A10"))
+def trafico_ga_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GA traffic pipeline END TO END (reference trafico_digital.py):
+    a batchGet-shaped report (dimensionHeaders/metricHeaders/rows —
+    fabricated from the fixture aggregate, playing the API response)
+    flows through the ga_source flattener into the proportional
+    allocator. The 'API call' is a driver-side collect of a ~20-row
+    aggregate — exactly the scale a report API returns; all heavy work
+    stays distributed."""
+    from pyspark.sql import Window
+
+    from etl_python_airflow_bigquery_spark.sources.connectors import ga_source
+
+    events = load_table(spark, sf_dir, "events")
+    demografico = (
+        F.when(F.col("user_id") % 4 == 0, "f18-34")
+        .when(F.col("user_id") % 4 == 1, "f35+")
+        .when(F.col("user_id") % 4 == 2, "m18-34")
+        .otherwise("m35+")
+    )
+    small = (
+        events.groupBy(
+            F.col("event_type").alias("metrica"), demografico.alias("demografico")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("sesiones"))
+        .collect()
+    )
+    report = {
+        "dimensionHeaders": [{"name": "metrica"}, {"name": "demografico"}],
+        "metricHeaders": [{"name": "sesiones"}],
+        "rows": [
+            {
+                "dimensionValues": [
+                    {"value": r["metrica"]},
+                    {"value": r["demografico"]},
+                ],
+                "metricValues": [{"value": str(r["sesiones"])}],
+            }
+            for r in sorted(small, key=lambda r: (r["metrica"], r["demografico"]))
+        ],
+    }
+    parsed = ga_source(
+        spark, [report], "metrica STRING, demografico STRING, sesiones DOUBLE"
+    )
+    totals = events.groupBy(F.col("event_type").alias("metrica")).agg(
+        dsum("value").alias("total_metric")
+    )
+    w = Window.partitionBy("metrica")
+    return (
+        parsed.join(F.broadcast(totals), "metrica")
+        .withColumn(
+            "asignado",
+            F.round(
+                F.col("total_metric") * F.col("sesiones") / F.sum("sesiones").over(w)
+            ),
+        )
+        .select("metrica", "demografico", "sesiones", "asignado")
+    )
