@@ -544,3 +544,72 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_exact.cast("bigint").alias("usuarios_exactos"),
         estimate.cast("bigint").alias("usuarios_estimados"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV mergeability — union-cardinality from merged bottom-k sets
+# --------------------------------------------------------------------------
+
+_KMV_UNION_ORACLE = f"""
+WITH hashes AS (
+    SELECT DISTINCT
+           CASE WHEN event_type IN ('click', 'view') THEN 'navegacion'
+                ELSE 'transaccion' END AS grupo,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h
+    FROM events
+),
+fusion AS (SELECT DISTINCT h FROM hashes),
+rk AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n_exact
+    FROM fusion
+)
+SELECT CAST(max(n_exact) AS BIGINT) AS union_exacta,
+       CAST(CASE WHEN max(n_exact) <= {_KMV_K} THEN max(n_exact)
+                 ELSE CAST(floor(({_KMV_K} - 1) * 1152921504606846976.0
+                                 / max(CASE WHEN rn = {_KMV_K} THEN h END)) AS BIGINT)
+            END AS BIGINT) AS union_estimada
+FROM rk WHERE rn <= {_KMV_K}
+"""
+
+
+@register("sketch_kmv_union", oracle=_KMV_UNION_ORACLE, ops=("A2",))
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability: per-group bottom-k sets UNION into one sketch
+    whose bottom-k estimates the union cardinality — the property that
+    lets the sketch combine across partitions/days without rescanning
+    (what makes it a distributed sketch; HLL merges the same way but
+    non-deterministically). Here two behavioral groups' sketches merge
+    into one estimate, exact-checked because KMV is deterministic."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    events = load_table(spark, sf_dir, "events")
+    grupo = F.when(
+        F.col("event_type").isin("click", "view"), "navegacion"
+    ).otherwise("transaccion")
+    hashes = events.select(
+        grupo.alias("grupo"), hex_hash(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    # per-group bottom-k (the stored sketches)...
+    wg = Window.partitionBy("grupo").orderBy("h")
+    sketches = hashes.withColumn("rn", F.row_number().over(wg)).where(
+        F.col("rn") <= _KMV_K
+    )
+    # ...merged: distinct union of the kept hashes, re-ranked
+    fusion = sketches.select("h").distinct()
+    w = Window.orderBy("h")
+    wall = Window.partitionBy()
+    rk = fusion.select(
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_exact"),
+    ).where(F.col("rn") <= _KMV_K)
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    n_exact = F.max("n_exact")
+    estimate = F.when(n_exact <= _KMV_K, n_exact).otherwise(
+        F.floor((_KMV_K - 1) * F.lit(1152921504606846976.0) / kth).cast("bigint")
+    )
+    return rk.agg(
+        n_exact.cast("bigint").alias("union_exacta"),
+        estimate.cast("bigint").alias("union_estimada"),
+    )

@@ -300,3 +300,40 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_huellas"),
         F.min("fp").cast("bigint").alias("huella_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization — the cleaning pass before any dedup/quality step
+# --------------------------------------------------------------------------
+
+_ACCENTS_FROM = "áéíóúüñàèìòùâêîôûäëïöç"
+_ACCENTS_TO = "aeiouunaeiouaeiouaeioc"
+
+_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       regexp_replace(trim(strip_accents(lower(text))), ' +', ' ', 'g')
+           AS texto_norm,
+       md5(regexp_replace(trim(strip_accents(lower(text))), ' +', ' ', 'g'))
+           AS huella_norm
+FROM documents
+"""
+
+
+@register("text_normalize", oracle=_NORMALIZE_ORACLE, ops=("TX2", "P2"))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass: lowercase → accent fold → whitespace squeeze
+    → trim, plus the md5 of the normalized form (the dedup key a cleaned
+    corpus would group on). Accent folding is ``translate`` over an
+    explicit Latin table (Spark has no strip_accents builtin; the
+    DuckDB oracle's strip_accents agrees on this table's domain).
+    All map-side codegen — the cheap pre-pass every text pipeline runs
+    before shingling."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.translate(F.lower("text"), _ACCENTS_FROM, _ACCENTS_TO)), " +", " "
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("texto_norm"),
+        F.md5(norm).alias("huella_norm"),
+    )

@@ -90,3 +90,27 @@ def export_excel(dfs: dict[str, DataFrame], path: str, max_rows: int = 100_000) 
         for sheet, df in dfs.items():
             df.limit(max_rows).toPandas().to_excel(xl, sheet_name=sheet[:31], index=False)
     return True
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K6: JDBC truncate+append (the reference's Postgres TRUNCATE +
+    chunked to_sql, Encuestas_etl_Bigquery_SQL.ipynb). ``batchsize``
+    plays the pg8000 multi-insert chunk; mode='overwrite' the TRUNCATE.
+    Executor-parallel — each partition opens its own connection."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
