@@ -559,28 +559,40 @@ WITH hashes AS (
                AS h
     FROM events
 ),
-fusion AS (SELECT DISTINCT h FROM hashes),
+exacta AS (SELECT count(DISTINCT h) AS n FROM hashes),
+-- per-group bottom-k sketches, merged; bottom-k of the merge == bottom-k
+-- of the full union (any global k-minimum is a k-minimum of its group)
+croquis AS (
+    SELECT DISTINCT h
+    FROM (SELECT grupo, h,
+                 row_number() OVER (PARTITION BY grupo ORDER BY h) AS rn
+          FROM hashes)
+    WHERE rn <= {_KMV_K}
+),
 rk AS (
-    SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n_exact
-    FROM fusion
+    SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n_croquis
+    FROM croquis
 )
-SELECT CAST(max(n_exact) AS BIGINT) AS union_exacta,
-       CAST(CASE WHEN max(n_exact) <= {_KMV_K} THEN max(n_exact)
+SELECT CAST(e.n AS BIGINT) AS union_exacta,
+       CAST(CASE WHEN max(rk.n_croquis) < {_KMV_K} THEN max(rk.n_croquis)
                  ELSE CAST(floor(({_KMV_K} - 1) * 1152921504606846976.0
-                                 / max(CASE WHEN rn = {_KMV_K} THEN h END)) AS BIGINT)
+                                 / max(CASE WHEN rk.rn = {_KMV_K} THEN rk.h END))
+                           AS BIGINT)
             END AS BIGINT) AS union_estimada
-FROM rk WHERE rn <= {_KMV_K}
+FROM rk, exacta e
+WHERE rk.rn <= {_KMV_K}
+GROUP BY e.n
 """
 
 
 @register("sketch_kmv_union", oracle=_KMV_UNION_ORACLE, ops=("A2",))
 def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV mergeability: per-group bottom-k sets UNION into one sketch
-    whose bottom-k estimates the union cardinality — the property that
-    lets the sketch combine across partitions/days without rescanning
-    (what makes it a distributed sketch; HLL merges the same way but
-    non-deterministically). Here two behavioral groups' sketches merge
-    into one estimate, exact-checked because KMV is deterministic."""
+    """KMV mergeability: two behavioral groups' bottom-k sketches UNION
+    into one sketch whose bottom-k estimates the union cardinality —
+    the property that lets sketches combine across partitions/days
+    without rescanning. The exact union (a separate full count) rides
+    along so the estimate's error is visible; both columns are
+    deterministic, so the oracle checks them exactly."""
     from etl_python_airflow_bigquery_spark.queries.text import hex_hash
 
     events = load_table(spark, sf_dir, "events")
@@ -590,26 +602,27 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = events.select(
         grupo.alias("grupo"), hex_hash(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    # per-group bottom-k (the stored sketches)...
-    wg = Window.partitionBy("grupo").orderBy("h")
-    sketches = hashes.withColumn("rn", F.row_number().over(wg)).where(
-        F.col("rn") <= _KMV_K
+    exacta = hashes.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("union_exacta")
     )
-    # ...merged: distinct union of the kept hashes, re-ranked
-    fusion = sketches.select("h").distinct()
+    wg = Window.partitionBy("grupo").orderBy("h")
+    croquis = (
+        hashes.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= _KMV_K)
+        .select("h")
+        .distinct()
+    )
     w = Window.orderBy("h")
     wall = Window.partitionBy()
-    rk = fusion.select(
+    rk = croquis.select(
         "h",
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n_exact"),
+        F.count(F.lit(1)).over(wall).alias("n_croquis"),
     ).where(F.col("rn") <= _KMV_K)
     kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
-    n_exact = F.max("n_exact")
-    estimate = F.when(n_exact <= _KMV_K, n_exact).otherwise(
+    n_croquis = F.max("n_croquis")
+    estimada = F.when(n_croquis < _KMV_K, n_croquis).otherwise(
         F.floor((_KMV_K - 1) * F.lit(1152921504606846976.0) / kth).cast("bigint")
     )
-    return rk.agg(
-        n_exact.cast("bigint").alias("union_exacta"),
-        estimate.cast("bigint").alias("union_estimada"),
-    )
+    est = rk.agg(estimada.cast("bigint").alias("union_estimada"))
+    return exacta.crossJoin(est)
