@@ -1,0 +1,40 @@
+"""Empty-input robustness: operators must return empty frames with the
+right schema — not crash — when a source has zero rows (a real state for
+intraday windows before data lands, reference
+consumo_detalle_hora.py:58-62's empty-range guard)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY
+from etl_python_airflow_bigquery_spark.tables import TABLES, load_table
+
+SMOKE = [
+    "indicadores_total",
+    "funnel_vip",
+    "programas_live",
+    "superposicion_hora",
+    "sessionization",
+    "dedup_ngram_jaccard",
+    "bloques_pivot",
+    "acumulado_diario",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    assert df.count() == 0
+    assert len(df.columns) > 0

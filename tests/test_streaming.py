@@ -81,3 +81,42 @@ def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
     got = {r["mes"]: r["usuarios_acumulados"] for r in acum.collect()}
     want = {r["mes"]: r["u"] for r in batch_acum.collect()}
     assert got == want
+
+
+def test_late_data_resume_updates_old_partitions(spark, sf_dir, tmp_path):
+    """The dias_remplazo scenario end to end: run the refresh, then land
+    LATE rows for hours already written, resume from the SAME checkpoint
+    — the stateful aggregation must fold the late rows into the old
+    hour-partitions (the watermark horizon covers them), not append
+    duplicates or drop them."""
+    import shutil
+
+    from etl_python_airflow_bigquery_spark.streaming.jobs import run_hourly_refresh
+
+    events = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: everything except the 'error' rows
+    first = events.where(F.col("event_type") != "error")
+    first.coalesce(1).write.mode("overwrite").parquet(landing)
+    run_hourly_refresh(spark, landing, out, checkpoint=ck)
+    landed1 = spark.read.parquet(out)
+    assert landed1.agg(F.sum("eventos")).first()[0] == first.count()
+
+    # batch 2: the held-back rows arrive LATE (same old hours), as a new file
+    late = events.where(F.col("event_type") == "error")
+    late_dir = str(tmp_path / "late")
+    late.coalesce(1).write.mode("overwrite").parquet(late_dir)
+    part = [f for f in __import__("os").listdir(late_dir) if f.endswith(".parquet")][0]
+    shutil.copy(f"{late_dir}/{part}", f"{landing}/late-{part}")
+
+    run_hourly_refresh(spark, landing, out, checkpoint=ck)  # RESUME, same ck
+    landed2 = spark.read.parquet(out)
+    assert landed2.agg(F.sum("eventos")).first()[0] == events.count()
+    # the late type's rows landed in their true (old) hours
+    got_err = (
+        landed2.where(F.col("event_type") == "error").agg(F.sum("eventos")).first()[0]
+    )
+    assert got_err == late.count()
