@@ -337,3 +337,139 @@ def grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("usuarios"), F.lit(0)).cast("bigint").alias("usuarios"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J9/J11/A13 full fidelity — per-segment superposition matrices
+# --------------------------------------------------------------------------
+
+_SUPER_SEG_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+atoms AS (
+    SELECT DISTINCT s.user_id, g.i // 24 AS day_num, g.i % 24 AS hora
+    FROM sess s, LATERAL unnest(generate_series(s.s_us // 3600000000,
+                                                (s.e_us - 1) // 3600000000)) AS g(i)
+    WHERE s.e_us > s.s_us
+),
+usuarios AS (
+    SELECT c_custkey AS user_id,
+           CASE WHEN c_custkey % 2 = 0 THEN 'f' ELSE 'm' END AS sexo,
+           t.tramo
+    FROM customer
+    JOIN (VALUES ('13 a 17', 13, 17), ('18 a 24', 18, 24), ('25 a 34', 25, 34),
+                 ('35 a 44', 35, 44), ('45 a 54', 45, 54), ('55 a 64', 55, 64),
+                 ('65 o mas', 65, 200)) t(tramo, lo, hi)
+      ON (c_custkey % 80 + 10) BETWEEN t.lo AND t.hi
+),
+membresia AS (
+    SELECT user_id, 'total' AS segmento FROM usuarios
+    UNION ALL SELECT user_id, sexo FROM usuarios
+    UNION ALL SELECT user_id, tramo FROM usuarios
+    UNION ALL SELECT user_id, sexo || ' ' || tramo FROM usuarios
+),
+pares AS (
+    SELECT a.user_id, a.hora AS periodo, b.hora AS periodo_referencia
+    FROM atoms a JOIN atoms b ON a.user_id = b.user_id AND a.day_num = b.day_num
+),
+conteos AS (
+    SELECT m.segmento, p.periodo, p.periodo_referencia,
+           count(DISTINCT p.user_id) AS usuarios
+    FROM pares p JOIN membresia m ON m.user_id = p.user_id
+    GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT s.segmento, h1.h AS periodo, h2.h AS periodo_referencia
+    FROM (SELECT DISTINCT segmento FROM membresia) s
+    CROSS JOIN generate_series(0, 23) h1(h)
+    CROSS JOIN generate_series(0, 23) h2(h)
+)
+SELECT g.segmento, g.periodo, g.periodo_referencia,
+       CAST(coalesce(c.usuarios, 0) AS BIGINT) AS usuarios
+FROM grid g
+LEFT JOIN conteos c ON c.segmento = g.segmento AND c.periodo = g.periodo
+                    AND c.periodo_referencia = g.periodo_referencia
+"""
+
+
+@register(
+    "superposicion_segmentos",
+    oracle=_SUPER_SEG_ORACLE,
+    ops=("J9", "J11", "J5", "A13", "J6"),
+)
+def superposicion_segmentos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL superposition pipeline of the reference notebook
+    (Complex_user_superposition_by_hour_etl.ipynb cells 2-14): hour-pair
+    audience overlap per demographic segment (total, gender, age
+    bracket, gender×bracket), zero-filled over the dense
+    segment×24×24 grid.
+
+    Where the reference slices 23 pandas frames and re-merges each
+    (its memory wall), Spark computes the PAIRS ONCE, joins the 4-row
+    per-user segment membership, and aggregates all segments in one
+    shuffle. The dense grid is a broadcast cross join of literals."""
+    from etl_python_airflow_bigquery_spark.dims import age_brackets_dim
+
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+    atoms = (
+        explode_to_hour_grid(sessions)
+        .select(
+            "user_id",
+            F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
+            (F.col("hour_idx") % 24).cast("bigint").alias("hora"),
+        )
+        .distinct()
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    usuarios = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_custkey") % 2 == 0, "f").otherwise("m").alias("sexo"),
+        (F.col("c_custkey") % 80 + 10).cast("int").alias("edad"),
+    ).join(
+        F.broadcast(age_brackets_dim(spark)),
+        F.col("edad").between(F.col("edad_inf"), F.col("edad_sup")),
+    )
+    membresia = usuarios.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.lit("total"),
+                F.col("sexo"),
+                F.col("tramo"),
+                F.concat_ws(" ", "sexo", "tramo"),
+            )
+        ).alias("segmento"),
+    )
+    a = atoms.alias("a")
+    b = atoms.alias("b")
+    pares = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day_num") == F.col("b.day_num")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.hora").alias("periodo"),
+        F.col("b.hora").alias("periodo_referencia"),
+    )
+    conteos = pares.join(membresia, "user_id").groupBy(
+        "segmento", "periodo", "periodo_referencia"
+    ).agg(F.countDistinct("user_id").alias("usuarios"))
+    horas = spark.range(24).select(F.col("id").alias("h"))
+    grid = (
+        membresia.select("segmento")
+        .distinct()
+        .crossJoin(F.broadcast(horas.select(F.col("h").alias("periodo"))))
+        .crossJoin(F.broadcast(horas.select(F.col("h").alias("periodo_referencia"))))
+    )
+    return grid.join(
+        conteos, ["segmento", "periodo", "periodo_referencia"], "left"
+    ).select(
+        "segmento",
+        "periodo",
+        "periodo_referencia",
+        F.coalesce(F.col("usuarios"), F.lit(0)).cast("bigint").alias("usuarios"),
+    )
