@@ -1,0 +1,110 @@
+"""Scale probe: replicate the sf0.1 fact tables K× (shifted keys, so
+cardinalities grow too) into a tmp dir and time the headline queries —
+empirical evidence that the plans scale near-linearly rather than
+quadratically (SCALING.md records the results).
+
+Usage: PYTHONPATH=. python tools/scale_probe.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def replicate(spark, src_dir: str, out_dir: str, k: int) -> None:
+    """events: K copies with shifted event/user ids and a +k-days time
+    shift (keeps per-day densities realistic). documents/embeddings: K
+    copies with shifted ids (distinct texts stay distinct). Dim tables
+    copy as-is."""
+    from etl_python_airflow_bigquery_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t == "events":
+            parts = [
+                df.select(
+                    (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                    (F.col("ts") + F.lit(i * 86_400_000_000_000)).alias("ts"),
+                    (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for i in range(k)
+            ]
+        elif t == "documents":
+            parts = [
+                df.select(
+                    (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" copia{i}")).alias("text"),
+                    "lang",
+                    "source",
+                    (F.col("n_chars") + F.lit(len(f" copia{i}"))).alias("n_chars"),
+                )
+                for i in range(k)
+            ]
+        elif t == "embeddings":
+            parts = [
+                df.select(
+                    (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+                for i in range(k)
+            ]
+        else:
+            parts = [df]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+    from etl_python_airflow_bigquery_spark.session import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or [
+        "indicadores_total",
+        "programas_live",
+        "superposicion_hora",
+        "sessionization",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "similarity_topk",
+        "funnel_vip",
+    ]
+    spark = get_spark("scale-probe")
+    src = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="spark_graft_scale_")
+    try:
+        print(f"replicating sf0.1 x{k} -> {tmp}", file=sys.stderr)
+        replicate(spark, src, tmp, k)
+        for name in names:
+            REGISTRY[name].fn(spark, src).count()  # warm small
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, src).count()
+            base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, tmp).count()
+            big = time.perf_counter() - t0
+            ratio = big / base if base > 0 else float("inf")
+            print(
+                f"{name}: sf0.1={base:.2f}s x{k}={big:.2f}s "
+                f"ratio={ratio:.1f} (linear would be ~{k})"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
