@@ -461,3 +461,112 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering — connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+aristas AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM aristas
+        UNION SELECT doc_b, doc_a FROM aristas),
+nodos AS (SELECT DISTINCT a AS n FROM sym),
+reach(n, m) AS (
+    SELECT n, n FROM nodos
+    UNION
+    SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS representante
+FROM comp
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE, ops=("DD4", "DD2"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: near-dup pairs (Jaccard ≥ 0.5) form a graph;
+    connected components assign every duplicate family one cluster_id
+    (its minimum doc_id) so exactly one representative survives —
+    transitively: if A≈B and B≈C, all three dedupe together even when
+    A and C don't pair directly.
+
+    Distributed algorithm: iterative min-label propagation over the
+    symmetric edge list (each round: label = min(label, neighbors'
+    labels); converges in O(diameter) rounds ≈ O(log n) for near-dup
+    families). Each round is one shuffled join+groupBy — the standard
+    large-graph CC shape, no driver-side graph. The driver loop only
+    checks the SCALAR converged-count per round. Oracle: DuckDB
+    recursive-CTE transitive closure."""
+    sh = _shingles(spark, sf_dir)
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    aristas = (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select("doc_a", "doc_b")
+    )
+    sym = aristas.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        aristas.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    # min-label propagation to fixpoint; near-dup families are tiny
+    # (diameter ≤ a few), so this converges in 2-4 rounds. localCheckpoint
+    # truncates the growing lineage each round.
+    for _ in range(20):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("vecino_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("vecino_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("representante"),
+    )
