@@ -473,3 +473,60 @@ def superposicion_segmentos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "periodo_referencia",
         F.coalesce(F.col("usuarios"), F.lit(0)).cast("bigint").alias("usuarios"),
     )
+
+
+# --------------------------------------------------------------------------
+# mapa_consumo — day-of-week × hour listening heatmap
+# --------------------------------------------------------------------------
+
+_MAPA_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+    FROM events
+),
+atoms AS (
+    SELECT s.user_id, g.i AS hour_idx,
+           greatest(least(s.e_us, (g.i + 1) * 3600000000)
+                    - greatest(s.s_us, g.i * 3600000000), 0) AS clip_us
+    FROM sess s, LATERAL unnest(generate_series(s.s_us // 3600000000,
+                                                (s.e_us - 1) // 3600000000)) AS g(i)
+    WHERE s.e_us > s.s_us
+)
+SELECT CAST(dayofweek(DATE '1970-01-01' + CAST(hour_idx // 24 AS INT)) AS INTEGER)
+           AS dia_semana,
+       CAST(hour_idx % 24 AS INTEGER) AS hora,
+       CAST(sum(clip_us) AS DOUBLE) / 60000000.0 AS minutos,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM atoms
+GROUP BY 1, 2
+"""
+
+
+@register("mapa_consumo", oracle=_MAPA_ORACLE, ops=("A1", "A2", "A4", "W2"))
+def mapa_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumption heatmap: clipped listening minutes + distinct
+    audience per (day-of-week, hour) cell — the reference's
+    mapa_consumo mart (mapa_consumo.py:81-185). Same exploded-atom
+    spine as the flagship; the 7×24 output is constant at any scale.
+    DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday — aligned
+    by subtracting 1 on the Spark side."""
+    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+    atoms = explode_to_hour_grid(sessions)
+    dia_semana = (
+        F.dayofweek(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                F.floor(F.col("hour_idx") / 24).cast("int"),
+            )
+        )
+        - 1
+    )
+    return atoms.groupBy(
+        dia_semana.cast("int").alias("dia_semana"),
+        (F.col("hour_idx") % 24).cast("int").alias("hora"),
+    ).agg(
+        (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("minutos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )

@@ -85,3 +85,37 @@ def test_santiago_summer_offset(spark):
     us = 1_704_067_200 * US
     r = one_row(spark).select(to_santiago(F.lit(us)).cast("string").alias("s")).first()
     assert r["s"] == "2023-12-31 21:00:00"
+
+
+def test_asof_left_keeps_unmatched(spark):
+    """asof_join how='left' keeps left rows with no prior right row
+    (nulls); how='inner' drops them — DuckDB ASOF default."""
+    from etl_python_airflow_bigquery_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 50), (2, 10)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 40, "b")], "k int, rt long, v string"
+    )
+    outer = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"], how="left"
+    )
+    got = {(r["k"], r["t"]): r["v"] for r in outer.collect()}
+    assert got == {(1, 5): None, (1, 50): "b", (2, 10): None}
+    inner = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"], how="inner"
+    )
+    assert {(r["k"], r["t"], r["v"]) for r in inner.collect()} == {(1, 50, "b")}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    """right row AT the left timestamp is visible (>= semantics)."""
+    from etl_python_airflow_bigquery_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20)], "k int, t long")
+    right = spark.createDataFrame([(1, 20, "x")], "k int, rt long, v string")
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == "x"
