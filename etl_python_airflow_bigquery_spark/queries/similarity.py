@@ -570,3 +570,62 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "celda",
         (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vector aggregation — per-cluster centroids (the k-means update step)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+WITH elems AS (
+    SELECT label, d.d,
+           CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS ev
+    FROM embeddings CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+agg AS (
+    SELECT label, d,
+           sum(ev) AS s, count(*) AS n
+    FROM elems GROUP BY 1, 2
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(max(n) AS BIGINT) AS vectores,
+       floor(CAST(sum(CASE WHEN d = 1 THEN s END) AS DOUBLE) / max(n)) / 1e6
+           AS centroide_d1,
+       floor(CAST(sum(CASE WHEN d = 2 THEN s END) AS DOUBLE) / max(n)) / 1e6
+           AS centroide_d2,
+       floor(CAST(sum(s * s) AS DOUBLE) / (max(n) * max(n)) / 1e6) / 1e6
+           AS energia
+FROM agg GROUP BY label
+"""
+
+
+@register("vector_centroids", oracle=_CENTROID_ORACLE, ops=("NN2", "A1"))
+def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid computation — THE k-means update step (the
+    missing half of similarity_ivf's assign step, proving full Lloyd's
+    is expressible): posexplode the vectors, one grouped sum per
+    (cluster, dimension), reassemble. Integer-scaled sums keep the
+    centroids bit-identical across engines and shuffle orders. Output
+    samples two centroid coordinates plus the summed per-dim energy —
+    enough to pin every per-dimension sum without 64 output columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("ev"),
+    )
+    agg = elems.groupBy("label", "d").agg(
+        F.sum("ev").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    n = F.max("n")
+    return agg.groupBy(F.col("label").cast("int").alias("label")).agg(
+        n.cast("bigint").alias("vectores"),
+        (F.floor(F.sum(F.when(F.col("d") == 1, F.col("s"))).cast("double") / n) / 1e6)
+        .alias("centroide_d1"),
+        (F.floor(F.sum(F.when(F.col("d") == 2, F.col("s"))).cast("double") / n) / 1e6)
+        .alias("centroide_d2"),
+        (F.floor(F.sum(F.col("s") * F.col("s")).cast("double") / (n * n) / 1e6) / 1e6)
+        .alias("energia"),
+    )
