@@ -9,7 +9,7 @@ fact side streams through map tasks with zero shuffle for these lookups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.functions import day_to_date
@@ -68,6 +68,18 @@ def age_brackets_dim(spark: SparkSession) -> DataFrame:
 
 def day_part_blocks_dim(spark: SparkSession) -> DataFrame:
     return values_dim(spark, DAY_PART_BLOCKS, ["bloque", "hora_inicio", "hora_fin"])
+
+
+def habil_expr(day_num: Column) -> Column:
+    """Business-day flag as a pure column expression on an epoch-day int —
+    the unbounded form of ``day_grid``'s ``habil`` column. Queries that
+    only need the flag use this instead of joining the bounded calendar
+    dim, so sessions outside the grid range are never silently dropped
+    (and the broadcast join disappears from the plan)."""
+    fecha = day_to_date(day_num)
+    return F.dayofweek(fecha).between(2, 6) & ~F.dayofmonth(fecha).isin(
+        *FERIADO_DAYS_OF_MONTH
+    )
 
 
 def day_grid(spark: SparkSession, start_day: int, end_day: int) -> DataFrame:

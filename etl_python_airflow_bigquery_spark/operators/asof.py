@@ -53,26 +53,31 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct (marker + all value cols) with ignorenulls on the
+    # struct itself, not per-column: a matched right row whose value
+    # columns are NULL must still count as the as-of match (per-column
+    # carry would skip it and surface an older value, diverging from
+    # DuckDB ASOF semantics on nullable value columns).
+    matched = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.lit(1).alias("__m"), *[F.col(c) for c in value_cols]),
+    )
     filled = merged.select(
         "*",
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last(matched, ignorenulls=True).over(w).alias("__asof"),
     )
     out = (
         filled.where(F.col("__is_left") == 1)
         .drop("__t", "__is_left", *value_cols)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+            *[F.col(f"__asof.{c}").alias(c) for c in value_cols],
+            F.col("__asof.__m").alias("__matched"),
         )
     )
     if how == "inner":
-        out = out.where(F.col(value_cols[0]).isNotNull())
-    return out
+        out = out.where(F.col("__matched").isNotNull())
+    return out.drop("__matched")
 
 
 def _merged(lt: DataFrame, rt: DataFrame, left: DataFrame, on: str, value_cols: list[str]) -> DataFrame:

@@ -66,8 +66,10 @@ def run_pipeline(tasks: Sequence[Task]) -> RunManifest:
                 manifest.statuses[task.name] = "skipped"
                 continue
             t0 = time.perf_counter()
-            err: str | None = None
-            for attempt in range(task.retries):
+            # retries counts ATTEMPTS; a task always runs at least once —
+            # retries=0 must not report "ok" for work that never executed.
+            err: str | None = "never attempted"
+            for attempt in range(max(1, task.retries)):
                 try:
                     task.fn()
                     err = None

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.dims import day_grid
+from etl_python_airflow_bigquery_spark.dims import habil_expr
 from etl_python_airflow_bigquery_spark.functions import (
     ntz_lit,
     safe_div,
@@ -23,10 +23,6 @@ from etl_python_airflow_bigquery_spark.operators.intervals import (
 )
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
-
-# Calendar grid bounds: 2020-01-01 .. 2029-12-31 as epoch days. The grid is
-# a ~3.7k-row broadcast dim — constant cost at any fact-table scale.
-GRID_START_DAY, GRID_END_DAY = 18262, 21914
 
 _INDICADORES_ORACLE = """
 WITH sess AS (
@@ -105,10 +101,11 @@ def indicadores_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     atoms = explode_to_hour_grid(sessions).withColumn(
         "day_num", F.floor(F.col("hour_idx") / 24).cast("int")
     )
-    cal = day_grid(spark, GRID_START_DAY, GRID_END_DAY)
-    habil = atoms.join(
-        F.broadcast(cal.where(F.col("habil")).select("day_num")), "day_num"
-    )
+    # habil as a pure column expression — no bounded calendar join, so
+    # sessions outside any grid range are filtered by the SAME predicate
+    # the oracle applies (no silent date-bound divergence), and the
+    # broadcast join disappears from the plan.
+    habil = atoms.where(habil_expr(F.col("day_num")))
     agg = habil.groupBy("user_id").agg(
         (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("sum_minutos"),
         F.countDistinct("day_num").cast("bigint").alias("q_dias"),
@@ -233,10 +230,7 @@ def indicadores_finde(spark: SparkSession, sf_dir: str) -> DataFrame:
     atoms = explode_to_hour_grid(sessions).withColumn(
         "day_num", F.floor(F.col("hour_idx") / 24).cast("int")
     )
-    cal = day_grid(spark, GRID_START_DAY, GRID_END_DAY)
-    finde = atoms.join(
-        F.broadcast(cal.where(~F.col("habil")).select("day_num")), "day_num"
-    )
+    finde = atoms.where(~habil_expr(F.col("day_num")))
     agg = finde.groupBy("user_id").agg(
         (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("sum_minutos"),
         F.countDistinct("day_num").cast("bigint").alias("q_dias"),

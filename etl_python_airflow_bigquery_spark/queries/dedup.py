@@ -495,6 +495,54 @@ FROM comp
 """
 
 
+def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Distributed connected components via min-label propagation over a
+    symmetric edge list (src, dst). Each round: label = min(label,
+    neighbors' labels) — one shuffled join+groupBy, the standard
+    large-graph CC shape; converges in O(diameter) rounds.
+    localCheckpoint truncates the growing lineage each round.
+
+    The round cap is a safety bound, not a silent exit: a component with
+    diameter > max_rounds would otherwise return WRONG cluster_ids, so
+    non-convergence raises instead of degrading silently."""
+    labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    changed = -1
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("vecino_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("vecino_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            "propagate_min_labels: did not converge within "
+            f"{max_rounds} rounds; component diameter exceeds the cap"
+        )
+    return labels
+
+
 @register("dedup_clusters", oracle=_CLUSTER_ORACLE, ops=("DD4", "DD2"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME: near-dup pairs (Jaccard ≥ 0.5) form a graph;
@@ -533,38 +581,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         aristas.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    # min-label propagation to fixpoint; near-dup families are tiny
-    # (diameter ≤ a few), so this converges in 2-4 rounds. localCheckpoint
-    # truncates the growing lineage each round.
-    for _ in range(20):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("vecino_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("vecino_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = propagate_min_labels(sym)
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -593,7 +593,8 @@ SELECT CAST(label AS INTEGER) AS label,
            AS centroide_d1,
        floor(CAST(sum(CASE WHEN d = 2 THEN s END) AS DOUBLE) / max(n)) / 1e6
            AS centroide_d2,
-       floor(CAST(sum(s * s) AS DOUBLE) / (max(n) * max(n)) / 1e6) / 1e6
+       floor(CAST(sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS DOUBLE)
+             / (max(n) * max(n)) / 1e6) / 1e6
            AS energia
 FROM agg GROUP BY label
 """
@@ -626,6 +627,17 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroide_d1"),
         (F.floor(F.sum(F.when(F.col("d") == 2, F.col("s"))).cast("double") / n) / 1e6)
         .alias("centroide_d2"),
-        (F.floor(F.sum(F.col("s") * F.col("s")).cast("double") / (n * n) / 1e6) / 1e6)
-        .alias("energia"),
+        # s*s over int64 wraps silently once a cluster holds ~3000+ vectors
+        # (per-dim s ≈ 1e6·n); widen to decimal(38,0) — DuckDB's HUGEINT
+        # mirror — before squaring so both engines stay exact.
+        (
+            F.floor(
+                F.sum(
+                    F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+                ).cast("double")
+                / (n * n)
+                / 1e6
+            )
+            / 1e6
+        ).alias("energia"),
     )

@@ -122,6 +122,19 @@ def test_run_pipeline_flags_and_blocking():
     assert order == ["a", "d"]
 
 
+def test_run_pipeline_retries_zero_still_executes():
+    """retries=0 must not report 'ok' for work that never ran — every
+    non-gated task gets at least one attempt."""
+    ran = []
+    m = run_pipeline([Task("once", lambda: ran.append(1), retries=0)])
+    assert ran == [1] and m.statuses == {"once": "ok"}
+
+    m2 = run_pipeline(
+        [Task("boom", lambda: (_ for _ in ()).throw(IOError("x")), retries=0)]
+    )
+    assert m2.statuses == {"boom": "failed"} and "x" in m2.errors["boom"]
+
+
 def test_job_matrix():
     combos = job_matrix(agg=["hour", "day"], vip=[0, 1, 5])
     assert len(combos) == 6

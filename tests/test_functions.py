@@ -109,6 +109,51 @@ def test_asof_left_keeps_unmatched(spark):
     assert {(r["k"], r["t"], r["v"]) for r in inner.collect()} == {(1, 50, "b")}
 
 
+def test_propagate_min_labels_converges_or_raises(spark):
+    """Min-label propagation on a 7-node path converges (one component,
+    min label everywhere); a round cap smaller than the diameter RAISES
+    instead of returning wrong cluster_ids."""
+    import pytest as _pytest
+
+    from etl_python_airflow_bigquery_spark.queries.dedup import propagate_min_labels
+
+    edges = [(i, i + 1) for i in range(6)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in propagate_min_labels(sym, max_rounds=10).collect()
+    }
+    assert labels == {i: 0 for i in range(7)}
+    with _pytest.raises(RuntimeError, match="converge"):
+        propagate_min_labels(sym, max_rounds=2)
+
+
+def test_asof_null_value_cols_match_row_not_older_value(spark):
+    """A matched right row whose value column is NULL must win over an
+    older non-null row (DuckDB ASOF semantics): the carry tracks the
+    ROW, not each value column independently — and how='inner' keeps
+    left rows whose true match carries NULL values."""
+    from etl_python_airflow_bigquery_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 50), (2, 50)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 40, None), (2, 30, None)], "k int, rt long, v string"
+    )
+    for how in ("left", "inner"):
+        got = {
+            (r["k"], r["t"]): r["v"]
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="rt",
+                value_cols=["v"], how=how,
+            ).collect()
+        }
+        # latest-at-or-before rows are (1,40,NULL) and (2,30,NULL):
+        # both left rows ARE matched, values are NULL — never "old".
+        assert got == {(1, 50): None, (2, 50): None}, how
+
+
 def test_asof_equal_timestamp_matches(spark):
     """right row AT the left timestamp is visible (>= semantics)."""
     from etl_python_airflow_bigquery_spark.operators.asof import asof_join
