@@ -12,7 +12,7 @@ thresholds compare integers (2·∩ ≥ ∪); emitted ratios are floor-scaled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.queries import register
@@ -79,27 +79,75 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: docs become distinct word-3-gram
-    shingle sets; candidate pairs arise ONLY from the posting-list
-    self-join on shingle (docs sharing ≥1 shingle), then the integer
-    test 2·∩ ≥ ∪ keeps pairs at Jaccard ≥ 0.5. Shuffle cost tracks
-    posting-list skew — rare shingles keep it near-linear."""
+    """EXACT n-gram Jaccard near-dup with PREFIX FILTERING (the
+    All-Pairs/PPJoin candidate scheme): shingles get a global rarity
+    order (ascending document frequency df, hash tie-break). A pair with
+    J ≥ τ must overlap in ≥ ⌈τ·|d|⌉ shingles of EACH side, so the two
+    docs' PREFIXES — each doc's first |d| − ⌈τ·|d|⌉ + 1 shingles in that
+    order — must intersect. Candidates therefore come from a self-join
+    on prefix postings only; the integer test 2·∩ ≥ ∪ then verifies on
+    FULL sets. Same exact answer as the naive posting-list join (same
+    oracle), but candidate volume tracks true duplicates, not per-shingle
+    df² — the clone-heavy 10× probe drops from 141× to near-linear,
+    because a high-df shingle enters a prefix only when a doc has few
+    rarer shingles, i.e. when it is genuinely near-duplicate material."""
     sh = _shingles(spark, sf_dir)
-    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # one shuffle on doc_id serves both the rarity rank and the set size
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_all = Window.partitionBy("doc_id")
+    ranked = sh.join(df_s, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # τ = 0.5 ⇒ prefix length = n − ⌈n/2⌉ + 1 = n//2 + 1
+    prefix = ranked.where(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "s",
+        F.col("rn").alias("rn_a"), F.col("n").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "s",
+        F.col("rn").alias("rn_b"), F.col("n").alias("nb"),
+    )
+    # required overlap for J ≥ τ: o ≥ ⌈τ·(na+nb)/(1+τ)⌉ = ⌈(na+nb)/3⌉.
+    o_min = -F.floor(-(F.col("na") + F.col("nb")) / 3)
+    candidatos = (
+        pa.join(pb, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≤ min/max, so min(na,nb) ≥ τ·max(na,nb)
+            & (2 * F.least(F.col("na"), F.col("nb"))
+               >= F.greatest(F.col("na"), F.col("nb")))
+            # positional filter (PPJoin): matching at global ranks
+            # (rn_a, rn_b) bounds the remaining overlap by
+            # min(na−rn_a, nb−rn_b)+1 — for the pair's FIRST match this
+            # bound is exact-safe, so a pair where NO match passes
+            # cannot reach τ.
+            & (F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+               + 1 >= o_min)
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    # Verification is a MAP step, not a posting re-join: each doc's full
+    # shingle set rides along once as a sorted int64 array (~8·|d| bytes)
+    # and the intersection is computed per pair with array_intersect
+    # inside codegen. The naive verify (candidates ⋈ postings ⋈ postings)
+    # shuffles |candidates|·|d| rows — quadratically worse on templated
+    # corpora where candidates ≫ true pairs.
+    arr = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("arr"))
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    scored = (
+        candidatos.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
+    )
     return (
-        inter.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
-        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        scored.where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
         .select(
             "doc_a",
             "doc_b",
