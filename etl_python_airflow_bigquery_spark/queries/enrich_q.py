@@ -146,7 +146,7 @@ FROM demo d JOIN totals t USING (metrica)
 """
 
 
-@register("trafico_ga_pipeline", oracle=_GA_PIPE_ORACLE, ops=("S5", "A12", "A10"))
+@register("trafico_ga_pipeline", oracle=_GA_PIPE_ORACLE, ops=("S6", "A12", "A10"))
 def trafico_ga_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GA traffic pipeline END TO END (reference trafico_digital.py):
     a batchGet-shaped report (dimensionHeaders/metricHeaders/rows —
@@ -203,4 +203,134 @@ def trafico_ga_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("metrica", "demografico", "sesiones", "asignado")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 — GA3 (Universal Analytics) pipeline: the OTHER report proto shape
+# --------------------------------------------------------------------------
+
+_DEMO_CASE = """CASE user_id % 4 WHEN 0 THEN 'f18-34' WHEN 1 THEN 'f35+'
+                WHEN 2 THEN 'm18-34' ELSE 'm35+' END"""
+
+_GA3_PIPE_ORACLE = f"""
+WITH base AS (
+    SELECT strftime(DATE '1970-01-01'
+                    + CAST(epoch_us(ts) // 86400000000 AS INT), '%Y%m') AS ym,
+           (epoch_us(ts) % 86400000000) // 3600000000 AS hora,
+           {_DEMO_CASE} AS demografico,
+           value
+    FROM events
+),
+agg AS (
+    SELECT ym, hora, demografico,
+           CAST(count(*) AS DOUBLE) AS sesiones,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS minutos
+    FROM base GROUP BY 1, 2, 3
+),
+largo AS (
+    SELECT ym, hora, demografico, 'sesiones' AS variable, sesiones AS value FROM agg
+    UNION ALL
+    SELECT ym, hora, demografico, 'minutos', minutos FROM agg
+)
+SELECT CAST(strptime(ym || '01' || lpad(CAST(hora AS VARCHAR), 2, '0'),
+                     '%Y%m%d%H') AS VARCHAR) AS datetime,
+       variable,
+       sum(CASE WHEN demografico = 'f18-34' THEN value END) AS "f18-34",
+       sum(CASE WHEN demografico = 'f35+' THEN value END) AS "f35+",
+       sum(CASE WHEN demografico = 'm18-34' THEN value END) AS "m18-34",
+       sum(CASE WHEN demografico = 'm35+' THEN value END) AS "m35+"
+FROM largo GROUP BY 1, 2
+"""
+
+
+@register("trafico_ga3_pipeline", oracle=_GA3_PIPE_ORACLE, ops=("S5", "A9", "A10"))
+def trafico_ga3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GA3 (Universal Analytics) traffic pipeline END TO END: a
+    Reporting-API-v4-shaped response — ``columnHeader.metricHeader.
+    metricHeaderEntries`` + ``data.rows[].dimensions/metrics[].values``,
+    the proto HALF the reference's traffic ETL reads (reference
+    trafico_digital.py:237-263) — flows through the ga3 flattener, the
+    per-agg 'mes hora' datetime reassembly (yearMonth+'01'+hour,
+    trafico_digital.py:277-280), the reference's 'unknown' demographic
+    filter, then melt → demographic pivot. The fabricated response is a
+    driver-side collect of a months×24×4 aggregate — report-API scale;
+    all heavy work stays distributed."""
+    from etl_python_airflow_bigquery_spark.functions import day_to_date
+    from etl_python_airflow_bigquery_spark.sources.connectors import (
+        ga3_assemble_datetime,
+        ga3_source,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    demografico = (
+        F.when(F.col("user_id") % 4 == 0, "f18-34")
+        .when(F.col("user_id") % 4 == 1, "f35+")
+        .when(F.col("user_id") % 4 == 2, "m18-34")
+        .otherwise("m35+")
+    )
+    small = (
+        events.select(
+            F.date_format(
+                day_to_date(F.expr("ts div 86400000000000").cast("int")), "yyyyMM"
+            ).alias("ym"),
+            F.expr("(ts % 86400000000000) div 3600000000000").alias("hora"),
+            demografico.alias("demografico"),
+            "value",
+        )
+        .groupBy("ym", "hora", "demografico")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("sesiones"),
+            dsum("value").alias("minutos"),
+        )
+        .collect()
+    )
+    rows = [
+        {
+            "dimensions": [r["ym"], str(r["hora"]).zfill(2), r["demografico"]],
+            "metrics": [{"values": [repr(r["sesiones"]), repr(r["minutos"])]}],
+        }
+        for r in sorted(small, key=lambda r: (r["ym"], r["hora"], r["demografico"]))
+    ]
+    # GA reports carry '(unknown)' demographic rows; the reference drops
+    # them post-parse (trafico_digital.py:260-261) — exercise that path.
+    rows.append(
+        {
+            "dimensions": ["209901", "00", "unknown"],
+            "metrics": [{"values": ["1.0", "1.0"]}],
+        }
+    )
+    report = {
+        "columnHeader": {
+            "dimensions": ["ga:yearMonth", "ga:hour", "ga:demografico"],
+            "metricHeader": {
+                "metricHeaderEntries": [{"name": "sesiones"}, {"name": "minutos"}]
+            },
+        },
+        "data": {"rows": rows},
+    }
+    parsed = ga3_source(
+        spark,
+        [report],
+        "`ga:yearMonth` STRING, `ga:hour` STRING, `ga:demografico` STRING,"
+        " sesiones DOUBLE, minutos DOUBLE",
+    )
+    parsed = parsed.where(F.col("`ga:demografico`") != "unknown")
+    con_fecha = ga3_assemble_datetime(parsed, "mes hora").withColumnRenamed(
+        "ga:demografico", "demografico"
+    )
+    largo = con_fecha.select(
+        # NTZ → canonical string: pandas carries Spark timestamps at ns
+        # and DuckDB's at µs precision, so the hash compares the rendered
+        # wall-clock value instead of a unit-tagged dtype.
+        F.col("datetime").cast("string").alias("datetime"),
+        "demografico",
+        F.expr(
+            "stack(2, 'sesiones', sesiones, 'minutos', minutos) AS (variable, value)"
+        ),
+    )
+    return (
+        largo.groupBy("datetime", "variable")
+        .pivot("demografico", ["f18-34", "f35+", "m18-34", "m35+"])
+        .agg(F.sum("value"))
     )

@@ -141,9 +141,63 @@ def ga_report_rows(report: dict) -> Iterator[dict]:
 def ga_source(
     spark: SparkSession, reports: Sequence[dict], schema: str
 ) -> DataFrame:
-    """S5/S6: GA3/GA4 batch reports → typed DataFrame."""
+    """S6: GA4/Firebase batch reports → typed DataFrame."""
     rows = [r for rep in reports for r in ga_report_rows(rep)]
     return spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
+
+
+def ga3_report_rows(report: dict) -> Iterator[dict]:
+    """S5: flatten a GA3 (Universal Analytics / Reporting API v4) report —
+    a DIFFERENT proto shape from GA4: headers live at
+    ``columnHeader.dimensions`` + ``columnHeader.metricHeader.
+    metricHeaderEntries[].name``, rows at ``data.rows[].dimensions`` /
+    ``.metrics[0].values`` (reference trafico_digital.py:237-263)."""
+    ch = report.get("columnHeader", {})
+    dims = ch.get("dimensions", [])
+    mets = [
+        m.get("name")
+        for m in ch.get("metricHeader", {}).get("metricHeaderEntries", [])
+    ]
+    for row in report.get("data", {}).get("rows", []):
+        out = dict(zip(dims, row.get("dimensions", [])))
+        vals = row.get("metrics", [{}])[0].get("values", [])
+        out.update({m: float(v) for m, v in zip(mets, vals)})
+        yield out
+
+
+def ga3_source(
+    spark: SparkSession, reports: Sequence[dict], schema: str
+) -> DataFrame:
+    """S5: GA3 batch reports → typed DataFrame (column names keep the
+    ``ga:`` prefix — quote them with backticks in the DDL schema)."""
+    rows = [r for rep in reports for r in ga3_report_rows(rep)]
+    return spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
+
+
+def ga3_assemble_datetime(df: DataFrame, agreg: str) -> DataFrame:
+    """S5: per-aggregation ``datetime`` reassembly from GA3 time
+    dimensions (reference trafico_digital.py:264-280): mensual =
+    yearMonth+'0100', diario = date+'00', hora = dateHour, 'mes hora' =
+    yearMonth+'01'+hour — all parsed as yyyyMMddHH into TIMESTAMP_NTZ
+    (GA3 times are property-local wall clock, never session-tz)."""
+    from pyspark.sql import functions as F
+
+    if agreg == "mensual":
+        s, drop = F.concat(F.col("`ga:yearMonth`"), F.lit("0100")), ["ga:yearMonth"]
+    elif agreg == "diario":
+        s, drop = F.concat(F.col("`ga:date`"), F.lit("00")), ["ga:date"]
+    elif agreg == "hora":
+        s, drop = F.col("`ga:dateHour`"), ["ga:dateHour"]
+    elif agreg == "mes hora":
+        s = F.concat(
+            F.col("`ga:yearMonth`"), F.lit("01"), F.lpad(F.col("`ga:hour`"), 2, "0")
+        )
+        drop = ["ga:yearMonth", "ga:hour"]
+    else:
+        raise ValueError(f"unknown GA3 aggregation level: {agreg!r}")
+    return df.withColumn(
+        "datetime", F.to_timestamp_ntz(s, F.lit("yyyyMMddHH"))
+    ).drop(*drop)
 
 
 def config_source(raw: str | dict) -> dict:

@@ -85,6 +85,46 @@ def test_ga_source_flattens_report(spark):
     assert {r["pais"]: r["sesiones"] for r in df.collect()} == {"cl": 5.0, "ar": 3.0}
 
 
+def test_ga3_source_flattens_and_reassembles_datetime(spark):
+    """GA3 (Universal Analytics) proto shape: columnHeader.metricHeader.
+    metricHeaderEntries + data.rows[].dimensions/metrics[].values, plus
+    the per-agg datetime reassembly branches."""
+    from etl_python_airflow_bigquery_spark.sources.connectors import (
+        ga3_assemble_datetime,
+        ga3_source,
+    )
+
+    report = {
+        "columnHeader": {
+            "dimensions": ["ga:yearMonth", "ga:hour"],
+            "metricHeader": {"metricHeaderEntries": [{"name": "sesiones"}]},
+        },
+        "data": {
+            "rows": [
+                {"dimensions": ["202401", "05"], "metrics": [{"values": ["7"]}]},
+                {"dimensions": ["202402", "23"], "metrics": [{"values": ["3"]}]},
+            ]
+        },
+    }
+    df = ga3_source(
+        spark, [report], "`ga:yearMonth` STRING, `ga:hour` STRING, sesiones DOUBLE"
+    )
+    out = ga3_assemble_datetime(df, "mes hora")
+    got = {str(r["datetime"]): r["sesiones"] for r in out.collect()}
+    assert got == {"2024-01-01 05:00:00": 7.0, "2024-02-01 23:00:00": 3.0}
+    assert "ga:yearMonth" not in out.columns and "ga:hour" not in out.columns
+
+    monthly = spark.createDataFrame([("202403",)], "`ga:yearMonth` STRING")
+    r = ga3_assemble_datetime(monthly, "mensual").collect()[0]
+    assert str(r["datetime"]) == "2024-03-01 00:00:00"
+    daily = spark.createDataFrame([("20240315",)], "`ga:date` STRING")
+    r = ga3_assemble_datetime(daily, "diario").collect()[0]
+    assert str(r["datetime"]) == "2024-03-15 00:00:00"
+    hourly = spark.createDataFrame([("2024031518",)], "`ga:dateHour` STRING")
+    r = ga3_assemble_datetime(hourly, "hora").collect()[0]
+    assert str(r["datetime"]) == "2024-03-15 18:00:00"
+
+
 def test_html_report_and_email_gate(spark):
     df = spark.createDataFrame([(1, "a<b")], "id INT, nota STRING")
     html_doc = render_html_report(df, "nulos & errores")
