@@ -641,3 +641,135 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("energia"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full Lloyd's k-means — the production IVF index build
+# --------------------------------------------------------------------------
+
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Unroll `iters` assign+update rounds plus a final assign as CTEs —
+    DuckDB runs the SAME deterministic integer iterations as the Spark
+    loop, so cell assignments match bit-for-bit."""
+    parts = [
+        f"enteros AS (SELECT vec_id, {_scaled_int_sql('embedding')} AS ev"
+        "  FROM embeddings)",
+        "cent0 AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros"
+        "  WHERE vec_id % 100 = 0)",
+    ]
+    for i in range(1, iters + 2):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"dist{i} AS (SELECT e.vec_id, c.seed_id, "
+            f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+            f"k -> (e.ev[k] - c.sv[k]) * (e.ev[k] - c.sv[k]))) AS BIGINT) AS d2 "
+            f"FROM enteros e CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"asig{i} AS (SELECT vec_id, seed_id AS celda, d2 FROM "
+            f"(SELECT vec_id, seed_id, d2, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, seed_id) AS rn FROM dist{i}) "
+            f"WHERE rn = 1)"
+        )
+        if i <= iters:
+            parts.append(
+                f"sums{i} AS (SELECT a.celda, d.k, "
+                f"CAST(floor(CAST(sum(e.ev[d.k]) AS DOUBLE) / count(*)) AS BIGINT)"
+                f" AS cv "
+                f"FROM asig{i} a JOIN enteros e USING (vec_id) "
+                f"CROSS JOIN generate_series(1, {DIM}) d(k) GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"cent{i} AS (SELECT c.seed_id, COALESCE(s.sv, c.sv) AS sv "
+                f"FROM {prev} c LEFT JOIN (SELECT celda AS seed_id, "
+                f"list(cv ORDER BY k) AS sv FROM sums{i} GROUP BY 1) s "
+                f"USING (seed_id))"
+            )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, celda, d2 FROM asig{iters + 1}"
+    )
+
+
+def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> DataFrame:
+    """k centroid rows as a SQL VALUES LocalRelation with array columns —
+    stays JVM-side with known stats so the broadcast in the assign step
+    plans as a broadcast (see dims.values_dim rationale)."""
+    rows = ", ".join(
+        f"({sid}, array({', '.join(str(v) for v in sv)}))"
+        for sid, sv in sorted(cent.items())
+    )
+    return spark.sql(
+        f"SELECT CAST(seed_id AS BIGINT) AS seed_id, CAST(sv AS ARRAY<BIGINT>) AS sv"
+        f" FROM (VALUES {rows}) AS t(seed_id, sv)"
+    )
+
+
+def _assign_cells(enteros: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Map-side argmin over broadcast centroids — the IVF assign step."""
+    dist = enteros.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("celda"), "d2")
+    )
+
+
+@register("similarity_ivf_kmeans", oracle=_kmeans_oracle(_KMEANS_ITERS), ops=("NN2",))
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd's k-means as the IVF coarse quantizer — the converging
+    loop the one-step ``similarity_ivf`` lacked: seeds (every 100th
+    vector) iterate assign (broadcast centroids → map-side integer-L2
+    argmin, one narrow job) then update (per-cell per-dim floor-averaged
+    int64 sums — the ``vector_centroids`` step) for a FIXED round count,
+    then the final assignment labels every vector with its cell.
+
+    Deterministic across engines and shuffle orders: scaled-int vectors,
+    integer distances, (d2, seed_id) tie-break, floor-div averages, and
+    empty cells carrying the previous centroid. Only k×64 ints move
+    through the driver per round (the centroid table — exactly what a
+    1000-executor cluster would broadcast); all per-vector work stays
+    distributed. Oracle: the same rounds unrolled as DuckDB CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enteros = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)"
+            " AS BIGINT))"
+        ).alias("ev"),
+    )
+    cent: dict[int, list[int]] = {
+        r["vec_id"]: list(r["ev"])
+        for r in enteros.where(F.col("vec_id") % 100 == 0).collect()
+    }
+    for _ in range(_KMEANS_ITERS):
+        asig = _assign_cells(enteros, _centroid_values_df(spark, cent))
+        elems = asig.join(enteros, "vec_id").select(
+            "celda", F.posexplode("ev").alias("k0", "x")
+        )
+        upd = (
+            elems.groupBy("celda", (F.col("k0") + 1).alias("k"))
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        nuevo: dict[int, list[int]] = {}
+        for r in upd:
+            nuevo.setdefault(r["celda"], [0] * DIM)[r["k"] - 1] = r["cv"]
+        cent = {**cent, **nuevo}  # empty cells keep their previous centroid
+    return _assign_cells(enteros, _centroid_values_df(spark, cent))
