@@ -14,10 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.operators.enrich import (
-    GEO_SCHEMA,
+    GEO_FULL_SCHEMA,
     UA_SCHEMA,
     enrich_via_distinct,
-    lookup_geo,
+    lookup_geo_full,
     parse_user_agents,
 )
 from etl_python_airflow_bigquery_spark.functions import dsum
@@ -81,33 +81,62 @@ def device_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GEO_ORACLE = """
+# Expected ladder output per octet bucket ((user_id % 256) // 64), exactly
+# mirroring the stand-in records + es→en fallback quirks in
+# operators/enrich.py: bucket 1 falls back to the en continent name,
+# bucket 2 has no subdivisions (NULL region) and no ASN, city 'Lima'
+# comes from the en fallback.
+_GEO_LADDER = {
+    "continent_code": ("'SA'", "'SA'", "'SA'", "'NA'"),
+    "continent_name": ("'Sudamérica'", "'South America'", "'Sudamérica'", "'Norteamérica'"),
+    "country_code": ("'CL'", "'AR'", "'PE'", "'MX'"),
+    "country_name": ("'Chile'", "'Argentina'", "'Perú'", "'México'"),
+    "region_code": ("'RM'", "'C'", "NULL", "'CMX'"),
+    "region_name": ("'Región Metropolitana'", "'Buenos Aires'", "NULL", "'Ciudad de México'"),
+    "city_code": ("3871336", "3435910", "3936456", "3530597"),
+    "city_name": ("'Santiago'", "'Buenos Aires'", "'Lima'", "'Ciudad de México'"),
+    "city_lat": ("-33.45", "-34.61", "-12.05", "19.43"),
+    "city_lon": ("-70.66", "-58.38", "-77.04", "-99.13"),
+    "time_zone": ("'America/Santiago'", "'America/Argentina/Buenos_Aires'",
+                  "'America/Lima'", "'America/Mexico_City'"),
+    "asn": ("27651", "7303", "NULL", "8151"),
+    "connection_type": ("'Cable/DSL'", "'Cellular'", "'Corporate'", "'Cable/DSL'"),
+    "user_type": ("'residential'", "'residential'", "'business'", "'residential'"),
+}
+
+_GEO_TYPES = {"city_code": "BIGINT", "asn": "BIGINT",
+              "city_lat": "DOUBLE", "city_lon": "DOUBLE"}
+
+_GEO_CASE_COLS = ",\n           ".join(
+    "CAST(CASE (user_id % 256) // 64 "
+    + " ".join(f"WHEN {b} THEN {vals[b]}" for b in range(4))
+    + f" END AS {_GEO_TYPES.get(col, 'VARCHAR')}) AS {col}"
+    for col, vals in _GEO_LADDER.items()
+)
+
+_GEO_ORACLE = f"""
 WITH base AS (
     SELECT user_id,
-           '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1' AS request_ip
+           {_GEO_CASE_COLS}
     FROM events
-),
-geo AS (
-    SELECT request_ip,
-           CASE WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 64 THEN 'chile'
-                WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 128 THEN 'argentina'
-                WHEN CAST(string_split(request_ip, '.')[2] AS BIGINT) < 192 THEN 'peru'
-                ELSE 'mexico' END AS pais
-    FROM (SELECT DISTINCT request_ip FROM base)
 )
-SELECT g.pais,
+SELECT {", ".join(_GEO_LADDER)},
        CAST(count(*) AS BIGINT) AS eventos,
-       CAST(count(DISTINCT b.user_id) AS BIGINT) AS usuarios
-FROM base b JOIN geo g ON b.request_ip = g.request_ip
-GROUP BY 1
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM base
+GROUP BY ALL
 """
 
 
 @register("geo_enrich", oracle=_GEO_ORACLE, ops=("U2", "J2"))
 def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GeoIP-style enrichment: distinct IPs → per-partition lookup
-    handle (the mmdb stand-in) → broadcast join back (reference
-    append_location_data, consumo_detalle.py:189-254)."""
+    """GeoIP enrichment with the FULL 15-column MaxMind ladder: distinct
+    IPs → per-partition db handle (real ``maxminddb.open_database`` when
+    a path is injected, deterministic stand-in offline) → es/en name
+    fallback per field → broadcast join back (reference
+    append_location_data, consumo_detalle.py:189-254). The oracle pins
+    every ladder branch: en-name fallback, missing-subdivision NULLs,
+    missing-ASN NULL."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "user_id",
@@ -115,8 +144,10 @@ def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("10."), (F.col("user_id") % 256).cast("string"), F.lit(".0.1")
         ).alias("request_ip"),
     )
-    enriched = enrich_via_distinct(base, "request_ip", lookup_geo, GEO_SCHEMA)
-    return enriched.groupBy("pais").agg(
+    enriched = enrich_via_distinct(
+        base, "request_ip", lookup_geo_full, GEO_FULL_SCHEMA
+    )
+    return enriched.groupBy(*list(_GEO_LADDER)).agg(
         F.count(F.lit(1)).cast("bigint").alias("eventos"),
         F.countDistinct("user_id").cast("bigint").alias("usuarios"),
     )

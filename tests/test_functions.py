@@ -109,6 +109,39 @@ def test_asof_left_keeps_unmatched(spark):
     assert {(r["k"], r["t"], r["v"]) for r in inner.collect()} == {(1, 50, "b")}
 
 
+def test_geo_ladder_fallbacks_and_optional_mmdb():
+    """The 15-field mmdb extraction ladder: es→en name fallback, missing
+    subdivisions ⇒ absent region, missing geoname_id ⇒ record dropped,
+    missing ASN ⇒ null; open_geo_db degrades to the stand-in when
+    maxminddb is unavailable."""
+    import pandas as pd
+
+    from etl_python_airflow_bigquery_spark.operators.enrich import (
+        _StandinGeoDB,
+        extract_geo_record,
+        lookup_geo_full,
+        open_geo_db,
+    )
+
+    db = open_geo_db("/nonexistent/GeoLite2-City.mmdb")  # lib absent ⇒ stand-in
+    assert isinstance(db, _StandinGeoDB)
+
+    ar = extract_geo_record("10.70.0.1", db.get("10.70.0.1"))
+    assert ar["continent_name"] == "South America"  # en fallback
+    pe = extract_geo_record("10.150.0.1", db.get("10.150.0.1"))
+    assert "region_code" not in pe and pe["asn"] is None
+    assert pe["city_name"] == "Lima"  # en fallback on city names
+
+    no_city = {"continent": {"code": "X", "names": {"en": "x"}},
+               "country": {"iso_code": "X", "names": {"en": "x"}},
+               "city": {"names": {"en": "nameless"}}}
+    assert extract_geo_record("10.0.0.1", no_city) is None
+
+    out = lookup_geo_full(pd.DataFrame({"request_ip": ["10.3.0.1", "10.150.0.1"]}))
+    assert list(out["country_code"]) == ["CL", "PE"]
+    assert str(out["asn"].dtype) == "Int64" and pd.isna(out["asn"].iloc[1])
+
+
 def test_propagate_min_labels_converges_or_raises(spark):
     """Min-label propagation on a 7-node path converges (one component,
     min label everywhere); a round cap smaller than the diameter RAISES
