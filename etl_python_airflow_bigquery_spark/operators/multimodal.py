@@ -2,11 +2,12 @@
 opaque BINARY columns with a typed metadata struct, processed by
 Arrow-batched pandas over ``mapInPandas``.
 
-The container ships no image/audio libraries, so the actual codec step
-is STUBBED (``decode_media`` raises NotImplementedError with the wiring
-a real deployment drops in); everything Spark-side — schema, partition
-behavior, UDF signature, batch shape, deterministic fallback features —
-is real and tested (tests/test_multimodal.py).
+The decode step is REAL for container headers: pure-Python parsers read
+PNG IHDR dimensions, JPEG SOF dimensions, and WAV fmt/data duration —
+no codec libraries needed. Full-frame pixel/sample decode (e.g. mp4)
+still requires a codec stack the container doesn't ship, so that branch
+raises NotImplementedError and the extractor degrades to byte-level
+features (documented stub; a deployment drops in PIL/libav there).
 
 Scale shape: media bytes never shuffle for feature extraction — the
 mapInPandas stage is map-only over whatever partitioning the source
@@ -19,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,20 +47,81 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURES_SCHEMA = (
-    "media_id BIGINT, n_bytes BIGINT, checksum BIGINT, "
-    "format STRING, pixels BIGINT"
+    "media_id BIGINT, n_bytes BIGINT, checksum BIGINT, format STRING, "
+    "pixels BIGINT, decoded_width INT, decoded_height INT, duration_ms BIGINT"
 )
 
+_SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-def decode_media(payload: bytes, fmt: str):
-    """REAL decode hook — intentionally stubbed: the container has no
-    PIL/libav. A deployment replaces this body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` / ``av.open(...)``; the
-    mapInPandas plumbing around it is unchanged."""
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG: 8-byte signature, then the IHDR chunk (len+type+13 data+CRC)
+    carries width/height as 4-byte big-endian at offsets 16/20."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n" or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG header")
+    return {
+        "width": int.from_bytes(payload[16:20], "big"),
+        "height": int.from_bytes(payload[20:24], "big"),
+        "header_len": 33,  # sig + IHDR length/type/data/CRC
+    }
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """JPEG: walk marker segments from SOI until a SOF marker; its
+    segment carries height/width as 2-byte big-endian at offsets +5/+7."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG header")
+    pos = 2
+    while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if payload[pos + 1] in _SOF_MARKERS:
+            return {
+                "height": int.from_bytes(payload[pos + 5 : pos + 7], "big"),
+                "width": int.from_bytes(payload[pos + 7 : pos + 9], "big"),
+                "header_len": pos + 2 + seg_len,
+            }
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """WAV/RIFF: walk chunks; ``fmt `` gives byte_rate, ``data`` gives
+    payload size — duration follows without decoding a single sample."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV header")
+    pos, byte_rate = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            byte_rate = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+            sample_rate = int.from_bytes(payload[pos + 12 : pos + 16], "little")
+        elif cid == b"data":
+            if not byte_rate:
+                raise ValueError("data chunk before fmt")
+            return {
+                "duration_ms": size * 1000 // byte_rate,
+                "sample_rate": sample_rate,
+                "header_len": pos + 8,
+            }
+        pos += 8 + size
+    raise ValueError("no data chunk found")
+
+
+def decode_media(payload: bytes, fmt: str) -> dict:
+    """Pure-Python HEADER decode for png/jpeg/wav (dimensions/duration
+    without codec deps). Formats needing a real codec stack (mp4 frame
+    sampling etc.) raise — the extractor degrades to byte features."""
+    if fmt == "png":
+        return _decode_png(payload)
+    if fmt == "jpeg":
+        return _decode_jpeg(payload)
+    if fmt == "wav":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        f"media decode for format={fmt!r} requires an image/audio codec "
-        "library not present in this environment; extract_features falls "
-        "back to byte-level features"
+        f"media decode for format={fmt!r} requires a codec library not "
+        "present in this environment (e.g. av.open for mp4); "
+        "extract_features falls back to byte-level features"
     )
 
 
@@ -73,48 +135,107 @@ def _byte_features(payload: bytes) -> tuple[int, int]:
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: per Arrow batch, try the real decoder, fall
-    back to byte features when the codec stack is absent. Never raises
-    on missing codecs — multimodal pipelines must degrade, not die."""
+    """mapInPandas worker: per Arrow batch, parse the real container
+    header (dims/duration), then checksum the media BODY (payload past
+    the header). Codec-less formats fall back to byte features over the
+    whole payload — multimodal pipelines must degrade, not die."""
     for pdf in batches:
-        n_bytes, checksums, pixels = [], [], []
-        for payload, fmt, w, h in zip(
-            pdf["payload"], pdf["format"], pdf["width"], pdf["height"]
-        ):
+        n_bytes, checksums, widths, heights, durations = [], [], [], [], []
+        for payload, fmt in zip(pdf["payload"], pdf["format"]):
+            payload = payload or b""
+            w = h = dur = None
+            body = payload
             try:
-                decode_media(payload, fmt)
+                dec = decode_media(payload, fmt)
+                body = payload[dec["header_len"] :]
+                w, h = dec.get("width"), dec.get("height")
+                dur = dec.get("duration_ms")
             except NotImplementedError:
                 pass
-            nb, ck = _byte_features(payload or b"")
+            nb, ck = _byte_features(body)
             n_bytes.append(nb)
             checksums.append(ck)
-            pixels.append(int(w) * int(h))
+            widths.append(w)
+            heights.append(h)
+            durations.append(dur)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "n_bytes": n_bytes,
                 "checksum": checksums,
                 "format": pdf["format"],
-                "pixels": pixels,
+                "pixels": (
+                    pdf["width"].astype("int64") * pdf["height"].astype("int64")
+                ),
+                "decoded_width": pd.array(widths, dtype="Int32"),
+                "decoded_height": pd.array(heights, dtype="Int32"),
+                "duration_ms": pd.array(durations, dtype="Int64"),
             }
         )
 
 
+def _be(col: Column, n_bytes: int) -> Column:
+    """Integer column → n-byte big-endian binary."""
+    return F.unhex(F.lpad(F.hex(col), 2 * n_bytes, "0"))
+
+
+def _le(col: Column, n_bytes: int) -> Column:
+    """Integer column → n-byte little-endian binary (byte-reversed BE)."""
+    return F.concat(
+        *[
+            _be(F.shiftright(col.cast("long"), 8 * i) % 256, 1)
+            for i in range(n_bytes)
+        ]
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
-    """Fabricate a deterministic media table from ``documents``: the
-    UTF-8 text bytes play the payload; metadata derives from doc_id.
+    """Fabricate a deterministic media table from ``documents``: a REAL
+    container header (PNG/JPEG/WAV, built from the metadata) followed by
+    the UTF-8 text bytes as the media body; mp4 rows carry a raw body
+    (their decode genuinely needs a codec). Every header field derives
+    from doc_id, so the oracle can recompute what the parser must read.
     (The fixture set has no binary table — TESTDATA.md — so the binary
-    column is synthesized; every downstream step treats it as opaque.)"""
+    column is synthesized; downstream treats it as opaque.)"""
+    w = (F.col("doc_id") % 8 * 160 + 320).cast("int")
+    h = (F.col("doc_id") % 8 * 90 + 180).cast("int")
+    body = F.encode("text", "UTF-8")
+    body_len = F.length(body)
+    sample_rate = ((F.col("doc_id") % 3 + 1) * 8000).cast("int")
+    byte_rate = sample_rate * 2
+    png_header = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        _be(w, 4), _be(h, 4),
+        F.lit(b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"),  # ihdr tail + crc
+    )
+    jpeg_header = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"),  # SOI + SOF0 + len 17 + prec
+        _be(h, 2), _be(w, 2),
+        F.lit(b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"),
+    )
+    wav_header = F.concat(
+        F.lit(b"RIFF"), _le(body_len + 36, 4), F.lit(b"WAVEfmt "),
+        F.lit(b"\x10\x00\x00\x00\x01\x00\x01\x00"),  # fmt size, pcm, mono
+        _le(sample_rate, 4), _le(byte_rate, 4),
+        F.lit(b"\x02\x00\x10\x00data"), _le(body_len, 4),
+    )
+    fmt = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("wav"), F.lit("mp4")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    payload = (
+        F.when(fmt == "jpeg", F.concat(jpeg_header, body))
+        .when(fmt == "png", F.concat(png_header, body))
+        .when(fmt == "wav", F.concat(wav_header, body))
+        .otherwise(body)
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+        payload.alias("payload"),
         F.struct(
-            F.element_at(
-                F.array(F.lit("jpeg"), F.lit("png"), F.lit("wav"), F.lit("mp4")),
-                (F.col("doc_id") % 4 + 1).cast("int"),
-            ).alias("format"),
-            (F.col("doc_id") % 8 * 160 + 320).cast("int").alias("width"),
-            (F.col("doc_id") % 8 * 90 + 180).cast("int").alias("height"),
+            fmt.alias("format"),
+            w.alias("width"),
+            h.alias("height"),
             (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )

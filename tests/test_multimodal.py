@@ -1,7 +1,10 @@
-"""Multimodal plumbing tests: schema shape, decode stub behavior, Arrow
-batch integrity (payload bytes survive the boundary)."""
+"""Multimodal plumbing tests: schema shape, REAL header decode
+(PNG/JPEG/WAV, pure Python), codec-stub fallback, Arrow batch integrity
+(header and body bytes survive the boundary)."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
@@ -14,9 +17,40 @@ from etl_python_airflow_bigquery_spark.operators.multimodal import (
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_parses_real_headers():
+    png = (
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    d = decode_media(png + b"body", "png")
+    assert (d["width"], d["height"], d["header_len"]) == (640, 480, 33)
+
+    jpeg = (
+        b"\xff\xd8\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    d = decode_media(jpeg + b"body", "jpeg")
+    assert (d["width"], d["height"]) == (640, 480)
+    assert d["header_len"] == len(jpeg)
+
+    data = b"\x00" * 32000
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    d = decode_media(wav + data, "wav")
+    assert d["duration_ms"] == 1000 and d["sample_rate"] == 16000
+    assert d["header_len"] == len(wav)
+
+
+def test_decode_media_codec_formats_still_stubbed():
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\x00\x01", "jpeg")
+        decode_media(b"\x00\x01", "mp4")
+    with pytest.raises(ValueError):
+        decode_media(b"not a png", "png")
 
 
 def test_byte_features_deterministic():
@@ -24,6 +58,8 @@ def test_byte_features_deterministic():
 
 
 def test_media_features_roundtrip(spark, sf_dir):
+    """Headers built Spark-side parse back to the meta-derived values;
+    body checksum matches the raw text; mp4 rows fall back with nulls."""
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = media_from_documents(docs)
     assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
@@ -34,3 +70,13 @@ def test_media_features_roundtrip(spark, sf_dir):
         f = by_id[row["doc_id"]]
         assert f["n_bytes"] == len(row["text"].encode())
         assert f["checksum"] == _byte_features(row["text"].encode())[1]
+        fmt = ["jpeg", "png", "wav", "mp4"][row["doc_id"] % 4]
+        if fmt in ("jpeg", "png"):
+            assert f["decoded_width"] == row["doc_id"] % 8 * 160 + 320
+            assert f["decoded_height"] == row["doc_id"] % 8 * 90 + 180
+            assert f["duration_ms"] is None
+        elif fmt == "wav":
+            byte_rate = (row["doc_id"] % 3 + 1) * 16000
+            assert f["duration_ms"] == len(row["text"].encode()) * 1000 // byte_rate
+        else:  # mp4: codec stub → nulls
+            assert f["decoded_width"] is None and f["duration_ms"] is None
