@@ -80,9 +80,32 @@ def explode_to_hour_grid(sessions: DataFrame) -> DataFrame:
     notebooks (GENERATE_TIMESTAMP_ARRAY ... interval join, cell 2) and the
     dicc_fechas hora join (indicadores_cia.py:130-165) without any join.
 
+    TWO-TIER explode: sessions first split at day boundaries (fan-out =
+    days covered), then each day slice explodes into its hours (fan-out
+    ≤ 24). Output rows are identical to a single-stage hour explode, but
+    no single ``sequence()`` array ever exceeds max(days, 24) elements —
+    a week-long session materializes 7 + 7×24 small rows instead of one
+    168-element array, and a pathological months-long interval cannot
+    blow a task's memory on one row (SCALING.md: session-length
+    pathologies).
+
     Adds: hora_us (bucket start), clip_us (overlap µs within the bucket).
     """
-    out = explode_to_buckets(sessions, F.col("s_us"), F.col("e_us"), US_PER_HOUR, "hour_idx")
+    us_day = 24 * US_PER_HOUR
+    days = explode_to_buckets(
+        sessions, F.col("s_us"), F.col("e_us"), us_day, "__day_idx"
+    )
+    day_s = F.greatest(F.col("s_us"), (F.col("__day_idx") * us_day).cast("long"))
+    day_e = F.least(F.col("e_us"), ((F.col("__day_idx") + 1) * us_day).cast("long"))
+    out = days.withColumn(
+        "hour_idx",
+        F.explode(
+            F.sequence(
+                F.floor(day_s / F.lit(US_PER_HOUR)),
+                F.floor((day_e - 1) / F.lit(US_PER_HOUR)),
+            )
+        ),
+    ).drop("__day_idx")
     hora_us = (F.col("hour_idx") * F.lit(US_PER_HOUR)).cast("long")
     return out.withColumn("hora_us", hora_us).withColumn(
         "clip_us",

@@ -51,6 +51,46 @@ def test_bucketed_join_equals_bruteforce(spark_prop, lefts, rights):
     assert got == expected
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    sessions=st.lists(
+        st.tuples(
+            # starts anywhere in a ~2-week window, durations from minutes
+            # to a full week-plus (the pathological multi-day case)
+            st.integers(min_value=0, max_value=14 * 86_400_000_000),
+            st.integers(min_value=1, max_value=8 * 86_400_000_000),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_two_tier_hour_explode_equals_single_stage(spark_prop, sessions):
+    """The day-split pre-tier must emit EXACTLY the atoms of the direct
+    hour explode — same (session, hour_idx, clip_us) multiset — for
+    week-long sessions included; only the per-row array bound changes."""
+    from etl_python_airflow_bigquery_spark.functions import US_PER_HOUR
+    from etl_python_airflow_bigquery_spark.operators.intervals import (
+        explode_to_hour_grid,
+    )
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(sessions)],
+        "sid int, s_us long, e_us long",
+    )
+    got = {
+        (r["sid"], r["hour_idx"], r["clip_us"])
+        for r in explode_to_hour_grid(df).collect()
+    }
+    expected = set()
+    for i, (s, d) in enumerate(sessions):
+        e = s + d
+        for h in range(s // US_PER_HOUR, (e - 1) // US_PER_HOUR + 1):
+            lo, hi = max(s, h * US_PER_HOUR), min(e, (h + 1) * US_PER_HOUR)
+            expected.add((i, h, max(hi - lo, 0)))
+    assert got == expected
+
+
 def test_explode_to_buckets_boundaries(spark):
     df = spark.createDataFrame(
         [(1, 0, 100), (2, 0, 101), (3, 99, 100), (4, 100, 200), (5, 50, 250)],
