@@ -139,6 +139,35 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_to_memory_append(stream_df: DataFrame, name: str):
+    """Drain an APPEND-mode stream (watermark-gated emission — the mode
+    where state eviction is observable) and return (result table,
+    per-batch stateOperators metrics). The metrics are the executable
+    form of the 100 TB memory-bound claim: state rows must track the
+    watermark horizon, not the stream's lifetime."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_metrics = [
+        {
+            "batch_id": p["batchId"],
+            "state_rows": sum(op["numRowsTotal"] for op in p["stateOperators"]),
+            "rows_removed": sum(
+                op.get("numRowsRemoved", 0) for op in p["stateOperators"]
+            ),
+        }
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    return spark.table(name), state_metrics
+
+
 def events_dir_for(sf_dir: str) -> str:
     """The file-stream source requires a DIRECTORY of files (its
     listing-based discovery model); the testdata ships one parquet file

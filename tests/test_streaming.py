@@ -83,6 +83,63 @@ def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_bounds_state_size(spark, tmp_path):
+    """SCALING.md's memory-bound claim, executable: across a 12-day
+    multi-batch run (one file per day, late rows included), the hourly
+    aggregation's stateOperators.numRowsTotal must track the WATERMARK
+    HORIZON (~5 days of windows), not the stream's lifetime (12 days of
+    windows) — i.e. eviction actually happens and a year-long stream
+    would hold days, not months, of state."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        hourly_counts,
+        read_events_stream,
+        run_to_memory_append,
+    )
+
+    n_days, us_day = 12, 86_400_000_000
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    scratch = str(tmp_path / "scratch")
+    for d in range(n_days):
+        rows = [(d * 24 + h, (d * 86400 + h * 3600) * 10**9, h, "play", 1.0, "{}")
+                for h in range(24)]
+        if d >= 2:  # late arrivals for two days back — inside the watermark
+            rows += [(9000 + d, ((d - 2) * 86400 + 3 * 3600) * 10**9 + 7,
+                      99, "play", 1.0, "{}")]
+        df = spark.createDataFrame(
+            rows,
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = [f for f in os.listdir(scratch) if f.endswith(".parquet")][0]
+        dst = os.path.join(landing, f"day_{d:02d}.parquet")
+        os.replace(os.path.join(scratch, part), dst)
+        os.utime(dst, (d + 1_000_000_000, d + 1_000_000_000))  # batch order
+
+    out, metrics = run_to_memory_append(
+        hourly_counts(read_events_stream(spark, landing)), "state_bound"
+    )
+    assert len(metrics) >= n_days  # one micro-batch per day file
+    total_windows = n_days * 24
+    horizon_windows = 5 * 24  # 4-day watermark + the in-flight day
+    peak = max(m["state_rows"] for m in metrics)
+    assert peak <= horizon_windows + 24, (peak, metrics)
+    assert peak < total_windows  # lifetime growth would hit 288
+    assert sum(m["rows_removed"] for m in metrics) > 0  # eviction observed
+    # append emits exactly the finalized windows: those whose end is at or
+    # below the final watermark (max event ts = day 11 hour 23 ⇒ watermark
+    # day 7 hour 23 ⇒ hours 0 .. day 7 hour 22 inclusive)
+    finalized = (n_days - 5) * 24 + 23
+    assert out.count() == finalized
+    # late rows folded into their true old hours before finalization
+    assert out.where(
+        (F.col("eventos") > 1)
+    ).count() == n_days - 4  # one doubled hour per late day that finalized
+
+
 def test_late_data_resume_updates_old_partitions(spark, sf_dir, tmp_path):
     """The dias_remplazo scenario end to end: run the refresh, then land
     LATE rows for hours already written, resume from the SAME checkpoint
