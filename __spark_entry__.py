@@ -32,10 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2 — the
+    driver-tier surface, curated to exactly 50 entries so the round
+    driver (which records ~50) covers every one of them; overlapping
+    variants stay in the registry behind ``driver=False`` with pytest
+    oracle coverage (tests/test_queries_oracle.py runs the FULL
+    registry)."""
+    return {name: q.fn for name, q in REGISTRY.items() if q.driver}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in REGISTRY.items()
+        if q.driver and q.oracle is not None
+    }

@@ -31,6 +31,13 @@ class Query:
     oracle: str | None
     ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 codes
     bench: bool = False  # include in bench.py headline set
+    # driver=True ⇒ exposed through __spark_entry__.queries() (the round
+    # driver records at most ~50 entries, so the surface is curated to
+    # exactly 50); driver=False queries stay registered — pytest still
+    # oracle-checks them at sf0.001 and bench.py can still time them —
+    # they just don't occupy a driver slot when an overlapping query
+    # already covers their SURVEY §2 ops.
+    driver: bool = True
     doc: str = ""
 
 
@@ -42,10 +49,11 @@ def register(
     oracle: str | None = None,
     ops: tuple[str, ...] = (),
     bench: bool = False,
+    driver: bool = True,
 ):
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, ops=ops, bench=bench,
+            name=name, fn=fn, oracle=oracle, ops=ops, bench=bench, driver=driver,
             doc=(fn.__doc__ or "").strip(),
         )
         return fn

@@ -110,7 +110,8 @@ GROUP BY d.day_num
 """
 
 
-@register("acumulado_diario", oracle=_ACUMULADO_ORACLE, ops=("A7", "W1", "A2"))
+@register("acumulado_diario", oracle=_ACUMULADO_ORACLE, ops=("A7", "W1", "A2"),
+          driver=False)
 def acumulado_diario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-to-date expanding distinct audience per day.
 
@@ -162,7 +163,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 """
 
 
-@register("ranking_ventanas", oracle=_RANKING_ORACLE, ops=("W1",))
+@register("ranking_ventanas", oracle=_RANKING_ORACLE, ops=("W1",), driver=False)
 def ranking_ventanas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/analytic/frame windows — absent from the reference's SQL
     (SURVEY.md §2.6: no OVER anywhere) but required for capability
@@ -398,6 +399,7 @@ LEFT JOIN conteos c ON c.segmento = g.segmento AND c.periodo = g.periodo
 
 @register(
     "superposicion_segmentos",
+    driver=False,
     oracle=_SUPER_SEG_ORACLE,
     ops=("J9", "J11", "J5", "A13", "J6"),
 )

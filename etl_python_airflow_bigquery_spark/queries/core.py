@@ -220,6 +220,7 @@ GROUP BY user_id
     "indicadores_finde",
     oracle=_FINDE_ORACLE,
     ops=("P7", "A1", "A2", "A3", "A4"),
+    driver=False,  # flagship covers these ops; pytest-tier oracle
 )
 def indicadores_finde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weekend/holiday INVERSE of the flagship — reference

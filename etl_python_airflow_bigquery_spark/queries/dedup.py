@@ -365,7 +365,7 @@ def _simhash_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE, ops=("DD3",))
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, ops=("DD3",), driver=False)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash (Charikar): each token hash votes ±1
     on every bit position; the sign vector packs into an int. Token
@@ -456,7 +456,7 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 """
 
 
-@register("dedup_jaccard_capped", oracle=_CAPPED_ORACLE, ops=("DD4",))
+@register("dedup_jaccard_capped", oracle=_CAPPED_ORACLE, ops=("DD4",), driver=False)
 def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-capped Jaccard (the 100 TB form of dedup_ngram_jaccard,
     SCALING.md known-limits): candidate pairs may only form through

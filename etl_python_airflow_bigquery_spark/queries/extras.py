@@ -288,7 +288,8 @@ GROUP BY GROUPING SETS ((dia, hora), (dia), ())
 """
 
 
-@register("rollup_periodos", oracle=_ROLLUP_ORACLE, ops=("W2", "A1"), bench=True)
+@register("rollup_periodos", oracle=_ROLLUP_ORACLE, ops=("W2", "A1"), bench=True,
+          driver=False)
 def rollup_periodos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference computes its hora/diario/mensual marts as three
     separate queries over the same fact (dicc_fechas periodo branches,
@@ -326,7 +327,7 @@ def rollup_periodos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("approx_distinct_devices", oracle=None, ops=("A2",))
+@register("approx_distinct_devices", oracle=None, ops=("A2",), driver=False)
 def approx_distinct_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale variant of the exact device counts: HyperLogLog++
     via approx_count_distinct (rsd 1%). No oracle — sketch estimates are
@@ -363,7 +364,7 @@ GROUP BY 1, 2
 """
 
 
-@register("audiencia_local", oracle=_LOCAL_ORACLE, ops=("P7", "W2"))
+@register("audiencia_local", oracle=_LOCAL_ORACLE, ops=("P7", "W2"), driver=False)
 def audiencia_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per LOCAL-day/hour audience in America/Santiago — the reference's
     store-UTC / compute-local convention (``DATETIME(start_date,
@@ -397,7 +398,7 @@ GROUP BY event_type
 """
 
 
-@register("salted_distinct", oracle=_SALTED_ORACLE, ops=("A2",))
+@register("salted_distinct", oracle=_SALTED_ORACLE, ops=("A2",), driver=False)
 def salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type distinct users computed skew-proof: two-level
     salted aggregation (operators/skew.py) — the hot event_type's
@@ -512,7 +513,7 @@ GROUP BY event_type
 """
 
 
-@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",))
+@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",), driver=False)
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct sketch (the public KMV/bottom-k
     estimator): keep the k smallest 60-bit hashes per group; the kth

@@ -184,7 +184,8 @@ UNION ALL SELECT 'building', c_custkey FROM seg3
 """
 
 
-@register("cohort_chain", oracle=_COHORT_ORACLE, ops=("J7", "J8", "O2", "P10"))
+@register("cohort_chain", oracle=_COHORT_ORACLE, ops=("J7", "J8", "O2", "P10"),
+          driver=False)
 def cohort_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority cohort chain: each segment excludes all earlier ones via
     stacked anti-joins (reference Bigquery_to_csv.ipynb cell 3's

@@ -37,7 +37,7 @@ FROM wide UNPIVOT (value FOR variable IN (sum_qty, sum_price, lineas))
 """
 
 
-@register("metric_melt", oracle=_MELT_ORACLE, ops=("A9", "A1"))
+@register("metric_melt", oracle=_MELT_ORACLE, ops=("A9", "A1"), driver=False)
 def metric_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide metrics → long (variable, value) rows — the reference's
     ``pd.melt`` step on GA traffic pulls (trafico_digital.py:282-283),
@@ -72,7 +72,7 @@ FROM events GROUP BY 1
 """
 
 
-@register("trafico_pivot", oracle=_PIVOT_ORACLE, ops=("A10",))
+@register("trafico_pivot", oracle=_PIVOT_ORACLE, ops=("A10",), driver=False)
 def trafico_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long metric rows pivoted to one wide row per day — the reference's
     ``pd.pivot(index=[datetime,variable], columns=demographic)``

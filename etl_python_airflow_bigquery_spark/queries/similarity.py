@@ -100,7 +100,7 @@ FROM scored WHERE pos <= 5
 """
 
 
-@register("similarity_topk", oracle=_TOPK_ORACLE, ops=("NN1", "O7"), bench=True)
+@register("similarity_topk", oracle=_TOPK_ORACLE, ops=("NN1", "O7"), driver=False)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector (every 50th vector is a
     query). Scale shape: the query side is small → broadcast it against
@@ -256,18 +256,25 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3
 """
 
 
-@register("similarity_lsh", oracle=_LSH_ORACLE, ops=("NN3", "DD5"))
+@register("similarity_lsh", oracle=_LSH_ORACLE, ops=("NN3", "DD5"), bench=True)
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup: 8 deterministic integer
     hyperplanes sign-hash every vector into one of 256 buckets; pairs
     form ONLY inside a bucket (equi join), then exact cosine verifies.
     This is the all-pairs-free scale path — at 100 TB the bucket join
-    shuffles each vector once; candidate volume is Σ bucket², tunable
-    via the plane count."""
+    shuffles each vector once; candidate volume is Σ bucket², and the
+    PLANE COUNT ADAPTS to corpus size (planes = max(8, ⌈log₂(n/8)⌉),
+    targeting ~8 vectors per bucket) so candidates stay ~4n instead of
+    n²/2⁸ — the standard LSH sizing rule. At the oracle scale factors
+    (≤2000 vectors) the adaptive count equals the fixed 8 the DuckDB
+    oracle encodes, so parity is unaffected; the probe corpus (20k+)
+    picks up the larger bucket space."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    n_planes = max(N_PLANES, (max(n_vec, 1) // 8).bit_length())
 
     planos = (
-        spark.range(N_PLANES)
+        spark.range(n_planes)
         .select(F.col("id").cast("int").alias("p"))
         .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d")))
         .withColumn(
@@ -496,7 +503,7 @@ WHERE CAST(p.dot AS DOUBLE)
 """
 
 
-@register("similarity_ivf", oracle=_IVF_ORACLE, ops=("NN2", "DD5"))
+@register("similarity_ivf", oracle=_IVF_ORACLE, ops=("NN2", "DD5"), driver=False)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF near-dup with DATA-DERIVED cells: every 100th vector seeds a
     centroid; each vector assigns to its nearest seed (integer-scaled
@@ -600,7 +607,8 @@ FROM agg GROUP BY label
 """
 
 
-@register("vector_centroids", oracle=_CENTROID_ORACLE, ops=("NN2", "A1"))
+@register("vector_centroids", oracle=_CENTROID_ORACLE, ops=("NN2", "A1"),
+          driver=False)
 def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster centroid computation — THE k-means update step (the
     missing half of similarity_ivf's assign step, proving full Lloyd's

@@ -81,7 +81,8 @@ GROUP BY user_id, sesion
 """
 
 
-@register("streaming_sessions", oracle=_SESSIONS_ORACLE, ops=("ST2", "W1"))
+@register("streaming_sessions", oracle=_SESSIONS_ORACLE, ops=("ST2", "W1"),
+          driver=False)
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session intervals rebuilt BY ``session_window`` in a streaming
     job, oracle-checked against the gaps-and-islands batch formulation.

@@ -319,7 +319,8 @@ FROM documents
 """
 
 
-@register("text_normalize", oracle=_NORMALIZE_ORACLE, ops=("TX2", "P2"))
+@register("text_normalize", oracle=_NORMALIZE_ORACLE, ops=("TX2", "P2"),
+          driver=False)
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass: lowercase → accent fold → whitespace squeeze
     → trim, plus the md5 of the normalized form (the dedup key a cleaned
