@@ -111,3 +111,40 @@ def test_capped_jaccard_keyed_candidates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_jaccard_capped")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
+    """The bucketed-mart contract (catalog.py): a user_id self-join over
+    a bucketBy(user_id) table must plan with ZERO Exchange — the bucket
+    files are the shuffle output, written once at ingest. Broadcast is
+    disabled so the no-shuffle plan comes from bucketing, not from the
+    small fixture size."""
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.catalog import ensure_bucketed_mart
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    ensure_bucketed_mart(
+        spark, events, "eventos_bucketed", "user_id", 8, sort_col="user_id"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("eventos_bucketed")
+        a = t.groupBy("user_id").agg(F.count(F.lit(1)).alias("qa"))
+        b = t.groupBy("user_id").agg(F.sum("value").alias("sv"))
+        joined = a.join(b, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+        # the unbucketed same plan DOES shuffle — the contrast proves the
+        # bucketing (not some other property) removed the Exchange
+        ua = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("qa"))
+        ub = events.groupBy("user_id").agg(F.sum("value").alias("sv"))
+        unbucketed = ua.join(ub, "user_id")._jdf.queryExecution()
+        assert "Exchange" in unbucketed.executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
