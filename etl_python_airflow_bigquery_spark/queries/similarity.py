@@ -658,7 +658,7 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ITERS = 2
 
 
-def _kmeans_oracle(iters: int) -> str:
+def _kmeans_ctes(iters: int) -> list[str]:
     """Unroll `iters` assign+update rounds plus a final assign as CTEs —
     DuckDB runs the SAME deterministic integer iterations as the Spark
     loop, so cell assignments match bit-for-bit."""
@@ -696,8 +696,12 @@ def _kmeans_oracle(iters: int) -> str:
                 f"list(cv ORDER BY k) AS sv FROM sums{i} GROUP BY 1) s "
                 f"USING (seed_id))"
             )
+    return parts
+
+
+def _kmeans_oracle(iters: int) -> str:
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + ",\n".join(_kmeans_ctes(iters))
         + f"\nSELECT vec_id, celda, d2 FROM asig{iters + 1}"
     )
 
@@ -750,19 +754,32 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the driver per round (the centroid table — exactly what a
     1000-executor cluster would broadcast); all per-vector work stays
     distributed. Oracle: the same rounds unrolled as DuckDB CTEs."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    enteros = emb.select(
+    enteros = _int_vectors(load_table(spark, sf_dir, "embeddings"))
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    return _assign_cells(enteros, _centroid_values_df(spark, cent))
+
+
+def _int_vectors(emb: DataFrame) -> DataFrame:
+    return emb.select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)"
             " AS BIGINT))"
         ).alias("ev"),
     )
+
+
+def _kmeans_fit(
+    spark: SparkSession, enteros: DataFrame, iters: int
+) -> dict[int, list[int]]:
+    """Run `iters` deterministic Lloyd's rounds; returns the final
+    centroid table (k×64 ints — the only data that ever reaches the
+    driver)."""
     cent: dict[int, list[int]] = {
         r["vec_id"]: list(r["ev"])
         for r in enteros.where(F.col("vec_id") % 100 == 0).collect()
     }
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         asig = _assign_cells(enteros, _centroid_values_df(spark, cent))
         elems = asig.join(enteros, "vec_id").select(
             "celda", F.posexplode("ev").alias("k0", "x")
@@ -780,4 +797,137 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:
             nuevo.setdefault(r["celda"], [0] * DIM)[r["k"] - 1] = r["cv"]
         cent = {**cent, **nuevo}  # empty cells keep their previous centroid
-    return _assign_cells(enteros, _centroid_values_df(spark, cent))
+    return cent
+
+
+# --------------------------------------------------------------------------
+# IVF probe search — the query half of the index
+# --------------------------------------------------------------------------
+
+_NPROBE = 2
+_SEARCH_K = 3
+
+
+def _ivf_search_oracle(iters: int, nprobe: int, top_k: int) -> str:
+    parts = _kmeans_ctes(iters)
+    ints_sq = (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"k -> ev[k] * ev[k])) AS BIGINT)"
+    )
+    parts += [
+        "consultas AS (SELECT vec_id AS query_id, ev AS qv FROM enteros"
+        " WHERE vec_id % 50 = 0)",
+        f"qdist AS (SELECT q.query_id, c.seed_id, "
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"k -> (q.qv[k] - c.sv[k]) * (q.qv[k] - c.sv[k]))) AS BIGINT) AS d2 "
+        f"FROM consultas q CROSS JOIN cent{iters} c)",
+        f"qcells AS (SELECT query_id, seed_id AS celda FROM "
+        f"(SELECT query_id, seed_id, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY d2, seed_id) AS rn FROM qdist) WHERE rn <= {nprobe})",
+        f"cands AS (SELECT qc.query_id, a.vec_id AS cand_id "
+        f"FROM qcells qc JOIN asig{iters + 1} a ON a.celda = qc.celda "
+        f"AND a.vec_id != qc.query_id)",
+        f"normas AS (SELECT vec_id, {ints_sq} AS nn FROM enteros)",
+        f"scored AS (SELECT c.query_id, c.cand_id, "
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"k -> eq.ev[k] * ec.ev[k])) AS BIGINT) AS dot, nq.nn AS nq, nc.nn AS nc "
+        f"FROM cands c "
+        f"JOIN enteros eq ON eq.vec_id = c.query_id "
+        f"JOIN enteros ec ON ec.vec_id = c.cand_id "
+        f"JOIN normas nq ON nq.vec_id = c.query_id "
+        f"JOIN normas nc ON nc.vec_id = c.cand_id)",
+        "ranked AS (SELECT query_id, cand_id, "
+        "CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))"
+        " AS cos, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))"
+        " DESC, cand_id) AS pos FROM scored)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos, "
+        f"floor(cos * 1e6) / 1e6 AS similitud FROM ranked WHERE pos <= {top_k}"
+    )
+
+
+@register(
+    "similarity_ivf_search",
+    oracle=_ivf_search_oracle(_KMEANS_ITERS, _NPROBE, _SEARCH_K),
+    ops=("NN2", "O7"),
+    driver=False,
+)
+def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF PROBE SEARCH — the query half of the index whose build half
+    is ``similarity_ivf_kmeans``: each query (every 50th vector) probes
+    its ``nprobe`` nearest k-means cells and scores ONLY the vectors
+    assigned there (exact integer cosine), returning top-3. At 100 TB
+    the scored candidate set is nprobe/k of the corpus per query — the
+    tradeoff every IVF deployment tunes — while queries×centroids stays
+    a broadcast-sized map-side argmin. Oracle: the same deterministic
+    rounds + probe unrolled in DuckDB."""
+    enteros = _int_vectors(load_table(spark, sf_dir, "embeddings"))
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    cent_df = _centroid_values_df(spark, cent)
+    asig = _assign_cells(enteros, cent_df)
+
+    consultas = enteros.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    qdist = consultas.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
+    qcells = (
+        qdist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _NPROBE)
+        .select("query_id", F.col("seed_id").alias("celda"))
+    )
+    cands = qcells.join(asig.select("vec_id", "celda"), "celda").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("cand_id"))
+
+    nn = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    normas = enteros.select("vec_id", nn.alias("nn"))
+    eq = enteros.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("evq"))
+    ec = enteros.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("evc"))
+    nq = normas.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = normas.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        cands.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(F.col("evq"), F.col("evc"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(wr))
+        .where(F.col("pos") <= _SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
