@@ -174,6 +174,33 @@ def ga3_source(
     return spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
 
 
+def ga3_batch_tables(
+    spark: SparkSession,
+    response: dict,
+    schemas: dict[str, str],
+    drop_unknown_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """S5: a GA3 batchGet response carries ONE report per demographic
+    request; the reference zips request keys onto ``reports`` and builds
+    one frame per key, dropping '(unknown)' demographic rows and empty
+    reports (trafico_digital.py:236-262). Same contract here: request
+    key → typed DataFrame, empties omitted."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, DataFrame] = {}
+    for key, report in zip(schemas, response.get("reports", [])):
+        rows = list(ga3_report_rows(report))
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, schema=schemas[key])  # type: ignore[arg-type]
+        if drop_unknown_col is not None and drop_unknown_col in (
+            f.name for f in df.schema.fields
+        ):
+            df = df.where(F.col(f"`{drop_unknown_col}`") != "unknown")
+        out[key] = df
+    return out
+
+
 def ga3_assemble_datetime(df: DataFrame, agreg: str) -> DataFrame:
     """S5: per-aggregation ``datetime`` reassembly from GA3 time
     dimensions (reference trafico_digital.py:264-280): mensual =

@@ -125,6 +125,46 @@ def test_ga3_source_flattens_and_reassembles_datetime(spark):
     assert str(r["datetime"]) == "2024-03-15 18:00:00"
 
 
+def test_ga3_batch_response_one_table_per_request(spark):
+    """A GA3 batchGet response zips one report per demographic request;
+    empty reports are omitted and '(unknown)' rows dropped — the
+    reference's dfs-dict contract (trafico_digital.py:236-262)."""
+    from etl_python_airflow_bigquery_spark.sources.connectors import ga3_batch_tables
+
+    def rep(dim, rows):
+        return {
+            "columnHeader": {
+                "dimensions": [dim],
+                "metricHeader": {"metricHeaderEntries": [{"name": "sesiones"}]},
+            },
+            "data": {
+                "rows": [
+                    {"dimensions": [d], "metrics": [{"values": [v]}]}
+                    for d, v in rows
+                ]
+            },
+        }
+
+    response = {
+        "reports": [
+            rep("ga:userGender", [("female", "5"), ("unknown", "2"), ("male", "3")]),
+            rep("ga:userAgeBracket", []),  # empty report → omitted
+        ]
+    }
+    tables = ga3_batch_tables(
+        spark,
+        response,
+        {
+            "gender": "`ga:userGender` STRING, sesiones DOUBLE",
+            "age": "`ga:userAgeBracket` STRING, sesiones DOUBLE",
+        },
+        drop_unknown_col="ga:userGender",
+    )
+    assert set(tables) == {"gender"}
+    got = {r["ga:userGender"]: r["sesiones"] for r in tables["gender"].collect()}
+    assert got == {"female": 5.0, "male": 3.0}
+
+
 def test_html_report_and_email_gate(spark):
     df = spark.createDataFrame([(1, "a<b")], "id INT, nota STRING")
     html_doc = render_html_report(df, "nulos & errores")
