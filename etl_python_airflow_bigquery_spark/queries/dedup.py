@@ -605,25 +605,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     families). Each round is one shuffled join+groupBy — the standard
     large-graph CC shape, no driver-side graph. The driver loop only
     checks the SCALAR converged-count per round. Oracle: DuckDB
-    recursive-CTE transitive closure."""
-    sh = _shingles(spark, sf_dir)
-    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    aristas = (
-        inter.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
-        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
-        .select("doc_a", "doc_b")
-    )
+    recursive-CTE transitive closure.
+
+    Edge generation REUSES the prefix-filtered exact-Jaccard plan
+    (``dedup_ngram_jaccard``) — round 1 built edges with the naive
+    posting self-join, which was the same quadratic-in-df shape the
+    prefix filter retired; the pair set is identical (both exact at
+    τ = 0.5), so the oracle is unchanged."""
+    aristas = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     sym = aristas.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
