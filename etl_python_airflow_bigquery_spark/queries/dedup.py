@@ -35,6 +35,45 @@ tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
 """
 
 
+def _verify_jaccard(candidatos: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs as a MAP step: each
+    doc's full shingle set rides along once as a sorted int64 array and
+    the intersection computes per pair with array_intersect inside
+    codegen (set sizes fall out of the array lengths). The posting
+    re-join alternative shuffles |candidates|·|d| rows — quadratically
+    worse whenever candidates ≫ true pairs. Keeps pairs at J ≥ 0.5
+    (integer test 2·∩ ≥ ∪) with the floor-scaled ratio."""
+    arr = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("arr"))
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    scored = (
+        candidatos.select("doc_a", "doc_b")
+        .join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("c"),
+            F.size("arr_a").cast("long").alias("na"),
+            F.size("arr_b").cast("long").alias("nb"),
+        )
+    )
+    return scored.where(
+        2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c")
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.floor(
+                F.col("c").cast("double")
+                * 1000
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            )
+            / 1000
+        ).alias("jaccard"),
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash) postings; see _SHINGLES_SQL for
     the hashing rationale."""
@@ -129,38 +168,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
                + 1 >= o_min)
         )
-        .select("doc_a", "doc_b", "na", "nb")
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    # Verification is a MAP step, not a posting re-join: each doc's full
-    # shingle set rides along once as a sorted int64 array (~8·|d| bytes)
-    # and the intersection is computed per pair with array_intersect
-    # inside codegen. The naive verify (candidates ⋈ postings ⋈ postings)
-    # shuffles |candidates|·|d| rows — quadratically worse on templated
-    # corpora where candidates ≫ true pairs.
-    arr = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("arr"))
-    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
-    ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
-    scored = (
-        candidatos.join(aa, "doc_a")
-        .join(ab, "doc_b")
-        .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
-    )
-    return (
-        scored.where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.floor(
-                    F.col("c").cast("double")
-                    * 1000
-                    / (F.col("na") + F.col("nb") - F.col("c"))
-                )
-                / 1000
-            ).alias("jaccard"),
-        )
-    )
+    return _verify_jaccard(candidatos, sh)
 
 
 # --------------------------------------------------------------------------
@@ -244,11 +255,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (the public shingle→minhash→band→bucket-join
     scheme): 16 LCG permutations → 4 bands of 4 rows; docs colliding in
     any band become candidates via an equi join on (band, band-key);
-    exact Jaccard then verifies at 0.5. At scale only signatures (16
-    ints/doc) shuffle for candidate generation — the full shingle sets
-    are touched again only for the verified candidates."""
+    exact Jaccard then verifies at 0.5 via the map-side array-intersect
+    step shared with ``dedup_ngram_jaccard``. At scale only signatures
+    (16 ints/doc) shuffle for candidate generation — the full shingle
+    sets are touched again only for the verified candidates."""
     sh = _shingles(spark, sf_dir)
-    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     h0 = sh.select("doc_id", (F.col("s") % _MERSENNE).alias("h"))
     # All 16 permuted minima in ONE aggregation pass (single shuffle on
     # doc_id, map-side combinable) — a perms-dim cross join + pivot would
@@ -280,33 +291,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        candidatos.join(sha, "doc_a")
-        .join(shb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
-        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.floor(
-                    F.col("c").cast("double")
-                    * 1000
-                    / (F.col("na") + F.col("nb") - F.col("c"))
-                )
-                / 1000
-            ).alias("jaccard"),
-        )
-    )
+    return _verify_jaccard(candidatos, sh)
 
 
 # --------------------------------------------------------------------------

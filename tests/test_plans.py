@@ -124,16 +124,19 @@ def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
     from etl_python_airflow_bigquery_spark.catalog import ensure_bucketed_mart
     from etl_python_airflow_bigquery_spark.tables import load_table
 
+    import uuid
+
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
     )
-    ensure_bucketed_mart(
-        spark, events, "eventos_bucketed", "user_id", 8, sort_col="user_id"
-    )
+    # unique managed-table name: the warehouse dir outlives the
+    # in-memory catalog, so a fixed name would collide across sessions
+    mart = f"eventos_bucketed_{uuid.uuid4().hex[:8]}"
+    ensure_bucketed_mart(spark, events, mart, "user_id", 8, sort_col="user_id")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        t = spark.table("eventos_bucketed")
+        t = spark.table(mart)
         a = t.groupBy("user_id").agg(F.count(F.lit(1)).alias("qa"))
         b = t.groupBy("user_id").agg(F.sum("value").alias("sv"))
         joined = a.join(b, "user_id")
@@ -148,3 +151,4 @@ def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
         assert "Exchange" in unbucketed.executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {mart}")
