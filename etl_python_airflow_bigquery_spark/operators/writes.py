@@ -83,24 +83,47 @@ def merge_upsert(
     (target ▷ staging on keys) ∪ staging, written to a temp dir and
     atomically renamed over the old table. The anti-join keeps every
     target row whose key is absent from staging; staging rows win on
-    collision — exactly MERGE's net effect for full-row updates."""
-    tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        target = spark.read.parquet(path)
-        kept = target.join(staging.select(*key_cols).distinct(), key_cols, "left_anti")
-        merged = kept.unionByName(staging)
-    else:
-        merged = staging
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    collision — exactly MERGE's net effect for full-row updates.
+
+    Concurrent writers are excluded by an O_EXCL lockfile for the
+    table's swap window: two simultaneous merges would each read the
+    same target and the loser's rename would silently drop the winner's
+    rows (lost update). Real transactionality needs a table format
+    (Delta/Iceberg — ROADMAP); the lock makes the plain-parquet fallback
+    fail loudly instead of corrupting."""
+    lock = f"{path}__merge.lock"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"merge_upsert: concurrent merge in progress on {path!r} "
+            f"(lockfile {lock!r} exists; remove it only if the other "
+            "writer is known dead)"
+        ) from None
+    os.close(fd)
+    try:
+        tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            target = spark.read.parquet(path)
+            kept = target.join(
+                staging.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = kept.unionByName(staging)
+        else:
+            merged = staging
+        writer = merged.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    finally:
+        os.unlink(lock)
 
 
 def ctas(spark: SparkSession, sql: str, path: str, mode: str = "overwrite") -> None:

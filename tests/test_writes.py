@@ -62,6 +62,24 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     assert spark.read.parquet(path).count() == 6
 
 
+def test_merge_upsert_lockfile_excludes_concurrent_writers(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t3b")
+    write_partitioned(_sample(spark, [1]), path, ["dia"])
+    staging = spark.createDataFrame([(1, 0, 5.0)], "dia int, user_id int, minutos double")
+    # a live lockfile (another writer mid-swap) must fail loudly, not lose rows
+    lock = f"{path}__merge.lock"
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="concurrent merge"):
+        merge_upsert(spark, staging, path, key_cols=["dia", "user_id"])
+    os.unlink(lock)
+    # with the lock gone the merge proceeds and releases its own lock after
+    merge_upsert(spark, staging, path, key_cols=["dia", "user_id"])
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(path).count() == 5
+
+
 def test_ctas(spark, tmp_path, sf_dir):
     from etl_python_airflow_bigquery_spark.tables import register_views
 
