@@ -15,9 +15,22 @@ no-Exchange plan.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 16
+
+
+def mart_name(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-dataset table name (``prefix_sf0_01``): the mart
+    layout is a function of its source directory, so two sf dirs never
+    share (or clobber) one bucketed table."""
+    token = re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"{prefix}_{token}".lower()
 
 
 def ensure_bucketed_mart(
@@ -38,6 +51,14 @@ def ensure_bucketed_mart(
     16 matches the local[32] harness."""
     if spark.catalog.tableExists(table):
         return table
+    # The warehouse dir outlives the in-memory catalog: a table written by
+    # a previous session leaves files the new session's catalog doesn't
+    # know about, which would fail errorifexists. Orphaned layout = stale
+    # data — remove it and rebuild from the current source.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, table.lower())
+    if os.path.exists(orphan):
+        shutil.rmtree(orphan)
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

@@ -74,3 +74,4 @@ from etl_python_airflow_bigquery_spark.queries import streaming_q  # noqa: E402,
 from etl_python_airflow_bigquery_spark.queries import enrich_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import multimodal_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import extras  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import marts  # noqa: E402,F401

@@ -1,0 +1,144 @@
+"""Bucketed-mart-backed queries (ROADMAP #5, VERDICT missing #6): the
+amortized-shuffle pattern end to end.
+
+The reference estate re-clusters the playback fact by user on every
+query — each superposition / per-user notebook pays the same BigQuery
+shuffle again (e.g. Complex_user_superposition_by_hour_etl.ipynb cell 2
+re-groups consumo_detalle by user). Spark's ``bucketBy`` persists that
+clustering in the table layout instead: the fact is written ONCE as a
+``bucketBy(user_id)`` managed table per dataset (catalog.mart_name), and
+every per-user aggregation or user-key join over it plans with ZERO
+Exchange on user_id — the bucket files ARE the shuffle output, computed
+at ingest. At 100 TB / 1000 executors this is the single biggest
+repeated-shuffle saver: N per-user queries cost one shuffle, not N.
+
+Two registered queries share the one mart: the first call in a session
+builds it (one shuffle-equivalent write), every later call — including
+the second query — reads it pre-clustered. ``tests/test_plans.py::
+test_mart_queries_plan_no_user_exchange`` pins that neither query's plan
+contains a hashpartitioning(user_id) Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.catalog import (
+    DEFAULT_BUCKETS,
+    ensure_bucketed_mart,
+    mart_name,
+)
+from etl_python_airflow_bigquery_spark.functions import dsum, nanos_to_micros
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+
+
+def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event user-day facts (user_id, day_num, event_type, value)
+    persisted bucketed+sorted by user_id, built at most once per dataset
+    per warehouse. Returns the mart as a DataFrame whose scan carries the
+    bucket distribution."""
+    name = mart_name("eventos_usuario", sf_dir)
+    if not spark.catalog.tableExists(name):
+        events = load_table(spark, sf_dir, "events")
+        facts = events.select(
+            "user_id",
+            (nanos_to_micros("ts") / F.lit(_US_PER_DAY))
+            .cast("bigint")
+            .alias("day_num"),
+            "event_type",
+            "value",
+        )
+        ensure_bucketed_mart(
+            spark, facts, name, "user_id", DEFAULT_BUCKETS, sort_col="user_id"
+        )
+    return spark.table(name)
+
+
+_PERFIL_ORACLE = """
+WITH f AS (
+    SELECT user_id,
+           epoch_us(ts) // 86400000000 AS day_num,
+           event_type,
+           value
+    FROM events
+),
+a AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS eventos,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS minutos
+    FROM f GROUP BY 1
+),
+b AS (
+    SELECT user_id, CAST(count(DISTINCT day_num) AS BIGINT) AS dias_activos
+    FROM f GROUP BY 1
+),
+c AS (
+    SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS tipos_evento
+    FROM f GROUP BY 1
+)
+SELECT a.user_id, a.eventos, a.minutos, b.dias_activos, c.tipos_evento
+FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+"""
+
+
+@register("perfil_usuario_bucketed", oracle=_PERFIL_ORACLE,
+          ops=("A1", "A2", "J1"), driver=False)
+def perfil_usuario_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consumption profile as THREE aggregations joined on
+    user_id, all reading the bucketed mart: volume (event count, decimal
+    minute sum) joined with breadth (distinct active days; distinct event
+    types). Each distinct lives in its OWN single-distinct aggregate:
+    Spark plans a multi-distinct agg as Expand + a compound-key shuffle
+    (user_id, distinct cols, gid) that discards the bucket distribution,
+    while a single-distinct agg plans as two hash aggregates whose
+    ClusteredDistribution the bucket layout already satisfies. Over the
+    bucketed mart all three aggregates and both joins are Exchange-free
+    on user_id (plan-pinned); unbucketed, the same plan shuffles the
+    fact three times."""
+    f = eventos_usuario_mart(spark, sf_dir)
+    a = f.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        dsum("value").alias("minutos"),
+    )
+    b = f.groupBy("user_id").agg(
+        F.countDistinct("day_num").cast("bigint").alias("dias_activos")
+    )
+    c = f.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("bigint").alias("tipos_evento")
+    )
+    return a.join(b, "user_id").join(c, "user_id").select(
+        "user_id", "eventos", "minutos", "dias_activos", "tipos_evento"
+    )
+
+
+_FRECUENCIA_ORACLE = """
+WITH d AS (
+    SELECT user_id,
+           CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+               AS dias_activos
+    FROM events GROUP BY 1
+)
+SELECT dias_activos, CAST(count(*) AS BIGINT) AS usuarios
+FROM d GROUP BY 1
+"""
+
+
+@register("frecuencia_visitas_bucketed", oracle=_FRECUENCIA_ORACLE,
+          ops=("A2", "A1"), driver=False)
+def frecuencia_visitas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-frequency histogram (active-day count → how many users),
+    REUSING the mart `perfil_usuario_bucketed` built — the second query
+    in a session pays zero shuffle for the per-user stage: the distinct
+    and per-user count collapse into the bucket distribution, leaving
+    only the constant-size histogram aggregation to exchange."""
+    f = eventos_usuario_mart(spark, sf_dir)
+    per_user = f.groupBy("user_id").agg(
+        F.countDistinct("day_num").cast("bigint").alias("dias_activos")
+    )
+    return per_user.groupBy("dias_activos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("usuarios")
+    )

@@ -113,6 +113,27 @@ def test_capped_jaccard_keyed_candidates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
+    """The registered mart pair (queries/marts.py) must never shuffle on
+    user_id: per-user aggregates and the profile join ride the bucketed
+    layout. Only the constant-size final histogram may exchange."""
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        frecuencia_visitas_bucketed,
+        perfil_usuario_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (perfil_usuario_bucketed, frecuencia_visitas_bucketed):
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(user_id" not in plan, plan
+            assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
     """The bucketed-mart contract (catalog.py): a user_id self-join over
     a bucketBy(user_id) table must plan with ZERO Exchange — the bucket
