@@ -339,6 +339,159 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-table LSH — L independent hash tables, union-dedup of candidates
+# --------------------------------------------------------------------------
+
+L_TABLES = 3
+
+
+_LSH_MULTI_ORACLE = f"""
+WITH planos AS (
+    SELECT p.p // {N_PLANES} AS tabla, p.p % {N_PLANES} AS bit, d.d,
+           {_plane_weight_sql("p.p", "d.d")} AS w
+    FROM generate_series(0, {L_TABLES * N_PLANES - 1}) p(p)
+    CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+elems AS (
+    SELECT e.vec_id, d.d,
+           CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS ev
+    FROM embeddings e CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+proy AS (
+    SELECT el.vec_id, pl.tabla, pl.bit, sum(pl.w * el.ev) AS proj
+    FROM elems el JOIN planos pl ON pl.d = el.d
+    GROUP BY 1, 2, 3
+),
+baldes AS (
+    SELECT vec_id, tabla,
+           CAST(sum(CASE WHEN proj > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+               AS balde
+    FROM proy GROUP BY 1, 2
+),
+{_NORMS_SQL.strip()},
+candidatos AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(count(DISTINCT a.tabla) AS BIGINT) AS n_tablas
+    FROM baldes a
+    JOIN baldes b ON a.tabla = b.tabla AND a.balde = b.balde
+                  AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b, c.n_tablas,
+           {_scaled_dot_sql("ea.embedding", "eb.embedding")} AS dot,
+           na.nn AS na, nb.nn AS nb
+    FROM candidatos c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    JOIN norms na ON na.vec_id = c.vec_a
+    JOIN norms nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, n_tablas,
+       floor(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1e6) / 1e6 AS similitud
+FROM scored
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3
+"""
+
+
+@register("similarity_lsh_multi", oracle=_LSH_MULTI_ORACLE, ops=("NN3", "DD5"),
+          driver=False)
+def similarity_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH (ROADMAP #2): L=3 independent
+    hash tables — table t uses planes [t·P, (t+1)·P) of the same
+    deterministic LCG family — and the candidate set is the UNION-DEDUP
+    of per-table bucket collisions. A cos≈0.998 pair that one 8-plane
+    table catches with p≈0.85 survives three tables with 1-(1-p)³≈0.997:
+    the standard recall-for-candidates trade at moderate similarity,
+    bought with L× the (map-side) hashing work and at most L× candidates
+    before dedup.
+
+    Scale shape: all L·P projections compute in ONE pass over the
+    exploded elements (a single broadcast join + one aggregation emits L
+    bucket rows per vector); candidates come from an equi join on
+    (tabla, balde) — never an all-pairs product — and the groupBy
+    (vec_a, vec_b) dedups collisions before the exact-cosine verify, so
+    verification cost is per-distinct-pair, not per-collision. Plane
+    count per table adapts like single-table LSH (= P at oracle SFs, so
+    DuckDB parity holds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    per_table = max(N_PLANES, (max(n_vec, 1) // 8).bit_length())
+
+    planos = (
+        spark.range(L_TABLES * per_table)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d")))
+        .select(
+            (F.col("p") / per_table).cast("int").alias("tabla"),
+            (F.col("p") % per_table).alias("bit"),
+            "d",
+            (
+                (
+                    F.lit(_LCG_A).cast("long")
+                    * (F.col("p").cast("long") * DIM + F.col("d"))
+                    + F.lit(_LCG_C)
+                )
+                % F.lit(_LCG_M)
+                - F.lit(1000)
+            ).alias("w"),
+        )
+    )
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "ev_raw")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("ev_raw").cast("double") * 1e6).cast("long").alias("ev"),
+    )
+    proy = (
+        elems.join(F.broadcast(planos), "d")
+        .groupBy("vec_id", "tabla", "bit")
+        .agg(F.sum(F.col("w") * F.col("ev")).alias("proj"))
+    )
+    baldes = proy.groupBy("vec_id", "tabla").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("balde")
+    )
+    a = baldes.select(F.col("vec_id").alias("vec_a"), "tabla", "balde")
+    b = baldes.select(F.col("vec_id").alias("vec_b"), "tabla", "balde")
+    candidatos = (
+        a.join(b, ["tabla", "balde"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.countDistinct("tabla").cast("bigint").alias("n_tablas"))
+    )
+
+    norms = _norms(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nn").alias("nb"))
+    scored = (
+        candidatos.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ),
+        )
+    )
+    return scored.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        "n_tablas",
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Vectorized scorer — Arrow + numpy int64 matmul (the throughput path)
 # --------------------------------------------------------------------------
 

@@ -73,6 +73,7 @@ def test_flagship_single_fact_shuffle(spark, sf_dir):
     [
         ("dedup_minhash_lsh", "clave"),
         ("similarity_lsh", "balde"),
+        ("similarity_lsh_multi", "balde"),
         ("dedup_simhash_pairs", "nib"),
     ],
 )

@@ -73,6 +73,18 @@ def test_lsh_recall_on_near_duplicates(spark, tmp_path):
     hits = sum(1 for i in range(100) if (i, i + 1000) in got)
     assert hits >= 60, f"near-dup recall {hits}/100 below floor"
 
+    # multi-table LSH trades L× hashing for recall: with the observed
+    # per-table collision rate p≈0.6 on these clones, three independent
+    # tables give 1-(1-p)³ ≈ 0.94 — must clearly dominate one table
+    got_multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["similarity_lsh_multi"].fn(spark, sf).collect()
+    }
+    hits_multi = sum(1 for i in range(100) if (i, i + 1000) in got_multi)
+    assert hits_multi >= max(80, hits + 10), (
+        f"multi-table recall {hits_multi}/100 (single-table {hits})"
+    )
+
 
 def test_brute_force_is_the_exactness_baseline(spark):
     """similarity_topk (pytest-tier) returns the TRUE top-5 per query —
