@@ -30,7 +30,12 @@ from etl_python_airflow_bigquery_spark.catalog import (
     mart_name,
 )
 from etl_python_airflow_bigquery_spark.functions import dsum, nanos_to_micros
+from etl_python_airflow_bigquery_spark.operators.intervals import (
+    explode_to_hour_grid,
+    sessions_from_events,
+)
 from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.analytic import _SUPER_ORACLE
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 _US_PER_DAY = 86_400_000_000
@@ -141,4 +146,50 @@ def frecuencia_visitas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.groupBy("dias_activos").agg(
         F.count(F.lit(1)).cast("bigint").alias("usuarios")
+    )
+
+
+def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct user-hour atoms (user_id, day_num, hora) persisted
+    bucketed by user_id. The dedup shuffle is paid ONCE at mart build;
+    every overlap/audience query after that reads atoms pre-clustered."""
+    name = mart_name("atomos_usuario_hora", sf_dir)
+    if not spark.catalog.tableExists(name):
+        sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
+        atoms = (
+            explode_to_hour_grid(sessions)
+            .select(
+                "user_id",
+                F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
+                (F.col("hour_idx") % 24).cast("bigint").alias("hora"),
+            )
+            .distinct()
+        )
+        ensure_bucketed_mart(
+            spark, atoms, name, "user_id", DEFAULT_BUCKETS, sort_col="user_id"
+        )
+    return spark.table(name)
+
+
+@register("superposicion_hora_mart", oracle=_SUPER_ORACLE,
+          ops=("J9", "A13", "A2"), driver=False)
+def superposicion_hora_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The superposition matrix WITHOUT its self-join: per (user, day)
+    collect the hour set (an aggregation the user_id-bucketed atom mart
+    satisfies with zero Exchange), explode the set against itself
+    map-side (≤24² pairs per user-day), and distinct-count users per
+    hour pair. Same result as `superposicion_hora` (same oracle), but
+    the only shuffle left in the whole plan is the final 576-group
+    distinct aggregation — the join shuffle is gone, traded at ingest
+    for the mart's one-time clustering. At 100 TB this is the
+    amortization story: N overlap queries each save their join shuffle."""
+    atoms = atomos_usuario_mart(spark, sf_dir)
+    per_day = atoms.groupBy("user_id", "day_num").agg(
+        F.collect_set("hora").alias("horas")
+    )
+    pairs = per_day.select(
+        "user_id", F.explode("horas").alias("periodo"), "horas"
+    ).select("user_id", "periodo", F.explode("horas").alias("periodo_referencia"))
+    return pairs.groupBy("periodo", "periodo_referencia").agg(
+        F.countDistinct("user_id").cast("bigint").alias("usuarios")
     )

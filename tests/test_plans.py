@@ -121,12 +121,17 @@ def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
     from etl_python_airflow_bigquery_spark.queries.marts import (
         frecuencia_visitas_bucketed,
         perfil_usuario_bucketed,
+        superposicion_hora_mart,
     )
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for fn in (perfil_usuario_bucketed, frecuencia_visitas_bucketed):
+        for fn in (
+            perfil_usuario_bucketed,
+            frecuencia_visitas_bucketed,
+            superposicion_hora_mart,
+        ):
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "hashpartitioning(user_id" not in plan, plan
