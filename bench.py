@@ -43,17 +43,24 @@ def main() -> int:
     # Warm-up: JVM classloading + whole-stage codegen compile.
     REGISTRY[names[0]].fn(spark, SF_DIR).count()
 
-    # Best-of-2 per query: the second run re-plans from scratch (no
-    # caching of results) but amortizes codegen/classload noise — the
-    # number reported is the plan's cost, not the JIT's.
+    # Best-of-2 per query by default: the second run re-plans from
+    # scratch (no caching of results) but amortizes codegen/classload
+    # noise — the number reported is the plan's cost, not the JIT's.
+    # Rigor knobs (defaults keep BENCH_r{N} comparable across rounds):
+    #   SPARK_GRAFT_BENCH_REPS  repetitions per query (default 2)
+    #   SPARK_GRAFT_BENCH_STAT  best|median over the reps (default best)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        picked = runs[len(runs) // 2] if stat == "median" else runs[0]
+        timings[name] = round(picked, 3)
 
     out = {
         "metric": "total_wall",
