@@ -627,3 +627,46 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = rk.agg(estimada.cast("bigint").alias("union_estimada"))
     return exacta.crossJoin(est)
+
+
+# --------------------------------------------------------------------------
+# Exact grouped percentiles (with the t-digest approx scale path noted)
+# --------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS pedidos,
+       floor(quantile_cont(o_totalprice, 0.5) * 1e6) / 1e6 AS p50,
+       floor(quantile_cont(o_totalprice, 0.9) * 1e6) / 1e6 AS p90,
+       floor(quantile_cont(o_totalprice, 0.99) * 1e6) / 1e6 AS p99
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("percentiles_pedidos", oracle=_PCTL_ORACLE, ops=("A1",), driver=False)
+def percentiles_pedidos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles of order value per priority class —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both compute
+    the same linear-interpolated (type-7) quantile, floored to 1e-6 for
+    cross-engine float stability.
+
+    Scale note: exact percentile sorts each group in memory, fine while
+    groups fit an executor (5 priority classes here). At 100 TB the
+    drop-in scale path is ``approx_percentile`` (t-digest: mergeable
+    partial sketches, map-side combine, bounded memory) at a documented
+    rank-error tolerance — same query shape, one function swap, the
+    exact form stays as the verification oracle at small SF."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pedidos"),
+        pct.alias("pct"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "pedidos",
+        (F.floor(F.col("pct")[0] * 1e6) / 1e6).alias("p50"),
+        (F.floor(F.col("pct")[1] * 1e6) / 1e6).alias("p90"),
+        (F.floor(F.col("pct")[2] * 1e6) / 1e6).alias("p99"),
+    )
