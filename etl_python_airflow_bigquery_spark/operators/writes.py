@@ -126,6 +126,67 @@ def merge_upsert(
         os.unlink(lock)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: streaming micro-batch appends and frequent
+    window refreshes (K3) accumulate files far below the scan-efficient
+    size; at 100 TB the cost is real — driver-side listing, a footer read
+    per file, and a task per tiny split. Rewrite the table at
+    ``target_file_bytes`` granularity and atomically swap (same
+    tmp+rename pattern as merge_upsert, so readers never see a partial
+    table):
+
+    * flat layout — ``repartition(ceil(bytes/target))``: one round-robin
+      shuffle sized from the CURRENT on-disk bytes;
+    * partitioned layout — ``repartition(partition_cols)``: every
+      partition's rows land in one task, so each partition directory
+      compacts to a single file (a partition larger than the target
+      stays one file — split it by adding a salt to partition_cols at
+      the call site if that ever matters).
+
+    ``cluster_cols`` re-applies the in-partition clustering sort (K1) so
+    compaction also restores row-group-skipping locality that interleaved
+    appends destroyed. Returns the data-file count after compaction.
+    File sizes come from a local walk — on a real cluster this one call
+    becomes a FileSystem.listFiles over the same tree."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    df = spark.read.parquet(path)
+    if partition_cols:
+        out = df.repartition(*partition_cols)
+    else:
+        n = max(1, -(-total // max(1, target_file_bytes)))
+        out = df.repartition(n)
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def ctas(spark: SparkSession, sql: str, path: str, mode: str = "overwrite") -> None:
     """K5: query-to-table — run SQL over registered views, land the
     result (reference liveod_editorial.py:282-359's destination-table

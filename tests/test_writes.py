@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.operators.writes import (
+    compact_table,
     ctas,
     merge_upsert,
     refresh_window,
@@ -78,6 +79,44 @@ def test_merge_upsert_lockfile_excludes_concurrent_writers(spark, tmp_path):
     merge_upsert(spark, staging, path, key_cols=["dia", "user_id"])
     assert not os.path.exists(lock)
     assert spark.read.parquet(path).count() == 5
+
+
+def _file_count(path):
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_flat_table(spark, tmp_path):
+    path = str(tmp_path / "c1")
+    df = _sample(spark, list(range(1, 11)))
+    df.repartition(16).write.parquet(path)  # fragment into many tiny files
+    assert _file_count(path) > 4
+    before = {(r["dia"], r["user_id"], r["minutos"]) for r in spark.read.parquet(path).collect()}
+    n = compact_table(spark, path)  # 50 rows ≪ target ⇒ one file
+    assert n == 1 and _file_count(path) == 1
+    after = {(r["dia"], r["user_id"], r["minutos"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "c2")
+    # three appends ⇒ several files per partition dir
+    for _ in range(3):
+        write_partitioned(_sample(spark, [1, 2]), path, ["dia"])
+    assert _file_count(path) > 2
+    n = compact_table(
+        spark, path, partition_cols=["dia"], cluster_cols=["user_id"]
+    )
+    assert n == 2  # one file per partition dir
+    back = spark.read.parquet(path)
+    assert back.count() == 30  # 3 appends x 10 rows, all preserved
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("dia=")
+    ) == ["dia=1", "dia=2"]
 
 
 def test_ctas(spark, tmp_path, sf_dir):
