@@ -119,6 +119,45 @@ def test_compact_partitioned_table(spark, tmp_path):
     ) == ["dia=1", "dia=2"]
 
 
+def test_refresh_bucketed_mart(spark):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.catalog import refresh_bucketed_mart
+
+    name = f"mart_refresh_{uuid.uuid4().hex[:8]}"
+    try:
+        refresh_bucketed_mart(
+            spark, _sample(spark, [1, 2, 3]), name, "dia", "user_id", 8, "user_id"
+        )
+        # refresh days 2-3 with halved rows, columns deliberately scrambled
+        nuevo = (
+            _sample(spark, [2, 3])
+            .where(F.col("user_id") < 2)
+            .select("minutos", "dia", "user_id")
+        )
+        refresh_bucketed_mart(spark, nuevo, name, "dia", "user_id", 8, "user_id")
+        back = spark.table(name)
+        counts = {
+            r["dia"]: r["n"]
+            for r in back.groupBy("dia").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {1: 5, 2: 2, 3: 2}  # day 1 untouched
+        # the refreshed mart keeps the zero-Exchange bucket contract
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = back.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+            b = back.groupBy("user_id").agg(F.sum("minutos").alias("s"))
+            plan = a.join(b, "user_id")._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(user_id" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_ctas(spark, tmp_path, sf_dir):
     from etl_python_airflow_bigquery_spark.tables import register_views
 
