@@ -37,9 +37,9 @@ def ensure_bucketed_mart(
     spark: SparkSession,
     df: DataFrame,
     table: str,
-    bucket_col: str = "user_id",
+    bucket_col: str | list[str] = "user_id",
     n_buckets: int = DEFAULT_BUCKETS,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
 ) -> str:
     """Persist ``df`` as a bucketed (and optionally sorted) managed
     table, idempotently. Sorting within buckets additionally removes the
@@ -48,7 +48,13 @@ def ensure_bucketed_mart(
 
     Buckets size the parallelism floor: n_buckets tasks read the table
     co-located, so production sizes it to cluster width × small factor;
-    16 matches the local[32] harness."""
+    16 matches the local[32] harness.
+
+    ``bucket_col`` may be a LIST for compound-key clustering: a join
+    whose equi keys exactly match the bucket columns (e.g. the
+    superposition self-join on (user_id, day_num)) then plans with zero
+    Exchange under Spark's default requireAllClusterKeysForCoPartition —
+    pinned by tests/test_plans.py::test_compound_bucket_self_join."""
     if spark.catalog.tableExists(table):
         return table
     # The warehouse dir outlives the in-memory catalog: a table written by
@@ -59,9 +65,11 @@ def ensure_bucketed_mart(
     orphan = os.path.join(wh, table.lower())
     if os.path.exists(orphan):
         shutil.rmtree(orphan)
-    writer = df.write.bucketBy(n_buckets, bucket_col)
+    bucket_cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_col is not None:
-        writer = writer.sortBy(sort_col)
+        sort_cols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        writer = writer.sortBy(*sort_cols)
     writer.mode("errorifexists").format("parquet").saveAsTable(table)
     return table
 

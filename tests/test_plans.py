@@ -140,6 +140,42 @@ def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_compound_bucket_self_join(spark, sf_dir):
+    """Compound-key bucketing: a self-join whose equi keys exactly match
+    the (user_id, day_num) bucket columns plans with zero Exchange under
+    default configs — the layout that would make even the JOIN-form
+    superposition shuffle-free."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.catalog import ensure_bucketed_mart
+    from etl_python_airflow_bigquery_spark.queries.marts import atomos_usuario_mart
+
+    atoms = atomos_usuario_mart(spark, sf_dir)
+    name = f"atoms_ck_{uuid.uuid4().hex[:8]}"
+    ensure_bucketed_mart(
+        spark, atoms, name, ["user_id", "day_num"], 8,
+        sort_col=["user_id", "day_num"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(name)
+        a, b = t.alias("a"), t.alias("b")
+        j = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day_num") == F.col("b.day_num")),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
     """The bucketed-mart contract (catalog.py): a user_id self-join over
     a bucketBy(user_id) table must plan with ZERO Exchange — the bucket
