@@ -36,9 +36,58 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+def _run_one(name: str) -> int:
+    """Subprocess entry for cold mode: fresh JVM, no codegen warmth —
+    time one query end to end and print one JSON line."""
+    spark = get_spark(f"bench-cold-{name}")
+    t0 = time.perf_counter()
+    REGISTRY[name].fn(spark, SF_DIR).count()
+    print(json.dumps({"query": name, "sec": round(time.perf_counter() - t0, 3)}))
+    return 0
+
+
+def _cold_timings(names: list[str], reps: int, stat: str) -> dict[str, float]:
+    """SPARK_GRAFT_BENCH_COLD=1: every (query, rep) runs in its own
+    subprocess — JVM startup, classloading, and codegen are INSIDE the
+    measurement (the scheduled-batch cost model, vs the default warm-JVM
+    number that isolates the plan's cost). OS page cache stays warm."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in names:
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "SPARK_GRAFT_BENCH_COLD": "0"},
+            )
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1])["sec"])
+        runs.sort()
+        timings[name] = runs[len(runs) // 2] if stat == "median" else runs[0]
+    return timings
+
+
 def main() -> int:
-    spark = get_spark("bench")
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        return _run_one(sys.argv[2])
     names = [n for n, q in REGISTRY.items() if q.bench] or list(REGISTRY)
+    reps_env = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    stat_env = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1":
+        timings = _cold_timings(names, reps_env, stat_env)
+        out = {
+            "metric": "total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_of(SF_DIR),
+            "mode": "cold",
+        }
+        print(json.dumps(out))
+        return 0
+
+    spark = get_spark("bench")
 
     # Warm-up: JVM classloading + whole-stage codegen compile.
     REGISTRY[names[0]].fn(spark, SF_DIR).count()
@@ -49,8 +98,7 @@ def main() -> int:
     # Rigor knobs (defaults keep BENCH_r{N} comparable across rounds):
     #   SPARK_GRAFT_BENCH_REPS  repetitions per query (default 2)
     #   SPARK_GRAFT_BENCH_STAT  best|median over the reps (default best)
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
+    reps, stat = reps_env, stat_env
     timings: dict[str, float] = {}
     for name in names:
         runs = []

@@ -7,12 +7,15 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
-from etl_python_airflow_bigquery_spark.tables import TABLES
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_python_airflow_bigquery_spark.tables import TABLES  # noqa: E402
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
