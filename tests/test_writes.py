@@ -158,6 +158,44 @@ def test_refresh_bucketed_mart(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_zorder_layout_bounds_all_dims(spark, tmp_path):
+    """Z-order vs single-column sort on a 64x64 grid split into 16
+    files: the z-layout keeps BOTH dimensions' per-file min/max narrow
+    (~16-wide tiles), while sorting by `a` alone leaves `b` full-width
+    in every file — the stats a parquet scan uses to skip files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_python_airflow_bigquery_spark.operators.writes import zorder_layout
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a int, b int"
+    )
+
+    def per_file_ranges(path):
+        ranges = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f).to_pandas()
+            if len(t):
+                ranges.append(
+                    (t.a.max() - t.a.min(), t.b.max() - t.b.min())
+                )
+        return ranges
+
+    zpath = str(tmp_path / "z")
+    zorder_layout(df, ["a", "b"], 16, bits=6).write.parquet(zpath)
+    z_ranges = per_file_ranges(zpath)
+    assert len(z_ranges) >= 8
+    assert max(r[0] for r in z_ranges) <= 24
+    assert max(r[1] for r in z_ranges) <= 24
+
+    lpath = str(tmp_path / "l")
+    df.repartitionByRange(16, F.col("a")).write.parquet(lpath)
+    l_ranges = per_file_ranges(lpath)
+    assert max(r[1] for r in l_ranges) >= 56  # b is full-width somewhere
+
+
 def test_ctas(spark, tmp_path, sf_dir):
     from etl_python_airflow_bigquery_spark.tables import register_views
 
