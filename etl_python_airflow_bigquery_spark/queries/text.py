@@ -338,3 +338,130 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("texto_norm"),
         F.md5(norm).alias("huella_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling — the data-mixing primitive
+# --------------------------------------------------------------------------
+
+_MUESTRA_ORACLE = f"""
+WITH tasas AS (
+    SELECT source, {_hex_hash_sql("source")} % 81 + 20 AS tasa
+    FROM (SELECT DISTINCT source FROM documents)
+),
+marcado AS (
+    SELECT d.source, t.tasa,
+           {_hex_hash_sql("CAST(d.doc_id AS VARCHAR)")} % 100 AS u
+    FROM documents d JOIN tasas t USING (source)
+)
+SELECT source, CAST(tasa AS BIGINT) AS tasa,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < tasa THEN 1 ELSE 0 END) AS BIGINT) AS n_muestra
+FROM marcado
+GROUP BY 1, 2
+"""
+
+
+@register("muestra_estratificada", oracle=_MUESTRA_ORACLE, ops=("A8", "J1"),
+          driver=False)
+def muestra_estratificada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive of
+    a training pipeline: each source gets a target rate (here derived
+    from the source-name hash so the query is scale-factor-proof; in
+    production a broadcast weights dim), and a document is IN the sample
+    iff md5(doc_id) mod 100 clears its source's rate. Hash-gated
+    sampling is reproducible across runs/engines, needs no RNG state,
+    composes with incremental ingest (a doc's fate never changes), and
+    is map-only after a broadcast join — no shuffle until the audit
+    aggregation emitted here (source, rate, population, sample size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tasas = (
+        docs.select("source")
+        .distinct()
+        .withColumn("tasa", hex_hash(F.col("source")) % 81 + 20)
+    )
+    marcado = docs.join(F.broadcast(tasas), "source").select(
+        "source",
+        "tasa",
+        (hex_hash(F.col("doc_id").cast("string")) % 100).alias("u"),
+    )
+    return marcado.groupBy("source", F.col("tasa").cast("bigint").alias("tasa")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("tasa"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_muestra"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation pipeline — filter → quality gate → dedup → mixture audit
+# --------------------------------------------------------------------------
+
+_CURADO_ORACLE = f"""
+WITH filtrado AS (
+    SELECT doc_id, source, lang, n_chars, md5(text) AS huella,
+           len(string_split(text, ' ')) AS np,
+           len(list_filter(string_split(text, ' '),
+                           w -> list_contains({_STOP_LIST_SQL}, w))) AS ns
+    FROM documents
+    WHERE lang IN ('en', 'es')
+),
+ok AS (
+    SELECT * FROM filtrado
+    WHERE np BETWEEN 20 AND 1000
+      AND CAST(ns AS DOUBLE) / np BETWEEN 0.01 AND 0.6
+),
+kept AS (
+    SELECT huella,
+           arg_min(source, doc_id) AS source,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(n_chars, doc_id) AS n_chars
+    FROM ok GROUP BY 1
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS docs_finales,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(ceil(n_chars / 4.0)) AS BIGINT) AS tokens_est
+FROM kept GROUP BY 1, 2
+"""
+
+
+@register("corpus_curado", oracle=_CURADO_ORACLE, ops=("P5", "TX2", "DD1", "A1"),
+          driver=False)
+def corpus_curado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    run actually executes: language filter (pushed to the parquet scan)
+    → Gopher-style quality gate (same rule as `text_quality`, map-side)
+    → exact dedup keeping the lowest doc_id per text hash (ONE shuffle,
+    on md5) → per-(source, lang) mixture audit. Order matters at 100 TB:
+    filters and the quality gate run before the only wide operation, so
+    the dedup shuffle moves already-curated bytes, and the md5 is the
+    shuffle key (16 bytes/doc, never the text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    palabras = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    filtrado = docs.where(F.col("lang").isin("en", "es")).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("huella"),
+        F.size(palabras).alias("np"),
+        F.size(F.filter(palabras, lambda w: F.array_contains(stop_arr, w))).alias(
+            "ns"
+        ),
+    )
+    ok = filtrado.where(
+        F.col("np").between(20, 1000)
+        & (F.col("ns").cast("double") / F.col("np")).between(0.01, 0.6)
+    )
+    kept = ok.groupBy("huella").agg(
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.expr("min_by(n_chars, doc_id)").alias("n_chars"),
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_finales"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).cast("bigint").alias("tokens_est"),
+    )
