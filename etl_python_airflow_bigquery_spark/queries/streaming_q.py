@@ -99,6 +99,39 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(ses, f"sessions_{uuid.uuid4().hex[:8]}")
 
 
+_DEDUP_STREAM_ORACLE = """
+SELECT epoch_us(ts) // 86400000000 AS day_num,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM events
+GROUP BY 1
+"""
+
+
+@register("streaming_dedup_daily", oracle=_DEDUP_STREAM_ORACLE, ops=("ST2", "DD1"),
+          driver=False)
+def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` over (user_id, day)
+    with day-granular watermark eviction runs IN the stream (append
+    mode — each pair is emitted exactly once, the first time it's
+    seen); the daily distinct-user count over the drained pairs must
+    equal the batch COUNT(DISTINCT). This is the streaming half of DD1:
+    the same first-occurrence-wins contract as `dedup_exact`, held as
+    bounded operator state instead of a shuffle."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        daily_users_dedup,
+        run_to_memory_append,
+    )
+
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    pairs = daily_users_dedup(stream)
+    tabla, _metrics = run_to_memory_append(
+        pairs, f"dedup_{uuid.uuid4().hex[:8]}"
+    )
+    return tabla.groupBy("day_num").agg(
+        F.count(F.lit(1)).cast("bigint").alias("usuarios")
+    )
+
+
 _ACUM_STREAM_ORACLE = """
 SELECT (epoch_us(ts) // 86400000000) // 30 AS mes,
        CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios_acumulados

@@ -93,6 +93,26 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_users_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup of (user_id, day): ``dropDuplicates`` keyed
+    on the pair plus a DAY-GRANULAR event-time column, so the first
+    occurrence wins and Spark evicts a day's keys once the watermark
+    passes it — state is bounded by users × watermark-horizon days, not
+    the stream's lifetime (dia_ts is functionally determined by day_num,
+    so adding it to the subset changes eviction, not the dedup key).
+    Day numbers are pure integer epoch-day math on the raw nanos —
+    immune to the session timezone, same as the batch queries."""
+    base = events.select(
+        "user_id",
+        F.expr("ts div 1000 div 86400000000").cast("bigint").alias("day_num"),
+    ).withColumn(
+        "dia_ts", F.timestamp_micros(F.col("day_num") * F.lit(86_400_000_000))
+    )
+    return base.withWatermark("dia_ts", WATERMARK).dropDuplicates(
+        ["user_id", "day_num", "dia_ts"]
+    )
+
+
 def run_hourly_refresh(
     spark: SparkSession,
     events_dir: str,
