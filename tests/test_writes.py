@@ -203,3 +203,44 @@ def test_ctas(spark, tmp_path, sf_dir):
     path = str(tmp_path / "t4")
     ctas(spark, "SELECT r_regionkey, r_name FROM region", path)
     assert spark.read.parquet(path).count() == 5
+
+
+def test_zorder_key_matches_python_reference(spark_prop):
+    """zorder_key's bit expressions must equal the textbook Morton
+    interleave — checked against a pure-Python reference on random
+    coordinate pairs (including clamp-range edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_python_airflow_bigquery_spark.operators.writes import zorder_key
+
+    def morton_py(a, b, bits=6):
+        limit = (1 << bits) - 1
+        a, b = max(0, min(a, limit)), max(0, min(b, limit))
+        key = 0
+        for i in range(bits):
+            key |= ((a >> i) & 1) << (2 * i)
+            key |= ((b >> i) & 1) << (2 * i + 1)
+        return key
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=70),
+                st.integers(min_value=-5, max_value=70),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(pairs):
+        df = spark_prop.createDataFrame(pairs, "a int, b int")
+        got = [
+            r["z"]
+            for r in df.select(
+                zorder_key([F.col("a"), F.col("b")], bits=6).alias("z")
+            ).collect()
+        ]
+        assert got == [morton_py(a, b) for a, b in pairs]
+
+    check()
