@@ -21,6 +21,12 @@ SMOKE = [
     "dedup_ngram_jaccard",
     "bloques_pivot",
     "acumulado_diario",
+    "similarity_lsh_multi",
+    "perfil_usuario_bucketed",
+    "superposicion_hora_mart",
+    "muestra_estratificada",
+    "corpus_curado",
+    "percentiles_pedidos",
 ]
 
 
