@@ -1,0 +1,60 @@
+"""Skew-mitigation helpers (operators/skew.py): both rewrites must be
+EXACT — identical rows to the plain formulation — on data with one hot
+key carrying most rows, and the salted join must actually join on the
+compound (key, salt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.skew import (
+    salted_broadcast_left,
+    salted_count_distinct,
+)
+
+
+def _skewed(spark):
+    # key 'hot' holds 900 of 960 rows; users overlap across keys
+    rows = [("hot", u % 300) for u in range(900)] + [
+        (f"k{u % 4}", u) for u in range(60)
+    ]
+    return spark.createDataFrame(rows, "k string, user_id int")
+
+
+def test_salted_count_distinct_is_exact(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"], r["usuarios"])
+        for r in salted_count_distinct(df, ["k"], "user_id", "usuarios").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    df = _skewed(spark)
+    dim = spark.createDataFrame(
+        [("hot", "caliente"), ("k0", "cero"), ("k1", "uno")], "k string, nombre string"
+    )
+    plain = sorted(
+        (r["k"], r["user_id"], r["nombre"]) for r in df.join(dim, "k").collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_broadcast_left(df, dim, "k", n_salts=8)
+        got = sorted(
+            (r["k"], r["user_id"], r["nombre"]) for r in joined.collect()
+        )
+        assert got == plain
+        # the shuffle key is the compound (k, salt): the hot key's rows
+        # now hash across n_salts reducers
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
