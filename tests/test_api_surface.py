@@ -1,0 +1,114 @@
+"""Coverage for the long-tail API surface (K6/K7 sinks, S1/S8/S11
+sources, identity scalars, the 2-column geo wrapper, batch loaders) —
+every public function the estate exposes must execute, not just exist."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import (
+    device_fingerprint,
+    micros,
+    surrogate_id,
+)
+from etl_python_airflow_bigquery_spark.operators.enrich import lookup_geo
+from etl_python_airflow_bigquery_spark.sinks import export_csv, export_excel
+from etl_python_airflow_bigquery_spark.sources.connectors import (
+    config_source,
+    jdbc_source,
+    json_lines_source,
+)
+from etl_python_airflow_bigquery_spark.tables import TABLES, load_tables
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, tag string")
+    path = str(tmp_path / "csv_out")
+    export_csv(df, path, single_file=True)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 2 and set(back.columns) == {"id", "tag"}
+    # single_file=True coalesced to one part
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_export_excel_is_availability_gated(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id int")
+    path = str(tmp_path / "r.xlsx")
+    ok = export_excel({"hoja": df}, path)
+    try:
+        import openpyxl  # noqa: F401
+
+        assert ok and os.path.exists(path)
+    except ImportError:
+        assert ok is False and not os.path.exists(path)
+
+
+def test_json_lines_source(spark, tmp_path):
+    p = tmp_path / "m.jsonl"
+    p.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": 0.5}\n')
+    df = json_lines_source(spark, str(p), "id BIGINT, v DOUBLE")
+    assert df.count() == 2
+    assert dict(df.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_config_source_parses_both_forms():
+    assert config_source('{"tasa": 5}') == {"tasa": 5}
+    assert config_source({"tasa": 5}) == {"tasa": 5}
+
+
+def test_jdbc_source_wiring_reaches_jvm(spark):
+    # no JDBC driver ships in this harness: the read must FAIL AT THE
+    # DRIVER-MANAGER (options wired through to the JVM), not in Python
+    with pytest.raises(Exception, match="[Dd]river|JDBC"):
+        jdbc_source(
+            spark,
+            "jdbc:postgresql://localhost:1/none",
+            "t",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=10,
+        )
+
+
+def test_device_fingerprint_matches_duckdb(spark, duck):
+    df = spark.createDataFrame(
+        [("10.0.0.1", "Mozilla"), ("10.0.0.2", "curl")], "ip string, ua string"
+    )
+    got = [r["h"] for r in df.select(device_fingerprint("ip", "ua").alias("h")).collect()]
+    want = [
+        duck.execute(f"SELECT md5('{ip}' || '|' || '{ua}')").fetchone()[0]
+        for ip, ua in [("10.0.0.1", "Mozilla"), ("10.0.0.2", "curl")]
+    ]
+    assert got == want
+
+
+def test_surrogate_id_is_deterministic_and_shaped(spark):
+    df = spark.createDataFrame(
+        [("Facebook", "Radio1", "2024-03-05 14:00:00", "Hora", "Web")],
+        "fuente string, marca string, ts string, agg string, target string",
+    ).withColumn("fecha_us", micros("CAST(ts AS TIMESTAMP_NTZ)"))
+    sid = df.select(
+        surrogate_id(
+            F.col("fuente"), F.col("marca"), F.col("fecha_us"),
+            F.col("agg"), F.col("target"),
+        ).alias("sid")
+    ).collect()[0]["sid"]
+    assert sid == "f_rad_24030514_hora_web"
+
+
+def test_lookup_geo_country_split():
+    out = lookup_geo(pd.DataFrame({"request_ip": ["10.3.0.1"]}))
+    assert list(out.columns) == ["request_ip", "pais", "ciudad"]
+    assert len(out) == 1 and out["pais"].iloc[0]  # stand-in db resolves
+
+
+def test_load_tables_loads_all(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(TABLES)
+    assert tables["region"].count() == 5
