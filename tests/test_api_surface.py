@@ -76,6 +76,23 @@ def test_jdbc_source_wiring_reaches_jvm(spark):
         )
 
 
+def test_jdbc_sink_wiring_reaches_jvm(spark):
+    from etl_python_airflow_bigquery_spark.sinks import jdbc_sink
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(Exception, match="[Dd]river|JDBC"):
+        jdbc_sink(df, "jdbc:postgresql://localhost:1/none", "t")
+
+
+def test_us_to_date_is_utc_calendar(spark):
+    from etl_python_airflow_bigquery_spark.functions import us_to_date
+
+    # 2024-03-05 23:30 UTC stays March 5 regardless of session tz
+    us = (19_787 * 86_400 + 23 * 3600 + 1800) * 1_000_000
+    df = spark.range(1).select(us_to_date(F.lit(us).cast("long")).alias("d"))
+    assert str(df.collect()[0]["d"]) == "2024-03-05"
+
+
 def test_device_fingerprint_matches_duckdb(spark, duck):
     df = spark.createDataFrame(
         [("10.0.0.1", "Mozilla"), ("10.0.0.2", "curl")], "ip string, ua string"
