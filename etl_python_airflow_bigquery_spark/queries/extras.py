@@ -670,3 +670,29 @@ def percentiles_pedidos(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("pct")[1] * 1e6) / 1e6).alias("p90"),
         (F.floor(F.col("pct")[2] * 1e6) / 1e6).alias("p99"),
     )
+
+
+@register("percentiles_aprox", oracle=None, ops=("A1",), driver=False)
+def percentiles_aprox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for `percentiles_pedidos`: ``approx_percentile``
+    (t-digest) — mergeable partial sketches with map-side combine and
+    bounded memory per group, the form that survives groups too large to
+    sort in one executor. Rows-only registry entry (sketch values are
+    engine-specific so no cross-engine oracle exists by construction);
+    `tests/test_functions.py::test_approx_percentiles_within_tolerance`
+    pins it to the exact form at 1% relative error."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pedidos"),
+        pct.alias("pct"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "pedidos",
+        F.col("pct")[0].alias("p50"),
+        F.col("pct")[1].alias("p90"),
+        F.col("pct")[2].alias("p99"),
+    )
