@@ -36,6 +36,46 @@ def test_salted_count_distinct_is_exact(spark):
     assert salted == plain
 
 
+def test_aqe_splits_the_skewed_join_partition(spark):
+    """The session's AQE skew-join config must actually fire: with one
+    key holding ~90% of the rows, the FINAL adaptive plan marks the
+    sort-merge join skew=true and reads the hot shuffle partition as
+    multiple splits (thresholds lowered so local-scale data exhibits
+    what a hot key does at 100 TB)."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id") % 37)
+            .cast("long")
+            .alias("k"),
+            F.rand(7).alias("x"),
+        )
+        right = spark.range(37).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k").select(F.sum("x").alias("s"))
+        j.collect()  # the adaptive plan finalizes only after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_broadcast_left_matches_plain_join(spark):
     df = _skewed(spark)
     dim = spark.createDataFrame(
