@@ -252,3 +252,82 @@ def media_features(media: DataFrame) -> DataFrame:
         F.col("meta.height").alias("height"),
     )
     return flat.mapInPandas(extract_features, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id BIGINT, width INT, height INT, payload BINARY"
+FRAMES_SCHEMA = "media_id BIGINT, frame_idx INT, ts_ms BIGINT, frame BINARY"
+VIDEO_FPS = 25
+
+
+def resize_images(media: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    """Aspect-preserving thumbnail pass over the image rows. The REAL
+    parts are everything Spark-shaped: the header parse feeding true
+    source dimensions, the fit-inside-box scale math (never upscales),
+    the Arrow batch signature, and the map-only plan (media bytes never
+    shuffle). The PIXEL resample is a deterministic fake — md5-seeded
+    bytes of exactly width*height*3 — because a real one needs the codec
+    stack this container doesn't ship; a deployment swaps one function
+    body (PIL.Image.resize) without touching the operator."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                if fmt not in ("png", "jpeg"):
+                    continue
+                det = decode_media(bytes(payload), fmt)
+                w, h = det["width"], det["height"]
+                scale = min(max_w / w, max_h / h, 1.0)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                n = nw * nh * 3
+                seed = hashlib.md5(f"{mid}:{nw}x{nh}".encode()).digest()
+                rows.append((int(mid), nw, nh, (seed * (n // 16 + 1))[:n]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "width", "height", "payload"]
+                )
+
+    flat = media.select(
+        "media_id", "payload", F.col("meta.format").alias("format")
+    )
+    return flat.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """1-in-``every_n`` frame sampling for the video rows — the fan-out
+    batch shape (rows OUT exceed rows IN) that distinguishes this from
+    the other extractors. Frame timestamps are real (idx/fps); the frame
+    bytes are deterministic fakes for the same codec reason as
+    resize_images. Map-only: each video's frames emit from the partition
+    its payload already lives in."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, fmt, nf in zip(
+                pdf["media_id"], pdf["format"], pdf["n_frames"]
+            ):
+                if fmt != "mp4":
+                    continue
+                for idx in range(0, int(nf), every_n):
+                    seed = hashlib.md5(f"{mid}:{idx}".encode()).digest()
+                    rows.append(
+                        (int(mid), idx, idx * 1000 // VIDEO_FPS, seed)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+                )
+
+    flat = media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return flat.mapInPandas(fn, schema=FRAMES_SCHEMA)

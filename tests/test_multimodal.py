@@ -80,3 +80,62 @@ def test_media_features_roundtrip(spark, sf_dir):
             assert f["duration_ms"] == len(row["text"].encode()) * 1000 // byte_rate
         else:  # mp4: codec stub → nulls
             assert f["decoded_width"] is None and f["duration_ms"] is None
+
+
+def test_resize_images_scale_math_and_determinism(spark, sf_dir):
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents").limit(40))
+    out = resize_images(media, 64, 64)
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert rows  # image rows exist in the fixture
+    for mid, r in rows.items():
+        w, h = src[mid]["width"], src[mid]["height"]
+        scale = min(64 / w, 64 / h, 1.0)
+        assert (r["width"], r["height"]) == (max(1, int(w * scale)), max(1, int(h * scale)))
+        assert len(r["payload"]) == r["width"] * r["height"] * 3
+    # deterministic: a second run produces byte-identical thumbnails
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 64, 64).collect()}
+    assert again == {m: bytes(r["payload"]) for m, r in rows.items()}
+    # no upscale: a huge box returns the source dimensions
+    big = {r["media_id"]: r for r in resize_images(media, 10_000, 10_000).collect()}
+    for mid, r in big.items():
+        assert (r["width"], r["height"]) == (src[mid]["width"], src[mid]["height"])
+
+
+def test_sample_frames_fan_out_shape(spark, sf_dir):
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents").limit(40))
+    out = sample_frames(media, every_n=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    vids = {
+        r["media_id"]: r["meta"]["n_frames"]
+        for r in media.collect()
+        if r["meta"]["format"] == "mp4"
+    }
+    assert set(got) == set(vids)
+    for mid, frames in got.items():
+        nf = vids[mid]
+        assert sorted(frames) == [
+            (i, i * 1000 // 25) for i in range(0, nf, 5)
+        ]
+    # map-only: the fan-out happens without any shuffle (plan checked
+    # without the fixture's limit(), which adds its own GlobalLimit
+    # Exchange unrelated to the operator)
+    full = sample_frames(
+        media_from_documents(load_table(spark, sf_dir, "documents")), every_n=5
+    )
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
