@@ -1,0 +1,236 @@
+"""Corpus-curation audits beyond dedup: benchmark decontamination,
+repetition-based quality (the Gopher duplicate-n-gram rules), and a
+shingle-novelty audit — the three checks a training-data pipeline runs
+AFTER cleaning/dedup to decide what actually enters the mix.
+
+All three reuse the word-shingle machinery from dedup.py (md5-prefix
+int64 hashes — 8-byte shuffle keys, identical in Spark and DuckDB) and
+follow the same cross-engine determinism rules: integer counts, ratios
+floor-scaled before comparison.
+
+Scale shapes (the 100 TB arguments, one per query):
+* decontamination — the benchmark side is SMALL by definition (an eval
+  set, not the corpus), so its distinct shingle set broadcasts and the
+  probe is a map-side semi-join style hash lookup; no all-pairs, no
+  shuffle of the training corpus beyond its own per-doc roll-up.
+* repetition — one explode + a two-level aggregation whose first level
+  keys on (doc_id, bigram-hash): partial aggregation (map-side combine)
+  collapses each doc's repeats before the exchange, so shuffled rows ≈
+  distinct bigrams, not total words.
+* novelty — one shuffle on the shingle hash computes first-owners, and
+  the postings re-join lands on the SAME key, so Spark reuses the
+  partitioning (no second exchange of the big side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.dedup import _SHINGLES_SQL, _shingles
+from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+# Deterministic benchmark membership: ~2% of docs, by doc_id hash (in
+# production this is a join against the eval-set registry; a hash gate
+# keeps the query scale-factor-proof like muestra_estratificada).
+_BENCH_MOD = 50
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — eval-set shingle overlap per training doc
+# --------------------------------------------------------------------------
+
+_CONTAM_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+bench_ids AS (
+    SELECT doc_id FROM documents
+    WHERE {_hex_hash_sql("CAST(doc_id AS VARCHAR)")} % {_BENCH_MOD} = 0
+),
+bench_sh AS (
+    SELECT DISTINCT s FROM sh JOIN bench_ids USING (doc_id)
+),
+train AS (
+    SELECT * FROM tam WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+),
+hits AS (
+    SELECT sh.doc_id, count(*) AS n_contaminados
+    FROM sh JOIN bench_sh USING (s)
+    WHERE sh.doc_id IN (SELECT doc_id FROM train)
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminados, 0) AS BIGINT) AS n_contaminados,
+       floor(CAST(coalesce(h.n_contaminados, 0) AS DOUBLE) * 1000 / t.n) / 1000
+           AS ratio_contaminacion,
+       CAST(coalesce(h.n_contaminados, 0) * 2 >= t.n AS BOOLEAN) AS contaminado
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("contaminacion_benchmark", oracle=_CONTAM_ORACLE,
+          ops=("J8", "TX4", "DD4"), driver=False)
+def contaminacion_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    3-gram shingles overlap an eval set (here a deterministic ~2% hash
+    slice of docs; in production the benchmark registry). The benchmark
+    shingle set is small by construction, so it BROADCASTS — the probe
+    over the training corpus is a map-side hash lookup followed by one
+    per-doc roll-up; the training text itself never shuffles. A doc is
+    `contaminado` when ≥ half its shingles appear in the eval set (the
+    n-gram-overlap decontamination rule used by public LLM data
+    pipelines). Reference semantics: SURVEY.md §2 training-pipeline
+    addenda; shingle scheme shared with dedup.py."""
+    sh = _shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = hex_hash(F.col("doc_id").cast("string")) % _BENCH_MOD == 0
+    bench_ids = docs.where(is_bench).select("doc_id")
+    bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select("s").distinct()
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    train = tam.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    hits = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminados"))
+    )
+    nc = F.coalesce(F.col("n_contaminados"), F.lit(0))
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_shingles"),
+        nc.cast("bigint").alias("n_contaminados"),
+        (F.floor(nc.cast("double") * 1000 / F.col("n")) / 1000).alias(
+            "ratio_contaminacion"
+        ),
+        (nc * 2 >= F.col("n")).alias("contaminado"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality — Gopher duplicate-bigram / top-bigram fractions
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH big AS (
+    SELECT d.doc_id,
+           {_hex_hash_sql("w[g.i] || ' ' || w[g.i+1]")} AS b
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         LATERAL unnest(generate_series(1, len(d.w) - 1)) AS g(i)
+    WHERE len(d.w) >= 2
+),
+conteo AS (
+    SELECT doc_id, b, count(*) AS c FROM big GROUP BY 1, 2
+),
+stats AS (
+    SELECT doc_id,
+           sum(c) AS nb,
+           count(*) AS db,
+           max(c) AS tb
+    FROM conteo GROUP BY 1
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bigramas,
+       CAST(db AS BIGINT) AS n_distintos,
+       floor(CAST(nb - db AS DOUBLE) * 1000 / nb) / 1000 AS ratio_duplicados,
+       floor(CAST(tb AS DOUBLE) * 1000 / nb) / 1000 AS ratio_top,
+       CAST((CAST(nb - db AS DOUBLE) / nb) <= 0.5
+            AND (CAST(tb AS DOUBLE) / nb) <= 0.2 AS BOOLEAN) AS aprobado_rep
+FROM stats
+"""
+
+
+@register("calidad_repeticion", oracle=_REP_ORACLE, ops=("TX2", "A2"),
+          driver=False)
+def calidad_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality (the Gopher duplicate-n-gram family):
+    per document, the fraction of word bigrams that are repeats and the
+    fraction owned by the single most frequent bigram; `aprobado_rep`
+    applies the keep rule (dup fraction ≤ 0.5 AND top-bigram fraction
+    ≤ 0.2). The (doc_id, bigram-hash) pre-aggregation gives one pass:
+    sum(c)=total, count(*)=distinct, max(c)=mode — and map-side combine
+    collapses repeats before the shuffle, so exchanged rows track
+    distinct bigrams, not corpus length."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> CAST(conv(substring(md5("
+                    "concat_ws(' ', w[i], w[i+1])), 1, 15), 16, 10)"
+                    " AS BIGINT))"
+                )
+            ).alias("b"),
+        )
+    )
+    conteo = big.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    stats = conteo.groupBy("doc_id").agg(
+        F.sum("c").alias("nb"),
+        F.count(F.lit(1)).alias("db"),
+        F.max("c").alias("tb"),
+    )
+    dup = (F.col("nb") - F.col("db")).cast("double")
+    return stats.select(
+        "doc_id",
+        F.col("nb").cast("bigint").alias("n_bigramas"),
+        F.col("db").cast("bigint").alias("n_distintos"),
+        (F.floor(dup * 1000 / F.col("nb")) / 1000).alias("ratio_duplicados"),
+        (F.floor(F.col("tb").cast("double") * 1000 / F.col("nb")) / 1000).alias(
+            "ratio_top"
+        ),
+        (
+            (dup / F.col("nb") <= 0.5)
+            & (F.col("tb").cast("double") / F.col("nb") <= 0.2)
+        ).alias("aprobado_rep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingle novelty — fraction of never-before-seen n-grams per document
+# --------------------------------------------------------------------------
+
+_NOVEDAD_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+dueno AS (
+    SELECT s, min(doc_id) AS primer_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.primer_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nuevos,
+       floor(CAST(sum(CASE WHEN d.primer_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) * 1000 / count(*)) / 1000 AS ratio_novedad
+FROM sh JOIN dueno d USING (s)
+GROUP BY 1
+"""
+
+
+@register("novedad_shingles", oracle=_NOVEDAD_ORACLE, ops=("TX4", "A2", "A8"),
+          driver=False)
+def novedad_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-novelty audit: per document (in doc_id = ingestion order),
+    how many of its distinct word 3-grams have never appeared in any
+    earlier document — the corpus-growth curve that tells a curation
+    pipeline when a source stops contributing new content. One shuffle
+    on the shingle hash computes each shingle's first owner; the
+    postings re-join keys on that SAME hash, so the exchange is reused
+    and the per-doc roll-up is the only further shuffle."""
+    sh = _shingles(spark, sf_dir)
+    dueno = sh.groupBy("s").agg(F.min("doc_id").alias("primer_doc"))
+    es_nuevo = F.when(F.col("primer_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(dueno, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(es_nuevo).cast("bigint").alias("n_nuevos"),
+            (
+                F.floor(F.sum(es_nuevo).cast("double") * 1000 / F.count(F.lit(1)))
+                / 1000
+            ).alias("ratio_novedad"),
+        )
+    )
