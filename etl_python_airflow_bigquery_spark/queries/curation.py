@@ -17,14 +17,15 @@ Scale shapes (the 100 TB arguments, one per query):
   keys on (doc_id, bigram-hash): partial aggregation (map-side combine)
   collapses each doc's repeats before the exchange, so shuffled rows ≈
   distinct bigrams, not total words.
-* novelty — one shuffle on the shingle hash computes first-owners, and
-  the postings re-join lands on the SAME key, so Spark reuses the
-  partitioning (no second exchange of the big side).
+* novelty — first-owners come from a whole-partition window min over
+  the shingle hash (no join, no second pass over the postings): the
+  plan is exactly two exchanges of the posting list — one on the
+  shingle hash, one for the per-doc roll-up.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.queries import register
@@ -215,15 +216,17 @@ def novedad_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-novelty audit: per document (in doc_id = ingestion order),
     how many of its distinct word 3-grams have never appeared in any
     earlier document — the corpus-growth curve that tells a curation
-    pipeline when a source stops contributing new content. One shuffle
-    on the shingle hash computes each shingle's first owner; the
-    postings re-join keys on that SAME hash, so the exchange is reused
-    and the per-doc roll-up is the only further shuffle."""
+    pipeline when a source stops contributing new content. Each
+    shingle's first owner is a whole-partition window ``min`` over the
+    shingle hash — no self-join, no second pass over the postings: the
+    plan is one exchange on the hash plus the per-doc roll-up, and the
+    window's sort is the same work a sort-merge re-join would have paid
+    for only its build side."""
     sh = _shingles(spark, sf_dir)
-    dueno = sh.groupBy("s").agg(F.min("doc_id").alias("primer_doc"))
+    primer = F.min("doc_id").over(Window.partitionBy("s"))
     es_nuevo = F.when(F.col("primer_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        sh.join(dueno, "s")
+        sh.withColumn("primer_doc", primer)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

@@ -215,3 +215,24 @@ def test_bucketed_self_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {mart}")
+
+
+def test_novelty_audit_is_join_free(spark, sf_dir):
+    # first-owner via whole-partition window min: no join may appear —
+    # a posting self-join here would shuffle the corpus twice
+    plan = plan_of(spark, sf_dir, "novedad_shingles")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    # exactly: distinct postings, window on hash, per-doc roll-up
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_decontamination_probe_broadcasts(spark, sf_dir):
+    # the eval-set shingle table is small by definition — every probe
+    # against it must be a broadcast, never a shuffled merge join
+    plan = plan_of(spark, sf_dir, "contaminacion_benchmark")
+    assert "BroadcastHashJoin" in plan
+    # the single allowed SortMergeJoin is the final merge of the two
+    # per-doc aggregates (both already partitioned on doc_id)
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
