@@ -8,17 +8,23 @@ BigQuery SQL or pandas, the same semantics are expressed with
 Timestamp convention: all interval arithmetic runs in epoch **microseconds**
 and all date derivation in epoch **days** via integer math. The testdata
 parquet timestamps load as TIMESTAMP_NTZ (wall-clock, no zone) — the same
-semantics as DuckDB's naive timestamps — and the nanosecond ``events.ts``
-loads as a raw nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``, set
-by tables.load_table). Both make results independent of the session time
-zone and bit-exact against the DuckDB oracle (``epoch_us``), while matching
-the reference's DATETIME_DIFF-in-seconds semantics (indicadores_cia.py:152-156).
+semantics as DuckDB's naive timestamps. The ``events.ts`` column's PHYSICAL
+encoding is an environmental detail that has changed between data drops
+(TIMESTAMP(NANOS) loaded as a raw BIGINT under ``nanosAsLong`` vs plain
+``timestamp[us]`` loaded as TIMESTAMP_NTZ), so no operator may assume it:
+every consumer goes through the schema-adaptive ``event_us_sql`` /
+``event_ts_us`` accessors below, which inspect the bound DataFrame's actual
+type and emit the right epoch-µs expression. Both paths are independent of
+the session time zone and bit-exact against the DuckDB oracle
+(``epoch_us``), while matching the reference's hand-declared load schemas
+(consumo_detalle.py:270-306) in spirit: typing is deliberate, not assumed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 US_PER_SEC = 1_000_000
 US_PER_MIN = 60 * US_PER_SEC
@@ -70,6 +76,73 @@ def nanos_to_micros(ns_col_name: str) -> Column:
     ``div`` (never float math: epoch-nanos exceed double's 53-bit mantissa).
     Takes the column NAME."""
     return F.expr(f"{ns_col_name} div 1000")
+
+
+def event_us_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL fragment yielding the epoch-µs BIGINT of an event-time column,
+    ADAPTIVE to the column's physical type on ``df``:
+
+    * ``BIGINT``  → raw parquet epoch-nanos (``nanosAsLong`` drop): ``div 1000``;
+    * ``TIMESTAMP_NTZ`` → wall-clock µs since the NTZ epoch (``micros()``
+      semantics — identical to DuckDB ``epoch_us`` on naive timestamps);
+    * ``TIMESTAMP`` (LTZ) → instant µs via ``unix_micros``.
+
+    This is the ONLY sanctioned way to read ``events.ts``: the testdata's
+    physical encoding has changed across drops and must never be assumed.
+    Returns a parenthesized fragment safe to embed in larger ``F.expr``
+    integer math (e.g. ``f"{event_us_sql(df)} div 86400000000"``)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return f"({col} div 1000)"
+    if isinstance(dt, TimestampNTZType):
+        return (
+            f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}))"
+        )
+    if isinstance(dt, TimestampType):
+        return f"(unix_micros({col}))"
+    raise TypeError(
+        f"event-time column {col!r} has unsupported type {dt.simpleString()}; "
+        "expected BIGINT (raw nanos), TIMESTAMP_NTZ, or TIMESTAMP"
+    )
+
+
+def event_ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-µs BIGINT Column for an event-time column, schema-adaptive —
+    see ``event_us_sql``."""
+    return F.expr(event_us_sql(df, col)).cast("long")
+
+
+def event_day_num(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-day BIGINT of an event-time column (integer ``div`` — matches
+    the oracle's ``epoch_us(ts) // 86400000000``), schema-adaptive."""
+    return F.expr(f"{event_us_sql(df, col)} div {US_PER_DAY}")
+
+
+def event_hour(df: DataFrame, col: str = "ts") -> Column:
+    """UTC hour-of-day (0-23) BIGINT of an event-time column,
+    schema-adaptive (matches ``(epoch_us(ts) % 86400000000) // 3600000000``)."""
+    us = event_us_sql(df, col)
+    return F.expr(f"({us} % {US_PER_DAY}) div {US_PER_HOUR}")
+
+
+def event_ts_filter(df: DataFrame, lo_us: int, hi_us: int, col: str = "ts") -> Column:
+    """Half-open range predicate ``lo_us <= ts < hi_us`` on an event-time
+    column, expressed so it PUSHES DOWN to the parquet scan: for timestamp
+    encodings the column is compared directly against timestamp literals
+    (a plain ``col >= lit`` DataFilter → row-group stats pruning); only the
+    raw-nanos BIGINT encoding compares integers. Wrapping the column in
+    arithmetic would defeat pushdown (see ``ntz_lit``)."""
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, LongType):
+        return (c >= F.lit(lo_us * 1000)) & (c < F.lit(hi_us * 1000))
+    if isinstance(dt, TimestampNTZType):
+        return (c >= ntz_from_us(F.lit(lo_us))) & (c < ntz_from_us(F.lit(hi_us)))
+    if isinstance(dt, TimestampType):
+        return (c >= F.timestamp_micros(F.lit(lo_us))) & (
+            c < F.timestamp_micros(F.lit(hi_us))
+        )
+    raise TypeError(f"unsupported event-time type {dt.simpleString()} for {col!r}")
 
 
 def epoch_day(us: Column) -> Column:

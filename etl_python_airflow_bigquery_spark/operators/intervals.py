@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from etl_python_airflow_bigquery_spark.functions import (
     US_PER_HOUR,
     clipped_micros,
-    nanos_to_micros,
+    event_ts_us,
 )
 
 
@@ -46,9 +46,10 @@ def sessions_from_events(events: DataFrame) -> DataFrame:
     reference consumo_detalle.py:270-306).
 
     Output adds ``s_us``/``e_us`` epoch-µs bounds. Duration uses
-    floor(value*60e6) so both engines truncate identically.
+    floor(value*60e6) so both engines truncate identically. ``ts`` is read
+    through the schema-adaptive accessor — never assume its physical type.
     """
-    s_us = nanos_to_micros("ts")
+    s_us = event_ts_us(events)
     dur = F.floor(F.col("value") * F.lit(60_000_000)).cast("long")
     return events.withColumn("s_us", s_us).withColumn("e_us", s_us + dur)
 

@@ -52,18 +52,51 @@ def refresh_window(
     path: str,
     partition_cols: list[str],
     cluster_cols: list[str] | None = None,
+    refresh_predicate: Column | None = None,
 ) -> None:
     """K3: idempotent delete-window-then-append as ONE dynamic partition
     overwrite — partitions present in ``df`` are replaced, all others
     untouched. Requires spark.sql.sources.partitionOverwriteMode=dynamic
     (set by session.get_spark); asserted here so a mis-configured
-    session fails loudly instead of truncating the table."""
+    session fails loudly instead of truncating the table.
+
+    ``refresh_predicate`` adds the reference's SECONDARY delete predicate
+    (``DELETE ... WHERE fecha IN window AND periodo='mensual'``,
+    consumo_usuarios.py:265-272; ``AND CONTAINS_SUBSTR(origen,'month')``,
+    liveod_editorial.py:226-233): within each touched partition, only the
+    rows SATISFYING the predicate are replaced — sibling rows (other
+    ``periodo`` values sharing the date partition) survive via
+    read-filter-union. Incoming ``df`` rows must all satisfy the
+    predicate (they're the new slice); rows that don't would silently
+    duplicate against the kept slice, so that contract is asserted.
+    Cost is bounded by the TOUCHED partitions, not the table: the kept
+    slice is read through a partition-pruned semi join and checkpointed
+    before the overwrite (breaking the read-from-overwritten-path cycle).
+    Without the predicate the old whole-partition fast path runs — no
+    read of existing data at all."""
     spark = df.sparkSession
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
         == "dynamic"
     ), "refresh_window needs partitionOverwriteMode=dynamic"
     out = df
+    if refresh_predicate is not None:
+        n_bad = df.where(~refresh_predicate).count()
+        assert n_bad == 0, (
+            f"refresh_window: {n_bad} incoming rows violate refresh_predicate — "
+            "they would duplicate against the preserved slice"
+        )
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            touched = df.select(*partition_cols).distinct()
+            kept = (
+                existing.join(F.broadcast(touched), partition_cols, "left_semi")
+                .where(~refresh_predicate)
+                .select(*df.columns)
+                # materialize BEFORE the overwrite rewrites the files we read
+                .localCheckpoint(eager=True)
+            )
+            out = df.unionByName(kept)
     if cluster_cols:
         out = out.sortWithinPartitions(*cluster_cols)
     out.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)

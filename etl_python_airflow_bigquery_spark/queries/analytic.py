@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import day_part_blocks_dim, day_grid
-from etl_python_airflow_bigquery_spark.functions import dsum
+from etl_python_airflow_bigquery_spark.functions import dsum, event_day_num
 from etl_python_airflow_bigquery_spark.operators.intervals import (
     explode_to_hour_grid,
     sessions_from_events,
@@ -124,7 +124,7 @@ def acumulado_diario(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic calendar's convention.)"""
     events = load_table(spark, sf_dir, "events")
     daily = events.select(
-        "user_id", F.expr("ts div 86400000000000").alias("day_num")
+        "user_id", event_day_num(events).alias("day_num")
     ).distinct()
     mes = (F.col("day_num") / 30).cast("bigint")
     firstseen = daily.groupBy("user_id", mes.alias("mes")).agg(

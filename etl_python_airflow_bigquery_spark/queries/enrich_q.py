@@ -20,7 +20,7 @@ from etl_python_airflow_bigquery_spark.operators.enrich import (
     lookup_geo_full,
     parse_user_agents,
 )
-from etl_python_airflow_bigquery_spark.functions import dsum
+from etl_python_airflow_bigquery_spark.functions import dsum, event_day_num, event_hour
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
@@ -303,9 +303,9 @@ def trafico_ga3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (
         events.select(
             F.date_format(
-                day_to_date(F.expr("ts div 86400000000000").cast("int")), "yyyyMM"
+                day_to_date(event_day_num(events).cast("int")), "yyyyMM"
             ).alias("ym"),
-            F.expr("(ts % 86400000000000) div 3600000000000").alias("hora"),
+            event_hour(events).alias("hora"),
             demografico.alias("demografico"),
             "value",
         )

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import US_PER_HOUR, dsum, micros
+from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_HOUR,
+    dsum,
+    event_day_num,
+    event_hour,
+    event_ts_us,
+    micros,
+)
 from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
@@ -298,8 +305,8 @@ def rollup_periodos(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern done the Catalyst way."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
-        F.expr("ts div 86400000000000").alias("dia"),
-        F.expr("(ts % 86400000000000) div 3600000000000").alias("hora"),
+        event_day_num(events).alias("dia"),
+        event_hour(events).alias("hora"),
         "value",
     )
     grouped = base.groupingSets([["dia", "hora"], ["dia"], []], "dia", "hora").agg(
@@ -375,7 +382,7 @@ def audiencia_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     loc = events.select(
-        "user_id", to_santiago(F.expr("ts div 1000")).alias("ts_scl")
+        "user_id", to_santiago(event_ts_us(events)).alias("ts_scl")
     )
     return loc.groupBy(
         F.date_format("ts_scl", "yyyy-MM-dd").alias("dia_local"),
@@ -447,7 +454,7 @@ def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     ev = events.select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("t_us")
+        "event_id", "user_id", event_ts_us(events).alias("t_us")
     )
     orders = load_table(spark, sf_dir, "orders")
     ord_df = (

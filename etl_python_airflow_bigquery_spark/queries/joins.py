@@ -18,9 +18,12 @@ from etl_python_airflow_bigquery_spark.dims import (
     vips_dim,
 )
 from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_DAY,
     US_PER_HOUR,
     clipped_micros,
     dsum,
+    event_day_num,
+    event_ts_filter,
     trunc1,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import (
@@ -278,7 +281,7 @@ def right_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     signups = (
         events.where(F.col("event_type") == "signup")
-        .groupBy(F.expr("ts div 86400000000000").alias("day_num"))
+        .groupBy(event_day_num(events).alias("day_num"))
         .agg(F.count(F.lit(1)).alias("q"))
     )
     # 2024-01-01 .. 2024-01-31 = epoch days 19723..19753
@@ -409,14 +412,14 @@ def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["event_type", "dia_inicio", "dia_fin"],
     )
-    day_num = F.expr("ts div 86400000000000")
+    day_num = event_day_num(events)
     # coarse prefilter over the GLOBAL validity envelope [min(dia_inicio),
-    # max(dia_fin)] — plain int comparisons on the raw ts column, so they
-    # push to the parquet scan (row-group pruning); the exact per-brand
-    # clamp refines after the broadcast join
-    lo_ns, hi_ns = 19723 * 86_400_000_000_000, (19753 + 1) * 86_400_000_000_000
+    # max(dia_fin)] — direct comparisons on the raw ts column (typed by
+    # encoding), so they push to the parquet scan (row-group pruning); the
+    # exact per-brand clamp refines after the broadcast join
+    lo_us, hi_us = 19723 * US_PER_DAY, (19753 + 1) * US_PER_DAY
     return (
-        events.where((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns))
+        events.where(event_ts_filter(events, lo_us, hi_us))
         .join(F.broadcast(soportes), "event_type")
         .where(day_num.between(F.col("dia_inicio"), F.col("dia_fin")))
         .groupBy("event_type")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import US_PER_MIN
+from etl_python_airflow_bigquery_spark.functions import US_PER_MIN, event_ts_us
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
@@ -88,7 +88,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is local to each user's slice — one shuffle total. The streaming
     twin uses session_window with the same gap (streaming/jobs.py)."""
     events = load_table(spark, sf_dir, "events")
-    ev = events.select("user_id", F.expr("ts div 1000").alias("t_us"))
+    ev = events.select("user_id", event_ts_us(events).alias("t_us"))
     w = Window.partitionBy("user_id").orderBy("t_us")
     gap = _GAP_MIN * US_PER_MIN
     marcado = ev.withColumn(

@@ -29,7 +29,7 @@ from etl_python_airflow_bigquery_spark.catalog import (
     ensure_bucketed_mart,
     mart_name,
 )
-from etl_python_airflow_bigquery_spark.functions import dsum, nanos_to_micros
+from etl_python_airflow_bigquery_spark.functions import dsum, event_day_num
 from etl_python_airflow_bigquery_spark.operators.intervals import (
     explode_to_hour_grid,
     sessions_from_events,
@@ -51,9 +51,7 @@ def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events")
         facts = events.select(
             "user_id",
-            (nanos_to_micros("ts") / F.lit(_US_PER_DAY))
-            .cast("bigint")
-            .alias("day_num"),
+            event_day_num(events).cast("bigint").alias("day_num"),
             "event_type",
             "value",
         )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.functions import (
     dsum,
+    event_day_num,
     safe_div,
     trunc1,
 )
@@ -81,7 +82,7 @@ def trafico_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     would first scan the fact table just to learn the columns."""
     events = load_table(spark, sf_dir, "events")
     piv = (
-        events.groupBy(F.expr("ts div 86400000000000").alias("day_num"))
+        events.groupBy(event_day_num(events).alias("day_num"))
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.count(F.lit(1)))
     )
@@ -256,7 +257,7 @@ def funnel_condicional(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan with ``sum(when(...))`` instead of the reference's two
     filtered CTEs re-joined (email_catalogo.py:72-96)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy(F.expr("ts div 86400000000000").alias("day_num")).agg(
+    return events.groupBy(event_day_num(events).alias("day_num")).agg(
         dsum(F.when(F.col("event_type") == "click", F.col("value"))).alias("valor_click"),
         dsum(F.when(F.col("event_type") == "view", F.col("value"))).alias("valor_view"),
         F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id")))

@@ -29,29 +29,33 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.functions import event_day_num, event_ts_us
 from etl_python_airflow_bigquery_spark.operators.writes import refresh_window
-
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
 
 WATERMARK = "4 days"  # the reference's dias_remplazo lookback
 SESSION_GAP = "30 minutes"
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over events parquet. ``ts`` arrives as raw
-    epoch-nanos (nanosAsLong) and is surfaced as a proper timestamp for
-    watermarking; the explicit schema keeps the source from running a
-    batch inference scan."""
+    """File-source stream over events parquet. The stream schema is taken
+    from the files THEMSELVES (one batch footer read — no inference scan
+    of the data pages, and no hand-declared schema that silently coerces
+    a changed physical encoding into garbage: a forced ``ts BIGINT`` over
+    µs-timestamp parquet once collapsed every timestamp 1000×).
+
+    ``ts_utc`` is the watermark/window clock: a proper TimestampType
+    instant whose epoch-µs equals the schema-adaptive ``event_ts_us``
+    reading (wall-clock µs for NTZ encodings, ``div 1000`` for raw-nanos
+    BIGINT) — so downstream ``unix_micros`` round-trips to the same
+    integers the DuckDB oracle computes with ``epoch_us``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts_utc", F.timestamp_micros(event_ts_us(raw)))
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:
@@ -100,11 +104,11 @@ def daily_users_dedup(events: DataFrame) -> DataFrame:
     passes it — state is bounded by users × watermark-horizon days, not
     the stream's lifetime (dia_ts is functionally determined by day_num,
     so adding it to the subset changes eviction, not the dedup key).
-    Day numbers are pure integer epoch-day math on the raw nanos —
-    immune to the session timezone, same as the batch queries."""
+    Day numbers are pure integer epoch-day math via the schema-adaptive
+    accessor — immune to the session timezone, same as the batch queries."""
     base = events.select(
         "user_id",
-        F.expr("ts div 1000 div 86400000000").cast("bigint").alias("day_num"),
+        event_day_num(events).cast("bigint").alias("day_num"),
     ).withColumn(
         "dia_ts", F.timestamp_micros(F.col("day_num") * F.lit(86_400_000_000))
     )
@@ -233,7 +237,7 @@ def expanding_distinct_stream(events: DataFrame) -> DataFrame:
     acumulado_diario.py:318-326). Output mode 'update': each batch
     emits the refreshed cumulative count per month."""
     with_mes = events.select(
-        (F.expr("ts div 86400000000000") / 30).cast("bigint").alias("mes"),
+        (event_day_num(events) / 30).cast("bigint").alias("mes"),
         "user_id",
     )
     return with_mes.groupBy("mes").applyInPandasWithState(

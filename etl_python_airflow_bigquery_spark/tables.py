@@ -36,10 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (filters, column pruning, row-group skipping) for every query built
     on top.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    default; ``nanosAsLong`` loads it as a raw epoch-nanos BIGINT, which
-    the engine's integer-µs arithmetic consumes directly (functions.py).
-    Set unconditionally so behavior doesn't depend on the caller's session.
+    ``events.ts``'s PHYSICAL encoding has changed between testdata drops
+    (TIMESTAMP(NANOS) vs timestamp[us]); ``nanosAsLong`` is set so a
+    nanos drop loads as a raw BIGINT instead of erroring, while a µs drop
+    loads as TIMESTAMP_NTZ unaffected. Consumers never assume either:
+    they read the column through the schema-adaptive accessors
+    (functions.event_us_sql and friends).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,129 @@
+"""Dual-encoding regression tests for ``events.ts``.
+
+Round 2 broke on exactly this: the testdata's physical encoding of
+``events.ts`` flipped from TIMESTAMP(NANOS) (loaded as raw BIGINT under
+``nanosAsLong``) to plain ``timestamp[us]`` (loaded as TIMESTAMP_NTZ),
+and hardcoded ``ts div 1000`` arithmetic died at analysis time in 13
+driver queries. These tests pin the contract: the SAME query over the
+SAME logical data must return identical results whichever physical
+encoding the parquet uses — the schema-adaptive accessors
+(functions.event_us_sql / event_ts_us / event_day_num / event_hour /
+event_ts_filter) are the only sanctioned readers of ``ts``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_DAY,
+    event_day_num,
+    event_hour,
+    event_ts_filter,
+    event_ts_us,
+)
+from etl_python_airflow_bigquery_spark.operators.intervals import (
+    sessions_from_events,
+)
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def dual_dirs(tmp_path_factory, sf_dir):
+    """The same events rows written twice: once as timestamp[us], once as
+    TIMESTAMP(NANOS) int64 — the two encodings the testdata has shipped."""
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts = src.column("ts")
+    if pa.types.is_timestamp(ts.type):
+        us_col = ts.cast(pa.timestamp("us"))
+    else:  # int64 nanos drop
+        us_col = ts.cast(pa.int64()).cast(pa.timestamp("ns")).cast(pa.timestamp("us"))
+    ns_col = us_col.cast(pa.timestamp("ns")).cast(pa.int64())
+
+    base = tmp_path_factory.mktemp("dual_encoding")
+    out = {}
+    for tag, col, typ in (
+        ("us", us_col, pa.timestamp("us")),
+        ("ns", ns_col, pa.int64()),
+    ):
+        tbl = src.set_column(src.schema.get_field_index("ts"), pa.field("ts", typ), col)
+        d = base / tag
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out[tag] = str(d)
+    return out
+
+
+def _collect(df, *keys):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_accessors_identical_across_encodings(spark, dual_dirs):
+    frames = {t: load_table(spark, d, "events") for t, d in dual_dirs.items()}
+    # the two encodings genuinely load as different physical types
+    kinds = {t: f.schema["ts"].dataType.simpleString() for t, f in frames.items()}
+    assert kinds["ns"] == "bigint"
+    assert kinds["us"].startswith("timestamp")
+
+    results = {}
+    for tag, ev in frames.items():
+        results[tag] = _collect(
+            ev.select(
+                "event_id",
+                event_ts_us(ev).alias("t_us"),
+                event_day_num(ev).alias("day_num"),
+                event_hour(ev).alias("hora"),
+            )
+        )
+    assert results["ns"] == results["us"]
+
+
+def test_sessions_identical_across_encodings(spark, dual_dirs):
+    got = {}
+    for tag, d in dual_dirs.items():
+        ev = load_table(spark, d, "events")
+        got[tag] = _collect(
+            sessions_from_events(ev).select("event_id", "s_us", "e_us")
+        )
+    assert got["ns"] == got["us"]
+
+
+def test_range_filter_identical_and_pushed_down(spark, dual_dirs):
+    lo, hi = 19723 * US_PER_DAY, 19754 * US_PER_DAY
+    counts, plans = {}, {}
+    for tag, d in dual_dirs.items():
+        ev = load_table(spark, d, "events")
+        filtered = ev.where(event_ts_filter(ev, lo, hi))
+        counts[tag] = filtered.count()
+        plans[tag] = filtered._jdf.queryExecution().executedPlan().toString()
+    assert counts["ns"] == counts["us"]
+    # the predicate reaches the parquet scan in both encodings
+    for tag, plan in plans.items():
+        assert "PushedFilters: [" in plan, tag
+        assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan, (tag, plan)
+
+
+def test_streaming_source_adapts_encoding(spark, dual_dirs):
+    """read_events_stream must take the schema from the files themselves:
+    a µs drop yields timestamp, an ns drop yields long — both produce the
+    same ts_utc instants (this was round 2's silent-corruption bug)."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = {}
+    for tag, d in dual_dirs.items():
+        stream = read_events_stream(spark, d)
+        agg = (
+            stream.groupBy(F.unix_micros("ts_utc").alias("t_us"))
+            .count()
+        )
+        got[tag] = _collect(run_to_memory(agg, f"enc_{tag}"))
+    assert got["ns"] == got["us"]
+    assert len(got["us"]) > 0

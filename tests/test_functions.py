@@ -163,6 +163,25 @@ def test_propagate_min_labels_converges_or_raises(spark):
         propagate_min_labels(sym, max_rounds=2)
 
 
+def test_propagate_min_labels_deep_chain_converges(spark):
+    """A chain of 25 near-dups (diameter 24 > the 20-round cap) and a
+    200-node chain must still cluster correctly under the DEFAULT cap:
+    pointer jumping makes convergence O(log diameter), so the cap bounds
+    pathology, not honest deep components (VERDICT r2 #6)."""
+    from etl_python_airflow_bigquery_spark.queries.dedup import propagate_min_labels
+
+    for n in (25, 200):
+        edges = [(i, i + 1) for i in range(n - 1)]
+        sym = spark.createDataFrame(
+            edges + [(b, a) for a, b in edges], "src long, dst long"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in propagate_min_labels(sym).collect()
+        }
+        assert labels == {i: 0 for i in range(n)}, n
+
+
 def test_asof_null_value_cols_match_row_not_older_value(spark):
     """A matched right row whose value column is NULL must win over an
     older non-null row (DuckDB ASOF semantics): the carry tracks the

@@ -6,11 +6,21 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_HOUR,
+    event_day_num,
+    event_us_sql,
+)
 from etl_python_airflow_bigquery_spark.streaming.jobs import (
     events_dir_for,
     run_hourly_refresh,
 )
 from etl_python_airflow_bigquery_spark.tables import load_table
+
+
+def _epoch_hour(events):
+    """Absolute epoch-hour index, schema-adaptive like the engine."""
+    return F.expr(f"{event_us_sql(events)} div {US_PER_HOUR}")
 
 
 def test_hourly_refresh_matches_batch(spark, sf_dir, tmp_path):
@@ -22,7 +32,7 @@ def test_hourly_refresh_matches_batch(spark, sf_dir, tmp_path):
 
     events = load_table(spark, sf_dir, "events")
     batch = events.groupBy(
-        F.expr("ts div 3600000000000").alias("hora"), "event_type"
+        _epoch_hour(events).alias("hora"), "event_type"
     ).agg(F.count(F.lit(1)).alias("eventos"))
 
     assert landed.count() == batch.count()
@@ -67,7 +77,7 @@ def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
         "mb_hourly",
     )
     batch_hourly = events.groupBy(
-        F.expr("ts div 3600000000000").alias("hora"), "event_type"
+        _epoch_hour(events).alias("hora"), "event_type"
     ).agg(F.count(F.lit(1)).alias("eventos"))
     assert hourly.count() == batch_hourly.count()
     assert hourly.agg(F.sum("eventos")).first()[0] == events.count()
@@ -76,7 +86,7 @@ def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
         expanding_distinct_stream(stream.select("ts", "user_id")), "mb_acum"
     )
     batch_acum = events.select(
-        (F.expr("ts div 86400000000000") / 30).cast("bigint").alias("mes"), "user_id"
+        (event_day_num(events) / 30).cast("bigint").alias("mes"), "user_id"
     ).groupBy("mes").agg(F.countDistinct("user_id").alias("u"))
     got = {r["mes"]: r["usuarios_acumulados"] for r in acum.collect()}
     want = {r["mes"]: r["u"] for r in batch_acum.collect()}

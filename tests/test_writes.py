@@ -47,6 +47,64 @@ def test_refresh_window_replaces_only_incoming_partitions(spark, tmp_path):
     assert spark.read.parquet(path).count() == 9
 
 
+def _sample_periodo(spark, days, periodos):
+    rows = [
+        (d, p, u, float(d * 100 + u))
+        for d in days
+        for p in periodos
+        for u in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "dia int, periodo string, user_id int, minutos double"
+    )
+
+
+def test_refresh_window_secondary_predicate_preserves_siblings(spark, tmp_path):
+    """K3 with the reference's secondary delete predicate
+    (consumo_usuarios.py:265-272: DELETE ... WHERE fecha IN window AND
+    periodo='mensual'): two periodo slices share each date partition;
+    refreshing only 'mensual' must leave 'diario' rows of the SAME
+    partition intact — the whole-partition overwrite would clobber them."""
+    path = str(tmp_path / "t_pred")
+    write_partitioned(
+        _sample_periodo(spark, [1, 2, 3], ["diario", "mensual"]), path, ["dia"]
+    )
+    # refresh days 2-3, mensual slice only, with 1 row per day instead of 3
+    nuevo = _sample_periodo(spark, [2, 3], ["mensual"]).where(F.col("user_id") == 0)
+    refresh_window(
+        nuevo, path, ["dia"], refresh_predicate=F.col("periodo") == "mensual"
+    )
+    back = spark.read.parquet(path)
+    counts = {
+        (r["dia"], r["periodo"]): r["n"]
+        for r in back.groupBy("dia", "periodo").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        (1, "diario"): 3, (1, "mensual"): 3,     # untouched partition
+        (2, "diario"): 3, (2, "mensual"): 1,     # sibling survives, slice replaced
+        (3, "diario"): 3, (3, "mensual"): 1,
+    }
+    # idempotent re-run
+    refresh_window(
+        nuevo, path, ["dia"], refresh_predicate=F.col("periodo") == "mensual"
+    )
+    assert spark.read.parquet(path).count() == 14
+
+
+def test_refresh_window_secondary_predicate_rejects_violating_rows(spark, tmp_path):
+    """Incoming rows NOT satisfying the refresh predicate would duplicate
+    against the preserved slice — the operator must fail loudly."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t_pred_bad")
+    write_partitioned(_sample_periodo(spark, [1], ["diario", "mensual"]), path, ["dia"])
+    mixed = _sample_periodo(spark, [1], ["diario", "mensual"])
+    with _pytest.raises(AssertionError, match="violate refresh_predicate"):
+        refresh_window(
+            mixed, path, ["dia"], refresh_predicate=F.col("periodo") == "mensual"
+        )
+
+
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     path = str(tmp_path / "t3")
     write_partitioned(_sample(spark, [1]), path, ["dia"])
