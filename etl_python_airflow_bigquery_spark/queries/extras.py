@@ -394,6 +394,53 @@ def audiencia_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.8 tz-shift ACROSS the Chilean DST switch (reference risk §7.4.2)
+# --------------------------------------------------------------------------
+
+_DST_ORACLE = """
+WITH loc AS (
+    SELECT user_id,
+           timezone('America/Santiago',
+                    timezone('UTC', ts + INTERVAL 90 DAY)) AS ts_scl
+    FROM events
+)
+SELECT CAST(strftime(ts_scl, '%Y-%m-%d') AS VARCHAR) AS dia_local,
+       CAST(hour(ts_scl) AS INTEGER) AS hora_local,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM loc
+GROUP BY 1, 2
+"""
+
+
+@register("audiencia_dst", oracle=_DST_ORACLE, ops=("P7", "W2"))
+def audiencia_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audiencia_local`` ACROSS the Chilean DST fall-back: instants are
+    shifted +90 days (January events land on Mar 31 – Apr 29, spanning
+    the Apr 6/7 2024 switch where America/Santiago falls back 23:59→23:00)
+    and then bucketed in LOCAL time. The doubled local hour 23 on the
+    switch night must fold identically in both engines — the reference's
+    store-UTC/compute-local risk (indicadores_cia.py:123-124, SURVEY
+    §7.4.2) exercised at a real IANA transition, not just a fixed offset.
+    ``convert_timezone`` on NTZ values is session-tz-independent; the
+    shift is integer µs arithmetic through the schema-adaptive accessor."""
+    from etl_python_airflow_bigquery_spark.functions import US_PER_DAY, to_santiago
+
+    events = load_table(spark, sf_dir, "events")
+    loc = events.select(
+        "user_id",
+        to_santiago(event_ts_us(events) + F.lit(90 * US_PER_DAY)).alias("ts_scl"),
+    )
+    return loc.groupBy(
+        F.date_format("ts_scl", "yyyy-MM-dd").alias("dia_local"),
+        F.hour("ts_scl").cast("int").alias("hora_local"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew-proof distinct — salted two-level aggregation (exact)
 # --------------------------------------------------------------------------
 

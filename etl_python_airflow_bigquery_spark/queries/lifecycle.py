@@ -28,7 +28,10 @@ GROUP BY event_type
 """
 
 
-@register("json_props", oracle=_JSON_ORACLE, ops=("P2",))
+# driver=False: P2 stays driver-covered by scalar_census; this slot went
+# to audiencia_dst (the DST-crossing query VERDICT r2 #8 asked for) to
+# keep the driver surface at exactly 50. Still pytest-oracled.
+@register("json_props", oracle=_JSON_ORACLE, ops=("P2",), driver=False)
 def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from the JSON ``props`` column via from_json with
     an explicit schema (never schema_of_json over the data — that's an
