@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
-from etl_python_airflow_bigquery_spark.tables import load_table
+from etl_python_airflow_bigquery_spark.tables import load_table, rebalance
 
 # Word-3-gram shingles per doc, stored as distinct md5-prefix int64
 # hashes — the posting-list joins shuffle 8-byte ints, not strings
@@ -76,8 +76,18 @@ def _verify_jaccard(candidatos: DataFrame, sh: DataFrame) -> DataFrame:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash) postings; see _SHINGLES_SQL for
-    the hashing rationale."""
-    docs = load_table(spark, sf_dir, "documents")
+    the hashing rationale.
+
+    Two execution choices that matter at both ends of the scale axis:
+    ``rebalance`` spreads the CPU-bound md5 shingling across cores when
+    the scan is a single tiny split (no-op at production split counts),
+    and ``localCheckpoint`` materializes the postings ONCE — every
+    consumer (rarity ranking, prefix join, verification arrays, MinHash
+    signatures) branches from this frame, and without the checkpoint
+    Spark recomputes the explode+hash per branch. At cluster scale the
+    same role is played by persisting the postings (executor
+    memory+disk); the blocks are freed when the frame is GC'd."""
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 3)
@@ -93,6 +103,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -329,7 +340,7 @@ SELECT doc_id, simhash FROM firmas
 
 
 def _simhash_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
     wh = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("palabra")
     ).select("doc_id", hex_hash(F.col("palabra")).alias("h"))

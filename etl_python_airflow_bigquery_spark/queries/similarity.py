@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.queries import register
-from etl_python_airflow_bigquery_spark.tables import load_table
+from etl_python_airflow_bigquery_spark.tables import load_table, rebalance
 
 DIM = 64
 SCALE = int(1e12)
@@ -59,8 +59,16 @@ norms AS (
 """
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan spread across cores (tables.rebalance): the
+    per-dimension integer math below is CPU-bound and a small parquet
+    file would otherwise pin it to 1-3 tasks; at production split
+    counts the rebalance is a no-op."""
+    return rebalance(load_table(spark, sf_dir, "embeddings"))
+
+
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return emb.select(
         "vec_id", scaled_dot(F.col("embedding"), F.col("embedding")).alias("nn")
     )
@@ -108,7 +116,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query top-k is a partitioned window over query_id — at
     1000 executors each query's candidates rank locally after one
     shuffle on query_id. The LSH variant below removes even that."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     norms = _norms(spark, sf_dir)
     consultas = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -170,7 +178,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     form only inside a coarse cell (here the ``label`` column plays the
     IVF centroid assignment), turning O(n²) into Σ O(cell²) — an equi
     hash join on label. Pairs at cosine ≥ 0.3 survive."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     norms = _norms(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
@@ -204,6 +212,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PLANES = 8
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2001
+
+
+def _plane_w(p: int, d: int) -> int:
+    """Deterministic hyperplane weight (p = global plane index, d = 1-based
+    dimension) — the same LCG draw the DuckDB oracle embeds."""
+    return (_LCG_A * (p * DIM + d) + _LCG_C) % _LCG_M - 1000
+
+
+def _bucket_expr(planes: list[int]) -> Column:
+    """Sign-bucket of a vector under the given global plane indices as a
+    SINGLE map-side expression: each plane's projection is
+    aggregate(zip_with(embedding, <64 literal weights>, ·)) and the sign
+    bits pack into a BIGINT. The plane weights are deterministic LCG
+    draws, so they embed as array LITERALS — no plane dim table, no
+    posexplode, no join, no aggregation shuffle. At 100 TB this turns
+    signature computation into one codegen'd pass over the vector scan
+    (the previous explode+broadcast-join+two-groupBys shuffled 64+P rows
+    per vector twice); bit i of the bucket corresponds to planes[i]."""
+    parts = []
+    for bit, p in enumerate(planes):
+        ws = ",".join(str(_plane_w(p, d)) for d in range(1, DIM + 1))
+        proj = (
+            f"aggregate(zip_with(embedding, array({ws}), "
+            f"(x, wi) -> wi * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, el) -> acc + el)"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << bit} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(parts))
 
 
 def _plane_weight_sql(p: str, d: str) -> str:
@@ -269,43 +306,14 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤2000 vectors) the adaptive count equals the fixed 8 the DuckDB
     oracle encodes, so parity is unaffected; the probe corpus (20k+)
     picks up the larger bucket space."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     n_vec = emb.count()
     n_planes = max(N_PLANES, (max(n_vec, 1) // 8).bit_length())
 
-    planos = (
-        spark.range(n_planes)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d")))
-        .withColumn(
-            "w",
-            (
-                F.lit(_LCG_A).cast("long")
-                * (F.col("p").cast("long") * DIM + F.col("d"))
-                + F.lit(_LCG_C)
-            )
-            % F.lit(_LCG_M)
-            - F.lit(1000),
-        )
-    )
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "ev_raw")
-    ).select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.floor(F.col("ev_raw").cast("double") * 1e6).cast("long").alias("ev"),
-    )
-    proy = (
-        elems.join(F.broadcast(planos), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("w") * F.col("ev")).alias("proj"))
-    )
-    baldes = proy.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("balde")
+    # Map-only signatures: plane weights embed as literal arrays
+    # (_bucket_expr) — zero shuffles before the bucket join.
+    baldes = emb.select(
+        "vec_id", _bucket_expr(list(range(n_planes))).alias("balde")
     )
     a = baldes.select(F.col("vec_id").alias("vec_a"), "balde")
     b = baldes.select(F.col("vec_id").alias("vec_b"), F.col("balde").alias("balde_b"))
@@ -415,47 +423,28 @@ def similarity_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification cost is per-distinct-pair, not per-collision. Plane
     count per table adapts like single-table LSH (= P at oracle SFs, so
     DuckDB parity holds)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     n_vec = emb.count()
     per_table = max(N_PLANES, (max(n_vec, 1) // 8).bit_length())
 
-    planos = (
-        spark.range(L_TABLES * per_table)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d")))
-        .select(
-            (F.col("p") / per_table).cast("int").alias("tabla"),
-            (F.col("p") % per_table).alias("bit"),
-            "d",
-            (
-                (
-                    F.lit(_LCG_A).cast("long")
-                    * (F.col("p").cast("long") * DIM + F.col("d"))
-                    + F.lit(_LCG_C)
-                )
-                % F.lit(_LCG_M)
-                - F.lit(1000)
-            ).alias("w"),
-        )
-    )
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "ev_raw")
-    ).select(
+    # All L tables' signatures in ONE map-only projection (plane weights
+    # as literal arrays, _bucket_expr), then stack() into (tabla, balde)
+    # rows — no plane dim, no explode, no pre-join shuffles.
+    sigs = emb.select(
         "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.floor(F.col("ev_raw").cast("double") * 1e6).cast("long").alias("ev"),
+        *[
+            _bucket_expr(list(range(t * per_table, (t + 1) * per_table))).alias(
+                f"__b{t}"
+            )
+            for t in range(L_TABLES)
+        ],
     )
-    proy = (
-        elems.join(F.broadcast(planos), "d")
-        .groupBy("vec_id", "tabla", "bit")
-        .agg(F.sum(F.col("w") * F.col("ev")).alias("proj"))
-    )
-    baldes = proy.groupBy("vec_id", "tabla").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("balde")
+    stack_args: list = []
+    for t in range(L_TABLES):
+        stack_args.append(F.lit(t))
+        stack_args.append(F.col(f"__b{t}"))
+    baldes = sigs.select(
+        "vec_id", F.stack(F.lit(L_TABLES), *stack_args).alias("tabla", "balde")
     )
     a = baldes.select(F.col("vec_id").alias("vec_a"), "tabla", "balde")
     b = baldes.select(F.col("vec_id").alias("vec_b"), "tabla", "balde")
@@ -554,7 +543,7 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q_rows = (
         emb.where(F.col("vec_id") % 50 == 0)
         .select("vec_id", "embedding")
@@ -665,7 +654,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd's iteration is the same assign step repeated with recomputed
     means — the shuffle shape (broadcast seeds, map-side argmin, equi
     join on cell) is already the production one."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     enteros = emb.select(
         "vec_id",
         F.expr(
@@ -770,7 +759,7 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids bit-identical across engines and shuffle orders. Output
     samples two centroid coordinates plus the summed per-dim energy —
     enough to pin every per-dimension sum without 64 output columns."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     elems = emb.select(
         "label", F.posexplode("embedding").alias("d0", "x")
     ).select(
@@ -907,7 +896,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the driver per round (the centroid table — exactly what a
     1000-executor cluster would broadcast); all per-vector work stays
     distributed. Oracle: the same rounds unrolled as DuckDB CTEs."""
-    enteros = _int_vectors(load_table(spark, sf_dir, "embeddings"))
+    enteros = _int_vectors(_emb(spark, sf_dir))
     cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
     return _assign_cells(enteros, _centroid_values_df(spark, cent))
 
@@ -1018,7 +1007,7 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tradeoff every IVF deployment tunes — while queries×centroids stays
     a broadcast-sized map-side argmin. Oracle: the same deterministic
     rounds + probe unrolled in DuckDB."""
-    enteros = _int_vectors(load_table(spark, sf_dir, "embeddings"))
+    enteros = _int_vectors(_emb(spark, sf_dir))
     cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
     cent_df = _centroid_values_df(spark, cent)
     asig = _assign_cells(enteros, cent_df)

@@ -47,6 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Spread a SMALL scan across the executor cores before CPU-bound
+    derivation (md5 shingling, per-dimension vector math): a few-MB
+    parquet file arrives as 1-3 input splits, which would serialize all
+    downstream per-row compute on a 32-core executor. Gated on the actual
+    scan partition count, so at production scale — where the input
+    already has ≥ defaultParallelism splits — this adds NO shuffle; the
+    round-robin exchange only fires for inputs small enough that its
+    cost is microscopic against the compute it parallelizes."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
