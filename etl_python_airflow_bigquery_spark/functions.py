@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import DateType, LongType, TimestampNTZType, TimestampType
 
 US_PER_SEC = 1_000_000
 US_PER_MIN = 60 * US_PER_SEC
@@ -100,9 +100,13 @@ def event_us_sql(df: DataFrame, col: str = "ts") -> str:
         )
     if isinstance(dt, TimestampType):
         return f"(unix_micros({col}))"
+    if isinstance(dt, DateType):
+        return (
+            f"(CAST(datediff({col}, DATE '1970-01-01') AS BIGINT) * {US_PER_DAY})"
+        )
     raise TypeError(
         f"event-time column {col!r} has unsupported type {dt.simpleString()}; "
-        "expected BIGINT (raw nanos), TIMESTAMP_NTZ, or TIMESTAMP"
+        "expected BIGINT (raw nanos), TIMESTAMP_NTZ, TIMESTAMP, or DATE"
     )
 
 
@@ -123,6 +127,27 @@ def event_hour(df: DataFrame, col: str = "ts") -> Column:
     schema-adaptive (matches ``(epoch_us(ts) % 86400000000) // 3600000000``)."""
     us = event_us_sql(df, col)
     return F.expr(f"({us} % {US_PER_DAY}) div {US_PER_HOUR}")
+
+
+def ts_lit_for(df: DataFrame, col: str, iso: str) -> Column:
+    """A time literal typed to MATCH the column's physical encoding, so a
+    direct ``col <op> ts_lit_for(...)`` comparison stays a plain pushable
+    DataFilter whatever the testdata drop shipped: TIMESTAMP_NTZ literal
+    for NTZ columns, instant for LTZ, DATE for date32, epoch-nanos BIGINT
+    for raw-nanos longs. ``iso`` is 'YYYY-MM-DD HH:MM:SS' wall clock."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return ntz_lit(iso)
+    if isinstance(dt, TimestampType):
+        return F.to_timestamp(F.lit(iso))
+    if isinstance(dt, DateType):
+        return F.to_date(F.lit(iso.split(" ")[0]))
+    if isinstance(dt, LongType):
+        import datetime as _dt
+
+        t = _dt.datetime.fromisoformat(iso).replace(tzinfo=_dt.timezone.utc)
+        return F.lit(int(t.timestamp()) * 1_000_000_000)
+    raise TypeError(f"unsupported time type {dt.simpleString()} for {col!r}")
 
 
 def event_ts_filter(df: DataFrame, lo_us: int, hi_us: int, col: str = "ts") -> Column:

@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import habil_expr
 from etl_python_airflow_bigquery_spark.functions import (
-    ntz_lit,
     safe_div,
     trunc1,
+    ts_lit_for,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import (
     explode_to_hour_grid,
@@ -163,9 +163,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
     return (
-        # NTZ-literal comparison (not micros() arithmetic) so the filter
-        # pushes to the parquet scan; wall-clock ⇒ tz-proof either way.
-        li.where(F.col("l_shipdate") <= ntz_lit("1998-09-02 00:00:00"))
+        # Encoding-typed literal comparison (not micros() arithmetic) so
+        # the filter pushes to the parquet scan whatever physical type
+        # the drop shipped; wall-clock ⇒ tz-proof either way.
+        li.where(F.col("l_shipdate") <= ts_lit_for(li, "l_shipdate", "1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),

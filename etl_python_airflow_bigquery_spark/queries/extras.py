@@ -18,7 +18,6 @@ from etl_python_airflow_bigquery_spark.functions import (
     event_day_num,
     event_hour,
     event_ts_us,
-    micros,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
 from etl_python_airflow_bigquery_spark.queries import register
@@ -507,7 +506,7 @@ def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_df = (
         orders.select(
             F.col("o_custkey").alias("user_id"),
-            micros("o_orderdate").alias("o_us"),
+            event_ts_us(orders, "o_orderdate").alias("o_us"),
             "o_orderkey",
             "o_totalprice",
         )

@@ -108,6 +108,47 @@ def test_range_filter_identical_and_pushed_down(spark, dual_dirs):
         assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan, (tag, plan)
 
 
+def test_date_columns_adapt_to_date32(spark, tmp_path, sf_dir):
+    """The same robustness contract for DATE-bearing columns: if a drop
+    ships o_orderdate/l_shipdate as date32 instead of timestamp[us], the
+    accessors (event_ts_us with DateType, ts_lit_for) must yield the
+    midnight-equivalent epoch-µs and keep filters pushable."""
+    import duckdb
+
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    idx = src.schema.get_field_index("o_orderdate")
+    as_date = src.column("o_orderdate").cast(pa.date32())
+    tbl = src.set_column(idx, pa.field("o_orderdate", pa.date32()), as_date)
+    d = tmp_path / "orders_date32"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "orders.parquet"))
+
+    orig = load_table(spark, sf_dir, "orders")
+    dated = load_table(spark, str(d), "orders")
+    assert dated.schema["o_orderdate"].dataType.simpleString() == "date"
+
+    a = _collect(orig.select("o_orderkey", event_ts_us(orig, "o_orderdate").alias("us")))
+    b = _collect(dated.select("o_orderkey", event_ts_us(dated, "o_orderdate").alias("us")))
+    # timestamp[us] drop stores midnights, so µs must match exactly
+    assert a == b
+
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    cutoff = "1995-06-15 00:00:00"
+    na = orig.where(F.col("o_orderdate") <= ts_lit_for(orig, "o_orderdate", cutoff)).count()
+    nb = dated.where(F.col("o_orderdate") <= ts_lit_for(dated, "o_orderdate", cutoff)).count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"WHERE o_orderdate <= TIMESTAMP '{cutoff}'"
+    ).fetchone()[0]
+    assert na == nb == want
+    plan = (
+        dated.where(F.col("o_orderdate") <= ts_lit_for(dated, "o_orderdate", cutoff))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(o_orderdate" in plan
+
+
 def test_streaming_source_adapts_encoding(spark, dual_dirs):
     """read_events_stream must take the schema from the files themselves:
     a µs drop yields timestamp, an ns drop yields long — both produce the

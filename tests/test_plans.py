@@ -91,6 +91,41 @@ def test_lsh_candidates_via_keyed_join(spark, sf_dir, name, bucket_key):
     assert keyed, f"no keyed candidate join on {bucket_key!r} found"
 
 
+def test_lsh_signatures_map_only(spark, sf_dir):
+    """Bucket signatures must compute in ONE pass over the vector scan
+    (plane weights are literal arrays inside aggregate/zip_with): no
+    Exchange, no Generate (posexplode), and no join may appear between
+    the embeddings FileScan and the bucket value — the 64× exploded
+    pre-join shape this replaced would shuffle every vector twice
+    before candidates even form."""
+    plan = plan_of(spark, sf_dir, "similarity_lsh")
+    assert "Generate" not in plan  # no posexplode anywhere in the query
+    # the signature (zip_with aggregate over literal weights) is inlined
+    # into expressions directly over the vector scan — no HashAggregate
+    # computes projections, and the only non-broadcast, non-rebalance
+    # exchange in the whole query would be AQE artifacts: candidate
+    # generation itself is a broadcast hash join on the bucket value.
+    assert "zip_with" in plan
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert not shuffles, f"unexpected hash shuffles: {shuffles}"
+
+
+def test_shingle_postings_materialized_once(spark, sf_dir):
+    """The shingle postings feed four DAG branches (rarity rank, prefix
+    join, verify arrays, sizes); the plan must read them from the
+    localCheckpoint scan, not recompute the explode+md5 per branch."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    # the explode+hash projection appears zero times in the EXECUTED plan
+    # (it ran once inside the checkpoint); consumers read `Scan
+    # ExistingRDD` instead
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0 or "documents" not in plan
+
+
 def test_validity_window_coarse_filter_pushes(spark, sf_dir):
     # the global-envelope ts prefilter must reach the events scan as a
     # plain int comparison (pushable), even though the exact per-brand
