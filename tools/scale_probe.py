@@ -22,15 +22,24 @@ def replicate(spark, src_dir: str, out_dir: str, k: int) -> None:
     shift (keeps per-day densities realistic). documents/embeddings: K
     copies with shifted ids (distinct texts stay distinct). Dim tables
     copy as-is."""
+    from pyspark.sql.types import LongType
+
     from etl_python_airflow_bigquery_spark.tables import TABLES, load_table
 
     for t in TABLES:
         df = load_table(spark, src_dir, t)
         if t == "events":
+            # shift copy i by +i days, respecting the drop's physical
+            # encoding (raw-nanos BIGINT vs timestamp) — the engine-wide
+            # rule that ts's type is never assumed applies here too
+            if isinstance(df.schema["ts"].dataType, LongType):
+                shifted = lambda i: F.col("ts") + F.lit(i * 86_400_000_000_000)  # noqa: E731
+            else:
+                shifted = lambda i: F.timestamp_add("DAY", F.lit(i), F.col("ts"))  # noqa: E731
             parts = [
                 df.select(
                     (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
-                    (F.col("ts") + F.lit(i * 86_400_000_000_000)).alias("ts"),
+                    shifted(i).alias("ts"),
                     (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
                     "event_type",
                     "value",
