@@ -237,3 +237,91 @@ def novedad_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_novedad"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — greedy token-budget binning (sample packing)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed sequence
+_PACK_SHARDS = 8
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           doc_id % {_PACK_SHARDS} AS shard,
+           len(string_split(text, ' ')) AS tokens,
+           row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                              ORDER BY doc_id) AS rn
+    FROM documents
+),
+pack(shard, rn, doc_id, tokens, secuencia, filled) AS (
+    SELECT shard, rn, doc_id, tokens, 0, tokens FROM toks WHERE rn = 1
+    UNION ALL
+    SELECT t.shard, t.rn, t.doc_id, t.tokens,
+           CASE WHEN p.filled + t.tokens <= {_PACK_BUDGET}
+                THEN p.secuencia ELSE p.secuencia + 1 END,
+           CASE WHEN p.filled + t.tokens <= {_PACK_BUDGET}
+                THEN p.filled + t.tokens ELSE t.tokens END
+    FROM toks t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(secuencia AS BIGINT) AS secuencia,
+       CAST(tokens AS BIGINT) AS tokens
+FROM pack
+"""
+
+
+def _pack_fn(key, pdf):
+    """Greedy first-fit-in-order packing of one shard: docs in doc_id
+    order accumulate into the current sequence until the budget would
+    overflow, then a new sequence starts (an oversized doc sits alone in
+    its own sequence). Intrinsically sequential per shard — the
+    archetypal applyInPandas case."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    seqs, filled, seq = [], 0, 0
+    first = True
+    for t in pdf["tokens"]:
+        if not first and filled + t > _PACK_BUDGET:
+            seq += 1
+            filled = t
+        else:
+            filled += t
+            first = False
+        seqs.append(seq)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "shard": pdf["shard"].to_numpy(),
+            "secuencia": seqs,
+            "tokens": pdf["tokens"].to_numpy(),
+        }
+    )
+
+
+@register("empaquetado_secuencias", oracle=_PACK_ORACLE, ops=("TX1", "U2"),
+          driver=False)
+def empaquetado_secuencias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE PACKING for LLM training: documents (in ingestion order)
+    greedily pack into fixed token-budget sequences per shard — the step
+    that turns a curated corpus into dense training batches. The
+    within-shard scan is intrinsically sequential (each doc's sequence
+    id depends on the running fill), so this is strategy (b) of the
+    custom-operator ladder: ``groupBy(shard).applyInPandas`` with one
+    Arrow batch per shard. At 100 TB the shard count scales with the
+    corpus (shards are independent; 10k shards → 10k parallel packers,
+    state per task = one integer), and only (doc_id, tokens) ints flow
+    into the shuffle — never the text. Oracle: DuckDB recursive CTE
+    unrolls the same greedy recurrence exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    return toks.groupBy("shard").applyInPandas(
+        _pack_fn, schema="doc_id long, shard long, secuencia long, tokens long"
+    )

@@ -465,3 +465,88 @@ def corpus_curado(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_total"),
         F.sum(F.ceil(F.col("n_chars") / 4.0)).cast("bigint").alias("tokens_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — email/IP/long-digit scrubbing (training-data hygiene)
+# --------------------------------------------------------------------------
+
+# Conservative patterns that mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): no lookarounds, no \b-adjacent unicode subtleties.
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_RE_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_RE_LONGNUM = "[0-9]{8,}"
+
+# The synthetic corpus has no real PII, so each doc gains a deterministic
+# contact line derived from doc_id — IDENTICALLY in both engines — and
+# the scrubber must find and redact exactly those plants. (Only the cast
+# keyword differs: Spark spells it STRING, DuckDB VARCHAR.)
+def _pii_text_sql(str_type: str) -> str:
+    return (
+        f"text || ' contacto user' || CAST(doc_id AS {str_type}) || "
+        f"'@example.com ip 10.0.' || CAST(doc_id % 256 AS {str_type}) || "
+        "'.7 tarjeta 4111222233334444'"
+    )
+
+
+_PII_TEXT_SQL = _pii_text_sql("VARCHAR")
+
+_PII_ORACLE = f"""
+WITH con_pii AS (
+    SELECT doc_id, {_PII_TEXT_SQL} AS texto FROM documents
+),
+limpio AS (
+    SELECT doc_id,
+           len(regexp_extract_all(texto, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(texto, '{_RE_IPV4}')) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(texto, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_IPV4}', '<IP>', 'g'),
+               '{_RE_LONGNUM}', '<NUM>', 'g') AS texto_limpio
+    FROM con_pii
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       md5(texto_limpio) AS huella_limpia
+FROM limpio
+"""
+
+
+@register("pii_scrub", oracle=_PII_ORACLE, ops=("TX2", "P8"), driver=False)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4 addresses, and
+    8+-digit numbers (card/account shapes) replaced with typed
+    placeholders, counts per class emitted for the curation audit trail.
+    All three passes are regexp_replace inside whole-stage codegen —
+    map-only, linear, no UDFs; the md5 of the redacted text pins EXACT
+    redaction equality against DuckDB (same spans, same order). Patterns
+    deliberately avoid constructs where Java regex and RE2 diverge
+    (lookaround, backrefs). The deterministic PII plant exists because
+    the synthetic corpus carries none — at production the plant drops
+    out and the scrubber runs over raw text unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    texto = F.expr(_pii_text_sql("STRING"))
+    con = docs.select("doc_id", texto.alias("texto"))
+    limpio = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("texto"), _RE_EMAIL, "<EMAIL>"),
+            _RE_IPV4, "<IP>",
+        ),
+        _RE_LONGNUM, "<NUM>",
+    )
+    # patterns go through the PYTHON API (F.lit), never an F.expr SQL
+    # string — Spark SQL literals consume backslash escapes, which would
+    # silently turn '\.' into the any-char dot (caught by the oracle:
+    # the card number matched as an "IP")
+    return con.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("texto", F.lit(_RE_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("texto", F.lit(_RE_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(limpio).alias("huella_limpia"),
+    )
