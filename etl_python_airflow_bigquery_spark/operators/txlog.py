@@ -1,0 +1,187 @@
+"""Manifest-based transactional table — the Delta-core protocol on plain
+parquet (ROADMAP #3: "transactional MERGE if a Delta-equivalent becomes
+available"; none is installable here, so the engine carries the minimal
+correct protocol itself).
+
+The reference mutates BigQuery tables, which gives it snapshot-isolated
+readers and atomic MERGE for free (funnel_live.py:153-174,
+consumo_detalle.py:317-340). Plain parquet directories have neither:
+`merge_upsert`'s directory rename-swap is atomic on POSIX but (a) leaves a
+window where a table LISTING races the swap on object stores that fake
+renames with copy+delete, and (b) supports no time travel. The txlog fixes
+both with the trick every modern table format uses:
+
+* data files are IMMUTABLE, uuid-named, only ever ADDED under ``data/``;
+* a table STATE is a manifest (``_txlog/v{N}.json``) listing exactly the
+  data files of that version — never a directory listing;
+* a commit writes its data files first, then claims version N+1 by
+  atomically LINKING a fully-written temp manifest to ``v{N+1}.json``
+  (`os.link` fails with EEXIST if a concurrent writer won — optimistic
+  concurrency, loser raises, nothing is corrupted);
+* readers resolve max(N) once and read only that manifest's files — a
+  reader mid-scan keeps its snapshot regardless of later commits, and a
+  crashed writer leaves only invisible orphan files.
+
+At 100 TB the manifest is the only metadata hot spot (KBs per commit);
+data moves are zero — exactly why this layout is object-store-safe where
+rename-swaps are not. Orphan cleanup (`vacuum`) uses the manifests as the
+root set, mirroring Delta's VACUUM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the version first; retry on fresh state."""
+
+
+class TxTable:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def version(self) -> int:
+        """Latest committed version; -1 for an empty table."""
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _manifest(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: the file set comes from ONE manifest (pinned if
+        ``version`` is given — time travel), never a directory listing,
+        so concurrent commits and orphan files are invisible."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(v)
+        if not m["files"]:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in m["files"]]
+        )
+
+    # -- write ------------------------------------------------------------
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Materialize df as immutable uuid-named parquet files in data/.
+        Files become VISIBLE only when a manifest referencing them lands."""
+        tmp = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
+        df.write.parquet(tmp)
+        out = []
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(tmp, f), os.path.join(self.data_dir, name))
+                out.append(name)
+        shutil.rmtree(tmp)
+        return out
+
+    def _claim(self, manifest: dict, expected_parent: int) -> int:
+        """Atomically claim version expected_parent+1: write the full
+        manifest to a temp name, then hard-link it to the version file —
+        link fails with EEXIST if a concurrent writer got there first
+        (their data files and ours are disjoint, so losing is clean)."""
+        v = expected_parent + 1
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump({**manifest, "version": v, "parent": expected_parent}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.log_dir, f"v{v}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"version {v} of {self.path!r} was committed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def _commit(self, files: list[str], op: str, df: DataFrame) -> int:
+        return self._claim(
+            {"files": files, "op": op, "schema": df.schema.json()},
+            self.version(),
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """K2 with snapshot isolation: old files stay on disk (prior
+        versions remain readable) — only the manifest flips."""
+        return self._commit(self._write_files(df), "overwrite", df)
+
+    def append(self, df: DataFrame) -> int:
+        """K1: new files added to the parent version's set."""
+        parent = self.version()
+        base = self._manifest(parent)["files"] if parent >= 0 else []
+        new = self._write_files(df)
+        return self._claim(
+            {"files": base + new, "op": "append", "schema": df.schema.json()},
+            parent,
+        )
+
+    def merge(self, spark: SparkSession, staging: DataFrame, key_cols: list[str]) -> int:
+        """K4 MERGE with real snapshot isolation: reconcile against the
+        snapshot read at start; if another commit lands in between, the
+        version claim CONFLICTS instead of silently losing their rows —
+        the lost-update window `merge_upsert`'s lockfile only guards
+        becomes impossible by construction."""
+        parent = self.version()
+        if parent >= 0:
+            target = self.read(spark, parent)
+            kept = target.join(
+                staging.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = kept.unionByName(staging)
+        else:
+            merged = staging
+        files = self._write_files(merged)
+        return self._claim(
+            {"files": files, "op": "merge", "schema": merged.schema.json()},
+            parent,
+        )
+
+    # -- maintenance ------------------------------------------------------
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Drop manifests older than the last ``keep_versions`` and every
+        data file no surviving manifest references (crashed-writer
+        orphans included). Returns the number of files removed."""
+        vs = self._versions()
+        keep = vs[-keep_versions:] if keep_versions > 0 else vs
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest(v)["files"])
+        removed = 0
+        for v in vs:
+            if v not in keep:
+                os.unlink(os.path.join(self.log_dir, f"v{v}.json"))
+        for f in os.listdir(self.data_dir):
+            if f.endswith(".parquet") and f not in live:
+                os.unlink(os.path.join(self.data_dir, f))
+                removed += 1
+        return removed
