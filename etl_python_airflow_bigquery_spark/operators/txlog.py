@@ -35,7 +35,9 @@ import os
 import shutil
 import uuid
 
+import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -44,8 +46,16 @@ class CommitConflict(RuntimeError):
 
 
 class TxTable:
-    def __init__(self, path: str) -> None:
+    """``stats_cols`` opts into Delta-style PER-FILE min/max stats in the
+    manifest (read once from each new file's parquet footer at commit
+    time — no extra scan): `read_where` then prunes whole files the
+    predicate cannot touch, and `replace_where` rewrites ONLY files
+    whose stats overlap the replaced range — the transactional K3 whose
+    cost is bounded by the touched window, not the table."""
+
+    def __init__(self, path: str, stats_cols: list[str] | None = None) -> None:
         self.path = path
+        self.stats_cols = stats_cols or []
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -72,6 +82,18 @@ class TxTable:
             return json.load(fh)
 
     # -- read -------------------------------------------------------------
+    @staticmethod
+    def _names(entries: list) -> list[str]:
+        return [e["name"] if isinstance(e, dict) else e for e in entries]
+
+    def _read_entries(self, spark: SparkSession, entries: list, schema_json: str) -> DataFrame:
+        if not entries:
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, n) for n in self._names(entries)]
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: the file set comes from ONE manifest (pinned if
         ``version`` is given — time travel), never a directory listing,
@@ -80,26 +102,70 @@ class TxTable:
         if v < 0:
             raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
         m = self._manifest(v)
-        if not m["files"]:
-            schema = StructType.fromJson(json.loads(m["schema"]))
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in m["files"]]
-        )
+        return self._read_entries(spark, m["files"], m["schema"])
+
+    @staticmethod
+    def _overlaps(entry, col: str, lo, hi) -> bool:
+        """True unless the file's recorded stats PROVE [lo, hi] misses it
+        (no stats ⇒ must read — skipping is only ever an optimization)."""
+        stats = entry.get("stats", {}) if isinstance(entry, dict) else {}
+        if col not in stats or stats[col] is None:
+            return True
+        mn, mx = stats[col]
+        return not (mx < lo or mn > hi)
+
+    def read_where(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Stats-pruned snapshot read of ``lo <= col <= hi``: whole files
+        whose min/max cannot intersect the range never reach the scan —
+        manifest-level file skipping on top of parquet's own row-group
+        skipping. Exact: the residual filter still applies per row."""
+        m = self._manifest(self.version())
+        hits = [e for e in m["files"] if self._overlaps(e, col, lo, hi)]
+        df = self._read_entries(spark, hits, m["schema"])
+        return df.where(F.col(col).between(lo, hi))
 
     # -- write ------------------------------------------------------------
-    def _write_files(self, df: DataFrame) -> list[str]:
-        """Materialize df as immutable uuid-named parquet files in data/.
-        Files become VISIBLE only when a manifest referencing them lands."""
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Materialize df as immutable uuid-named parquet files in data/,
+        harvesting per-file min/max for ``stats_cols`` from the footers
+        just written (row-group stats roll up; no data re-read). Files
+        become VISIBLE only when a manifest referencing them lands."""
         tmp = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
         df.write.parquet(tmp)
         out = []
         for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                name = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(tmp, f), os.path.join(self.data_dir, name))
-                out.append(name)
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(tmp, f)
+            stats = self._footer_stats(src) if self.stats_cols else {}
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(src, os.path.join(self.data_dir, name))
+            out.append({"name": name, "stats": stats})
         shutil.rmtree(tmp)
+        return out
+
+    def _footer_stats(self, path: str) -> dict:
+        md = _pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out = {}
+        for col in self.stats_cols:
+            if col not in idx:
+                out[col] = None
+                continue
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    break
+                mns.append(st.min)
+                mxs.append(st.max)
+            else:
+                if mns:
+                    mn, mx = min(mns), max(mxs)
+                    json_ok = lambda v: v if isinstance(v, (int, float, str, bool)) else str(v)  # noqa: E731
+                    out[col] = [json_ok(mn), json_ok(mx)]
+                    continue
+            out[col] = None
         return out
 
     def _claim(self, manifest: dict, expected_parent: int) -> int:
@@ -166,6 +232,42 @@ class TxTable:
             parent,
         )
 
+    def replace_where(
+        self, spark: SparkSession, df: DataFrame, col: str, lo, hi
+    ) -> int:
+        """Transactional K3 (Delta ``replaceWhere``): atomically delete
+        ``lo <= col <= hi`` and insert ``df`` — as ONE manifest flip.
+        Only files whose stats OVERLAP the window are rewritten (their
+        out-of-window survivors re-land in fresh files); every other
+        file carries into the new version untouched, so the commit's
+        write cost is bounded by the touched window, not the table.
+        Incoming rows outside the window would silently survive the next
+        refresh of a disjoint window, so they are rejected loudly —
+        same contract as writes.refresh_window's refresh_predicate."""
+        n_bad = df.where(~F.col(col).between(lo, hi)).count()
+        assert n_bad == 0, (
+            f"replace_where: {n_bad} incoming rows fall outside "
+            f"[{lo}, {hi}] on {col!r}"
+        )
+        parent = self.version()
+        entries = self._manifest(parent)["files"] if parent >= 0 else []
+        touched = [e for e in entries if self._overlaps(e, col, lo, hi)]
+        untouched = [e for e in entries if not self._overlaps(e, col, lo, hi)]
+        new = self._write_files(df)
+        if touched:
+            survivors = self._read_entries(
+                spark, touched, df.schema.json()
+            ).where(~F.col(col).between(lo, hi))
+            new += self._write_files(survivors)
+        return self._claim(
+            {
+                "files": untouched + new,
+                "op": "replace_where",
+                "schema": df.schema.json(),
+            },
+            parent,
+        )
+
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_versions: int = 1) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
@@ -175,7 +277,7 @@ class TxTable:
         keep = vs[-keep_versions:] if keep_versions > 0 else vs
         live: set[str] = set()
         for v in keep:
-            live.update(self._manifest(v)["files"])
+            live.update(self._names(self._manifest(v)["files"]))
         removed = 0
         for v in vs:
             if v not in keep:

@@ -81,6 +81,52 @@ def test_vacuum_preserves_kept_versions(spark, tmp_path):
     assert t.version() == 2
 
 
+def test_file_stats_recorded_and_pruned(spark, tmp_path):
+    """stats_cols records per-file min/max from the footers; read_where
+    prunes whole files the range cannot touch while staying exact."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"])
+    # three appends with disjoint key ranges → ≥3 files with known stats
+    t.overwrite(_df(spark, 0, 100).coalesce(1))
+    t.append(_df(spark, 100, 200).coalesce(1))
+    t.append(_df(spark, 200, 300).coalesce(1))
+    m = t._manifest(t.version())
+    assert all(e["stats"]["k"] is not None for e in m["files"])
+    hits = [e for e in m["files"] if t._overlaps(e, "k", 120, 180)]
+    assert len(hits) == 1  # only the middle file overlaps
+    got = t.read_where(spark, "k", 120, 180)
+    assert got.count() == 61
+    assert {r["k"] for r in got.collect()} == set(range(120, 181))
+
+
+def test_replace_where_bounded_rewrite(spark, tmp_path):
+    """replace_where flips one manifest: the replaced window's rows are
+    gone, incoming rows are in, files outside the window carry over
+    UNTOUCHED (same physical names), and time travel still sees the
+    pre-replace state."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"])
+    t.overwrite(_df(spark, 0, 100, val=1.0).coalesce(1))
+    t.append(_df(spark, 100, 200, val=1.0).coalesce(1))
+    t.append(_df(spark, 200, 300, val=1.0).coalesce(1))
+    before = set(t._names(t._manifest(t.version())["files"]))
+
+    v = t.replace_where(spark, _df(spark, 100, 150, val=9.0), "k", 100, 199)
+    after = t._manifest(v)["files"]
+    after_names = set(t._names(after))
+    # the two files outside [100,199] carried over physically untouched
+    assert len(before & after_names) == 2
+    got = t.read(spark)
+    assert got.count() == 250  # 100 + 50 new + 100
+    assert got.where(F.col("v") == 9.0).count() == 50
+    assert got.where(F.col("k").between(150, 199)).count() == 0  # deleted
+    # time travel to the pre-replace version
+    assert t.read(spark, version=v - 1).count() == 300
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="outside"):
+        t.replace_where(spark, _df(spark, 0, 10), "k", 100, 199)
+
+
 def test_empty_append_then_read_schema(spark, tmp_path):
     t = TxTable(str(tmp_path / "t"))
     t.overwrite(_df(spark, 0, 0))  # zero rows
