@@ -269,3 +269,45 @@ def run_to_memory_update(stream_df: DataFrame, name: str) -> DataFrame:
         .groupBy("mes")
         .agg(F.max("usuarios_acumulados").cast("bigint").alias("usuarios_acumulados"))
     )
+
+
+def run_hourly_refresh_tx(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint: str,
+) -> None:
+    """`run_hourly_refresh` on the TRANSACTIONAL table (operators/txlog):
+    each micro-batch lands as one `replace_where` commit over the
+    day-window it touches — readers see every batch atomically (one
+    manifest flip), a crashed batch leaves only invisible orphans, and
+    the stats-pruned rewrite touches only the day files the batch hits.
+    This is the K3 idempotent-refresh contract with the delete+append
+    race removed by construction; re-running a batch replaces the same
+    window with the same rows (idempotent)."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    agg = hourly_counts(read_events_stream(spark, events_dir))
+    with_dia = agg.withColumn(
+        "dia_num", F.datediff(F.to_date("hora_inicio"), F.lit("1970-01-01"))
+    )
+    table = TxTable(table_path, stats_cols=["dia_num"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bounds = batch_df.agg(
+            F.min("dia_num").alias("lo"), F.max("dia_num").alias("hi")
+        ).first()
+        table.replace_where(
+            spark, batch_df, "dia_num", int(bounds["lo"]), int(bounds["hi"])
+        )
+
+    q = (
+        with_dia.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -133,3 +133,38 @@ def test_empty_append_then_read_schema(spark, tmp_path):
     df = t.read(spark)
     assert df.count() == 0
     assert set(df.columns) == {"k", "v"}
+
+
+def test_streaming_refresh_tx_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming hourly refresh through the transaction log: final
+    snapshot equals the batch aggregation, re-running with a fresh
+    checkpoint is idempotent (replace_where of the same windows), and
+    every intermediate version remains time-travel readable."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        events_dir_for,
+        run_hourly_refresh_tx,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+    from tests.test_streaming import _epoch_hour
+
+    path = str(tmp_path / "tx_hourly")
+    run_hourly_refresh_tx(
+        spark, events_dir_for(sf_dir), path, checkpoint=str(tmp_path / "ck1")
+    )
+    t = TxTable(path)
+    landed = t.read(spark)
+
+    events = load_table(spark, sf_dir, "events")
+    batch = events.groupBy(
+        _epoch_hour(events).alias("hora"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("eventos"))
+    assert landed.count() == batch.count()
+    assert landed.agg(F.sum("eventos")).first()[0] == events.count()
+
+    v_first = t.version()
+    run_hourly_refresh_tx(
+        spark, events_dir_for(sf_dir), path, checkpoint=str(tmp_path / "ck2")
+    )
+    assert t.read(spark).count() == batch.count()  # idempotent
+    assert t.version() > v_first  # new commits, old snapshots intact
+    assert t.read(spark, version=v_first).count() == batch.count()
