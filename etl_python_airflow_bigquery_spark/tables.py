@@ -32,9 +32,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Parquet scan → full Catalyst pushdown
-    (filters, column pruning, row-group skipping) for every query built
-    on top.
+    """Read one testdata table. Parquet/ORC scan → full Catalyst pushdown
+    (filters, column pruning, row-group/stripe skipping) for every query
+    built on top.
 
     ``events.ts``'s PHYSICAL encoding has changed between testdata drops
     (TIMESTAMP(NANOS) vs timestamp[us]); ``nanosAsLong`` is set so a
@@ -42,9 +42,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     loads as TIMESTAMP_NTZ unaffected. Consumers never assume either:
     they read the column through the schema-adaptive accessors
     (functions.event_us_sql and friends).
+
+    FORMAT is detected from the file present (same robustness posture as
+    the type accessors — a drop could switch container formats too):
+    parquet and ORC keep exact types end to end; CSV/JSON fall back to
+    header+schema inference (S2/S9-style exports, best-effort typing).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    base = os.path.join(sf_dir, name)
+    if os.path.exists(f"{base}.parquet"):
+        return spark.read.parquet(f"{base}.parquet")
+    if os.path.exists(f"{base}.orc"):
+        return spark.read.orc(f"{base}.orc")
+    if os.path.exists(f"{base}.csv"):
+        return spark.read.csv(f"{base}.csv", header=True, inferSchema=True)
+    if os.path.exists(f"{base}.json"):
+        return spark.read.json(f"{base}.json")
+    raise FileNotFoundError(
+        f"table {name!r} not found under {sf_dir!r} "
+        "(tried .parquet/.orc/.csv/.json)"
+    )
 
 
 def rebalance(df: DataFrame) -> DataFrame:

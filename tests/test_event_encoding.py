@@ -149,6 +149,50 @@ def test_date_columns_adapt_to_date32(spark, tmp_path, sf_dir):
     assert "PushedFilters: [" in plan and "LessThanOrEqual(o_orderdate" in plan
 
 
+def test_embeddings_adapt_to_double(spark, tmp_path, sf_dir):
+    """An embeddings drop as array<double> instead of array<float> must
+    yield BIT-IDENTICAL similarity results: all vector math casts each
+    element to DOUBLE before the integer scaling, so the physical
+    element type is invisible."""
+    import shutil
+
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = src.schema.get_field_index("embedding")
+    dbl = src.column("embedding").cast(pa.list_(pa.float64()))
+    tbl = src.set_column(idx, pa.field("embedding", pa.list_(pa.float64())), dbl)
+    d = tmp_path / "emb_double"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"), str(d / "documents.parquet")
+    )
+    for q in ("similarity_lsh", "dedup_embedding_cosine"):
+        a = _collect(REGISTRY[q].fn(spark, sf_dir))
+        b = _collect(REGISTRY[q].fn(spark, str(d)))
+        assert a == b, q
+
+
+def test_orc_drop_loads_identically(spark, tmp_path, sf_dir):
+    """A container-format switch (parquet → ORC) must be invisible to
+    every consumer: load_table detects the file present and ORC keeps
+    exact types, so the same query returns the same rows."""
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    d = str(tmp_path / "orc_drop")
+    for t in ("orders", "events"):
+        load_table(spark, sf_dir, t).write.orc(f"{d}/{t}.orc")
+    for t in ("orders", "events"):
+        a = load_table(spark, sf_dir, t)
+        b = load_table(spark, d, t)
+        assert a.schema == b.schema, t
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), t
+    # and a real query runs unchanged over the ORC drop
+    ev = load_table(spark, d, "events")
+    assert ev.where(event_ts_filter(ev, 19723 * US_PER_DAY, 19760 * US_PER_DAY)).count() > 0
+
+
 def test_streaming_source_adapts_encoding(spark, dual_dirs):
     """read_events_stream must take the schema from the files themselves:
     a µs drop yields timestamp, an ns drop yields long — both produce the
