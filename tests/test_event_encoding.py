@@ -50,6 +50,9 @@ def dual_dirs(tmp_path_factory, sf_dir):
     for tag, col, typ in (
         ("us", us_col, pa.timestamp("us")),
         ("ns", ns_col, pa.int64()),
+        # isAdjustedToUTC=true → Spark loads TIMESTAMP (LTZ): the
+        # unix_micros accessor path must yield the same integers
+        ("ltz", us_col.cast(pa.timestamp("us", tz="UTC")), pa.timestamp("us", tz="UTC")),
     ):
         tbl = src.set_column(src.schema.get_field_index("ts"), pa.field("ts", typ), col)
         d = base / tag
@@ -80,7 +83,7 @@ def test_accessors_identical_across_encodings(spark, dual_dirs):
                 event_hour(ev).alias("hora"),
             )
         )
-    assert results["ns"] == results["us"]
+    assert results["ns"] == results["us"] == results["ltz"]
 
 
 def test_sessions_identical_across_encodings(spark, dual_dirs):
@@ -210,5 +213,5 @@ def test_streaming_source_adapts_encoding(spark, dual_dirs):
             .count()
         )
         got[tag] = _collect(run_to_memory(agg, f"enc_{tag}"))
-    assert got["ns"] == got["us"]
+    assert got["ns"] == got["us"] == got["ltz"]
     assert len(got["us"]) > 0
