@@ -550,3 +550,68 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(limpio).alias("huella_limpia"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity proxy — statistical quality scoring
+# --------------------------------------------------------------------------
+
+_PERPLEX_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM freq),
+scored AS (
+    SELECT t.doc_id,
+           count(*) AS nt,
+           sum(log2(CAST(f.c AS DOUBLE))) AS slc
+    FROM toks t JOIN freq f ON t.w = f.w
+    GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.nt AS BIGINT) AS n_tokens,
+       floor((log2(CAST(tot.n AS DOUBLE)) - s.slc / s.nt) * 1e6) / 1e6
+           AS bits_por_token
+FROM scored s, tot
+"""
+
+
+@register("perplejidad_unigrama", oracle=_PERPLEX_ORACLE, ops=("TX2", "A1"),
+          driver=False)
+def perplejidad_unigrama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality score: per-doc mean surprisal (bits/token)
+    under a unigram LM fit on the corpus ITSELF — the cheap stand-in for
+    the perplexity filters real curation pipelines run with KenLM
+    (documents full of corpus-typical tokens score low; gibberish and
+    rare-token soup score high). bits/token = log2(N) − mean(log2 c_w).
+
+    Scale shape: one explode + a token-keyed count (map-side combinable)
+    + one token-keyed join back + a doc-keyed roll-up — no step holds
+    more than (token, count) pairs, and the corpus-total N rides along
+    as a broadcast scalar. Both engines evaluate log2 on IDENTICAL
+    integer counts and the result is floor-scaled, the same determinism
+    discipline as the cosine scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum(F.log2(F.col("c").cast("double"))).alias("slc"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("nt").cast("bigint").alias("n_tokens"),
+        (
+            F.floor(
+                (F.log2(F.col("n").cast("double")) - F.col("slc") / F.col("nt"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("bits_por_token"),
+    )
