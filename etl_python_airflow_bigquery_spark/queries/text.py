@@ -615,3 +615,60 @@ def perplejidad_unigrama(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("bits_por_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking with overlap — RAG/window splitter
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64   # tokens per chunk
+_CHUNK_STRIDE = 48  # new tokens per step (overlap = 16)
+
+_CHUNK_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+    SELECT b.doc_id, g.i AS chunk_id,
+           list_slice(b.w, g.i * {_CHUNK_STRIDE} + 1,
+                      g.i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS toks
+    FROM base b,
+         LATERAL unnest(generate_series(0,
+             CAST(floor((len(b.w) - 1) / {_CHUNK_STRIDE}) AS INT))) AS g(i)
+    WHERE g.i * {_CHUNK_STRIDE} < len(b.w)
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS huella_chunk
+FROM chunks
+"""
+
+
+@register("trozado_chunks", oracle=_CHUNK_ORACLE, ops=("TX1", "P2"),
+          driver=False)
+def trozado_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (64-token chunks,
+    stride 48 → 16-token overlap) — the splitter every RAG/pretraining
+    prep pipeline runs before embedding or packing. Pure map-side:
+    ``sequence`` over chunk starts → ``explode`` → ``slice`` of the
+    token array; per-row fan-out is ⌈tokens/stride⌉ and the text bytes
+    are touched exactly once. The chunk md5 pins EXACT chunk content
+    (boundaries, overlap, tail handling) against the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size("w") - 1) / F.lit(_CHUNK_STRIDE)).cast("int")
+    )
+    chunked = base.select(
+        "doc_id", "w", F.explode(starts).alias("chunk_id")
+    ).where(F.col("chunk_id") * _CHUNK_STRIDE < F.size("w"))
+    toks = F.slice(
+        F.col("w"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(toks, " ")).alias("huella_chunk"),
+    )
