@@ -647,3 +647,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("representante"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup ENDGAME application — the deduplicated corpus itself
+# --------------------------------------------------------------------------
+
+_CORPUS_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+aristas AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM aristas
+        UNION SELECT doc_b, doc_a FROM aristas),
+nodos AS (SELECT DISTINCT a AS n FROM sym),
+reach(n, m) AS (
+    SELECT n, n FROM nodos
+    UNION
+    SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+descartados AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
+       CAST((SELECT count(*) FROM descartados) AS BIGINT) AS docs_descartados
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM descartados)
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,
+          ops=("DD4", "J7", "A1"), driver=False)
+def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT, not just its pair list: near-dup
+    families collapse to one representative (min doc_id via connected
+    components) and the surviving corpus rolls up per (source, lang)
+    with its token budget — what a training run actually consumes, and
+    the audit row (docs_descartados) curation dashboards track. Shape:
+    the cluster labels (a doc_id → cluster_id map, tiny next to the
+    corpus) anti-join the documents scan; at 100 TB the discard set
+    broadcasts and the big side is touched once."""
+    clusters = dedup_clusters(spark, sf_dir)
+    descartados = clusters.where(~F.col("representante")).select("doc_id")
+    n_desc = descartados.count()
+    docs = load_table(spark, sf_dir, "documents")
+    vivos = docs.join(F.broadcast(descartados), "doc_id", "left_anti")
+    return vivos.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        F.lit(n_desc).cast("bigint").alias("docs_descartados"),
+    )
