@@ -699,7 +699,14 @@ def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) anti-join the documents scan; at 100 TB the discard set
     broadcasts and the big side is touched once."""
     clusters = dedup_clusters(spark, sf_dir)
-    descartados = clusters.where(~F.col("representante")).select("doc_id")
+    # the discard set is tiny (non-representative near-dups) but its
+    # lineage is the whole cluster pipeline — materialize it ONCE so the
+    # audit count and the anti-join don't re-run label propagation
+    descartados = (
+        clusters.where(~F.col("representante"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     n_desc = descartados.count()
     docs = load_table(spark, sf_dir, "documents")
     vivos = docs.join(F.broadcast(descartados), "doc_id", "left_anti")
