@@ -87,10 +87,14 @@ class TxTable:
         return [e["name"] if isinstance(e, dict) else e for e in entries]
 
     def _read_entries(self, spark: SparkSession, entries: list, schema_json: str) -> DataFrame:
+        schema = StructType.fromJson(json.loads(schema_json))
         if not entries:
-            schema = StructType.fromJson(json.loads(schema_json))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+        # the MANIFEST's schema governs the scan — without it a multi-file
+        # snapshot whose appends drifted would silently adopt whichever
+        # file the reader samples first (missing columns read as NULL,
+        # extra columns are dropped — deterministic either way)
+        return spark.read.schema(schema).parquet(
             *[os.path.join(self.data_dir, n) for n in self._names(entries)]
         )
 
@@ -112,7 +116,12 @@ class TxTable:
         if col not in stats or stats[col] is None:
             return True
         mn, mx = stats[col]
-        return not (mx < lo or mn > hi)
+        try:
+            return not (mx < lo or mn > hi)
+        except TypeError:
+            # stats and bounds of incomparable types (e.g. a stats_col
+            # whose type changed between appends) — must read
+            return True
 
     def read_where(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Stats-pruned snapshot read of ``lo <= col <= hi``: whole files
@@ -162,9 +171,18 @@ class TxTable:
             else:
                 if mns:
                     mn, mx = min(mns), max(mxs)
-                    json_ok = lambda v: v if isinstance(v, (int, float, str, bool)) else str(v)  # noqa: E731
-                    out[col] = [json_ok(mn), json_ok(mx)]
-                    continue
+                    # record stats ONLY for natively-JSON-comparable types:
+                    # stringifying a date/timestamp/decimal min/max would
+                    # later compare str-vs-native in _overlaps (TypeError
+                    # or silent mis-pruning). Unsupported types degrade to
+                    # "no stats" = never skipped — always correct.
+                    if (
+                        type(mn) is type(mx)
+                        and isinstance(mn, (int, float, str))
+                        and not isinstance(mn, bool)
+                    ):
+                        out[col] = [mn, mx]
+                        continue
             out[col] = None
         return out
 
@@ -242,13 +260,21 @@ class TxTable:
         file carries into the new version untouched, so the commit's
         write cost is bounded by the touched window, not the table.
         Incoming rows outside the window would silently survive the next
-        refresh of a disjoint window, so they are rejected loudly —
-        same contract as writes.refresh_window's refresh_predicate."""
-        n_bad = df.where(~F.col(col).between(lo, hi)).count()
-        assert n_bad == 0, (
-            f"replace_where: {n_bad} incoming rows fall outside "
-            f"[{lo}, {hi}] on {col!r}"
-        )
+        refresh of a disjoint window, so they are rejected loudly (a
+        real raise, not an assert — data-integrity contracts must not
+        vanish under ``python -O``) — same contract as
+        writes.refresh_window's refresh_predicate. NULL-keyed rows
+        follow SQL DELETE semantics: a NULL predicate never deletes, so
+        existing NULL rows SURVIVE the rewrite; for the same reason an
+        incoming NULL row counts as out-of-window (it could never be
+        replaced by a later refresh) and is rejected."""
+        in_window = F.coalesce(F.col(col).between(lo, hi), F.lit(False))
+        n_bad = df.where(~in_window).count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where: {n_bad} incoming rows fall outside "
+                f"[{lo}, {hi}] on {col!r} (NULLs count as outside)"
+            )
         parent = self.version()
         entries = self._manifest(parent)["files"] if parent >= 0 else []
         touched = [e for e in entries if self._overlaps(e, col, lo, hi)]
@@ -257,7 +283,7 @@ class TxTable:
         if touched:
             survivors = self._read_entries(
                 spark, touched, df.schema.json()
-            ).where(~F.col(col).between(lo, hi))
+            ).where(~in_window)
             new += self._write_files(survivors)
         return self._claim(
             {
@@ -269,10 +295,19 @@ class TxTable:
         )
 
     # -- maintenance ------------------------------------------------------
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
         data file no surviving manifest references (crashed-writer
-        orphans included). Returns the number of files removed."""
+        orphans included). Returns the number of files removed.
+
+        ``retention_s`` is the Delta-style grace window: an unreferenced
+        file younger than it is SKIPPED, because a concurrent writer
+        between its ``_write_files`` and ``_claim`` has staged files that
+        no manifest references YET — deleting them would commit a
+        manifest pointing at missing files. Pass ``retention_s=0`` only
+        when no in-flight writers exist (e.g. tests)."""
+        import time as _time
+
         vs = self._versions()
         keep = vs[-keep_versions:] if keep_versions > 0 else vs
         live: set[str] = set()
@@ -282,8 +317,15 @@ class TxTable:
         for v in vs:
             if v not in keep:
                 os.unlink(os.path.join(self.log_dir, f"v{v}.json"))
+        cutoff = _time.time() - retention_s
         for f in os.listdir(self.data_dir):
             if f.endswith(".parquet") and f not in live:
-                os.unlink(os.path.join(self.data_dir, f))
+                p = os.path.join(self.data_dir, f)
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly staged by an in-flight commit
+                    os.unlink(p)
+                except FileNotFoundError:
+                    continue  # a concurrent vacuum/writer raced us
                 removed += 1
         return removed

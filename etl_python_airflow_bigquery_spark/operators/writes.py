@@ -75,23 +75,32 @@ def refresh_window(
     Without the predicate the old whole-partition fast path runs — no
     read of existing data at all."""
     spark = df.sparkSession
-    assert (
+    # data-integrity guards raise for real (never assert: `python -O`
+    # would turn a mis-configured session into a silent table truncation)
+    if (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
-        == "dynamic"
-    ), "refresh_window needs partitionOverwriteMode=dynamic"
+        != "dynamic"
+    ):
+        raise RuntimeError("refresh_window needs partitionOverwriteMode=dynamic")
     out = df
     if refresh_predicate is not None:
-        n_bad = df.where(~refresh_predicate).count()
-        assert n_bad == 0, (
-            f"refresh_window: {n_bad} incoming rows violate refresh_predicate — "
-            "they would duplicate against the preserved slice"
-        )
+        # NULL-predicate semantics follow SQL DELETE: NULL never deletes,
+        # so existing NULL rows are KEPT; an incoming NULL row therefore
+        # counts as violating (a later refresh could never replace it)
+        pred_true = F.coalesce(refresh_predicate, F.lit(False))
+        n_bad = df.where(~pred_true).count()
+        if n_bad:
+            raise ValueError(
+                f"refresh_window: {n_bad} incoming rows violate "
+                "refresh_predicate (NULLs count as violating) — they "
+                "would duplicate against the preserved slice"
+            )
         if os.path.exists(path):
             existing = spark.read.parquet(path)
             touched = df.select(*partition_cols).distinct()
             kept = (
                 existing.join(F.broadcast(touched), partition_cols, "left_semi")
-                .where(~refresh_predicate)
+                .where(~pred_true)
                 .select(*df.columns)
                 # materialize BEFORE the overwrite rewrites the files we read
                 .localCheckpoint(eager=True)

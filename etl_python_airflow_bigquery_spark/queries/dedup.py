@@ -688,7 +688,7 @@ GROUP BY 1, 2
 
 
 @register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,
-          ops=("DD4", "J7", "A1"), driver=False)
+          ops=("DD4", "J7", "A1"), driver=False, bench=True)
 def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTPUT, not just its pair list: near-dup
     families collapse to one representative (min doc_id via connected

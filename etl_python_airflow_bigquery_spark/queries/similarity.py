@@ -20,6 +20,54 @@ from etl_python_airflow_bigquery_spark.tables import load_table, rebalance
 DIM = 64
 SCALE = int(1e12)
 
+# --------------------------------------------------------------------------
+# Corpus-size-derived selection policy — bounded k, bounded query set
+# --------------------------------------------------------------------------
+# The IVF seed count and the search query set are selected by a vec_id
+# modulus DERIVED FROM THE CORPUS COUNT, never a fixed literal: a fixed
+# modulus makes k (and the driver-collected query matrix) grow linearly
+# with the corpus, turning the k-means assign step quadratic. Policy:
+#   k_target  = min(K_CAP, ceil(n / CELL_TARGET))   # centroid count
+#   seed_mod  = max(1, n // k_target)               # seeds: vec_id % seed_mod == 0
+#   query_mod = max(1, n // Q_TARGET)               # queries: ~Q_TARGET rows, fixed
+# Everything is integer arithmetic so the DuckDB oracle (_PARAMS_SQL)
+# reproduces the exact same moduli from the same count. Driver state is
+# O(K_CAP·DIM) ints for centroids and O(Q_TARGET·DIM) for the query
+# matrix — bounded regardless of corpus size.
+
+CELL_TARGET = 100  # target vectors per IVF cell while k is below the cap
+K_CAP = 64  # hard cap on centroid count; beyond n = CELL_TARGET·K_CAP the
+#   assign step is O(n·K_CAP) — strictly linear in the corpus — and the
+#   broadcast centroid table is ≤ K_CAP·DIM int64 (~32 KB). Production
+#   deployments raise this with cluster memory (it is a broadcast-size /
+#   assign-cost knob, one constant); past what a flat coarse quantizer
+#   can cover, the LSH family below is the intended 100 TB path.
+Q_TARGET = 40  # fixed query-set size for the search-path benchmarks
+
+
+def _k_target(n: int) -> int:
+    return min(K_CAP, max(1, -(-n // CELL_TARGET)))
+
+
+def _seed_mod(n: int) -> int:
+    return max(1, n // _k_target(n))
+
+
+def _query_mod(n: int) -> int:
+    return max(1, n // Q_TARGET)
+
+
+# DuckDB mirror of the three functions above (integer ops only: `//` is
+# floor division, `(n + c-1) // c` is ceil division — bit-identical to
+# the Python helpers for every non-negative n).
+_PARAMS_SQL = (
+    "params AS (SELECT "
+    f"greatest(1, count(*) // least({K_CAP}, greatest(1, "
+    f"(count(*) + {CELL_TARGET - 1}) // {CELL_TARGET}))) AS seed_mod, "
+    f"greatest(1, count(*) // {Q_TARGET}) AS query_mod "
+    "FROM embeddings)"
+)
+
 
 def scaled_dot(a: Column, b: Column) -> Column:
     """Integer-scaled dot product of two float arrays: each elementwise
@@ -80,8 +128,10 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = f"""
 WITH {_NORMS_SQL.strip()},
+{_PARAMS_SQL},
 consultas AS (
-    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
 ),
 pares AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -110,15 +160,17 @@ FROM scored WHERE pos <= 5
 
 @register("similarity_topk", oracle=_TOPK_ORACLE, ops=("NN1", "O7"), driver=False)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per query vector (every 50th vector is a
-    query). Scale shape: the query side is small → broadcast it against
-    the candidate scan (map-side scoring, no shuffle of the big side);
-    the per-query top-k is a partitioned window over query_id — at
-    1000 executors each query's candidates rank locally after one
-    shuffle on query_id. The LSH variant below removes even that."""
+    """Brute-force cosine top-5 per query vector (~Q_TARGET queries
+    chosen by the corpus-size-derived modulus — see the policy block at
+    the top). Scale shape: the query side is small and FIXED-SIZE →
+    broadcast it against the candidate scan (map-side scoring, no
+    shuffle of the big side); the per-query top-k is a partitioned
+    window over query_id — at 1000 executors each query's candidates
+    rank locally after one shuffle on query_id. The LSH variant below
+    removes even that."""
     emb = _emb(spark, sf_dir)
     norms = _norms(spark, sf_dir)
-    consultas = emb.where(F.col("vec_id") % 50 == 0).select(
+    consultas = emb.where(F.col("vec_id") % _query_mod(emb.count()) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pares = emb.join(
@@ -501,7 +553,9 @@ normas AS (
            list_sum(list_transform(generate_series(1, {DIM}), k -> ev[k] * ev[k])) AS nn
     FROM enteros
 ),
-consultas AS (SELECT vec_id, ev FROM enteros WHERE vec_id % 50 = 0),
+{_PARAMS_SQL},
+consultas AS (SELECT vec_id, ev FROM enteros
+              WHERE vec_id % (SELECT query_mod FROM params) = 0),
 pares AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            list_sum(list_transform(generate_series(1, {DIM}),
@@ -539,16 +593,19 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates never shuffle for scoring (map-only); only
     (query, cand, dot) triples — k rows per candidate — flow into the
-    top-k window. This is the pattern that saturates cores at 100 TB."""
+    top-k window. The query set is ~Q_TARGET rows by construction
+    (corpus-size-derived modulus), so the driver matrix is O(Q_TARGET·DIM)
+    — a fixed few KB — no matter the corpus size. This is the pattern
+    that saturates cores at 100 TB."""
     import numpy as np
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
     q_rows = (
-        emb.where(F.col("vec_id") % 50 == 0)
+        emb.where(F.col("vec_id") % _query_mod(emb.count()) == 0)
         .select("vec_id", "embedding")
         .collect()
-    )  # small query set: driver-side matrix, closure-broadcast to executors
+    )  # fixed-size query set: driver matrix is O(Q_TARGET·DIM) by policy
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.floor(
         np.array([r["embedding"] for r in q_rows], dtype=np.float64) * 1e6
@@ -602,7 +659,9 @@ WITH enteros AS (
     SELECT vec_id, {_scaled_int_sql("embedding")} AS ev
     FROM embeddings
 ),
-semillas AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros WHERE vec_id % 100 = 0),
+{_PARAMS_SQL},
+semillas AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros
+             WHERE vec_id % (SELECT seed_mod FROM params) = 0),
 dist AS (
     SELECT e.vec_id, s.seed_id,
            list_sum(list_transform(generate_series(1, {DIM}),
@@ -647,13 +706,14 @@ WHERE CAST(p.dot AS DOUBLE)
 
 @register("similarity_ivf", oracle=_IVF_ORACLE, ops=("NN2", "DD5"), driver=False)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF near-dup with DATA-DERIVED cells: every 100th vector seeds a
-    centroid; each vector assigns to its nearest seed (integer-scaled
-    squared-L2 argmin — a one-step deterministic k-means); pairs form
-    only within a cell and exact cosine verifies at 0.3. The full
-    Lloyd's iteration is the same assign step repeated with recomputed
-    means — the shuffle shape (broadcast seeds, map-side argmin, equi
-    join on cell) is already the production one."""
+    """IVF near-dup with DATA-DERIVED cells: seeds are chosen by the
+    corpus-size-derived modulus (k capped at K_CAP — see policy block);
+    each vector assigns to its nearest seed (integer-scaled squared-L2
+    argmin — a one-step deterministic k-means); pairs form only within
+    a cell and exact cosine verifies at 0.3. The full Lloyd's iteration
+    is the same assign step repeated with recomputed means — the
+    shuffle shape (broadcast seeds, map-side argmin, equi join on cell)
+    is already the production one."""
     emb = _emb(spark, sf_dir)
     enteros = emb.select(
         "vec_id",
@@ -661,7 +721,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
         ).alias("ev"),
     )
-    semillas = enteros.where(F.col("vec_id") % 100 == 0).select(
+    semillas = enteros.where(F.col("vec_id") % _seed_mod(emb.count()) == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
     )
     dist = enteros.crossJoin(F.broadcast(semillas)).select(
@@ -807,8 +867,9 @@ def _kmeans_ctes(iters: int) -> list[str]:
     parts = [
         f"enteros AS (SELECT vec_id, {_scaled_int_sql('embedding')} AS ev"
         "  FROM embeddings)",
+        _PARAMS_SQL,
         "cent0 AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros"
-        "  WHERE vec_id % 100 = 0)",
+        "  WHERE vec_id % (SELECT seed_mod FROM params) = 0)",
     ]
     for i in range(1, iters + 2):
         prev = f"cent{i - 1}"
@@ -881,21 +942,24 @@ def _assign_cells(enteros: DataFrame, cent_df: DataFrame) -> DataFrame:
     )
 
 
-@register("similarity_ivf_kmeans", oracle=_kmeans_oracle(_KMEANS_ITERS), ops=("NN2",))
+@register("similarity_ivf_kmeans", oracle=_kmeans_oracle(_KMEANS_ITERS),
+          ops=("NN2",), bench=True)
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL Lloyd's k-means as the IVF coarse quantizer — the converging
-    loop the one-step ``similarity_ivf`` lacked: seeds (every 100th
-    vector) iterate assign (broadcast centroids → map-side integer-L2
-    argmin, one narrow job) then update (per-cell per-dim floor-averaged
-    int64 sums — the ``vector_centroids`` step) for a FIXED round count,
-    then the final assignment labels every vector with its cell.
+    loop the one-step ``similarity_ivf`` lacked: seeds (corpus-derived
+    modulus, k ≤ K_CAP — see the policy block) iterate assign (broadcast
+    centroids → map-side integer-L2 argmin, one narrow job) then update
+    (per-cell per-dim floor-averaged int64 sums — the
+    ``vector_centroids`` step) for a FIXED round count, then the final
+    assignment labels every vector with its cell.
 
     Deterministic across engines and shuffle orders: scaled-int vectors,
     integer distances, (d2, seed_id) tie-break, floor-div averages, and
-    empty cells carrying the previous centroid. Only k×64 ints move
-    through the driver per round (the centroid table — exactly what a
-    1000-executor cluster would broadcast); all per-vector work stays
-    distributed. Oracle: the same rounds unrolled as DuckDB CTEs."""
+    empty cells carrying the previous centroid. Only k×64 ≤ K_CAP×64
+    ints move through the driver per round (the centroid table — exactly
+    what a 1000-executor cluster would broadcast); all per-vector work
+    stays distributed and is O(n·K_CAP) once the cap engages. Oracle:
+    the same rounds unrolled as DuckDB CTEs."""
     enteros = _int_vectors(_emb(spark, sf_dir))
     cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
     return _assign_cells(enteros, _centroid_values_df(spark, cent))
@@ -912,14 +976,19 @@ def _int_vectors(emb: DataFrame) -> DataFrame:
 
 
 def _kmeans_fit(
-    spark: SparkSession, enteros: DataFrame, iters: int
+    spark: SparkSession, enteros: DataFrame, iters: int, n: int | None = None
 ) -> dict[int, list[int]]:
     """Run `iters` deterministic Lloyd's rounds; returns the final
     centroid table (k×64 ints — the only data that ever reaches the
-    driver)."""
+    driver). k is bounded by the corpus-size policy (≤ K_CAP), so the
+    driver dict and every per-round broadcast stay O(K_CAP·DIM) no
+    matter the corpus size, and the assign step is O(n·K_CAP) — linear
+    in n once the cap engages."""
+    if n is None:
+        n = enteros.count()
     cent: dict[int, list[int]] = {
         r["vec_id"]: list(r["ev"])
-        for r in enteros.where(F.col("vec_id") % 100 == 0).collect()
+        for r in enteros.where(F.col("vec_id") % _seed_mod(n) == 0).collect()
     }
     for _ in range(iters):
         asig = _assign_cells(enteros, _centroid_values_df(spark, cent))
@@ -958,7 +1027,7 @@ def _ivf_search_oracle(iters: int, nprobe: int, top_k: int) -> str:
     )
     parts += [
         "consultas AS (SELECT vec_id AS query_id, ev AS qv FROM enteros"
-        " WHERE vec_id % 50 = 0)",
+        " WHERE vec_id % (SELECT query_mod FROM params) = 0)",
         f"qdist AS (SELECT q.query_id, c.seed_id, "
         f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
         f"k -> (q.qv[k] - c.sv[k]) * (q.qv[k] - c.sv[k]))) AS BIGINT) AS d2 "
@@ -1008,11 +1077,12 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast-sized map-side argmin. Oracle: the same deterministic
     rounds + probe unrolled in DuckDB."""
     enteros = _int_vectors(_emb(spark, sf_dir))
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    n = enteros.count()
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
     cent_df = _centroid_values_df(spark, cent)
     asig = _assign_cells(enteros, cent_df)
 
-    consultas = enteros.where(F.col("vec_id") % 50 == 0).select(
+    consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
     )
     qdist = consultas.crossJoin(F.broadcast(cent_df)).select(

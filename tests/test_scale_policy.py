@@ -1,0 +1,96 @@
+"""Pins the corpus-size-derived ANN selection policy (VERDICT r3 #1/#2):
+
+- the Python helpers (`_k_target` / `_seed_mod` / `_query_mod`) and the
+  DuckDB `_PARAMS_SQL` mirror must stay BIT-IDENTICAL for every n —
+  the oracle and the Spark plan choose seeds/queries from the same rule;
+- k (centroid count → driver dict, broadcast size, per-vector assign
+  cost) is HARD-CAPPED at K_CAP, so the k-means assign step is O(n·K_CAP)
+  — linear — once n ≥ CELL_TARGET·K_CAP;
+- the query set is ~Q_TARGET rows for every corpus size, so the
+  `similarity_topk_vectorized` driver collect is O(Q_TARGET·DIM), never
+  O(n).
+
+A fixed-literal modulus (the round-2/3 `vec_id % 100` / `% 50`) made both
+grow linearly with the corpus; any edit that reintroduces that fails here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_python_airflow_bigquery_spark.queries.similarity import (
+    CELL_TARGET,
+    K_CAP,
+    Q_TARGET,
+    _PARAMS_SQL,
+    _k_target,
+    _query_mod,
+    _seed_mod,
+)
+
+NS = [0, 1, 5, 39, 40, 99, 100, 101, 500, 2000, 6399, 6400, 6401,
+      20_000, 409_600, 10**6, 10**9, 10**12]
+
+
+def test_python_duckdb_policy_identical():
+    con = duckdb.connect()
+    for n in NS:
+        if n <= 20_000:
+            # evaluate the exact SQL fragment the oracles embed, against
+            # a synthetic `embeddings` relation of n rows
+            con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                        f"SELECT * FROM range({n})")
+            sql = ("WITH " + _PARAMS_SQL
+                   + " SELECT seed_mod, query_mod FROM params")
+        else:
+            # huge n: same arithmetic with count(*) substituted (a real
+            # range() view would materialize n rows)
+            sql = ("WITH " + _PARAMS_SQL.replace("count(*)", str(n))
+                   .replace("FROM embeddings", "")
+                   + " SELECT seed_mod, query_mod FROM params")
+        seed_mod, query_mod = con.execute(sql).fetchone()
+        assert (seed_mod, query_mod) == (_seed_mod(n), _query_mod(n)), n
+
+
+def test_k_is_hard_capped():
+    assert _k_target(CELL_TARGET * K_CAP) == K_CAP
+    for n in (10**6, 10**9, 10**12):
+        assert _k_target(n) == K_CAP
+        # once capped, seed_mod grows ∝ n: assign cost O(n·K_CAP), linear
+        assert _seed_mod(n) == n // K_CAP
+
+
+def test_query_set_is_bounded():
+    for n in NS:
+        if n == 0:
+            continue
+        # contiguous ids 0..n-1 → ceil(n / query_mod) selected queries;
+        # worst case (n just under a modulus boundary, e.g. n=2Q-1 →
+        # query_mod 1) is < 2·Q_TARGET — O(1) in the corpus size either way
+        q = -(-n // _query_mod(n))
+        assert q < 2 * Q_TARGET or q <= n, (n, q)
+        assert q <= 2 * Q_TARGET or n < Q_TARGET, (n, q)
+        if n >= Q_TARGET:
+            assert q >= Q_TARGET // 2  # never degenerates to ~no queries
+
+
+def test_testdata_scales_unchanged_from_r3():
+    # at the driver's correctness (n=500) and bench (n=2000) scales the
+    # derived moduli equal round-3's literals — bench numbers comparable
+    assert _seed_mod(500) == 100 and _seed_mod(2000) == 100
+    assert _query_mod(2000) == 50
+
+
+def test_policy_is_monotone_never_zero():
+    prev_k = 0
+    for n in NS:
+        k = _k_target(n)
+        assert 1 <= k <= K_CAP
+        assert k >= prev_k
+        assert _seed_mod(n) >= 1 and _query_mod(n) >= 1
+        prev_k = k
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -61,8 +61,11 @@ def test_crashed_writer_leaves_no_trace(spark, tmp_path):
     # simulate a crash AFTER data files land but BEFORE the manifest claim
     t._write_files(_df(spark, 100, 200))
     assert t.read(spark).count() == 4  # orphans invisible
-    # vacuum collects them (keep only the live version's root set)
-    removed = t.vacuum(keep_versions=1)
+    # the retention grace window protects FRESH unreferenced files — they
+    # may belong to an in-flight commit between _write_files and _claim
+    assert t.vacuum(keep_versions=1) == 0
+    # with no in-flight writers (retention_s=0) vacuum collects them
+    removed = t.vacuum(keep_versions=1, retention_s=0)
     assert removed > 0
     assert t.read(spark).count() == 4
 
@@ -123,8 +126,63 @@ def test_replace_where_bounded_rewrite(spark, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError, match="outside"):
+    with _pytest.raises(ValueError, match="outside"):
         t.replace_where(spark, _df(spark, 0, 10), "k", 100, 199)
+
+
+def test_replace_where_null_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate never deletes, so rows with
+    a NULL key survive any window rewrite; incoming NULL rows are
+    rejected (no later refresh could ever replace them)."""
+    t = TxTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, 1.0), (150, 1.0), (None, 7.0)], "k INT, v DOUBLE"
+    )
+    t.overwrite(base)
+    t.replace_where(spark, spark.createDataFrame([(120, 9.0)], "k INT, v DOUBLE"),
+                    "k", 100, 199)
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 1.0), (120, 9.0), (None, 7.0)}  # NULL row kept
+    with pytest.raises(ValueError, match="outside"):
+        t.replace_where(
+            spark,
+            spark.createDataFrame([(None, 5.0)], "k INT, v DOUBLE"),
+            "k", 100, 199,
+        )
+
+
+def test_read_uses_manifest_schema_after_drifted_append(spark, tmp_path):
+    """A multi-file snapshot reads under the MANIFEST schema: an append
+    that added a column makes earlier files' missing column NULL instead
+    of the scan adopting an arbitrary file's schema."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE"))
+    t.append(spark.createDataFrame([(2, 2.0, "x")], "k INT, v DOUBLE, tag STRING"))
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "v", "tag"}
+    rows = {r["k"]: r["tag"] for r in got.collect()}
+    assert rows == {1: None, 2: "x"}
+    # time travel to v0 still reads v0's own schema
+    assert set(t.read(spark, version=0).columns) == {"k", "v"}
+
+
+def test_stats_skipped_for_noncomparable_types(spark, tmp_path):
+    """date/timestamp stats_cols degrade to no-stats (never skipped)
+    instead of stringified stats that mis-compare against native bounds."""
+    import datetime
+
+    t = TxTable(str(tmp_path / "t"), stats_cols=["d"])
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 6, 30))],
+        "k INT, d DATE",
+    )
+    t.overwrite(df.coalesce(1))
+    m = t._manifest(t.version())
+    assert all(e["stats"]["d"] is None for e in m["files"])
+    # read_where over the date column stays exact (no file skipped)
+    got = t.read_where(spark, "d", datetime.date(2024, 1, 1),
+                       datetime.date(2024, 3, 1))
+    assert got.count() == 1
 
 
 def test_empty_append_then_read_schema(spark, tmp_path):

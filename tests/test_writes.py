@@ -99,7 +99,7 @@ def test_refresh_window_secondary_predicate_rejects_violating_rows(spark, tmp_pa
     path = str(tmp_path / "t_pred_bad")
     write_partitioned(_sample_periodo(spark, [1], ["diario", "mensual"]), path, ["dia"])
     mixed = _sample_periodo(spark, [1], ["diario", "mensual"])
-    with _pytest.raises(AssertionError, match="violate refresh_predicate"):
+    with _pytest.raises(ValueError, match="violate"):
         refresh_window(
             mixed, path, ["dia"], refresh_predicate=F.col("periodo") == "mensual"
         )
