@@ -75,7 +75,17 @@ def explode_to_buckets(
     )
 
 
-def explode_to_hour_grid(sessions: DataFrame) -> DataFrame:
+# Sessions spanning at least this many calendar days qualify for the
+# day tier (when the caller opts in): their fully-covered middle days
+# emit ONE day-atom instead of 24 hour-atoms.
+DAY_TIER_MIN_DAYS = 3
+
+US_DAY = 24 * US_PER_HOUR
+
+
+def explode_to_hour_grid(
+    sessions: DataFrame, day_tier_min_days: int | None = None
+) -> DataFrame:
     """Session rows → one row per (session, hour-bucket) with clipped
     overlap. Reproduces the hour-grid interval join of the superposition
     notebooks (GENERATE_TIMESTAMP_ARRAY ... interval join, cell 2) and the
@@ -90,29 +100,95 @@ def explode_to_hour_grid(sessions: DataFrame) -> DataFrame:
     blow a task's memory on one row (SCALING.md: session-length
     pathologies).
 
-    Adds: hora_us (bucket start), clip_us (overlap µs within the bucket).
+    Adds: day_num (epoch-day of the bucket), hour_idx, hora_us (bucket
+    start), clip_us (overlap µs within the bucket).
+
+    ``day_tier_min_days`` opts into the DAY TIER for pathological
+    intervals: a session spanning ≥ that many calendar days emits its
+    fully-covered middle days as ONE atom each (``hour_idx``/``hora_us``
+    NULL, ``clip_us`` = 86 400e6) and only its partial edge days as hour
+    atoms — a 60-day interval becomes ~60+48 rows instead of 1440, so
+    atom count going into a downstream aggregation is O(days), not
+    O(days·24). Aggregations that are uniform across a full day's hours
+    (per-day sums, day-distinct counts, day-part blocks — each full day
+    covers every hour exactly once) consume day atoms either directly or
+    via a bounded ≤24-way re-expansion; consumers that pair atoms by
+    exact hour (superposition self-joins) keep the default exact grid.
     """
-    us_day = 24 * US_PER_HOUR
     days = explode_to_buckets(
-        sessions, F.col("s_us"), F.col("e_us"), us_day, "__day_idx"
+        sessions, F.col("s_us"), F.col("e_us"), US_DAY, "__day_idx"
     )
-    day_s = F.greatest(F.col("s_us"), (F.col("__day_idx") * us_day).cast("long"))
-    day_e = F.least(F.col("e_us"), ((F.col("__day_idx") + 1) * us_day).cast("long"))
-    out = days.withColumn(
-        "hour_idx",
-        F.explode(
-            F.sequence(
-                F.floor(day_s / F.lit(US_PER_HOUR)),
-                F.floor((day_e - 1) / F.lit(US_PER_HOUR)),
-            )
-        ),
-    ).drop("__day_idx")
+    day_s = F.greatest(F.col("s_us"), (F.col("__day_idx") * US_DAY).cast("long"))
+    day_e = F.least(F.col("e_us"), ((F.col("__day_idx") + 1) * US_DAY).cast("long"))
+    hour_seq = F.sequence(
+        F.floor(day_s / F.lit(US_PER_HOUR)),
+        F.floor((day_e - 1) / F.lit(US_PER_HOUR)),
+    )
+    if day_tier_min_days is None:
+        atom_arrays = hour_seq
+    else:
+        # one conditional-array explode: a fully-covered day of a
+        # long-enough session yields [NULL] (the day atom), anything
+        # else its hour indices — single pass, still map-only
+        span_days = (
+            F.floor((F.col("e_us") - 1) / F.lit(US_DAY))
+            - F.floor(F.col("s_us") / F.lit(US_DAY))
+            + 1
+        )
+        full_day = (day_s == (F.col("__day_idx") * US_DAY).cast("long")) & (
+            day_e == ((F.col("__day_idx") + 1) * US_DAY).cast("long")
+        )
+        tiered = full_day & (span_days >= F.lit(day_tier_min_days))
+        atom_arrays = F.when(tiered, F.array(F.lit(None).cast("long"))).otherwise(
+            hour_seq
+        )
+    out = (
+        days.withColumn("hour_idx", F.explode(atom_arrays))
+        .withColumn(
+            "day_num",
+            F.when(F.col("hour_idx").isNull(), F.col("__day_idx"))
+            .otherwise(F.floor(F.col("hour_idx") / 24))
+            .cast("long"),
+        )
+        .drop("__day_idx")
+    )
     hora_us = (F.col("hour_idx") * F.lit(US_PER_HOUR)).cast("long")
     return out.withColumn("hora_us", hora_us).withColumn(
         "clip_us",
-        clipped_micros(
-            F.col("s_us"), F.col("e_us"), hora_us, hora_us + F.lit(US_PER_HOUR)
+        F.when(F.col("hour_idx").isNull(), F.lit(US_DAY).cast("long")).otherwise(
+            clipped_micros(
+                F.col("s_us"), F.col("e_us"), hora_us, hora_us + F.lit(US_PER_HOUR)
+            )
         ),
+    )
+
+
+def expand_day_atoms_to_hours(atoms: DataFrame) -> DataFrame:
+    """Restore the exact hour grid from a day-tiered atom frame: day
+    atoms (``hour_idx`` NULL) re-expand into their 24 hour rows (clip =
+    one full hour each — a full day covers every hour exactly), hour
+    atoms pass through. Bounded ≤24-way map-side fan-out — for consumers
+    that need per-hour rows only at the END of a plan (e.g. a final
+    hour-of-day group), so the day-level compaction still shields every
+    earlier stage."""
+    expanded = atoms.withColumn(
+        "hour_idx",
+        F.explode(
+            F.when(
+                F.col("hour_idx").isNull(),
+                F.sequence(
+                    F.col("day_num") * 24, F.col("day_num") * 24 + F.lit(23)
+                ),
+            ).otherwise(F.array(F.col("hour_idx")))
+        ),
+    )
+    hora_us = (F.col("hour_idx") * F.lit(US_PER_HOUR)).cast("long")
+    return expanded.withColumn("hora_us", hora_us).withColumn(
+        "clip_us",
+        F.when(
+            F.col("clip_us") == F.lit(US_DAY).cast("long"),
+            F.lit(US_PER_HOUR).cast("long"),
+        ).otherwise(F.col("clip_us")),
     )
 
 

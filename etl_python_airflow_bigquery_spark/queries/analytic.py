@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from etl_python_airflow_bigquery_spark.dims import day_part_blocks_dim, day_grid
 from etl_python_airflow_bigquery_spark.functions import dsum, event_day_num
 from etl_python_airflow_bigquery_spark.operators.intervals import (
+    DAY_TIER_MIN_DAYS,
+    expand_day_atoms_to_hours,
     explode_to_hour_grid,
     sessions_from_events,
 )
@@ -513,9 +515,16 @@ def mapa_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapa_consumo mart (mapa_consumo.py:81-185). Same exploded-atom
     spine as the flagship; the 7×24 output is constant at any scale.
     DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday — aligned
-    by subtracting 1 on the Spark side."""
+    by subtracting 1 on the Spark side.
+
+    Rides the day-tiered atom spine: day atoms re-expand to their 24
+    hour rows only at the end of the map chain (bounded ≤24 fan-out,
+    before the one hash-agg shuffle) — every earlier stage sees O(days)
+    atoms per pathological session."""
     sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
-    atoms = explode_to_hour_grid(sessions)
+    atoms = expand_day_atoms_to_hours(
+        explode_to_hour_grid(sessions, day_tier_min_days=DAY_TIER_MIN_DAYS)
+    )
     dia_semana = (
         F.dayofweek(
             F.date_add(

@@ -18,6 +18,7 @@ from etl_python_airflow_bigquery_spark.functions import (
     ts_lit_for,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import (
+    DAY_TIER_MIN_DAYS,
     explode_to_hour_grid,
     sessions_from_events,
 )
@@ -98,9 +99,12 @@ def indicadores_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minutes → a handful of hours); the agg is partial/final combinable.
     """
     sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
-    atoms = explode_to_hour_grid(sessions).withColumn(
-        "day_num", F.floor(F.col("hour_idx") / 24).cast("int")
-    )
+    # day-tiered atoms: this query is day-granular (per-day sums and
+    # day-distinct counts), so a pathological multi-day session costs
+    # O(days) atoms, not O(days·24) — day atoms carry the full-day clip
+    atoms = explode_to_hour_grid(
+        sessions, day_tier_min_days=DAY_TIER_MIN_DAYS
+    ).withColumn("day_num", F.col("day_num").cast("int"))
     # habil as a pure column expression — no bounded calendar join, so
     # sessions outside any grid range are filtered by the SAME predicate
     # the oracle applies (no silent date-bound divergence), and the
@@ -229,9 +233,9 @@ def indicadores_finde(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-business days (weekends + feriados). Same exploded-atom plan;
     only the broadcast calendar filter flips (NOT habil)."""
     sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
-    atoms = explode_to_hour_grid(sessions).withColumn(
-        "day_num", F.floor(F.col("hour_idx") / 24).cast("int")
-    )
+    atoms = explode_to_hour_grid(
+        sessions, day_tier_min_days=DAY_TIER_MIN_DAYS
+    ).withColumn("day_num", F.col("day_num").cast("int"))
     finde = atoms.where(~habil_expr(F.col("day_num")))
     agg = finde.groupBy("user_id").agg(
         (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("sum_minutos"),
