@@ -47,19 +47,22 @@ GROUP BY 1, 2
 """
 
 
-@register("superposicion_hora", oracle=_SUPER_ORACLE, ops=("J9", "A13", "A2"), bench=True)
-def superposicion_hora(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("superposicion_hora_selfjoin", oracle=_SUPER_ORACLE,
+          ops=("J9", "A13", "A2"), driver=False)
+def superposicion_hora_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix: for every hour pair, how many distinct
     users listened in both hours of the same day (reference
     Complex_user_superposition_by_hour_etl.ipynb cells 2-4 — pandas
     self-merge + groupby nunique, the clearest memory-wall case in the
     reference; SURVEY.md §3.3).
 
-    Spark-first: distinct user-hour atoms (bounded: ≤ users × 24 × days),
-    self-joined on (user_id, day) — an equi hash join Catalyst shuffles
-    on the join key, not a cartesian — then a distinct-count per pair.
-    At 100 TB the atom table is orders of magnitude smaller than raw
-    sessions; the 24×24 output is constant."""
+    The JOIN-form J9 mechanics, kept at pytest tier: distinct user-hour
+    atoms (bounded: ≤ users × 24 × days), self-joined on (user_id, day)
+    — an equi hash join Catalyst shuffles on the join key, not a
+    cartesian — then a distinct-count per pair. The DRIVER-tier
+    ``superposicion_hora`` (queries/marts.py) computes the same matrix
+    from the compound-bucketed mart with the join shuffle amortized into
+    the mart build."""
     sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
     atoms = (
         explode_to_hour_grid(sessions)

@@ -148,10 +148,15 @@ def frecuencia_visitas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct user-hour atoms (user_id, day_num, hora) persisted
-    bucketed by user_id. The dedup shuffle is paid ONCE at mart build;
-    every overlap/audience query after that reads atoms pre-clustered."""
-    name = mart_name("atomos_usuario_hora", sf_dir)
+    """Distinct user-hour atoms (user_id, day_num, hora) persisted with
+    COMPOUND (user_id, day_num) bucket keys. The dedup shuffle is paid
+    ONCE at mart build; every overlap/audience query after that reads
+    atoms pre-clustered. The compound key (vs user_id alone) spreads a
+    pathological hot user across buckets by day — per-(user, day)
+    aggregations and the JOIN-form superposition (equi keys = bucket
+    keys exactly) both stay Exchange-free, while the skewed-user bucket
+    no longer serializes on one task."""
+    name = mart_name("atomos_usuario_dia", sf_dir)
     if not spark.catalog.tableExists(name):
         sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
         atoms = (
@@ -164,23 +169,32 @@ def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         ensure_bucketed_mart(
-            spark, atoms, name, "user_id", DEFAULT_BUCKETS, sort_col="user_id"
+            spark,
+            atoms,
+            name,
+            ["user_id", "day_num"],
+            DEFAULT_BUCKETS,
+            sort_col=["user_id", "day_num"],
         )
     return spark.table(name)
 
 
-@register("superposicion_hora_mart", oracle=_SUPER_ORACLE,
-          ops=("J9", "A13", "A2"), driver=False)
-def superposicion_hora_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The superposition matrix WITHOUT its self-join: per (user, day)
-    collect the hour set (an aggregation the user_id-bucketed atom mart
-    satisfies with zero Exchange), explode the set against itself
-    map-side (≤24² pairs per user-day), and distinct-count users per
-    hour pair. Same result as `superposicion_hora` (same oracle), but
-    the only shuffle left in the whole plan is the final 576-group
-    distinct aggregation — the join shuffle is gone, traded at ingest
-    for the mart's one-time clustering. At 100 TB this is the
-    amortization story: N overlap queries each save their join shuffle."""
+@register("superposicion_hora", oracle=_SUPER_ORACLE,
+          ops=("J9", "A13", "A2"), bench=True)
+def superposicion_hora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix (reference
+    Complex_user_superposition_by_hour_etl.ipynb cells 2-4), DRIVER-TIER
+    on the bucketed mart (VERDICT r3 #4) — the superposition WITHOUT its
+    self-join: per (user, day) collect the hour set (an aggregation the
+    compound-bucketed atom mart satisfies with zero Exchange), explode
+    the set against itself map-side (≤24² pairs per user-day), and
+    distinct-count users per hour pair. Same oracle as the pytest-tier
+    ``superposicion_hora_selfjoin`` (the J9 join mechanics), but the
+    only shuffle left in the whole plan is the final 576-group distinct
+    aggregation — the join shuffle is gone, traded at ingest for the
+    mart's one-time clustering. At 100 TB this is the amortization
+    story: N overlap queries each save their join shuffle, and the
+    (user_id, day_num) key de-skews hot users across buckets."""
     atoms = atomos_usuario_mart(spark, sf_dir)
     per_day = atoms.groupBy("user_id", "day_num").agg(
         F.collect_set("hora").alias("horas")

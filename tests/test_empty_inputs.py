@@ -23,7 +23,7 @@ SMOKE = [
     "acumulado_diario",
     "similarity_lsh_multi",
     "perfil_usuario_bucketed",
-    "superposicion_hora_mart",
+    "superposicion_hora_selfjoin",
     "muestra_estratificada",
     "corpus_curado",
     "percentiles_pedidos",

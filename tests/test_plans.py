@@ -156,7 +156,7 @@ def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
     from etl_python_airflow_bigquery_spark.queries.marts import (
         frecuencia_visitas_bucketed,
         perfil_usuario_bucketed,
-        superposicion_hora_mart,
+        superposicion_hora,
     )
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -165,7 +165,7 @@ def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
         for fn in (
             perfil_usuario_bucketed,
             frecuencia_visitas_bucketed,
-            superposicion_hora_mart,
+            superposicion_hora,
         ):
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
