@@ -229,7 +229,9 @@ LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS q_ordenes
 """
 
 
-@register("merge_chain", oracle=_MERGE_CHAIN_ORACLE, ops=("J2", "J1"))
+# driver=False (r4): J1 is driver-covered by registry_union and J2 by
+# device/geo_enrich — slot ceded to audiencia_dst_primavera (50-slot rule)
+@register("merge_chain", oracle=_MERGE_CHAIN_ORACLE, ops=("J2", "J1"), driver=False)
 def merge_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained left-merge enrichment on one key — the reference's 13
     consecutive ``pd.merge(..., how='left', on='platform_id')`` cells
@@ -429,6 +431,48 @@ def audiencia_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = events.select(
         "user_id",
         to_santiago(event_ts_us(events) + F.lit(90 * US_PER_DAY)).alias("ts_scl"),
+    )
+    return loc.groupBy(
+        F.date_format("ts_scl", "yyyy-MM-dd").alias("dia_local"),
+        F.hour("ts_scl").cast("int").alias("hora_local"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("eventos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )
+
+
+_DST_SPRING_ORACLE = """
+WITH loc AS (
+    SELECT user_id,
+           timezone('America/Santiago',
+                    timezone('UTC', ts + INTERVAL 240 DAY)) AS ts_scl
+    FROM events
+)
+SELECT CAST(strftime(ts_scl, '%Y-%m-%d') AS VARCHAR) AS dia_local,
+       CAST(hour(ts_scl) AS INTEGER) AS hora_local,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM loc
+GROUP BY 1, 2
+"""
+
+
+@register("audiencia_dst_primavera", oracle=_DST_SPRING_ORACLE, ops=("P7", "W2"))
+def audiencia_dst_primavera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audiencia_dst``'s SPRING-FORWARD twin (VERDICT r3 #6): instants
+    shift +240 days (January events land on Aug 28 – Sep 26, spanning
+    the Sep 7/8 2024 switch where America/Santiago springs 23:59→01:00)
+    and bucket in LOCAL time. The NONEXISTENT local hour — 2024-09-08
+    00:xx never occurs on a Chilean clock — must be absent from BOTH
+    engines' outputs (pinned by tests/test_functions.py), closing the
+    reference risk §7.4.2 in the direction audiencia_dst (fall-back,
+    doubled hour) does not exercise."""
+    from etl_python_airflow_bigquery_spark.functions import US_PER_DAY, to_santiago
+
+    events = load_table(spark, sf_dir, "events")
+    loc = events.select(
+        "user_id",
+        to_santiago(event_ts_us(events) + F.lit(240 * US_PER_DAY)).alias("ts_scl"),
     )
     return loc.groupBy(
         F.date_format("ts_scl", "yyyy-MM-dd").alias("dia_local"),

@@ -80,6 +80,36 @@ def test_santiago_dst_transition(spark):
     assert r["a"] == "2024-04-07 00:00:00"
 
 
+def test_santiago_spring_forward_gap(spark):
+    """Chile enters DST 2024-09-08: 00:00 local never exists (23:59:59
+    jumps to 01:00:00, UTC-4 → UTC-3). The last pre-switch second must
+    land on 23:59:59 and the switch instant on 01:00:00 — local hour 0
+    of 2024-09-08 is a GAP, which audiencia_dst_primavera's output must
+    reflect (no hora_local=0 row for that date)."""
+    before = 1_725_767_999 * US  # 2024-09-08T03:59:59Z (UTC-4 still)
+    at = 1_725_768_000 * US      # 2024-09-08T04:00:00Z → 01:00:00 local
+    r = one_row(spark).select(
+        to_santiago(F.lit(before)).cast("string").alias("b"),
+        to_santiago(F.lit(at)).cast("string").alias("a"),
+    ).first()
+    assert r["b"] == "2024-09-07 23:59:59"
+    assert r["a"] == "2024-09-08 01:00:00"
+
+
+def test_dst_primavera_has_no_gap_hour(spark, sf_dir):
+    """The spring-forward driver query must emit NO row for the
+    nonexistent local hour (2024-09-08, hora 0) while covering the
+    switch date itself."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    rows = REGISTRY["audiencia_dst_primavera"].fn(spark, sf_dir).collect()
+    days = {r["dia_local"] for r in rows}
+    assert "2024-09-08" in days  # the shifted window spans the switch
+    assert not any(
+        r["dia_local"] == "2024-09-08" and r["hora_local"] == 0 for r in rows
+    )
+
+
 def test_santiago_summer_offset(spark):
     """January (Chile summer, UTC-3): midnight UTC is 21:00 previous day."""
     us = 1_704_067_200 * US
