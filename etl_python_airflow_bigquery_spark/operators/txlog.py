@@ -294,6 +294,68 @@ class TxTable:
             parent,
         )
 
+    def replace_partitions(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_cols: list[str],
+        refresh_predicate=None,
+    ) -> int:
+        """Transactional K3 in its PARTITION-VALUE form (the writes.py
+        ``refresh_window`` semantics as one manifest flip): delete every
+        row whose ``partition_cols`` tuple appears in ``df`` — within
+        those tuples, only rows satisfying ``refresh_predicate`` when
+        given (the reference's secondary DELETE predicate) — and insert
+        ``df``. Files whose stats provably miss every incoming value
+        carry over untouched; survivors of overlapping files re-land in
+        fresh files. Readers keep their snapshot; a concurrent commit
+        turns into a CommitConflict instead of a lost update."""
+        if refresh_predicate is not None:
+            pred_true = F.coalesce(refresh_predicate, F.lit(False))
+            n_bad = df.where(~pred_true).count()
+            if n_bad:
+                raise ValueError(
+                    f"replace_partitions: {n_bad} incoming rows violate "
+                    "refresh_predicate (NULLs count as violating) — they "
+                    "would duplicate against the preserved slice"
+                )
+        parent = self.version()
+        entries = self._manifest(parent)["files"] if parent >= 0 else []
+        tuples = df.select(*partition_cols).distinct()
+        values = tuples.collect()  # touched-partition list: small by K3 contract
+
+        def touched(entry) -> bool:
+            # conservative: a file may hold a tuple iff EVERY column's
+            # stats admit that column's value for SOME incoming tuple
+            return any(
+                all(self._overlaps(entry, c, row[c], row[c]) for c in partition_cols)
+                for row in values
+            )
+
+        hit = [e for e in entries if touched(e)]
+        untouched = [e for e in entries if not touched(e)]
+        new = self._write_files(df)
+        if hit:
+            old = self._read_entries(spark, hit, df.schema.json())
+            in_window = F.lit(False)
+            for row in values:
+                cond = F.lit(True)
+                for c in partition_cols:
+                    cond = cond & F.col(c).eqNullSafe(F.lit(row[c]))
+                in_window = in_window | cond
+            if refresh_predicate is not None:
+                in_window = in_window & F.coalesce(refresh_predicate, F.lit(False))
+            survivors = old.where(~in_window)
+            new += self._write_files(survivors)
+        return self._claim(
+            {
+                "files": untouched + new,
+                "op": "replace_partitions",
+                "schema": df.schema.json(),
+            },
+            parent,
+        )
+
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every

@@ -53,6 +53,7 @@ def refresh_window(
     partition_cols: list[str],
     cluster_cols: list[str] | None = None,
     refresh_predicate: Column | None = None,
+    tx: bool = False,
 ) -> None:
     """K3: idempotent delete-window-then-append as ONE dynamic partition
     overwrite — partitions present in ``df`` are replaced, all others
@@ -73,8 +74,23 @@ def refresh_window(
     slice is read through a partition-pruned semi join and checkpointed
     before the overwrite (breaking the read-from-overwritten-path cycle).
     Without the predicate the old whole-partition fast path runs — no
-    read of existing data at all."""
+    read of existing data at all.
+
+    ``tx=True`` routes the refresh through the manifest transaction log
+    (operators/txlog.py) instead of dynamic partition overwrite: the
+    delete-window-and-insert lands as ONE atomic manifest flip, readers
+    keep their snapshot (and can time-travel to pre-refresh versions),
+    and a concurrent refresh raises CommitConflict instead of silently
+    interleaving file rewrites — the object-store-safe K3."""
     spark = df.sparkSession
+    if tx:
+        from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+        out = df.sortWithinPartitions(*cluster_cols) if cluster_cols else df
+        TxTable(path, stats_cols=list(partition_cols)).replace_partitions(
+            spark, out, list(partition_cols), refresh_predicate
+        )
+        return
     # data-integrity guards raise for real (never assert: `python -O`
     # would turn a mis-configured session into a silent table truncation)
     if (
@@ -120,6 +136,7 @@ def merge_upsert(
     path: str,
     key_cols: list[str],
     partition_cols: list[str] | None = None,
+    tx: bool = False,
 ) -> None:
     """K4: MERGE-on-id semantics on plain parquet — WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT (reference funnel_live.py:157-172) becomes
@@ -131,9 +148,17 @@ def merge_upsert(
     Concurrent writers are excluded by an O_EXCL lockfile for the
     table's swap window: two simultaneous merges would each read the
     same target and the loser's rename would silently drop the winner's
-    rows (lost update). Real transactionality needs a table format
-    (Delta/Iceberg — ROADMAP); the lock makes the plain-parquet fallback
-    fail loudly instead of corrupting."""
+    rows (lost update). The lock makes the plain-parquet fallback fail
+    loudly instead of corrupting; ``tx=True`` upgrades to REAL snapshot
+    isolation via the manifest transaction log (operators/txlog.py) —
+    the lost-update window becomes impossible by construction (the
+    loser's version claim conflicts), old versions stay readable, and no
+    rename-swap is needed (object-store-safe)."""
+    if tx:
+        from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+        TxTable(path).merge(spark, staging, key_cols)
+        return
     lock = f"{path}__merge.lock"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     try:

@@ -185,6 +185,120 @@ def test_stats_skipped_for_noncomparable_types(spark, tmp_path):
     assert got.count() == 1
 
 
+def test_refresh_window_tx_idempotent_with_time_travel(spark, tmp_path):
+    """K3 through the transaction log (writes.refresh_window tx=True):
+    re-running the same window is idempotent, a disjoint-window refresh
+    leaves other partitions untouched, and every pre-refresh version
+    stays time-travel readable."""
+    from etl_python_airflow_bigquery_spark.operators.writes import refresh_window
+
+    path = str(tmp_path / "t")
+
+    def day(d, val, n=3):
+        return spark.range(n).select(
+            F.lit(d).alias("dia"), F.col("id").alias("k"), F.lit(val).alias("v")
+        )
+
+    refresh_window(day(1, 1.0).unionByName(day(2, 1.0)), path, ["dia"], tx=True)
+    t = TxTable(path)
+    assert t.read(spark).count() == 6
+    v0 = t.version()
+
+    # same-window re-run: replaces day 2, total unchanged (idempotent)
+    refresh_window(day(2, 9.0), path, ["dia"], tx=True)
+    got = t.read(spark)
+    assert got.count() == 6
+    assert got.where((F.col("dia") == 2) & (F.col("v") == 9.0)).count() == 3
+    assert got.where((F.col("dia") == 1) & (F.col("v") == 1.0)).count() == 3
+
+    # disjoint window: day 3 lands, days 1-2 untouched
+    refresh_window(day(3, 5.0), path, ["dia"], tx=True)
+    assert t.read(spark).count() == 9
+    # time travel: the first version still reads its exact snapshot
+    old = t.read(spark, version=v0)
+    assert old.count() == 6
+    assert old.where(F.col("v") == 9.0).count() == 0
+
+
+def test_refresh_window_tx_secondary_predicate(spark, tmp_path):
+    """The secondary DELETE predicate under tx: within a touched
+    partition only the predicate slice is replaced; the sibling slice
+    survives the manifest flip."""
+    from etl_python_airflow_bigquery_spark.operators.writes import refresh_window
+
+    path = str(tmp_path / "t")
+
+    def rows(d, periodo, val):
+        return spark.createDataFrame(
+            [(d, periodo, k, val) for k in range(3)],
+            "dia INT, periodo STRING, k INT, v DOUBLE",
+        )
+
+    base = rows(1, "diario", 1.0).unionByName(rows(1, "mensual", 1.0))
+    TxTable(path, stats_cols=["dia"]).overwrite(base)
+    refresh_window(
+        rows(1, "mensual", 9.0), path, ["dia"],
+        refresh_predicate=F.col("periodo") == "mensual", tx=True,
+    )
+    got = TxTable(path).read(spark)
+    assert got.count() == 6
+    assert got.where((F.col("periodo") == "diario") & (F.col("v") == 1.0)).count() == 3
+    assert got.where((F.col("periodo") == "mensual") & (F.col("v") == 9.0)).count() == 3
+    with pytest.raises(ValueError, match="violate"):
+        refresh_window(
+            base, path, ["dia"],
+            refresh_predicate=F.col("periodo") == "mensual", tx=True,
+        )
+
+
+def test_refresh_window_tx_concurrent_conflict(spark, tmp_path):
+    """Two refreshes racing the same table: the slower writer's version
+    claim must CONFLICT (no silent lost update) — interleaved
+    deterministically by sneaking a commit in during the loser's file
+    staging."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import CommitConflict
+
+    path = str(tmp_path / "t")
+    t1 = TxTable(path, stats_cols=["dia"])
+    t1.overwrite(spark.createDataFrame([(1, 1.0)], "dia INT, v DOUBLE"))
+
+    t2 = TxTable(path, stats_cols=["dia"])
+    orig = t1._write_files
+    fired = []
+
+    def hook(df):
+        out = orig(df)
+        if not fired:
+            fired.append(1)
+            t2.append(spark.createDataFrame([(9, 9.0)], "dia INT, v DOUBLE"))
+        return out
+
+    t1._write_files = hook
+    with pytest.raises(CommitConflict):
+        t1.replace_partitions(
+            spark, spark.createDataFrame([(1, 5.0)], "dia INT, v DOUBLE"), ["dia"]
+        )
+    # the winner's commit is intact; the loser changed nothing
+    got = {(r["dia"], r["v"]) for r in t2.read(spark).collect()}
+    assert got == {(1, 1.0), (9, 9.0)}
+
+
+def test_merge_upsert_tx_snapshot_isolated(spark, tmp_path):
+    """K4 through the transaction log: upsert semantics match the
+    rename-swap path, and the pre-merge version stays readable."""
+    from etl_python_airflow_bigquery_spark.operators.writes import merge_upsert
+
+    path = str(tmp_path / "t")
+    merge_upsert(spark, _df(spark, 0, 5, val=1.0), path, ["k"], tx=True)
+    v0 = TxTable(path).version()
+    merge_upsert(spark, _df(spark, 3, 7, val=9.0), path, ["k"], tx=True)
+    t = TxTable(path)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 9.0, 4: 9.0, 5: 9.0, 6: 9.0}
+    assert t.read(spark, version=v0).count() == 5  # pre-merge snapshot
+    assert not os.path.exists(f"{path}__merge.lock")  # no lockfile in tx mode
+
+
 def test_empty_append_then_read_schema(spark, tmp_path):
     t = TxTable(str(tmp_path / "t"))
     t.overwrite(_df(spark, 0, 0))  # zero rows
