@@ -314,18 +314,19 @@ def grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     audience — the superposition notebooks' df_comb grid pattern
     (cells 5-6, 10-13): cross-join the full period grid, left-join the
     sparse counts, fill zeros so downstream consumers see a dense
-    matrix."""
+    matrix.
+
+    Rides the shared (user_id, day_num)-bucketed atom mart (mart
+    amortization: the hour-atom dedup shuffle is paid once per dataset,
+    not per query) — the block tag derives map-side from the mart's
+    hora column."""
+    from etl_python_airflow_bigquery_spark.queries.marts import atomos_usuario_mart
     from etl_python_airflow_bigquery_spark.queries.reshape import _bloque_col
 
-    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
-    atoms = (
-        explode_to_hour_grid(sessions)
-        .select(
-            "user_id",
-            F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
-            _bloque_col((F.col("hour_idx") % 24).cast("int")).alias("bloque"),
-        )
-        .distinct()
+    atoms = atomos_usuario_mart(spark, sf_dir).select(
+        "user_id",
+        "day_num",
+        _bloque_col(F.col("hora").cast("int")).alias("bloque"),
     )
     counts = atoms.groupBy("day_num", "bloque").agg(
         F.countDistinct("user_id").alias("usuarios")
@@ -418,19 +419,14 @@ def superposicion_segmentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     Where the reference slices 23 pandas frames and re-merges each
     (its memory wall), Spark computes the PAIRS ONCE, joins the 4-row
     per-user segment membership, and aggregates all segments in one
-    shuffle. The dense grid is a broadcast cross join of literals."""
+    shuffle. The dense grid is a broadcast cross join of literals.
+    The atom spine comes from the shared (user_id, day_num)-bucketed
+    mart, so the self-join's equi keys match the bucket keys exactly —
+    zero Exchange on either side of the pair join."""
     from etl_python_airflow_bigquery_spark.dims import age_brackets_dim
+    from etl_python_airflow_bigquery_spark.queries.marts import atomos_usuario_mart
 
-    sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
-    atoms = (
-        explode_to_hour_grid(sessions)
-        .select(
-            "user_id",
-            F.floor(F.col("hour_idx") / 24).cast("bigint").alias("day_num"),
-            (F.col("hour_idx") % 24).cast("bigint").alias("hora"),
-        )
-        .distinct()
-    )
+    atoms = atomos_usuario_mart(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     usuarios = customer.select(
         F.col("c_custkey").alias("user_id"),

@@ -561,6 +561,13 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     component minimum. The cap remains a loud safety bound: on the
     pathological non-convergence it raises instead of returning wrong
     cluster_ids."""
+    # materialize the edge list ONCE: every round's propagate join and
+    # convergence count are separate Spark actions, and without this the
+    # full upstream pair-generation plan (the 2.4s prefix-filtered
+    # Jaccard pipeline when called from dedup_clusters) re-executes per
+    # round — rounds × pipeline cost, the r4 bench's 11.4s pathology.
+    # The edge list is tiny next to the corpus (near-dup pairs only).
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )

@@ -162,42 +162,37 @@ def bloques_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy().pivot() pass: one scan + one shuffle instead of 7 filtered
     aggregations each re-merged on user_id.
 
-    Day-tiered atoms: a full day covers every block exactly once, so a
-    day atom expands into the 7 (block, block-hours·1h) pairs directly —
-    a multi-day session costs 7 rows per full day instead of 24, and
-    partial edge days keep exact hour-level block tagging."""
+    Day-tiered atoms with NO explode and NO pivot: each block's sum is
+    one conditional aggregate — an hour atom contributes its clip to its
+    own block, a day atom contributes the block's fixed hour quota
+    (a full day covers every block exactly once) — so the whole query is
+    one scan + one 7-column hash aggregation. Blocks a user never
+    touches stay NULL (a when-chain without otherwise), matching the
+    oracle's FILTER-over-empty semantics."""
     sessions = sessions_from_events(load_table(spark, sf_dir, "events"))
     atoms = explode_to_hour_grid(sessions, day_tier_min_days=DAY_TIER_MIN_DAYS)
     block_hours = [(n, hi - lo) for n, lo, hi in _BLOQUES] + [("21a06", 9)]
     assert sum(h for _, h in block_hours) == 24
-    day_blocks = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("bloque"),
-                F.lit(h * 3_600_000_000).cast("long").alias("clip"),
-            )
-            for n, h in block_hours
-        ]
-    )
-    hour_block = F.array(
-        F.struct(
-            _bloque_col((F.col("hour_idx") % 24).cast("int")).alias("bloque"),
-            F.col("clip_us").alias("clip"),
-        )
-    )
     tagged = atoms.select(
         "user_id",
-        F.explode(
-            F.when(F.col("hour_idx").isNull(), day_blocks).otherwise(hour_block)
-        ).alias("__b"),
-    ).select("user_id", F.col("__b.clip").alias("clip_us"), F.col("__b.bloque").alias("bloque"))
-    names = [n for n, _, _ in _BLOQUES] + ["21a06"]
-    piv = tagged.groupBy("user_id").pivot("bloque", names).agg(F.sum("clip_us"))
-    return piv.select(
+        "hour_idx",
+        "clip_us",
+        _bloque_col((F.col("hour_idx") % 24).cast("int")).alias("bloque"),
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.col("hour_idx").isNull(), F.lit(h * 3_600_000_000).cast("long")
+            ).when(F.col("bloque") == n, F.col("clip_us"))
+        ).alias(n)
+        for n, h in block_hours
+    ]
+    agg = tagged.groupBy("user_id").agg(*sums)
+    return agg.select(
         "user_id",
         *[
             (F.col(n).cast("double") / F.lit(60_000_000.0)).alias(f"sum_{n}")
-            for n in names
+            for n, _ in block_hours
         ],
     )
 
