@@ -394,6 +394,79 @@ def muestra_estratificada(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-budget mixture planning — epochs/partial-pass per source
+# --------------------------------------------------------------------------
+
+_MEZCLA_ORACLE = f"""
+WITH tok AS (
+    SELECT source, len(string_split(text, ' ')) AS t FROM documents
+),
+fuentes AS (
+    SELECT source, CAST(sum(t) AS BIGINT) AS tokens_fuente,
+           {_hex_hash_sql("source")} % 9 + 1 AS peso
+    FROM tok GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(tokens_fuente) AS BIGINT) AS corpus,
+           CAST(sum(peso) AS BIGINT) AS pesos
+    FROM fuentes
+)
+SELECT f.source,
+       CAST(f.peso AS BIGINT) AS peso,
+       f.tokens_fuente,
+       CAST((t.corpus // 2) * f.peso // t.pesos AS BIGINT) AS objetivo,
+       CAST((t.corpus // 2) * f.peso // t.pesos // f.tokens_fuente AS BIGINT)
+           AS epocas,
+       CAST((t.corpus // 2) * f.peso // t.pesos % f.tokens_fuente AS BIGINT)
+           AS resto_tokens
+FROM fuentes f CROSS JOIN tot t
+"""
+
+
+@register("mezcla_entrenamiento", oracle=_MEZCLA_ORACLE, ops=("A6", "A1", "J6"),
+          driver=False)
+def mezcla_entrenamiento(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget MIXTURE PLAN — the step a pre-training run executes
+    after curation and before sharding: given per-source mixture weights
+    (here hash-derived so the query is scale-proof; in production a
+    broadcast config dim) and a global token budget (half the corpus),
+    compute each source's token target, how many FULL epochs of it to
+    take (upsampling small high-quality sources = epochs > 1), and the
+    partial-pass remainder in tokens. Where ``muestra_estratificada``
+    gates individual documents, this op plans the budget allocation
+    itself. All integer arithmetic (floor-div in a fixed order) so both
+    engines agree exactly. Shape: one grouped sum per source, one scalar
+    aggregate broadcast back via cross join — two tiny shuffles
+    regardless of corpus size; the big side is scanned once for token
+    counts only (column-pruned to source+text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fuentes = (
+        docs.select("source", F.size(F.split("text", " ")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("tokens_fuente"))
+        .withColumn("peso", hex_hash(F.col("source")) % 9 + 1)
+    )
+    tot = fuentes.agg(
+        F.sum("tokens_fuente").cast("long").alias("corpus"),
+        F.sum("peso").cast("long").alias("pesos"),
+    )
+    j = fuentes.crossJoin(F.broadcast(tot))
+    # pure int64 arithmetic (`div`, not double floor-div): exact at any
+    # corpus magnitude and bit-identical to the oracle's `//` chain
+    objetivo = F.expr("((corpus div 2) * peso) div pesos")
+    return j.select(
+        "source",
+        F.col("peso").cast("bigint").alias("peso"),
+        "tokens_fuente",
+        objetivo.cast("bigint").alias("objetivo"),
+        F.expr("(((corpus div 2) * peso) div pesos) div tokens_fuente")
+        .cast("bigint")
+        .alias("epocas"),
+        (objetivo % F.col("tokens_fuente")).cast("bigint").alias("resto_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus curation pipeline — filter → quality gate → dedup → mixture audit
 # --------------------------------------------------------------------------
 
