@@ -854,6 +854,108 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# int8 scalar quantization — the vector-store compression layer
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, label, {_scaled_int_sql("embedding")} AS ev
+    FROM embeddings
+),
+dims AS (
+    SELECT d.d AS d, greatest(max(abs(ev[d.d])), 1) AS m
+    FROM enteros CROSS JOIN generate_series(1, {DIM}) d(d)
+    GROUP BY 1
+),
+escala AS (SELECT list(m ORDER BY d) AS ms FROM dims),
+cuant AS (
+    SELECT e.vec_id, e.label,
+           list_transform(generate_series(1, {DIM}), k ->
+               CASE WHEN e.ev[k] >= 0
+                    THEN (e.ev[k] * 127) // s.ms[k]
+                    ELSE -((-e.ev[k] * 127) // s.ms[k]) END) AS qv,
+           s.ms AS ms
+    FROM enteros e CROSS JOIN escala s
+),
+err AS (
+    SELECT c.vec_id AS vec_id, c.label AS label,
+           list_max(list_transform(qv, q -> abs(q))) AS qmax,
+           list_sum(list_transform(generate_series(1, {DIM}), k ->
+               CAST((ev2.ev[k] - (CASE WHEN c.qv[k] >= 0
+                         THEN (c.qv[k] * c.ms[k]) // 127
+                         ELSE -((-c.qv[k] * c.ms[k]) // 127) END))
+                    AS BIGINT)
+               * (ev2.ev[k] - (CASE WHEN c.qv[k] >= 0
+                         THEN (c.qv[k] * c.ms[k]) // 127
+                         ELSE -((-c.qv[k] * c.ms[k]) // 127) END)))) AS e2
+    FROM cuant c JOIN enteros ev2 USING (vec_id)
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS vectores,
+       CAST(max(qmax) AS BIGINT) AS q_max,
+       CAST(sum(e2) // count(*) AS BIGINT) AS error_medio
+FROM err
+GROUP BY 1
+"""
+
+
+@register("cuantizacion_vectores", oracle=_QUANT_ORACLE, ops=("NN2", "A1"),
+          driver=False)
+def cuantizacion_vectores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 SCALAR QUANTIZATION of the embedding column — the compression
+    step a 100 TB vector store runs before indexing (8 bytes/dim → 1):
+    per-dimension global max-abs scales (two tiny aggregations, 64 ints)
+    broadcast back as a LITERAL array (the map-only LSH trick), each
+    vector quantized to q = sign·(|v|·127 div scale) and the
+    reconstruction error audited per label. All integer arithmetic with
+    sign split out (DuckDB ``//`` floors, Spark ``div`` truncates — on
+    the |v| side they agree), so both engines emit identical error
+    sums. Output proves the int8 contract: q_max ≤ 127.
+
+    Scale shape: one posexplode aggregation for the 64 scales (driver
+    holds O(DIM) ints), then a single map-only pass over the corpus —
+    no shuffle touches a vector."""
+    enteros = _int_vectors(_emb(spark, sf_dir)).join(
+        _emb(spark, sf_dir).select("vec_id", "label"), "vec_id"
+    )
+    dims = (
+        enteros.select(F.posexplode("ev").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(F.greatest(F.max(F.abs(F.col("x"))), F.lit(1).cast("long")).alias("m"))
+        .orderBy("d")
+        .collect()
+    )
+    ms = [int(r["m"]) for r in dims]  # O(DIM) ints on the driver, like centroids
+    ms_lit = "array(" + ", ".join(f"{v}L" for v in ms) + ")"
+    q_expr = (
+        f"zip_with(ev, {ms_lit}, (v, m) -> "
+        "CASE WHEN v >= 0 THEN (v * 127L) div m "
+        "ELSE -((-v * 127L) div m) END)"
+    )
+    rec = (
+        "CASE WHEN q >= 0 THEN (q * m) div 127L ELSE -((-q * m) div 127L) END"
+    )
+    quant = enteros.withColumn("qv", F.expr(q_expr))
+    err = quant.select(
+        "label",
+        F.expr("array_max(transform(qv, q -> abs(q)))").alias("qmax"),
+        F.expr(
+            "aggregate(zip_with(zip_with(ev, qv, (v, q) -> struct(v, q)), "
+            f"{ms_lit}, (p, m) -> struct(p.v as v, p.q as q, m as m)), "
+            f"0L, (acc, t) -> acc + (t.v - (CASE WHEN t.q >= 0 THEN (t.q * t.m) div 127L "
+            "ELSE -((-t.q * t.m) div 127L) END)) * "
+            f"(t.v - (CASE WHEN t.q >= 0 THEN (t.q * t.m) div 127L "
+            "ELSE -((-t.q * t.m) div 127L) END)))"
+        ).alias("e2"),
+    )
+    return err.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vectores"),
+        F.max("qmax").cast("bigint").alias("q_max"),
+        F.expr("sum(e2) div count(1)").cast("bigint").alias("error_medio"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Full Lloyd's k-means — the production IVF index build
 # --------------------------------------------------------------------------
 
