@@ -1013,8 +1013,10 @@ def _kmeans_oracle(iters: int) -> str:
 
 def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> DataFrame:
     """k centroid rows as a SQL VALUES LocalRelation with array columns —
-    stays JVM-side with known stats so the broadcast in the assign step
-    plans as a broadcast (see dims.values_dim rationale)."""
+    stays JVM-side with known stats so joins against it plan as a
+    broadcast (see dims.values_dim rationale). Used by the query-side
+    probe (queries × centroids); the corpus-side assign uses the
+    literal-array form below instead."""
     rows = ", ".join(
         f"({sid}, array({', '.join(str(v) for v in sv)}))"
         for sid, sv in sorted(cent.items())
@@ -1025,22 +1027,40 @@ def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> Data
     )
 
 
-def _assign_cells(enteros: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Map-side argmin over broadcast centroids — the IVF assign step."""
-    dist = enteros.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id",
-        "seed_id",
-        F.aggregate(
-            F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
+    """MAP-ONLY argmin over the centroid table — the IVF assign step.
+
+    The centroids (≤ K_CAP×DIM ints by the seed policy) embed as a
+    LITERAL array of (sid, sv) structs inside one expression: per vector
+    `transform` computes each centroid's integer L2 and `aggregate`
+    folds the (d2, sid)-minimum — the same closed-form trick as the LSH
+    plane literals. Compared to the crossJoin + row_number window this
+    replaces, the n×k distance rows never materialize and — decisive at
+    scale — the per-round `Window.partitionBy(vec_id)` SHUFFLE of n×k
+    rows disappears entirely: every Lloyd round is a narrow map pass.
+    Tie-break matches the oracle's (d2, seed_id) order: the literal is
+    sorted by sid and only a STRICTLY smaller d2 replaces the best."""
+    items = sorted(cent.items())
+    lit = "array(" + ", ".join(
+        "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
+            sid=sid, vs=", ".join(f"{v}L" for v in sv)
+        )
+        for sid, sv in items
+    ) + ")"
+    best = (
+        f"aggregate(transform({lit}, c -> struct(c.sid AS sid, "
+        "aggregate(zip_with(ev, c.sv, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v) AS d2)), "
+        "struct(CAST(-1 AS BIGINT) AS sid, CAST(9223372036854775807 AS BIGINT) AS d2), "
+        "(acc, t) -> CASE WHEN t.d2 < acc.d2 THEN t ELSE acc END)"
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("celda"), "d2")
+    return enteros.select(
+        "vec_id",
+        F.expr(best).alias("__best"),
+    ).select(
+        "vec_id",
+        F.col("__best.sid").alias("celda"),
+        F.col("__best.d2").alias("d2"),
     )
 
 
@@ -1064,7 +1084,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rounds unrolled as DuckDB CTEs."""
     enteros = _int_vectors(_emb(spark, sf_dir))
     cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
-    return _assign_cells(enteros, _centroid_values_df(spark, cent))
+    return _assign_cells(enteros, cent)
 
 
 def _int_vectors(emb: DataFrame) -> DataFrame:
@@ -1093,7 +1113,7 @@ def _kmeans_fit(
         for r in enteros.where(F.col("vec_id") % _seed_mod(n) == 0).collect()
     }
     for _ in range(iters):
-        asig = _assign_cells(enteros, _centroid_values_df(spark, cent))
+        asig = _assign_cells(enteros, cent)
         elems = asig.join(enteros, "vec_id").select(
             "celda", F.posexplode("ev").alias("k0", "x")
         )
@@ -1186,7 +1206,7 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = enteros.count()
     cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
     cent_df = _centroid_values_df(spark, cent)
-    asig = _assign_cells(enteros, cent_df)
+    asig = _assign_cells(enteros, cent)
 
     consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")

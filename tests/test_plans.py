@@ -149,6 +149,19 @@ def test_capped_jaccard_keyed_candidates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_kmeans_final_assign_is_map_only(spark, sf_dir):
+    """The IVF assign step must be a single narrow pass: centroids embed
+    as literal structs inside one argmin expression, so the returned
+    assignment plan holds ZERO Exchange — no crossJoin row expansion, no
+    per-vector window shuffle (the r4 rewrite this pins)."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_kmeans")
+    # the gated tables.rebalance round-robin (a no-op at production
+    # split counts) is the ONLY exchange allowed; no hash shuffle, no
+    # per-vector window
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
     """The registered mart pair (queries/marts.py) must never shuffle on
     user_id: per-user aggregates and the profile join ride the bucketed
