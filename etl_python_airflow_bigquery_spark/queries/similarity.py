@@ -712,8 +712,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin — a one-step deterministic k-means); pairs form only within
     a cell and exact cosine verifies at 0.3. The full Lloyd's iteration
     is the same assign step repeated with recomputed means — the
-    shuffle shape (broadcast seeds, map-side argmin, equi join on cell)
-    is already the production one."""
+    assign is the MAP-ONLY literal-argmin of `_assign_cells` (seeds are
+    ≤ K_CAP×DIM ints by policy, collected once like the k-means init),
+    so no n×k rows ever materialize or shuffle; the only wide op left
+    is the within-cell pair equi-join."""
     emb = _emb(spark, sf_dir)
     enteros = emb.select(
         "vec_id",
@@ -721,24 +723,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
         ).alias("ev"),
     )
-    semillas = enteros.where(F.col("vec_id") % _seed_mod(emb.count()) == 0).select(
-        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
-    )
-    dist = enteros.crossJoin(F.broadcast(semillas)).select(
-        "vec_id",
-        "seed_id",
-        F.aggregate(
-            F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
-    celdas = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("celda"))
-    )
+    semillas = {
+        r["vec_id"]: list(r["ev"])
+        for r in enteros.where(
+            F.col("vec_id") % _seed_mod(emb.count()) == 0
+        ).collect()
+    }
+    celdas = _assign_cells(enteros, semillas).select("vec_id", "celda")
     normas = enteros.select(
         "vec_id",
         F.aggregate(
