@@ -657,6 +657,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup — the daily-ingest shape: batch probes the index
+# --------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+nuevos AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+),
+exacto AS (
+    SELECT n.doc_id, min(c.doc_id) AS dup
+    FROM nuevos n JOIN corpus c ON c.h = n.h
+    GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS nuevo, b.doc_id AS viejo, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    GROUP BY 1, 2
+),
+cercano AS (
+    SELECT i.nuevo AS doc_id, min(i.viejo) AS dup
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.nuevo
+    JOIN tam tb ON tb.doc_id = i.viejo
+    WHERE 2 * i.c >= ta.n + tb.n - i.c
+    GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.dup IS NOT NULL THEN 'exacto'
+            WHEN c2.dup IS NOT NULL THEN 'cercano'
+            ELSE 'nuevo' END AS estado,
+       CAST(coalesce(e.dup, c2.dup) AS BIGINT) AS dup_de
+FROM nuevos n
+LEFT JOIN exacto e ON e.doc_id = n.doc_id
+LEFT JOIN cercano c2 ON c2.doc_id = n.doc_id
+"""
+
+
+@register("dedup_incremental", oracle=_INCREMENTAL_ORACLE,
+          ops=("DD1", "DD4", "J2"), driver=False)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a daily ingest actually runs at
+    100 TB: the NEW BATCH (here every 10th doc_id) probes the existing
+    corpus's indexes instead of re-deduplicating everything. Two tiers,
+    cheapest first: (1) exact — the batch's text hashes equi-join the
+    corpus hash index; (2) near — the batch's shingle postings equi-join
+    the CORPUS posting index (cost ∝ batch postings × df, never
+    corpus²), candidates verified with the map-side exact-Jaccard
+    arrays. Each new doc lands as 'exacto' (byte-identical to dup_de),
+    'cercano' (J ≥ 0.5 with dup_de), or 'nuevo'. The posting and hash
+    indexes are exactly what `dedup_ngram_jaccard` / `dedup_exact`
+    maintain — this op is their read path."""
+    docs = load_table(spark, sf_dir, "documents")
+    es_nuevo = F.col("doc_id") % 10 == 0
+    nuevos = docs.where(es_nuevo).select("doc_id", F.md5("text").alias("h"))
+    corpus = docs.where(~es_nuevo).select(
+        F.col("doc_id").alias("viejo"), F.md5("text").alias("h")
+    )
+    exacto = (
+        nuevos.join(corpus, "h")
+        .groupBy("doc_id")
+        .agg(F.min("viejo").alias("dup_exacto"))
+    )
+
+    sh = _shingles(spark, sf_dir)
+    shn = sh.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
+    shc = sh.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("doc_b"), "s"
+    )
+    candidatos = shn.join(shc, "s").select("doc_a", "doc_b").distinct()
+    verificados = _verify_jaccard(candidatos, sh)
+    cercano = verificados.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.min("doc_b").alias("dup_cercano")
+    )
+
+    out = (
+        nuevos.select("doc_id")
+        .join(exacto, "doc_id", "left")
+        .join(cercano, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("dup_exacto").isNotNull(), F.lit("exacto"))
+        .when(F.col("dup_cercano").isNotNull(), F.lit("cercano"))
+        .otherwise(F.lit("nuevo"))
+        .alias("estado"),
+        F.coalesce("dup_exacto", "dup_cercano").cast("bigint").alias("dup_de"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup ENDGAME application — the deduplicated corpus itself
 # --------------------------------------------------------------------------
 
