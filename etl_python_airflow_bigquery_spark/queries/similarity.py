@@ -398,6 +398,119 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_SEARCH_K = 3
+
+_LSH_SEARCH_ORACLE = f"""
+WITH planos AS (
+    SELECT p.p, d.d, {_plane_weight_sql("p.p", "d.d")} AS w
+    FROM generate_series(0, {N_PLANES - 1}) p(p)
+    CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+elems AS (
+    SELECT e.vec_id, d.d,
+           CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS ev
+    FROM embeddings e CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+proy AS (
+    SELECT el.vec_id, pl.p, sum(pl.w * el.ev) AS proj
+    FROM elems el JOIN planos pl ON pl.d = el.d
+    GROUP BY 1, 2
+),
+baldes AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS balde
+    FROM proy GROUP BY 1
+),
+{_PARAMS_SQL},
+consultas AS (
+    SELECT vec_id AS query_id, balde FROM baldes
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+cands AS (
+    SELECT q.query_id, b.vec_id AS cand_id
+    FROM consultas q JOIN baldes b
+      ON b.balde = q.balde AND b.vec_id != q.query_id
+),
+{_NORMS_SQL.strip()},
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           {_scaled_dot_sql("eq.embedding", "ec.embedding")} AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM cands c
+    JOIN embeddings eq ON eq.vec_id = c.query_id
+    JOIN embeddings ec ON ec.vec_id = c.cand_id
+    JOIN norms nq ON nq.vec_id = c.query_id
+    JOIN norms nc ON nc.vec_id = c.cand_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               DESC, cand_id) AS pos
+    FROM scored
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM ranked WHERE pos <= {_LSH_SEARCH_K}
+"""
+
+
+@register("similarity_lsh_search", oracle=_LSH_SEARCH_ORACLE,
+          ops=("NN3", "O7"), driver=False)
+def similarity_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PROBE SEARCH — the query half of the hyperplane index
+    (completing the search matrix: brute = exactness baseline,
+    vectorized brute = throughput, IVF probe = capped quantizer, LSH
+    probe = hash-bounded): each query (policy-sized set, ~Q_TARGET rows)
+    hashes with the SAME map-only literal-plane expression as the
+    corpus, candidates are exactly its bucket's members (one equi join —
+    at 100 TB the per-query candidate count is the bucket size the
+    adaptive plane count targets), exact integer cosine ranks top-3.
+    A query whose bucket holds no neighbor emits nothing — the recall
+    miss multi-table probing (similarity_lsh_multi) repairs."""
+    emb = _emb(spark, sf_dir)
+    baldes = emb.select(
+        "vec_id", _bucket_expr(list(range(N_PLANES))).alias("balde")
+    )
+    consultas = baldes.where(
+        F.col("vec_id") % _query_mod(emb.count()) == 0
+    ).select(F.col("vec_id").alias("query_id"), "balde")
+    cands = consultas.join(
+        baldes.select(F.col("vec_id").alias("cand_id"), F.col("balde").alias("b2")),
+        (F.col("balde") == F.col("b2")) & (F.col("cand_id") != F.col("query_id")),
+    ).select("query_id", "cand_id")
+
+    norms = _norms(spark, sf_dir)
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    ec = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        cands.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("eq"), F.col("ec")), F.col("nq"), F.col("nc")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _LSH_SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multi-table LSH — L independent hash tables, union-dedup of candidates
 # --------------------------------------------------------------------------
