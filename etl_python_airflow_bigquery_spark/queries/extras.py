@@ -726,6 +726,133 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exacta.crossJoin(est)
 
 
+_KMV_INTER_ORACLE = f"""
+WITH hashes AS (
+    SELECT DISTINCT
+           CASE WHEN event_type IN ('click', 'view') THEN 'navegacion'
+                ELSE 'transaccion' END AS grupo,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h
+    FROM events
+),
+exacta AS (
+    SELECT count(*) AS n FROM (
+        SELECT h FROM hashes GROUP BY h HAVING count(DISTINCT grupo) = 2
+    )
+),
+bk AS (
+    SELECT grupo, h FROM (
+        SELECT grupo, h, row_number() OVER (PARTITION BY grupo ORDER BY h) AS rn
+        FROM hashes
+    ) WHERE rn <= {_KMV_K}
+),
+miembros AS (
+    SELECT h,
+           max(CASE WHEN grupo = 'navegacion' THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN grupo = 'transaccion' THEN 1 ELSE 0 END) AS in_b
+    FROM bk GROUP BY h
+),
+rk AS (
+    SELECT h, in_a, in_b,
+           row_number() OVER (ORDER BY h) AS rn,
+           count(*) OVER () AS n_croquis
+    FROM miembros
+),
+agg AS (
+    SELECT max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk,
+           max(n_croquis) AS nc,
+           sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS ambos
+    FROM rk WHERE rn <= {_KMV_K}
+),
+est AS (
+    SELECT CASE WHEN nc < {_KMV_K} THEN nc
+                ELSE CAST(floor(({_KMV_K} - 1) * 1152921504606846976.0 / hk)
+                          AS BIGINT) END AS union_estimada,
+           least(nc, {_KMV_K}) AS k_eff,
+           ambos
+    FROM agg
+)
+SELECT CAST(e2.n AS BIGINT) AS inter_exacta,
+       CAST((e.union_estimada * e.ambos) // e.k_eff AS BIGINT) AS inter_estimada,
+       floor(e.ambos * 1000.0 / e.k_eff) / 1000 AS jaccard_estimado
+FROM est e, exacta e2
+"""
+
+
+@register("sketch_kmv_interseccion", oracle=_KMV_INTER_ORACLE, ops=("A2",),
+          driver=False)
+def sketch_kmv_interseccion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV INTERSECTION estimate — audience overlap between the two
+    behavioral groups from their sketches alone: ρ = (bottom-k of the
+    merged sketch that belongs to BOTH groups' sketches) / k estimates
+    the Jaccard, and ρ × union-estimate the intersection size — the
+    standard KMV/theta-sketch rule, all from 2×k retained hashes however
+    large the corpus. The exact intersection rides along so the error is
+    visible; every step is integer/deterministic (shared md5-prefix
+    hashes, integer floor-div), so the oracle checks values exactly."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    events = load_table(spark, sf_dir, "events")
+    grupo = F.when(
+        F.col("event_type").isin("click", "view"), "navegacion"
+    ).otherwise("transaccion")
+    hashes = events.select(
+        grupo.alias("grupo"), hex_hash(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    exacta = (
+        hashes.groupBy("h")
+        .agg(F.countDistinct("grupo").alias("g"))
+        .where(F.col("g") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exacta"))
+    )
+    wg = Window.partitionBy("grupo").orderBy("h")
+    bk = hashes.withColumn("rn", F.row_number().over(wg)).where(
+        F.col("rn") <= _KMV_K
+    )
+    miembros = bk.groupBy("h").agg(
+        F.max(F.when(F.col("grupo") == "navegacion", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("grupo") == "transaccion", 1).otherwise(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    wall = Window.partitionBy()
+    rk = miembros.select(
+        "h",
+        "in_a",
+        "in_b",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_croquis"),
+    ).where(F.col("rn") <= _KMV_K)
+    agg = rk.agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        F.max("n_croquis").alias("nc"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("ambos"),
+    )
+    est = agg.select(
+        F.when(F.col("nc") < _KMV_K, F.col("nc"))
+        .otherwise(
+            F.floor(
+                (_KMV_K - 1) * F.lit(1152921504606846976.0) / F.col("hk")
+            ).cast("bigint")
+        )
+        .alias("union_estimada"),
+        F.least(F.col("nc"), F.lit(_KMV_K)).alias("k_eff"),
+        "ambos",
+    )
+    out = est.select(
+        F.expr("(union_estimada * ambos) div k_eff")
+        .cast("bigint")
+        .alias("inter_estimada"),
+        (F.floor(F.col("ambos") * 1000.0 / F.col("k_eff")) / 1000).alias(
+            "jaccard_estimado"
+        ),
+    )
+    return exacta.crossJoin(out).select(
+        "inter_exacta", "inter_estimada", "jaccard_estimado"
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact grouped percentiles (with the t-digest approx scale path noted)
 # --------------------------------------------------------------------------
