@@ -111,3 +111,68 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_us").cast("bigint").alias("fin_us"),
         F.count(F.lit(1)).cast("bigint").alias("eventos"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history build — attribute-change gaps-and-islands
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH obs AS (
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS prioridad,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dia,
+           o_orderkey AS ok
+    FROM orders
+),
+cambios AS (
+    SELECT custkey, prioridad, dia, ok,
+           lag(prioridad) OVER (PARTITION BY custkey ORDER BY dia, ok)
+               AS prev
+    FROM obs
+),
+versiones AS (
+    SELECT custkey, prioridad, dia, ok
+    FROM cambios WHERE prev IS NULL OR prioridad != prev
+)
+SELECT custkey, prioridad,
+       CAST(dia AS BIGINT) AS valido_desde,
+       CAST(lead(dia) OVER (PARTITION BY custkey ORDER BY dia, ok) AS BIGINT)
+           AS valido_hasta
+FROM versiones
+"""
+
+
+@register("scd2_historia", oracle=_SCD2_ORACLE, ops=("W1", "P9"), driver=False)
+def scd2_historia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 HISTORY BUILD — the WRITE side of the validity-window
+    pattern (`validity_window` is its read side; reference vigencia
+    semantics, q_registrados_.py): each customer's order-priority
+    observations collapse into versioned rows [valido_desde,
+    valido_hasta) wherever the attribute CHANGED (gaps-and-islands on
+    value changes, not time gaps — the complement of sessionization).
+    valido_hasta is NULL on the current version. One window shuffle on
+    the dimension key; days emitted as epoch-day integers so the result
+    is immune to the date column's physical encoding and to session tz.
+    Ties inside a day break deterministically on order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("prioridad"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dia"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("custkey").orderBy("dia", "ok")
+    cambios = obs.withColumn("prev", F.lag("prioridad").over(w))
+    versiones = cambios.where(
+        F.col("prev").isNull() | (F.col("prioridad") != F.col("prev"))
+    ).select("custkey", "prioridad", "dia", "ok")
+    # same-day version pairs keep the order-key tiebreak, so the lead
+    # window is total and both engines close ranges identically
+    wv = Window.partitionBy("custkey").orderBy("dia", "ok")
+    return versiones.select(
+        "custkey",
+        "prioridad",
+        F.col("dia").cast("bigint").alias("valido_desde"),
+        F.lead("dia").over(wv).cast("bigint").alias("valido_hasta"),
+    )
