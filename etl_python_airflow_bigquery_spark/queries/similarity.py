@@ -511,6 +511,174 @@ def similarity_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _proj_exprs() -> list[str]:
+    """Per-plane integer projections as literal-weight expressions
+    (the signature math of `_bucket_expr`, kept as raw values so the
+    multi-probe can measure each bit's MARGIN)."""
+    out = []
+    for p in range(N_PLANES):
+        ws = ",".join(str(_plane_w(p, d)) for d in range(1, DIM + 1))
+        out.append(
+            f"aggregate(zip_with(embedding, array({ws}), "
+            f"(x, wi) -> wi * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, el) -> acc + el)"
+        )
+    return out
+
+
+_MULTIPROBE_ORACLE = f"""
+WITH planos AS (
+    SELECT p.p, d.d, {_plane_weight_sql("p.p", "d.d")} AS w
+    FROM generate_series(0, {N_PLANES - 1}) p(p)
+    CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+elems AS (
+    SELECT e.vec_id, d.d,
+           CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS ev
+    FROM embeddings e CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+proy AS (
+    SELECT el.vec_id, pl.p, sum(pl.w * el.ev) AS proj
+    FROM elems el JOIN planos pl ON pl.d = el.d
+    GROUP BY 1, 2
+),
+baldes AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS balde
+    FROM proy GROUP BY 1
+),
+margen AS (
+    SELECT vec_id, p AS pstar
+    FROM (SELECT vec_id, p,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY abs(proj), p) AS rn
+          FROM proy)
+    WHERE rn = 1
+),
+{_PARAMS_SQL},
+consultas AS (
+    SELECT b.vec_id AS query_id, b.balde, m.pstar
+    FROM baldes b JOIN margen m ON m.vec_id = b.vec_id
+    WHERE b.vec_id % (SELECT query_mod FROM params) = 0
+),
+sondas AS (
+    SELECT query_id, balde AS sonda FROM consultas
+    UNION ALL
+    SELECT query_id, xor(balde, CAST(1 << pstar AS BIGINT)) FROM consultas
+),
+cands AS (
+    SELECT DISTINCT s.query_id, b.vec_id AS cand_id
+    FROM sondas s JOIN baldes b
+      ON b.balde = s.sonda AND b.vec_id != s.query_id
+),
+{_NORMS_SQL.strip()},
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           {_scaled_dot_sql("eq.embedding", "ec.embedding")} AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM cands c
+    JOIN embeddings eq ON eq.vec_id = c.query_id
+    JOIN embeddings ec ON ec.vec_id = c.cand_id
+    JOIN norms nq ON nq.vec_id = c.query_id
+    JOIN norms nc ON nc.vec_id = c.cand_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               DESC, cand_id) AS pos
+    FROM scored
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM ranked WHERE pos <= {_LSH_SEARCH_K}
+"""
+
+
+@register("similarity_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE,
+          ops=("NN3", "O7"), driver=False)
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH search: each query probes its own bucket AND the
+    bucket reached by flipping its LOWEST-MARGIN bit (the plane whose
+    |projection| is smallest — the sign most likely to disagree for a
+    true near neighbor). Doubles candidate coverage with ZERO extra
+    index state — the standard multi-probe trade against
+    similarity_lsh_multi's L independent tables. Deterministic: the
+    flipped plane is argmin(|proj|) with smallest-index tie-break,
+    computed from the same literal-weight integer projections as the
+    bucket itself; probes equi-join the one bucket index."""
+    emb = _emb(spark, sf_dir)
+    projs = "array(" + ", ".join(_proj_exprs()) + ")"
+    base = emb.select(
+        "vec_id",
+        _bucket_expr(list(range(N_PLANES))).alias("balde"),
+        F.expr(projs).alias("projs"),
+    )
+    baldes = base.select("vec_id", "balde")
+    consultas = base.where(
+        F.col("vec_id") % _query_mod(emb.count()) == 0
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "balde",
+        (
+            F.expr(
+                "array_position(transform(projs, x -> abs(x)), "
+                "array_min(transform(projs, x -> abs(x)))) - 1"
+            )
+        ).cast("int").alias("pstar"),
+    )
+    sondas = consultas.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("balde"),
+                F.expr("CAST(balde ^ shiftleft(CAST(1 AS BIGINT), pstar) AS BIGINT)"),
+            )
+        ).alias("sonda"),
+    )
+    cands = (
+        sondas.join(
+            baldes.select(
+                F.col("vec_id").alias("cand_id"), F.col("balde").alias("b2")
+            ),
+            (F.col("sonda") == F.col("b2"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+
+    norms = _norms(spark, sf_dir)
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    ec = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        cands.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("eq"), F.col("ec")), F.col("nq"), F.col("nc")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _LSH_SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multi-table LSH — L independent hash tables, union-dedup of candidates
 # --------------------------------------------------------------------------

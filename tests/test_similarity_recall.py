@@ -123,3 +123,24 @@ def test_brute_force_is_the_exactness_baseline(spark):
         best5 = {int(ids[i]) for i in np.argsort(-sims)[:5]}
         # ties at the cut boundary can differ; require ≥4/5 agreement
         assert len(cands & best5) >= 4, (qid, cands, best5)
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe's candidate set contains the query's own bucket, so
+    per query its best-found neighbor is at least as similar as the
+    single-probe search's, and it never returns fewer results."""
+    single = REGISTRY["similarity_lsh_search"].fn(spark, SF_DIR).collect()
+    multi = REGISTRY["similarity_lsh_multiprobe"].fn(spark, SF_DIR).collect()
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            q = r["query_id"]
+            out[q] = max(out.get(q, float("-inf")), r["similitud"])
+        return out
+
+    b1, bm = best(single), best(multi)
+    assert set(b1) <= set(bm)  # every answered query still answered
+    for q, s in b1.items():
+        assert bm[q] >= s, (q, bm[q], s)
+    assert len(multi) >= len(single)
