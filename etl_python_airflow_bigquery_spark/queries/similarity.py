@@ -1336,6 +1336,167 @@ def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Hierarchical (two-level) IVF — bounded assign cost, k1·k2-way leaves
+# --------------------------------------------------------------------------
+
+_HIER_K1_CAP = 8
+_HIER_K2_CAP = 256
+
+
+def _hier_mods(n: int) -> tuple[int, int]:
+    k1 = min(_HIER_K1_CAP, max(1, n // 200))
+    k2 = min(_HIER_K2_CAP, max(1, n // 25))
+    return max(1, n // k1), max(1, n // k2)
+
+
+_HPARAMS_SQL = (
+    "hparams AS (SELECT "
+    f"greatest(1, count(*) // least({_HIER_K1_CAP}, "
+    "greatest(1, count(*) // 200))) AS m1, "
+    f"greatest(1, count(*) // least({_HIER_K2_CAP}, "
+    "greatest(1, count(*) // 25))) AS m2 "
+    "FROM embeddings)"
+)
+
+_D2_SQL = (
+    f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+    "k -> ({a}[k] - {b}[k]) * ({a}[k] - {b}[k]))) AS BIGINT)"
+)
+
+_HIER_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+{_HPARAMS_SQL},
+s1 AS (SELECT vec_id AS sid, ev AS sv FROM enteros
+       WHERE vec_id % (SELECT m1 FROM hparams) = 0),
+d1 AS (SELECT e.vec_id, s.sid, {_D2_SQL.format(a="e.ev", b="s.sv")} AS d2
+       FROM enteros e CROSS JOIN s1 s),
+a1 AS (SELECT vec_id, sid AS celda1, d2 AS d2_1 FROM
+       (SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+        FROM d1) WHERE rn = 1),
+s2 AS (SELECT e.vec_id AS sid2, e.ev AS sv2, a.celda1
+       FROM enteros e JOIN a1 a USING (vec_id)
+       WHERE e.vec_id % (SELECT m2 FROM hparams) = 0),
+d2c AS (SELECT e.vec_id, s.sid2, {_D2_SQL.format(a="e.ev", b="s.sv2")} AS d2
+        FROM enteros e JOIN a1 a USING (vec_id)
+        JOIN s2 s ON s.celda1 = a.celda1),
+a2 AS (SELECT vec_id, sid2, d2 FROM
+       (SELECT vec_id, sid2, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid2) AS rn
+        FROM d2c) WHERE rn = 1)
+SELECT a1.vec_id, a1.celda1,
+       CAST(coalesce(a2.sid2, a1.celda1) AS BIGINT) AS hoja,
+       CASE WHEN a2.sid2 IS NULL THEN 'l1' ELSE 'l2' END AS nivel,
+       CAST(coalesce(a2.d2, a1.d2_1) AS BIGINT) AS d2
+FROM a1 LEFT JOIN a2 ON a2.vec_id = a1.vec_id
+"""
+
+
+def _argmin_literal(items: list[tuple[int, list[int]]]) -> str:
+    """SQL argmin-by-integer-L2 over a LITERAL (sid, sv) seed array —
+    shared by the flat (_assign_cells) and hierarchical assigns. Items
+    must be sid-sorted; strict `<` keeps the smallest sid on d2 ties,
+    matching the oracles' (d2, sid) row_number order."""
+    lit = "array(" + ", ".join(
+        "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
+            sid=sid, vs=", ".join(f"{v}L" for v in sv)
+        )
+        for sid, sv in items
+    ) + ")"
+    return (
+        f"aggregate(transform({lit}, c -> struct(c.sid AS sid, "
+        "aggregate(zip_with(ev, c.sv, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v) AS d2)), "
+        "struct(CAST(-1 AS BIGINT) AS sid, "
+        "CAST(9223372036854775807 AS BIGINT) AS d2), "
+        "(acc, t) -> CASE WHEN t.d2 < acc.d2 THEN t ELSE acc END)"
+    )
+
+
+@register("similarity_ivf_jerarquico", oracle=_HIER_ORACLE, ops=("NN2",),
+          driver=False)
+def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL (hierarchical) IVF assignment — the structure that
+    removes the flat quantizer's K_CAP trade (SCALING.md): ~k1 coarse
+    cells route each vector to its cell's OWN ~k2/k1 second-level
+    seeds, so the leaf count is k2 while the evaluated assign cost per
+    vector is O(k1 + k2/k1) — 8 + 32 comparisons buy 256 leaves where
+    the flat form pays 256.
+
+    Execution is ENTIRELY map-only: the level-1 argmin is one literal
+    expression; the level-2 argmin is a CASE over celda1 dispatching to
+    that cell's own literal seed array, so only one branch evaluates
+    per row — no joins, no shuffles, nothing but the corpus scan.
+    Seeds' own level-1 cells compute driver-side with the identical
+    integer math (k2 ≤ 256 seeds — bounded like the centroid dict).
+    Cells with no second-level seed fall back to their level-1 seed
+    (nivel 'l1'). Oracle: the same two argmins unrolled as CTEs."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    m1, m2 = _hier_mods(n)
+    enteros = _int_vectors(emb)
+    s1 = sorted(
+        (r["vec_id"], list(r["ev"]))
+        for r in enteros.where(F.col("vec_id") % m1 == 0).collect()
+    )
+    s2_raw = sorted(
+        (r["vec_id"], list(r["ev"]))
+        for r in enteros.where(F.col("vec_id") % m2 == 0).collect()
+    )
+
+    def l1_of(ev: list[int]) -> int:
+        best_sid, best_d2 = None, None
+        for sid, sv in s1:
+            d2 = sum((x - y) * (x - y) for x, y in zip(ev, sv))
+            if best_d2 is None or d2 < best_d2:
+                best_sid, best_d2 = sid, d2
+        return best_sid
+
+    por_celda: dict[int, list[tuple[int, list[int]]]] = {}
+    for sid2, sv2 in s2_raw:
+        por_celda.setdefault(l1_of(sv2), []).append((sid2, sv2))
+
+    b2_branches = " ".join(
+        f"WHEN CAST({c} AS BIGINT) THEN {_argmin_literal(sorted(seeds))}"
+        for c, seeds in sorted(por_celda.items())
+    )
+    b2_expr = (
+        f"CASE celda1 {b2_branches} "
+        "ELSE struct(CAST(-1 AS BIGINT) AS sid, "
+        "CAST(NULL AS BIGINT) AS d2) END"
+    )
+
+    base = enteros.select(
+        "vec_id", "ev", F.expr(_argmin_literal(s1)).alias("b1")
+    ).select(
+        "vec_id",
+        "ev",
+        F.col("b1.sid").alias("celda1"),
+        F.col("b1.d2").alias("d2_1"),
+    )
+    out = base.select(
+        "vec_id", "celda1", "d2_1", F.expr(b2_expr).alias("b2")
+    )
+    return out.select(
+        "vec_id",
+        "celda1",
+        F.when(F.col("b2.sid") == -1, F.col("celda1"))
+        .otherwise(F.col("b2.sid"))
+        .cast("bigint")
+        .alias("hoja"),
+        F.when(F.col("b2.sid") == -1, F.lit("l1"))
+        .otherwise(F.lit("l2"))
+        .alias("nivel"),
+        F.when(F.col("b2.sid") == -1, F.col("d2_1"))
+        .otherwise(F.col("b2.d2"))
+        .cast("bigint")
+        .alias("d2"),
+    )
+
+
 @register("similarity_ivf_kmeans", oracle=_kmeans_oracle(_KMEANS_ITERS),
           ops=("NN2",), bench=True)
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
