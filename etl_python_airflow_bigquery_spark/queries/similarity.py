@@ -1395,6 +1395,29 @@ FROM a1 LEFT JOIN a2 ON a2.vec_id = a1.vec_id
 """
 
 
+def _argmin_literal_excl(
+    items: list[tuple[int, list[int]]], exclude_sid_col: str
+) -> str:
+    """`_argmin_literal` over the same literal seed array MINUS the seed
+    whose sid equals the given column — the second-nearest-leaf step of
+    the hierarchical probe search."""
+    lit = "array(" + ", ".join(
+        "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
+            sid=sid, vs=", ".join(f"{v}L" for v in sv)
+        )
+        for sid, sv in items
+    ) + ")"
+    return (
+        f"aggregate(transform(filter({lit}, c0 -> c0.sid != {exclude_sid_col}), "
+        "c -> struct(c.sid AS sid, "
+        "aggregate(zip_with(ev, c.sv, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v) AS d2)), "
+        "struct(CAST(-1 AS BIGINT) AS sid, "
+        "CAST(9223372036854775807 AS BIGINT) AS d2), "
+        "(acc, t) -> CASE WHEN t.d2 < acc.d2 THEN t ELSE acc END)"
+    )
+
+
 def _argmin_literal(items: list[tuple[int, list[int]]]) -> str:
     """SQL argmin-by-integer-L2 over a LITERAL (sid, sv) seed array —
     shared by the flat (_assign_cells) and hierarchical assigns. Items
@@ -1435,9 +1458,18 @@ def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cells with no second-level seed fall back to their level-1 seed
     (nivel 'l1'). Oracle: the same two argmins unrolled as CTEs."""
     emb = _emb(spark, sf_dir)
-    n = emb.count()
-    m1, m2 = _hier_mods(n)
     enteros = _int_vectors(emb)
+    out, _, _ = _hier_assign(enteros, emb.count())
+    return out.select("vec_id", "celda1", "hoja", "nivel", "d2")
+
+
+def _hier_seeds(
+    enteros: DataFrame, n: int
+) -> tuple[list, dict[int, list[tuple[int, list[int]]]]]:
+    """Collect the two bounded seed tiers and group level-2 seeds by
+    their own level-1 cell (computed driver-side with the identical
+    integer argmin)."""
+    m1, m2 = _hier_mods(n)
     s1 = sorted(
         (r["vec_id"], list(r["ev"]))
         for r in enteros.where(F.col("vec_id") % m1 == 0).collect()
@@ -1458,7 +1490,15 @@ def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
     por_celda: dict[int, list[tuple[int, list[int]]]] = {}
     for sid2, sv2 in s2_raw:
         por_celda.setdefault(l1_of(sv2), []).append((sid2, sv2))
+    return s1, por_celda
 
+
+def _hier_assign(enteros: DataFrame, n: int):
+    """Two-level map-only assignment; returns (frame with vec_id, ev,
+    celda1, hoja, nivel, d2, plus the s1 seed list and the per-cell
+    level-2 seed dict for callers that also need the query-side
+    expressions)."""
+    s1, por_celda = _hier_seeds(enteros, n)
     b2_branches = " ".join(
         f"WHEN CAST({c} AS BIGINT) THEN {_argmin_literal(sorted(seeds))}"
         for c, seeds in sorted(por_celda.items())
@@ -1468,7 +1508,6 @@ def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE struct(CAST(-1 AS BIGINT) AS sid, "
         "CAST(NULL AS BIGINT) AS d2) END"
     )
-
     base = enteros.select(
         "vec_id", "ev", F.expr(_argmin_literal(s1)).alias("b1")
     ).select(
@@ -1478,10 +1517,10 @@ def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b1.d2").alias("d2_1"),
     )
     out = base.select(
-        "vec_id", "celda1", "d2_1", F.expr(b2_expr).alias("b2")
-    )
-    return out.select(
+        "vec_id", "ev", "celda1", "d2_1", F.expr(b2_expr).alias("b2")
+    ).select(
         "vec_id",
+        "ev",
         "celda1",
         F.when(F.col("b2.sid") == -1, F.col("celda1"))
         .otherwise(F.col("b2.sid"))
@@ -1494,6 +1533,165 @@ def similarity_ivf_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("b2.d2"))
         .cast("bigint")
         .alias("d2"),
+    )
+    return out, s1, por_celda
+
+
+_HIER_SEARCH_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+{_HPARAMS_SQL},
+{_PARAMS_SQL},
+s1 AS (SELECT vec_id AS sid, ev AS sv FROM enteros
+       WHERE vec_id % (SELECT m1 FROM hparams) = 0),
+d1 AS (SELECT e.vec_id, s.sid, {_D2_SQL.format(a="e.ev", b="s.sv")} AS d2
+       FROM enteros e CROSS JOIN s1 s),
+a1 AS (SELECT vec_id, sid AS celda1, d2 AS d2_1 FROM
+       (SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+        FROM d1) WHERE rn = 1),
+s2 AS (SELECT e.vec_id AS sid2, e.ev AS sv2, a.celda1
+       FROM enteros e JOIN a1 a USING (vec_id)
+       WHERE e.vec_id % (SELECT m2 FROM hparams) = 0),
+d2c AS (SELECT e.vec_id, s.sid2, {_D2_SQL.format(a="e.ev", b="s.sv2")} AS d2
+        FROM enteros e JOIN a1 a USING (vec_id)
+        JOIN s2 s ON s.celda1 = a.celda1),
+a2 AS (SELECT vec_id, sid2, d2 FROM
+       (SELECT vec_id, sid2, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid2) AS rn
+        FROM d2c) WHERE rn = 1),
+asig AS (
+    SELECT a1.vec_id, CAST(coalesce(a2.sid2, a1.celda1) AS BIGINT) AS hoja
+    FROM a1 LEFT JOIN a2 ON a2.vec_id = a1.vec_id
+),
+qids AS (SELECT vec_id FROM enteros
+         WHERE vec_id % (SELECT query_mod FROM params) = 0),
+qleaf AS (
+    SELECT d.vec_id AS query_id, d.sid2 AS hoja
+    FROM (SELECT vec_id, sid2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, sid2) AS rn
+          FROM d2c WHERE vec_id IN (SELECT vec_id FROM qids)) d
+    WHERE d.rn <= 2
+),
+sondas AS (
+    SELECT query_id, hoja FROM qleaf
+    UNION ALL
+    SELECT a.vec_id AS query_id, CAST(a.celda1 AS BIGINT) AS hoja
+    FROM a1 a
+    WHERE a.vec_id IN (SELECT vec_id FROM qids)
+      AND a.vec_id NOT IN (SELECT vec_id FROM d2c)
+),
+cands AS (
+    SELECT DISTINCT s.query_id, g.vec_id AS cand_id
+    FROM sondas s JOIN asig g
+      ON g.hoja = s.hoja AND g.vec_id != s.query_id
+),
+{_NORMS_SQL.strip()},
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           {_scaled_dot_sql("eq.embedding", "ec.embedding")} AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM cands c
+    JOIN embeddings eq ON eq.vec_id = c.query_id
+    JOIN embeddings ec ON ec.vec_id = c.cand_id
+    JOIN norms nq ON nq.vec_id = c.query_id
+    JOIN norms nc ON nc.vec_id = c.cand_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               DESC, cand_id) AS pos
+    FROM scored
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM ranked WHERE pos <= {_LSH_SEARCH_K}
+"""
+
+
+@register("similarity_ivf_search_jerarquico", oracle=_HIER_SEARCH_ORACLE,
+          ops=("NN2", "O7"), driver=False)
+def similarity_ivf_search_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe search over the HIERARCHICAL index — the query half of
+    ``similarity_ivf_jerarquico``: each query (policy-sized set) routes
+    through its coarse cell map-only, probes its TWO nearest leaves
+    (second leaf via the same CASE-dispatched literal argmin with the
+    first excluded), and scores only the vectors assigned to those
+    leaves — candidates per query ≈ 2·(n/k2) however large the corpus,
+    with the assign cost still O(k1 + k2/k1). Queries whose cell has no
+    second-level seed probe the level-1 fallback leaf. Exact integer
+    cosine ranks top-3; both levels and the probe unrolled as oracle
+    CTEs."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    asig, s1, por_celda = _hier_assign(enteros, n)
+
+    leaf2_branches = " ".join(
+        "WHEN CAST({c} AS BIGINT) THEN {e}".format(
+            c=c, e=_argmin_literal_excl(sorted(seeds), "hoja")
+        )
+        for c, seeds in sorted(por_celda.items())
+    )
+    leaf2_expr = (
+        f"CASE celda1 {leaf2_branches} "
+        "ELSE struct(CAST(-1 AS BIGINT) AS sid, "
+        "CAST(NULL AS BIGINT) AS d2) END"
+    )
+    consultas = (
+        asig.where(F.col("vec_id") % _query_mod(n) == 0)
+        .withColumn("l2", F.expr(leaf2_expr))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.when(
+                    (F.col("nivel") == "l1") | (F.col("l2.sid") == -1),
+                    F.array(F.col("hoja")),
+                ).otherwise(F.array(F.col("hoja"), F.col("l2.sid")))
+            ).alias("sonda"),
+        )
+    )
+    cands = (
+        consultas.join(
+            asig.select(F.col("vec_id").alias("cand_id"), F.col("hoja").alias("h2")),
+            (F.col("sonda") == F.col("h2"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+
+    norms = _norms(spark, sf_dir)
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    ec = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        cands.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("eq"), F.col("ec")), F.col("nq"), F.col("nc")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _LSH_SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
     )
 
 
