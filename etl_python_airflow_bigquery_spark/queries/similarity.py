@@ -1537,6 +1537,95 @@ def _hier_assign(enteros: DataFrame, n: int):
     return out, s1, por_celda
 
 
+_HIER_PAIRS_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+{_HPARAMS_SQL},
+s1 AS (SELECT vec_id AS sid, ev AS sv FROM enteros
+       WHERE vec_id % (SELECT m1 FROM hparams) = 0),
+d1 AS (SELECT e.vec_id, s.sid, {_D2_SQL.format(a="e.ev", b="s.sv")} AS d2
+       FROM enteros e CROSS JOIN s1 s),
+a1 AS (SELECT vec_id, sid AS celda1 FROM
+       (SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+        FROM d1) WHERE rn = 1),
+s2 AS (SELECT e.vec_id AS sid2, e.ev AS sv2, a.celda1
+       FROM enteros e JOIN a1 a USING (vec_id)
+       WHERE e.vec_id % (SELECT m2 FROM hparams) = 0),
+d2c AS (SELECT e.vec_id, s.sid2, {_D2_SQL.format(a="e.ev", b="s.sv2")} AS d2
+        FROM enteros e JOIN a1 a USING (vec_id)
+        JOIN s2 s ON s.celda1 = a.celda1),
+a2 AS (SELECT vec_id, sid2 FROM
+       (SELECT vec_id, sid2, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid2) AS rn
+        FROM d2c) WHERE rn = 1),
+asig AS (
+    SELECT a1.vec_id, CAST(coalesce(a2.sid2, a1.celda1) AS BIGINT) AS hoja
+    FROM a1 LEFT JOIN a2 ON a2.vec_id = a1.vec_id
+),
+{_NORMS_SQL.strip()},
+pares AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.hoja,
+           {_scaled_dot_sql("ea.embedding", "eb.embedding")} AS dot,
+           na.nn AS na, nb.nn AS nb
+    FROM asig a
+    JOIN asig b ON a.hoja = b.hoja AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, hoja,
+       floor(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1e6) / 1e6 AS similitud
+FROM pares
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3
+"""
+
+
+@register("similarity_ivf_pares_jerarquico", oracle=_HIER_PAIRS_ORACLE,
+          ops=("NN2", "DD5"), driver=False)
+def similarity_ivf_pares_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR GENERATION over the hierarchical index — the form
+    that retires the flat `similarity_ivf`'s capped-k trade: pairs form
+    only within a LEAF (k2 ≤ 256 cells ⇒ pair cost Σ leaf² ≈ O(n²/k2))
+    while the assignment still costs O(k1 + k2/k1) per vector, all
+    map-only. Exact cosine verifies at 0.3. This is the IVF-blocked
+    near-dup shape a 100 TB vector store would actually run; the flat
+    variant remains as the single-level pedagogy."""
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    asig, _, _ = _hier_assign(enteros, emb.count())
+    hojas = asig.select("vec_id", "hoja")
+    norms = _norms(spark, sf_dir)
+    a = hojas.select(F.col("vec_id").alias("vec_a"), "hoja")
+    b = hojas.select(F.col("vec_id").alias("vec_b"), F.col("hoja").alias("hoja_b"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nn").alias("nb"))
+    pares = (
+        a.join(b, (F.col("hoja") == F.col("hoja_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn(
+            "cos",
+            cosine_from_ints(
+                scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ),
+        )
+    )
+    return pares.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        "hoja",
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+    )
+
+
 _HIER_SEARCH_ORACLE = f"""
 WITH enteros AS (
     SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
