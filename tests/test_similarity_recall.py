@@ -144,3 +144,46 @@ def test_multiprobe_dominates_single_probe(spark):
     for q, s in b1.items():
         assert bm[q] >= s, (q, bm[q], s)
     assert len(multi) >= len(single)
+
+
+def test_hier_assign_matches_numpy_argmin(spark):
+    """The CASE-dispatched two-level literal argmin must equal a direct
+    numpy reconstruction of the same policy (L1 argmin over s1 seeds,
+    then argmin over the L2 seeds of that cell, (d2, sid) tie-break) —
+    independent evidence beside the DuckDB oracle."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _hier_assign,
+        _hier_mods,
+        _int_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    out, _, _ = _hier_assign(enteros, n)
+    got = {r["vec_id"]: (r["celda1"], r["hoja"], r["d2"]) for r in out.collect()}
+
+    rows = {r["vec_id"]: np.floor(
+        np.array(r["embedding"], dtype=np.float64) * 1e6).astype(np.int64)
+        for r in emb.collect()}
+    m1, m2 = _hier_mods(n)
+    s1 = sorted(v for v in rows if v % m1 == 0)
+    s2 = sorted(v for v in rows if v % m2 == 0)
+
+    def argmin(ev, seeds):
+        best = None
+        for sid in seeds:
+            d2 = int(((ev - rows[sid]) ** 2).sum())
+            if best is None or d2 < best[1]:
+                best = (sid, d2)
+        return best
+
+    l1_of = {sid: argmin(rows[sid], s1)[0] for sid in s2}
+    for vid, ev in rows.items():
+        c1, d2_1 = argmin(ev, s1)
+        cell_seeds = [sid for sid in s2 if l1_of[sid] == c1]
+        if cell_seeds:
+            hoja, d2 = argmin(ev, cell_seeds)
+        else:
+            hoja, d2 = c1, d2_1
+        assert got[vid] == (c1, hoja, d2), (vid, got[vid], (c1, hoja, d2))
