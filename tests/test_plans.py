@@ -162,6 +162,16 @@ def test_ivf_kmeans_final_assign_is_map_only(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_hier_assign_is_map_only(spark, sf_dir):
+    """The two-level hierarchical assignment must stay a narrow map
+    pass: both argmin levels are literal expressions (CASE-dispatched
+    per coarse cell), so the plan holds no hash Exchange and no Window
+    — only the gated rebalance round-robin may appear."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_jerarquico")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_mart_queries_plan_no_user_exchange(spark, sf_dir):
     """The registered mart pair (queries/marts.py) must never shuffle on
     user_id: per-user aggregates and the profile join ride the bucketed
