@@ -24,6 +24,7 @@ from etl_python_airflow_bigquery_spark.functions import (
     dsum,
     event_day_num,
     event_ts_filter,
+    event_ts_us,
     trunc1,
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import (
@@ -480,4 +481,93 @@ def registry_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fuente"),
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("usuarios"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered multi-step funnel — strict event-sequence conversion
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORDENADO_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type AS tipo, epoch_us(ts) AS t FROM events
+),
+v AS (SELECT user_id, min(t) AS t1 FROM ev WHERE tipo = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.t) AS t2
+      FROM ev e JOIN v ON v.user_id = e.user_id AND e.t > v.t1
+      WHERE e.tipo = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.t) AS t3
+      FROM ev e JOIN c ON c.user_id = e.user_id AND e.t > c.t2
+      WHERE e.tipo = 'purchase' GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS usuarios_vista,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS usuarios_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS usuarios_compra,
+       floor((SELECT count(*) FROM c) * 1000.0
+             / greatest((SELECT count(*) FROM v), 1)) / 1000 AS conv_click,
+       floor((SELECT count(*) FROM p) * 1000.0
+             / greatest((SELECT count(*) FROM c), 1)) / 1000 AS conv_compra
+"""
+
+
+@register("funnel_ordenado", oracle=_FUNNEL_ORDENADO_ORACLE,
+          ops=("A8", "W1"), driver=False)
+def funnel_ordenado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel (view → click → purchase): a user converts a
+    stage only with an event strictly AFTER their previous stage's
+    earliest completion — the product-analytics sequence constraint the
+    unordered funnels (funnel_vip/funnel_condicional) don't impose.
+
+    Spark-first: ONE groupBy(user) collecting the sorted (t, tipo)
+    array, then a single fold computes (t1, t2, t3) greedily —
+    earliest-first is optimal for sequence existence, and equals the
+    oracle's chained min-after-min joins. No self-joins: the per-user
+    event list folds in one codegen expression, so the whole funnel is
+    one shuffle + one map pass at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.col("event_type").alias("tipo"),
+        event_ts_us(events).alias("t"),
+    ).where(F.col("tipo").isin("view", "click", "purchase"))
+    por_usuario = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "tipo"))).alias("evs")
+    )
+    fold = F.expr(
+        "aggregate(evs, "
+        "struct(CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, "
+        "CAST(NULL AS BIGINT) AS t3), "
+        "(acc, e) -> struct("
+        "CASE WHEN acc.t1 IS NULL AND e.tipo = 'view' THEN e.t "
+        "ELSE acc.t1 END AS t1, "
+        "CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL "
+        "AND e.tipo = 'click' AND e.t > acc.t1 THEN e.t ELSE acc.t2 END AS t2, "
+        "CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL "
+        "AND e.tipo = 'purchase' AND e.t > acc.t2 THEN e.t ELSE acc.t3 END AS t3))"
+    )
+    etapas = por_usuario.select(fold.alias("f")).select(
+        F.col("f.t1").alias("t1"), F.col("f.t2").alias("t2"), F.col("f.t3").alias("t3")
+    )
+    agg = etapas.agg(
+        F.count("t1").cast("bigint").alias("usuarios_vista"),
+        F.count("t2").cast("bigint").alias("usuarios_click"),
+        F.count("t3").cast("bigint").alias("usuarios_compra"),
+    )
+    return agg.select(
+        "usuarios_vista",
+        "usuarios_click",
+        "usuarios_compra",
+        (
+            F.floor(
+                F.col("usuarios_click") * 1000.0
+                / F.greatest(F.col("usuarios_vista"), F.lit(1))
+            )
+            / 1000
+        ).alias("conv_click"),
+        (
+            F.floor(
+                F.col("usuarios_compra") * 1000.0
+                / F.greatest(F.col("usuarios_click"), F.lit(1))
+            )
+            / 1000
+        ).alias("conv_compra"),
     )
