@@ -571,3 +571,47 @@ def funnel_ordenado(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000
         ).alias("conv_compra"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — first-seen cohorts × day offsets
+# --------------------------------------------------------------------------
+
+_RETENCION_ORACLE = """
+WITH actividad AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dia FROM events
+),
+cohortes AS (
+    SELECT user_id, min(dia) AS cohorte FROM actividad GROUP BY 1
+)
+SELECT CAST(c.cohorte AS BIGINT) AS cohorte,
+       CAST(a.dia - c.cohorte AS BIGINT) AS dia_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS usuarios
+FROM actividad a JOIN cohortes c ON c.user_id = a.user_id
+WHERE a.dia - c.cohorte <= 7
+GROUP BY 1, 2
+"""
+
+
+@register("retencion_cohortes", oracle=_RETENCION_ORACLE,
+          ops=("A2", "J1", "W2"), driver=False)
+def retencion_cohortes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the audience-analytics staple: users
+    cohorted by FIRST active day, then counted per (cohort, day-offset)
+    for the first week. Shape: the day-distinct activity dedups once
+    (user-keyed shuffle), cohorts derive from the same frame with a
+    map-side re-aggregation, and the join-back is user-keyed — at scale
+    both sides share the user partitioning so AQE plans one exchange
+    per side and the output is a constant ~cohorts×8 matrix."""
+    events = load_table(spark, sf_dir, "events")
+    actividad = events.select(
+        "user_id", event_day_num(events).cast("long").alias("dia")
+    ).distinct()
+    cohortes = actividad.groupBy("user_id").agg(F.min("dia").alias("cohorte"))
+    j = actividad.join(cohortes, "user_id").where(
+        F.col("dia") - F.col("cohorte") <= 7
+    )
+    return j.groupBy(
+        F.col("cohorte").cast("bigint").alias("cohorte"),
+        (F.col("dia") - F.col("cohorte")).cast("bigint").alias("dia_offset"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("usuarios"))
