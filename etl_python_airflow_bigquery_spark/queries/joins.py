@@ -615,3 +615,67 @@ def retencion_cohortes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohorte").cast("bigint").alias("cohorte"),
         (F.col("dia") - F.col("cohorte")).cast("bigint").alias("dia_offset"),
     ).agg(F.countDistinct("user_id").cast("bigint").alias("usuarios"))
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness — rolling 7-day distinct audience
+# --------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH actividad AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dia FROM events
+),
+dau AS (
+    SELECT dia, count(DISTINCT user_id) AS dau FROM actividad GROUP BY 1
+),
+ventana AS (
+    SELECT d.dia, count(DISTINCT a.user_id) AS wau
+    FROM (SELECT DISTINCT dia FROM actividad) d
+    JOIN actividad a ON a.dia BETWEEN d.dia - 6 AND d.dia
+    GROUP BY 1
+)
+SELECT CAST(d.dia AS BIGINT) AS dia,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(v.wau AS BIGINT) AS wau,
+       floor(d.dau * 1000.0 / v.wau) / 1000 AS adherencia
+FROM dau d JOIN ventana v ON v.dia = d.dia
+"""
+
+
+@register("dau_wau_adherencia", oracle=_STICKINESS_ORACLE,
+          ops=("A2", "W2"), driver=False)
+def dau_wau_adherencia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — rolling 7-day DISTINCT audience per day, the
+    sliding-window distinct that plain window frames cannot express
+    (distinct does not decompose over frames). Spark-first: the
+    day-distinct activity dedups once, then each (user, day) atom
+    EXPLODES into the ≤7 window anchors it serves (map-side sequence,
+    the same trick as the hour grid) and one distinct-count per anchor
+    day finishes it — candidate volume is exactly 7× the day-distinct
+    atoms at any scale, never days × corpus."""
+    events = load_table(spark, sf_dir, "events")
+    actividad = events.select(
+        "user_id", event_day_num(events).cast("long").alias("dia")
+    ).distinct()
+    dau = actividad.groupBy("dia").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    anchors = actividad.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dia"), F.col("dia") + F.lit(6))
+        ).alias("ancla"),
+    )
+    # anchors outside the observed day range would report partial weeks
+    # of nothing — keep only anchors that are real activity days
+    dias = actividad.select("dia").distinct()
+    wau = anchors.join(
+        dias.select(F.col("dia").alias("ancla")), "ancla"
+    ).groupBy("ancla").agg(F.countDistinct("user_id").alias("wau"))
+    j = dau.join(wau.select(F.col("ancla").alias("dia"), "wau"), "dia")
+    return j.select(
+        F.col("dia").cast("bigint").alias("dia"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        (F.floor(F.col("dau") * 1000.0 / F.col("wau")) / 1000).alias("adherencia"),
+    )
