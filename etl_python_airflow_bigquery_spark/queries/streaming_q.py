@@ -155,3 +155,53 @@ def streaming_expanding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = expanding_distinct_stream(stream.select("ts", "user_id"))
     df = run_to_memory_update(out, f"acum_{uuid.uuid4().hex[:8]}")
     return df
+
+
+_ENRIQUECIDO_ORACLE = """
+WITH seg AS (
+    SELECT c_custkey AS user_id, c_mktsegment AS segmento FROM customer
+)
+SELECT (epoch_us(e.ts) // 3600000000) * 3600000000 AS hora_us,
+       s.segmento,
+       CAST(count(*) AS BIGINT) AS eventos,
+       CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS valor
+FROM events e JOIN seg s ON s.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_enriquecido", oracle=_ENRIQUECIDO_ORACLE,
+          ops=("ST1", "J1", "W2"), driver=False)
+def streaming_enriquecido(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension join — the enrichment shape every
+    production stream runs: the event stream joins the static customer
+    dim (broadcast; Structured Streaming re-plans the static side per
+    micro-batch, so a dim refresh lands without restarting the query)
+    BEFORE the watermarked tumbling-window aggregation per (hour,
+    segment). Drained with availableNow and checked against the batch
+    oracle — the micro-batch join + stateful agg must reproduce batch
+    semantics exactly."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import WATERMARK
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segmento"),
+    )
+    joined = stream.join(F.broadcast(seg), "user_id")
+    agg = (
+        joined.withWatermark("ts_utc", WATERMARK)
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "segmento")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("eventos"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("valor"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hora_us"),
+            "segmento",
+            "eventos",
+            "valor",
+        )
+    )
+    return run_to_memory(agg, f"enriquecido_{uuid.uuid4().hex[:8]}")
