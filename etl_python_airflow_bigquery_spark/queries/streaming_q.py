@@ -205,3 +205,61 @@ def streaming_enriquecido(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"enriquecido_{uuid.uuid4().hex[:8]}")
+
+
+_ATRIBUCION_ORACLE = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS t_vista FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT user_id, epoch_us(ts) AS t_compra FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       CAST(v.t_vista AS BIGINT) AS t_vista,
+       CAST(c.t_compra AS BIGINT) AS t_compra
+FROM v JOIN c ON c.user_id = v.user_id
+             AND c.t_compra >= v.t_vista
+             AND c.t_compra <= v.t_vista + 3600000000
+"""
+
+
+@register("streaming_atribucion", oracle=_ATRIBUCION_ORACLE,
+          ops=("ST2", "J3"), driver=False)
+def streaming_atribucion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — purchase attribution: every
+    purchase pairs with the same user's views from the preceding hour,
+    both sides UNBOUNDED STREAMS with watermarks bounding the join
+    state (the engine retains only the last watermark+range window of
+    each side — the memory contract that makes stream-stream joins
+    viable at 100 TB/day). Drained with availableNow in append mode;
+    the emitted pairs hash-match the batch interval join exactly."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        WATERMARK,
+        run_to_memory_append,
+    )
+
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    vistas = (
+        stream.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts_utc").alias("ts_vista"))
+        .withWatermark("ts_vista", WATERMARK)
+    )
+    compras = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("user_c"), F.col("ts_utc").alias("ts_compra"))
+        .withWatermark("ts_compra", WATERMARK)
+    )
+    joined = vistas.join(
+        compras,
+        F.expr(
+            "user_id = user_c AND "
+            "ts_compra >= ts_vista AND "
+            "ts_compra <= ts_vista + interval 1 hour"
+        ),
+    ).select(
+        "user_id",
+        F.unix_micros("ts_vista").alias("t_vista"),
+        F.unix_micros("ts_compra").alias("t_compra"),
+    )
+    out, _metrics = run_to_memory_append(joined, f"atrib_{uuid.uuid4().hex[:8]}")
+    return out
