@@ -1989,3 +1989,250 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the compressed-domain half of an IVF-PQ index
+# --------------------------------------------------------------------------
+# The scalar int8 pass (cuantizacion_vectores) compresses 8 bytes/dim to
+# 1; PQ compresses the whole 64-dim vector to ONE int64 word: M=8
+# subspaces of 8 dims, each coded against a 16-entry codebook (4 bits
+# per subspace). Codebooks derive from corpus seeds under the same
+# count-derived modulus policy as the IVF quantizer, so the driver holds
+# exactly M×K_PQ×SUB = 1024 ints no matter the corpus size, and both
+# the assign and the ADC scan below are map passes over literal arrays.
+
+_PQ_M = 8                 # subspaces
+_PQ_SUB = DIM // _PQ_M    # dims per subspace
+_PQ_K = 16                # codewords per subspace → 4-bit codes
+
+
+def _pq_mod(n: int) -> int:
+    return max(1, n // _PQ_K)
+
+
+_PQPARAMS_SQL = (
+    f"pqparams AS (SELECT greatest(1, count(*) // {_PQ_K}) AS pq_mod "
+    "FROM embeddings)"
+)
+
+# Shared oracle CTEs: codebook from policy seeds, per-(vector, subspace)
+# distances, and the (d2, j)-argmin code choice — DuckDB runs the same
+# deterministic integer pipeline the literal-array Spark expressions do.
+_PQ_CODES_SQL = f"""
+enteros AS (
+    SELECT vec_id, label, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+semillas AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ev
+    FROM enteros
+    WHERE vec_id % (SELECT pq_mod FROM pqparams) = 0
+    ORDER BY vec_id
+    LIMIT {_PQ_K}
+),
+libro AS (
+    SELECT m.m AS m, s.j AS j,
+           list_transform(generate_series(1, {_PQ_SUB}),
+                          k -> s.ev[m.m * {_PQ_SUB} + k]) AS cw
+    FROM semillas s CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
+),
+pqdist AS (
+    SELECT e.vec_id, e.label, l.m, l.j,
+           list_sum(list_transform(generate_series(1, {_PQ_SUB}), k ->
+               (e.ev[l.m * {_PQ_SUB} + k] - l.cw[k])
+               * (e.ev[l.m * {_PQ_SUB} + k] - l.cw[k]))) AS d2
+    FROM enteros e CROSS JOIN libro l
+),
+eleccion AS (
+    SELECT vec_id, label, m, j, d2,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS pos
+    FROM pqdist
+)
+"""
+
+_PQ_ORACLE = f"""
+WITH {_PQPARAMS_SQL},
+{_PQ_CODES_SQL.strip()},
+codigos AS (
+    SELECT vec_id, label,
+           CAST(sum(j * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS codigo,
+           CAST(sum(d2) AS BIGINT) AS e2
+    FROM eleccion WHERE pos = 1 GROUP BY 1, 2
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS vectores,
+       CAST(sum(e2) // count(*) AS BIGINT) AS error_medio,
+       CAST(count(DISTINCT codigo) AS BIGINT) AS codigos_distintos
+FROM codigos GROUP BY 1
+"""
+
+
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[list[int]]], int]:
+    """Codebook under the count-derived seed policy: the first K_PQ
+    corpus vectors at ``vec_id % pq_mod == 0`` (vec_id order), split
+    into M=8 subvectors each. Returns (codebook[m][j] = 8 ints, n).
+    Driver state is M×K_PQ×SUB = 1024 ints — bounded at any corpus
+    size, like the IVF centroid table."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    seeds = (
+        _int_vectors(emb)
+        .where(F.col("vec_id") % _pq_mod(n) == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    book = [
+        [list(r["ev"][m * _PQ_SUB:(m + 1) * _PQ_SUB]) for r in seeds]
+        for m in range(_PQ_M)
+    ]
+    return book, n
+
+
+def _pq_best_expr(m: int, cb_m: list[list[int]]) -> str:
+    """(d2, j)-argmin over subspace m's 16 literal codewords — the same
+    closed-form literal-array fold as the IVF assign, on an 8-dim
+    slice. Only a STRICTLY smaller d2 replaces the best, so ties keep
+    the lowest j (the oracle's (d2, j) order)."""
+    lit = "array(" + ", ".join(
+        "struct(CAST({j} AS BIGINT) AS j, array({vs}) AS cw)".format(
+            j=j, vs=", ".join(f"{v}L" for v in cw)
+        )
+        for j, cw in enumerate(cb_m)
+    ) + ")"
+    sub = f"slice(ev, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+    return (
+        f"aggregate(transform({lit}, c -> struct(c.j AS j, "
+        f"aggregate(zip_with({sub}, c.cw, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v) AS d2)), "
+        "struct(CAST(-1 AS BIGINT) AS j, CAST(9223372036854775807 AS BIGINT) AS d2), "
+        "(acc, t) -> CASE WHEN t.d2 < acc.d2 THEN t ELSE acc END)"
+    )
+
+
+def _pq_encoded(enteros: DataFrame, book: list[list[list[int]]]) -> DataFrame:
+    """One map pass: every vector gains its 8 subspace codes (bⱼ) —
+    no shuffle touches a vector, the codebook rides in the expressions
+    as literals."""
+    sel = [F.expr(_pq_best_expr(m, book[m])).alias(f"b{m}") for m in range(_PQ_M)]
+    return enteros.select("*", *sel)
+
+
+@register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
+          driver=False)
+def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION build — 64 dims → one int64 code word (M=8
+    subspaces × 4-bit codes): the compression layer an IVF-PQ vector
+    store pairs with the coarse quantizer (`similarity_ivf_kmeans`).
+    Codebooks are corpus seeds under the count-derived modulus (driver
+    holds 1024 ints, bounded at any n); encoding is a single map pass of
+    literal-array argmins — zero shuffles before the per-label audit
+    aggregation. Output per label: vector count, mean integer-L2
+    reconstruction error, and distinct code words (the collision rate
+    the 8-byte representation costs). Reference analog: the engine's
+    own ANN north-star additions (BASELINE.json) — compression is what
+    makes a 100 TB corpus fit an in-memory index: 2000-byte float
+    vectors become 8 bytes, 250× smaller."""
+    emb = _emb(spark, sf_dir)
+    book, _ = _pq_codebook(spark, sf_dir)
+    enteros = _int_vectors(emb).join(emb.select("vec_id", "label"), "vec_id")
+    enc = _pq_encoded(enteros, book)
+    codigo = " + ".join(f"shiftleft(b{m}.j, {4 * m})" for m in range(_PQ_M))
+    e2 = " + ".join(f"b{m}.d2" for m in range(_PQ_M))
+    por_vec = enc.select(
+        "label",
+        F.expr(codigo).cast("bigint").alias("codigo"),
+        F.expr(e2).cast("bigint").alias("e2"),
+    )
+    return por_vec.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vectores"),
+        F.expr("sum(e2) div count(1)").cast("bigint").alias("error_medio"),
+        F.countDistinct("codigo").cast("bigint").alias("codigos_distintos"),
+    )
+
+
+_PQ_SEARCH_K = 3
+
+_PQ_SEARCH_ORACLE = f"""
+WITH {_PARAMS_SQL},
+{_PQPARAMS_SQL},
+{_PQ_CODES_SQL.strip()},
+codigos AS (SELECT vec_id, m, j FROM eleccion WHERE pos = 1),
+consultas AS (
+    SELECT vec_id, ev FROM enteros
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+adc AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           sum(list_sum(list_transform(generate_series(1, {_PQ_SUB}), k ->
+               (q.ev[l.m * {_PQ_SUB} + k] - l.cw[k])
+               * (q.ev[l.m * {_PQ_SUB} + k] - l.cw[k])))) AS d2
+    FROM consultas q
+    JOIN codigos c ON c.vec_id != q.vec_id
+    JOIN libro l ON l.m = c.m AND l.j = c.j
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, cand_id, d2,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS pos
+    FROM adc
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos, CAST(d2 AS BIGINT) AS d2_adc
+FROM ranked WHERE pos <= {_PQ_SEARCH_K}
+"""
+
+
+@register("similarity_pq_search", oracle=_PQ_SEARCH_ORACLE, ops=("NN2", "O7"),
+          driver=False)
+def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC-DISTANCE (ADC) search over the PQ codes — the scan an
+    IVF-PQ index runs inside each probed cell: the query keeps its exact
+    subvectors, every candidate is represented ONLY by its 8 codes, and
+    the distance is the sum of 8 codebook lookups (the candidate's
+    2000-byte vector is never read). The policy-sized query set (~40,
+    bounded by `_query_mod`) broadcasts; candidates stream through one
+    map pass over (vec_id, codes) — at 100 TB that scan touches 8
+    bytes/vector instead of 2 KB, which is the entire point of PQ.
+    Top-3 per query by (integer ADC distance, cand_id); oracle unrolls
+    codebook, codes, and lookups as DuckDB CTEs."""
+    emb = _emb(spark, sf_dir)
+    book, n = _pq_codebook(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    enc = _pq_encoded(enteros, book).select(
+        F.col("vec_id").alias("cand_id"),
+        F.array(*[F.col(f"b{m}.j") for m in range(_PQ_M)]).alias("codes"),
+    )
+    consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qev")
+    )
+    # ADC: per subspace, element_at picks the candidate's codeword from
+    # the literal codebook and zips it against the query's exact slice.
+    terms = []
+    for m in range(_PQ_M):
+        cb_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in cw) + ")" for cw in book[m]
+        ) + ")"
+        q_sub = f"slice(qev, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+        terms.append(
+            f"aggregate(zip_with({q_sub}, element_at({cb_lit}, "
+            f"CAST(codes[{m}] AS INT) + 1), (x, y) -> (x - y) * (x - y)), 0L, "
+            "(a, v) -> a + v)"
+        )
+    d2 = " + ".join(terms)
+    pares = (
+        enc.crossJoin(F.broadcast(consultas))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.expr(d2).cast("bigint").alias("d2_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")
+    return (
+        pares.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _PQ_SEARCH_K)
+        .select(
+            "query_id", "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            "d2_adc",
+        )
+    )
