@@ -745,3 +745,95 @@ def trozado_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(toks, " ")).alias("huella_chunk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — fixed-size frequency estimation for heavy hitters
+# --------------------------------------------------------------------------
+# The KMV family (extras.py) answers DISTINCT-COUNT questions from a
+# bounded sketch; count-min answers FREQUENCY questions the same way: a
+# D×W counter grid (D hash rows, W buckets) that is pure groupBy-sum —
+# partial aggregation IS the sketch merge, so a 1000-executor build
+# ships only D×W counters per partition no matter how many tokens the
+# corpus holds. Estimates are upper bounds (min over rows ≥ truth);
+# the query below audits the overestimate against exact counts.
+
+_CMS_D = 3        # hash rows
+_CMS_W = 1024     # buckets per row
+_CMS_TOP = 20     # heavy hitters audited
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS exacto
+    FROM tok WHERE token != '' GROUP BY 1
+),
+pares AS (
+    SELECT c.token, c.exacto, j.j AS j,
+           {_hex_hash_sql("c.token || '#' || CAST(j.j AS VARCHAR)", _CMS_W)} AS b
+    FROM cnt c CROSS JOIN generate_series(0, {_CMS_D - 1}) j(j)
+),
+sketch AS (
+    SELECT j, b, sum(exacto) AS cb FROM pares GROUP BY 1, 2
+),
+top AS (
+    SELECT token, exacto FROM cnt ORDER BY exacto DESC, token LIMIT {_CMS_TOP}
+),
+est AS (
+    SELECT t.token, t.exacto, min(s.cb) AS estimado
+    FROM top t
+    JOIN pares p ON p.token = t.token
+    JOIN sketch s ON s.j = p.j AND s.b = p.b
+    GROUP BY 1, 2
+)
+SELECT token, exacto, CAST(estimado AS BIGINT) AS estimado,
+       CAST(estimado - exacto AS BIGINT) AS sobreestimacion
+FROM est
+"""
+
+
+@register("sketch_cms_tokens", oracle=_CMS_ORACLE, ops=("A1", "O7"),
+          driver=False)
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy-hitter audit: build the D×W=3×1024 counter
+    grid over the corpus token stream (md5-bucket per hash row, one
+    groupBy-sum — the sketch any executor subset can build locally and
+    merge by addition), then read the top-{_CMS_TOP} tokens' estimates
+    back out (min over the D rows) next to their exact counts. The
+    sketch is O(D·W) forever; only the audit side touches exact counts
+    (at 100 TB you would keep the sketch and drop the exact pass — here
+    the exact pass is what exposes the collision overestimate). The
+    estimate ≥ exact invariant is structural: every row's bucket sums
+    the token's own count plus its colliders."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exacto"))
+    hashed = cnt.select(
+        "token",
+        "exacto",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    hex_hash(
+                        F.concat_ws("#", F.col("token"), F.lit(str(j))), _CMS_W
+                    ).alias("b"),
+                )
+                for j in range(_CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("token", "exacto", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    sketch = hashed.groupBy("j", "b").agg(F.sum("exacto").alias("cb"))
+    top = cnt.orderBy(F.desc("exacto"), "token").limit(_CMS_TOP)
+    consulta = top.join(hashed.select("token", "j", "b"), "token").join(
+        F.broadcast(sketch), ["j", "b"]
+    )
+    return consulta.groupBy("token").agg(
+        F.max("exacto").cast("bigint").alias("exacto"),
+        F.min("cb").cast("bigint").alias("estimado"),
+        (F.min("cb") - F.max("exacto")).cast("bigint").alias("sobreestimacion"),
+    )
