@@ -122,12 +122,26 @@ def run_hourly_refresh(
     events_dir: str,
     out_path: str,
     checkpoint: str,
+    tx: bool = True,
 ) -> None:
     """End-to-end micro-batch pipeline: stream → hourly aggregates →
-    foreachBatch dynamic-partition-overwrite refresh, availableNow (runs
-    until the source is drained, then stops — a catch-up run). Each
-    micro-batch replaces exactly the day-partitions it touches, so
-    re-running after failure is idempotent (K3 semantics)."""
+    per-batch day-window refresh, availableNow (runs until the source is
+    drained, then stops — a catch-up run). Each micro-batch replaces
+    exactly the day-window it touches, so re-running after failure is
+    idempotent (K3 semantics).
+
+    DEFAULT SINK IS THE TRANSACTIONAL TABLE (tx=True, flipped after the
+    round-4 soak of ``run_hourly_refresh_tx``): every micro-batch lands
+    as one atomic manifest flip — readers never observe the
+    delete/append gap the plain layout has between partition overwrite
+    sub-steps — and the result is read back with
+    ``TxTable(out_path).read(spark)``. ``tx=False`` keeps the original
+    dynamic-partition-overwrite directory readable via plain
+    ``spark.read.parquet`` for sinks that must stay a bare directory
+    (external consumers that list files)."""
+    if tx:
+        run_hourly_refresh_tx(spark, events_dir, out_path, checkpoint)
+        return
     agg = hourly_counts(read_events_stream(spark, events_dir))
     with_dia = agg.withColumn("dia", F.to_date("hora_inicio"))
 

@@ -4,6 +4,8 @@ with a fresh checkpoint is idempotent (K3 semantics)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.functions import (
@@ -24,9 +26,13 @@ def _epoch_hour(events):
 
 
 def test_hourly_refresh_matches_batch(spark, sf_dir, tmp_path):
+    # tx=False pins the LEGACY plain-directory sink (readable by bare
+    # spark.read.parquet); the tx=True default path is covered by
+    # test_txlog.py::test_streaming_refresh_tx_matches_batch and
+    # test_hourly_refresh_default_is_tx below.
     out = str(tmp_path / "hourly")
     run_hourly_refresh(
-        spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck1")
+        spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck1"), tx=False
     )
     landed = spark.read.parquet(out)
 
@@ -40,9 +46,32 @@ def test_hourly_refresh_matches_batch(spark, sf_dir, tmp_path):
 
     # idempotent re-run (fresh checkpoint → same partitions rewritten)
     run_hourly_refresh(
-        spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck2")
+        spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck2"), tx=False
     )
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_hourly_refresh_default_is_tx(spark, sf_dir, tmp_path):
+    """The DEFAULT sink is the transactional table (round-5 flip after
+    the r4 soak): no-args run lands manifest commits readable through
+    TxTable, equal to the batch aggregation."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    out = str(tmp_path / "hourly_tx")
+    run_hourly_refresh(
+        spark, events_dir_for(sf_dir), out, checkpoint=str(tmp_path / "ck")
+    )
+    t = TxTable(out)
+    # committed via manifest flips (version ids start at 0), not bare files
+    assert t.version() >= 0
+    assert os.path.exists(os.path.join(out, "_txlog"))
+    events = load_table(spark, sf_dir, "events")
+    batch = events.groupBy(
+        _epoch_hour(events).alias("hora"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("eventos"))
+    landed = t.read(spark)
+    assert landed.count() == batch.count()
+    assert landed.agg(F.sum("eventos")).first()[0] == events.count()
 
 
 def test_multi_batch_stream_equals_batch(spark, sf_dir, tmp_path):
@@ -168,7 +197,7 @@ def test_late_data_resume_updates_old_partitions(spark, sf_dir, tmp_path):
     # batch 1: everything except the 'error' rows
     first = events.where(F.col("event_type") != "error")
     first.coalesce(1).write.mode("overwrite").parquet(landing)
-    run_hourly_refresh(spark, landing, out, checkpoint=ck)
+    run_hourly_refresh(spark, landing, out, checkpoint=ck, tx=False)
     landed1 = spark.read.parquet(out)
     assert landed1.agg(F.sum("eventos")).first()[0] == first.count()
 
@@ -179,7 +208,7 @@ def test_late_data_resume_updates_old_partitions(spark, sf_dir, tmp_path):
     part = [f for f in __import__("os").listdir(late_dir) if f.endswith(".parquet")][0]
     shutil.copy(f"{late_dir}/{part}", f"{landing}/late-{part}")
 
-    run_hourly_refresh(spark, landing, out, checkpoint=ck)  # RESUME, same ck
+    run_hourly_refresh(spark, landing, out, checkpoint=ck, tx=False)  # RESUME, same ck
     landed2 = spark.read.parquet(out)
     assert landed2.agg(F.sum("eventos")).first()[0] == events.count()
     # the late type's rows landed in their true (old) hours
