@@ -100,6 +100,7 @@ def main() -> int:
     #   SPARK_GRAFT_BENCH_STAT  best|median over the reps (default best)
     reps, stat = reps_env, stat_env
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(reps):
@@ -109,12 +110,17 @@ def main() -> int:
         runs.sort()
         picked = runs[len(runs) // 2] if stat == "median" else runs[0]
         timings[name] = round(picked, 3)
+        spread[name] = round(runs[-1] - runs[0], 3)
 
     out = {
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # per-query max−min over the reps: the session-noise bar to read
+        # the headline numbers against (BASELINE.md round-4 noise note —
+        # same-session repeats move ±30%, so compare against ranges)
+        "spread": spread,
         "sf": sf_of(SF_DIR),
     }
     print(json.dumps(out))
