@@ -325,3 +325,101 @@ def empaquetado_secuencias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("shard").applyInPandas(
         _pack_fn, schema="doc_id long, shard long, secuencia long, tokens long"
     )
+
+
+# --------------------------------------------------------------------------
+# Train/valid/test split leakage — cross-split near-dup audit
+# --------------------------------------------------------------------------
+# contaminacion_benchmark checks the corpus against an EXTERNAL eval
+# set; this audits the split the pipeline itself creates: after a
+# deterministic hash split (90/5/5 by doc_id — the standard
+# reproducible assignment, no RNG state to version), any near-dup pair
+# STRADDLING a split boundary is memorized-eval-leakage waiting to
+# happen. Pairs come from the prefix-filtered exact-Jaccard engine
+# (dedup_ngram_jaccard, J ≥ 0.5) — the audit inherits its scale shape:
+# PPJoin candidates + map-side verification, then two doc_id equi
+# joins to tag the endpoints and a constant-size roll-up per split
+# combination.
+
+_SPLIT_SQL = (
+    "CASE WHEN {h} < 90 THEN 'train' "
+    "WHEN {h} < 95 THEN 'valid' ELSE 'test' END"
+).format(h=_hex_hash_sql("CAST(doc_id AS VARCHAR)", 100))
+
+_FUGA_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pares AS (
+    SELECT i.doc_a, i.doc_b,
+           floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c)) / 1000
+               AS jaccard
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+splits AS (
+    SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+),
+clasif AS (
+    SELECT least(sa.split, sb.split) AS particion_a,
+           greatest(sa.split, sb.split) AS particion_b,
+           p.jaccard
+    FROM pares p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+)
+SELECT particion_a, particion_b,
+       CAST(count(*) AS BIGINT) AS pares,
+       max(jaccard) AS jaccard_max,
+       CAST(particion_a != particion_b AS BOOLEAN) AS es_fuga
+FROM clasif
+GROUP BY 1, 2
+"""
+
+
+@register("fuga_particiones", oracle=_FUGA_ORACLE, ops=("DD4", "A8"),
+          driver=False)
+def fuga_particiones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE AUDIT: deterministic 90/5/5 hash split of the
+    corpus, then every exact near-dup pair (J ≥ 0.5, the
+    `dedup_ngram_jaccard` engine) is classified by the splits of its
+    endpoints — a pair whose endpoints land in different partitions
+    (`es_fuga`) means eval rows have a near-copy in training data. The
+    roll-up per unordered split combination also reports the worst
+    Jaccard, the triage order an operator fixes leaks in. Cost over the
+    pair engine: one map-side split tag (md5 of the doc id), two equi
+    joins on doc_id, a ≤6-row aggregate — nothing that changes the
+    PPJoin scale shape."""
+    from etl_python_airflow_bigquery_spark.queries.dedup import dedup_ngram_jaccard
+
+    pares = dedup_ngram_jaccard(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hex_hash(F.col("doc_id").cast("string"), 100)
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    clasif = (
+        pares.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sp_a", "sp_b").alias("particion_a"),
+            F.greatest("sp_a", "sp_b").alias("particion_b"),
+            "jaccard",
+        )
+    )
+    return clasif.groupBy("particion_a", "particion_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pares"),
+        F.max("jaccard").alias("jaccard_max"),
+        (F.col("particion_a") != F.col("particion_b")).alias("es_fuga"),
+    )
