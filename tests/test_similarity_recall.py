@@ -187,3 +187,27 @@ def test_hier_assign_matches_numpy_argmin(spark):
         else:
             hoja, d2 = c1, d2_1
         assert got[vid] == (c1, hoja, d2), (vid, got[vid], (c1, hoja, d2))
+
+
+def test_pq_search_recall_with_rerank(spark):
+    """Two-stage PQ search (ADC shortlist → exact rerank of 20) against
+    the numpy true top-3: mean recall@3 ≥ 0.4 on the sf0.01 fixture —
+    measured 0.54 with the 2-round trained codebooks (seed codebooks
+    alone measured 0.32; direct ADC top-3 without rerank 0.10). The
+    shortfall is the price of 4-bit-per-subspace codes — 250× smaller
+    candidates than the float vectors the brute scan reads — recovered
+    in production by widening the shortlist, not the codes."""
+    ids, cos = _fixture_cos(spark)
+    got = {}
+    for r in REGISTRY["similarity_pq_search"].fn(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert got
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    recalls = []
+    for qid, cands in got.items():
+        qi = id_pos[qid]
+        sims = cos[qi].copy()
+        sims[qi] = -np.inf
+        true3 = {int(ids[i]) for i in np.argsort(-sims)[:3]}
+        recalls.append(len(cands & true3) / 3)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
