@@ -920,3 +920,110 @@ def percentiles_aprox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pct")[1].alias("p90"),
         F.col("pct")[2].alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-grid histogram quantiles — the deterministic mergeable sketch
+# --------------------------------------------------------------------------
+# approx_percentile's t-digest is the production scale path but its
+# sketch values are engine-specific (rows-only entry above). The
+# fixed-grid histogram is the DETERMINISTIC mergeable alternative: a
+# W=256 counter vector over a fixed domain (partial aggregation = sketch
+# merge, same contract as sketch_cms_tokens / the KMV family), whose
+# quantile read-out is exactly reproducible in any engine — so this one
+# IS oracle-checkable, and the audit columns quantify the bin-width
+# error against exact rank selection.
+
+_HIST_W = 256
+_HIST_WIDTH = 234_375       # centavos per bin: 256 bins cover $0..600k
+_HIST_QS = (25, 50, 75, 95)
+
+_HIST_ORACLE = f"""
+WITH datos AS (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS centavos FROM orders
+),
+total AS (SELECT count(*) AS n FROM datos),
+bins AS (
+    SELECT least({_HIST_W - 1}, centavos // {_HIST_WIDTH}) AS b, count(*) AS c
+    FROM datos GROUP BY 1
+),
+acum_b AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM bins),
+valores AS (SELECT centavos, count(*) AS c FROM datos GROUP BY 1),
+acum_v AS (
+    SELECT centavos, sum(c) OVER (ORDER BY centavos) AS cum FROM valores
+),
+ks AS (
+    SELECT q.q AS q, (q.q * t.n + 99) // 100 AS k
+    FROM (SELECT unnest([{", ".join(str(q) for q in _HIST_QS)}]) AS q) q
+    CROSS JOIN total t
+),
+est AS (
+    SELECT k.q, min(a.b) * {_HIST_WIDTH} AS estimado
+    FROM ks k JOIN acum_b a ON a.cum >= k.k GROUP BY 1
+),
+exa AS (
+    SELECT k.q, min(a.centavos) AS exacto
+    FROM ks k JOIN acum_v a ON a.cum >= k.k GROUP BY 1
+)
+SELECT CAST(e.q AS INTEGER) AS cuantil_pct,
+       CAST(x.exacto AS BIGINT) AS exacto_centavos,
+       CAST(e.estimado AS BIGINT) AS estimado_centavos,
+       CAST(x.exacto - e.estimado AS BIGINT) AS error_centavos
+FROM est e JOIN exa x ON x.q = e.q
+"""
+
+
+@register("sketch_histograma_cuantiles", oracle=_HIST_ORACLE, ops=("A1",),
+          driver=False)
+def sketch_histograma_cuantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-GRID HISTOGRAM QUANTILES: order values land in a 256-bin
+    counter vector over a fixed centavo domain (one groupBy-sum — the
+    mergeable-sketch contract: any executor subset's partial histogram
+    adds into the whole, O(W) state forever), and each requested
+    quantile reads out as the first bin whose cumulative count reaches
+    the target rank — the estimate is the bin's lower edge, determinate
+    in any engine (unlike the t-digest's internals, hence this one has
+    a DuckDB oracle and `percentiles_aprox` does not). The exact rank
+    selection rides along as the audit: `error_centavos` is the
+    bin-width cost of O(W) memory. The exact side cumulates over
+    DISTINCT values (not rows); at 100 TB you keep the histogram and
+    drop the audit — the read-out path itself touches 256 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    datos = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("centavos")
+    )
+    total = datos.agg(F.count(F.lit(1)).alias("n"))
+    bins = datos.groupBy(
+        F.least(F.lit(_HIST_W - 1), F.expr(f"centavos div {_HIST_WIDTH}"))
+        .alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    acum_b = bins.select("b", F.sum("c").over(Window.orderBy("b")).alias("cum"))
+    valores = datos.groupBy("centavos").agg(F.count(F.lit(1)).alias("c"))
+    acum_v = valores.select(
+        "centavos", F.sum("c").over(Window.orderBy("centavos")).alias("cum")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HIST_QS])).alias("q")
+    )
+    ks = qs.crossJoin(F.broadcast(total)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("k")
+    )
+    est = (
+        F.broadcast(ks)
+        .join(acum_b, F.col("cum") >= F.col("k"))
+        .groupBy("q")
+        .agg((F.min("b") * _HIST_WIDTH).alias("estimado"))
+    )
+    exa = (
+        F.broadcast(ks)
+        .join(acum_v, F.col("cum") >= F.col("k"))
+        .groupBy("q")
+        .agg(F.min("centavos").alias("exacto"))
+    )
+    return est.join(exa, "q").select(
+        F.col("q").cast("int").alias("cuantil_pct"),
+        F.col("exacto").cast("bigint").alias("exacto_centavos"),
+        F.col("estimado").cast("bigint").alias("estimado_centavos"),
+        (F.col("exacto") - F.col("estimado")).cast("bigint")
+        .alias("error_centavos"),
+    )
