@@ -837,3 +837,117 @@ def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cb").cast("bigint").alias("estimado"),
         (F.min("cb") - F.max("exacto")).cast("bigint").alias("sobreestimacion"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge induction — the tokenizer-trainer loop
+# --------------------------------------------------------------------------
+# The first _BPE_ROUNDS merges a byte-pair-encoding trainer would learn
+# from the corpus: count adjacent symbol pairs over the WORD VOCABULARY
+# (frequencies carry the corpus weight — the classic BPE trainer
+# optimization: re-tokenization happens on vocab-sized data, never the
+# corpus), merge the argmax pair into a placeholder symbol, repeat.
+# Like the k-means/PQ fits, the model (the merge table) is the only
+# thing that ever reaches the driver: one (pair, count) row per round.
+
+_BPE_ROUNDS = 3
+
+# Placeholder symbols for merged pairs (chr(1), chr(2), ...): outside
+# the corpus alphabet, so later rounds treat a merge as one symbol.
+_BPE_PAIRS_SQL = (
+    "SELECT substr(w, g.i, 2) AS par, freq FROM {src}, "
+    "LATERAL unnest(generate_series(1, length(w) - 1)) g(i) "
+    "WHERE length(w) >= 2"
+)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    parts = [
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "w0 AS (SELECT w, count(*) AS freq FROM tok WHERE w != '' GROUP BY 1)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"p{t} AS (SELECT par, sum(freq) AS c FROM "
+            f"({_BPE_PAIRS_SQL.format(src=f'w{t - 1}')}) GROUP BY 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT par, c FROM p{t} ORDER BY c DESC, par LIMIT 1)"
+        )
+        if t < rounds:
+            parts.append(
+                f"w{t} AS (SELECT replace(w, (SELECT par FROM m{t}), chr({t}))"
+                f" AS w, freq FROM w{t - 1})"
+            )
+    # expand placeholders back to base characters for the output
+    parts.append("e1 AS (SELECT par AS s, c FROM m1)")
+    for t in range(2, rounds + 1):
+        expand = f"m{t}.par"
+        for u in range(t - 1, 0, -1):
+            expand = f"replace({expand}, chr({u}), e{u}.s)"
+        froms = ", ".join([f"m{t}"] + [f"e{u}" for u in range(1, t)])
+        parts.append(f"e{t} AS (SELECT {expand} AS s, m{t}.c AS c FROM {froms})")
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS ronda, s AS par, CAST(c AS BIGINT) AS ocurrencias"
+        f" FROM e{t}"
+        for t in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@register("bpe_fusiones", oracle=_bpe_oracle(_BPE_ROUNDS), ops=("TX1", "A1"),
+          driver=False)
+def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE INDUCTION — the first 3 merges a byte-pair-encoding
+    tokenizer trainer learns: adjacent-pair statistics over the word
+    VOCABULARY (corpus frequencies as weights, so each round scans
+    vocab-sized data — the trainer never re-reads the corpus), greedy
+    argmax merge with (count DESC, pair ASC) tie-break, merged pair
+    collapsed to a placeholder symbol before the next round. The merge
+    table — one pair per round — is all that reaches the driver, the
+    same bounded-model contract as the k-means and PQ fits; at 100 TB
+    each round is one groupBy-sum over the vocabulary. Output: the
+    learned merges expanded back to base characters, with their
+    weighted pair counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    words = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    merges: list[tuple[str, int]] = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        pares = (
+            words.where(F.length("w") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1),"
+                        " i -> substring(w, i, 2))"
+                    )
+                ).alias("par"),
+            )
+            .groupBy("par")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pares.orderBy(F.desc("c"), "par").limit(1).collect()[0]
+        merges.append((top["par"], int(top["c"])))
+        if t < _BPE_ROUNDS:
+            words = words.select(
+                F.replace(F.col("w"), F.lit(top["par"]), F.lit(chr(t)))
+                .alias("w"),
+                "freq",
+            )
+    # expand placeholder symbols to base characters (driver-side: the
+    # merge table is O(rounds) strings)
+    out = []
+    expanded: list[str] = []
+    for t, (par, c) in enumerate(merges, start=1):
+        s = par
+        for u in range(t - 1, 0, -1):
+            s = s.replace(chr(u), expanded[u - 1])
+        expanded.append(s)
+        out.append((t, s, c))
+    return spark.createDataFrame(
+        out, "ronda INT, par STRING, ocurrencias BIGINT"
+    )
