@@ -1027,3 +1027,137 @@ def sketch_histograma_cuantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exacto") - F.col("estimado")).cast("bigint")
         .alias("error_centavos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering, measured by file pruning
+# --------------------------------------------------------------------------
+# The txlog's stats pruning (operators/txlog.py) skips files by min/max;
+# WHICH files can be skipped is decided by the LAYOUT the data was
+# written in. A lexicographic sort (user, day) prunes user predicates
+# perfectly and day predicates not at all; interleaving the two keys'
+# bits (Morton / Z-order — what OPTIMIZE ZORDER BY computes) makes every
+# file a rectangle in (user, day) space so BOTH dimensions prune. This
+# query runs the whole experiment inside the engine: lay the events out
+# both ways into 64 equal chunks, collect per-chunk min/max "footer
+# stats", and count the files a point query on each dimension actually
+# reads. Output: the pruning matrix a table-format decision is made on.
+
+_Z_BITS = 4          # 4 bits per dimension → 8-bit Morton codes
+_Z_FILES = 64        # layout chunks ("files") per strategy
+_Z_QU, _Z_QD = 7, 3  # the point-query buckets audited
+
+
+def _morton_sql(u: str, d: str, shift: str, left: str) -> str:
+    """Interleave the low _Z_BITS of u (even positions) and d (odd) —
+    rendered with the engine's shift syntax: Spark `shiftright(x, i)` /
+    `shiftleft(x, i)`, DuckDB `(x >> i)` / `(x << i)`."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(left.format(x=f"({shift.format(x=u, i=i)} & 1)", i=2 * i))
+        terms.append(left.format(x=f"({shift.format(x=d, i=i)} & 1)", i=2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_ORACLE = f"""
+WITH base AS (
+    SELECT user_id % {2 ** _Z_BITS} AS u,
+           (epoch_us(ts) // 86400000000) % {2 ** _Z_BITS} AS d,
+           event_id
+    FROM events
+),
+codificado AS (
+    SELECT u, d, event_id,
+           {_morton_sql("u", "d", "({x} >> {i})", "({x} << {i})")} AS morton
+    FROM base
+),
+chunks AS (
+    SELECT u, d,
+           ntile({_Z_FILES}) OVER (ORDER BY morton, event_id) AS f_z,
+           ntile({_Z_FILES}) OVER (ORDER BY u, d, event_id) AS f_lex
+    FROM codificado
+),
+stats AS (
+    SELECT 'zorden' AS layout, f_z AS f,
+           min(u) AS u_min, max(u) AS u_max,
+           min(d) AS d_min, max(d) AS d_max
+    FROM chunks GROUP BY 1, 2
+    UNION ALL
+    SELECT 'lexicografico', f_lex,
+           min(u), max(u), min(d), max(d)
+    FROM chunks GROUP BY 1, 2
+)
+SELECT layout, consulta,
+       CAST(count(*) FILTER (WHERE leido) AS BIGINT) AS archivos_leidos,
+       CAST(count(*) AS BIGINT) AS archivos_total
+FROM (
+    SELECT layout, 'usuario' AS consulta,
+           {_Z_QU} BETWEEN u_min AND u_max AS leido FROM stats
+    UNION ALL
+    SELECT layout, 'dia', {_Z_QD} BETWEEN d_min AND d_max FROM stats
+    UNION ALL
+    SELECT layout, 'ambos',
+           ({_Z_QU} BETWEEN u_min AND u_max)
+           AND ({_Z_QD} BETWEEN d_min AND d_max) FROM stats
+)
+GROUP BY 1, 2
+"""
+
+
+@register("zorden_poda", oracle=_Z_ORACLE, ops=("W1", "A8"), driver=False)
+def zorden_poda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER vs LEXICOGRAPHIC layout, judged by what matters — files
+    pruned: events are laid out into {_Z_FILES} chunks under both
+    orderings (Morton bit-interleave of the user/day buckets vs plain
+    (user, day) sort), per-chunk min/max stats are collected exactly
+    like parquet footers, and three point queries (user-only, day-only,
+    both) count the chunks their predicate cannot rule out. The
+    expected shape — lexicographic reads ~1/{_Z_FILES} for user but ~all
+    files for day, z-order reads ~√ of both — is the argument for
+    OPTIMIZE ZORDER on any 100 TB table queried on two keys. The layout
+    sort is the one global exchange (that IS the write pattern being
+    audited); stats and the pruning matrix are constant-size."""
+    events = load_table(spark, sf_dir, "events")
+    m = 2 ** _Z_BITS
+    base = events.select(
+        (F.col("user_id") % m).alias("u"),
+        (event_day_num(events) % m).alias("d"),
+        "event_id",
+    )
+    morton = _morton_sql("u", "d", "shiftright({x}, {i})", "shiftleft({x}, {i})")
+    cod = base.withColumn("morton", F.expr(morton))
+    chunks = cod.select(
+        "u", "d",
+        F.ntile(_Z_FILES).over(Window.orderBy("morton", "event_id")).alias("f_z"),
+        F.ntile(_Z_FILES).over(Window.orderBy("u", "d", "event_id")).alias("f_lex"),
+    )
+    stats = (
+        chunks.groupBy(F.lit("zorden").alias("layout"), F.col("f_z").alias("f"))
+        .agg(F.min("u").alias("u_min"), F.max("u").alias("u_max"),
+             F.min("d").alias("d_min"), F.max("d").alias("d_max"))
+        .unionAll(
+            chunks.groupBy(
+                F.lit("lexicografico").alias("layout"), F.col("f_lex").alias("f")
+            ).agg(F.min("u").alias("u_min"), F.max("u").alias("u_max"),
+                  F.min("d").alias("d_min"), F.max("d").alias("d_max"))
+        )
+    )
+    leidos = (
+        stats.select(
+            "layout", F.lit("usuario").alias("consulta"),
+            F.lit(_Z_QU).between(F.col("u_min"), F.col("u_max")).alias("leido"),
+        )
+        .unionAll(stats.select(
+            "layout", F.lit("dia"),
+            F.lit(_Z_QD).between(F.col("d_min"), F.col("d_max")),
+        ))
+        .unionAll(stats.select(
+            "layout", F.lit("ambos"),
+            F.lit(_Z_QU).between(F.col("u_min"), F.col("u_max"))
+            & F.lit(_Z_QD).between(F.col("d_min"), F.col("d_max")),
+        ))
+    )
+    return leidos.groupBy("layout", "consulta").agg(
+        F.sum(F.col("leido").cast("long")).cast("bigint").alias("archivos_leidos"),
+        F.count(F.lit(1)).cast("bigint").alias("archivos_total"),
+    )
