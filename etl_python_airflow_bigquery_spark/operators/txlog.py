@@ -357,6 +357,60 @@ class TxTable:
         )
 
     # -- maintenance ------------------------------------------------------
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        n_files: int = 16,
+        bits: int = 4,
+    ) -> int:
+        """OPTIMIZE ZORDER BY — rewrite the current snapshot's files
+        along the Morton curve of ``cols`` so every file's min/max
+        stats become a tight rectangle in EVERY listed dimension:
+        `read_where`/`replace_where` pruning then works for all of
+        them, not just the ingest order's leading key (the measured
+        pruning matrix lives in the `zorden_poda` registry query —
+        lexicographic 5/64 vs 33/64 on leading/other key, z-order
+        16/64 vs 12/64).
+
+        Each column is first rank-bucketed into 2^bits quantile tiles
+        (value-distribution-proof, like Delta's range ids — ntile here;
+        at production scale the same boundaries come from
+        approx_percentile so no global sort is needed), the tiles' bits
+        interleave into the curve position, and ``repartitionByRange``
+        lays consecutive curve segments into ``n_files`` files. Data is
+        byte-identical (one manifest flip, op='optimize_zorder'); prior
+        versions stay readable; a concurrent commit raises
+        CommitConflict rather than losing either write."""
+        from pyspark.sql import Window
+
+        parent = self.version()
+        if parent < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(parent)
+        df = self._read_entries(spark, m["files"], m["schema"])
+        nb = 1 << bits
+        aux = []
+        for ci, c in enumerate(cols):
+            bcol = f"__zb{ci}"
+            df = df.withColumn(
+                bcol, F.ntile(nb).over(Window.orderBy(c)) - F.lit(1)
+            )
+            aux.append(bcol)
+        stride = len(cols)
+        terms = [
+            f"shiftleft((shiftright(__zb{ci}, {i}) & 1), {i * stride + ci})"
+            for ci in range(stride)
+            for i in range(bits)
+        ]
+        df = df.withColumn("__z", F.expr(" + ".join(terms)))
+        laid = df.repartitionByRange(n_files, F.col("__z")).drop("__z", *aux)
+        files = self._write_files(laid)
+        return self._claim(
+            {"files": files, "op": "optimize_zorder", "schema": m["schema"]},
+            parent,
+        )
+
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
         data file no surviving manifest references (crashed-writer

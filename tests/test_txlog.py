@@ -340,3 +340,44 @@ def test_streaming_refresh_tx_matches_batch(spark, sf_dir, tmp_path):
     assert t.read(spark).count() == batch.count()  # idempotent
     assert t.version() > v_first  # new commits, old snapshots intact
     assert t.read(spark, version=v_first).count() == batch.count()
+
+
+def test_optimize_zorder_improves_nonleading_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER: after rewriting along the (u, d) Morton curve,
+    a point query on the NON-leading dimension prunes most files by
+    manifest stats (the u-clustered ingest layout pruned none), the
+    leading dimension still prunes, and the data is byte-identical
+    across the optimize commit (plus time-travelable)."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["u", "d"])
+    grid = spark.range(16 * 16 * 4).select(
+        (F.col("id") % 16).alias("u"),
+        (F.expr("id div 16") % 16).alias("d"),
+        F.col("id").alias("v"),
+    )
+    # ingest layout: clustered by u only → every file spans all d values
+    t.overwrite(grid.repartitionByRange(16, "u"))
+
+    def files_read(col, val):
+        m = t._manifest(t.version())
+        return sum(1 for e in m["files"] if t._overlaps(e, col, val, val))
+
+    total_before = len(t._manifest(t.version())["files"])
+    assert files_read("u", 7) <= 2           # leading key prunes
+    assert files_read("d", 3) == total_before  # non-leading reads ALL
+
+    before = t.read(spark)
+    antes = sorted((r["u"], r["d"], r["v"]) for r in before.collect())
+    v_pre = t.version()
+
+    t.optimize_zorder(spark, ["u", "d"], n_files=16, bits=4)
+
+    m = t._manifest(t.version())
+    total_after = len(m["files"])
+    assert m["op"] == "optimize_zorder"
+    # both dimensions now prune: each file is a rectangle on the curve
+    assert files_read("d", 3) <= total_after // 2
+    assert files_read("u", 7) <= total_after // 2
+    # data unchanged, old version still readable
+    despues = sorted((r["u"], r["d"], r["v"]) for r in t.read(spark).collect())
+    assert despues == antes
+    assert t.read(spark, version=v_pre).count() == len(antes)
