@@ -411,6 +411,43 @@ class TxTable:
             parent,
         )
 
+    def optimize_compact(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 8 * 1024 * 1024,
+        n_files: int = 1,
+    ) -> int:
+        """Small-file compaction (Delta OPTIMIZE's bin-packing half):
+        streaming appends land one small file per micro-batch, and a
+        year of hourly commits is 8 760 files whose per-file overhead
+        (footer reads, task scheduling, manifest size) dominates the
+        scan. Files under ``small_bytes`` are rewritten together into
+        ``n_files`` and committed as one manifest flip; files already
+        big CARRY OVER untouched — the rewrite cost is bounded by the
+        small tail, not the table. Data is byte-identical; prior
+        versions stay readable; returns the new version (or the current
+        one if ≤1 small file exists — nothing to compact)."""
+        parent = self.version()
+        if parent < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(parent)
+
+        def _size(e) -> int:
+            return os.path.getsize(
+                os.path.join(self.data_dir, self._names([e])[0])
+            )
+
+        small = [e for e in m["files"] if _size(e) < small_bytes]
+        big = [e for e in m["files"] if _size(e) >= small_bytes]
+        if len(small) <= 1:
+            return parent
+        df = self._read_entries(spark, small, m["schema"])
+        new = self._write_files(df.coalesce(n_files))
+        return self._claim(
+            {"files": big + new, "op": "optimize_compact", "schema": m["schema"]},
+            parent,
+        )
+
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
         data file no surviving manifest references (crashed-writer

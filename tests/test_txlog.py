@@ -381,3 +381,25 @@ def test_optimize_zorder_improves_nonleading_pruning(spark, tmp_path):
     despues = sorted((r["u"], r["d"], r["v"]) for r in t.read(spark).collect())
     assert despues == antes
     assert t.read(spark, version=v_pre).count() == len(antes)
+
+
+def test_optimize_compact_merges_small_files(spark, tmp_path):
+    """Bin-packing compaction: many micro-batch appends → one compacted
+    file plus any already-big files; data identical, old versions
+    readable, and a second compact is a no-op (returns current
+    version)."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, i * 10, i * 10 + 10).coalesce(1))
+    m = t._manifest(t.version())
+    assert len(m["files"]) >= 5
+    antes = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    v_pre = t.version()
+
+    v = t.optimize_compact(spark)
+    m2 = t._manifest(v)
+    assert m2["op"] == "optimize_compact"
+    assert len(m2["files"]) == 1
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == antes
+    assert t.read(spark, version=v_pre).count() == len(antes)
+    assert t.optimize_compact(spark) == v  # nothing left to compact
