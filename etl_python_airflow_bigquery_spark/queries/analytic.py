@@ -540,3 +540,72 @@ def mapa_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("clip_us").cast("double") / F.lit(60_000_000.0)).alias("minutos"),
         F.countDistinct("user_id").cast("bigint").alias("usuarios"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA trend — recursive per-key state as a single fold expression
+# --------------------------------------------------------------------------
+# An exponentially weighted moving average is RECURSIVE (s_t depends on
+# s_{t-1}), which no window frame can express — the naive escape hatch
+# is a Python UDAF. The engine's form: collect each user's ordered
+# daily series once and run the recurrence as a codegen'd `aggregate`
+# fold — one shuffle (the groupBy), zero Python, state bounded by the
+# per-user day count. The same shape serves any per-key sequential
+# metric (decaying engagement scores, session quality chains).
+# Integer milli-units everywhere: s_0 = 1000·x_0, s_t = (300·1000·x_t +
+# 700·s_{t-1}) div 1000 — exact, so DuckDB's list_reduce over the same
+# ordered list matches bit-for-bit.
+
+_EWMA_ORACLE = """
+WITH diario AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+serie AS (
+    SELECT user_id, count(*) AS dias,
+           list(x * 1000 ORDER BY dia) AS xs
+    FROM diario GROUP BY 1
+)
+SELECT user_id, CAST(dias AS BIGINT) AS dias,
+       CAST(list_reduce(xs, (s, x) -> (300 * x + 700 * s) // 1000)
+            AS BIGINT) AS ewma_mili
+FROM serie
+"""
+
+
+@register("tendencia_ewma", oracle=_EWMA_ORACLE, ops=("W1", "A1"),
+          driver=False)
+def tendencia_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event counts (α=0.3) — the RECURSIVE
+    metric window frames cannot express, computed without a UDF: one
+    groupBy(user) collects the day-ordered series and an `aggregate`
+    fold runs the recurrence inside whole-stage codegen. DuckDB's
+    `list_reduce` seeds the accumulator with the first element, so the
+    Spark fold carries a first-element flag to match exactly; all
+    arithmetic is integer milli-units (div = // on non-negatives).
+    At 100 TB: one shuffle on user_id, per-user state = its day count
+    (bounded by the calendar, not the event volume — counts pre-
+    aggregate per day map-side)."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        "user_id", event_day_num(events).alias("dia")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    serie = diario.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dias"),
+        F.expr("sort_array(collect_list(struct(dia, x * 1000L AS x)))")
+        .alias("xs"),
+    )
+    fold = (
+        "aggregate(xs, "
+        "struct(true AS primero, CAST(0 AS BIGINT) AS s), "
+        "(acc, t) -> CASE WHEN acc.primero "
+        "THEN struct(false AS primero, t.x AS s) "
+        "ELSE struct(false AS primero, (300 * t.x + 700 * acc.s) div 1000 AS s) "
+        "END).s"
+    )
+    return serie.select(
+        "user_id",
+        "dias",
+        F.expr(fold).cast("bigint").alias("ewma_mili"),
+    )
