@@ -507,7 +507,8 @@ GROUP BY 1, 2
 """
 
 
-@register("mapa_consumo", oracle=_MAPA_ORACLE, ops=("A1", "A2", "A4", "W2"))
+@register("mapa_consumo", oracle=_MAPA_ORACLE, ops=("A1", "A2", "A4", "W2"),
+          driver=False)
 def mapa_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumption heatmap: clipped listening minutes + distinct
     audience per (day-of-week, hour) cell — the reference's

@@ -532,7 +532,8 @@ ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.t_us >= o.o_us
 """
 
 
-@register("asof_ultima_orden", oracle=_ASOF_ORACLE, ops=("J3", "W1"))
+@register("asof_ultima_orden", oracle=_ASOF_ORACLE, ops=("J3", "W1"),
+          driver=False)
 def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event picks up the LATEST
     order of its user at or before the event instant — the time-series
@@ -1104,7 +1105,7 @@ GROUP BY 1, 2
 """
 
 
-@register("zorden_poda", oracle=_Z_ORACLE, ops=("W1", "A8"), driver=False)
+@register("zorden_poda", oracle=_Z_ORACLE, ops=("W1", "A8"))
 def zorden_poda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER vs LEXICOGRAPHIC layout, judged by what matters — files
     pruned: events are laid out into {_Z_FILES} chunks under both

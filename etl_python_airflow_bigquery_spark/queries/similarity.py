@@ -224,7 +224,8 @@ WHERE CAST(p.dot AS DOUBLE)
 """
 
 
-@register("dedup_embedding_cosine", oracle=_NEAR_DUP_ORACLE, ops=("DD5", "NN2"))
+@register("dedup_embedding_cosine", oracle=_NEAR_DUP_ORACLE, ops=("DD5", "NN2"),
+          driver=False)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection with coarse blocking: pairs
     form only inside a coarse cell (here the ``label`` column plays the
@@ -2172,8 +2173,7 @@ def _pq_fit(
     return book, n
 
 
-@register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
-          driver=False)
+@register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"))
 def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION build — 64 dims → one int64 code word (M=8
     subspaces × 4-bit codes): the compression layer an IVF-PQ vector

@@ -794,8 +794,7 @@ FROM est
 """
 
 
-@register("sketch_cms_tokens", oracle=_CMS_ORACLE, ops=("A1", "O7"),
-          driver=False)
+@register("sketch_cms_tokens", oracle=_CMS_ORACLE, ops=("A1", "O7"))
 def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT-MIN SKETCH heavy-hitter audit: build the D×W=3×1024 counter
     grid over the corpus token stream (md5-bucket per hash row, one
