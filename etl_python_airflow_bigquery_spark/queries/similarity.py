@@ -2173,7 +2173,8 @@ def _pq_fit(
     return book, n
 
 
-@register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"))
+@register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
+          bench=True)
 def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION build — 64 dims → one int64 code word (M=8
     subspaces × 4-bit codes): the compression layer an IVF-PQ vector
