@@ -1162,3 +1162,66 @@ def zorden_poda(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("leido").cast("long")).cast("bigint").alias("archivos_leidos"),
         F.count(F.lit(1)).cast("bigint").alias("archivos_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling — the data-quality pre-flight (Deequ/profiler shape)
+# --------------------------------------------------------------------------
+
+_PERFIL_COLS = [
+    ("doc_id", "bigint"), ("text", "skip"), ("lang", "varchar"),
+    ("source", "varchar"), ("n_chars", "bigint"),
+]
+
+_PERFIL_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS columna,
+       CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS nulos,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS distintos,
+       {f"CAST(min({c}) AS VARCHAR)" if kind != "skip" else "CAST(NULL AS VARCHAR)"} AS min_repr,
+       {f"CAST(max({c}) AS VARCHAR)" if kind != "skip" else "CAST(NULL AS VARCHAR)"} AS max_repr
+FROM documents"""
+    for c, kind in _PERFIL_COLS
+)
+
+
+@register("perfil_columnas", oracle=_PERFIL_ORACLE, ops=("A2", "A6"),
+          driver=False)
+def perfil_columnas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILING of the documents table — the pre-flight audit a
+    pipeline runs before trusting a new drop (null counts, exact
+    distinct cardinalities, min/max per column; the Deequ/profiler
+    shape). ONE scan computes every column's metrics together; the
+    multi-distinct plans as an Expand (one input row per profiled
+    column) — the deliberate trade of 5× exchange rows for a single
+    pass over 100 TB, and the documented reason bucketed marts keep one
+    distinct per aggregate (SCALING.md). The free-text column skips
+    min/max (lexicographic extremes of long text are noise);
+    cardinality/null metrics still apply. At larger scale the same
+    query swaps countDistinct for approx_count_distinct per column —
+    shape unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c, kind in _PERFIL_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+        ]
+        if kind != "skip":
+            aggs += [
+                F.min(c).cast("string").alias(f"__mn_{c}"),
+                F.max(c).cast("string").alias(f"__mx_{c}"),
+            ]
+    row = docs.agg(*aggs)
+    partes = [
+        F.struct(
+            F.lit(c).alias("columna"),
+            F.col(f"__n_{c}").cast("bigint").alias("nulos"),
+            F.col(f"__d_{c}").cast("bigint").alias("distintos"),
+            (F.col(f"__mn_{c}") if kind != "skip"
+             else F.lit(None).cast("string")).alias("min_repr"),
+            (F.col(f"__mx_{c}") if kind != "skip"
+             else F.lit(None).cast("string")).alias("max_repr"),
+        )
+        for c, kind in _PERFIL_COLS
+    ]
+    return row.select(F.explode(F.array(*partes)).alias("p")).select("p.*")
