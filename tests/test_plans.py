@@ -294,3 +294,35 @@ def test_decontamination_probe_broadcasts(spark, sf_dir):
     # per-doc aggregates (both already partitioned on doc_id)
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    """The PQ encode (after the fit's own jobs) must stay a narrow map
+    pass: every subspace argmin is a literal-array fold, so between the
+    embeddings scan and the final per-label aggregation the plan holds
+    exactly ONE hash Exchange (that aggregation) and no Window."""
+    plan = plan_of(spark, sf_dir, "cuantizacion_producto")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + label join
+    assert "Window" not in plan, plan
+
+
+def test_cms_sketch_is_two_level_aggregation(spark, sf_dir):
+    """The count-min build must be groupBy-sums only (partial agg =
+    sketch merge): no Window, no join back onto the raw token stream —
+    the estimate side joins token-level counts against the 3×1024
+    sketch, which must arrive broadcast."""
+    plan = plan_of(spark, sf_dir, "sketch_cms_tokens")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_histogram_sketch_no_row_sort(spark, sf_dir):
+    """The histogram quantile read-out must never globally sort ROWS:
+    the only windows run over the 256-bin table and the distinct-value
+    audit table, never the raw scan (no Sort directly under an events/
+    orders scan feeding a Window of row grain). Cheap proxy: the plan's
+    ntile/row_number count is zero and Window count ≤ 2 (the two
+    cumulative sums)."""
+    plan = plan_of(spark, sf_dir, "sketch_histograma_cuantiles")
+    assert plan.count("Window") <= 2, plan
+    assert "ntile" not in plan, plan
