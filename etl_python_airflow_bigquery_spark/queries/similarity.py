@@ -2123,7 +2123,7 @@ def _pq_encoded(enteros: DataFrame, book: list[list[list[int]]]) -> DataFrame:
 
 def _pq_fit(
     spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS
-) -> tuple[list[list[list[int]]], int]:
+) -> tuple[list[list[list[int]]], int, DataFrame]:
     """Seed + train the PQ codebooks: seeds are the first K_PQ corpus
     vectors at ``vec_id % pq_mod == 0`` (count-derived modulus), then
     `iters` Lloyd rounds run ALL M subspaces per round — one encode map
@@ -2133,7 +2133,12 @@ def _pq_fit(
     update. Returns (codebook[m][j] = SUB ints, corpus count)."""
     emb = _emb(spark, sf_dir)
     n = emb.count()
-    enteros = _int_vectors(emb)
+    # every training round (and the caller's final encode) consumes this
+    # frame — materialize the scaled-int vectors ONCE instead of
+    # re-scanning + re-transforming the parquet per round (the
+    # `_shingles` localCheckpoint pattern; a cluster persists it
+    # MEMORY_AND_DISK for the same reason)
+    enteros = _int_vectors(emb).localCheckpoint(eager=False)
     seeds = (
         enteros.where(F.col("vec_id") % _pq_mod(n) == 0)
         .orderBy("vec_id")
@@ -2170,7 +2175,7 @@ def _pq_fit(
         for r in upd:
             nuevo[r["m"]][r["j"]][r["k"] - 1] = r["cv"]
         book = nuevo  # (m, j) cells absent from upd keep their codeword
-    return book, n
+    return book, n, enteros
 
 
 @register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
@@ -2189,8 +2194,8 @@ def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB compression is what makes the corpus fit an in-memory
     index: 2 KB float vectors become 8 bytes, 250× smaller."""
     emb = _emb(spark, sf_dir)
-    book, _ = _pq_fit(spark, sf_dir)
-    enteros = _int_vectors(emb).join(emb.select("vec_id", "label"), "vec_id")
+    book, _, ents = _pq_fit(spark, sf_dir)
+    enteros = ents.join(emb.select("vec_id", "label"), "vec_id")
     enc = _pq_encoded(enteros, book)
     codigo = " + ".join(f"shiftleft(b{m}.j, {4 * m})" for m in range(_PQ_M))
     e2 = " + ".join(f"b{m}.d2" for m in range(_PQ_M))
@@ -2280,9 +2285,7 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ deployment pays for recall). The policy-sized query set (~40)
     broadcasts; top-3 per query by exact cosine. Oracle unrolls
     training, codes, ADC, and rerank as DuckDB CTEs."""
-    emb = _emb(spark, sf_dir)
-    book, n = _pq_fit(spark, sf_dir)
-    enteros = _int_vectors(emb)
+    book, n, enteros = _pq_fit(spark, sf_dir)
     enc = _pq_encoded(enteros, book).select(
         F.col("vec_id").alias("cand_id"),
         F.array(*[F.col(f"b{m}.j") for m in range(_PQ_M)]).alias("codes"),
