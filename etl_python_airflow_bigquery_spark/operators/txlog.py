@@ -53,9 +53,27 @@ class TxTable:
     whose stats overlap the replaced range — the transactional K3 whose
     cost is bounded by the touched window, not the table."""
 
-    def __init__(self, path: str, stats_cols: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        path: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 3,
+    ) -> None:
         self.path = path
         self.stats_cols = stats_cols or []
+        # bloom_cols opts into PER-FILE Bloom filters in the manifest:
+        # min/max stats prune RANGES but are useless for point lookups
+        # on high-cardinality keys (every file's [min, max] contains
+        # almost every id) — the Bloom bitset answers "definitely not
+        # in this file" for equality probes instead, the data-skipping
+        # index Delta/Iceberg attach for the same reason. 4096 bits / 3
+        # hashes ≈ 1% false positives at ~500 distinct values per file;
+        # 512 manifest bytes per file per column.
+        self.bloom_cols = bloom_cols or []
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -147,11 +165,81 @@ class TxTable:
                 continue
             src = os.path.join(tmp, f)
             stats = self._footer_stats(src) if self.stats_cols else {}
+            blooms = self._file_blooms(src) if self.bloom_cols else {}
             name = f"part-{uuid.uuid4().hex}.parquet"
             os.rename(src, os.path.join(self.data_dir, name))
-            out.append({"name": name, "stats": stats})
+            entry = {"name": name, "stats": stats}
+            if blooms:
+                entry["blooms"] = blooms
+            out.append(entry)
         shutil.rmtree(tmp)
         return out
+
+    # -- bloom index -------------------------------------------------------
+    def _bloom_positions(self, value) -> list[int]:
+        """The k deterministic bit positions of a value: md5 of the
+        value's canonical string per hash seed — stable across runs,
+        engines, and Python hash randomization."""
+        import hashlib
+
+        return [
+            int.from_bytes(
+                hashlib.md5(f"{value}#{j}".encode()).digest()[:8], "big"
+            )
+            % self.bloom_bits
+            for j in range(self.bloom_hashes)
+        ]
+
+    def _file_blooms(self, path: str) -> dict:
+        """Build the per-column Bloom bitsets for a just-written file
+        (one column-pruned pyarrow read of that file — at production
+        scale the same bits are folded in during the write itself).
+        Encoded as hex of the bitset bytes for the JSON manifest."""
+        table = _pq.read_table(
+            path, columns=[c for c in self.bloom_cols]
+        )
+        out = {}
+        for c in self.bloom_cols:
+            if c not in table.column_names:
+                out[c] = None
+                continue
+            bits = bytearray(self.bloom_bits // 8)
+            for v in table.column(c):
+                v = v.as_py()
+                if v is None:
+                    continue
+                for pos in self._bloom_positions(v):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            out[c] = bytes(bits).hex()
+        return out
+
+    def _bloom_may_contain(self, entry, col: str, value) -> bool:
+        """False only when the file's Bloom filter PROVES the value
+        absent; no filter ⇒ must read (skipping stays an optimization)."""
+        blooms = entry.get("blooms", {}) if isinstance(entry, dict) else {}
+        encoded = blooms.get(col)
+        if not encoded:
+            return True
+        bits = bytes.fromhex(encoded)
+        return all(
+            bits[pos // 8] & (1 << (pos % 8))
+            for pos in self._bloom_positions(value)
+        )
+
+    def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Point lookup ``col = value`` with Bloom + stats file
+        skipping: a file is read only if its min/max admits the value
+        AND its Bloom filter cannot rule it out. Exact — the residual
+        equality filter still applies to the surviving files' rows."""
+        m = self._manifest(self.version())
+        hits = [
+            e
+            for e in m["files"]
+            if self._overlaps(e, col, value, value)
+            and self._bloom_may_contain(e, col, value)
+        ]
+        df = self._read_entries(spark, hits, m["schema"])
+        return df.where(F.col(col) == F.lit(value))
 
     def _footer_stats(self, path: str) -> dict:
         md = _pq.ParquetFile(path).metadata

@@ -403,3 +403,41 @@ def test_optimize_compact_merges_small_files(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == antes
     assert t.read(spark, version=v_pre).count() == len(antes)
     assert t.optimize_compact(spark) == v  # nothing left to compact
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Bloom file skipping: min/max stats cannot prune a point lookup
+    when every file's range contains the key space (interleaved ids) —
+    the per-file Bloom filter can. An absent key reads (almost) no
+    files; a present key reads the one file holding it; results exact."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    # 4 appends with INTERLEAVED ids: file i holds {i, i+4, i+8, ...} —
+    # every file's [min, max] spans nearly the whole id space
+    for i in range(4):
+        ids = list(range(i, 400, 4))
+        t.append(
+            spark.createDataFrame([(k, float(i)) for k in ids], "k INT, v DOUBLE")
+            .coalesce(1)
+        )
+    m = t._manifest(t.version())
+    assert len(m["files"]) == 4
+    assert all(e.get("blooms", {}).get("k") for e in m["files"])
+
+    # stats alone cannot prune the point probe (all ranges overlap)
+    stats_hits = [e for e in m["files"] if t._overlaps(e, "k", 7, 7)]
+    assert len(stats_hits) == 4
+    # bloom prunes to the single true file (false positives allowed: <=1 extra)
+    bloom_hits = [
+        e for e in m["files"]
+        if t._overlaps(e, "k", 7, 7) and t._bloom_may_contain(e, "k", 7)
+    ]
+    assert 1 <= len(bloom_hits) <= 2
+
+    got = t.read_point(spark, "k", 7).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(7, 3.0)]
+    # a key that exists nowhere: bloom proves absence almost everywhere
+    missing_hits = [
+        e for e in m["files"] if t._bloom_may_contain(e, "k", 999_999)
+    ]
+    assert len(missing_hits) <= 1
+    assert t.read_point(spark, "k", 999_999).count() == 0
