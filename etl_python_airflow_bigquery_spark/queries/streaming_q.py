@@ -263,3 +263,64 @@ def streaming_atribucion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _metrics = run_to_memory_append(joined, f"atrib_{uuid.uuid4().hex[:8]}")
     return out
+
+
+_KMV_STREAM_ORACLE = """
+WITH hashes AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+),
+rk AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hashes
+)
+SELECT event_type,
+       CAST(CASE WHEN max(n) <= 64 THEN max(n)
+                 ELSE CAST(floor(63 * 1152921504606846976.0
+                                 / max(CASE WHEN rn = 64 THEN h END)) AS BIGINT)
+            END AS BIGINT) AS usuarios_estimados
+FROM rk WHERE rn <= 64
+GROUP BY 1
+"""
+
+
+@register("streaming_kmv_distinct", oracle=_KMV_STREAM_ORACLE,
+          ops=("ST2", "A2"), driver=False)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE approximate distinct as a custom stateful streaming
+    operator: GroupState per event_type holds only the K+1 smallest
+    md5-prefix hashes (the mergeable KMV bottom-k sketch), so state is
+    O(K) however many users the stream ever sees — the production twin
+    of `streaming_expanding_distinct`, whose exact state grows with true
+    cardinality. Because KMV is deterministic given the hash, the
+    drained stream's estimate equals the batch sketch BIT-FOR-BIT — a
+    streaming approximation a DuckDB oracle can check exactly. The
+    drain picks each key's final emission by the monotone
+    rows-processed counter."""
+    from pyspark.sql import Window
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        kmv_distinct_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        kmv_distinct_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.desc("vistos"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "usuarios_estimados")
+    )

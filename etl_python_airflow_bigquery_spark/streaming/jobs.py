@@ -325,3 +325,70 @@ def run_hourly_refresh_tx(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV sketch — bounded-state approximate distinct per key
+# --------------------------------------------------------------------------
+# The exact expanding distinct above (`expanding_distinct_stream`) keeps
+# every seen id in GroupState — correct, but state grows with true
+# cardinality. The KMV form is the production shape for unbounded keys:
+# GroupState holds only the K+1 SMALLEST 60-bit hashes per key (the
+# mergeable bottom-k sketch of extras.sketch_kmv_distinct), so state is
+# O(K) forever while the estimate stays deterministic — the drained
+# stream answer equals the batch sketch bit-for-bit, which is what lets
+# a DuckDB oracle check a streaming approximation exactly.
+
+KMV_STREAM_K = 64
+KMV_OUT_SCHEMA = "event_type STRING, vistos BIGINT, usuarios_estimados BIGINT"
+KMV_STATE_SCHEMA = "bottom ARRAY<BIGINT>, vistos BIGINT"
+_KMV_SPACE = 1152921504606846976.0  # 16^15 = 2^60, the md5-prefix domain
+
+
+def _kmv_fn(key, pdfs, state):
+    """applyInPandasWithState worker: fold each batch's user_id hashes
+    into the bottom-(K+1) set. Keeping K+1 (not K) values preserves the
+    exact-vs-estimate decision: len ≤ K ⇒ we have seen every distinct
+    value; len = K+1 ⇒ truncated, use the kth-minimum estimator."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    if state.exists:
+        bottom, vistos = set(state.get[0]), int(state.get[1])
+    else:
+        bottom, vistos = set(), 0
+    for pdf in pdfs:
+        vistos += len(pdf)
+        for u in pdf["user_id"]:
+            bottom.add(
+                int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+            )
+    trimmed = sorted(bottom)[: KMV_STREAM_K + 1]
+    state.update((trimmed, vistos))
+    if len(trimmed) <= KMV_STREAM_K:
+        est = len(trimmed)
+    else:
+        kth = trimmed[KMV_STREAM_K - 1]  # the K-th minimum
+        est = math.floor((KMV_STREAM_K - 1) * _KMV_SPACE / kth)
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "vistos": [vistos], "usuarios_estimados": [est]}
+    )
+
+
+def kmv_distinct_stream(events: DataFrame) -> DataFrame:
+    """Approximate distinct users per event_type as a CUSTOM STATEFUL
+    STREAMING OPERATOR with O(K) state per key — the bounded twin of
+    `expanding_distinct_stream`. Update mode: each batch emits the
+    refreshed estimate plus the monotone rows-processed counter the
+    drain uses to pick each key's final emission."""
+    return events.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _kmv_fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

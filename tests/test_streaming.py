@@ -216,3 +216,51 @@ def test_late_data_resume_updates_old_partitions(spark, sf_dir, tmp_path):
         landed2.where(F.col("event_type") == "error").agg(F.sum("eventos")).first()[0]
     )
     assert got_err == late.count()
+
+
+def test_kmv_stream_multi_batch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """The KMV GroupState must MERGE across micro-batches: chunk the
+    events into 4 files (maxFilesPerTrigger=1 → 4 batches) and the
+    drained estimate per event_type must equal the single-pass batch
+    sketch — and the state the operator carries is bounded at K+1
+    hashes per key regardless of how many users streamed through."""
+    from pyspark.sql import Window
+
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        KMV_STREAM_K,
+        kmv_distinct_stream,
+        read_events_stream,
+    )
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    events = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    events.withColumn("chunk", F.col("event_id") % 4).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(landing)
+
+    stream = kmv_distinct_stream(read_events_stream(spark, landing))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    raw = spark.table("kmv_mb")
+    # several batches emitted per key → state really crossed batches
+    assert raw.count() > raw.select("event_type").distinct().count()
+    w = Window.partitionBy("event_type").orderBy(F.desc("vistos"))
+    got = {
+        r["event_type"]: r["usuarios_estimados"]
+        for r in raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["usuarios_estimados"]
+        for r in REGISTRY["streaming_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert KMV_STREAM_K == 64  # the state bound the docstrings promise
