@@ -610,3 +610,68 @@ def tendencia_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dias",
         F.expr(fold).cast("bigint").alias("ewma_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence transition matrix — first-order Markov estimation
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH ordenado AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS siguiente
+    FROM events
+),
+trans AS (
+    SELECT event_type AS origen, siguiente AS destino,
+           CAST(count(*) AS BIGINT) AS transiciones
+    FROM ordenado WHERE siguiente IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT origen, destino, transiciones,
+       CAST(floor(transiciones * 1000.0 /
+                  sum(transiciones) OVER (PARTITION BY origen))
+            AS BIGINT) AS prob_mili
+FROM trans
+"""
+
+
+@register("cadena_markov", oracle=_MARKOV_ORACLE, ops=("W1", "A3"),
+          driver=False)
+def cadena_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV transition matrix over each user's event
+    sequence: `lead` within the (user, time, event_id)-ordered stream
+    pairs every event with its successor (the event_id tiebreak makes
+    same-timestamp sequences deterministic — a requirement for any
+    reproducible sequence model), one aggregation counts transitions,
+    and the per-origin row-normalization runs over the |types|² matrix,
+    not the events. At 100 TB: exactly one shuffle on user_id (the
+    sequence window) and one on the transition pair — the standard
+    shape for next-event-prediction features, funnels over arbitrary
+    state sets, and session-flow dashboards."""
+    from etl_python_airflow_bigquery_spark.functions import event_ts_us
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(event_ts_us(events), "event_id")
+    ordenado = events.select(
+        "event_type", F.lead("event_type").over(w).alias("siguiente")
+    )
+    trans = (
+        ordenado.where(F.col("siguiente").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("origen"),
+            F.col("siguiente").alias("destino"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("transiciones"))
+    )
+    w_o = Window.partitionBy("origen")
+    return trans.select(
+        "origen",
+        "destino",
+        "transiciones",
+        F.floor(
+            F.col("transiciones") * 1000.0 / F.sum("transiciones").over(w_o)
+        ).cast("bigint").alias("prob_mili"),
+    )
