@@ -675,3 +675,75 @@ def cadena_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("transiciones") * 1000.0 / F.sum("transiciones").over(w_o)
         ).cast("bigint").alias("prob_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection — integer-exact z-score test
+# --------------------------------------------------------------------------
+
+_ANOM_ORACLE = """
+WITH diario AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) AS eventos
+    FROM events GROUP BY 1, 2
+),
+ventana AS (
+    SELECT event_type, dia, eventos,
+           count(*)       OVER w AS n,
+           sum(eventos)   OVER w AS s,
+           sum(eventos * eventos) OVER w AS q
+    FROM diario
+    WINDOW w AS (PARTITION BY event_type ORDER BY dia
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, dia, eventos,
+       CAST(eventos * n - s AS BIGINT) AS desvio_n,
+       CAST((eventos * n - s) > 0
+            AND (eventos * n - s) * (eventos * n - s) > 9 * (n * q - s * s)
+            AS BOOLEAN) AS es_anomalia
+FROM ventana WHERE n = 7
+"""
+
+
+@register("anomalias_trafico", oracle=_ANOM_ORACLE, ops=("W1", "A1"),
+          driver=False)
+def anomalias_trafico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-WINDOW ANOMALY DETECTION on daily per-type traffic: each
+    day tests against the 7 preceding observed days' mean and variance.
+    The z > 3 spike test is algebraically cleared of divisions and
+    square roots — (x·n − s)² > 9·(n·q − s²) over integer count sums —
+    so the flag is EXACT and engine-identical (a floated z-score would
+    hash-mismatch at boundary days; this is the same integer-clearing
+    discipline as the interval clipping and cosine scaling). Shape: the
+    day-grain pre-aggregation collapses events map-side, then one
+    window over (type, day) rows — days × types, not events — make the
+    frame computation free at any event volume."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        "event_type", event_day_num(events).alias("dia")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("eventos"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dia")
+        .rowsBetween(-7, -1)
+    )
+    ventana = diario.select(
+        "event_type",
+        "dia",
+        "eventos",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("eventos").over(w).alias("s"),
+        F.sum(F.col("eventos") * F.col("eventos")).over(w).alias("q"),
+    ).where(F.col("n") == 7)
+    desvio = F.col("eventos") * F.col("n") - F.col("s")
+    return ventana.select(
+        "event_type",
+        "dia",
+        "eventos",
+        desvio.cast("bigint").alias("desvio_n"),
+        (
+            (desvio > 0)
+            & (desvio * desvio
+               > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        ).alias("es_anomalia"),
+    )
