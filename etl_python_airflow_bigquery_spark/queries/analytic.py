@@ -747,3 +747,99 @@ def anomalias_trafico(spark: SparkSession, sf_dir: str) -> DataFrame:
                > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
         ).alias("es_anomalia"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution — position-weighted credit over an interval join
+# --------------------------------------------------------------------------
+
+US_HORA = 3_600_000_000
+
+_MULTITOQUE_ORACLE = f"""
+WITH compras AS (
+    SELECT event_id AS compra_id, user_id, epoch_us(ts) AS t_us
+    FROM events WHERE event_type = 'purchase'
+),
+vistas AS (
+    SELECT event_id AS vista_id, user_id, epoch_us(ts) AS t_us
+    FROM events WHERE event_type = 'view'
+),
+pares AS (
+    SELECT c.compra_id, v.vista_id, v.t_us AS t_vista
+    FROM compras c
+    JOIN vistas v ON v.user_id = c.user_id
+                 AND v.t_us >= c.t_us - {US_HORA}
+                 AND v.t_us < c.t_us
+),
+rankeado AS (
+    SELECT compra_id,
+           row_number() OVER (PARTITION BY compra_id
+                              ORDER BY t_vista DESC, vista_id) AS posicion,
+           count(*)    OVER (PARTITION BY compra_id) AS m
+    FROM pares
+)
+SELECT CAST(posicion AS BIGINT) AS posicion,
+       CAST(count(*) AS BIGINT) AS pares,
+       CAST(sum(2000 * (m - posicion + 1) // (m * (m + 1))) AS BIGINT)
+           AS credito_mili_total
+FROM rankeado
+GROUP BY 1
+"""
+
+
+@register("atribucion_multitoque", oracle=_MULTITOQUE_ORACLE,
+          ops=("J3", "W1", "A12"), driver=False)
+def atribucion_multitoque(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION: every purchase distributes its credit
+    over the same user's views in the preceding hour, linearly decaying
+    by recency position (weight 2·(m−i+1)/(m·(m+1)) — integer
+    milli-credit, floor-divided, so the allocation is exact and sums
+    audit cleanly). The interval pairing is the scale-shaped form: a
+    view fans out to ITS OWN hour bucket and the next (map-side ×2),
+    purchases stay single-bucket, and the candidate join is equi on
+    (user, bucket) — each true pair matches in exactly one bucket, so
+    no dedup pass — then the exact [t−1h, t) refinement filters. The
+    output is the attribution CURVE (credit mass per touch position),
+    constant-size however many pairs exist."""
+    from etl_python_airflow_bigquery_spark.functions import event_ts_us
+
+    events = load_table(spark, sf_dir, "events")
+    t_us = event_ts_us(events)
+    base = events.select(
+        "event_id", "user_id", "event_type", t_us.alias("t_us")
+    )
+    compras = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("compra_id"),
+        "user_id",
+        "t_us",
+        F.expr(f"t_us div {US_HORA}").alias("b"),
+    )
+    vistas = base.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vista_id"),
+        "user_id",
+        F.col("t_us").alias("t_vista"),
+        F.explode(
+            F.array(
+                F.expr(f"t_us div {US_HORA}"),
+                F.expr(f"t_us div {US_HORA} + 1"),
+            )
+        ).alias("b"),
+    )
+    pares = compras.join(vistas, ["user_id", "b"]).where(
+        (F.col("t_vista") >= F.col("t_us") - US_HORA)
+        & (F.col("t_vista") < F.col("t_us"))
+    )
+    w_pos = Window.partitionBy("compra_id").orderBy(
+        F.desc("t_vista"), "vista_id"
+    )
+    w_m = Window.partitionBy("compra_id")
+    rankeado = pares.select(
+        "compra_id",
+        F.row_number().over(w_pos).alias("posicion"),
+        F.count(F.lit(1)).over(w_m).alias("m"),
+    )
+    credito = F.expr("(2000 * (m - posicion + 1)) div (m * (m + 1))")
+    return rankeado.groupBy(F.col("posicion").cast("bigint").alias("posicion")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pares"),
+        F.sum(credito).cast("bigint").alias("credito_mili_total"),
+    )
