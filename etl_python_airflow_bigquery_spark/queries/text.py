@@ -950,3 +950,97 @@ def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "ronda INT, par STRING, ocurrencias BIGINT"
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index retrieval — posting intersection + rarity-weighted rank
+# --------------------------------------------------------------------------
+# The dedup layer consumes posting lists implicitly (shingle joins);
+# this is the explicit RETRIEVAL face of the same structure: token →
+# sorted doc postings, a conjunctive (AND) query resolved by posting
+# intersection, and ranking by integer rarity-weighted term frequency —
+# W(t) = floor(1e6 / df(t)), score(d) = Σ tf(d,t)·W(t) — pure integer
+# math, so the ranking is engine-identical (a float idf's log would
+# not be). Query terms are drawn from the corpus deterministically so
+# the query is scale-factor-proof, like the sampling rates.
+
+_BUSQ_TOP = 10
+
+_BUSQ_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token != '' GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+-- deterministic 2-term query: the 2 most selective tokens that still
+-- appear in at least 5% of docs (rarity with guaranteed recall)
+npop AS (SELECT count(*) AS n FROM documents),
+consulta AS (
+    SELECT token, df FROM df, npop
+    WHERE df * 20 >= n
+    ORDER BY df, token LIMIT 2
+),
+candidatos AS (
+    SELECT t.doc_id,
+           CAST(sum(t.tf * (1000000 // c.df)) AS BIGINT) AS score,
+           count(*) AS terminos
+    FROM tf t JOIN consulta c USING (token)
+    GROUP BY 1
+    HAVING count(*) = (SELECT count(*) FROM consulta)
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS pos
+FROM candidatos
+ORDER BY pos LIMIT {_BUSQ_TOP}
+"""
+
+
+@register("busqueda_invertida", oracle=_BUSQ_ORACLE, ops=("TX1", "O7", "J8"),
+          driver=False)
+def busqueda_invertida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX CONJUNCTIVE SEARCH: build (token → doc, tf)
+    postings once, resolve a 2-term AND query by posting intersection
+    (a groupBy(doc) with a full-match HAVING — semantically a semi-join
+    chain, executed as ONE aggregation over only the query terms'
+    postings), and rank by integer rarity weight Σ tf·⌊1e6/df⌋. At
+    100 TB the scan cost is the QUERY TERMS' posting lists, not the
+    corpus — the structural win of an inverted index — and the final
+    top-{_BUSQ_TOP} is a TakeOrdered over candidates. The query derives
+    deterministically from the df table (most selective tokens above a
+    5% floor) so the entry stays scale-factor-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()  # one scalar, like the ANN policy counts
+    consulta = (
+        df_t.where(F.col("df") * 20 >= n)
+        .orderBy("df", "token")
+        .limit(2)
+    )
+    n_terms = consulta.count()
+    cand = (
+        tf.join(F.broadcast(consulta), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("1000000L div df")).cast("bigint")
+            .alias("score"),
+            F.count(F.lit(1)).alias("terminos"),
+        )
+        .where(F.col("terminos") == n_terms)
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        cand.select(
+            "doc_id", "score",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= _BUSQ_TOP)
+    )
