@@ -190,32 +190,51 @@ class TxTable:
             for j in range(self.bloom_hashes)
         ]
 
+    @staticmethod
+    def _bloomable(value) -> bool:
+        """Same discipline as `_footer_stats`' type whitelist: Bloom
+        bits are built (and probed) only for int/str values, whose
+        canonical ``str()`` is unambiguous — a DOUBLE column's 7.0
+        would hash differently from an int probe's 7, turning the
+        'definitely absent' answer into silent row loss."""
+        return isinstance(value, (int, str)) and not isinstance(value, bool)
+
     def _file_blooms(self, path: str) -> dict:
         """Build the per-column Bloom bitsets for a just-written file
         (one column-pruned pyarrow read of that file — at production
         scale the same bits are folded in during the write itself).
-        Encoded as hex of the bitset bytes for the JSON manifest."""
-        table = _pq.read_table(
-            path, columns=[c for c in self.bloom_cols]
-        )
+        Encoded as hex of the bitset bytes for the JSON manifest.
+        Columns missing from the file or of non-int/str types degrade
+        to None = never skipped (the `_footer_stats` contract)."""
+        present = set(_pq.ParquetFile(path).schema_arrow.names)
+        cols = [c for c in self.bloom_cols if c in present]
+        table = _pq.read_table(path, columns=cols) if cols else None
         out = {}
         for c in self.bloom_cols:
-            if c not in table.column_names:
+            if c not in present:
                 out[c] = None
                 continue
             bits = bytearray(self.bloom_bits // 8)
+            ok = True
             for v in table.column(c):
                 v = v.as_py()
                 if v is None:
                     continue
+                if not self._bloomable(v):
+                    ok = False
+                    break
                 for pos in self._bloom_positions(v):
                     bits[pos // 8] |= 1 << (pos % 8)
-            out[c] = bytes(bits).hex()
+            out[c] = bytes(bits).hex() if ok else None
         return out
 
     def _bloom_may_contain(self, entry, col: str, value) -> bool:
         """False only when the file's Bloom filter PROVES the value
-        absent; no filter ⇒ must read (skipping stays an optimization)."""
+        absent; no filter — or a probe value outside the int/str
+        canonical domain — ⇒ must read (skipping stays an
+        optimization)."""
+        if not self._bloomable(value):
+            return True
         blooms = entry.get("blooms", {}) if isinstance(entry, dict) else {}
         encoded = blooms.get(col)
         if not encoded:
@@ -520,13 +539,12 @@ class TxTable:
             raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
         m = self._manifest(parent)
 
-        def _size(e) -> int:
-            return os.path.getsize(
-                os.path.join(self.data_dir, self._names([e])[0])
-            )
-
-        small = [e for e in m["files"] if _size(e) < small_bytes]
-        big = [e for e in m["files"] if _size(e) >= small_bytes]
+        sized = [
+            (e, os.path.getsize(os.path.join(self.data_dir, self._names([e])[0])))
+            for e in m["files"]
+        ]  # stat each file once (and at one point in time)
+        small = [e for e, s in sized if s < small_bytes]
+        big = [e for e, s in sized if s >= small_bytes]
         if len(small) <= 1:
             return parent
         df = self._read_entries(spark, small, m["schema"])

@@ -2137,8 +2137,11 @@ def _pq_fit(
     # frame — materialize the scaled-int vectors ONCE instead of
     # re-scanning + re-transforming the parquet per round (the
     # `_shingles` localCheckpoint pattern; a cluster persists it
-    # MEMORY_AND_DISK for the same reason)
-    enteros = _int_vectors(emb).localCheckpoint(eager=False)
+    # MEMORY_AND_DISK for the same reason). label rides along so the
+    # build query's per-label audit needs no second scan + join.
+    enteros = _int_vectors(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).localCheckpoint(eager=False)
     seeds = (
         enteros.where(F.col("vec_id") % _pq_mod(n) == 0)
         .orderBy("vec_id")
@@ -2193,10 +2196,8 @@ def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     code words (the collision rate the 8-byte representation costs).
     At 100 TB compression is what makes the corpus fit an in-memory
     index: 2 KB float vectors become 8 bytes, 250× smaller."""
-    emb = _emb(spark, sf_dir)
     book, _, ents = _pq_fit(spark, sf_dir)
-    enteros = ents.join(emb.select("vec_id", "label"), "vec_id")
-    enc = _pq_encoded(enteros, book)
+    enc = _pq_encoded(ents, book)
     codigo = " + ".join(f"shiftleft(b{m}.j, {4 * m})" for m in range(_PQ_M))
     e2 = " + ".join(f"b{m}.d2" for m in range(_PQ_M))
     por_vec = enc.select(

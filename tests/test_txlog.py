@@ -441,3 +441,27 @@ def test_bloom_point_lookup_skips_files(spark, tmp_path):
     ]
     assert len(missing_hits) <= 1
     assert t.read_point(spark, "k", 999_999).count() == 0
+
+
+def test_bloom_degrades_for_missing_and_float_cols(spark, tmp_path):
+    """The Bloom index follows the stats contract — degrade, never
+    break: an append lacking the bloom column commits fine with a None
+    bloom (file never skipped), a DOUBLE bloom column builds no bits
+    (canonical-string ambiguity would silently drop rows), and a
+    non-canonical probe value disables skipping instead of mis-pruning."""
+    t = TxTable(str(tmp_path / "t"), bloom_cols=["k", "x"])
+    t.overwrite(
+        spark.createDataFrame([(1, 1.5, "a")], "k INT, x DOUBLE, extra STRING")
+        .coalesce(1)
+    )
+    # schema-drift append WITHOUT the x bloom column must still commit
+    t.append(spark.createDataFrame([(2, "b")], "k INT, extra STRING").coalesce(1))
+    m = t._manifest(t.version())
+    blooms = [e.get("blooms", {}) for e in m["files"]]
+    assert all(b.get("k") for b in blooms)  # int col indexed in every file
+    # DOUBLE col (first file) and missing col (drifted file): both None
+    assert all(b.get("x") is None for b in blooms)
+    # float probe on the int column: _bloomable(False) ⇒ every file read
+    assert all(t._bloom_may_contain(e, "k", 1.0) for e in m["files"])
+    assert t.read_point(spark, "k", 1).count() == 1
+    assert t.read_point(spark, "k", 2).count() == 1
