@@ -1225,3 +1225,93 @@ def perfil_columnas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, kind in _PERFIL_COLS
     ]
     return row.select(F.explode(F.array(*partes)).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — quintile scoring over customer order history
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH pedidos AS (
+    SELECT o_custkey AS custkey,
+           max(epoch_us(o_orderdate) // 86400000000) AS ultimo_dia,
+           CAST(count(*) AS BIGINT) AS frecuencia,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monto_centavos
+    FROM orders GROUP BY 1
+),
+ref AS (SELECT max(ultimo_dia) AS hoy FROM pedidos),
+base AS (
+    SELECT p.custkey, r.hoy - p.ultimo_dia AS recencia_dias,
+           p.frecuencia, p.monto_centavos
+    FROM pedidos p CROSS JOIN ref r
+),
+puntuado AS (
+    SELECT custkey, recencia_dias, frecuencia, monto_centavos,
+           ntile(5) OVER (ORDER BY recencia_dias DESC, custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frecuencia, custkey)          AS f_score,
+           ntile(5) OVER (ORDER BY monto_centavos, custkey)      AS m_score
+    FROM base
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(count(*) AS BIGINT) AS clientes,
+       CAST(sum(monto_centavos) AS BIGINT) AS monto_centavos,
+       CAST(min(m_score) AS BIGINT) AS m_min,
+       CAST(max(m_score) AS BIGINT) AS m_max
+FROM puntuado
+GROUP BY 1, 2
+"""
+
+
+@register("rfm_segmentacion", oracle=_RFM_ORACLE, ops=("W1", "A1", "A3"),
+          driver=False)
+def rfm_segmentacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — recency / frequency / monetary quintile
+    scoring per customer, the classic warehouse segmentation the
+    reference's segment dictionaries feed: one aggregation collapses
+    order history to a per-customer triple, ntile(5) ranks each axis
+    (custkey tiebreaks make the quintile cuts deterministic — ntile
+    with ties is engine-ambiguous otherwise), and the output is the
+    R×F grid with customer counts and monetary mass. Money is summed
+    in integer centavos (floored once per order) so both engines add
+    exactly. Scale note: the ntile global sorts run over CUSTOMERS
+    (one row each), not orders — at production the same cuts come from
+    approx quantile boundaries, shape unchanged."""
+    from etl_python_airflow_bigquery_spark.functions import event_day_num
+
+    orders = load_table(spark, sf_dir, "orders")
+    pedidos = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(event_day_num(orders, "o_orderdate")).alias("ultimo_dia"),
+        F.count(F.lit(1)).cast("bigint").alias("frecuencia"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monto_centavos"),
+    )
+    hoy = pedidos.agg(F.max("ultimo_dia").alias("hoy"))
+    base = pedidos.crossJoin(F.broadcast(hoy)).select(
+        "custkey",
+        (F.col("hoy") - F.col("ultimo_dia")).alias("recencia_dias"),
+        "frecuencia",
+        "monto_centavos",
+    )
+    puntuado = base.select(
+        "custkey",
+        "monto_centavos",
+        F.ntile(5).over(
+            Window.orderBy(F.desc("recencia_dias"), "custkey")
+        ).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frecuencia", "custkey")).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy("monto_centavos", "custkey")
+        ).alias("m_score"),
+    )
+    return puntuado.groupBy(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("clientes"),
+        F.sum("monto_centavos").cast("bigint").alias("monto_centavos"),
+        F.min("m_score").cast("bigint").alias("m_min"),
+        F.max("m_score").cast("bigint").alias("m_max"),
+    )
