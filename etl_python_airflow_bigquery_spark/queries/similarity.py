@@ -2148,10 +2148,14 @@ def _pq_fit(
         .limit(_PQ_K)
         .collect()
     )
-    book = [
-        [list(r["ev"][m * _PQ_SUB:(m + 1) * _PQ_SUB]) for r in seeds]
-        for m in range(_PQ_M)
-    ]
+    if seeds:
+        book = [
+            [list(r["ev"][m * _PQ_SUB:(m + 1) * _PQ_SUB]) for r in seeds]
+            for m in range(_PQ_M)
+        ]
+    else:  # empty corpus: one zero codeword keeps the encode expression
+        # analyzable (it never evaluates — there are no rows to encode)
+        book = [[[0] * _PQ_SUB] for _ in range(_PQ_M)]
     for _ in range(iters):
         enc = _pq_encoded(enteros, book)
         parts = [

@@ -929,7 +929,10 @@ def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("par")
             .agg(F.sum("freq").alias("c"))
         )
-        top = pares.orderBy(F.desc("c"), "par").limit(1).collect()[0]
+        filas = pares.orderBy(F.desc("c"), "par").limit(1).collect()
+        if not filas:  # empty corpus (or no 2+-char words): no merges
+            break
+        top = filas[0]
         merges.append((top["par"], int(top["c"])))
         if t < _BPE_ROUNDS:
             words = words.select(

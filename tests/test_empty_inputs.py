@@ -27,6 +27,20 @@ SMOKE = [
     "muestra_estratificada",
     "corpus_curado",
     "percentiles_pedidos",
+    # late-r4 operator families
+    "cuantizacion_producto",
+    "similarity_pq_search",
+    "bpe_fusiones",
+    "sketch_cms_tokens",
+    "sketch_histograma_cuantiles",
+    "fuga_particiones",
+    "zorden_poda",
+    "tendencia_ewma",
+    "busqueda_invertida",
+    "cadena_markov",
+    "anomalias_trafico",
+    "atribucion_multitoque",
+    "rfm_segmentacion",
 ]
 
 
