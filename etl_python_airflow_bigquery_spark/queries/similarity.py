@@ -2363,3 +2363,207 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — the composed production index (coarse probe × compressed scan)
+# --------------------------------------------------------------------------
+# The pieces exist separately: the Lloyd's coarse quantizer
+# (`similarity_ivf_kmeans` — restricts WHICH candidates are scored) and
+# product quantization (`similarity_pq_search` — compresses HOW each
+# candidate is scored). The composition is what FAISS deploys as
+# IVF-PQ: a query probes nprobe cells, the candidate set shrinks to
+# nprobe/k of the corpus, each candidate is scored from its 8-byte PQ
+# code (ADC), and only the shortlist's exact vectors are ever fetched.
+
+_IVFPQ_ORACLE = (
+    "WITH "
+    + ",\n".join(_pq_ctes(_PQ_ITERS) + _kmeans_ctes(_KMEANS_ITERS)[1:])
+    + f""",
+consultas AS (
+    SELECT vec_id AS query_id, ev AS qv FROM enteros
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+qdist AS (
+    SELECT q.query_id, c.seed_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> (q.qv[k] - c.sv[k]) * (q.qv[k] - c.sv[k]))) AS BIGINT) AS d2
+    FROM consultas q CROSS JOIN cent{_KMEANS_ITERS} c
+),
+qcells AS (
+    SELECT query_id, seed_id AS celda FROM (
+        SELECT query_id, seed_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, seed_id)
+                   AS rn
+        FROM qdist
+    ) WHERE rn <= {_NPROBE}
+),
+cands AS (
+    SELECT qc.query_id, a.vec_id AS cand_id
+    FROM qcells qc
+    JOIN asig{_KMEANS_ITERS + 1} a
+      ON a.celda = qc.celda AND a.vec_id != qc.query_id
+),
+codigos AS (SELECT vec_id, m, j FROM {_PQ_FINAL}),
+adc AS (
+    SELECT c.query_id, c.cand_id,
+           sum(list_sum(list_transform(generate_series(1, {_PQ_SUB}), k ->
+               (q.qv[l.m * {_PQ_SUB} + k] - l.cw[k])
+               * (q.qv[l.m * {_PQ_SUB} + k] - l.cw[k])))) AS d2
+    FROM cands c
+    JOIN codigos co ON co.vec_id = c.cand_id
+    JOIN pqcb{_PQ_ITERS} l ON l.m = co.m AND l.j = co.j
+    JOIN consultas q ON q.query_id = c.query_id
+    GROUP BY 1, 2
+),
+lista AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+                   AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_SHORTLIST}
+),
+normas AS (
+    SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {DIM}),
+        k -> ev[k] * ev[k])) AS BIGINT) AS nn
+    FROM enteros
+),
+exacto AS (
+    SELECT s.query_id, s.cand_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> eq.ev[k] * ec.ev[k])) AS BIGINT) AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM lista s
+    JOIN enteros eq ON eq.vec_id = s.query_id
+    JOIN enteros ec ON ec.vec_id = s.cand_id
+    JOIN normas nq ON nq.vec_id = s.query_id
+    JOIN normas nc ON nc.vec_id = s.cand_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)
+                                          * CAST(nc AS DOUBLE)) DESC,
+               cand_id) AS pos
+    FROM exacto
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM ranked WHERE pos <= {_PQ_SEARCH_K}
+"""
+)
+
+
+@register("similarity_ivfpq_search", oracle=_IVFPQ_ORACLE, ops=("NN2", "O7"),
+          driver=False)
+def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the COMPOSED production index, built entirely from the
+    engine's existing parts: the query probes its {_NPROBE} nearest
+    Lloyd's cells (map-side argmin against the broadcast centroid
+    table), candidates shrink to nprobe/k of the corpus, each is scored
+    by ASYMMETRIC DISTANCE over its 8-byte PQ code (the candidate's
+    2 KB vector is never read), and only the top-{_PQ_SHORTLIST}
+    shortlist fetches exact vectors for the final cosine rerank. At
+    100 TB this multiplies the two savings: scan nprobe/k of the rows ×
+    8 bytes each, plus Q×{_PQ_SHORTLIST} random reads — exactly the
+    FAISS IVF-PQ cost model. Oracle: both quantizers' training CTEs
+    composed (coarse rounds + per-subspace rounds) with probe, ADC,
+    and rerank unrolled."""
+    book, n, ents = _pq_fit(spark, sf_dir)
+    enteros = ents.select("vec_id", "ev")
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
+    cent_df = _centroid_values_df(spark, cent)
+    asig = _assign_cells(enteros, cent)
+    enc = _pq_encoded(enteros, book).select(
+        F.col("vec_id").alias("cand_id"),
+        F.array(*[F.col(f"b{m}.j") for m in range(_PQ_M)]).alias("codes"),
+    )
+    consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qev")
+    )
+    qdist = consultas.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("qev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
+    qcells = (
+        qdist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _NPROBE)
+        .select("query_id", F.col("seed_id").alias("celda"))
+    )
+    cands = (
+        qcells.join(asig.select("vec_id", "celda"), "celda")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    # ADC over the probed candidates only (codes + the query's exact slices)
+    terms = []
+    for m in range(_PQ_M):
+        cb_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in cw) + ")" for cw in book[m]
+        ) + ")"
+        q_sub = f"slice(qev, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+        terms.append(
+            f"aggregate(zip_with({q_sub}, element_at({cb_lit}, "
+            f"CAST(codes[{m}] AS INT) + 1), (x, y) -> (x - y) * (x - y)), 0L, "
+            "(a, v) -> a + v)"
+        )
+    d2 = " + ".join(terms)
+    pares = (
+        cands.join(enc, "cand_id")
+        .join(F.broadcast(consultas), "query_id")
+        .select("query_id", "cand_id", F.expr(d2).cast("bigint").alias("d2_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")
+    lista = (
+        pares.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    nn = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    normas = enteros.select("vec_id", nn.alias("nn"))
+    eq = enteros.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("evq"))
+    ec = enteros.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("evc"))
+    nq = normas.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = normas.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        lista.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(F.col("evq"), F.col("evc"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("pos", F.row_number().over(w_fin))
+        .where(F.col("pos") <= _PQ_SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
