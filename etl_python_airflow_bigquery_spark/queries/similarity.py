@@ -1833,6 +1833,9 @@ def _kmeans_fit(
         r["vec_id"]: list(r["ev"])
         for r in enteros.where(F.col("vec_id") % _seed_mod(n) == 0).collect()
     }
+    if not cent:  # empty corpus: one zero centroid keeps the assign
+        # expression analyzable (it never evaluates on zero rows)
+        cent = {0: [0] * DIM}
     for _ in range(iters):
         asig = _assign_cells(enteros, cent)
         elems = asig.join(enteros, "vec_id").select(

@@ -41,6 +41,8 @@ SMOKE = [
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
+    "similarity_ivf_kmeans",
+    "similarity_ivfpq_search",
 ]
 
 
