@@ -245,6 +245,16 @@ class TxTable:
             for pos in self._bloom_positions(value)
         )
 
+    def _may_hold_range(self, entry, col: str, lo, hi) -> bool:
+        """Stats check, plus the Bloom check when the range is a POINT
+        (lo == hi): a file whose filter proves the value absent holds
+        nothing to delete or read in that window."""
+        if not self._overlaps(entry, col, lo, hi):
+            return False
+        if lo == hi and not self._bloom_may_contain(entry, col, lo):
+            return False
+        return True
+
     def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
         """Point lookup ``col = value`` with Bloom + stats file
         skipping: a file is read only if its min/max admits the value
@@ -384,8 +394,11 @@ class TxTable:
             )
         parent = self.version()
         entries = self._manifest(parent)["files"] if parent >= 0 else []
-        touched = [e for e in entries if self._overlaps(e, col, lo, hi)]
-        untouched = [e for e in entries if not self._overlaps(e, col, lo, hi)]
+        # point windows additionally consult the Bloom index: a file the
+        # filter proves free of the key has nothing to delete — it
+        # carries over physically untouched (ROADMAP r5 #9)
+        touched = [e for e in entries if self._may_hold_range(e, col, lo, hi)]
+        untouched = [e for e in entries if not self._may_hold_range(e, col, lo, hi)]
         new = self._write_files(df)
         if touched:
             survivors = self._read_entries(

@@ -465,3 +465,29 @@ def test_bloom_degrades_for_missing_and_float_cols(spark, tmp_path):
     assert all(t._bloom_may_contain(e, "k", 1.0) for e in m["files"])
     assert t.read_point(spark, "k", 1).count() == 1
     assert t.read_point(spark, "k", 2).count() == 1
+
+
+def test_replace_where_point_window_bloom_bounded(spark, tmp_path):
+    """A point-window replace_where on a Bloom-indexed key rewrites
+    only the file(s) that can actually hold the key — interleaved ids
+    make every file's min/max overlap, so without the Bloom gate all
+    4 files would rewrite; with it ≥2 carry over physically
+    untouched — and the result is exact."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    for i in range(4):
+        ids = list(range(i, 400, 4))
+        t.append(
+            spark.createDataFrame(
+                [(k, float(i)) for k in ids], "k INT, v DOUBLE"
+            ).coalesce(1)
+        )
+    before = set(t._names(t._manifest(t.version())["files"]))
+    v = t.replace_where(
+        spark, spark.createDataFrame([(7, 99.0)], "k INT, v DOUBLE"), "k", 7, 7
+    )
+    after = set(t._names(t._manifest(v)["files"]))
+    assert len(before & after) >= 2  # bloom-pruned files carried over
+    got = t.read(spark)
+    assert got.count() == 400
+    assert [(r["k"], r["v"]) for r in got.where(F.col("k") == 7).collect()] \
+        == [(7, 99.0)]
