@@ -2124,29 +2124,20 @@ def _pq_encoded(enteros: DataFrame, book: list[list[list[int]]]) -> DataFrame:
     return enteros.select("*", *sel)
 
 
-def _pq_fit(
-    spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS
-) -> tuple[list[list[list[int]]], int, DataFrame]:
-    """Seed + train the PQ codebooks: seeds are the first K_PQ corpus
-    vectors at ``vec_id % pq_mod == 0`` (count-derived modulus), then
-    `iters` Lloyd rounds run ALL M subspaces per round — one encode map
-    pass + ONE distributed aggregation whose output is the 1024-int
-    codebook update (per (m, j, k) floor-averaged element). Cells with
-    no members carry their previous codeword, exactly like the IVF
-    update. Returns (codebook[m][j] = SUB ints, corpus count)."""
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    # every training round (and the caller's final encode) consumes this
-    # frame — materialize the scaled-int vectors ONCE instead of
-    # re-scanning + re-transforming the parquet per round (the
-    # `_shingles` localCheckpoint pattern; a cluster persists it
-    # MEMORY_AND_DISK for the same reason). label rides along so the
-    # build query's per-label audit needs no second scan + join.
-    enteros = _int_vectors(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    ).localCheckpoint(eager=False)
+def _pq_fit_frame(
+    frame: DataFrame, n: int, iters: int = _PQ_ITERS
+) -> list[list[list[int]]]:
+    """Train the PQ codebooks over ANY (vec_id, ev) frame — raw
+    vectors or per-cell residuals: seeds are the first K_PQ frame rows
+    at ``vec_id % pq_mod == 0`` (count-derived modulus), then `iters`
+    Lloyd rounds run ALL M subspaces per round — one encode map pass +
+    ONE distributed aggregation whose output is the 1024-int codebook
+    update (per (m, j, k) floor-averaged element). Cells with no
+    members carry their previous codeword, exactly like the IVF update.
+    The caller materializes (localCheckpoint) the frame — every round
+    re-consumes it."""
     seeds = (
-        enteros.where(F.col("vec_id") % _pq_mod(n) == 0)
+        frame.where(F.col("vec_id") % _pq_mod(n) == 0)
         .orderBy("vec_id")
         .limit(_PQ_K)
         .collect()
@@ -2160,7 +2151,7 @@ def _pq_fit(
         # analyzable (it never evaluates — there are no rows to encode)
         book = [[[0] * _PQ_SUB] for _ in range(_PQ_M)]
     for _ in range(iters):
-        enc = _pq_encoded(enteros, book)
+        enc = _pq_encoded(frame, book)
         parts = [
             F.struct(
                 F.lit(m).alias("m"),
@@ -2185,7 +2176,28 @@ def _pq_fit(
         for r in upd:
             nuevo[r["m"]][r["j"]][r["k"] - 1] = r["cv"]
         book = nuevo  # (m, j) cells absent from upd keep their codeword
-    return book, n, enteros
+    return book
+
+
+def _pq_fit(
+    spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS
+) -> tuple[list[list[list[int]]], int, DataFrame]:
+    """`_pq_fit_frame` over the raw corpus vectors. Returns the 3-tuple
+    (codebook[m][j] = SUB ints, corpus count n, checkpointed (vec_id,
+    label, ev) frame) — callers run their final encode over that frame,
+    so the parquet is scanned once per query."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    # every training round (and the caller's final encode) consumes this
+    # frame — materialize the scaled-int vectors ONCE instead of
+    # re-scanning + re-transforming the parquet per round (the
+    # `_shingles` localCheckpoint pattern; a cluster persists it
+    # MEMORY_AND_DISK for the same reason). label rides along so the
+    # build query's per-label audit needs no second scan + join.
+    enteros = _int_vectors(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).localCheckpoint(eager=False)
+    return _pq_fit_frame(enteros, n, iters), n, enteros
 
 
 @register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
@@ -2523,6 +2535,313 @@ def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pares = (
         cands.join(enc, "cand_id")
         .join(F.broadcast(consultas), "query_id")
+        .select("query_id", "cand_id", F.expr(d2).cast("bigint").alias("d2_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")
+    lista = (
+        pares.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    nn = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    normas = enteros.select("vec_id", nn.alias("nn"))
+    eq = enteros.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("evq"))
+    ec = enteros.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("evc"))
+    nq = normas.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = normas.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        lista.join(eq, "query_id")
+        .join(ec, "cand_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(F.col("evq"), F.col("evc"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("pos", F.row_number().over(w_fin))
+        .where(F.col("pos") <= _PQ_SEARCH_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with RESIDUAL encoding — the exact FAISS formulation
+# --------------------------------------------------------------------------
+# `similarity_ivfpq_search` PQ-encodes raw vectors; production IVF-PQ
+# encodes each vector's RESIDUAL against its coarse centroid (x − c):
+# residuals concentrate near the origin, so the same 16-codeword budget
+# quantizes a much tighter distribution and the within-cell distance
+# ||q − x|| = ||q_r − r_x|| loses far less to code granularity. The
+# query computes a residual PER PROBED CELL (q_r depends on the cell's
+# centroid), which is the part naive compositions miss.
+
+
+def _pq_train_ctes(prefix: str, src: str, iters: int) -> list[str]:
+    """The per-subspace Lloyd training CTEs over an arbitrary
+    (vec_id, ev) source relation — `_pq_ctes` minus the base/label
+    plumbing, names prefixed to compose with other quantizers."""
+    parts = [
+        f"{prefix}semillas AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS j, ev FROM {src}"
+        f" WHERE vec_id % (SELECT pq_mod FROM pqparams) = 0"
+        f" ORDER BY vec_id LIMIT {_PQ_K})",
+        f"{prefix}cb0 AS (SELECT m.m AS m, s.j AS j, "
+        f"list_transform(generate_series(1, {_PQ_SUB}), "
+        f"k -> s.ev[m.m * {_PQ_SUB} + k]) AS cw "
+        f"FROM {prefix}semillas s CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m))",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"{prefix}cb{t - 1}"
+        parts.append(
+            f"{prefix}dist{t} AS (SELECT e.vec_id, c.m, c.j, "
+            f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}), k -> "
+            f"(e.ev[c.m * {_PQ_SUB} + k] - c.cw[k]) "
+            f"* (e.ev[c.m * {_PQ_SUB} + k] - c.cw[k]))) AS BIGINT) AS d2 "
+            f"FROM {src} e CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"{prefix}sel{t} AS (SELECT vec_id, m, j, d2 FROM "
+            f"(SELECT vec_id, m, j, d2, row_number() OVER "
+            f"(PARTITION BY vec_id, m ORDER BY d2, j) AS rn "
+            f"FROM {prefix}dist{t}) WHERE rn = 1)"
+        )
+        if t <= iters:
+            parts.append(
+                f"{prefix}sums{t} AS (SELECT a.m, a.j, d.k, "
+                f"CAST(floor(CAST(sum(e.ev[a.m * {_PQ_SUB} + d.k]) AS DOUBLE) "
+                f"/ count(*)) AS BIGINT) AS cv "
+                f"FROM {prefix}sel{t} a JOIN {src} e USING (vec_id) "
+                f"CROSS JOIN generate_series(1, {_PQ_SUB}) d(k) GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"{prefix}cb{t} AS (SELECT c.m, c.j, COALESCE(s.cw, c.cw) AS cw "
+                f"FROM {prev} c LEFT JOIN (SELECT m, j, list(cv ORDER BY k) AS cw "
+                f"FROM {prefix}sums{t} GROUP BY 1, 2) s USING (m, j))"
+            )
+    return parts
+
+
+_RESID_SQL = f"""
+resid AS (
+    SELECT e.vec_id, a.celda,
+           list_transform(generate_series(1, {DIM}),
+                          k -> e.ev[k] - c.sv[k]) AS ev
+    FROM enteros e
+    JOIN asig{_KMEANS_ITERS + 1} a USING (vec_id)
+    JOIN cent{_KMEANS_ITERS} c ON c.seed_id = a.celda
+)"""
+
+_IVFPQ_RESID_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        _kmeans_ctes(_KMEANS_ITERS)
+        + [_PQPARAMS_SQL, _RESID_SQL.strip()]
+        + _pq_train_ctes("r", "resid", _PQ_ITERS)
+    )
+    + f""",
+consultas AS (
+    SELECT vec_id AS query_id, ev AS qv FROM enteros
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+qdist AS (
+    SELECT q.query_id, c.seed_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> (q.qv[k] - c.sv[k]) * (q.qv[k] - c.sv[k]))) AS BIGINT) AS d2
+    FROM consultas q CROSS JOIN cent{_KMEANS_ITERS} c
+),
+qcells AS (
+    SELECT query_id, seed_id AS celda FROM (
+        SELECT query_id, seed_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, seed_id)
+                   AS rn
+        FROM qdist
+    ) WHERE rn <= {_NPROBE}
+),
+qresid AS (
+    SELECT qc.query_id, qc.celda,
+           list_transform(generate_series(1, {DIM}),
+                          k -> q.qv[k] - c.sv[k]) AS qr
+    FROM qcells qc
+    JOIN consultas q ON q.query_id = qc.query_id
+    JOIN cent{_KMEANS_ITERS} c ON c.seed_id = qc.celda
+),
+cands AS (
+    SELECT qc.query_id, qc.celda, a.vec_id AS cand_id
+    FROM qcells qc
+    JOIN asig{_KMEANS_ITERS + 1} a
+      ON a.celda = qc.celda AND a.vec_id != qc.query_id
+),
+rcodigos AS (SELECT vec_id, m, j FROM rsel{_PQ_ITERS + 1}),
+adc AS (
+    SELECT c.query_id, c.cand_id,
+           sum(list_sum(list_transform(generate_series(1, {_PQ_SUB}), k ->
+               (qr.qr[l.m * {_PQ_SUB} + k] - l.cw[k])
+               * (qr.qr[l.m * {_PQ_SUB} + k] - l.cw[k])))) AS d2
+    FROM cands c
+    JOIN rcodigos co ON co.vec_id = c.cand_id
+    JOIN rcb{_PQ_ITERS} l ON l.m = co.m AND l.j = co.j
+    JOIN qresid qr ON qr.query_id = c.query_id AND qr.celda = c.celda
+    GROUP BY 1, 2
+),
+lista AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+                   AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_SHORTLIST}
+),
+normas AS (
+    SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {DIM}),
+        k -> ev[k] * ev[k])) AS BIGINT) AS nn
+    FROM enteros
+),
+exacto AS (
+    SELECT s.query_id, s.cand_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> eq.ev[k] * ec.ev[k])) AS BIGINT) AS dot,
+           nq.nn AS nq, nc.nn AS nc
+    FROM lista s
+    JOIN enteros eq ON eq.vec_id = s.query_id
+    JOIN enteros ec ON ec.vec_id = s.cand_id
+    JOIN normas nq ON nq.vec_id = s.query_id
+    JOIN normas nc ON nc.vec_id = s.cand_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))
+               AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)
+                                          * CAST(nc AS DOUBLE)) DESC,
+               cand_id) AS pos
+    FROM exacto
+)
+SELECT query_id, cand_id, CAST(pos AS BIGINT) AS pos,
+       floor(cos * 1e6) / 1e6 AS similitud
+FROM ranked WHERE pos <= {_PQ_SEARCH_K}
+"""
+)
+
+
+def _cent_case_arrays(cent: dict[int, list[int]]) -> str:
+    """CASE-dispatched literal centroid lookup keyed on `celda` — the
+    hierarchical family's trick: only the matching branch evaluates."""
+    whens = " ".join(
+        "WHEN {sid}L THEN array({vs})".format(
+            sid=sid, vs=", ".join(f"{v}L" for v in sv)
+        )
+        for sid, sv in sorted(cent.items())
+    )
+    return f"CASE celda {whens} END"
+
+
+@register("similarity_ivfpq_residual", oracle=_IVFPQ_RESID_ORACLE,
+          ops=("NN2", "O7"), driver=False)
+def similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL ENCODING — the exact FAISS formulation:
+    every vector PQ-encodes its residual against its coarse centroid
+    (map-side subtraction via the CASE-dispatched literal centroid
+    table), the per-subspace Lloyd rounds train on those residuals
+    (the point of residuals: a tighter distribution for the same
+    16-codeword budget), and at query time the query's residual is
+    computed PER PROBED CELL before the ADC scan — the step naive
+    compositions miss, because q − c differs in every cell. Honest
+    measurement on the sf0.01 fixture: recall@3 0.44 vs 0.49 for the
+    raw-vector composition — k = 5 coarse cells on 500 unit vectors
+    leave residuals nearly as spread as the raw vectors, so the
+    formulation's win (decisive in production FAISS at k in the
+    thousands, where cells are tight) does not yet materialize at this
+    scale; both variants ship so the trade is measurable per corpus.
+    Oracle: coarse rounds + residual construction + residual-PQ rounds
+    + per-cell query residuals + ADC + rerank, all unrolled as DuckDB
+    CTEs."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb).localCheckpoint(eager=False)
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
+    cent_df = _centroid_values_df(spark, cent)
+    asig = _assign_cells(enteros, cent)
+    case_cent = _cent_case_arrays(cent)
+    resid = (
+        asig.select("vec_id", "celda")
+        .join(enteros, "vec_id")
+        .select(
+            "vec_id",
+            "celda",
+            F.expr(f"zip_with(ev, {case_cent}, (x, c) -> x - c)").alias("ev"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    book = _pq_fit_frame(resid, n)
+    enc = _pq_encoded(resid, book).select(
+        F.col("vec_id").alias("cand_id"),
+        "celda",
+        F.array(*[F.col(f"b{m}.j") for m in range(_PQ_M)]).alias("codes"),
+    )
+    consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qev")
+    )
+    qdist = consultas.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("qev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
+    qcells = (
+        qdist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _NPROBE)
+        .select("query_id", F.col("seed_id").alias("celda"))
+    )
+    qresid = qcells.join(F.broadcast(consultas), "query_id").select(
+        "query_id",
+        "celda",
+        F.expr(f"zip_with(qev, {case_cent}, (x, c) -> x - c)").alias("qr"),
+    )
+    cands = (
+        qcells.join(asig.select("vec_id", "celda"), "celda")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "celda", F.col("vec_id").alias("cand_id"))
+    )
+    terms = []
+    for m in range(_PQ_M):
+        cb_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in cw) + ")" for cw in book[m]
+        ) + ")"
+        q_sub = f"slice(qr, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+        terms.append(
+            f"aggregate(zip_with({q_sub}, element_at({cb_lit}, "
+            f"CAST(codes[{m}] AS INT) + 1), (x, y) -> (x - y) * (x - y)), 0L, "
+            "(a, v) -> a + v)"
+        )
+    d2 = " + ".join(terms)
+    pares = (
+        cands.join(enc, ["cand_id", "celda"])
+        .join(qresid, ["query_id", "celda"])
         .select("query_id", "cand_id", F.expr(d2).cast("bigint").alias("d2_adc"))
     )
     w_adc = Window.partitionBy("query_id").orderBy("d2_adc", "cand_id")

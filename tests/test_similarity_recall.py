@@ -233,3 +233,26 @@ def test_ivfpq_search_recall(spark):
         true3 = {int(ids[i]) for i in np.argsort(-sims)[:3]}
         recalls.append(len(cands & true3) / 3)
     assert sum(recalls) / len(recalls) >= 0.35, recalls
+
+
+def test_ivfpq_residual_recall(spark):
+    """Residual-encoded IVF-PQ against the numpy truth: recall@3 ≥ 0.3
+    (measured 0.44 — on THIS fixture the raw composition reads 0.49:
+    k = 5 coarse cells leave residuals nearly as spread as the raw
+    vectors, so the residual formulation's production win does not yet
+    materialize at 500 vectors; the test pins that it works and stays
+    in the same recall band, the docstring records the honest trade)."""
+    ids, cos = _fixture_cos(spark)
+    got = {}
+    for r in REGISTRY["similarity_ivfpq_residual"].fn(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert got
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    recalls = []
+    for qid, cands in got.items():
+        qi = id_pos[qid]
+        sims = cos[qi].copy()
+        sims[qi] = -np.inf
+        true3 = {int(ids[i]) for i in np.argsort(-sims)[:3]}
+        recalls.append(len(cands & true3) / 3)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
