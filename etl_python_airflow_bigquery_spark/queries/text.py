@@ -1047,3 +1047,140 @@ def busqueda_invertida(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= _BUSQ_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — integer-exact (log2-quantized idf)
+# --------------------------------------------------------------------------
+# ROADMAP r5 #8: float BM25 cannot be oracle-checked (ln differs across
+# engines at the ulp, and a floor at any scale can flip on it). This is
+# BM25 with every float cleared: idf is log2-QUANTIZED — floor(log2) of
+# the integer odds ratio, computed by a 32-branch CASE ladder over
+# powers of two (pure comparisons, engine-identical) — and the tf
+# saturation/length normalization runs in milli-units with floor
+# division. The ranking keeps BM25's structure (rare terms dominate,
+# tf saturates at k1, long docs discount by b·dl/avgdl); the
+# quantization costs idf resolution, not determinism.
+
+_BM25_K1 = 1200   # k1 = 1.2 in milli-units
+_BM25_B = 750     # b = 0.75 in milli-units
+_BM25_TOP = 10
+_BM25_TERMS = 3
+
+
+def _floor_log2_sql(expr: str) -> str:
+    """floor(log2(x)) for integer x ≥ 1 as a CASE ladder — exact in any
+    engine (comparisons only)."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << p} THEN {p}" for p in range(31, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT sum(dl) * 1000 // count(*) FROM dl) AS avgdl_mili
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+consulta AS (
+    SELECT token, df FROM df, stats
+    WHERE df * 20 >= n
+    ORDER BY df, token LIMIT {_BM25_TERMS}
+),
+pesos AS (
+    SELECT c.token,
+           {_floor_log2_sql("greatest(1, (s.n * 1000) // (c.df * 1000 + 500))")}
+               AS idf_q
+    FROM consulta c, stats s
+),
+puntos AS (
+    SELECT t.doc_id,
+           CAST(sum(
+               ((t.tf * {_BM25_K1 + 1000} * 1000)
+                // (t.tf * 1000
+                    + ({_BM25_K1} * (1000 - {_BM25_B}
+                       + (({_BM25_B} * d.dl * 1000) // s.avgdl_mili)))
+                      // 1000))
+               * w.idf_q
+           ) AS BIGINT) AS score_mili
+    FROM tf t
+    JOIN pesos w USING (token)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY 1
+)
+SELECT doc_id, score_mili,
+       CAST(row_number() OVER (ORDER BY score_mili DESC, doc_id) AS BIGINT)
+           AS pos
+FROM puntos
+ORDER BY pos LIMIT {_BM25_TOP}
+"""
+
+
+@register("busqueda_bm25", oracle=_BM25_ORACLE, ops=("TX1", "O7", "A3"),
+          driver=False)
+def busqueda_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL, integer-exact: disjunctive {_BM25_TERMS}-term
+    query (deterministically the most selective tokens above the 5%
+    floor), scored with BM25's full structure — log2-quantized idf (a
+    32-branch CASE ladder over the integer odds ratio; pure comparisons,
+    so Spark and DuckDB agree where ln would drift), k1=1.2 tf
+    saturation and b=0.75 length normalization in milli-units with
+    floor division. Candidates and cost are the query terms' posting
+    lists (the inverted-index contract of `busqueda_invertida`); doc
+    length and the global avgdl are one aggregate each. Top-{_BM25_TOP}
+    by (score, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n = docs.count()
+    avgdl_mili = int(
+        dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    consulta = (
+        df_t.where(F.col("df") * 20 >= n).orderBy("df", "token")
+        .limit(_BM25_TERMS)
+    )
+    pesos = consulta.select(
+        "token",
+        F.expr(
+            _floor_log2_sql(f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))")
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    puntos = (
+        tf.join(F.broadcast(pesos), "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"({tf_comp}) * idf_q")).cast("bigint")
+            .alias("score_mili")
+        )
+    )
+    w = Window.orderBy(F.desc("score_mili"), "doc_id")
+    return (
+        puntos.select(
+            "doc_id", "score_mili",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= _BM25_TOP)
+    )
