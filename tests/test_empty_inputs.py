@@ -43,6 +43,8 @@ SMOKE = [
     "rfm_segmentacion",
     "similarity_ivf_kmeans",
     "similarity_ivfpq_search",
+    "similarity_ivfpq_residual",
+    "busqueda_bm25",
 ]
 
 
