@@ -1,0 +1,123 @@
+"""Property tests for the late-r4 integer-exact formulations: the
+cross-engine determinism of these operators rests on algebraic
+identities (division/sqrt/log cleared from comparisons) — these pin the
+identities themselves, independent of Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- anomalias_trafico: (x·n − s)² > 9·(n·q − s²) ⟺ z > 3 ---------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=7, max_size=7),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=300, deadline=None)
+def test_anomaly_integer_test_equals_float_z(window, x):
+    n = len(window)
+    s = sum(window)
+    q = sum(v * v for v in window)
+    desvio = x * n - s
+    integer_flag = desvio > 0 and desvio * desvio > 9 * (n * q - s * s)
+    var_pop = (n * q - s * s) / (n * n)
+    if var_pop <= 0:
+        float_flag = x * n - s > 0  # zero variance: any positive deviation
+        # integer side: desvio² > 0 ⟺ desvio != 0, with desvio > 0 gated
+        assert integer_flag == float_flag
+        return
+    z = (x - s / n) / math.sqrt(var_pop)
+    # strict inequality on both sides; floats can only disagree within
+    # rounding of the EXACT integer comparison, so check against the
+    # integer truth, allowing the float z to sit on the boundary
+    if abs(z - 3.0) > 1e-9:
+        assert integer_flag == (z > 3.0)
+
+
+# --- BM25: log2-quantized idf ladder == floor(log2) ---------------------
+
+def _floor_log2_case(x: int) -> int:
+    for p in range(31, 0, -1):
+        if x >= 1 << p:
+            return p
+    return 0
+
+
+@given(st.integers(min_value=1, max_value=2**40))
+@settings(max_examples=300, deadline=None)
+def test_case_ladder_is_floor_log2(x):
+    expect = x.bit_length() - 1
+    assert _floor_log2_case(x) == min(expect, 31)
+
+
+@given(
+    st.integers(min_value=1, max_value=200),      # tf
+    st.integers(min_value=1, max_value=2000),     # dl
+    st.integers(min_value=1000, max_value=2_000_000),  # avgdl_mili
+)
+@settings(max_examples=300, deadline=None)
+def test_bm25_tf_component_saturates(tf, dl, avgdl_mili):
+    """The milli-unit tf component stays within BM25's structural
+    bounds: positive, at most (k1+1)·1000, and nondecreasing in tf."""
+    K1, B = 1200, 750
+
+    def comp(t):
+        denom = t * 1000 + (K1 * (1000 - B + (B * dl * 1000) // avgdl_mili)) // 1000
+        return (t * (K1 + 1000) * 1000) // denom
+
+    c = comp(tf)
+    assert 0 < c <= (K1 + 1000) * 1000 // 1000 * 1000  # ≤ 2.2e6 milli
+    assert comp(tf + 1) >= c  # saturating, never decreasing
+
+
+# --- EWMA fold: bounded by the series envelope --------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=50))
+@settings(max_examples=300, deadline=None)
+def test_ewma_fold_bounded_by_envelope(xs):
+    mili = [x * 1000 for x in xs]
+    s = mili[0]
+    for x in mili[1:]:
+        s = (300 * x + 700 * s) // 1000
+    # floor division loses < 1 milli-unit per step
+    assert min(mili) - len(mili) <= s <= max(mili)
+
+
+# --- PQ codes: argmin always lands in [0, K) and reconstruction ---------
+
+@given(
+    st.lists(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                      min_size=8, max_size=8), min_size=1, max_size=16),
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=8, max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_pq_argmin_tiebreak_is_lowest_j(codebook, v):
+    d2s = [sum((a - b) * (a - b) for a, b in zip(v, cw)) for cw in codebook]
+    best = min(range(len(codebook)), key=lambda j: (d2s[j], j))
+    # the Spark fold replaces only on STRICTLY smaller d2 → lowest j wins ties
+    acc = (None, 2**63 - 1)
+    for j, d2 in enumerate(d2s):
+        if d2 < acc[1]:
+            acc = (j, d2)
+    assert acc[0] == best
+
+
+# --- KMV: bottom-(K+1) set decides exact-vs-estimate correctly ----------
+
+@given(st.sets(st.integers(min_value=1, max_value=2**60 - 1), min_size=1,
+               max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_kmv_bottom_k_plus_one_distinguishes_exact(hashes):
+    K = 64
+    trimmed = sorted(hashes)[: K + 1]
+    if len(trimmed) <= K:
+        assert len(trimmed) == len(hashes)  # we saw EVERY distinct value
+    else:
+        assert len(hashes) > K  # truncation ⟺ more than K distincts exist
