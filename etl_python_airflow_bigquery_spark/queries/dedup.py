@@ -261,7 +261,8 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, ops=("DD2",), bench=True)
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, ops=("DD2",), bench=True,
+          driver=False)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (the public shingle→minhash→band→bucket-join
     scheme): 16 LCG permutations → 4 bands of 4 rows; docs colliding in

@@ -83,7 +83,8 @@ GROUP BY user_id, sesion
 """
 
 
-@register("sessionization", oracle=_SESSION_ORACLE, ops=("W1", "A1"), bench=True)
+@register("sessionization", oracle=_SESSION_ORACLE, ops=("W1", "A1"), bench=True,
+          driver=False)
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebuild playback sessions from raw events: a new session starts
     after a >30-min silence per user (gaps-and-islands: lag → flag →
