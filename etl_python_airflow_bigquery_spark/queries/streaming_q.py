@@ -324,3 +324,48 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_type", "usuarios_estimados")
     )
+
+
+_HOPPING_ORACLE = """
+WITH anclas AS (
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS hora_us
+    FROM events
+),
+doble AS (
+    SELECT event_type, hora_us AS inicio_us FROM anclas
+    UNION ALL
+    SELECT event_type, hora_us - 3600000000 FROM anclas
+)
+SELECT inicio_us, event_type, CAST(count(*) AS BIGINT) AS eventos
+FROM doble
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_hopping", oracle=_HOPPING_ORACLE, ops=("ST1", "W2"),
+          driver=False)
+def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows from the STREAMING ENGINE — 2-hour
+    windows advancing every hour (`window(ts, '2 hours', '1 hour')`):
+    each event lands in exactly two overlapping windows, the moving
+    aggregate every ops dashboard draws. Completes the streaming window
+    matrix (tumbling, session, interval-join, sliding-distinct — now
+    hopping); state is bounded by watermark-horizon × hop count × key
+    cardinality exactly like the tumbling case, ×2 for the overlap.
+    Oracle: the two-anchor explode — an event at hour h belongs to the
+    windows starting at h and h−1 — aggregated in batch SQL."""
+    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    agg = (
+        stream.withWatermark("ts_utc", "4 days")
+        .groupBy(
+            F.window("ts_utc", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("eventos"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("inicio_us"),
+            "event_type",
+            "eventos",
+        )
+    )
+    return run_to_memory(agg, f"hopping_{uuid.uuid4().hex[:8]}")
