@@ -843,3 +843,88 @@ def atribucion_multitoque(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("pares"),
         F.sum(credito).cast("bigint").alias("credito_mili_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering — cosine over interaction vectors
+# --------------------------------------------------------------------------
+
+_ITEM_CF_ORACLE = """
+WITH interaccion AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+normas AS (
+    SELECT event_type, CAST(sum(c * c) AS BIGINT) AS nn
+    FROM interaccion GROUP BY 1
+),
+pares AS (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(sum(a.c * b.c) AS BIGINT) AS punto
+    FROM interaccion a
+    JOIN interaccion b
+      ON b.user_id = a.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.punto,
+       floor(CAST(p.punto AS DOUBLE)
+             / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) * 1e6)
+           / 1e6 AS similitud
+FROM pares p
+JOIN normas na ON na.event_type = p.item_a
+JOIN normas nb ON nb.event_type = p.item_b
+"""
+
+
+@register("similitud_items_cf", oracle=_ITEM_CF_ORACLE, ops=("J9", "A1"),
+          driver=False)
+def similitud_items_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING: each item (event type) is a
+    sparse vector of per-user interaction counts; item-pair similarity
+    is the exact integer-cosine of those vectors, computed the
+    scale-correct way — the self-join keys on user_id, so the shuffle
+    carries each user's ITEM LIST (bounded by the catalog) and the pair
+    space materializes only through co-occurring users, never as
+    items² × users. Integer dot products and ⌊·10⁶⌋ cosines keep both
+    engines bit-identical (the similarity.py discipline). This is the
+    neighborhood model behind 'users who played X also played Y' — at
+    catalog scale the same plan feeds a top-k per item instead of the
+    full matrix."""
+    events = load_table(spark, sf_dir, "events")
+    inter = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    normas = inter.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nn")
+    )
+    a = inter.select(
+        F.col("event_type").alias("item_a"), "user_id", F.col("c").alias("ca")
+    )
+    b = inter.select(
+        F.col("event_type").alias("item_b"), "user_id", F.col("c").alias("cb")
+    )
+    pares = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("punto"))
+    )
+    na = normas.select(F.col("event_type").alias("item_a"), F.col("nn").alias("na"))
+    nb = normas.select(F.col("event_type").alias("item_b"), F.col("nn").alias("nb"))
+    return (
+        pares.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "punto",
+            (
+                F.floor(
+                    F.col("punto").cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("similitud"),
+        )
+    )

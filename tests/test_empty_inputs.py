@@ -45,6 +45,7 @@ SMOKE = [
     "similarity_ivfpq_search",
     "similarity_ivfpq_residual",
     "busqueda_bm25",
+    "similitud_items_cf",
 ]
 
 
