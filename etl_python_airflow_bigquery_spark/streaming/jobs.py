@@ -216,9 +216,21 @@ def events_dir_for(sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     stream_dir = os.path.join("/tmp", "spark_graft_streams", tag)
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # a directory-shaped drop (e.g. a Spark-written replica, as the
+        # 10× scale probe produces): link its part files individually —
+        # a symlinked SUBDIRECTORY would need recursiveFileLookup and
+        # breaks the batch schema read
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                link = os.path.join(stream_dir, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return stream_dir
 
 
