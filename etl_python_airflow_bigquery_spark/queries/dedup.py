@@ -819,3 +819,75 @@ def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
         F.lit(n_desc).cast("bigint").alias("docs_descartados"),
     )
+
+
+# --------------------------------------------------------------------------
+# Record linkage — blocked fuzzy matching (the entity-resolution shape)
+# --------------------------------------------------------------------------
+
+_VINCULACION_ORACLE = """
+WITH p AS (
+    SELECT doc_id, lang,
+           split_part(text, ' ', 1) AS tok1,
+           split_part(text, ' ', 2) AS tok2,
+           substring(text, 1, 40) AS firma
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       CAST(levenshtein(a.firma, b.firma) AS INT) AS distancia
+FROM p a JOIN p b
+  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.tok2 = b.tok2
+     AND a.doc_id < b.doc_id
+WHERE levenshtein(a.firma, b.firma) <= 10
+"""
+
+
+@register("vinculacion_registros", oracle=_VINCULACION_ORACLE,
+          ops=("DD4", "J1"), driver=False)
+def vinculacion_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution: find document pairs whose
+    40-char signatures are within Levenshtein distance 10, using the
+    classic BLOCKING-key design — candidates form only inside
+    (lang, first-bigram) blocks via an equi self-join, never an
+    all-pairs cross product, and the edit-distance refine runs map-side
+    on candidates only. Spark's 3-arg ``levenshtein(l, r, threshold)``
+    caps the DP band at the threshold (O(len*k), returns -1 above it),
+    so even the refine cost is bounded per pair.
+
+    Scale: candidate volume is SUM(block^2) over (lang, tok1, tok2)
+    blocks — proportional to real near-duplicate density, not corpus
+    size^2. A pathologically common first bigram is the skew risk; the
+    mitigation (widen the block key with a length band, or salt the hot
+    block through operators/skew.py) is the same playbook as the
+    posting-list dedup family above.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("tok2"),
+        F.substring("text", 1, 40).alias("firma"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    # threshold-capped distance: -1 above the cap, exact value below it
+    dist = F.levenshtein(F.col("a.firma"), F.col("b.firma"), 10)
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.tok1") == F.col("b.tok1"),
+                F.col("a.tok2") == F.col("b.tok2"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .where(dist >= 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("int").alias("distancia"),
+        )
+    )

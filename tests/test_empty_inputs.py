@@ -46,6 +46,7 @@ SMOKE = [
     "similarity_ivfpq_residual",
     "busqueda_bm25",
     "similitud_items_cf",
+    "vinculacion_registros",
 ]
 
 
