@@ -928,3 +928,139 @@ def similitud_items_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("similitud"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment read-out — integer-exact two-proportion z-test
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH por_usuario AS (
+    SELECT user_id,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS variante,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS cs,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp
+    FROM events GROUP BY 1
+),
+variantes AS (
+    SELECT variante, count(*) AS n, sum(cs) AS c_signup, sum(cp) AS c_purchase
+    FROM por_usuario GROUP BY 1
+),
+lados AS (
+    SELECT max(CASE WHEN variante = 0 THEN n END) AS n_a,
+           max(CASE WHEN variante = 1 THEN n END) AS n_b,
+           max(CASE WHEN variante = 0 THEN c_signup END) AS ca_signup,
+           max(CASE WHEN variante = 1 THEN c_signup END) AS cb_signup,
+           max(CASE WHEN variante = 0 THEN c_purchase END) AS ca_purchase,
+           max(CASE WHEN variante = 1 THEN c_purchase END) AS cb_purchase
+    FROM variantes
+),
+metricas AS (
+    SELECT 'signup' AS metrica, n_a, n_b,
+           ca_signup AS conv_a, cb_signup AS conv_b FROM lados
+    UNION ALL
+    SELECT 'purchase', n_a, n_b, ca_purchase, cb_purchase FROM lados
+)
+SELECT metrica,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       CAST(CASE WHEN conv_a > 0 AND n_b > 0
+                 THEN (1000 * conv_b * n_a) // (conv_a * n_b) - 1000
+            END AS BIGINT) AS lift_mili,
+       CAST(n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+            AND conv_a + conv_b < n_a + n_b
+            AND 625 * CAST(n_a + n_b AS HUGEINT)
+                    * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                    * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                > 2401 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                    * CAST(conv_a + conv_b AS HUGEINT)
+                    * CAST(n_a + n_b - conv_a - conv_b AS HUGEINT)
+            AS BOOLEAN) AS significativo
+FROM metricas
+"""
+
+
+@register("prueba_ab", oracle=_AB_ORACLE, ops=("A8", "A3"), driver=False)
+def prueba_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READ-OUT: users split deterministically by hash
+    bucket (md5 of the unit id — the production assignment that is
+    stable across sessions and re-computation), conversion measured per
+    metric (signup / purchase), and the two-proportion z-test decided
+    with the inequality ALGEBRAICALLY CLEARED of divisions and square
+    roots: z² > z²₀.₀₅ = 3.8416 = 2401/625 becomes
+
+        625·N·(c₁n₂ − c₂n₁)² > 2401·n₁·n₂·c·(N − c)
+
+    over pure integer counts (N = n₁+n₂, c = c₁+c₂) — exact and
+    engine-identical at boundary values, same discipline as
+    anomalias_trafico's z-test. Relative lift ships in floor-divided
+    milli-units for the same reason. Degenerate experiments (zero or
+    total conversion, an empty arm) are non-significant by definition.
+
+    Shape: ONE user-keyed shuffle (per-user conversion flags with
+    map-side partial aggregation), then a 2-row variant aggregate —
+    the test statistic never touches event grain. Intermediates ride
+    decimal(38,0)/HUGEINT so the cleared products stay exact far past
+    int64 (overflow bound ~1e9 users per arm)."""
+    events = load_table(spark, sf_dir, "events")
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    por_usuario = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("cs"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cp"),
+    ).select(
+        (hex_hash(F.col("user_id").cast("string")) % 2).alias("variante"),
+        "cs",
+        "cp",
+    )
+    variantes = por_usuario.groupBy("variante").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cs").alias("c_signup"),
+        F.sum("cp").alias("c_purchase"),
+    )
+    lados = variantes.agg(
+        F.max(F.when(F.col("variante") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variante") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variante") == 0, F.col("c_signup"))).alias("ca_signup"),
+        F.max(F.when(F.col("variante") == 1, F.col("c_signup"))).alias("cb_signup"),
+        F.max(F.when(F.col("variante") == 0, F.col("c_purchase"))).alias("ca_purchase"),
+        F.max(F.when(F.col("variante") == 1, F.col("c_purchase"))).alias("cb_purchase"),
+    )
+    metricas = lados.selectExpr(
+        "stack(2, 'signup', ca_signup, cb_signup,"
+        "         'purchase', ca_purchase, cb_purchase)"
+        " AS (metrica, conv_a, conv_b)",
+        "n_a",
+        "n_b",
+    )
+    d38 = "decimal(38,0)"
+    diff = (F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")).cast(d38)
+    c = (F.col("conv_a") + F.col("conv_b")).cast(d38)
+    n_tot = (F.col("n_a") + F.col("n_b")).cast(d38)
+    lhs = F.lit(625).cast(d38) * n_tot * diff * diff
+    rhs = (
+        F.lit(2401).cast(d38)
+        * F.col("n_a").cast(d38)
+        * F.col("n_b").cast(d38)
+        * c
+        * (n_tot - c)
+    )
+    return metricas.select(
+        "metrica",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.when(
+            (F.col("conv_a") > 0) & (F.col("n_b") > 0),
+            F.expr("(1000 * conv_b * n_a) div (conv_a * n_b)") - 1000,
+        ).cast("bigint").alias("lift_mili"),
+        (
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+            & (lhs > rhs)
+        ).alias("significativo"),
+    )

@@ -121,3 +121,30 @@ def test_kmv_bottom_k_plus_one_distinguishes_exact(hashes):
         assert len(trimmed) == len(hashes)  # we saw EVERY distinct value
     else:
         assert len(hashes) > K  # truncation ⟺ more than K distincts exist
+
+
+# --- prueba_ab: 625·N·(c₁n₂−c₂n₁)² > 2401·n₁n₂·c·(N−c) ⟺ z² > 3.8416 ----
+
+@given(
+    st.integers(min_value=1, max_value=10**5),
+    st.integers(min_value=1, max_value=10**5),
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_ab_integer_test_equals_float_z(n1, n2, data):
+    c1 = data.draw(st.integers(min_value=0, max_value=n1))
+    c2 = data.draw(st.integers(min_value=0, max_value=n2))
+    n_tot, c = n1 + n2, c1 + c2
+    integer_flag = (
+        0 < c < n_tot
+        and 625 * n_tot * (c1 * n2 - c2 * n1) ** 2
+        > 2401 * n1 * n2 * c * (n_tot - c)
+    )
+    if c == 0 or c == n_tot:
+        assert integer_flag is False  # degenerate: zero pooled variance
+        return
+    p1, p2, p = c1 / n1, c2 / n2, c / n_tot
+    z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
+    # strict inequality both sides; only boundary-rounding can differ
+    if abs(z2 - 3.8416) > 1e-9:
+        assert integer_flag == (z2 > 3.8416)
