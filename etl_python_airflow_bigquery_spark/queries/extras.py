@@ -21,6 +21,7 @@ from etl_python_airflow_bigquery_spark.functions import (
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
 from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -1314,4 +1315,139 @@ def rfm_segmentacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monto_centavos").cast("bigint").alias("monto_centavos"),
         F.min("m_score").cast("bigint").alias("m_min"),
         F.max("m_score").cast("bigint").alias("m_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — integer-exact register sketch (the industry distinct
+# counter, joining the KMV / theta / CMS / quantile-histogram family)
+# --------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (p = 6)
+_HLL_RHO_CAP = 31    # cap so 2^(31-rho) stays a positive int64 term
+# alpha_64 = 0.7213 / (1 + 1.079/64) ≈ 0.709336, scaled by 1e6; the
+# whole estimator collapses to NUM // S // 1e6 with
+# NUM = 709336 · m² · 2^31  (fits int64: ~6.24e18)
+_HLL_NUM = 709336 * _HLL_M * _HLL_M * 2**_HLL_RHO_CAP
+
+# rho = leading-zero count of the 54-bit post-register hash + 1, capped:
+# branch k fires for rest ∈ [2^(54-k), 2^(55-k)) ⇒ bit_length 55-k ⇒
+# rho = k; everything below 2^24 (incl. rest = 0) caps at 31. Pure
+# integer comparisons — identical text runs in Spark SQL and DuckDB
+# (same discipline as busqueda_bm25's floor-log2 ladder).
+def _hll_rho_sql(rest: str) -> str:
+    branches = " ".join(
+        f"WHEN {rest} >= {1 << (54 - k)} THEN {k}" for k in range(1, _HLL_RHO_CAP)
+    )
+    return f"(CASE {branches} ELSE {_HLL_RHO_CAP} END)"
+
+
+# 2^(31 - m_j) as a CASE ladder over the 31 possible register values —
+# no float power(), no engine-specific shift syntax
+def _hll_term_sql(mj: str) -> str:
+    branches = " ".join(
+        f"WHEN {k} THEN {1 << (_HLL_RHO_CAP - k)}"
+        for k in range(1, _HLL_RHO_CAP + 1)
+    )
+    return f"(CASE {mj} {branches} END)"
+
+
+_HLL_ORACLE = f"""
+WITH hx AS (
+    SELECT DISTINCT event_type,
+           {_hex_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, h % {_HLL_M} AS reg,
+           {_hll_rho_sql(f"(h // {_HLL_M})")} AS rho
+    FROM hx
+),
+por_tipo AS (
+    SELECT event_type, reg, max(rho) AS m_j FROM regs GROUP BY 1, 2
+),
+-- sketch MERGE: the union-of-streams sketch is the register-wise max of
+-- the per-type sketches — touching only m×types rows, never the data
+fusion AS (
+    SELECT 'TODOS' AS event_type, reg, max(m_j) AS m_j
+    FROM por_tipo GROUP BY 2
+),
+todas AS (SELECT * FROM por_tipo UNION ALL SELECT * FROM fusion),
+croquis AS (
+    SELECT event_type,
+           CAST({_HLL_M} - count(*) AS INT) AS registros_vacios,
+           sum({_hll_term_sql("m_j")})
+               + ({_HLL_M} - count(*)) * {1 << _HLL_RHO_CAP} AS s
+    FROM todas GROUP BY 1
+),
+exactos AS (
+    SELECT event_type, count(*) AS n FROM hx GROUP BY 1
+    UNION ALL
+    SELECT 'TODOS', count(DISTINCT h) FROM hx
+)
+SELECT c.event_type AS grupo, c.registros_vacios,
+       CAST({_HLL_NUM} // c.s // 1000000 AS BIGINT) AS estimado,
+       CAST(e.n AS BIGINT) AS exactos
+FROM croquis c JOIN exactos e ON c.event_type = e.event_type
+"""
+
+
+@register("sketch_hll_registros", oracle=_HLL_ORACLE, ops=("A2",),
+          driver=False)
+def sketch_hll_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG distinct-user sketch per event type, INTEGER-EXACT so
+    DuckDB checks every register and every estimate bit-for-bit: rho is
+    a pure-comparison leading-zero ladder over the md5-prefix hash,
+    harmonic terms are 2^(31−ρ) integers, and the alpha·m²/Σ estimator
+    collapses to one integer floor division (NUM // S // 1e6). The
+    'TODOS' row demonstrates the property that makes HLL the industry
+    standard: sketches MERGE by register-wise max — the union estimate
+    is computed from the per-type register tables (m×types rows), never
+    by rescanning events. Spark's own approx_count_distinct is the same
+    algorithm behind an opaque float; this registers the transparent,
+    deterministic twin (exact counts ride along so the ±1.04/√64 ≈ 13%
+    error bound is visible).
+
+    Shape: per-group state is m = 64 registers regardless of
+    cardinality; one (type, hash)-distinct shuffle then register-grain
+    aggregates. Production scale-up raises p; the ladder is generated,
+    not hand-written. Small-range bias correction (linear counting) is
+    deliberately omitted — it needs ln() — and the empty-register count
+    ships instead so consumers can apply it."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    events = load_table(spark, sf_dir, "events")
+    hx = events.select(
+        "event_type", hex_hash(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    regs = hx.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.expr(_hll_rho_sql(f"(h div {_HLL_M})")).alias("rho"),
+    )
+    por_tipo = regs.groupBy("event_type", "reg").agg(F.max("rho").alias("m_j"))
+    fusion = por_tipo.groupBy("reg").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("TODOS").alias("event_type"), "reg", "m_j"
+    )
+    todas = por_tipo.select("event_type", "reg", "m_j").unionAll(fusion)
+    croquis = todas.groupBy("event_type").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int").alias("registros_vacios"),
+        (
+            F.sum(F.expr(_hll_term_sql("m_j")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << _HLL_RHO_CAP)
+        ).alias("s"),
+    )
+    exactos = hx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).unionAll(
+        hx.select("h").distinct().agg(
+            F.lit("TODOS").alias("event_type"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    return (
+        croquis.join(exactos, "event_type")
+        .select(
+            F.col("event_type").alias("grupo"),
+            "registros_vacios",
+            F.expr(f"CAST({_HLL_NUM} div s div 1000000 AS BIGINT)").alias("estimado"),
+            F.col("n").cast("bigint").alias("exactos"),
+        )
     )

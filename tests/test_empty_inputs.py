@@ -47,6 +47,7 @@ SMOKE = [
     "busqueda_bm25",
     "similitud_items_cf",
     "vinculacion_registros",
+    "sketch_hll_registros",
 ]
 
 

@@ -148,3 +148,27 @@ def test_ab_integer_test_equals_float_z(n1, n2, data):
     # strict inequality both sides; only boundary-rounding can differ
     if abs(z2 - 3.8416) > 1e-9:
         assert integer_flag == (z2 > 3.8416)
+
+
+# --- sketch_hll_registros: rho ladder == leading zeros + 1, capped ------
+
+@given(st.integers(min_value=0, max_value=2**54 - 1))
+@settings(max_examples=300, deadline=None)
+def test_hll_rho_ladder_is_leading_zero_count(rest):
+    from etl_python_airflow_bigquery_spark.queries.extras import (
+        _HLL_RHO_CAP,
+        _hll_rho_sql,
+    )
+
+    # evaluate the generated CASE ladder in pure Python
+    expect = min(55 - rest.bit_length() if rest else 55, _HLL_RHO_CAP)
+    got = _HLL_RHO_CAP
+    for k in range(1, _HLL_RHO_CAP):
+        if rest >= 1 << (54 - k):
+            got = k
+            break
+    assert got == expect
+    # and the ladder text contains exactly the bounds the loop used
+    sql = _hll_rho_sql("x")
+    assert f"WHEN x >= {1 << 53} THEN 1" in sql
+    assert sql.strip().endswith(f"ELSE {_HLL_RHO_CAP} END)")
