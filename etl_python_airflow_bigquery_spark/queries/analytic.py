@@ -1064,3 +1064,110 @@ def prueba_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (lhs > rhs)
         ).alias("significativo"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank — iterative graph centrality with integer-exact mass updates
+# --------------------------------------------------------------------------
+
+_PR_ITER = 3          # fixed rounds; the oracle unrolls the same count
+_PR_MASS = 10**12     # total initial integer mass (floor-loss << 1 ulp/node)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (the Lloyd-round
+    oracle pattern from similarity_ivf_kmeans): r_{t+1}(v) = BASE +
+    (85·Σ_{u→v} r_t(u)//deg(u))//100, all floor divisions."""
+    rounds = []
+    for t in range(_PR_ITER):
+        prev = f"r{t}"
+        rounds.append(f"""
+r{t + 1} AS (
+    SELECT a.dst AS nodo,
+           (SELECT (15 * init) // 100 FROM params)
+           + (85 * sum(r.r // g.deg)) // 100 AS r
+    FROM aristas a
+    JOIN {prev} r ON r.nodo = a.src
+    JOIN grado g ON g.nodo = a.src
+    GROUP BY 1
+)""")
+    return f"""
+WITH dirigidas AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+aristas AS (
+    SELECT src, dst FROM dirigidas
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM dirigidas
+),
+nodos AS (SELECT DISTINCT src AS nodo FROM aristas),
+grado AS (SELECT src AS nodo, count(*) AS deg FROM aristas GROUP BY 1),
+params AS (SELECT {_PR_MASS} // count(*) AS init FROM nodos),
+r0 AS (SELECT nodo, (SELECT init FROM params) AS r FROM nodos),
+{",".join(rounds)}
+SELECT CASE WHEN nodo % 2 = 0 THEN 'cliente' ELSE 'proveedor' END AS tipo,
+       CAST(nodo // 2 AS BIGINT) AS id,
+       CAST(r AS BIGINT) AS rango
+FROM r{_PR_ITER}
+"""
+
+
+@register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"),
+          driver=False)
+def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the bipartite customer↔supplier purchase graph
+    (edges = distinct trading pairs from lineitem⋈orders, walked
+    undirected): the canonical ITERATIVE graph algorithm, next to
+    dedup_clusters' pointer-jumping CC. Mass updates are INTEGER —
+    r' = base + (85·Σ r//deg)//100 over a fixed total mass of 1e12 —
+    so every floor division lands identically in both engines and the
+    DuckDB oracle (the fixed iteration count unrolled as chained CTEs,
+    the similarity_ivf_kmeans Lloyd-round pattern) checks ranks
+    bit-for-bit. Floor leakage makes Σr drift below 1e12 by < 1 unit
+    per node per round — deterministic, not an error.
+
+    Shape per iteration: ONE shuffle — the rank vector (8 bytes/node)
+    equi-joins edges on src and re-aggregates on dst; degree and edge
+    frames are built once and localCheckpoint'd (the _shingles
+    pattern) so Catalyst doesn't replay the lineitem⋈orders join into
+    every round's lineage. At cluster scale both sides of that join
+    pre-partition on the node key and iterations reuse the exchange;
+    the driver holds one scalar (the node count), never the vector."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dirigidas = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    aristas = dirigidas.unionAll(
+        dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodos = aristas.select(F.col("src").alias("nodo")).distinct()
+    n = nodos.count()
+    if n == 0:
+        return spark.createDataFrame([], "tipo string, id bigint, rango bigint")
+    grado = aristas.groupBy(F.col("src").alias("nodo")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    init = _PR_MASS // n
+    base = (15 * init) // 100
+    ranks = nodos.select("nodo", F.lit(init).alias("r"))
+    for _ in range(_PR_ITER):
+        contrib = (
+            aristas.join(ranks, aristas.src == ranks.nodo)
+            .join(grado, aristas.src == grado.nodo)
+            .select(F.col("dst"), F.expr("r div deg").alias("con"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("nodo")).agg(
+            (F.lit(base) + F.expr("(85 * sum(con)) div 100")).alias("r")
+        )
+    return ranks.select(
+        F.when(F.col("nodo") % 2 == 0, "cliente").otherwise("proveedor").alias("tipo"),
+        F.expr("nodo div 2").cast("bigint").alias("id"),
+        F.col("r").cast("bigint").alias("rango"),
+    )

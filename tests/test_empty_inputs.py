@@ -48,6 +48,7 @@ SMOKE = [
     "similitud_items_cf",
     "vinculacion_registros",
     "sketch_hll_registros",
+    "grafo_pagerank",
 ]
 
 

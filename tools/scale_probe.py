@@ -67,6 +67,28 @@ def replicate(spark, src_dir: str, out_dir: str, k: int) -> None:
                 )
                 for i in range(k)
             ]
+        elif t in ("orders", "lineitem"):
+            # shift the join keys CONSISTENTLY across both tables so the
+            # order graph (lineitem⋈orders, customer/supplier nodes)
+            # really grows K× — copies stay join-compatible within
+            # themselves and disjoint from each other
+            shifts = {
+                "o_orderkey": 100_000_000,
+                "l_orderkey": 100_000_000,
+                "o_custkey": 1_000_000,
+                "l_suppkey": 1_000_000,
+            }
+            parts = [
+                df.select(
+                    *[
+                        (F.col(c) + F.lit(i * shifts[c])).alias(c)
+                        if c in shifts
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+                for i in range(k)
+            ]
         else:
             parts = [df]
         out = parts[0]
