@@ -1184,3 +1184,79 @@ def busqueda_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= _BM25_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Global deterministic shuffle — reproducible training-shard assignment
+# --------------------------------------------------------------------------
+
+_BARAJADO_S = 16  # training shards
+
+_BARAJADO_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS toks,
+           {_hex_hash_sql("CAST(doc_id AS VARCHAR)")} AS hh
+    FROM documents
+),
+ordenado AS (
+    SELECT hh % {_BARAJADO_S} AS shard, source, toks, hh,
+           row_number() OVER (PARTITION BY hh % {_BARAJADO_S} ORDER BY hh)
+               AS pos
+    FROM h
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_fuentes,
+       CAST(sum((hh % 1000003) * pos) AS BIGINT) AS huella_orden
+FROM ordenado
+GROUP BY 1
+"""
+
+
+@register("barajado_global", oracle=_BARAJADO_ORACLE, ops=("A1", "W1"),
+          driver=False)
+def barajado_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL DETERMINISTIC SHUFFLE into training shards — the
+    reproducibility primitive a training run needs: shard =
+    md5(doc_id) mod S and within-shard order = ascending hash define a
+    pseudorandom permutation of the corpus that is identical across
+    engines, runs, cluster sizes, and restarts (no RNG state, no
+    ``rand()`` whose draw depends on partitioning). The emitted audit
+    proves all three properties the trainer cares about: shard BALANCE
+    (n_docs/tokens per shard ≈ corpus/S by hash uniformity), source
+    INTERLEAVING (n_fuentes per shard), and the exact within-shard
+    ORDER via a position-weighted hash fingerprint (huella_orden —
+    any transposition of two docs changes it, so the oracle pins the
+    permutation itself, not just membership).
+
+    Shape: one hash-keyed shuffle (the very repartition the physical
+    write would do: ``repartition(S, shard).sortWithinPartitions(h)``),
+    window at shard grain. At 100 TB: S scales with the target file
+    count; hash uniformity bounds every shard within ±O(√(n/S)) of the
+    mean, so no shard becomes a straggler."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("toks"),
+        hex_hash(F.col("doc_id").cast("string")).alias("hh"),
+    )
+    ordenado = h.select(
+        (F.col("hh") % _BARAJADO_S).alias("shard"),
+        "source",
+        "toks",
+        "hh",
+        F.row_number()
+        .over(Window.partitionBy(F.col("hh") % _BARAJADO_S).orderBy("hh"))
+        .alias("pos"),
+    )
+    return ordenado.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_fuentes"),
+        F.sum((F.col("hh") % 1000003) * F.col("pos"))
+        .cast("bigint")
+        .alias("huella_orden"),
+    )

@@ -49,6 +49,7 @@ SMOKE = [
     "vinculacion_registros",
     "sketch_hll_registros",
     "grafo_pagerank",
+    "barajado_global",
 ]
 
 
