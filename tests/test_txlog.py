@@ -491,3 +491,46 @@ def test_replace_where_point_window_bloom_bounded(spark, tmp_path):
     assert got.count() == 400
     assert [(r["k"], r["v"]) for r in got.where(F.col("k") == 7).collect()] \
         == [(7, 99.0)]
+
+
+# -- change feed (incremental consumption) --------------------------------
+
+def test_changes_append_only_feed(spark, tmp_path):
+    from etl_python_airflow_bigquery_spark.operators.txlog import (
+        NonIncrementalHistory,
+    )
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))        # v0: first load = all inserts
+    t.append(_df(spark, 5, 8))           # v1
+    t.append(_df(spark, 8, 10))          # v2
+    # consumer checkpointed at v0: sees exactly the two appended batches
+    delta = t.changes(spark, since_version=0)
+    got = {(r["k"], r["_commit_version"]) for r in delta.collect()}
+    assert got == {(5, 1), (6, 1), (7, 1), (8, 2), (9, 2)}
+    # from before the table existed: the first load is inserts too
+    assert t.changes(spark, -1).count() == 10
+    # caught-up consumer gets an empty, schema-stable frame
+    caught = t.changes(spark, 2)
+    assert caught.count() == 0
+    assert "_commit_version" in caught.columns
+    # a rewrite op poisons the feed past it
+    t.merge(spark, _df(spark, 0, 2, val=9.0), key_cols=["k"])  # v3
+    with pytest.raises(NonIncrementalHistory):
+        t.changes(spark, 0)
+    # but a feed window that stops BEFORE the rewrite still works
+    assert t.changes(spark, 0, until_version=2).count() == 5
+
+
+def test_changes_skip_compaction_no_double_count(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 4))            # v0
+    t.append(_df(spark, 4, 6))               # v1
+    assert t.optimize_compact(spark) >= 0    # v2: data-preserving rewrite
+    t.append(_df(spark, 6, 9))               # v3
+    delta = t.changes(spark, 0)
+    got = sorted(r["k"] for r in delta.collect())
+    # compacted copies of rows 0..5 must NOT reappear as inserts
+    assert got == [4, 5, 6, 7, 8]
+    versions = {r["k"]: r["_commit_version"] for r in delta.collect()}
+    assert versions == {4: 1, 5: 1, 6: 3, 7: 3, 8: 3}
