@@ -981,7 +981,7 @@ FROM metricas
 """
 
 
-@register("prueba_ab", oracle=_AB_ORACLE, ops=("A8", "A3"), driver=False)
+@register("prueba_ab", oracle=_AB_ORACLE, ops=("A8", "A3"))
 def prueba_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B EXPERIMENT READ-OUT: users split deterministically by hash
     bucket (md5 of the unit id — the production assignment that is
@@ -1113,8 +1113,7 @@ FROM r{_PR_ITER}
 """
 
 
-@register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"),
-          driver=False)
+@register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"))
 def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK over the bipartite customer↔supplier purchase graph
     (edges = distinct trading pairs from lineitem⋈orders, walked

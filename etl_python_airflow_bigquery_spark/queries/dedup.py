@@ -127,7 +127,8 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True)
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True,
+          driver=False)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup with PREFIX FILTERING (the
     All-Pairs/PPJoin candidate scheme): shingles get a global rarity
@@ -844,7 +845,7 @@ WHERE levenshtein(a.firma, b.firma) <= 10
 
 
 @register("vinculacion_registros", oracle=_VINCULACION_ORACLE,
-          ops=("DD4", "J1"), driver=False)
+          ops=("DD4", "J1"))
 def vinculacion_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage / entity resolution: find document pairs whose
     40-char signatures are within Levenshtein distance 10, using the

@@ -415,7 +415,7 @@ GROUP BY 1, 2
 """
 
 
-@register("audiencia_dst", oracle=_DST_ORACLE, ops=("P7", "W2"))
+@register("audiencia_dst", oracle=_DST_ORACLE, ops=("P7", "W2"), driver=False)
 def audiencia_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``audiencia_local`` ACROSS the Chilean DST fall-back: instants are
     shifted +90 days (January events land on Mar 31 – Apr 29, spanning
@@ -685,7 +685,8 @@ GROUP BY e.n
 """
 
 
-@register("sketch_kmv_union", oracle=_KMV_UNION_ORACLE, ops=("A2",))
+@register("sketch_kmv_union", oracle=_KMV_UNION_ORACLE, ops=("A2",),
+          driver=False)
 def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV mergeability: two behavioral groups' bottom-k sketches UNION
     into one sketch whose bottom-k estimates the union cardinality —
@@ -1392,8 +1393,7 @@ FROM croquis c JOIN exactos e ON c.event_type = e.event_type
 """
 
 
-@register("sketch_hll_registros", oracle=_HLL_ORACLE, ops=("A2",),
-          driver=False)
+@register("sketch_hll_registros", oracle=_HLL_ORACLE, ops=("A2",))
 def sketch_hll_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYPERLOGLOG distinct-user sketch per event type, INTEGER-EXACT so
     DuckDB checks every register and every estimate bit-for-bit: rho is

@@ -2201,7 +2201,7 @@ def _pq_fit(
 
 
 @register("cuantizacion_producto", oracle=_PQ_ORACLE, ops=("NN2", "A1", "A2"),
-          bench=True)
+          bench=True, driver=False)
 def cuantizacion_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION build — 64 dims → one int64 code word (M=8
     subspaces × 4-bit codes): the compression layer an IVF-PQ vector

@@ -289,7 +289,7 @@ GROUP BY 1
 
 
 @register("streaming_kmv_distinct", oracle=_KMV_STREAM_ORACLE,
-          ops=("ST2", "A2"))
+          ops=("ST2", "A2"), driver=False)
 def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOUNDED-STATE approximate distinct as a custom stateful streaming
     operator: GroupState per event_type holds only the K+1 smallest

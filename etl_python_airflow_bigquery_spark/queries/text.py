@@ -1215,8 +1215,7 @@ GROUP BY 1
 """
 
 
-@register("barajado_global", oracle=_BARAJADO_ORACLE, ops=("A1", "W1"),
-          driver=False)
+@register("barajado_global", oracle=_BARAJADO_ORACLE, ops=("A1", "W1"))
 def barajado_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL DETERMINISTIC SHUFFLE into training shards — the
     reproducibility primitive a training run needs: shard =
