@@ -1113,7 +1113,8 @@ FROM r{_PR_ITER}
 """
 
 
-@register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"))
+@register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"),
+          bench=True)
 def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK over the bipartite customer↔supplier purchase graph
     (edges = distinct trading pairs from lineitem⋈orders, walked
