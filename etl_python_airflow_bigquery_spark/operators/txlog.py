@@ -337,10 +337,20 @@ class TxTable:
             self.version(),
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """K2 with snapshot isolation: old files stay on disk (prior
-        versions remain readable) — only the manifest flips."""
-        return self._commit(self._write_files(df), "overwrite", df)
+        versions remain readable) — only the manifest flips. ``extra``
+        keys land IN the manifest, so application checkpoints (e.g. the
+        upstream version an incremental refresh consumed) commit
+        atomically with the data they describe."""
+        m = {
+            "files": self._write_files(df),
+            "op": "overwrite",
+            "schema": df.schema.json(),
+        }
+        if extra:
+            m.update(extra)
+        return self._claim(m, self.version())
 
     def append(self, df: DataFrame) -> int:
         """K1: new files added to the parent version's set."""
