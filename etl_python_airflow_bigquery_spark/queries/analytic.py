@@ -1146,23 +1146,26 @@ def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aristas = dirigidas.unionAll(
         dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # degree rides ON the edge list (src, dst, deg), materialized once —
+    # each iteration is then exactly ONE join + ONE aggregation; without
+    # this, every round re-aggregates the edge list for degrees and pays
+    # a second join (visible as an extra Exchange per round in EXPLAIN)
+    w_src = Window.partitionBy("src")
+    aristas_deg = aristas.select(
+        "src", "dst", F.count(F.lit(1)).over(w_src).alias("deg")
     ).localCheckpoint(eager=True)
-    nodos = aristas.select(F.col("src").alias("nodo")).distinct()
+    nodos = aristas_deg.select(F.col("src").alias("nodo")).distinct()
     n = nodos.count()
     if n == 0:
         return spark.createDataFrame([], "tipo string, id bigint, rango bigint")
-    grado = aristas.groupBy(F.col("src").alias("nodo")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
     init = _PR_MASS // n
     base = (15 * init) // 100
     ranks = nodos.select("nodo", F.lit(init).alias("r"))
     for _ in range(_PR_ITER):
-        contrib = (
-            aristas.join(ranks, aristas.src == ranks.nodo)
-            .join(grado, aristas.src == grado.nodo)
-            .select(F.col("dst"), F.expr("r div deg").alias("con"))
-        )
+        contrib = aristas_deg.join(
+            ranks, aristas_deg.src == ranks.nodo
+        ).select(F.col("dst"), F.expr("r div deg").alias("con"))
         ranks = contrib.groupBy(F.col("dst").alias("nodo")).agg(
             (F.lit(base) + F.expr("(85 * sum(con)) div 100")).alias("r")
         )
