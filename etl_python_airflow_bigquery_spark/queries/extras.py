@@ -1451,3 +1451,113 @@ def sketch_hll_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("exactos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality validation — the Deequ-style constraint gate
+# --------------------------------------------------------------------------
+
+_VALIDACION_ORACLE = """
+SELECT 'unicidad_clave' AS regla, 'customer' AS tabla,
+       CAST(count(*) AS BIGINT) AS evaluadas,
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS violaciones
+FROM customer
+UNION ALL
+SELECT 'no_nulo', 'events', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'integridad_fk', 'orders', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'rango_valor', 'events', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 50
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'dominio_lang', 'documents', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang NOT IN ('en', 'es', 'de', 'fr')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'consistencia_n_chars', 'documents', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+"""
+
+
+@register("validacion_esperada", oracle=_VALIDACION_ORACLE, ops=("A8", "J7"),
+          driver=False)
+def validacion_esperada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY GATE (the Deequ/Great-Expectations
+    shape, next to perfil_columnas' profiling): six constraint classes —
+    key uniqueness, non-null, referential integrity, numeric range,
+    categorical domain, cross-column consistency — each evaluated as a
+    full-scan aggregate emitting (evaluated, violations). A pipeline
+    gates promotion on ``violaciones == 0``; here two rules genuinely
+    fire (range and domain) so the counting path is oracle-proven, not
+    just the zero path.
+
+    Shape: every rule is a partial-aggregable scan (violations are
+    conditional sums — map-side combine, one row out); the FK rule is
+    the only join and it is an equi LEFT join on the key (at 100 TB:
+    broadcast when the dimension fits, AQE-planned shuffle join
+    otherwise — never row-at-a-time lookups). Rules over the same table
+    share one scan in production via a combined aggregate; they are
+    split here so each rule row is independently readable."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def regla(name: str, tabla: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("regla"),
+            F.lit(tabla).alias("tabla"),
+            F.count(F.lit(1)).cast("bigint").alias("evaluadas"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("violaciones"),
+        )
+
+    unicidad = customer.agg(
+        F.lit("unicidad_clave").alias("regla"),
+        F.lit("customer").alias("tabla"),
+        F.count(F.lit(1)).cast("bigint").alias("evaluadas"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("violaciones"),
+    )
+    no_nulo = regla("no_nulo", "events", events, F.col("user_id").isNull())
+    fk = regla(
+        "integridad_fk",
+        "orders",
+        orders.join(
+            customer.select(F.col("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    rango = regla(
+        "rango_valor",
+        "events",
+        events,
+        F.col("value").isNull() | (F.col("value") < 0) | (F.col("value") > 50),
+    )
+    dominio = regla(
+        "dominio_lang",
+        "documents",
+        docs,
+        ~F.col("lang").isin("en", "es", "de", "fr"),
+    )
+    consistencia = regla(
+        "consistencia_n_chars",
+        "documents",
+        docs,
+        F.col("n_chars") != F.length("text"),
+    )
+    out = unicidad
+    for r in (no_nulo, fk, rango, dominio, consistencia):
+        out = out.unionByName(r)
+    return out
