@@ -326,3 +326,47 @@ def test_histogram_sketch_no_row_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sketch_histograma_cuantiles")
     assert plan.count("Window") <= 2, plan
     assert "ntile" not in plan, plan
+
+
+def test_record_linkage_blocks_via_equi_join(spark, sf_dir):
+    # vinculacion_registros: candidates must form through an equi join on
+    # the blocking key — a cartesian/broadcast-nested-loop product over
+    # documents would be the corpus² anti-pattern the blocking prevents
+    plan = plan_of(spark, sf_dir, "vinculacion_registros")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the blocked self-join is a real (hash) join
+
+
+def test_pagerank_one_join_per_iteration(spark, sf_dir):
+    # degree rides on the checkpointed edge list, so each of the fixed
+    # rounds contributes exactly ONE join — a second join (or a degree
+    # re-aggregation) per round would double the iterative cost
+    from etl_python_airflow_bigquery_spark.queries.analytic import _PR_ITER
+
+    plan = plan_of(spark, sf_dir, "grafo_pagerank")
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin")
+    assert joins == _PR_ITER
+    assert "CartesianProduct" not in plan
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir):
+    # barajado_global: the shard assignment + within-shard order must ride
+    # ONE hash exchange (the same repartition the physical write would
+    # do) — shard grain aggregation reuses that partitioning
+    plan = plan_of(spark, sf_dir, "barajado_global")
+    # one shard-keyed exchange for the permutation window + the standard
+    # two-phase COUNT(DISTINCT source) expansion on shard-grain rows —
+    # nothing shuffles at document grain more than once
+    assert plan.count("Exchange") <= 3
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_validation_fk_rule_is_equi_join(spark, sf_dir):
+    # the referential-integrity rule must be an equi join on the key —
+    # never a nested-loop membership probe
+    plan = plan_of(spark, sf_dir, "validacion_esperada")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
