@@ -93,3 +93,44 @@ def test_rewrite_triggers_loud_rebuild(spark, tmp_path):
     mode, _ = refresh_mart_counts(spark, src, dst, ["g"], ["v"])
     assert mode == "delta"
     assert _mart(spark, dst) == _full(spark, src)
+
+
+def test_change_feed_drives_incremental_dedup_probe(spark, sf_dir, tmp_path):
+    """E2E composition: corpus lives in a TxTable, a daily batch lands as
+    an append, the CHANGE FEED yields exactly that batch, and the batch
+    probes the corpus's hash index (the dedup_incremental read path) —
+    the full incremental-ingest loop where per-day cost is O(batch),
+    never O(corpus)."""
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    corpus_tx = TxTable(str(tmp_path / "corpus"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_tx.overwrite(docs)  # v0: initial corpus
+    # day-2 batch: two clones of existing docs + one genuinely new doc
+    base = docs.limit(2).collect()
+    batch = spark.createDataFrame(
+        [
+            (1_000_001, base[0]["text"]),          # exact clone
+            (1_000_002, base[1]["text"]),          # exact clone
+            (1_000_003, "texto nuevo sin duplicado alguno"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus_tx.append(batch)  # v1
+    # the feed returns exactly the appended batch — the probe's input
+    delta = corpus_tx.changes(spark, since_version=0)
+    assert delta.count() == 3
+    # probe: delta hashes equi-join the PRIOR corpus snapshot's hash index
+    prior = corpus_tx.read(spark, version=0).select(
+        F.col("doc_id").alias("viejo"), F.md5("text").alias("h")
+    )
+    clasificado = (
+        delta.select("doc_id", F.md5("text").alias("h"))
+        .join(prior, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.min("viejo").alias("dup_de"))
+    )
+    got = {r["doc_id"]: r["dup_de"] for r in clasificado.collect()}
+    assert got[1_000_001] == base[0]["doc_id"]
+    assert got[1_000_002] == base[1]["doc_id"]
+    assert got[1_000_003] is None  # nuevo
