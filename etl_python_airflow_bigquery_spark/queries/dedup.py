@@ -74,6 +74,17 @@ def _verify_jaccard(candidatos: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+# session-scoped postings cache: every dedup-family query consumes the
+# SAME distinct (doc_id, shingle) frame, so one checkpoint serves them
+# all within a session (a production pipeline computes postings once and
+# persists them — this is that, locally). Keyed by Spark applicationId +
+# resolved dir; sf_dir contents are immutable within a session (true for
+# testdata, probe replicas, and the per-test tmp dirs). Small FIFO cap —
+# evicted frames free their checkpoint blocks on GC.
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLES_CACHE_MAX = 8
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash) postings; see _SHINGLES_SQL for
     the hashing rationale.
@@ -87,8 +98,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark recomputes the explode+hash per branch. At cluster scale the
     same role is played by persisting the postings (executor
     memory+disk); the blocks are freed when the frame is GC'd."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _SHINGLES_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    return (
+    out = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 3)
         .select(
@@ -105,6 +122,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    while len(_SHINGLES_CACHE) >= _SHINGLES_CACHE_MAX:
+        _SHINGLES_CACHE.pop(next(iter(_SHINGLES_CACHE)))
+    _SHINGLES_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------

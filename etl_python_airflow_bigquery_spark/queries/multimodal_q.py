@@ -56,3 +56,154 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     intact and the parsers read what the builders wrote."""
     docs = load_table(spark, sf_dir, "documents")
     return media_features(media_from_documents(docs))
+
+
+# --------------------------------------------------------------------------
+# Multimodal sequence packing — token accounting for interleaved training
+# --------------------------------------------------------------------------
+
+_SEQ_BUDGET = 8192   # tokens per training sequence
+_SEQ_PATCH = 16      # ViT patch edge: image cost = ceil(w/16)*ceil(h/16)
+_SEQ_MS_TOK = 80     # audio cost = 1 token per 80 ms
+
+_SECUENCIAS_ORACLE = f"""
+WITH media AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hh,
+           len(string_split(text, ' ')) AS t_texto,
+           ['jpeg', 'png', 'wav', 'mp4'][CAST(doc_id % 4 + 1 AS INT)] AS fmt,
+           (doc_id % 8) * 160 + 320 AS w,
+           (doc_id % 8) * 90 + 180 AS h,
+           (doc_id % 3 + 1) * 16000 AS byte_rate,
+           strlen(text) AS n_bytes
+    FROM documents
+),
+costo AS (
+    SELECT doc_id, hh % 16 AS shard, hh, t_texto,
+           CASE WHEN fmt IN ('jpeg', 'png', 'mp4')
+                THEN ((w + {_SEQ_PATCH - 1}) // {_SEQ_PATCH})
+                     * ((h + {_SEQ_PATCH - 1}) // {_SEQ_PATCH})
+                ELSE 0 END AS t_imagen,
+           CASE WHEN fmt = 'wav'
+                THEN (n_bytes * 1000 // byte_rate) // {_SEQ_MS_TOK}
+                ELSE 0 END AS t_audio
+    FROM media
+),
+flujo AS (
+    SELECT shard, t_texto, t_imagen, t_audio,
+           t_texto + t_imagen + t_audio AS costo_doc,
+           sum(t_texto + t_imagen + t_audio)
+               OVER (PARTITION BY shard ORDER BY hh, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS acum
+    FROM costo
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN t_imagen + t_audio > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_multimodales,
+       CAST(sum(t_texto) AS BIGINT) AS tokens_texto,
+       CAST(sum(t_imagen) AS BIGINT) AS tokens_imagen,
+       CAST(sum(t_audio) AS BIGINT) AS tokens_audio,
+       CAST((max(acum) + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET} AS BIGINT)
+           AS n_secuencias,
+       CAST(sum(CASE WHEN (acum - costo_doc) // {_SEQ_BUDGET}
+                          != (acum - 1) // {_SEQ_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_cruzando,
+       CAST((max(acum) + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET} * {_SEQ_BUDGET}
+            - max(acum) AS BIGINT) AS relleno_final
+FROM flujo
+GROUP BY 1
+"""
+
+
+@register("secuencias_multimodales", oracle=_SECUENCIAS_ORACLE,
+          ops=("MM1", "A1", "W1"), driver=False)
+def secuencias_multimodales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL SEQUENCE PACKING accounting: every document's training
+    cost = text tokens + vision-transformer patches
+    (ceil(w/16)·ceil(h/16) for image/video formats) + audio frames
+    (1 per 80 ms), and the corpus packs into fixed 8192-token sequences
+    as a CONTIGUOUS TOKEN STREAM per shard (the production packing:
+    documents cross sequence boundaries and the loss mask handles it —
+    so packing is a pure running sum, no bin-packing search). Shard and
+    order are the barajado_global permutation (md5 hash), so the plan
+    is the same single hash shuffle + one window. Emitted per shard:
+    modality token mix, sequence count, boundary-crossing docs
+    (start-bin ≠ end-bin over the cumulative stream), and final-sequence
+    padding — the numbers a training-data planner actually schedules by.
+
+    Media metadata mirrors media_from_documents' doc_id arithmetic
+    (multimodal.py:192) so the oracle derives identical costs; all
+    divisions are integer-floor, exact in both engines."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("wav"), F.lit("mp4")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    w = (F.col("doc_id") % 8) * 160 + 320
+    h = (F.col("doc_id") % 8) * 90 + 180
+    byte_rate = (F.col("doc_id") % 3 + 1) * 16000
+    p = _SEQ_PATCH
+    costo = docs.select(
+        "doc_id",
+        hex_hash(F.col("doc_id").cast("string")).alias("hh"),
+        F.size(F.split("text", " ")).alias("t_texto"),
+        F.when(
+            fmt.isin("jpeg", "png", "mp4"),
+            ((w + (p - 1)) / p).cast("bigint") * ((h + (p - 1)) / p).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("t_imagen"),
+        F.when(
+            fmt == "wav",
+            F.expr(
+                f"(length(text) * 1000 div ((doc_id % 3 + 1) * 16000))"
+                f" div {_SEQ_MS_TOK}"
+            ),
+        )
+        .otherwise(0)
+        .alias("t_audio"),
+    )
+    wv = (
+        Window.partitionBy(F.col("hh") % 16)
+        .orderBy("hh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flujo = costo.select(
+        (F.col("hh") % 16).alias("shard"),
+        "t_texto",
+        "t_imagen",
+        "t_audio",
+        (F.col("t_texto") + F.col("t_imagen") + F.col("t_audio")).alias("costo_doc"),
+        F.sum(F.col("t_texto") + F.col("t_imagen") + F.col("t_audio"))
+        .over(wv)
+        .alias("acum"),
+    )
+    b = _SEQ_BUDGET
+    return flujo.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("t_imagen") + F.col("t_audio") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_multimodales"),
+        F.sum("t_texto").cast("bigint").alias("tokens_texto"),
+        F.sum("t_imagen").cast("bigint").alias("tokens_imagen"),
+        F.sum("t_audio").cast("bigint").alias("tokens_audio"),
+        F.expr(f"CAST((max(acum) + {b - 1}) div {b} AS BIGINT)").alias(
+            "n_secuencias"
+        ),
+        F.sum(
+            F.when(
+                F.expr(f"(acum - costo_doc) div {b} != (acum - 1) div {b}"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_cruzando"),
+        F.expr(
+            f"CAST((max(acum) + {b - 1}) div {b} * {b} - max(acum) AS BIGINT)"
+        ).alias("relleno_final"),
+    )

@@ -50,6 +50,7 @@ SMOKE = [
     "sketch_hll_registros",
     "grafo_pagerank",
     "barajado_global",
+    "secuencias_multimodales",
 ]
 
 
