@@ -101,9 +101,17 @@ def main() -> int:
     reps, stat = reps_env, stat_env
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    from etl_python_airflow_bigquery_spark.queries.dedup import (
+        clear_session_caches,
+    )
+
     for name in names:
         runs = []
         for _ in range(reps):
+            # each rep pays its query's true plan cost: the session-level
+            # materialization caches (shingle postings / verified pairs)
+            # would otherwise turn rep 2 into a near-zero cache read
+            clear_session_caches()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)

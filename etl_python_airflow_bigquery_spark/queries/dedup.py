@@ -83,6 +83,22 @@ def _verify_jaccard(candidatos: DataFrame, sh: DataFrame) -> DataFrame:
 # evicted frames free their checkpoint blocks on GC.
 _SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLES_CACHE_MAX = 8
+# same contract for the verified near-dup PAIR list: dedup_ngram_jaccard
+# is both a report (the pair query) and the edge generator for
+# dedup_clusters / corpus_desduplicado / fuga_particiones — one
+# materialization serves all of them within a session
+_PARES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_session_caches() -> None:
+    """Drop the session-scoped materialization caches. bench.py calls
+    this before EVERY timed repetition: its per-query numbers are
+    documented as plan cost with no result caching, and without the
+    clear a cached pair frame would report a near-zero fake. Pipeline
+    consumers (driver sim, chained dedup→clusters→rollup runs) keep the
+    reuse."""
+    _SHINGLES_CACHE.clear()
+    _PARES_CACHE.clear()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +179,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df² — the clone-heavy 10× probe drops from 141× to near-linear,
     because a high-df shingle enters a prefix only when a doc has few
     rarer shingles, i.e. when it is genuinely near-duplicate material."""
+    import os as _os
+
+    _key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    _hit = _PARES_CACHE.get(_key)
+    if _hit is not None:
+        return _hit
     sh = _shingles(spark, sf_dir)
     df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # one shuffle on doc_id serves both the rarity rank and the set size
@@ -204,7 +226,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(candidatos, sh)
+    out = _verify_jaccard(candidatos, sh).localCheckpoint(eager=False)
+    while len(_PARES_CACHE) >= _SHINGLES_CACHE_MAX:
+        _PARES_CACHE.pop(next(iter(_PARES_CACHE)))
+    _PARES_CACHE[_key] = out
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -601,8 +627,16 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("vecino_min"))
         )
+        # the OLD label rides along as `viejo`, so the convergence count
+        # below is a filter over the checkpointed frame — not an extra
+        # join job per round. Labels are monotone non-increasing
+        # (propagate takes a min including self; the jump follows the
+        # label to ITS label, which is ≤ it), so old-vs-new equality is
+        # exactly the propagate fixed point the docstring's stop
+        # condition requires.
         propagated = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("viejo"),
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("vecino_min"), F.col("cluster_id")),
@@ -621,19 +655,15 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
             )
             .select(
                 F.col("a.doc_id").alias("doc_id"),
+                F.col("a.viejo").alias("viejo"),
                 F.coalesce(F.col("b_cluster"), F.col("a.cluster_id")).alias(
                     "cluster_id"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("cluster_id") != F.col("viejo")).count()
+        labels = jumped.select("doc_id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:
