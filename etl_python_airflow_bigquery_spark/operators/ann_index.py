@@ -1,0 +1,159 @@
+"""Persistent ANN index: TRAIN ONCE, SERVE MANY — the IVF index as a
+pair of transactional tables.
+
+Every registered ANN query (similarity_ivf_kmeans / _search / the PQ
+family) fits its quantizer inline so the DuckDB oracle can replay the
+whole computation. Production does not: the index is built offline,
+STORED, and then served/appended without ever refitting. This module is
+that lifecycle over the engine's own txlog tables:
+
+* ``build_ivf_index``  — Lloyd's fit (the similarity.py trainer, same
+  corpus-size-derived k policy) → two TxTables under ``path``:
+  ``centroides`` (k rows: celda, sv) and ``vectores`` (vec_id, celda,
+  ev — the assigned posting lists WITH the scaled-int vectors, so
+  serving never needs the source).
+* ``add_to_ivf_index`` — the incremental path: new vectors assign
+  against the STORED centroids (map-only literal argmin) and append to
+  the posting table — one manifest flip, no refit, no corpus rescan.
+* ``search_ivf_index`` — probes the ``nprobe`` nearest stored cells and
+  exact-reranks by integer cosine. The plan touches ONLY the index
+  tables: snapshot-isolated, time-travelable, and independent of the
+  original embeddings source by construction.
+
+At 100 TB: centroids stay ≤ K_CAP×DIM ints (a broadcast); the posting
+table is the corpus re-keyed by cell — searches read nprobe/k of it,
+and the txlog's per-file stats on ``celda`` (stats_cols) let the scan
+prune untouched cells' files entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+from etl_python_airflow_bigquery_spark.queries.similarity import (
+    _KMEANS_ITERS,
+    _NPROBE,
+    _SEARCH_K,
+    _assign_cells,
+    _centroid_values_df,
+    _int_vectors,
+    _kmeans_fit,
+    cosine_from_ints,
+)
+
+
+def _tables(path: str) -> tuple[TxTable, TxTable]:
+    return (
+        TxTable(f"{path}/centroides"),
+        TxTable(f"{path}/vectores", stats_cols=["celda"]),
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession, emb: DataFrame, path: str, iters: int = _KMEANS_ITERS
+) -> dict:
+    """Fit + assign + persist. Returns {'n', 'k', 'version'}."""
+    enteros = _int_vectors(emb).localCheckpoint(eager=False)
+    n = enteros.count()
+    cent = _kmeans_fit(spark, enteros, iters, n=n)
+    cent_tx, vec_tx = _tables(path)
+    cent_df = _centroid_values_df(spark, cent).select(
+        F.col("seed_id").alias("celda"), "sv"
+    )
+    asignados = (
+        _assign_cells(enteros, cent)
+        .select("vec_id", "celda")
+        .join(enteros, "vec_id")
+        .select("vec_id", "celda", "ev")
+    )
+    cent_tx.overwrite(cent_df)
+    v = vec_tx.overwrite(asignados)
+    return {"n": n, "k": len(cent), "version": v}
+
+
+def _stored_centroids(spark: SparkSession, path: str) -> dict[int, list[int]]:
+    cent_tx, _ = _tables(path)
+    return {
+        r["celda"]: list(r["sv"]) for r in cent_tx.read(spark).collect()
+    }
+
+
+def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
+    """Incremental index growth: assign the new batch against the STORED
+    centroids and append its postings — cost O(batch·k), one atomic
+    manifest flip, never a refit. (Centroid drift under sustained skewed
+    growth is the operational signal to schedule a rebuild; the two
+    tables' versions make before/after recall measurable.)"""
+    _, vec_tx = _tables(path)
+    cent = _stored_centroids(spark, path)
+    enteros = _int_vectors(emb_new)
+    nuevos = (
+        _assign_cells(enteros, cent)
+        .select("vec_id", "celda")
+        .join(enteros, "vec_id")
+        .select("vec_id", "celda", "ev")
+    )
+    return vec_tx.append(nuevos)
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    nprobe: int = _NPROBE,
+    topk: int = _SEARCH_K,
+) -> DataFrame:
+    """``queries``: (query_id, qv: array<bigint>) — scaled-int vectors
+    (route raw embeddings through ``_int_vectors`` first). Probes the
+    nprobe nearest stored cells per query, exact integer-cosine rerank,
+    top-k. Reads ONLY the index tables."""
+    cent_tx, vec_tx = _tables(path)
+    cent_df = cent_tx.read(spark).select(
+        F.col("celda").alias("seed_id"), "sv"
+    )
+    qdist = queries.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
+    qcells = (
+        qdist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("seed_id").alias("celda"))
+    )
+    postings = vec_tx.read(spark)
+    norma = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cands = (
+        qcells.join(postings, "celda")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("ev"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            norma("qv").alias("nq"),
+            norma("ev").alias("nc"),
+        )
+        .withColumn("cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        cands.withColumn("pos", F.row_number().over(wr))
+        .where(F.col("pos") <= topk)
+        .select("query_id", "cand_id", F.col("pos").cast("bigint").alias("pos"), "cos")
+    )

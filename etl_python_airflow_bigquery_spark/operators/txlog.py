@@ -353,9 +353,34 @@ class TxTable:
         return self._claim(m, self.version())
 
     def append(self, df: DataFrame) -> int:
-        """K1: new files added to the parent version's set."""
+        """K1: new files added to the parent version's set. COLUMN
+        add/remove is allowed (the manifest schema governs the scan:
+        files missing a column read NULL, deterministic — pinned by
+        test_read_uses_manifest_schema_after_drifted_append), but a TYPE
+        change on a shared column is rejected loudly: the parquet reader
+        cannot coerce a physical INT64 file under an int manifest, so
+        such an append would poison every later read of the older
+        files."""
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
+        if parent >= 0:
+            old_types = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    json.loads(self._manifest(parent)["schema"])
+                ).fields
+            }
+            clash = [
+                f"{f.name}: {old_types[f.name]} -> {f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if f.name in old_types
+                and f.dataType.simpleString() != old_types[f.name]
+            ]
+            if clash:
+                raise ValueError(
+                    f"append type drift on {self.path!r} ({'; '.join(clash)}):"
+                    " cast the batch or use overwrite/merge for type changes"
+                )
         new = self._write_files(df)
         return self._claim(
             {"files": base + new, "op": "append", "schema": df.schema.json()},

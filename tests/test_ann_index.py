@@ -1,0 +1,88 @@
+"""Persistent ANN index lifecycle (operators/ann_index.py): build once,
+serve from the stored tables only, append without refit, recall against
+brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.ann_index import (
+    add_to_ivf_index,
+    build_ivf_index,
+    search_ivf_index,
+)
+from etl_python_airflow_bigquery_spark.queries.similarity import _int_vectors
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+
+def _queries_from(spark, emb, every=25):
+    return _int_vectors(emb.where(F.col("vec_id") % every == 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+
+
+def test_build_serve_and_recall(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = build_ivf_index(spark, emb, str(tmp_path / "idx"))
+    assert stats["n"] > 0 and stats["k"] >= 1 and stats["version"] == 0
+    consultas = _queries_from(spark, emb)
+    got = search_ivf_index(spark, consultas, str(tmp_path / "idx"))
+    rows = got.collect()
+    assert rows, "search returned nothing"
+    # positions are a clean 1..k ranking per query
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # determinism: a second search from the same snapshot is identical
+    again = {(r["query_id"], r["cand_id"], r["pos"]) for r in
+             search_ivf_index(spark, consultas, str(tmp_path / "idx")).collect()}
+    assert again == {(r["query_id"], r["cand_id"], r["pos"]) for r in rows}
+    # recall@3 against brute-force exact cosine (same query set)
+    ent = _int_vectors(emb)
+    a = consultas
+    b = ent.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    nq = F.aggregate(F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    nc = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    from pyspark.sql import Window
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id",
+                (dot.cast("double") / F.sqrt(nq.cast("double") * nc.cast("double"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    true3 = {(r["query_id"], r["cand_id"]) for r in
+             exact.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).collect()}
+    got3 = {(r["query_id"], r["cand_id"]) for r in rows}
+    recall = len(true3 & got3) / len(true3)
+    assert recall >= 0.3, recall
+
+
+def test_append_serves_new_vectors_without_refit(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    # append an exact CLONE of vector 0 under a new id — assignment runs
+    # against the stored centroids only
+    clon = emb.where(F.col("vec_id") == 0).select(
+        F.lit(9_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    v = add_to_ivf_index(spark, clon, path)
+    assert v == 1  # one manifest flip on the posting table
+    # a query at vector 0 must now find its clone at pos 1 with cos ~ 1
+    consultas = _queries_from(spark, emb.where(F.col("vec_id") == 0), every=1)
+    top = search_ivf_index(spark, consultas, path).where(F.col("pos") == 1).collect()
+    assert len(top) == 1
+    assert top[0]["cand_id"] == 9_000_000
+    assert abs(top[0]["cos"] - 1.0) < 1e-9
+    # time travel: the pre-append snapshot still serves (without the clone)
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    old = TxTable(f"{path}/vectores").read(spark, version=0)
+    assert old.where(F.col("vec_id") == 9_000_000).count() == 0

@@ -534,3 +534,18 @@ def test_changes_skip_compaction_no_double_count(spark, tmp_path):
     assert got == [4, 5, 6, 7, 8]
     versions = {r["k"]: r["_commit_version"] for r in delta.collect()}
     assert versions == {4: 1, 5: 1, 6: 3, 7: 3, 8: 3}
+
+
+def test_append_rejects_type_drift_on_shared_column(spark, tmp_path):
+    """Column ADD is evolution (allowed, NULL-filled on old files); a
+    TYPE change on a shared column would poison reads of older files
+    under the new manifest schema — rejected loudly at commit."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"))
+    with pytest.raises(ValueError, match="type drift"):
+        t.append(spark.createDataFrame([(2, 2.0)], "k INT, v DOUBLE"))
+    # the add-a-column append still works and old files read NULL
+    t.append(
+        spark.createDataFrame([(2, 2.0, "x")], "k BIGINT, v DOUBLE, tag STRING")
+    )
+    assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == {1: None, 2: "x"}
