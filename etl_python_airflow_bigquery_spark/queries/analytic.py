@@ -1174,3 +1174,98 @@ def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("nodo div 2").cast("bigint").alias("id"),
         F.col("r").cast("bigint").alias("rango"),
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules — market-basket support / confidence / lift
+# --------------------------------------------------------------------------
+
+_ASOC_MIN_SOPORTE = 10
+
+_ASOC_ORACLE = f"""
+WITH canastas AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dia, event_type
+    FROM events
+),
+n_canastas AS (
+    SELECT count(*) AS n FROM (SELECT DISTINCT user_id, dia FROM canastas)
+),
+soporte_item AS (
+    SELECT event_type, count(*) AS s FROM canastas GROUP BY 1
+),
+pares AS (
+    SELECT a.event_type AS antecedente, b.event_type AS consecuente,
+           count(*) AS s_ab
+    FROM canastas a
+    JOIN canastas b ON a.user_id = b.user_id AND a.dia = b.dia
+                    AND a.event_type != b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.antecedente, p.consecuente,
+       CAST(p.s_ab AS BIGINT) AS soporte,
+       CAST((1000 * p.s_ab) // sa.s AS BIGINT) AS confianza_mili,
+       CAST((1000 * p.s_ab * n.n) // (sa.s * sc.s) AS BIGINT) AS lift_mili
+FROM pares p
+JOIN soporte_item sa ON sa.event_type = p.antecedente
+JOIN soporte_item sc ON sc.event_type = p.consecuente
+CROSS JOIN n_canastas n
+WHERE p.s_ab >= {_ASOC_MIN_SOPORTE}
+"""
+
+
+@register("asociacion_reglas", oracle=_ASOC_ORACLE, ops=("J9", "A3"),
+          driver=False)
+def asociacion_reglas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over (user, day) baskets of event types — the
+    market-basket trio every recommender audit starts with: support
+    (co-occurring baskets), confidence (P(B|A), floor-milli) and lift
+    (observed/independent, floor-milli; >1000 ⇒ genuinely associated).
+    Pairs below the support floor are pruned — the Apriori property
+    applied at the pair tier. Differs from similitud_items_cf in what
+    it measures (directional rule quality vs symmetric vector cosine)
+    but shares the scale-correct shape: the self-join keys on the
+    BASKET, so the shuffle carries each basket's item list (bounded by
+    the catalog) and pairs materialize only through co-occurrence.
+    Integer floor divisions keep both engines bit-identical; at real
+    catalog sizes the same plan feeds top-k rules per antecedent."""
+    events = load_table(spark, sf_dir, "events")
+    canastas = events.select(
+        "user_id", event_day_num(events).alias("dia"), "event_type"
+    ).distinct()
+    n_canastas = canastas.select("user_id", "dia").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    soporte_item = canastas.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a = canastas.select("user_id", "dia", F.col("event_type").alias("antecedente"))
+    b = canastas.select("user_id", "dia", F.col("event_type").alias("consecuente"))
+    pares = (
+        a.join(b, ["user_id", "dia"])
+        .where(F.col("antecedente") != F.col("consecuente"))
+        .groupBy("antecedente", "consecuente")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= _ASOC_MIN_SOPORTE)
+    )
+    sa = soporte_item.select(
+        F.col("event_type").alias("antecedente"), F.col("s").alias("s_a")
+    )
+    sc = soporte_item.select(
+        F.col("event_type").alias("consecuente"), F.col("s").alias("s_c")
+    )
+    return (
+        pares.join(F.broadcast(sa), "antecedente")
+        .join(F.broadcast(sc), "consecuente")
+        .crossJoin(F.broadcast(n_canastas))
+        .select(
+            "antecedente",
+            "consecuente",
+            F.col("s_ab").cast("bigint").alias("soporte"),
+            F.expr("CAST((1000 * s_ab) div s_a AS BIGINT)").alias(
+                "confianza_mili"
+            ),
+            F.expr("CAST((1000 * s_ab * n) div (s_a * s_c) AS BIGINT)").alias(
+                "lift_mili"
+            ),
+        )
+    )

@@ -1561,3 +1561,70 @@ def validacion_esperada(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (no_nulo, fk, rango, dominio, consistencia):
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient — consumption-inequality metric, integer-exact
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH consumo AS (
+    SELECT user_id, CAST(sum(floor(value * 1000)) AS BIGINT) AS milis
+    FROM events GROUP BY 1
+),
+ordenado AS (
+    SELECT milis,
+           row_number() OVER (ORDER BY milis, user_id) AS i,
+           count(*) OVER () AS n,
+           sum(milis) OVER () AS total
+    FROM consumo
+)
+SELECT CAST(max(n) AS BIGINT) AS usuarios,
+       CAST(max(total) AS BIGINT) AS consumo_milis,
+       CAST((2000 * sum(CAST(i AS HUGEINT) * milis)
+             - 1000 * CAST(max(n) + 1 AS HUGEINT) * max(total))
+            // (CAST(max(n) AS HUGEINT) * max(total)) AS BIGINT) AS gini_mili
+FROM ordenado
+WHERE total > 0
+"""
+
+
+@register("gini_consumo", oracle=_GINI_ORACLE, ops=("A6", "W1"),
+          driver=False)
+def gini_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user consumption — the inequality metric
+    behind 'does 1% of the audience produce 90% of the hours', computed
+    INTEGER-EXACT from the rank formulation G = (2·Σ i·xᵢ)/(n·Σx) −
+    (n+1)/n over milli-unit totals with one floor division at the end
+    (gini_mili ∈ [0, 1000]); ties rank deterministically by user_id so
+    both engines weight identical permutations. Shape: one user-keyed
+    aggregation, then ranking/summing at USER grain (never events) —
+    the global sort is over n users, the same cost class as
+    rfm_segmentacion's quintile cuts, with approx-quantile banding as
+    the named swap if user count itself outgrows a sort."""
+    events = load_table(spark, sf_dir, "events")
+    consumo = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000)).cast("bigint").alias("milis")
+    )
+    w = Window.orderBy("milis", "user_id")
+    wall = Window.partitionBy()
+    ordenado = consumo.select(
+        "milis",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("milis").over(wall).alias("total"),
+    )
+    return (
+        ordenado.where(F.col("total") > 0)
+        .agg(
+            F.max("n").cast("bigint").alias("usuarios"),
+            F.max("total").cast("bigint").alias("consumo_milis"),
+            # decimal(38,0) intermediates: the rank-weighted sum is
+            # O(n²·consumo) and exceeds int64 around 1e5 heavy users
+            F.expr(
+                "CAST((2000 * sum(CAST(i AS DECIMAL(38,0)) * milis)"
+                " - 1000 * CAST(max(n) + 1 AS DECIMAL(38,0)) * max(total))"
+                " div (CAST(max(n) AS DECIMAL(38,0)) * max(total)) AS BIGINT)"
+            ).alias("gini_mili"),
+        )
+    )

@@ -177,3 +177,81 @@ def scd2_historia(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dia").cast("bigint").alias("valido_desde"),
         F.lead("dia").over(wv).cast("bigint").alias("valido_hasta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bot detection — inter-arrival regularity, integer-cleared CV test
+# --------------------------------------------------------------------------
+
+_BOTS_MIN_EVENTOS = 20
+
+_BOTS_ORACLE = f"""
+WITH ordenado AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap
+    FROM events
+),
+resumen AS (
+    SELECT user_id,
+           count(gap) AS n,
+           sum(gap) AS s,
+           sum(CAST(gap AS HUGEINT) * gap) AS q
+    FROM ordenado WHERE gap IS NOT NULL
+    GROUP BY 1
+)
+SELECT user_id,
+       CAST(n + 1 AS BIGINT) AS eventos,
+       CAST(s // n AS BIGINT) AS gap_medio_us,
+       CAST(s > 0 AND 100 * (n * q - CAST(s AS HUGEINT) * s)
+                      < CAST(s AS HUGEINT) * s AS BOOLEAN) AS es_bot
+FROM resumen
+WHERE n + 1 >= {_BOTS_MIN_EVENTOS}
+"""
+
+
+@register("deteccion_bots", oracle=_BOTS_ORACLE, ops=("W1", "A3"),
+          driver=False)
+def deteccion_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / AUTOMATION DETECTION by inter-arrival regularity: humans
+    produce bursty gaps, scripts produce metronomic ones — flagged when
+    the coefficient of variation of a user's event gaps is below 0.1,
+    with the test ALGEBRAICALLY CLEARED of divisions and square roots:
+    CV² = var/mean² < 1/100 becomes 100·(n·Σg² − S²) < S² over pure
+    integer µs sums (the anomalias_trafico / prueba_ab discipline), so
+    the flag is exact and engine-identical at boundary users.
+    Quadratic gap sums ride HUGEINT/decimal(38) — a week-long gap
+    squared already exceeds int64.
+
+    Shape: one user-keyed window sort for the gaps (the sessionization
+    cost class — at 100 TB the fact table is already time-partitioned
+    per user), then a per-user aggregate; the statistic never leaves
+    user grain."""
+    from etl_python_airflow_bigquery_spark.functions import event_ts_us
+
+    events = load_table(spark, sf_dir, "events")
+    t = event_ts_us(events)
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    ordenado = events.select(
+        "user_id", (t - F.lag(t).over(w)).alias("gap")
+    )
+    d38 = "decimal(38,0)"
+    resumen = ordenado.where(F.col("gap").isNotNull()).groupBy("user_id").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("q"),
+    )
+    return resumen.where(F.col("n") + 1 >= _BOTS_MIN_EVENTOS).select(
+        "user_id",
+        (F.col("n") + 1).cast("bigint").alias("eventos"),
+        F.expr("CAST(s div n AS BIGINT)").alias("gap_medio_us"),
+        (
+            (F.col("s") > 0)
+            & (
+                F.lit(100).cast(d38)
+                * (F.col("n").cast(d38) * F.col("q") - F.col("s").cast(d38) * F.col("s"))
+                < F.col("s").cast(d38) * F.col("s")
+            )
+        ).alias("es_bot"),
+    )

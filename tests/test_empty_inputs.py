@@ -51,6 +51,8 @@ SMOKE = [
     "grafo_pagerank",
     "barajado_global",
     "secuencias_multimodales",
+    "asociacion_reglas",
+    "deteccion_bots",
 ]
 
 
