@@ -404,3 +404,78 @@ def kmv_distinct_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def run_validated_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    rules: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Micro-batch ingest behind a DATA-QUALITY GATE (the streaming face
+    of validacion_esperada): every batch evaluates declarative
+    constraint expressions; a batch with ANY violation is quarantined —
+    appended to ``<out>/cuarentena`` with the failing rule names — and
+    the MAIN table's manifest never flips for it, so downstream readers
+    only ever see rows that passed every rule. A clean batch appends
+    atomically. Both paths are txlog commits: crash-safe, idempotent on
+    restart (the checkpoint replays the batch, the same decision
+    re-commits or re-quarantines deterministically).
+
+    ``rules``: (name, SQL boolean expr that is TRUE for a VIOLATION).
+    Defaults: null user_id, negative value. Shape: rule evaluation is a
+    map-side conditional aggregate over the batch (one count per rule),
+    the same partial-aggregable scan as the batch validator — the gate
+    adds no shuffle to ingest."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    rules = rules or [
+        ("no_nulo_user", "user_id IS NULL"),
+        ("rango_valor", "value IS NULL OR value < 0"),
+    ]
+    main = TxTable(os.path.join(out_path, "datos"))
+    cuarentena = TxTable(os.path.join(out_path, "cuarentena"))
+    stats = {"commits": 0, "cuarentenas": 0}
+
+    batch_schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = batch_df.agg(
+            *[
+                F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(name)
+                for name, cond in rules
+            ]
+        ).collect()[0]
+        rotas = [name for name, _ in rules if (counts[name] or 0) > 0]
+        if rotas:
+            cuarentena.append(
+                batch_df.withColumn("reglas_rotas", F.lit(",".join(rotas)))
+            ) if cuarentena.version() >= 0 else cuarentena.overwrite(
+                batch_df.withColumn("reglas_rotas", F.lit(",".join(rotas)))
+            )
+            stats["cuarentenas"] += 1
+        else:
+            main.append(batch_df) if main.version() >= 0 else main.overwrite(
+                batch_df
+            )
+            stats["commits"] += 1
+
+    q = (
+        src.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

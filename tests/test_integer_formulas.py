@@ -172,3 +172,24 @@ def test_hll_rho_ladder_is_leading_zero_count(rest):
     sql = _hll_rho_sql("x")
     assert f"WHEN x >= {1 << 53} THEN 1" in sql
     assert sql.strip().endswith(f"ELSE {_HLL_RHO_CAP} END)")
+
+
+# --- gini_consumo: rank formulation == mean-absolute-difference ----------
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_gini_rank_form_equals_pairwise_definition(xs):
+    total = sum(xs)
+    if total == 0:
+        return
+    n = len(xs)
+    xs_sorted = sorted(xs)
+    # engine form: floor-milli of (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n
+    num = 2000 * sum((i + 1) * x for i, x in enumerate(xs_sorted)) \
+        - 1000 * (n + 1) * total
+    gini_mili = num // (n * total)
+    # textbook: G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) — exact rational comparison
+    mad = sum(abs(a - b) for a in xs for b in xs)
+    # gini_mili == floor(1000 · mad·n / (2n²·total/n)) = floor(1000·mad/(2n·total))
+    assert gini_mili == (1000 * mad) // (2 * n * total)

@@ -264,3 +264,43 @@ def test_kmv_stream_multi_batch_equals_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert KMV_STREAM_K == 64  # the state bound the docstrings promise
+
+
+def test_validated_ingest_gates_bad_batches(spark, sf_dir, tmp_path):
+    """The streaming data-quality gate: per-file micro-batches, a batch
+    violating a rule lands in quarantine tagged with the failing rules
+    and the MAIN table's manifest never flips for it."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_validated_ingest,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    limpio = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(50)
+    )
+    limpio.coalesce(1).write.parquet(src + "/f1.parquet")
+    # corrupted batch: null user_id AND a negative value
+    sucio = spark.createDataFrame(
+        [(900001, None, "view", -1.0), (900002, 7, "click", 2.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    sucio.coalesce(1).write.parquet(src + "/f2.parquet")
+
+    out = str(tmp_path / "out")
+    stats = run_validated_ingest(spark, src, out, str(tmp_path / "ck"))
+    assert stats["commits"] >= 1 and stats["cuarentenas"] == 1
+    datos = TxTable(out + "/datos").read(spark)
+    assert datos.where(F.col("user_id").isNull()).count() == 0
+    assert datos.where(F.col("value") < 0).count() == 0
+    assert datos.count() == 50
+    cuar = TxTable(out + "/cuarentena").read(spark)
+    assert cuar.count() == 2
+    rotas = cuar.select("reglas_rotas").distinct().collect()[0][0]
+    assert "no_nulo_user" in rotas and "rango_valor" in rotas
