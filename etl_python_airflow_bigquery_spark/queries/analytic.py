@@ -1269,3 +1269,102 @@ def asociacion_reglas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast — two-state recursive fold (EWMA's big sibling)
+# --------------------------------------------------------------------------
+# True floor division in BOTH dialects regardless of sign: subtract the
+# positive modulus first, then the (now exact) integer division. Spark's
+# `div` and DuckDB's `//` disagree on negative operands (truncation vs
+# floor), but on an exactly-divisible numerator they agree.
+
+
+def _fd_sql(e: str, div_op: str) -> str:
+    return f"((({e}) - ((({e}) % 1000 + 1000) % 1000)) {div_op} 1000)"
+
+
+def _holt_duck() -> str:
+    fd = lambda e: _fd_sql(e, "//")  # noqa: E731
+    lnew = fd("300 * s.ym + 700 * (p.l + p.b)")
+    bnew = fd(f"100 * ({lnew} - p.l) + 900 * p.b")
+    return f"""
+WITH RECURSIVE diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) * 1000 AS ym
+    FROM events GROUP BY 1, 2
+),
+serie AS (
+    SELECT tipo, dia, ym,
+           row_number() OVER (PARTITION BY tipo ORDER BY dia) AS rn,
+           count(*) OVER (PARTITION BY tipo) AS n
+    FROM diario
+),
+paso AS (
+    SELECT tipo, rn, n, ym AS l, CAST(0 AS BIGINT) AS b
+    FROM serie WHERE rn = 1
+    UNION ALL
+    SELECT s.tipo, s.rn, s.n, {lnew} AS l, {bnew} AS b
+    FROM paso p JOIN serie s ON s.tipo = p.tipo AND s.rn = p.rn + 1
+)
+SELECT tipo, CAST(n AS BIGINT) AS dias,
+       CAST(l AS BIGINT) AS nivel_mili,
+       CAST(b AS BIGINT) AS tendencia_mili,
+       CAST(l + b AS BIGINT) AS pronostico_1,
+       CAST(l + 2 * b AS BIGINT) AS pronostico_2,
+       CAST(l + 3 * b AS BIGINT) AS pronostico_3
+FROM paso WHERE rn = n
+"""
+
+
+@register("pronostico_holt", oracle=_holt_duck(), ops=("W1", "A1"),
+          driver=False)
+def pronostico_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND FORECAST per event type — the TWO-state
+    recursive metric (level + trend) that window frames cannot express
+    and that extends tendencia_ewma's single-state fold: lₜ = ⌊(0.3·yₜ
+    + 0.7·(l+b))⌋, bₜ = ⌊(0.1·Δl + 0.9·b)⌋ in integer milli-units, then
+    a 3-day-ahead linear projection. The trend can go NEGATIVE, so both
+    engines use the explicit floor-division identity (subtract the
+    positive modulus, then divide — Spark `div` truncates while DuckDB
+    `//` floors, but they agree on exactly-divisible numerators); the
+    oracle runs the same recurrence as a recursive CTE because DuckDB
+    1.0's `list_reduce` mutates struct accumulator fields IN ORDER
+    (later fields read already-updated state — found while building
+    this and worth recording).
+
+    Shape: day-grain pre-aggregation map-side, one shuffle to collect
+    each type's day-ordered series, the fold runs inside whole-stage
+    codegen; per-key state is bounded by the calendar."""
+    fd = lambda e: _fd_sql(e, "div")  # noqa: E731
+    lnew = fd("300 * x.y + 700 * (acc.l + acc.b)")
+    bnew = fd(f"100 * ({lnew} - acc.l) + 900 * acc.b")
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("ym"))
+    serie = diario.groupBy("tipo").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dia, ym))),"
+            " p -> struct(CAST(p.ym AS BIGINT) AS y))"
+        ).alias("xs")
+    )
+    fold = f"""
+aggregate(
+  slice(xs, 2, size(xs) - 1),
+  struct(CAST(element_at(xs, 1).y AS BIGINT) AS l, CAST(0 AS BIGINT) AS b),
+  (acc, x) -> struct(CAST({lnew} AS BIGINT) AS l, CAST({bnew} AS BIGINT) AS b))
+"""
+    return serie.select(
+        "tipo",
+        F.size("xs").cast("bigint").alias("dias"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "tipo",
+        "dias",
+        F.col("st.l").cast("bigint").alias("nivel_mili"),
+        F.col("st.b").cast("bigint").alias("tendencia_mili"),
+        (F.col("st.l") + F.col("st.b")).cast("bigint").alias("pronostico_1"),
+        (F.col("st.l") + 2 * F.col("st.b")).cast("bigint").alias("pronostico_2"),
+        (F.col("st.l") + 3 * F.col("st.b")).cast("bigint").alias("pronostico_3"),
+    )

@@ -53,6 +53,7 @@ SMOKE = [
     "secuencias_multimodales",
     "asociacion_reglas",
     "deteccion_bots",
+    "pronostico_holt",
 ]
 
 

@@ -193,3 +193,36 @@ def test_gini_rank_form_equals_pairwise_definition(xs):
     mad = sum(abs(a - b) for a in xs for b in xs)
     # gini_mili == floor(1000 · mad·n / (2n²·total/n)) = floor(1000·mad/(2n·total))
     assert gini_mili == (1000 * mad) // (2 * n * total)
+
+
+# --- pronostico_holt: floor-div identity + fold == reference recurrence --
+
+def _fd_py(a: int) -> int:
+    return (a - ((a % 1000) + 1000) % 1000) // 1000
+
+
+@given(st.integers(min_value=-10**12, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_floor_div_identity_is_true_floor(a):
+    # the shared SQL identity: subtract positive modulus, then divide —
+    # equals mathematical floor division for any sign
+    assert _fd_py(a) == a // 1000
+    # and the adjusted numerator is exactly divisible, which is why
+    # Spark's truncating `div` and DuckDB's flooring `//` agree on it
+    assert (a - ((a % 1000) + 1000) % 1000) % 1000 == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_holt_fold_matches_reference(ys):
+    l, b = ys[0] * 1000, 0
+    for y in ys[1:]:
+        ym = y * 1000
+        l2 = _fd_py(300 * ym + 700 * (l + b))
+        b = _fd_py(100 * (l2 - l) + 900 * b)
+        l = l2
+    # level stays within the (milli-scaled) series envelope; trend is
+    # bounded by the largest single-step level change
+    assert min(ys) * 1000 <= l <= max(ys) * 1000
+    assert abs(b) <= max(ys) * 1000
