@@ -1628,3 +1628,65 @@ def gini_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_mili"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal index — day-of-week seasonality per event type
+# --------------------------------------------------------------------------
+
+_ESTACIONAL_ORACLE = """
+WITH diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) AS eventos
+    FROM events GROUP BY 1, 2
+),
+marcado AS (
+    SELECT tipo, (dia + 3) % 7 AS dow, eventos,
+           count(*) OVER (PARTITION BY tipo) AS dias_tot,
+           sum(eventos) OVER (PARTITION BY tipo) AS ev_tot
+    FROM diario
+)
+SELECT tipo, CAST(dow AS INT) AS dow,
+       CAST(count(*) AS BIGINT) AS dias,
+       CAST(sum(eventos) AS BIGINT) AS eventos,
+       CAST((1000 * sum(eventos) * max(dias_tot))
+            // (count(*) * max(ev_tot)) AS BIGINT) AS indice_mili
+FROM marcado
+GROUP BY 1, 2
+"""
+
+
+@register("indice_estacional", oracle=_ESTACIONAL_ORACLE, ops=("W2", "A3"),
+          driver=False)
+def indice_estacional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL INDEX per event type — the multiplicative
+    seasonality profile (index 1000 = an average day; >1000 = that
+    weekday over-indexes) that feeds pronostico_holt's deseasonalized
+    production variant and every staffing/scheduling dashboard. Weekday
+    derives from pure epoch-day arithmetic ((dia + 3) % 7, Monday = 0)
+    so it is session-timezone-proof and engine-identical, and the index
+    is one integer floor division over per-type totals.
+
+    Shape: day-grain pre-aggregation map-side (events never reach the
+    window), per-type windowed totals over ~calendar rows, one final
+    (tipo, dow) aggregate — 7×types output rows at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("eventos"))
+    wt = Window.partitionBy("tipo")
+    marcado = diario.select(
+        "tipo",
+        ((F.col("dia") + 3) % 7).alias("dow"),
+        "eventos",
+        F.count(F.lit(1)).over(wt).alias("dias_tot"),
+        F.sum("eventos").over(wt).alias("ev_tot"),
+    )
+    return marcado.groupBy("tipo", F.col("dow").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dias"),
+        F.sum("eventos").cast("bigint").alias("eventos"),
+        F.expr(
+            "CAST((1000 * sum(eventos) * max(dias_tot))"
+            " div (count(*) * max(ev_tot)) AS BIGINT)"
+        ).alias("indice_mili"),
+    )

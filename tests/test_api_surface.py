@@ -129,3 +129,18 @@ def test_load_tables_loads_all(spark, sf_dir):
     tables = load_tables(spark, sf_dir)
     assert set(tables) == set(TABLES)
     assert tables["region"].count() == 5
+
+
+def test_every_survey_op_keeps_a_driver_row():
+    """Rotation guard: the driver surface is curated to exactly 50, and
+    no SURVEY §2 op code may lose its last driver-tier representative —
+    the invariant every rotation must check."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    driver = {n: q for n, q in REGISTRY.items() if q.driver}
+    assert len(driver) == 50
+    all_ops = {op for q in REGISTRY.values() for op in q.ops}
+    driver_ops = {op for q in driver.values() for op in q.ops}
+    assert all_ops - driver_ops == set(), (
+        f"ops without a driver row: {sorted(all_ops - driver_ops)}"
+    )

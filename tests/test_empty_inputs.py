@@ -54,6 +54,7 @@ SMOKE = [
     "asociacion_reglas",
     "deteccion_bots",
     "pronostico_holt",
+    "indice_estacional",
 ]
 
 
