@@ -1368,3 +1368,107 @@ aggregate(
         (F.col("st.l") + 2 * F.col("st.b")).cast("bigint").alias("pronostico_2"),
         (F.col("st.l") + 3 * F.col("st.b")).cast("bigint").alias("pronostico_3"),
     )
+
+
+# --------------------------------------------------------------------------
+# BFS shortest paths — early-exit frontier iteration over the trade graph
+# --------------------------------------------------------------------------
+
+_BFS_MAX_D = 6
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE dirigidas AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+aristas AS (
+    SELECT src, dst FROM dirigidas
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM dirigidas
+),
+semillas AS (
+    -- seed nation = the smallest present, so the query is non-degenerate
+    -- at every scale factor
+    SELECT DISTINCT s.s_suppkey * 2 + 1 AS nodo
+    FROM supplier s
+    JOIN aristas a ON a.src = s.s_suppkey * 2 + 1
+    WHERE s.s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+),
+alcance(nodo, d) AS (
+    SELECT nodo, 0 FROM semillas
+    UNION
+    SELECT a.dst, r.d + 1
+    FROM alcance r JOIN aristas a ON a.src = r.nodo
+    WHERE r.d < {_BFS_MAX_D}
+)
+SELECT CASE WHEN nodo % 2 = 0 THEN 'cliente' ELSE 'proveedor' END AS tipo,
+       CAST(nodo // 2 AS BIGINT) AS id,
+       CAST(min(d) AS BIGINT) AS distancia
+FROM alcance
+GROUP BY 1, 2
+"""
+
+
+@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"), driver=False)
+def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS SHORTEST PATHS over the customer↔supplier trade graph from a
+    seed set (the smallest present nation's suppliers — non-degenerate at
+    every scale factor; the one driver-side scalar): the EARLY-EXIT iterative class, the
+    complement of grafo_pagerank's fixed-round iteration — rounds are
+    data-dependent (the diameter), each round expands only the current
+    FRONTIER (newly discovered nodes), and the loop stops the first
+    round the frontier comes back empty. Per round: one equi join
+    frontier⋈edges + one anti join against the settled set — the
+    frontier shrinks to nothing in ~diameter rounds (small-world trade
+    graphs: 3-4), so total work is O(edges·diameter) with each node
+    settled exactly once. The depth cap mirrors the oracle's recursion
+    bound (a loud guard, not a silent truncation — the test would
+    hash-mismatch if a real graph exceeded it).
+
+    Oracle: the textbook recursive-CTE shortest path with UNION dedup
+    and the same depth bound."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    dirigidas = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    aristas = dirigidas.unionAll(
+        dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nacion_semilla = supplier.agg(F.min("s_nationkey")).collect()[0][0]
+    semillas = (
+        supplier.where(F.col("s_nationkey") == F.lit(nacion_semilla))
+        .select((F.col("s_suppkey") * 2 + 1).alias("nodo"))
+        .join(
+            aristas.select(F.col("src").alias("nodo")).distinct(), "nodo"
+        )
+        .distinct()
+    )
+    settled = semillas.select("nodo", F.lit(0).alias("d")).localCheckpoint(
+        eager=True
+    )
+    frontier = settled
+    for d in range(1, _BFS_MAX_D + 1):
+        siguiente = (
+            frontier.join(aristas, frontier.nodo == aristas.src)
+            .select(F.col("dst").alias("nodo"))
+            .distinct()
+            .join(settled.select("nodo"), "nodo", "left_anti")
+            .select("nodo", F.lit(d).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if siguiente.isEmpty():
+            break
+        settled = settled.unionByName(siguiente).localCheckpoint(eager=True)
+        frontier = siguiente
+    return settled.select(
+        F.when(F.col("nodo") % 2 == 0, "cliente").otherwise("proveedor").alias("tipo"),
+        F.expr("nodo div 2").cast("bigint").alias("id"),
+        F.col("d").cast("bigint").alias("distancia"),
+    )

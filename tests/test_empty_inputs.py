@@ -55,6 +55,7 @@ SMOKE = [
     "deteccion_bots",
     "pronostico_holt",
     "indice_estacional",
+    "grafo_bfs",
 ]
 
 
