@@ -423,3 +423,63 @@ def fuga_particiones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("jaccard").alias("jaccard_max"),
         (F.col("particion_a") != F.col("particion_b")).alias("es_fuga"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-diversity audit — inverse Simpson (effective source count)
+# --------------------------------------------------------------------------
+
+_DIVERSIDAD_ORACLE = """
+WITH por_fuente AS (
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS fuentes,
+       CAST(sum(docs) AS BIGINT) AS docs,
+       CAST((1000 * sum(tokens) * sum(tokens))
+            // sum(tokens * tokens) AS BIGINT) AS fuentes_efectivas_mili,
+       CAST((1000 * max(tokens)) // sum(tokens) AS BIGINT)
+           AS fuente_max_mili
+FROM por_fuente
+GROUP BY 1
+"""
+
+
+@register("diversidad_fuentes", oracle=_DIVERSIDAD_ORACLE, ops=("A3", "A1"),
+          driver=False)
+def diversidad_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIX DIVERSITY AUDIT per language: the effective number
+    of sources by TOKEN MASS — inverse Simpson, (Σt)²/Σt², in floor-
+    milli (2000 ⇒ the mix behaves like 2 equal sources however many
+    nominally contribute) — plus the dominant source's share. The two
+    numbers a data-mixing review reads first: mezcla_entrenamiento
+    plans the target mix, this measures the mix a corpus actually has,
+    and a collapse in fuentes_efectivas flags domination before
+    training does. Integer-exact: Simpson needs only sums of squares,
+    no logs (the entropy variant would need the log ladder; Simpson is
+    the exact-arithmetic diversity index).
+
+    Shape: one (lang, source) aggregation with map-side partial sums,
+    then a languages-sized roll-up. Σt up to ~1e12 tokens squares to
+    1e24 — the sums ride DECIMAL(38,0) on both engines at scale; at
+    testdata scale int64 suffices and DuckDB widens automatically."""
+    docs = load_table(spark, sf_dir, "documents")
+    por_fuente = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    d38 = "decimal(38,0)"
+    return por_fuente.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fuentes"),
+        F.sum("docs").cast("bigint").alias("docs"),
+        F.expr(
+            f"CAST((1000 * CAST(sum(tokens) AS {d38}) * sum(tokens))"
+            f" div sum(CAST(tokens AS {d38}) * tokens) AS BIGINT)"
+        ).alias("fuentes_efectivas_mili"),
+        F.expr(
+            "CAST((1000 * max(tokens)) div sum(tokens) AS BIGINT)"
+        ).alias("fuente_max_mili"),
+    )

@@ -86,3 +86,21 @@ def test_append_serves_new_vectors_without_refit(spark, sf_dir, tmp_path):
     from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
     old = TxTable(f"{path}/vectores").read(spark, version=0)
     assert old.where(F.col("vec_id") == 9_000_000).count() == 0
+
+
+def test_maintenance_preserves_search_results(spark, sf_dir, tmp_path):
+    """Table maintenance on the posting table (compaction) must not
+    change what the index serves — OPTIMIZE is a physical rewrite, the
+    search results are the contract."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    consultas = _queries_from(spark, emb)
+    antes = {(r["query_id"], r["cand_id"], r["pos"]) for r in
+             search_ivf_index(spark, consultas, path).collect()}
+    TxTable(f"{path}/vectores", stats_cols=["celda"]).optimize_compact(spark)
+    despues = {(r["query_id"], r["cand_id"], r["pos"]) for r in
+               search_ivf_index(spark, consultas, path).collect()}
+    assert antes == despues

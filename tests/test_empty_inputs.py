@@ -56,6 +56,7 @@ SMOKE = [
     "pronostico_holt",
     "indice_estacional",
     "grafo_bfs",
+    "diversidad_fuentes",
 ]
 
 
