@@ -1472,3 +1472,115 @@ def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("nodo div 2").cast("bigint").alias("id"),
         F.col("d").cast("bigint").alias("distancia"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint — sustained-shift detection (anomalias' complement)
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) * 1000 AS xm
+    FROM events GROUP BY 1, 2
+),
+base AS (
+    SELECT tipo, CAST(sum(xm) // count(*) AS BIGINT) AS mu,
+           count(*) AS dias
+    FROM diario GROUP BY 1
+),
+serie AS (
+    SELECT d.tipo, d.xm, b.mu, b.dias,
+           row_number() OVER (PARTITION BY d.tipo ORDER BY d.dia) AS rn
+    FROM diario d JOIN base b USING (tipo)
+),
+paso AS (
+    SELECT tipo, rn, dias, mu,
+           greatest(CAST(0 AS BIGINT), xm - mu - mu // 10) AS sp,
+           greatest(CAST(0 AS BIGINT), mu - xm - mu // 10) AS sn,
+           greatest(CAST(0 AS BIGINT), xm - mu - mu // 10) AS mp,
+           greatest(CAST(0 AS BIGINT), mu - xm - mu // 10) AS mn
+    FROM serie WHERE rn = 1
+    UNION ALL
+    SELECT s.tipo, s.rn, s.dias, s.mu,
+           greatest(CAST(0 AS BIGINT), p.sp + s.xm - s.mu - s.mu // 10),
+           greatest(CAST(0 AS BIGINT), p.sn + s.mu - s.xm - s.mu // 10),
+           greatest(p.mp, greatest(CAST(0 AS BIGINT),
+                                   p.sp + s.xm - s.mu - s.mu // 10)),
+           greatest(p.mn, greatest(CAST(0 AS BIGINT),
+                                   p.sn + s.mu - s.xm - s.mu // 10))
+    FROM paso p JOIN serie s ON s.tipo = p.tipo AND s.rn = p.rn + 1
+)
+SELECT tipo, CAST(dias AS BIGINT) AS dias, CAST(mu AS BIGINT) AS media_mili,
+       CAST(mp AS BIGINT) AS cusum_alza_max,
+       CAST(mn AS BIGINT) AS cusum_baja_max,
+       CAST(mp > 5 * mu OR mn > 5 * mu AS BOOLEAN) AS cambio_detectado
+FROM paso WHERE rn = dias
+"""
+
+
+@register("cambio_estructural", oracle=_CUSUM_ORACLE, ops=("W1", "A1"),
+          driver=False)
+def cambio_estructural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT DETECTION per event type — the SUSTAINED-shift
+    complement of anomalias_trafico's single-day spike test: two-sided
+    cumulative sums sₜ = max(0, sₜ₋₁ + (xₜ − μ − k)) with slack
+    k = μ/10, flagged when either side's running MAXIMUM exceeds 5μ (a
+    level shift accumulates drift day after day; a one-day spike decays
+    immediately under the clamp). Arithmetic is pure integer add /
+    greatest — μ and the slack are the only divisions, both outside the
+    recursion — so both engines agree bit-for-bit with NO float or
+    floor-division subtleties at all. Spark runs the 4-state
+    (sum⁺, sum⁻, max⁺, max⁻) fold inside codegen; the oracle is the
+    same recurrence as a recursive CTE (the pronostico_holt pattern —
+    DuckDB 1.0's list_reduce struct mutation rules out the lambda
+    form).
+
+    Shape: day-grain pre-aggregation map-side, one per-type mean pass,
+    one fold over calendar-bounded series — events never reach the
+    recursion."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("xm"))
+    base = diario.groupBy("tipo").agg(
+        F.expr("CAST(sum(xm) div count(*) AS BIGINT)").alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("dias"),
+    )
+    serie = diario.join(base, "tipo").groupBy("tipo").agg(
+        F.max("mu").alias("mu"),
+        F.max("dias").alias("dias"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(dia, xm))),"
+            " p -> CAST(p.xm AS BIGINT))"
+        ).alias("xs"),
+    )
+    fold = """
+aggregate(
+  xs,
+  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+         CAST(0 AS BIGINT) AS mp, CAST(0 AS BIGINT) AS mn),
+  (acc, x) -> struct(
+    greatest(CAST(0 AS BIGINT), acc.sp + x - mu - mu div 10) AS sp,
+    greatest(CAST(0 AS BIGINT), acc.sn + mu - x - mu div 10) AS sn,
+    greatest(acc.mp, greatest(CAST(0 AS BIGINT),
+                              acc.sp + x - mu - mu div 10)) AS mp,
+    greatest(acc.mn, greatest(CAST(0 AS BIGINT),
+                              acc.sn + mu - x - mu div 10)) AS mn))
+"""
+    return serie.select(
+        "tipo",
+        F.col("dias").cast("bigint").alias("dias"),
+        F.col("mu").cast("bigint").alias("media_mili"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "tipo",
+        "dias",
+        "media_mili",
+        F.col("st.mp").cast("bigint").alias("cusum_alza_max"),
+        F.col("st.mn").cast("bigint").alias("cusum_baja_max"),
+        (
+            (F.col("st.mp") > 5 * F.col("media_mili"))
+            | (F.col("st.mn") > 5 * F.col("media_mili"))
+        ).alias("cambio_detectado"),
+    )

@@ -57,6 +57,7 @@ SMOKE = [
     "indice_estacional",
     "grafo_bfs",
     "diversidad_fuentes",
+    "cambio_estructural",
 ]
 
 
