@@ -134,3 +134,51 @@ def test_change_feed_drives_incremental_dedup_probe(spark, sf_dir, tmp_path):
     assert got[1_000_001] == base[0]["doc_id"]
     assert got[1_000_002] == base[1]["doc_id"]
     assert got[1_000_003] is None  # nuevo
+
+
+def test_gate_feeds_incremental_maintenance(spark, sf_dir, tmp_path):
+    """Full pipeline composition: validated streaming ingest → the clean
+    table's change feed → incremental mart maintenance. The quarantined
+    batch never reaches the mart; a later refresh after more ingest is
+    delta-sized."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_validated_ingest,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base.limit(40).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(
+        [(1, None, "view", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    ).coalesce(1).write.parquet(src + "/f2.parquet")  # quarantined
+
+    out = str(tmp_path / "out")
+    run_validated_ingest(spark, src, out, str(tmp_path / "ck"))
+    datos = TxTable(out + "/datos")
+    mart = TxTable(str(tmp_path / "mart"))
+    mode, _ = refresh_mart_counts(spark, datos, mart, ["event_type"])
+    assert mode == "delta"
+    esperado = {
+        (r["event_type"], r["n"])
+        for r in datos.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in mart.read(spark).collect()} \
+        == esperado
+    # second ingest wave → the mart refresh consumes only the delta
+    base.limit(60).coalesce(1).write.parquet(src + "/f3.parquet")
+    run_validated_ingest(spark, src, out, str(tmp_path / "ck"))
+    mode, _ = refresh_mart_counts(spark, datos, mart, ["event_type"])
+    assert mode == "delta"
+    total = sum(r["n"] for r in mart.read(spark).collect())
+    assert total == 100  # 40 + 60 clean rows, quarantine excluded
