@@ -1317,8 +1317,7 @@ FROM paso WHERE rn = n
 """
 
 
-@register("pronostico_holt", oracle=_holt_duck(), ops=("W1", "A1"),
-          driver=False)
+@register("pronostico_holt", oracle=_holt_duck(), ops=("W1", "A1"))
 def pronostico_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT LINEAR-TREND FORECAST per event type — the TWO-state
     recursive metric (level + trend) that window frames cannot express
@@ -1409,7 +1408,7 @@ GROUP BY 1, 2
 """
 
 
-@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"), driver=False)
+@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"))
 def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS SHORTEST PATHS over the customer↔supplier trade graph from a
     seed set (the smallest present nation's suppliers — non-degenerate at

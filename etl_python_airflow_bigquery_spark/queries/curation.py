@@ -383,7 +383,7 @@ GROUP BY 1, 2
 
 
 @register("fuga_particiones", oracle=_FUGA_ORACLE, ops=("DD4", "A8"),
-          bench=True)
+          bench=True, driver=False)
 def fuga_particiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLIT-LEAKAGE AUDIT: deterministic 90/5/5 hash split of the
     corpus, then every exact near-dup pair (J ≥ 0.5, the

@@ -1107,7 +1107,7 @@ GROUP BY 1, 2
 """
 
 
-@register("zorden_poda", oracle=_Z_ORACLE, ops=("W1", "A8"))
+@register("zorden_poda", oracle=_Z_ORACLE, ops=("W1", "A8"), driver=False)
 def zorden_poda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER vs LEXICOGRAPHIC layout, judged by what matters — files
     pruned: events are laid out into {_Z_FILES} chunks under both
