@@ -215,14 +215,32 @@ def test_floor_div_identity_is_true_floor(a):
 @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
                 max_size=50))
 @settings(max_examples=200, deadline=None)
-def test_holt_fold_matches_reference(ys):
+def test_holt_fold_tracks_float_holt(ys):
+    # the integer recurrence vs textbook float Holt: each step floors
+    # twice (≤ 1 milli each), and the filter is stable (coefficients sum
+    # < 1), so accumulated drift stays O(n) milli — NOT the envelope
+    # bound (trend extrapolation legitimately overshoots min/max, e.g.
+    # a rising 0→1 series ends above 1000)
     l, b = ys[0] * 1000, 0
+    fl, fb = float(ys[0] * 1000), 0.0
     for y in ys[1:]:
         ym = y * 1000
         l2 = _fd_py(300 * ym + 700 * (l + b))
         b = _fd_py(100 * (l2 - l) + 900 * b)
         l = l2
-    # level stays within the (milli-scaled) series envelope; trend is
-    # bounded by the largest single-step level change
-    assert min(ys) * 1000 <= l <= max(ys) * 1000
-    assert abs(b) <= max(ys) * 1000
+        fl2 = 0.3 * ym + 0.7 * (fl + fb)
+        fb = 0.1 * (fl2 - fl) + 0.9 * fb
+        fl = fl2
+    n = len(ys)
+    assert abs(l - fl) <= 10 * n + 10
+    assert abs(b - fb) <= 10 * n + 10
+
+
+def test_holt_constant_series_is_exact():
+    for c in (0, 1, 7, 10**6):
+        l, b = c * 1000, 0
+        for _ in range(30):
+            l2 = _fd_py(300 * c * 1000 + 700 * (l + b))
+            b = _fd_py(100 * (l2 - l) + 900 * b)
+            l = l2
+        assert (l, b) == (c * 1000, 0)
