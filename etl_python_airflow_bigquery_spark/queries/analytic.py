@@ -1408,7 +1408,7 @@ GROUP BY 1, 2
 """
 
 
-@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"))
+@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"), bench=True)
 def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS SHORTEST PATHS over the customer↔supplier trade graph from a
     seed set (the smallest present nation's suppliers — non-degenerate at

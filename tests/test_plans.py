@@ -370,3 +370,16 @@ def test_validation_fk_rule_is_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "validacion_esperada")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_reads_truncated_lineage(spark, sf_dir):
+    # each BFS round checkpoints the settled set, so the FINAL plan is a
+    # projection over the last checkpoint scan — NOT a replay of
+    # rounds × (join + anti join) lineage (which would re-execute the
+    # whole traversal on every downstream action); and no join may have
+    # degenerated into a cartesian along the way
+    plan = plan_of(spark, sf_dir, "grafo_bfs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # truncated at the checkpoint
+    assert "Join" not in plan  # no join survives into the read path
