@@ -1583,3 +1583,83 @@ aggregate(
             | (F.col("st.mn") > 5 * F.col("media_mili"))
         ).alias("cambio_detectado"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers — median/MAD (the distribution-free anomaly tier)
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT tipo, CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS med2
+    FROM diario GROUP BY 1
+),
+desv AS (
+    SELECT d.tipo, d.x, m.med2, abs(2 * d.x - m.med2) AS dev2
+    FROM diario d JOIN med m USING (tipo)
+),
+escala AS (
+    SELECT tipo, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2
+    FROM desv GROUP BY 1
+)
+SELECT d.tipo,
+       CAST(count(*) AS BIGINT) AS dias,
+       CAST(max(d.med2) AS BIGINT) AS mediana2,
+       CAST(max(e.mad2) AS BIGINT) AS mad2,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * e.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dias_atipicos
+FROM desv d JOIN escala e USING (tipo)
+GROUP BY 1
+"""
+
+
+@register("anomalias_mad", oracle=_MAD_ORACLE, ops=("A3", "A1"),
+          driver=False)
+def anomalias_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection on daily traffic: median ± 3·MAD — the
+    distribution-free tier next to the parametric z-test
+    (anomalias_trafico) and the sequential CUSUM (cambio_estructural);
+    MAD survives the very outliers a mean/variance test absorbs. Made
+    INTEGER-EXACT by the doubled-median trick: 2·median of integers is
+    always an integer (middle element ×2, or the middle pair's sum), so
+    med2 = 2·median, dev2 = |2x − med2|, mad2 = 2·median(dev2), and
+    the flag |x − med| > 3·MAD clears to 2·dev2 > 3·mad2 — both
+    engines' type-7 quantile agrees exactly on the doubled values. A
+    constant series has MAD 0 and flags any deviation — the standard
+    MAD caveat, deterministic on both sides.
+
+    Shape: day-grain pre-aggregation, exact per-type medians over
+    calendar-bounded groups (approx_percentile is the documented swap
+    if a group ever outgrows memory), two broadcast-sized joins back."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    med = diario.groupBy("tipo").agg(
+        F.expr("CAST(2 * percentile(x, 0.5D) AS BIGINT)").alias("med2")
+    )
+    desv = diario.join(F.broadcast(med), "tipo").select(
+        "tipo", "x", "med2", F.abs(2 * F.col("x") - F.col("med2")).alias("dev2")
+    )
+    escala = desv.groupBy("tipo").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad2")
+    )
+    return (
+        desv.join(F.broadcast(escala), "tipo")
+        .groupBy("tipo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dias"),
+            F.max("med2").cast("bigint").alias("mediana2"),
+            F.max("mad2").cast("bigint").alias("mad2"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dias_atipicos"),
+        )
+    )

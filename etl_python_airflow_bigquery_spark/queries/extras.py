@@ -1690,3 +1690,71 @@ def indice_estacional(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(*) * max(ev_tot)) AS BIGINT)"
         ).alias("indice_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto / Lorenz deciles — the concentration curve behind the Gini
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH consumo AS (
+    SELECT user_id, CAST(sum(floor(value * 1000)) AS BIGINT) AS milis
+    FROM events GROUP BY 1
+),
+decilado AS (
+    SELECT milis, ntile(10) OVER (ORDER BY milis DESC, user_id) AS decil
+    FROM consumo
+),
+por_decil AS (
+    SELECT decil, CAST(count(*) AS BIGINT) AS usuarios,
+           CAST(sum(milis) AS BIGINT) AS consumo_milis
+    FROM decilado GROUP BY 1
+)
+SELECT CAST(decil AS INT) AS decil, usuarios, consumo_milis,
+       CAST((1000 * consumo_milis) // sum(consumo_milis) OVER ()
+            AS BIGINT) AS cuota_mili,
+       CAST((1000 * sum(consumo_milis) OVER (ORDER BY decil))
+            // sum(consumo_milis) OVER () AS BIGINT) AS cuota_acum_mili
+FROM por_decil
+"""
+
+
+@register("pareto_consumo", oracle=_PARETO_ORACLE, ops=("W1", "A3"),
+          driver=False)
+def pareto_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / LORENZ DECILES of per-user consumption — the curve the
+    gini_consumo scalar summarizes: users ranked by consumption into
+    deciles (deterministic user_id tiebreak), each decile's share and
+    cumulative share in floor-milli ('the top 10% produce X% of the
+    hours'). Shape mirrors gini/rfm: one user-grain aggregation, the
+    global ntile sort runs over USERS, window arithmetic over exactly
+    10 rows after; same approx-quantile banding swap named if user
+    count ever outgrows a sort."""
+    events = load_table(spark, sf_dir, "events")
+    consumo = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000)).cast("bigint").alias("milis")
+    )
+    decilado = consumo.select(
+        "milis",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("milis"), "user_id"))
+        .alias("decil"),
+    )
+    por_decil = decilado.groupBy("decil").agg(
+        F.count(F.lit(1)).cast("bigint").alias("usuarios"),
+        F.sum("milis").cast("bigint").alias("consumo_milis"),
+    )
+    return por_decil.select(
+        F.col("decil").cast("int").alias("decil"),
+        "usuarios",
+        "consumo_milis",
+        F.expr(
+            "CAST((1000 * consumo_milis)"
+            " div sum(consumo_milis) OVER () AS BIGINT)"
+        ).alias("cuota_mili"),
+        F.expr(
+            "CAST((1000 * sum(consumo_milis) OVER"
+            " (ORDER BY decil ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW)) div sum(consumo_milis) OVER () AS BIGINT)"
+        ).alias("cuota_acum_mili"),
+    )

@@ -58,6 +58,8 @@ SMOKE = [
     "grafo_bfs",
     "diversidad_fuentes",
     "cambio_estructural",
+    "anomalias_mad",
+    "pareto_consumo",
 ]
 
 
