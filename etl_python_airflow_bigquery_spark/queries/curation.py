@@ -483,3 +483,87 @@ def diversidad_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * max(tokens)) div sum(tokens) AS BIGINT)"
         ).alias("fuente_max_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate audit — high-document-frequency shingle share per source
+# --------------------------------------------------------------------------
+
+_PLANTILLAS_DF_MIN = 5  # a shingle in ≥ 5 docs is template material
+
+_PLANTILLAS_ORACLE = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substring(md5(w[g.i] || ' ' || w[g.i+1] || ' ' ||
+                                        w[g.i+2]), 1, 15)) AS BIGINT) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         LATERAL unnest(generate_series(1, len(d.w) - 2)) AS g(i)
+    WHERE len(d.w) >= 3
+),
+df AS (SELECT s, count(*) AS nd FROM sh GROUP BY 1),
+por_doc AS (
+    SELECT sh.doc_id,
+           count(*) AS shingles,
+           sum(CASE WHEN df.nd >= {_PLANTILLAS_DF_MIN} THEN 1 ELSE 0 END)
+               AS plantilla
+    FROM sh JOIN df USING (s)
+    GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(p.plantilla) AS BIGINT) AS shingles_plantilla,
+       CAST(sum(p.shingles) AS BIGINT) AS shingles,
+       CAST((1000 * sum(p.plantilla)) // sum(p.shingles) AS BIGINT)
+           AS proporcion_mili,
+       CAST(sum(CASE WHEN 2 * p.plantilla > p.shingles THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_mayoria_plantilla
+FROM documents d JOIN por_doc p USING (doc_id)
+GROUP BY 1
+"""
+
+
+@register("proporcion_plantillas", oracle=_PLANTILLAS_ORACLE,
+          ops=("TX4", "A3"), driver=False)
+def proporcion_plantillas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE / TEMPLATE AUDIT per source — the C4/RefinedWeb
+    curation step that strips navigation chrome and legal footers:
+    a shingle appearing in ≥ 5 documents is template material, and each
+    source reports its template-shingle share (floor-milli) plus the
+    count of documents that are MAJORITY boilerplate (the removal
+    candidates). Rides the SAME posting/df frames as the dedup family
+    (`_shingles` + its session cache): the df aggregation is the
+    posting-list groupBy, the per-doc share is one join back — at
+    100 TB this audit is a by-product of indexes the dedup pipeline
+    already maintains, not a new scan."""
+    from etl_python_airflow_bigquery_spark.queries.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir)
+    df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    por_doc = (
+        sh.join(df_s, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shingles"),
+            F.sum(
+                F.when(F.col("nd") >= _PLANTILLAS_DF_MIN, 1).otherwise(0)
+            ).alias("plantilla"),
+        )
+    )
+    return (
+        docs.join(por_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("plantilla").cast("bigint").alias("shingles_plantilla"),
+            F.sum("shingles").cast("bigint").alias("shingles"),
+            F.expr(
+                "CAST((1000 * sum(plantilla)) div sum(shingles) AS BIGINT)"
+            ).alias("proporcion_mili"),
+            F.sum(
+                F.when(2 * F.col("plantilla") > F.col("shingles"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_mayoria_plantilla"),
+        )
+    )

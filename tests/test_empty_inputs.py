@@ -60,6 +60,7 @@ SMOKE = [
     "cambio_estructural",
     "anomalias_mad",
     "pareto_consumo",
+    "proporcion_plantillas",
 ]
 
 
