@@ -1259,3 +1259,80 @@ def barajado_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("huella_orden"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage — Good-Turing unseen mass + Chao1 richness
+# --------------------------------------------------------------------------
+
+_COBERTURA_ORACLE = """
+WITH tokens AS (
+    SELECT lang, t.tok
+    FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS t(tok)
+    WHERE t.tok != ''
+),
+frecuencia AS (
+    SELECT lang, tok, count(*) AS f FROM tokens GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(f) AS BIGINT) AS tokens,
+       CAST(count(*) AS BIGINT) AS vocabulario,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       CAST((1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // sum(f)
+            AS BIGINT) AS masa_no_vista_mili,
+       CAST(count(*)
+            + CASE WHEN sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) > 0
+                   THEN (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                         * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
+                        // (2 * sum(CASE WHEN f = 2 THEN 1 ELSE 0 END))
+                   ELSE 0 END AS BIGINT) AS chao1
+FROM frecuencia
+GROUP BY 1
+"""
+
+
+@register("cobertura_vocabulario", oracle=_COBERTURA_ORACLE,
+          ops=("TX1", "A3"), driver=False)
+def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE per language — the corpus-planning estimates
+    behind 'is more data still buying new vocabulary': Good-Turing
+    unseen mass P₀ = n₁/N (the probability the NEXT token is a type
+    never seen, floor-milli) and the Chao1 richness floor
+    V + n₁²/(2n₂) — both pure integer ratios of hapax/dis-legomena
+    counts, the rare case where the statistically principled estimator
+    needs no transcendental functions at all. A falling masa_no_vista
+    across ingest waves says the source is saturating; chao1 >> V says
+    keep crawling.
+
+    Shape: one token explode + one (lang, token) aggregation — the
+    frequency table IS the classic unigram LM build
+    (perplejidad_unigrama's first stage) — then a languages-sized
+    roll-up of conditional counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    frecuencia = tokens.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    hapax = F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+    dis = F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+    return frecuencia.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocabulario"),
+        hapax.cast("bigint").alias("hapax"),
+        dis.cast("bigint").alias("dis"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)) div sum(f)"
+            " AS BIGINT)"
+        ).alias("masa_no_vista_mili"),
+        F.expr(
+            "CAST(count(*) + CASE WHEN sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) > 0"
+            " THEN (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+            "       * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))"
+            "      div (2 * sum(CASE WHEN f = 2 THEN 1 ELSE 0 END))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chao1"),
+    )

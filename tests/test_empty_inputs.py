@@ -61,6 +61,7 @@ SMOKE = [
     "anomalias_mad",
     "pareto_consumo",
     "proporcion_plantillas",
+    "cobertura_vocabulario",
 ]
 
 
