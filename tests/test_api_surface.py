@@ -144,3 +144,23 @@ def test_every_survey_op_keeps_a_driver_row():
     assert all_ops - driver_ops == set(), (
         f"ops without a driver row: {sorted(all_ops - driver_ops)}"
     )
+
+
+def test_readme_registry_counts_match_code():
+    """The README's registry counts are hand-maintained next to each new
+    operator — pin them to the code so the docs cannot drift."""
+    import os
+    import re
+
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(
+        r"the correctness surface: (\d+) named queries, (\d+) with a", readme
+    )
+    assert m, "README registry blurb not found"
+    assert int(m.group(1)) == len(REGISTRY)
+    assert int(m.group(2)) == sum(
+        1 for q in REGISTRY.values() if q.oracle is not None
+    )
