@@ -1663,3 +1663,89 @@ def anomalias_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dias_atipicos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix — integer-cleared Pearson test between type series
+# --------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+pares AS (
+    SELECT a.tipo AS tipo_a, b.tipo AS tipo_b, a.x AS xa, b.x AS xb
+    FROM diario a JOIN diario b ON a.dia = b.dia AND a.tipo < b.tipo
+),
+resumen AS (
+    SELECT tipo_a, tipo_b, count(*) AS n,
+           sum(xa) AS sa, sum(xb) AS sb,
+           sum(CAST(xa AS HUGEINT) * xb) AS sab,
+           sum(CAST(xa AS HUGEINT) * xa) AS saa,
+           sum(CAST(xb AS HUGEINT) * xb) AS sbb
+    FROM pares GROUP BY 1, 2
+)
+SELECT tipo_a, tipo_b, CAST(n AS BIGINT) AS dias,
+       CAST(n * sab - CAST(sa AS HUGEINT) * sb AS BIGINT) AS covarianza_n,
+       CAST(CASE WHEN n * sab - CAST(sa AS HUGEINT) * sb > 0 THEN 1
+                 WHEN n * sab - CAST(sa AS HUGEINT) * sb < 0 THEN -1
+                 ELSE 0 END AS INT) AS signo,
+       CAST(4 * (n * sab - CAST(sa AS HUGEINT) * sb)
+              * (n * sab - CAST(sa AS HUGEINT) * sb)
+            > (n * saa - CAST(sa AS HUGEINT) * sa)
+              * (n * sbb - CAST(sb AS HUGEINT) * sb) AS BOOLEAN)
+           AS correlacion_fuerte
+FROM resumen
+"""
+
+
+@register("correlacion_tipos", oracle=_CORR_ORACLE, ops=("J12", "A3"),
+          driver=False)
+def correlacion_tipos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE PEARSON CORRELATION TEST between event types' daily
+    series, with the decision ALGEBRAICALLY CLEARED of square roots:
+    |r| > 0.5 ⟺ 4·(n·Σxy − ΣxΣy)² > (n·Σx² − (Σx)²)·(n·Σy² − (Σy)²) —
+    pure integer comparisons over day-grain sums (the prueba_ab /
+    anomalias discipline), so which metrics MOVE TOGETHER is decided
+    exactly and engine-identically; the scaled covariance and its sign
+    ship alongside for direction. Quadratic sums ride HUGEINT/decimal38.
+
+    Shape: day-grain pre-aggregation map-side, a day-keyed self-join
+    whose shuffle carries per-day TYPE vectors (bounded by the metric
+    catalog — the similitud_items_cf key choice), then a types²-sized
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.groupBy(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = diario.select(F.col("tipo").alias("tipo_a"), "dia", F.col("x").alias("xa"))
+    b = diario.select(F.col("tipo").alias("tipo_b"), "dia", F.col("x").alias("xb"))
+    d38 = "decimal(38,0)"
+    resumen = (
+        a.join(b, "dia")
+        .where(F.col("tipo_a") < F.col("tipo_b"))
+        .groupBy("tipo_a", "tipo_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("sab"),
+            F.sum(F.col("xa").cast(d38) * F.col("xa")).alias("saa"),
+            F.sum(F.col("xb").cast(d38) * F.col("xb")).alias("sbb"),
+        )
+    )
+    cov = F.col("n").cast(d38) * F.col("sab") - F.col("sa").cast(d38) * F.col("sb")
+    var_a = F.col("n").cast(d38) * F.col("saa") - F.col("sa").cast(d38) * F.col("sa")
+    var_b = F.col("n").cast(d38) * F.col("sbb") - F.col("sb").cast(d38) * F.col("sb")
+    return resumen.select(
+        "tipo_a",
+        "tipo_b",
+        F.col("n").cast("bigint").alias("dias"),
+        cov.cast("bigint").alias("covarianza_n"),
+        F.when(cov > 0, 1).when(cov < 0, -1).otherwise(0).cast("int").alias("signo"),
+        (F.lit(4).cast(d38) * cov * cov > var_a * var_b).alias(
+            "correlacion_fuerte"
+        ),
+    )

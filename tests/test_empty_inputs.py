@@ -62,6 +62,7 @@ SMOKE = [
     "pareto_consumo",
     "proporcion_plantillas",
     "cobertura_vocabulario",
+    "correlacion_tipos",
 ]
 
 

@@ -244,3 +244,31 @@ def test_holt_constant_series_is_exact():
             b = _fd_py(100 * (l2 - l) + 900 * b)
             l = l2
         assert (l, b) == (c * 1000, 0)
+
+
+# --- correlacion_tipos: cleared inequality == |r| > 0.5 ------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**4),
+                  st.integers(min_value=0, max_value=10**4)),
+        min_size=2, max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_correlation_integer_test_equals_float_r(pairs):
+    n = len(pairs)
+    sa = sum(x for x, _ in pairs); sb = sum(y for _, y in pairs)
+    sab = sum(x * y for x, y in pairs)
+    saa = sum(x * x for x, _ in pairs); sbb = sum(y * y for _, y in pairs)
+    cov = n * sab - sa * sb
+    va = n * saa - sa * sa; vb = n * sbb - sb * sb
+    integer_flag = 4 * cov * cov > va * vb
+    if va == 0 or vb == 0:
+        # a constant series: r undefined; the cleared form says
+        # 4cov² > 0 ⟺ cov ≠ 0, and cov = 0 when either side is constant
+        assert cov == 0 and integer_flag is False
+        return
+    r = cov / (va ** 0.5 * vb ** 0.5)
+    if abs(abs(r) - 0.5) > 1e-9:
+        assert integer_flag == (abs(r) > 0.5)
