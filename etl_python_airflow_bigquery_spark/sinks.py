@@ -75,6 +75,31 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shards: int | None = None,
+    shard_col: str | None = None,
+    compress: bool = True,
+) -> None:
+    """Training-corpus export: JSONL shards — the format data loaders
+    stream. ``shard_col`` routes rows to shards by an existing column
+    (e.g. barajado_global's deterministic ``shard``), so files REPRODUCE
+    the engine's training permutation; otherwise ``shards`` controls the
+    file count. Gzip by default (loaders decompress on the fly; ~4×
+    smaller at rest). Distributed write — rows never visit the driver,
+    unlike the report-frame CSV/Excel sinks above."""
+    out = df
+    if shard_col is not None:
+        out = out.repartition(F.col(shard_col))
+    elif shards is not None:
+        out = out.repartition(shards)
+    w = out.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
 def export_excel(dfs: dict[str, DataFrame], path: str, max_rows: int = 100_000) -> bool:
     """K7: multi-sheet Excel export (the reference's pd.ExcelWriter,
     Bigquery_to_csv.ipynb cells 2-4). Driver-side by design — report

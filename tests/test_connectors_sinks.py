@@ -219,3 +219,30 @@ def test_job_matrix():
     combos = job_matrix(agg=["hour", "day"], vip=[0, 1, 5])
     assert len(combos) == 6
     assert {"agg": "hour", "vip": 5} in combos
+
+
+def test_export_jsonl_roundtrip_and_sharding(spark, sf_dir, tmp_path):
+    """JSONL training export: gzip shards, round-trip fidelity, and
+    shard routing by the deterministic shuffle column."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+    from etl_python_airflow_bigquery_spark.sinks import export_jsonl
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).withColumn(
+        "shard", (hex_hash(F.col("doc_id").cast("string")) % 4).cast("int")
+    )
+    path = str(tmp_path / "jsonl")
+    export_jsonl(docs, path, shard_col="shard")
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    # fidelity: same (doc_id, lang) multiset
+    a = {(r["doc_id"], r["lang"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["lang"]) for r in back.collect()}
+    assert a == b
+    # gzip parts present
+    parts = [f for f in os.listdir(path) if f.endswith(".json.gz")]
+    assert parts
