@@ -320,6 +320,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 ints/doc) shuffle for candidate generation — the full shingle
     sets are touched again only for the verified candidates."""
     sh = _shingles(spark, sf_dir)
+    return _verify_jaccard(_lsh_candidatos(sh), sh)
+
+
+def _lsh_candidatos(sh: DataFrame) -> DataFrame:
+    """Banding candidate pairs from the postings frame (the pre-
+    verification half of dedup_minhash_lsh, factored out so the recall
+    calibration below can measure banding capture BEFORE the Jaccard
+    filter)."""
     h0 = sh.select("doc_id", (F.col("s") % _MERSENNE).alias("h"))
     # All 16 permuted minima in ONE aggregation pass (single shuffle on
     # doc_id, map-side combinable) — a perms-dim cross join + pivot would
@@ -345,13 +353,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = baldes.select(F.col("doc_id").alias("doc_a"), "banda", "clave")
     b = baldes.select(F.col("doc_id").alias("doc_b"), "banda", "clave")
-    candidatos = (
+    return (
         a.join(b, ["banda", "clave"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(candidatos, sh)
 
 
 # --------------------------------------------------------------------------
@@ -941,5 +948,83 @@ def vinculacion_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
             dist.cast("int").alias("distancia"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH recall calibration — observed banding capture per similarity band
+# --------------------------------------------------------------------------
+
+_CALIBRACION_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_PERMS_SQL},
+{_MINSIG_SQL.strip()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM baldes a
+    JOIN baldes b ON a.banda = b.banda AND a.clave = b.clave
+                 AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+verdaderos AS (
+    SELECT i.doc_a, i.doc_b,
+           floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c)) / 1000
+               AS jaccard
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+)
+SELECT CAST(CAST(floor(v.jaccard * 1000 + 0.5) AS BIGINT) // 100 AS INT)
+           AS banda_similitud,
+       CAST(count(*) AS BIGINT) AS pares_verdaderos,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS pares_capturados,
+       CAST((1000 * sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS captura_mili
+FROM verdaderos v
+LEFT JOIN cand c ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+GROUP BY 1
+"""
+
+
+@register("calibracion_lsh", oracle=_CALIBRACION_ORACLE, ops=("DD2", "A3"),
+          driver=False)
+def calibracion_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL CALIBRATION — the index-quality audit every LSH
+    deployment needs before trusting its parameters: for each true
+    near-dup similarity band (J in [0.5,0.6), [0.6,0.7), …), what
+    fraction did the 4×4 MinHash banding actually CAPTURE as
+    candidates? The observed curve is the empirical S-curve
+    1−(1−s^r)^b that picks b and r; a capture dip in the [0.5,0.6)
+    band is the quantitative signal to add bands before relying on
+    banding alone. Ground truth = the exact prefix-filtered Jaccard
+    pairs (the session-cached pair frame); candidates = the factored
+    banding half of dedup_minhash_lsh, measured BEFORE verification.
+    The similarity band recovers the integer milli value
+    (floor(j·1000 + 0.5)) before bucketing, so band edges are
+    float-proof in both engines."""
+    sh = _shingles(spark, sf_dir)
+    verdaderos = dedup_ngram_jaccard(spark, sf_dir)
+    cand = _lsh_candidatos(sh).withColumn("cap", F.lit(1))
+    banda = F.expr(
+        "CAST(CAST(floor(jaccard * 1000 + 0.5) AS BIGINT) div 100 AS INT)"
+    )
+    return (
+        verdaderos.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(banda.alias("banda_similitud"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pares_verdaderos"),
+            F.sum(F.coalesce(F.col("cap"), F.lit(0)))
+            .cast("bigint")
+            .alias("pares_capturados"),
+            F.expr(
+                "CAST((1000 * sum(coalesce(cap, 0))) div count(*) AS BIGINT)"
+            ).alias("captura_mili"),
         )
     )

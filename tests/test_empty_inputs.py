@@ -63,6 +63,7 @@ SMOKE = [
     "proporcion_plantillas",
     "cobertura_vocabulario",
     "correlacion_tipos",
+    "calibracion_lsh",
 ]
 
 
