@@ -679,3 +679,79 @@ def dau_wau_adherencia(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("bigint").alias("wau"),
         (F.floor(F.col("dau") * 1000.0 / F.col("wau")) / 1000).alias("adherencia"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snowflake revenue pipeline — the TPC-H-Q5-shaped multi-hop join chain
+# --------------------------------------------------------------------------
+
+_INGRESOS_ORACLE = """
+SELECT n.n_name AS nacion,
+       CAST(count(*) AS BIGINT) AS lineas,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+            // 1000 AS BIGINT) AS ingreso_centavos
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND epoch_us(o.o_orderdate) >= 820454400000000
+  AND epoch_us(o.o_orderdate) < 852076800000000
+GROUP BY 1
+"""
+
+
+@register("ingresos_por_nacion", oracle=_INGRESOS_ORACLE,
+          ops=("J1", "A1", "P3"), driver=False)
+def ingresos_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-SHAPED snowflake revenue pipeline: lineitem → orders →
+    customer → supplier → nation → region, with the Q5 co-location
+    predicate (supplier and customer share a nation) and a one-year
+    order-date window — the canonical multi-hop OLAP join whose plan
+    quality IS Catalyst's join reordering + broadcast selection doing
+    their job: the snowflake dims (nation/region/supplier at dim scale)
+    broadcast, the two fact-fact joins (lineitem⋈orders on orderkey,
+    ⋈customer on custkey) are the only shuffles, and the date window
+    pushes into the orders scan (P3 discipline via `ts_lit_for`).
+    Revenue is integer-exact: centavos × milli-discount with one final
+    floor — sum order cannot move the result.
+
+    1996 window: epoch_us(1996-01-01) = 820454400000000,
+    epoch_us(1997-01-01) = 852076800000000."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.where(
+        (F.col("o_orderdate") >= ts_lit_for(orders, "o_orderdate", "1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit_for(orders, "o_orderdate", "1997-01-01 00:00:00"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    ingreso = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nacion")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("lineas"),
+        # integer floor division — a float /1000 would round above 2^53
+        # (reached by the 10× probe's revenue sums)
+        ingreso.cast("bigint").alias("_bruto"),
+    ).select(
+        "nacion",
+        "lineas",
+        F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+    )

@@ -64,6 +64,7 @@ SMOKE = [
     "cobertura_vocabulario",
     "correlacion_tipos",
     "calibracion_lsh",
+    "ingresos_por_nacion",
 ]
 
 

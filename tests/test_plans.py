@@ -383,3 +383,17 @@ def test_bfs_reads_truncated_lineage(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # truncated at the checkpoint
     assert "Join" not in plan  # no join survives into the read path
+
+
+def test_snowflake_q5_dims_broadcast_facts_shuffle(spark, sf_dir):
+    """ingresos_por_nacion: the snowflake dims broadcast, the date
+    window reaches the orders scan, and only the fact-fact joins
+    shuffle — the multi-hop plan Catalyst should produce."""
+    plan = plan_of(spark, sf_dir, "ingresos_por_nacion")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "orders" in l
+    )
+    assert "o_orderdate" in scan  # window pushed into the scan
