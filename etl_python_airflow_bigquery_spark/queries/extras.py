@@ -1758,3 +1758,69 @@ def pareto_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CURRENT ROW)) div sum(consumo_milis) OVER () AS BIGINT)"
         ).alias("cuota_acum_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy gate before a data release
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH cuasi AS (
+    SELECT c_nationkey AS nacion, c_mktsegment AS segmento,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS banda_saldo,
+           count(*) AS tam
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS clases,
+       CAST(min(tam) AS BIGINT) AS clase_minima,
+       CAST(sum(CASE WHEN tam < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS clases_bajo_k,
+       CAST(sum(CASE WHEN tam < {_KANON_K} THEN tam ELSE 0 END) AS BIGINT)
+           AS clientes_en_riesgo,
+       CAST(sum(tam) AS BIGINT) AS clientes,
+       CAST((1000 * sum(CASE WHEN tam < {_KANON_K} THEN tam ELSE 0 END))
+            // sum(tam) AS BIGINT) AS riesgo_mili
+FROM cuasi
+"""
+
+
+@register("anonimato_k", oracle=_KANON_ORACLE, ops=("A8", "A6"),
+          driver=False)
+def anonimato_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over the customer quasi-identifier tuple
+    (nation, market segment, account-balance band): the privacy gate a
+    data release runs BEFORE publishing — every equivalence class below
+    k = 5 members is a re-identification risk, and the audit reports
+    the class census, the worst class, and the share of customers at
+    risk (floor-milli). The standard mitigations the numbers drive —
+    widen the balance band, suppress the at-risk rows — are one
+    parameter / one anti-join away in the same frame.
+
+    Shape: one quasi-identifier aggregation (map-side combinable) and a
+    constant-size roll-up — the audit costs one scan at any table size,
+    the same class as validacion_esperada's rules."""
+    customer = load_table(spark, sf_dir, "customer")
+    cuasi = customer.groupBy(
+        F.col("c_nationkey").alias("nacion"),
+        F.col("c_mktsegment").alias("segmento"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("banda_saldo"),
+    ).agg(F.count(F.lit(1)).alias("tam"))
+    k = _KANON_K
+    return cuasi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("clases"),
+        F.min("tam").cast("bigint").alias("clase_minima"),
+        F.sum(F.when(F.col("tam") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("clases_bajo_k"),
+        F.sum(F.when(F.col("tam") < k, F.col("tam")).otherwise(0))
+        .cast("bigint")
+        .alias("clientes_en_riesgo"),
+        F.sum("tam").cast("bigint").alias("clientes"),
+        F.expr(
+            f"CAST((1000 * sum(CASE WHEN tam < {k} THEN tam ELSE 0 END))"
+            " div sum(tam) AS BIGINT)"
+        ).alias("riesgo_mili"),
+    )
