@@ -216,3 +216,84 @@ def superposicion_hora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("periodo", "periodo_referencia").agg(
         F.countDistinct("user_id").cast("bigint").alias("usuarios")
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned layout — partition pruning as a measured property
+# --------------------------------------------------------------------------
+
+
+def eventos_particionados_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION physical layout for the fact table: partitioned by
+    day (the time axis every operational query filters on) AND bucketed
+    by user_id (the join/aggregation key) — built once per dataset via
+    `refresh_bucketed_mart`, whose dynamic-partition-overwrite is also
+    the daily refresh path. A day-window query over this layout touches
+    only its partitions' FILES (partition pruning, pinned in
+    tests/test_plans.py) and keeps the zero-user-Exchange property of
+    the bucketed scan."""
+    from etl_python_airflow_bigquery_spark.catalog import (
+        refresh_bucketed_mart,
+    )
+
+    name = mart_name("eventos_part", sf_dir)
+    if not spark.catalog.tableExists(name):
+        events = load_table(spark, sf_dir, "events")
+        facts = events.select(
+            "user_id",
+            "event_type",
+            "value",
+            event_day_num(events).cast("bigint").alias("dia"),
+        )
+        try:
+            refresh_bucketed_mart(
+                spark, facts, name, partition_col="dia", bucket_col="user_id"
+            )
+        except Exception:
+            return facts
+    return spark.table(name)
+
+
+_VENTANA_ORACLE = """
+WITH f AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) // 86400000000 AS dia
+    FROM events
+),
+limites AS (SELECT min(dia) AS d0 FROM f)
+SELECT f.dia, CAST(count(*) AS BIGINT) AS eventos,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS usuarios
+FROM f, limites l
+WHERE f.dia BETWEEN l.d0 + 7 AND l.d0 + 13
+GROUP BY 1
+"""
+
+
+@register("ventana_particionada", oracle=_VENTANA_ORACLE, ops=("P3", "W2"),
+          driver=False)
+def ventana_particionada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 7-DAY OPERATIONAL WINDOW over the date-partitioned fact layout
+    — the query class that runs hourly in production and must read
+    ~7/60ths of the table, not scan-and-filter all of it: the `dia`
+    predicate prunes whole PARTITION DIRECTORIES at planning time
+    (PartitionFilters in the scan, plan-pinned), which at 100 TB is the
+    difference between touching a week and touching years. The window
+    derives from the data's own min day (one scalar to the driver), so
+    the query is scale-factor-proof; the oracle filters the raw events
+    identically."""
+    mart = eventos_particionados_mart(spark, sf_dir)
+    d0 = mart.agg(F.min("dia")).collect()[0][0]
+    if d0 is None:
+        return mart.select(
+            F.col("dia"),
+            F.lit(0).cast("bigint").alias("eventos"),
+            F.lit(0).cast("bigint").alias("usuarios"),
+        ).limit(0)
+    return (
+        mart.where(F.col("dia").between(d0 + 7, d0 + 13))
+        .groupBy("dia")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("eventos"),
+            F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+        )
+    )

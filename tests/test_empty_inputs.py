@@ -65,6 +65,7 @@ SMOKE = [
     "correlacion_tipos",
     "calibracion_lsh",
     "ingresos_por_nacion",
+    "ventana_particionada",
 ]
 
 

@@ -397,3 +397,17 @@ def test_snowflake_q5_dims_broadcast_facts_shuffle(spark, sf_dir):
         if "FileScan parquet" in l and "orders" in l
     )
     assert "o_orderdate" in scan  # window pushed into the scan
+
+
+def test_partitioned_window_prunes_partitions(spark, sf_dir):
+    """ventana_particionada: the day predicate must prune whole partition
+    DIRECTORIES at planning time — the scan's PartitionFilters carry the
+    dia bounds and the selected partition count is the window, not the
+    calendar."""
+    plan = plan_of(spark, sf_dir, "ventana_particionada")
+    scan = next(
+        (l for l in plan.splitlines() if "FileScan" in l and "dia" in l), None
+    )
+    assert scan is not None, plan
+    assert "PartitionFilters" in scan
+    assert "dia" in scan.split("PartitionFilters", 1)[1]
