@@ -1028,3 +1028,57 @@ def calibracion_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("captura_mili"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components — merge new edges into stored labels
+# --------------------------------------------------------------------------
+
+
+def cc_incremental(labels: DataFrame, aristas_nuevas: DataFrame) -> DataFrame:
+    """INCREMENTAL CC: fold a new batch's near-dup edges into STORED
+    cluster labels without re-clustering the corpus. Correctness rests
+    on the star-contraction property: a component's stored labels form
+    a STAR (every doc points at the component minimum), and a star plus
+    the new edges has exactly the same connected components as the full
+    original graph plus the new edges — so propagation runs over
+    O(|labels| + |new edges|) star/batch edges, never the historical
+    pair set. New batches can therefore MERGE two old clusters through
+    a bridge doc, attach to one, or found their own, all transitively
+    correct; convergence is fast because stars have diameter 2 (the
+    pointer-jumping cap applies unchanged).
+
+    Inputs: ``labels`` (doc_id, cluster_id) — the stored assignment;
+    ``aristas_nuevas`` (src, dst) — undirected new-edge list (batch ↔
+    batch and batch ↔ corpus pairs from the dedup_incremental probe).
+    Returns the updated (doc_id, cluster_id, representante) frame.
+    Pairs with TxTable.changes(): the daily pipeline probes the index
+    with the delta (dedup_incremental), feeds the verified pairs here,
+    and commits the updated label table — the dedup ENDGAME at
+    O(batch), closing the loop corpus_desduplicado runs globally."""
+    stars = labels.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    nuevos = aristas_nuevas.select("src", "dst")
+    sym_half = stars.unionByName(nuevos)
+    sym = sym_half.unionByName(
+        sym_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # isolated stored singletons and isolated new docs never appear in an
+    # edge; re-attach them after propagation with their own label
+    todos = labels.select("doc_id").unionByName(
+        aristas_nuevas.select(F.col("src").alias("doc_id"))
+    ).unionByName(
+        aristas_nuevas.select(F.col("dst").alias("doc_id"))
+    ).distinct()
+    propagados = propagate_min_labels(sym)
+    return (
+        todos.join(propagados, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "representante", F.col("doc_id") == F.col("cluster_id")
+        )
+    )
