@@ -479,3 +479,46 @@ def run_validated_ingest(
     )
     q.awaitTermination()
     return stats
+
+
+def run_ann_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str,
+) -> None:
+    """STREAMING VECTOR-INDEX INGEST: embeddings arrive as files and
+    each micro-batch joins the persistent ANN index — assignment runs
+    map-only against the STORED centroids (operators/ann_index) and the
+    postings land as ONE atomic manifest flip per batch, so searches
+    never observe a half-ingested batch and a crashed ingest replays
+    idempotently from the checkpoint. The quantizer is never refit on
+    the hot path; sustained drift is a scheduled rebuild, measurable
+    across index versions. State: none beyond the stream's own file
+    tracking — the index tables ARE the state."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        add_to_ivf_index,
+    )
+
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_to_ivf_index(spark, batch_df, index_path)
+
+    q = (
+        src.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -104,3 +104,36 @@ def test_maintenance_preserves_search_results(spark, sf_dir, tmp_path):
     despues = {(r["query_id"], r["cand_id"], r["pos"]) for r in
                search_ivf_index(spark, consultas, path).collect()}
     assert antes == despues
+
+
+def test_streaming_ingest_grows_the_index(spark, sf_dir, tmp_path):
+    """ROADMAP candidate C: embeddings stream into the persistent index
+    batch-by-batch (stored-centroid assignment, one manifest flip per
+    micro-batch); a clone arriving via the STREAM becomes searchable."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import run_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), path)
+    v0 = TxTable(f"{path}/vectores").version()
+    # the stream delivers the odd half in two files, one per micro-batch
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    impar = emb.where(F.col("vec_id") % 2 == 1)
+    impar.where(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(src + "/f1.parquet")
+    clon = emb.where(F.col("vec_id") == 0).select(
+        F.lit(7_000_001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    impar.where(F.col("vec_id") % 4 == 3).unionByName(clon).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    run_ann_ingest(spark, src, path, str(tmp_path / "ck"))
+    # two micro-batches = two manifest flips
+    assert TxTable(f"{path}/vectores").version() == v0 + 2
+    consultas = _queries_from(spark, emb.where(F.col("vec_id") == 0), every=1)
+    top = search_ivf_index(spark, consultas, path).where(F.col("pos") == 1).collect()
+    assert top and top[0]["cand_id"] == 7_000_001
+    assert abs(top[0]["cos"] - 1.0) < 1e-9
