@@ -66,3 +66,68 @@ def salted_broadcast_left(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted.join(replicated, [on, "__salt"]).drop("__salt")
+
+
+def bloom_semijoin(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    refine: bool = True,
+) -> DataFrame:
+    """EXPLICIT BLOOM SEMI-JOIN PUSHDOWN: shrink the fact side BEFORE
+    the shuffle join when the other side is a selective key set — the
+    runtime-filter optimization Spark applies opaquely, made visible
+    and tunable. The key set folds into a BITSET TABLE (word index →
+    OR-ed bit mask, ≈ n_bits/64 rows — a guaranteed broadcast); the
+    fact computes its key's (word, bit) map-side, broadcast-joins the
+    bitset (map-side hash lookup, no shuffle of the fact), and only
+    rows whose bit is set continue to the EXACT semi join. False
+    positives are filtered by that refinement — the result is exactly
+    the plain semi join, only cheaper: at 100 TB the big shuffle sees
+    survivors, not the table.
+
+    Hash = the engine's md5-prefix (deterministic everywhere); one
+    hash function keeps the false-positive rate ~keys/n_bits — raise
+    ``n_bits`` for bigger key sets (the bitset broadcast grows as
+    n_bits/8 bytes)."""
+    from etl_python_airflow_bigquery_spark.queries.text import hex_hash
+
+    pos = lambda c: hex_hash(F.col(c).cast("string")) % n_bits  # noqa: E731
+    bitset = (
+        keys.select((pos(key_col) % n_bits).alias("p"))
+        .select(
+            F.expr("p div 64").alias("palabra"),
+            F.expr("CAST(1 AS BIGINT) << CAST(p % 64 AS INT)").alias("bit"),
+        )
+        .groupBy("palabra")
+        .agg(F.bit_or("bit").alias("mascara"))
+    )
+    marcado = fact.withColumn("__p", pos(fact_key)).withColumn(
+        "__palabra", F.expr("__p div 64")
+    )
+    sobrevivientes = (
+        marcado.join(
+            F.broadcast(bitset), marcado.__palabra == bitset.palabra, "left"
+        )
+        .where(
+            F.col("mascara").isNotNull()
+            & (
+                F.expr("mascara & (CAST(1 AS BIGINT) << CAST(__p % 64 AS INT))")
+                != 0
+            )
+        )
+        .drop("__p", "__palabra", "palabra", "mascara")
+    )
+    if not refine:
+        # the raw prefilter output (superset: true matches + Bloom false
+        # positives) — exposed for measurement/tests; consumers wanting
+        # exact semantics keep refine=True
+        return sobrevivientes
+    # exact refinement: the semi join runs on the pre-filtered fact
+    return sobrevivientes.join(
+        keys.select(F.col(key_col).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

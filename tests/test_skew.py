@@ -98,3 +98,37 @@ def test_salted_broadcast_left_matches_plain_join(spark):
         assert "__salt" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_semijoin_exact_and_reduces_shuffle_input(spark, sf_dir):
+    """ROADMAP candidate D: the Bloom prefilter must (a) return exactly
+    the plain semi join, and (b) actually shrink the rows entering the
+    exact join for a selective key set."""
+    from etl_python_airflow_bigquery_spark.operators.skew import bloom_semijoin
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgentes = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    got = bloom_semijoin(li, "l_orderkey", urgentes, "o_orderkey")
+    exact = li.join(
+        urgentes.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert got.count() == exact.count()
+    a = {r["l_orderkey"] for r in got.select("l_orderkey").distinct().collect()}
+    b = {r["l_orderkey"] for r in exact.select("l_orderkey").distinct().collect()}
+    assert a == b
+    # selectivity: the PREFILTER ALONE (refine=False) passes a superset
+    # of the true matches but far fewer rows than the table — this is
+    # the shuffle-input reduction the technique buys
+    survivors = bloom_semijoin(
+        li, "l_orderkey", urgentes, "o_orderkey", refine=False
+    ).count()
+    n_total, n_exact = li.count(), exact.count()
+    assert n_exact <= survivors < n_total * 0.4
