@@ -31,6 +31,8 @@ def refresh_mart_counts(
     dst: TxTable,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    weight_col: str | None = None,
+    delta_log: TxTable | None = None,
 ) -> tuple[str, int]:
     """Maintain ``SELECT group_cols, count(*) AS n [, sum(c) AS sum_c…]
     FROM src`` incrementally. Returns ``(mode, upstream_version)`` with
@@ -47,7 +49,16 @@ def refresh_mart_counts(
     The mart itself rewrites whole (it is aggregate-grain small); the
     scale win is the SOURCE side — scan cost is the delta. A mart too
     big to rewrite would route through ``replace_partitions`` on the
-    touched groups instead; same checkpoint contract."""
+    touched groups instead; same checkpoint contract.
+
+    CHAINING (mart-over-mart IVM): pass ``delta_log`` to ALSO persist
+    each refresh's delta aggregate — appended in delta mode, OVERWRITTEN
+    on rebuild, so a downstream mart consuming the log via this same
+    function sees the rebuild as a data rewrite and
+    :class:`NonIncrementalHistory` CASCADES the rebuild down the chain
+    automatically. The downstream sets ``weight_col="n"`` so its count
+    semantics sum the upstream delta counts instead of counting delta
+    rows. Each stage stays delta-sized with its own atomic checkpoint."""
     sum_cols = sum_cols or []
     up = src.version()
     last = -1
@@ -57,8 +68,11 @@ def refresh_mart_counts(
         return ("noop", last)
 
     def aggregate(df: DataFrame) -> DataFrame:
+        n = (
+            F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
+        )
         return df.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+            n.cast("bigint").alias("n"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         )
 
@@ -84,5 +98,17 @@ def refresh_mart_counts(
             merged = agg
     else:
         merged = aggregate(src.read(spark, up))
+    if delta_log is not None:
+        if mode == "delta":
+            payload = agg if last >= 0 else merged
+            if delta_log.version() >= 0:
+                delta_log.append(payload)
+            else:
+                delta_log.overwrite(payload)
+        else:
+            # a rebuild invalidates the log's history: overwrite is a
+            # data REWRITE, which makes the downstream's changes() raise
+            # NonIncrementalHistory — the rebuild cascades loudly
+            delta_log.overwrite(merged)
     dst.overwrite(merged, extra={"upstream_version": up})
     return (mode, up)

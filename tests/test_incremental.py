@@ -182,3 +182,49 @@ def test_gate_feeds_incremental_maintenance(spark, sf_dir, tmp_path):
     assert mode == "delta"
     total = sum(r["n"] for r in mart.read(spark).collect())
     assert total == 100  # 40 + 60 clean rows, quarantine excluded
+
+
+def test_mart_over_mart_chain_with_cascading_rebuild(spark, tmp_path):
+    """ROADMAP candidate E: hour-tier mart emits a delta LOG; a day-tier
+    mart folds the log with weight_col='n'. Appends flow delta-sized
+    down both stages; an upstream rewrite cascades a LOUD rebuild
+    through the chain via NonIncrementalHistory — and both marts equal
+    full recomputes at every step."""
+    src = TxTable(str(tmp_path / "src"))
+    m1 = TxTable(str(tmp_path / "m1"))
+    log1 = TxTable(str(tmp_path / "m1_delta"))
+    m2 = TxTable(str(tmp_path / "m2"))
+
+    def tick():
+        mode1, _ = refresh_mart_counts(
+            spark, src, m1, ["g"], ["v"], delta_log=log1
+        )
+        mode2, _ = refresh_mart_counts(spark, log1, m2, [], weight_col="n")
+        return mode1, mode2
+
+    src.overwrite(_batch(spark, 0, 12))            # v0
+    assert tick() == ("delta", "delta")
+    src.append(_batch(spark, 12, 30))              # v1
+    src.append(_batch(spark, 30, 37))              # v2
+    m1_mode, m2_mode = tick()
+    assert (m1_mode, m2_mode) == ("delta", "delta")
+    assert _mart(spark, m1) == _full(spark, src)
+    # the global day-tier total equals the source row count
+    assert m2.read(spark).collect()[0]["n"] == src.read(spark).count()
+    # upstream REWRITE: both stages must rebuild, loudly, and re-agree
+    src.merge(
+        spark,
+        spark.range(0, 3).select(
+            (F.col("id") % 3).cast("int").alias("g"),
+            (F.col("id") + 500).alias("v"),
+        ),
+        key_cols=["g", "v"],
+    )
+    m1_mode, m2_mode = tick()
+    assert (m1_mode, m2_mode) == ("rebuild", "rebuild")
+    assert _mart(spark, m1) == _full(spark, src)
+    assert m2.read(spark).collect()[0]["n"] == src.read(spark).count()
+    # and the chain is healthy (delta-sized) again afterwards
+    src.append(_batch(spark, 100, 110))
+    assert tick() == ("delta", "delta")
+    assert m2.read(spark).collect()[0]["n"] == src.read(spark).count()
