@@ -104,11 +104,14 @@ def search_ivf_index(
     path: str,
     nprobe: int = _NPROBE,
     topk: int = _SEARCH_K,
+    version: int | None = None,
 ) -> DataFrame:
     """``queries``: (query_id, qv: array<bigint>) — scaled-int vectors
     (route raw embeddings through ``_int_vectors`` first). Probes the
     nprobe nearest stored cells per query, exact integer-cosine rerank,
-    top-k. Reads ONLY the index tables."""
+    top-k. Reads ONLY the index tables; ``version`` pins the POSTING
+    snapshot (time-travel serving — centroids are append-invariant, so
+    the latest centroid table serves every posting version)."""
     cent_tx, vec_tx = _tables(path)
     cent_df = cent_tx.read(spark).select(
         F.col("celda").alias("seed_id"), "sv"
@@ -128,7 +131,7 @@ def search_ivf_index(
         .where(F.col("rn") <= nprobe)
         .select("query_id", F.col("seed_id").alias("celda"))
     )
-    postings = vec_tx.read(spark)
+    postings = vec_tx.read(spark, version=version)
     norma = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -156,4 +159,39 @@ def search_ivf_index(
         cands.withColumn("pos", F.row_number().over(wr))
         .where(F.col("pos") <= topk)
         .select("query_id", "cand_id", F.col("pos").cast("bigint").alias("pos"), "cos")
+    )
+
+
+def recall_drift(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    v_old: int,
+    v_new: int | None = None,
+    topk: int = _SEARCH_K,
+) -> DataFrame:
+    """RECALL-DRIFT MONITORING across index versions — the operational
+    signal that decides when streamed growth (run_ann_ingest) has
+    drifted far enough from the stored centroids to schedule a rebuild:
+    per query, the top-k overlap between the ``v_old`` posting snapshot
+    and ``v_new`` (default latest), in floor-milli. A fleet-wide drop in
+    ``solape_mili`` without a data incident means new vectors are
+    landing in ill-fitting cells. Both searches read pinned snapshots of
+    the SAME tables — no recompute, no refit."""
+    viejo = search_ivf_index(spark, queries, path, topk=topk, version=v_old)
+    nuevo = search_ivf_index(spark, queries, path, topk=topk, version=v_new)
+    a = viejo.groupBy("query_id").agg(
+        F.collect_set("cand_id").alias("top_viejo")
+    )
+    b = nuevo.groupBy("query_id").agg(
+        F.collect_set("cand_id").alias("top_nuevo")
+    )
+    return a.join(b, "query_id").select(
+        "query_id",
+        F.size("top_viejo").cast("bigint").alias("k_viejo"),
+        F.size("top_nuevo").cast("bigint").alias("k_nuevo"),
+        F.expr(
+            "CAST((1000 * size(array_intersect(top_viejo, top_nuevo)))"
+            " div greatest(size(top_nuevo), 1) AS BIGINT)"
+        ).alias("solape_mili"),
     )

@@ -137,3 +137,29 @@ def test_streaming_ingest_grows_the_index(spark, sf_dir, tmp_path):
     top = search_ivf_index(spark, consultas, path).where(F.col("pos") == 1).collect()
     assert top and top[0]["cand_id"] == 7_000_001
     assert abs(top[0]["cos"] - 1.0) < 1e-9
+
+
+def test_recall_drift_across_versions(spark, sf_dir, tmp_path):
+    """Version-pinned serving + drift: the pre-append snapshot still
+    answers, and a query whose neighborhood the appended clone invades
+    shows top-k overlap < 1000 while untouched queries stay at 1000."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        recall_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    clon = emb.where(F.col("vec_id") == 0).select(
+        F.lit(8_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    add_to_ivf_index(spark, clon, path)
+    consultas = _queries_from(spark, emb, every=25)
+    drift = recall_drift(spark, consultas, path, v_old=0)
+    rows = {r["query_id"]: r["solape_mili"] for r in drift.collect()}
+    assert rows, "no drift rows"
+    # query 0's top-k changed: its exact clone entered at pos 1
+    assert rows[0] < 1000
+    # and overall most neighborhoods were untouched by one vector
+    touched = sum(1 for v in rows.values() if v < 1000)
+    assert touched <= max(1, len(rows) // 2)
