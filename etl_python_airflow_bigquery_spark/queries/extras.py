@@ -1824,3 +1824,58 @@ def anonimato_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(tam) AS BIGINT)"
         ).alias("riesgo_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity — k-anonymity's sensitive-attribute sibling
+# --------------------------------------------------------------------------
+
+_LDIV_L = 2
+
+_LDIV_ORACLE = f"""
+WITH clases AS (
+    SELECT c_nationkey AS nacion,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS banda_saldo,
+           count(*) AS tam,
+           count(DISTINCT c_mktsegment) AS l_segmentos
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS clases,
+       CAST(min(l_segmentos) AS BIGINT) AS l_minima,
+       CAST(sum(CASE WHEN l_segmentos < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS clases_homogeneas,
+       CAST(sum(CASE WHEN l_segmentos < {_LDIV_L} THEN tam ELSE 0 END)
+            AS BIGINT) AS clientes_expuestos
+FROM clases
+"""
+
+
+@register("l_diversidad", oracle=_LDIV_ORACLE, ops=("A2", "A8"),
+          driver=False)
+def l_diversidad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT — k-anonymity's necessary sibling: a class can
+    be large (k-anonymous) yet HOMOGENEOUS in the sensitive attribute,
+    so membership alone reveals it. Quasi-identifiers here are (nation,
+    balance band); the sensitive attribute is the market segment; a
+    class with fewer than l = 2 distinct segments exposes every member.
+    Same one-scan shape as anonimato_k — at release time the two run
+    together as one combined aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    clases = customer.groupBy(
+        F.col("c_nationkey").alias("nacion"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("banda_saldo"),
+    ).agg(
+        F.count(F.lit(1)).alias("tam"),
+        F.countDistinct("c_mktsegment").alias("l_segmentos"),
+    )
+    return clases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("clases"),
+        F.min("l_segmentos").cast("bigint").alias("l_minima"),
+        F.sum(F.when(F.col("l_segmentos") < _LDIV_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("clases_homogeneas"),
+        F.sum(F.when(F.col("l_segmentos") < _LDIV_L, F.col("tam")).otherwise(0))
+        .cast("bigint")
+        .alias("clientes_expuestos"),
+    )

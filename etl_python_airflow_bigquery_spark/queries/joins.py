@@ -755,3 +755,68 @@ def ingresos_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineas",
         F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shipping-delay distribution — the order-to-ship SLA percentiles
+# --------------------------------------------------------------------------
+
+_RETRASO_ORACLE = """
+WITH demoras AS (
+    SELECT o.o_orderpriority,
+           epoch_us(l.l_shipdate) // 86400000000
+             - epoch_us(o.o_orderdate) // 86400000000 AS dias
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS lineas,
+       CAST(floor(2 * quantile_cont(dias, 0.5) + 0.5) AS BIGINT)
+           AS mediana2_dias,
+       CAST(floor(20 * quantile_cont(dias, 0.95) + 0.5) AS BIGINT)
+           AS p95_20_dias,
+       CAST(max(dias) AS BIGINT) AS max_dias
+FROM demoras
+GROUP BY 1
+"""
+
+
+@register("retraso_envios", oracle=_RETRASO_ORACLE, ops=("J1", "A3"),
+          driver=False)
+def retraso_envios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP DELAY SLA per priority class: day-grain lag between
+    order and line shipment, reported as SCALED exact quantiles —
+    2×median and 20×p95: the type-7 interpolation weight at q = 19/20
+    steps in twentieths, so the scaled value is an integer by
+    construction and a half-ulp round guard absorbs float noise before
+    the cast (the bare doubled p95 differed by one ulp between engines
+    — caught by the oracle) — plus the worst case. The
+    operational question — does URGENT actually ship faster, and is the
+    tail under control — answered engine-identically.
+
+    Shape: one orderkey equi join (fact-fact, the only shuffle), day
+    lag as pure epoch-day arithmetic (tz-proof), exact per-priority
+    quantiles over 5 calendar-bounded groups with approx_percentile as
+    the named swap."""
+    from etl_python_airflow_bigquery_spark.functions import micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # integer day indices: subtract the day remainder first so the final
+    # division is exact (no float-boundary risk at large epochs)
+    dia = lambda c: (  # noqa: E731
+        (micros(c) - micros(c) % 86_400_000_000) / 86_400_000_000
+    ).cast("bigint")
+    demoras = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        (dia("l_shipdate") - dia("o_orderdate")).alias("dias"),
+    )
+    return demoras.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lineas"),
+        F.expr(
+            "CAST(floor(2 * percentile(dias, 0.5D) + 0.5D) AS BIGINT)"
+        ).alias("mediana2_dias"),
+        F.expr(
+            "CAST(floor(20 * percentile(dias, 0.95D) + 0.5D) AS BIGINT)"
+        ).alias("p95_20_dias"),
+        F.max("dias").cast("bigint").alias("max_dias"),
+    )

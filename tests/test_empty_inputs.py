@@ -66,6 +66,7 @@ SMOKE = [
     "calibracion_lsh",
     "ingresos_por_nacion",
     "ventana_particionada",
+    "retraso_envios",
 ]
 
 
