@@ -272,3 +272,25 @@ def test_correlation_integer_test_equals_float_r(pairs):
     r = cov / (va ** 0.5 * vb ** 0.5)
     if abs(abs(r) - 0.5) > 1e-9:
         assert integer_flag == (abs(r) > 0.5)
+
+
+# --- retraso_envios: 1/(1−q)-scaled type-7 quantiles are integers --------
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=80), st.sampled_from([(2, 0.5), (20, 0.95)]))
+@settings(max_examples=300, deadline=None)
+def test_scaled_type7_quantile_is_integer(xs, scale_q):
+    from fractions import Fraction
+
+    scale, q = scale_q
+    xs = sorted(xs)
+    n = len(xs)
+    pos = Fraction(q).limit_denominator(100) * (n - 1)
+    lo = xs[int(pos)]
+    hi = xs[min(int(pos) + 1, n - 1)]
+    frac = pos - int(pos)
+    exact = Fraction(lo) + frac * (hi - lo)
+    scaled = scale * exact
+    # the scaled type-7 quantile is an integer BY CONSTRUCTION — the
+    # interpolation weight's denominator divides the scale
+    assert scaled.denominator == 1
