@@ -1749,3 +1749,76 @@ def correlacion_tipos(spark: SparkSession, sf_dir: str) -> DataFrame:
             "correlacion_fuerte"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution — the graph-shape audit (log2-binned)
+# --------------------------------------------------------------------------
+
+
+def _log2_ladder(expr: str, cap: int = 20) -> str:
+    """floor(log2(x)) for x ≥ 1 as pure comparisons (the busqueda_bm25
+    ladder) — no float log whose ulp at exact powers of two differs."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(cap, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+_GRADOS_ORACLE = f"""
+WITH dirigidas AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+aristas AS (
+    SELECT src, dst FROM dirigidas
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM dirigidas
+),
+grados AS (
+    SELECT src AS nodo, count(*) AS grado FROM aristas GROUP BY 1
+)
+SELECT CASE WHEN nodo % 2 = 0 THEN 'cliente' ELSE 'proveedor' END AS tipo,
+       CAST({_log2_ladder("grado")} AS INT) AS banda_log2,
+       CAST(count(*) AS BIGINT) AS nodos,
+       CAST(min(grado) AS BIGINT) AS grado_min,
+       CAST(max(grado) AS BIGINT) AS grado_max
+FROM grados
+GROUP BY 1, 2
+"""
+
+
+@register("grafo_grados", oracle=_GRADOS_ORACLE, ops=("A1", "A3"),
+          driver=False)
+def grafo_grados(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the trade graph, log2-binned per node side
+    — the graph-shape audit that precedes any graph algorithm rollout
+    (PageRank/BFS cost models assume bounded skew; a fat tail here is
+    the early warning to salt hot nodes). Binning uses the pure-
+    comparison floor-log2 ladder (the busqueda_bm25 discipline), so
+    bins are exact at power-of-two boundaries where float log2 drifts
+    by an ulp. One edge aggregation + a bands-sized roll-up."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dirigidas = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    aristas = dirigidas.unionAll(
+        dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    grados = aristas.groupBy(F.col("src").alias("nodo")).agg(
+        F.count(F.lit(1)).alias("grado")
+    )
+    return grados.groupBy(
+        F.when(F.col("nodo") % 2 == 0, "cliente").otherwise("proveedor").alias("tipo"),
+        F.expr(_log2_ladder("grado")).cast("int").alias("banda_log2"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nodos"),
+        F.min("grado").cast("bigint").alias("grado_min"),
+        F.max("grado").cast("bigint").alias("grado_max"),
+    )

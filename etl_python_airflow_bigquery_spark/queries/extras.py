@@ -1879,3 +1879,59 @@ def l_diversidad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clientes_expuestos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Freshness audit — per-stream staleness against the corpus frontier
+# --------------------------------------------------------------------------
+
+_FRESCURA_ORACLE = """
+WITH diario AS (
+    SELECT event_type AS tipo, epoch_us(ts) // 86400000000 AS dia
+    FROM events
+),
+frontera AS (SELECT max(dia) AS d_max FROM diario)
+SELECT d.tipo,
+       CAST(max(d.dia) AS BIGINT) AS ultimo_dia,
+       CAST(f.d_max - max(d.dia) AS BIGINT) AS retraso_dias,
+       CAST(count(DISTINCT d.dia) AS BIGINT) AS dias_con_datos,
+       CAST(max(d.dia) - min(d.dia) + 1 AS BIGINT) AS dias_calendario,
+       CAST(max(d.dia) - min(d.dia) + 1 - count(DISTINCT d.dia) AS BIGINT)
+           AS dias_faltantes
+FROM diario d CROSS JOIN frontera f
+GROUP BY 1, f.d_max
+"""
+
+
+@register("frescura_datos", oracle=_FRESCURA_ORACLE, ops=("A6", "W2"),
+          driver=False)
+def frescura_datos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRESHNESS / COMPLETENESS AUDIT per event stream: each type's lag
+    behind the corpus frontier (a stream whose last day trails the
+    others has a stuck upstream) and its day-level GAP count (calendar
+    span minus days with data — silent holes a count-only monitor
+    misses). The reference operates exactly this class of check by hand
+    before each daily load (the intraday empty-range guards); here it
+    is one day-grain aggregation plus a broadcast scalar frontier —
+    constant output at any event volume."""
+    events = load_table(spark, sf_dir, "events")
+    diario = events.select(
+        F.col("event_type").alias("tipo"), event_day_num(events).alias("dia")
+    )
+    frontera = diario.agg(F.max("dia").alias("d_max"))
+    return (
+        diario.crossJoin(F.broadcast(frontera))
+        .groupBy("tipo", "d_max")
+        .agg(
+            F.max("dia").cast("bigint").alias("ultimo_dia"),
+            (F.max("d_max") - F.max("dia")).cast("bigint").alias("retraso_dias"),
+            F.countDistinct("dia").cast("bigint").alias("dias_con_datos"),
+            (F.max("dia") - F.min("dia") + 1)
+            .cast("bigint")
+            .alias("dias_calendario"),
+            (F.max("dia") - F.min("dia") + 1 - F.countDistinct("dia"))
+            .cast("bigint")
+            .alias("dias_faltantes"),
+        )
+        .drop("d_max")
+    )

@@ -67,6 +67,8 @@ SMOKE = [
     "ingresos_por_nacion",
     "ventana_particionada",
     "retraso_envios",
+    "grafo_grados",
+    "frescura_datos",
 ]
 
 
