@@ -1082,3 +1082,52 @@ def cc_incremental(labels: DataFrame, aristas_nuevas: DataFrame) -> DataFrame:
             "representante", F.col("doc_id") == F.col("cluster_id")
         )
     )
+
+
+@register("dedup_clusters_incremental", oracle=_CLUSTER_ORACLE,
+          ops=("DD4", "DD2"), driver=False)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL clustering path measured against the FULL
+    recluster's own oracle: the corpus splits into an established world
+    (doc_id % 10 ≠ 0, clustered first) and today's batch (every 10th
+    doc); the batch's pairs fold into the stored labels via
+    :func:`cc_incremental` (star contraction) — and because the star
+    merge is EXACT, the result must hash-match `dedup_clusters`' full
+    recluster bit for bit, which is precisely what this row's oracle
+    (the unchanged full-recluster SQL) checks. The strongest possible
+    correctness statement for the incremental path: not 'close', not
+    'rows-only' — the same answer.
+
+    Cost shape: the stored world pays its own clustering once
+    (amortized across days in production); the daily increment is
+    O(batch pairs + labels) — the pair set partitions into old×old
+    (consumed by the stored clustering) and anything-touching-batch
+    (the increment)."""
+    pares = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    viejo_a = F.col("doc_a") % 10 != 0
+    viejo_b = F.col("doc_b") % 10 != 0
+    pares_viejos = pares.where(viejo_a & viejo_b)
+    pares_lote = pares.where(~(viejo_a & viejo_b))
+    sym_viejo = pares_viejos.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pares_viejos.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    etiquetas_viejas = propagate_min_labels(sym_viejo).select(
+        "doc_id", "cluster_id"
+    )
+    actualizado = cc_incremental(
+        etiquetas_viejas,
+        pares_lote.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    # match dedup_clusters' surface: only docs that belong to a pair
+    # (old-world singletons enter etiquetas_viejas only through edges,
+    # so the union of both edge sets IS the full pair membership)
+    con_pares = (
+        pares.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pares.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return actualizado.join(con_pares, "doc_id").select(
+        "doc_id", "cluster_id", "representante"
+    )

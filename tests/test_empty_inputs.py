@@ -69,6 +69,7 @@ SMOKE = [
     "retraso_envios",
     "grafo_grados",
     "frescura_datos",
+    "dedup_clusters_incremental",
 ]
 
 
