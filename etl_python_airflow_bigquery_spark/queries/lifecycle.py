@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import US_PER_MIN, event_ts_us
+from etl_python_airflow_bigquery_spark.functions import (
+    US_PER_MIN,
+    event_day_num,
+    event_ts_us,
+)
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
@@ -254,4 +258,73 @@ def deteccion_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < F.col("s").cast(d38) * F.col("s")
             )
         ).alias("es_bot"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Activity streaks — gaps-and-islands over day grain
+# --------------------------------------------------------------------------
+
+_RACHAS_ORACLE = """
+WITH dias AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dia
+    FROM events
+),
+islas AS (
+    SELECT user_id, dia,
+           dia - row_number() OVER (PARTITION BY user_id ORDER BY dia)
+               AS isla
+    FROM dias
+),
+rachas AS (
+    SELECT user_id, isla, count(*) AS largo,
+           min(dia) AS inicio, max(dia) AS fin
+    FROM islas GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS rachas,
+       CAST(max(largo) AS BIGINT) AS racha_maxima,
+       CAST(max_by(inicio, largo + inicio / 100000.0) AS BIGINT)
+           AS inicio_racha_maxima,
+       CAST(sum(largo) AS BIGINT) AS dias_activos
+FROM rachas
+GROUP BY 1
+"""
+
+
+@register("rachas_actividad", oracle=_RACHAS_ORACLE, ops=("W1", "A1"),
+          driver=False)
+def rachas_actividad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY STREAKS per user — the gaps-and-islands pattern at day
+    grain (the one classic windowing idiom the registry still lacked):
+    consecutive active days share the constant ``dia − row_number()``
+    island key, so streaks fall out of ONE window plus one aggregation
+    — no self-join, no iteration, the textbook O(n log n) form.
+    Emitted per user: streak count, the longest streak and its start
+    (ties broken toward the LATER start via an exact fractional
+    tiebreak — both engines' max_by sees the same composite key), and
+    total active days. Retention/gamification's backbone metric.
+
+    Shape: day-dedup map-side → one user-keyed window (the
+    sessionization cost class) → two aggregations at streak grain."""
+    events = load_table(spark, sf_dir, "events")
+    dias = events.select(
+        "user_id", event_day_num(events).alias("dia")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dia")
+    islas = dias.select(
+        "user_id", "dia", (F.col("dia") - F.row_number().over(w)).alias("isla")
+    )
+    rachas = islas.groupBy("user_id", "isla").agg(
+        F.count(F.lit(1)).alias("largo"),
+        F.min("dia").alias("inicio"),
+        F.max("dia").alias("fin"),
+    )
+    return rachas.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rachas"),
+        F.max("largo").cast("bigint").alias("racha_maxima"),
+        F.expr("max_by(inicio, largo + inicio / 100000.0)")
+        .cast("bigint")
+        .alias("inicio_racha_maxima"),
+        F.sum("largo").cast("bigint").alias("dias_activos"),
     )

@@ -70,6 +70,7 @@ SMOKE = [
     "grafo_grados",
     "frescura_datos",
     "dedup_clusters_incremental",
+    "rachas_actividad",
 ]
 
 
