@@ -1336,3 +1336,100 @@ def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("chao1"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations — log2-banded pointwise mutual information
+# --------------------------------------------------------------------------
+
+_PMI_MIN_CO = 5
+
+
+def _pmi_ladder_sql(num: str, den: str, lo: int = -8, hi: int = 8) -> str:
+    """floor(log2(num/den)) as pure integer comparisons, BOTH signs:
+    k ≥ 0 tests num ≥ den·2^k, k < 0 tests num·2^(−k) ≥ den — the
+    first (largest) satisfied k wins; below the range clamps to lo−1.
+    The two-sided sibling of busqueda_bm25's one-sided idf ladder."""
+    branches = []
+    for k in range(hi, lo - 1, -1):
+        if k >= 0:
+            branches.append(f"WHEN {num} >= ({den}) * {1 << k} THEN {k}")
+        else:
+            branches.append(f"WHEN ({num}) * {1 << (-k)} >= {den} THEN {k}")
+    return f"(CASE {' '.join(branches)} ELSE {lo - 1} END)"
+
+
+_PMI_ORACLE = f"""
+WITH presencia AS (
+    SELECT DISTINCT doc_id, t.tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS t(tok)
+    WHERE t.tok != ''
+),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM presencia),
+df AS (SELECT tok, count(*) AS c FROM presencia GROUP BY 1),
+pares AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+    FROM presencia a
+    JOIN presencia b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= {_PMI_MIN_CO}
+)
+SELECT p.tok_a, p.tok_b, CAST(p.c_ab AS BIGINT) AS docs_juntos,
+       CAST({_pmi_ladder_sql("p.c_ab * n.n", "da.c * db.c")} AS INT)
+           AS pmi_banda
+FROM pares p
+JOIN df da ON da.tok = p.tok_a
+JOIN df db ON db.tok = p.tok_b
+CROSS JOIN n_docs n
+"""
+
+
+@register("colocaciones_pmi", oracle=_PMI_ORACLE, ops=("TX1", "A3"),
+          driver=False)
+def colocaciones_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATIONS: log₂-banded pointwise mutual information for
+    token pairs — THE association measure of computational linguistics
+    (and what word2vec's SGNS objective implicitly factorizes), banded
+    by a TWO-SIDED pure-comparison ladder so positive and negative
+    association both land exactly (floor(log₂(c_ab·N / c_a·c_b)); the
+    bm25 idf ladder's symmetric sibling). Complements asociacion_reglas'
+    linear lift with the log-scale view that separates weak-but-real
+    collocations from frequency artifacts.
+
+    Shape: doc-presence dedup map-side, the pair space forms through a
+    DOC-keyed self-join (shuffle carries per-doc token lists — bounded
+    by document length, never vocabulary²), the support floor prunes
+    before the broadcast-df scoring joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    presencia = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "").distinct()
+    n_docs = presencia.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df_tok = presencia.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = presencia.select("doc_id", F.col("tok").alias("tok_a"))
+    b = presencia.select("doc_id", F.col("tok").alias("tok_b"))
+    pares = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_CO)
+    )
+    da = df_tok.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    db = df_tok.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pares.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("docs_juntos"),
+            F.expr(_pmi_ladder_sql("c_ab * n", "c_a * c_b"))
+            .cast("int")
+            .alias("pmi_banda"),
+        )
+    )

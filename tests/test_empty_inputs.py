@@ -71,6 +71,7 @@ SMOKE = [
     "frescura_datos",
     "dedup_clusters_incremental",
     "rachas_actividad",
+    "colocaciones_pmi",
 ]
 
 

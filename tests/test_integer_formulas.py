@@ -294,3 +294,31 @@ def test_scaled_type7_quantile_is_integer(xs, scale_q):
     # the scaled type-7 quantile is an integer BY CONSTRUCTION — the
     # interpolation weight's denominator divides the scale
     assert scaled.denominator == 1
+
+
+# --- colocaciones_pmi: two-sided ladder == floor(log2(num/den)) ----------
+
+@given(st.integers(min_value=1, max_value=10**7),
+       st.integers(min_value=1, max_value=10**7))
+@settings(max_examples=300, deadline=None)
+def test_pmi_two_sided_ladder_is_floor_log2_ratio(num, den):
+    def ladder(n, d, lo=-8, hi=8):
+        for k in range(hi, lo - 1, -1):
+            if k >= 0:
+                if n >= d * (1 << k):
+                    return k
+            else:
+                if n * (1 << (-k)) >= d:
+                    return k
+        return lo - 1
+
+    # exact floor via integers (no float log): largest k with 2^k <= n/d
+    t = -9
+    for k in range(8, -9, -1):
+        ok = num >= den * (1 << k) if k >= 0 else num * (1 << (-k)) >= den
+        if ok:
+            t = k
+            break
+    import math
+    expect = max(min(math.floor(math.log2(num / den)), 8), -9)
+    assert ladder(num, den) == t == expect
