@@ -328,3 +328,89 @@ def rachas_actividad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("inicio_racha_maxima"),
         F.sum("largo").cast("bigint").alias("dias_activos"),
     )
+
+
+# --------------------------------------------------------------------------
+# State migration — month-over-month dominant-behavior transitions
+# --------------------------------------------------------------------------
+
+_MIGRACION_ORACLE = """
+WITH mensual AS (
+    SELECT user_id,
+           epoch_us(ts) // 86400000000 // 30 AS mes,
+           event_type,
+           count(*) AS c
+    FROM events GROUP BY 1, 2, 3
+),
+estado AS (
+    SELECT user_id, mes, event_type AS estado
+    FROM (SELECT user_id, mes, event_type,
+                 row_number() OVER (PARTITION BY user_id, mes
+                                    ORDER BY c DESC, event_type DESC) AS rn
+          FROM mensual)
+    WHERE rn = 1
+),
+transiciones AS (
+    SELECT a.estado AS desde, b.estado AS hacia, count(*) AS usuarios
+    FROM estado a
+    JOIN estado b ON a.user_id = b.user_id AND b.mes = a.mes + 1
+    GROUP BY 1, 2
+)
+SELECT desde, hacia, CAST(usuarios AS BIGINT) AS usuarios,
+       CAST((1000 * usuarios) // sum(usuarios) OVER (PARTITION BY desde)
+            AS BIGINT) AS proporcion_mili
+FROM transiciones
+"""
+
+
+@register("migracion_estados", oracle=_MIGRACION_ORACLE, ops=("W1", "J12"),
+          driver=False)
+def migracion_estados(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL-STATE MIGRATION MATRIX: each user's month collapses to
+    a dominant state (their most frequent event type — ties broken by
+    descending type name via a row_number window; DuckDB 1.0's max_by
+    rejects struct keys, so both engines use the window form), and consecutive months join into the month-over-month
+    transition matrix with row-normalized floor-milli shares — the
+    cohort-evolution view product teams read ('viewers become buyers at
+    X‰/month'). Differs from cadena_markov (event-to-event transitions
+    within the raw stream) by operating at the PERIOD × dominant-state
+    grain, where the matrix is states² however long the history.
+
+    Shape: (user, month, type) pre-aggregation map-side, dominant state
+    via one aggregate (no window), a self-join keyed on (user, month+1)
+    whose shuffle carries one row per user-month, and a states²-sized
+    normalization."""
+    events = load_table(spark, sf_dir, "events")
+    # month index by integer epoch-day arithmetic: subtract the 30-day
+    # remainder first so the division is exact (tz-proof, float-proof)
+    dia = event_day_num(events)
+    mes = ((dia - dia % 30) / 30).cast("bigint")
+    mensual = events.groupBy(
+        "user_id", mes.alias("mes"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id", "mes").orderBy(
+        F.desc("c"), F.desc("event_type")
+    )
+    estado = (
+        mensual.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "mes", F.col("event_type").alias("estado"))
+    )
+    a = estado.select("user_id", "mes", F.col("estado").alias("desde"))
+    b = estado.select(
+        "user_id", (F.col("mes") - 1).alias("mes"), F.col("estado").alias("hacia")
+    )
+    transiciones = (
+        a.join(b, ["user_id", "mes"])
+        .groupBy("desde", "hacia")
+        .agg(F.count(F.lit(1)).alias("usuarios"))
+    )
+    return transiciones.select(
+        "desde",
+        "hacia",
+        F.col("usuarios").cast("bigint").alias("usuarios"),
+        F.expr(
+            "CAST((1000 * usuarios) div sum(usuarios)"
+            " OVER (PARTITION BY desde) AS BIGINT)"
+        ).alias("proporcion_mili"),
+    )

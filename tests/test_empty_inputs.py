@@ -72,6 +72,7 @@ SMOKE = [
     "dedup_clusters_incremental",
     "rachas_actividad",
     "colocaciones_pmi",
+    "migracion_estados",
 ]
 
 
