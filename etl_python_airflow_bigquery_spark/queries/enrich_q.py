@@ -10,7 +10,7 @@ derivation is part of the query on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.operators.enrich import (
@@ -364,4 +364,88 @@ def trafico_ga3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         largo.groupBy("datetime", "variable")
         .pivot("demografico", ["f18-34", "f35+", "m18-34", "m35+"])
         .agg(F.sum("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Segment-behavior affinity — contingency lift + cleared residual test
+# --------------------------------------------------------------------------
+
+_AFINIDAD_ORACLE = """
+WITH unido AS (
+    SELECT c.c_mktsegment AS segmento, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+celdas AS (
+    SELECT segmento, event_type, count(*) AS o FROM unido GROUP BY 1, 2
+),
+margenes AS (
+    SELECT c.segmento, c.event_type, c.o,
+           sum(c.o) OVER (PARTITION BY c.segmento) AS r,
+           sum(c.o) OVER (PARTITION BY c.event_type) AS col,
+           sum(c.o) OVER () AS t
+    FROM celdas c
+)
+SELECT segmento, event_type, CAST(o AS BIGINT) AS eventos,
+       CAST((1000 * o * t) // (r * col) AS BIGINT) AS lift_mili,
+       CAST((CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * col)
+              * (CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * col)
+            > 4 * CAST(r AS HUGEINT) * col * t
+            AND o * t > r * col AS BOOLEAN) AS sobre_representado
+FROM margenes
+"""
+
+
+@register("afinidad_segmentos", oracle=_AFINIDAD_ORACLE, ops=("J1", "A3"),
+          driver=False)
+def afinidad_segmentos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT × BEHAVIOR AFFINITY — the contingency-table read-out
+    marketing asks for ('does BUILDING over-index on purchases?'):
+    each cell's lift against independence (floor-milli) plus an
+    over-representation flag from the standardized residual CLEARED of
+    divisions and square roots — z² > 4 becomes
+    (O·T − R·C)² > 4·R·C·T over HUGEINT/decimal38 — the prueba_ab
+    discipline applied to an R×C table. Identity mapping user_id =
+    c_custkey follows the established registry precedent (core.py's
+    registry joins).
+
+    Shape: one fact⋈dim equi join (customer broadcasts at dim scale),
+    a cells-sized aggregation, and window margins over R×C rows —
+    events never reach the statistic."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    unido = events.join(
+        F.broadcast(customer),
+        events.user_id == customer.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segmento"), "event_type")
+    celdas = unido.groupBy("segmento", "event_type").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    ws = Window.partitionBy("segmento")
+    wc = Window.partitionBy("event_type")
+    wt = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    margenes = celdas.select(
+        "segmento",
+        "event_type",
+        "o",
+        F.sum("o").over(ws).alias("r"),
+        F.sum("o").over(wc).alias("col"),
+        F.sum("o").over(wt).alias("t"),
+    )
+    desvio = (
+        F.col("o").cast(d38) * F.col("t") - F.col("r").cast(d38) * F.col("col")
+    )
+    return margenes.select(
+        "segmento",
+        "event_type",
+        F.col("o").cast("bigint").alias("eventos"),
+        F.expr("CAST((1000 * o * t) div (r * col) AS BIGINT)").alias(
+            "lift_mili"
+        ),
+        (
+            (desvio * desvio
+             > F.lit(4).cast(d38) * F.col("r").cast(d38) * F.col("col") * F.col("t"))
+            & (F.col("o").cast(d38) * F.col("t") > F.col("r").cast(d38) * F.col("col"))
+        ).alias("sobre_representado"),
     )

@@ -73,6 +73,7 @@ SMOKE = [
     "rachas_actividad",
     "colocaciones_pmi",
     "migracion_estados",
+    "afinidad_segmentos",
 ]
 
 
