@@ -47,6 +47,33 @@ DAY_PART_BLOCKS = [
 # indicadores_cia.py:140-143 / the gob.cl holidays API of programas_live.py:278-282).
 FERIADO_DAYS_OF_MONTH = (7, 19)
 
+# Reference dicc_programas (Complex_user_superposition_by_program_etl.ipynb
+# cell 3): the program-airing dictionary. Each program carries its content
+# key, official start/end as MINUTES from midnight (reference stores TIME
+# columns `inicio_oficial`/`fin_oficial`), a ``dias`` weekday ARRAY that the
+# query consumes via membership (the reference's
+# ``EXTRACT(dayofweek FROM fecha) IN (SELECT dias FROM UNNEST(dicc.dias))``
+# idiom — SURVEY X8, rewritten as ``array_contains``), and an ``activo``
+# flag. ``dias`` uses DuckDB's dayofweek convention 0=Sunday..6=Saturday;
+# the Spark side compares ``dayofweek(fecha) - 1``. Boundaries are
+# deliberately NOT hour-aligned so the oficial/ipsos timetable switch
+# (programas_live.py:104-123) produces genuinely different intervals.
+PROGRAMAS = [
+    # programa, soporte, content_id, inicio_min, fin_min, dias, activo
+    ("Matinal Clicks", "digital", "click", 420, 570, (1, 2, 3, 4, 5), True),
+    ("Clicks PM", "digital", "click", 540, 660, (1, 2, 3, 4, 5), True),
+    ("Panorama Clicks", "digital", "click", 600, 750, (0, 6), True),
+    ("Vista Temprana", "digital", "view", 0, 90, (0, 1, 2, 3, 4, 5, 6), True),
+    ("Vista Continua", "digital", "view", 60, 240, (1, 3, 5), True),
+    ("Compras Live", "radio", "purchase", 480, 615, (1, 2, 3, 4, 5, 6), True),
+    ("Compras Trasnoche", "radio", "purchase", 570, 720, (2, 4), True),
+    ("Alta Registro", "radio", "signup", 300, 480, (0, 2, 4, 6), True),
+    ("Registro Doble", "radio", "signup", 450, 630, (0, 3, 6), True),
+    ("Fallas al Aire", "podcast", "error", 690, 810, (1, 2, 3, 4, 5), True),
+    ("Fallas Extendido", "podcast", "error", 750, 900, (3, 5), True),
+    ("Archivo Muerto", "podcast", "error", 0, 1440, (0, 1, 2, 3, 4, 5, 6), False),
+]
+
 
 def values_dim(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
     """Tiny literal dim as a SQL VALUES LocalRelation — stays entirely
@@ -68,6 +95,22 @@ def age_brackets_dim(spark: SparkSession) -> DataFrame:
 
 def day_part_blocks_dim(spark: SparkSession) -> DataFrame:
     return values_dim(spark, DAY_PART_BLOCKS, ["bloque", "hora_inicio", "hora_fin"])
+
+
+def programas_dim(spark: SparkSession) -> DataFrame:
+    """``dicc_programas`` as a literal VALUES LocalRelation, ``dias`` as a
+    real ``array<int>`` column (SURVEY §1.2 ARRAY row). Same
+    stay-JVM-side rationale as ``values_dim``; arrays need their own
+    literal syntax so it gets its own builder."""
+    rows = ", ".join(
+        f"('{p}', '{s}', '{c}', {i}, {f}, array({', '.join(map(str, d))}), {str(a).lower()})"
+        for p, s, c, i, f, d, a in PROGRAMAS
+    )
+    return spark.sql(
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(programa, soporte, content_id, inicio_min, fin_min, dias, activo)"
+    )
 
 
 def habil_expr(day_num: Column) -> Column:

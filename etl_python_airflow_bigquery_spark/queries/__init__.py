@@ -75,4 +75,5 @@ from etl_python_airflow_bigquery_spark.queries import enrich_q  # noqa: E402,F40
 from etl_python_airflow_bigquery_spark.queries import multimodal_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import extras  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import marts  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import programas_q  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import curation  # noqa: E402,F401

@@ -981,7 +981,7 @@ FROM metricas
 """
 
 
-@register("prueba_ab", oracle=_AB_ORACLE, ops=("A8", "A3"))
+@register("prueba_ab", oracle=_AB_ORACLE, ops=("A8", "A3"), driver=False)
 def prueba_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B EXPERIMENT READ-OUT: users split deterministically by hash
     bucket (md5 of the unit id — the production assignment that is
@@ -1701,8 +1701,7 @@ FROM resumen
 """
 
 
-@register("correlacion_tipos", oracle=_CORR_ORACLE, ops=("J12", "A3"),
-          driver=False)
+@register("correlacion_tipos", oracle=_CORR_ORACLE, ops=("J12", "A3"))
 def correlacion_tipos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAIRWISE PEARSON CORRELATION TEST between event types' daily
     series, with the decision ALGEBRAICALLY CLEARED of square roots:

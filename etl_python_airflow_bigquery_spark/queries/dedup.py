@@ -903,7 +903,7 @@ WHERE levenshtein(a.firma, b.firma) <= 10
 
 
 @register("vinculacion_registros", oracle=_VINCULACION_ORACLE,
-          ops=("DD4", "J1"))
+          ops=("DD4", "J1"), driver=False)
 def vinculacion_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage / entity resolution: find document pairs whose
     40-char signatures are within Levenshtein distance 10, using the
@@ -993,8 +993,7 @@ GROUP BY 1
 """
 
 
-@register("calibracion_lsh", oracle=_CALIBRACION_ORACLE, ops=("DD2", "A3"),
-          driver=False)
+@register("calibracion_lsh", oracle=_CALIBRACION_ORACLE, ops=("DD2", "A3"))
 def calibracion_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH RECALL CALIBRATION — the index-quality audit every LSH
     deployment needs before trusting its parameters: for each true

@@ -458,7 +458,8 @@ GROUP BY 1, 2
 """
 
 
-@register("audiencia_dst_primavera", oracle=_DST_SPRING_ORACLE, ops=("P7", "W2"))
+@register("audiencia_dst_primavera", oracle=_DST_SPRING_ORACLE, ops=("P7", "W2"),
+          driver=False)
 def audiencia_dst_primavera(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``audiencia_dst``'s SPRING-FORWARD twin (VERDICT r3 #6): instants
     shift +240 days (January events land on Aug 28 – Sep 26, spanning
@@ -1393,7 +1394,7 @@ FROM croquis c JOIN exactos e ON c.event_type = e.event_type
 """
 
 
-@register("sketch_hll_registros", oracle=_HLL_ORACLE, ops=("A2",))
+@register("sketch_hll_registros", oracle=_HLL_ORACLE, ops=("A2",), driver=False)
 def sketch_hll_registros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYPERLOGLOG distinct-user sketch per event type, INTEGER-EXACT so
     DuckDB checks every register and every estimate bit-for-bit: rho is
@@ -1787,8 +1788,7 @@ FROM cuasi
 """
 
 
-@register("anonimato_k", oracle=_KANON_ORACLE, ops=("A8", "A6"),
-          driver=False)
+@register("anonimato_k", oracle=_KANON_ORACLE, ops=("A8", "A6"))
 def anonimato_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-ANONYMITY AUDIT over the customer quasi-identifier tuple
     (nation, market segment, account-balance band): the privacy gate a

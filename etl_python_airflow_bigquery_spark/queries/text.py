@@ -1215,7 +1215,8 @@ GROUP BY 1
 """
 
 
-@register("barajado_global", oracle=_BARAJADO_ORACLE, ops=("A1", "W1"))
+@register("barajado_global", oracle=_BARAJADO_ORACLE, ops=("A1", "W1"),
+          driver=False)
 def barajado_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL DETERMINISTIC SHUFFLE into training shards — the
     reproducibility primitive a training run needs: shard =

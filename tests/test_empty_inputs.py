@@ -38,6 +38,8 @@ SMOKE = [
     "tendencia_ewma",
     "busqueda_invertida",
     "cadena_markov",
+    # round-5 operator families
+    "superposicion_programas",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
