@@ -7,10 +7,14 @@ Runs every ``bench=True`` query in the registry against
     {"metric": "total_wall", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
 
-Each query is fully materialized via a count over the final frame
-(``df.toPandas`` would add Arrow transfer noise; the driver's correctness
-pass already checks values). A warm-up run of the flagship absorbs JVM/
-codegen startup so per-query numbers measure the plan, not the JIT.
+Each query is fully materialized via an all-column checksum aggregate
+(xxhash64 over every output column, bit_xor'd to one row): a bare
+``count()`` lets Catalyst prune the final projection for map-only
+queries, under-reporting encode-style plans, while ``df.toPandas`` would
+add Arrow transfer noise — the checksum forces every output column to
+evaluate and ships one long to the driver. A warm-up run of the flagship
+absorbs JVM/codegen startup so per-query numbers measure the plan, not
+the JIT.
 """
 
 from __future__ import annotations
@@ -36,12 +40,23 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+
+def _materialize(df) -> None:
+    """Force FULL evaluation of the result frame: hash every output
+    column into one long per row, bit_xor to a single row. Unlike
+    count(), Catalyst cannot prune the final projection out from under
+    this, so map-only queries pay their real cost."""
+    from pyspark.sql import functions as F
+
+    df.select(F.xxhash64(*df.columns).alias("h")).agg(F.expr("bit_xor(h)")).collect()
+
+
 def _run_one(name: str) -> int:
     """Subprocess entry for cold mode: fresh JVM, no codegen warmth —
     time one query end to end and print one JSON line."""
     spark = get_spark(f"bench-cold-{name}")
     t0 = time.perf_counter()
-    REGISTRY[name].fn(spark, SF_DIR).count()
+    _materialize(REGISTRY[name].fn(spark, SF_DIR))
     print(json.dumps({"query": name, "sec": round(time.perf_counter() - t0, 3)}))
     return 0
 
@@ -90,7 +105,7 @@ def main() -> int:
     spark = get_spark("bench")
 
     # Warm-up: JVM classloading + whole-stage codegen compile.
-    REGISTRY[names[0]].fn(spark, SF_DIR).count()
+    _materialize(REGISTRY[names[0]].fn(spark, SF_DIR))
 
     # Best-of-2 per query by default: the second run re-plans from
     # scratch (no caching of results) but amortizes codegen/classload
@@ -113,7 +128,7 @@ def main() -> int:
             # would otherwise turn rep 2 into a near-zero cache read
             clear_session_caches()
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, SF_DIR).count()
+            _materialize(REGISTRY[name].fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
         runs.sort()
         picked = runs[len(runs) // 2] if stat == "median" else runs[0]

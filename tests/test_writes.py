@@ -302,3 +302,32 @@ def test_zorder_key_matches_python_reference(spark_prop):
         assert got == [morton_py(a, b) for a, b in pairs]
 
     check()
+
+
+def test_mart_fallback_triage():
+    """The mart builders degrade to the unbucketed frame ONLY on
+    environment errors (analysis/IO); genuine build failures re-raise
+    (VERDICT r4: a broad `except Exception` once swallowed real bugs
+    into the silent slow path)."""
+    from pyspark.errors import AnalysisException
+
+    from etl_python_airflow_bigquery_spark.queries.marts import _fallback
+
+    sentinel = object()
+    # catalog/path analysis failure → degrade, frame served
+    try:
+        exc = AnalysisException("TABLE_OR_VIEW_NOT_FOUND something")
+    except TypeError:  # constructor signature differs across versions
+        exc = AnalysisException.__new__(AnalysisException)
+        exc.args = ("TABLE_OR_VIEW_NOT_FOUND something",)
+    assert _fallback("m", exc, sentinel) is sentinel
+    # filesystem write refusal → degrade
+    assert (
+        _fallback("m", RuntimeError("java.io.IOException: Read-only file system"), sentinel)
+        is sentinel
+    )
+    # anything else (an OOM-class or logic bug) must propagate
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _fallback("m", RuntimeError("boom"), sentinel)
