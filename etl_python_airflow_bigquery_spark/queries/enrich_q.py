@@ -167,12 +167,16 @@ WITH demo AS (
 ),
 totals AS (
     SELECT event_type AS metrica,
-           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_metric
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_metric,
+           CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
 )
 SELECT d.metrica, d.demografico, d.sesiones,
-       round(t.total_metric * d.sesiones
-             / (sum(d.sesiones) OVER (PARTITION BY d.metrica))) AS asignado
+       CASE WHEN d.metrica IN ('error', 'signup')
+            THEN t.total_metric / t.n
+            ELSE round(t.total_metric * d.sesiones
+                       / (sum(d.sesiones) OVER (PARTITION BY d.metrica)))
+       END AS asignado
 FROM demo d JOIN totals t USING (metrica)
 """
 
@@ -222,15 +226,27 @@ def trafico_ga_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [report], "metrica STRING, demografico STRING, sesiones DOUBLE"
     )
     totals = events.groupBy(F.col("event_type").alias("metrica")).agg(
-        dsum("value").alias("total_metric")
+        dsum("value").alias("total_metric"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # Rate-metric exemption (reference no_calc_cols,
+    # trafico_digital.py:367-377): rate-class metrics pass their rate to
+    # every split unchanged; extensive metrics allocate pro-rata.
+    from etl_python_airflow_bigquery_spark.queries.reshape import RATE_METRICS
+
     w = Window.partitionBy("metrica")
     return (
         parsed.join(F.broadcast(totals), "metrica")
         .withColumn(
             "asignado",
-            F.round(
-                F.col("total_metric") * F.col("sesiones") / F.sum("sesiones").over(w)
+            F.when(
+                F.col("metrica").isin(*RATE_METRICS),
+                F.col("total_metric") / F.col("n"),
+            ).otherwise(
+                F.round(
+                    F.col("total_metric") * F.col("sesiones")
+                    / F.sum("sesiones").over(w)
+                )
             ),
         )
         .select("metrica", "demografico", "sesiones", "asignado")

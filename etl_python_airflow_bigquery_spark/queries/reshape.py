@@ -201,6 +201,11 @@ def bloques_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A12 — proportional allocation
 # --------------------------------------------------------------------------
 
+# The reference's no_calc class (trafico_digital.py:367-377): avgTimeOnPage/
+# bounceRate-style RATE metrics must never be pro-rata allocated — a rate
+# applies to every split as-is. The synthetic estate's rate-class stand-ins:
+RATE_METRICS = ("error", "signup")
+
 _ALLOC_ORACLE = """
 WITH demo AS (
     SELECT event_type,
@@ -211,12 +216,16 @@ WITH demo AS (
 ),
 totals AS (
     SELECT event_type,
-           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_metric
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_metric,
+           CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
 )
 SELECT d.event_type, d.demografico, d.visitas,
-       round(t.total_metric * d.visitas
-             / (sum(d.visitas) OVER (PARTITION BY d.event_type))) AS asignado
+       CASE WHEN d.event_type IN ('error', 'signup')
+            THEN t.total_metric / t.n
+            ELSE round(t.total_metric * d.visitas
+                       / (sum(d.visitas) OVER (PARTITION BY d.event_type)))
+       END AS asignado
 FROM demo d JOIN totals t USING (event_type)
 """
 
@@ -228,7 +237,10 @@ def allocation_demografica(spark: SparkSession, sf_dir: str) -> DataFrame:
     with rounding — the reference's ``unir_demograficos``
     (trafico_digital.py:356-383) — via a window sum instead of a pandas
     loop. The window partitions by the group key, so it rides the same
-    shuffle as the groupBy."""
+    shuffle as the groupBy. RATE metrics (the reference's ``no_calc_cols``
+    avgTimeOnPage/bounceRate class, trafico_digital.py:367-377) are
+    exempt: their per-metric rate passes through to every split
+    unchanged instead of being split pro-rata."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -241,14 +253,22 @@ def allocation_demografica(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo = events.groupBy(
         "event_type", demografico.alias("demografico")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("visitas"))
-    totals = events.groupBy("event_type").agg(dsum("value").alias("total_metric"))
+    totals = events.groupBy("event_type").agg(
+        dsum("value").alias("total_metric"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
     w = Window.partitionBy("event_type")
     return (
         demo.join(F.broadcast(totals), "event_type")
         .withColumn(
             "asignado",
-            F.round(
-                F.col("total_metric") * F.col("visitas") / F.sum("visitas").over(w)
+            F.when(
+                F.col("event_type").isin(*RATE_METRICS),
+                F.col("total_metric") / F.col("n"),
+            ).otherwise(
+                F.round(
+                    F.col("total_metric") * F.col("visitas") / F.sum("visitas").over(w)
+                )
             ),
         )
         .select("event_type", "demografico", "visitas", "asignado")

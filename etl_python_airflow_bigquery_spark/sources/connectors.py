@@ -231,3 +231,62 @@ def config_source(raw: str | dict) -> dict:
     """S11: engine config (the reference's JSON-valued Airflow Variables,
     funnel_property.py:126,202) — parsed once, driver-side."""
     return json.loads(raw) if isinstance(raw, str) else dict(raw)
+
+
+def feriados_rows(payload: list[dict]) -> list[tuple]:
+    """S7: normalize the gob.cl holidays-API JSON shape
+    (ApiFeriados_etl_Bigquery.ipynb cell 4 ``response_to_dataframe``):
+    each entry carries ``fecha`` ('YYYY-MM-DD'), ``nombre``, and
+    ``irrenunciable`` — which the API serves as the STRINGS '1'/'0'
+    (hence the reference's astype(int).astype(bool) dance). Emits
+    (fecha, feriado=True, irrenunciable, descripcion) tuples."""
+    out = []
+    for r in payload:
+        irr = r.get("irrenunciable", 0)
+        out.append(
+            (
+                str(r["fecha"]),
+                True,
+                bool(int(irr or 0)),
+                r.get("nombre"),
+            )
+        )
+    return out
+
+
+def feriados_source(
+    spark: SparkSession,
+    fetcher: Callable[[], list[dict]],
+    date_start: str,
+    date_end: str,
+    retries: int = 5,
+) -> DataFrame:
+    """S7: the holidays-API ETL end to end (ApiFeriados notebook cells
+    4-9): fetch-with-retry → normalize → RIGHT-join-complete against the
+    full [date_start, date_end] calendar with feriado fillna(False)
+    (``gen_rango_fechas`` + ``gen_df_final``; non-holiday rows keep NULL
+    irrenunciable/descripcion exactly like the reference frame). Output
+    adds ``day_num`` (epoch days) so it joins the engine's day-keyed
+    queries (right_join_calendar's completion path) directly. The
+    calendar explode is one literal sequence — dim-sized at any scale."""
+    from pyspark.sql import functions as F
+
+    payload = with_retry(fetcher, retries=retries)
+    feriados = spark.createDataFrame(
+        feriados_rows(payload),
+        "fecha STRING, feriado BOOLEAN, irrenunciable BOOLEAN, descripcion STRING",
+    )
+    grid = spark.sql(
+        f"SELECT explode(sequence(to_date('{date_start}'), "
+        f"to_date('{date_end}'), interval 1 day)) AS d"
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("fecha"))
+    return (
+        grid.join(F.broadcast(feriados), "fecha", "left")
+        .select(
+            F.unix_date(F.to_date("fecha")).cast("bigint").alias("day_num"),
+            "fecha",
+            F.coalesce(F.col("feriado"), F.lit(False)).alias("feriado"),
+            "irrenunciable",
+            "descripcion",
+        )
+    )

@@ -246,3 +246,42 @@ def test_export_jsonl_roundtrip_and_sharding(spark, sf_dir, tmp_path):
     # gzip parts present
     parts = [f for f in os.listdir(path) if f.endswith(".json.gz")]
     assert parts
+
+
+def test_feriados_source_parses_gob_cl_shape_and_completes(spark):
+    """S7: the gob.cl holidays JSON (fecha/nombre/irrenunciable-as-'1'/'0'
+    strings) parses into the dicc_feriados frame and right-join-completes
+    over the requested calendar with feriado fillna(False)
+    (ApiFeriados_etl_Bigquery.ipynb cells 4-9)."""
+    from etl_python_airflow_bigquery_spark.sources.connectors import (
+        feriados_source,
+    )
+
+    payload = [
+        {"nombre": "Año Nuevo", "fecha": "2024-01-01", "irrenunciable": "1",
+         "tipo": "Civil", "comentarios": None},
+        {"nombre": "Feriado Regional", "fecha": "2024-01-05",
+         "irrenunciable": "0", "tipo": "Civil"},
+    ]
+    calls = {"n": 0}
+
+    def flaky_fetch():
+        calls["n"] += 1
+        if calls["n"] < 2:  # first attempt fails → retry path runs
+            raise ConnectionError("flaky")
+        return payload
+
+    df = feriados_source(spark, flaky_fetch, "2024-01-01", "2024-01-10")
+    rows = {r["fecha"]: r for r in df.collect()}
+    assert len(rows) == 10  # completed calendar, one row per day
+    assert rows["2024-01-01"]["feriado"] and rows["2024-01-01"]["irrenunciable"]
+    assert rows["2024-01-01"]["descripcion"] == "Año Nuevo"
+    assert rows["2024-01-05"]["feriado"] and not rows["2024-01-05"]["irrenunciable"]
+    # non-holidays: feriado filled False, detail columns stay NULL
+    assert rows["2024-01-02"]["feriado"] is False
+    assert rows["2024-01-02"]["descripcion"] is None
+    # day_num keys the engine's calendar joins (epoch day of the date)
+    assert rows["2024-01-01"]["day_num"] == 19723
+    # the completion output can stand in for day_grid's feriado flags in
+    # right_join_calendar-class queries (same grain, same key)
+    assert df.where(F.col("feriado")).count() == 2
