@@ -278,11 +278,23 @@ RIGHT JOIN dias d
 def right_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar completion: sparse per-day counts right-joined to the full
     date range with zero/false-fill (reference ApiFeriados gen_df_final
-    cell: holidays right-joined to all dates + fillna(False))."""
-    events = load_table(spark, sf_dir, "events")
+    cell: holidays right-joined to all dates + fillna(False)).
+
+    Reads the date-PARTITIONED mart: the calendar window becomes a
+    PartitionFilter on `dia` (plan-pinned) — at 100 TB the scan touches
+    31 partition directories, not the whole fact. The window filter was
+    always implied by the right join; making it explicit on the
+    partition column is what lets planning prune."""
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        eventos_particionados_mart,
+    )
+
+    mart = eventos_particionados_mart(spark, sf_dir)
     signups = (
-        events.where(F.col("event_type") == "signup")
-        .groupBy(event_day_num(events).alias("day_num"))
+        mart.where(
+            (F.col("event_type") == "signup") & F.col("dia").between(19723, 19753)
+        )
+        .groupBy(F.col("dia").alias("day_num"))
         .agg(F.count(F.lit(1)).alias("q"))
     )
     # 2024-01-01 .. 2024-01-31 = epoch days 19723..19753
@@ -400,8 +412,18 @@ GROUP BY e.event_type
 def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand validity-window clamp: rows only count inside their
     entity's [start_soporte, end_soporte] range (reference
-    audio_digital.py:287-299, mapa_consumo.py:138-150)."""
-    events = load_table(spark, sf_dir, "events")
+    audio_digital.py:287-299, mapa_consumo.py:138-150).
+
+    Reads the date-PARTITIONED mart: the coarse prefilter over the
+    GLOBAL validity envelope [min(dia_inicio), max(dia_fin)] sits on the
+    partition column, so it prunes whole partition DIRECTORIES at
+    planning time (plan-pinned) instead of row-group pruning inside a
+    full scan; the exact per-brand clamp refines after the broadcast
+    join as before."""
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        eventos_particionados_mart,
+    )
+
     soportes = values_dim(
         spark,
         [
@@ -413,16 +435,11 @@ def validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["event_type", "dia_inicio", "dia_fin"],
     )
-    day_num = event_day_num(events)
-    # coarse prefilter over the GLOBAL validity envelope [min(dia_inicio),
-    # max(dia_fin)] — direct comparisons on the raw ts column (typed by
-    # encoding), so they push to the parquet scan (row-group pruning); the
-    # exact per-brand clamp refines after the broadcast join
-    lo_us, hi_us = 19723 * US_PER_DAY, (19753 + 1) * US_PER_DAY
+    mart = eventos_particionados_mart(spark, sf_dir)
     return (
-        events.where(event_ts_filter(events, lo_us, hi_us))
+        mart.where(F.col("dia").between(19723, 19753))
         .join(F.broadcast(soportes), "event_type")
-        .where(day_num.between(F.col("dia_inicio"), F.col("dia_fin")))
+        .where(F.col("dia").between(F.col("dia_inicio"), F.col("dia_fin")))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("eventos"),

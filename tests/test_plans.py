@@ -411,3 +411,19 @@ def test_partitioned_window_prunes_partitions(spark, sf_dir):
     assert scan is not None, plan
     assert "PartitionFilters" in scan
     assert "dia" in scan.split("PartitionFilters", 1)[1]
+
+
+def test_day_window_driver_queries_prune_partitions(spark, sf_dir):
+    """right_join_calendar + validity_window (driver tier) read the
+    date-partitioned mart: their calendar windows must land in the
+    scan's PartitionFilters — whole partition directories pruned at
+    planning time, not scan-and-filter."""
+    for name in ("right_join_calendar", "validity_window"):
+        plan = plan_of(spark, sf_dir, name)
+        scan = next(
+            (l for l in plan.splitlines() if "FileScan" in l and "dia" in l),
+            None,
+        )
+        assert scan is not None, (name, plan)
+        assert "PartitionFilters" in scan, name
+        assert "dia" in scan.split("PartitionFilters", 1)[1], name
