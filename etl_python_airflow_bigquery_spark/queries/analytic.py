@@ -16,6 +16,9 @@ from etl_python_airflow_bigquery_spark.operators.intervals import (
     explode_to_hour_grid,
     sessions_from_events,
 )
+from etl_python_airflow_bigquery_spark.operators.checkpoints import (
+    iter_checkpoint,
+)
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
@@ -1129,7 +1132,9 @@ def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape per iteration: ONE shuffle — the rank vector (8 bytes/node)
     equi-joins edges on src and re-aggregates on dst; degree and edge
-    frames are built once and localCheckpoint'd (the _shingles
+    frames are built once and lineage-truncated via iter_checkpoint
+    (localCheckpoint by default; SPARK_GRAFT_CHECKPOINT_DIR switches to a
+    fault-tolerant reliable checkpoint — see operators/checkpoints.py) (the _shingles
     pattern) so Catalyst doesn't replay the lineitem⋈orders join into
     every round's lineage. At cluster scale both sides of that join
     pre-partition on the node key and iterations reuse the exchange;
@@ -1152,9 +1157,9 @@ def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this, every round re-aggregates the edge list for degrees and pays
     # a second join (visible as an extra Exchange per round in EXPLAIN)
     w_src = Window.partitionBy("src")
-    aristas_deg = aristas.select(
-        "src", "dst", F.count(F.lit(1)).over(w_src).alias("deg")
-    ).localCheckpoint(eager=True)
+    aristas_deg = iter_checkpoint(
+        aristas.select("src", "dst", F.count(F.lit(1)).over(w_src).alias("deg"))
+    )
     nodos = aristas_deg.select(F.col("src").alias("nodo")).distinct()
     n = nodos.count()
     if n == 0:
@@ -1437,9 +1442,11 @@ def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    aristas = dirigidas.unionAll(
-        dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    aristas = iter_checkpoint(
+        dirigidas.unionAll(
+            dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     nacion_semilla = supplier.agg(F.min("s_nationkey")).collect()[0][0]
     semillas = (
         supplier.where(F.col("s_nationkey") == F.lit(nacion_semilla))
@@ -1449,9 +1456,7 @@ def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    settled = semillas.select("nodo", F.lit(0).alias("d")).localCheckpoint(
-        eager=True
-    )
+    settled = iter_checkpoint(semillas.select("nodo", F.lit(0).alias("d")))
     frontier = settled
     for d in range(1, _BFS_MAX_D + 1):
         siguiente = (
@@ -1460,11 +1465,11 @@ def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(settled.select("nodo"), "nodo", "left_anti")
             .select("nodo", F.lit(d).alias("d"))
-            .localCheckpoint(eager=True)
         )
+        siguiente = iter_checkpoint(siguiente)
         if siguiente.isEmpty():
             break
-        settled = settled.unionByName(siguiente).localCheckpoint(eager=True)
+        settled = iter_checkpoint(settled.unionByName(siguiente))
         frontier = siguiente
     return settled.select(
         F.when(F.col("nodo") % 2 == 0, "cliente").otherwise("proveedor").alias("tipo"),

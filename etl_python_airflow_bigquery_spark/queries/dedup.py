@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.operators.checkpoints import (
+    iter_checkpoint,
+)
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
 from etl_python_airflow_bigquery_spark.tables import load_table, rebalance
@@ -609,7 +612,10 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
        for ANY real component (a diameter-1M chain converges in ~20
        propagate+shortcut rounds).
 
-    localCheckpoint truncates the growing lineage each round.
+    iter_checkpoint truncates the growing lineage each round
+    (localCheckpoint by default; reliable+replayable when
+    SPARK_GRAFT_CHECKPOINT_DIR is set — executor loss mid-iteration then
+    replays from the checkpoint store instead of failing the job).
 
     Correctness of the stop condition is unchanged by shortcutting: we
     stop only when a PROPAGATE step changes nothing, i.e. at a fixed
@@ -623,7 +629,7 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     # Jaccard pipeline when called from dedup_clusters) re-executes per
     # round — rounds × pipeline cost, the r4 bench's 11.4s pathology.
     # The edge list is tiny next to the corpus (near-dup pairs only).
-    sym = sym.localCheckpoint(eager=True)
+    sym = iter_checkpoint(sym)
     labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
@@ -667,8 +673,8 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
                     "cluster_id"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        jumped = iter_checkpoint(jumped)
         changed = jumped.where(F.col("cluster_id") != F.col("viejo")).count()
         labels = jumped.select("doc_id", "cluster_id")
         if changed == 0:

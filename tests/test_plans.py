@@ -427,3 +427,35 @@ def test_day_window_driver_queries_prune_partitions(spark, sf_dir):
         assert scan is not None, (name, plan)
         assert "PartitionFilters" in scan, name
         assert "dia" in scan.split("PartitionFilters", 1)[1], name
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """Opt-in reliable checkpoint for iterative operators: with
+    SPARK_GRAFT_CHECKPOINT_DIR set, per-round truncation writes
+    replayable files — after dropping every persisted block (the
+    executor-loss stand-in local mode allows), the result still
+    answers from the checkpoint store, and the files really exist."""
+    from etl_python_airflow_bigquery_spark.operators.checkpoints import (
+        set_reliable_checkpoint_dir,
+    )
+    from etl_python_airflow_bigquery_spark.queries.dedup import (
+        propagate_min_labels,
+    )
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    ckpt = tmp_path / "ckpt"
+    set_reliable_checkpoint_dir(str(ckpt))
+    try:
+        labels = propagate_min_labels(sym)
+        # kill lineage: clear the SQL cache and unpersist every RDD block
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
+    finally:
+        set_reliable_checkpoint_dir(None)
