@@ -1300,19 +1300,41 @@ def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> Data
     )
 
 
-def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
-    """MAP-ONLY argmin over the centroid table — the IVF assign step.
+# Past this centroid count the literal-array assign's PLAN becomes the
+# bottleneck (k×dim int literals serialize into every task's codegen) —
+# switch to the broadcast-DF form. Under it, the literal is both the
+# fastest and the only fully shuffle-free form, so it stays the default
+# for the K_CAP-policy regime. PQ codebooks never dispatch: they are
+# bounded at 16 codewords × 8 dims per subspace by construction.
+LITERAL_ASSIGN_MAX = 256
 
-    The centroids (≤ K_CAP×DIM ints by the seed policy) embed as a
-    LITERAL array of (sid, sv) structs inside one expression: per vector
-    `transform` computes each centroid's integer L2 and `aggregate`
-    folds the (d2, sid)-minimum — the same closed-form trick as the LSH
-    plane literals. Compared to the crossJoin + row_number window this
-    replaces, the n×k distance rows never materialize and — decisive at
-    scale — the per-round `Window.partitionBy(vec_id)` SHUFFLE of n×k
-    rows disappears entirely: every Lloyd round is a narrow map pass.
-    Tie-break matches the oracle's (d2, seed_id) order: the literal is
-    sorted by sid and only a STRICTLY smaller d2 replaces the best."""
+
+def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
+    """Argmin over the centroid table — the IVF assign step — with a
+    size-dispatched physical form:
+
+    * k ≤ LITERAL_ASSIGN_MAX (always true under the K_CAP seed policy):
+      MAP-ONLY literal-array fold. The centroids embed as a LITERAL
+      array of (sid, sv) structs inside one expression: per vector
+      `transform` computes each centroid's integer L2 and `aggregate`
+      folds the (d2, sid)-minimum — the same closed-form trick as the
+      LSH plane literals. The n×k distance rows never materialize and
+      the per-round `Window.partitionBy(vec_id)` SHUFFLE disappears:
+      every Lloyd round is a narrow map pass.
+    * k > LITERAL_ASSIGN_MAX (production k in the thousands): the
+      broadcast-DF form (operators/ann_index.py's search shape) — the
+      centroid table broadcasts as a VALUES LocalRelation, distances
+      compute in the crossJoin, and the argmin is a partial-aggregable
+      min(struct(d2, seed_id)) so the map side collapses n×k rows to
+      one row per vector before the single n-row exchange. The plan
+      stays O(1) in k; only the broadcast payload grows.
+
+    Tie-break matches the oracle's (d2, seed_id) order in BOTH forms:
+    literal — sid-sorted array, only a STRICTLY smaller d2 replaces the
+    best; broadcast — struct ordering breaks d2 ties on the smaller
+    seed_id."""
+    if len(cent) > LITERAL_ASSIGN_MAX:
+        return _assign_cells_broadcast(enteros, cent)
     items = sorted(cent.items())
     lit = "array(" + ", ".join(
         "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
@@ -1334,6 +1356,32 @@ def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
         "vec_id",
         F.col("__best.sid").alias("celda"),
         F.col("__best.d2").alias("d2"),
+    )
+
+
+def _assign_cells_broadcast(
+    enteros: DataFrame, cent: dict[int, list[int]]
+) -> DataFrame:
+    """The large-k assign (see _assign_cells): broadcast centroid DF +
+    partial-aggregable argmin. Same (vec_id, celda, d2) contract and
+    tie-break as the literal form."""
+    cent_df = _centroid_values_df(enteros.sparkSession, cent)
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = enteros.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", F.col("seed_id"), d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "seed_id")).alias("__best"))
+        .select(
+            "vec_id",
+            F.col("__best.seed_id").alias("celda"),
+            F.col("__best.d2").alias("d2"),
+        )
     )
 
 

@@ -459,3 +459,28 @@ def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
         assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
     finally:
         set_reliable_checkpoint_dir(None)
+
+
+def test_assign_cells_broadcast_dispatch_matches_literal(spark, sf_dir, monkeypatch):
+    """ANN assign size dispatch: past LITERAL_ASSIGN_MAX the IVF assign
+    switches from the literal-array fold to the broadcast-DF argmin.
+    Both forms must agree bit-for-bit (including d2 ties → smaller
+    seed_id), and the broadcast plan must contain the broadcast
+    exchange with NO per-vector Window shuffle — the argmin partial-
+    aggregates map-side."""
+    from etl_python_airflow_bigquery_spark.queries import similarity as S
+
+    enteros = S._int_vectors(S._emb(spark, sf_dir)).limit(200)
+    sample = [list(r["ev"]) for r in enteros.limit(4).collect()]
+    # duplicate one centroid under two ids to force a d2 tie
+    cent = {i: v for i, v in enumerate(sample)}
+    cent[len(sample)] = list(sample[0])
+
+    lit = sorted(map(tuple, S._assign_cells(enteros, cent).collect()))
+    monkeypatch.setattr(S, "LITERAL_ASSIGN_MAX", 0)
+    bc_df = S._assign_cells(enteros, cent)
+    bc = sorted(map(tuple, bc_df.collect()))
+    assert lit == bc
+    plan = bc_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
