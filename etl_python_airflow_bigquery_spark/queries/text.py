@@ -1434,3 +1434,164 @@ def colocaciones_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_banda"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-substring spans — window-hash dedup within the corpus
+# --------------------------------------------------------------------------
+
+_SUBC_W, _SUBC_S = 40, 20  # window chars / stride chars
+
+_SUBCADENAS_ORACLE = f"""
+WITH ventanas AS (
+    SELECT doc_id,
+           substring(text, CAST(g.i * {_SUBC_S} + 1 AS INT), {_SUBC_W}) AS w
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             (length(text) - {_SUBC_W}) // {_SUBC_S})) AS g(i)
+    WHERE length(text) >= {_SUBC_W}
+),
+hs AS (SELECT doc_id, {_hex_hash_sql("w")} AS h FROM ventanas),
+rep AS (SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT hs.doc_id,
+       CAST(count(*) AS BIGINT) AS q_ventanas,
+       CAST(sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS q_dup,
+       CAST(1000 * sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS prop_milli
+FROM hs LEFT JOIN rep r ON hs.h = r.h
+GROUP BY hs.doc_id
+"""
+
+
+@register("dedup_subcadenas", oracle=_SUBCADENAS_ORACLE,
+          ops=("DD1", "TX4", "A8"), driver=False)
+def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-SUBSTRING detection — the span-level dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) re-shaped for Spark: instead of a giant suffix array,
+    fixed-width character windows (40 chars, stride 20) hash into a
+    corpus-wide window index; any window whose hash appears in ≥2
+    distinct documents marks a duplicated SPAN (boilerplate headers,
+    license blocks, templated paragraphs — duplication dedup_exact's
+    whole-doc hash cannot see). Output per document: window count,
+    duplicated-window count, and the milli-floored duplicated share —
+    the cut list a span-level cleaner consumes.
+
+    Scale shape: window generation is MAP-SIDE (sequence+transform
+    inside one projection — fan-out bounded by len/stride per doc);
+    the only shuffles are the window-hash aggregation (partial-agg
+    combinable), the hash-keyed membership join (equi, never
+    all-pairs), and the per-doc roll-up. At 100 TB the window index is
+    the big object and it is hash-partitioned — never collected,
+    never broadcast."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SUBC_W
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - {_SUBC_W}) div {_SUBC_S}),"
+                f" i -> substring(text, i * {_SUBC_S} + 1, {_SUBC_W}))"
+            )
+        ).alias("w"),
+    )
+    hs = wins.select("doc_id", hex_hash(F.col("w")).alias("h"))
+    rep = (
+        hs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        hs.join(rep, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("q_ventanas"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("bigint").alias("q_dup"),
+        )
+        .select(
+            "doc_id",
+            "q_ventanas",
+            "q_dup",
+            F.expr("(1000 * q_dup) div q_ventanas").cast("bigint").alias("prop_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture sampling — the multilingual upsampling idiom
+# --------------------------------------------------------------------------
+
+_TEMPERATURA_ORACLE = f"""
+WITH tok AS (
+    SELECT source, len(string_split(text, ' ')) AS t FROM documents
+),
+fuentes AS (
+    SELECT source, CAST(sum(t) AS BIGINT) AS tokens_fuente
+    FROM tok GROUP BY source
+),
+pesos AS (
+    SELECT source, tokens_fuente,
+           CAST(floor(sqrt(CAST(tokens_fuente AS DOUBLE))) AS BIGINT) AS peso_temp
+    FROM fuentes
+),
+tot AS (
+    SELECT CAST(sum(tokens_fuente) AS BIGINT) AS corpus,
+           CAST(sum(peso_temp) AS BIGINT) AS suma_pesos
+    FROM pesos
+)
+SELECT p.source, p.tokens_fuente,
+       CAST(1000 * p.tokens_fuente // t.corpus AS BIGINT) AS part_natural_milli,
+       CAST(1000 * p.peso_temp // t.suma_pesos AS BIGINT) AS part_temp_milli,
+       CAST((1000 * p.peso_temp * t.corpus)
+            // (t.suma_pesos * p.tokens_fuente) AS BIGINT) AS impulso_milli
+FROM pesos p CROSS JOIN tot t
+"""
+
+
+@register("muestreo_temperatura", oracle=_TEMPERATURA_ORACLE,
+          ops=("A6", "A1", "J6"), driver=False)
+def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE sampling shares (α = 0.5): per-source sampling weight
+    ∝ tokens^α — the multilingual/multi-source upsampling rule (mT5-style
+    p_s ∝ |D_s|^α) that flattens the mixture so small sources are seen
+    more than their natural share. Output per source: token count,
+    natural share (milli), temperature share (milli), and the
+    milli-floored boost factor temperature/natural — >1000 means the
+    source is upsampled. Complements `mezcla_entrenamiento` (explicit
+    weights + epoch planning) with the derived-weight rule.
+
+    tokens^0.5 computes as floor(sqrt(double)) — IEEE sqrt is correctly
+    rounded, so both engines floor the same value; every share is then
+    pure int64 floor-div in a fixed order. Shape: one grouped sum over
+    a column-pruned scan, scalar totals broadcast back via cross join —
+    sources-sized output at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fuentes = (
+        docs.select("source", F.size(F.split("text", " ")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("tokens_fuente"))
+        .withColumn(
+            "peso_temp",
+            F.floor(F.sqrt(F.col("tokens_fuente").cast("double"))).cast("long"),
+        )
+    )
+    tot = fuentes.agg(
+        F.sum("tokens_fuente").cast("long").alias("corpus"),
+        F.sum("peso_temp").cast("long").alias("suma_pesos"),
+    )
+    return fuentes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_fuente",
+        F.expr("(1000 * tokens_fuente) div corpus")
+        .cast("bigint")
+        .alias("part_natural_milli"),
+        F.expr("(1000 * peso_temp) div suma_pesos")
+        .cast("bigint")
+        .alias("part_temp_milli"),
+        F.expr("(1000 * peso_temp * corpus) div (suma_pesos * tokens_fuente)")
+        .cast("bigint")
+        .alias("impulso_milli"),
+    )

@@ -40,6 +40,8 @@ SMOKE = [
     "cadena_markov",
     # round-5 operator families
     "superposicion_programas",
+    "dedup_subcadenas",
+    "muestreo_temperatura",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
