@@ -1826,3 +1826,165 @@ def grafo_grados(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grado").cast("bigint").alias("grado_min"),
         F.max("grado").cast("bigint").alias("grado_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — degree-ordered orientation over the co-supply graph
+# --------------------------------------------------------------------------
+
+_TRIANGULOS_ORACLE = """
+WITH inst AS (
+    SELECT a.l_orderkey AS ok, a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_suppkey < b.l_suppkey
+),
+soporte AS (
+    SELECT u, v, CAST(count(DISTINCT ok) AS BIGINT) AS s
+    FROM inst GROUP BY 1, 2
+),
+lados AS (
+    SELECT u AS nodo, v AS vecino, s FROM soporte
+    UNION ALL SELECT v, u, s FROM soporte
+),
+top5 AS (
+    SELECT nodo, vecino
+    FROM (SELECT nodo, vecino, row_number() OVER (
+              PARTITION BY nodo ORDER BY s DESC, vecino) AS rn
+          FROM lados)
+    WHERE rn <= 5
+),
+pares AS (
+    SELECT DISTINCT least(nodo, vecino) AS u, greatest(nodo, vecino) AS v
+    FROM top5
+),
+grados AS (
+    SELECT nodo, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS nodo FROM pares UNION ALL SELECT v FROM pares)
+    GROUP BY 1
+),
+orientadas AS (
+    SELECT CASE WHEN (gu.deg, p.u) < (gv.deg, p.v) THEN p.u ELSE p.v END AS src,
+           CASE WHEN (gu.deg, p.u) < (gv.deg, p.v) THEN p.v ELSE p.u END AS dst,
+           CASE WHEN (gu.deg, p.u) < (gv.deg, p.v) THEN gv.deg ELSE gu.deg END
+               AS deg_dst
+    FROM pares p
+    JOIN grados gu ON gu.nodo = p.u
+    JOIN grados gv ON gv.nodo = p.v
+),
+cunas AS (
+    SELECT o1.dst AS v, o2.dst AS w
+    FROM orientadas o1 JOIN orientadas o2 ON o1.src = o2.src
+    WHERE (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)
+),
+tri AS (
+    SELECT count(*) AS triangulos
+    FROM cunas c JOIN orientadas o ON c.v = o.src AND c.w = o.dst
+),
+tot AS (
+    SELECT CAST((SELECT count(*) FROM pares) AS BIGINT) AS aristas,
+           CAST((SELECT sum(deg * (deg - 1) // 2) FROM grados) AS BIGINT)
+               AS cunas_totales
+)
+SELECT t.aristas,
+       CAST(tr.triangulos AS BIGINT) AS triangulos,
+       t.cunas_totales,
+       CAST((3000 * tr.triangulos) // t.cunas_totales AS BIGINT)
+           AS coef_agrupamiento_milli
+FROM tot t CROSS JOIN tri tr
+"""
+
+
+@register("grafo_triangulos", oracle=_TRIANGULOS_ORACLE, ops=("J9", "A6", "A1"),
+          driver=False, bench=True)
+def grafo_triangulos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT + global clustering coefficient over the
+    BACKBONE of the co-supply graph. Two scale decisions stack:
+
+    1. **Backbone extraction**: the raw co-supply relation (suppliers
+       sharing an order) is a near-CLIQUE under uniform synthetic keys
+       — a dense graph has Θ(n³) triangles and no algorithm makes
+       counting them cheap. Production graph mining sparsifies first;
+       here each node keeps its top-5 strongest ties by co-order
+       support (deterministic tiebreak), the union of top-lists is
+       symmetrized, and the backbone is ≤ 5n directed picks — sparse
+       at every scale while keeping the strongest structure.
+    2. **Degree-ordered orientation** (the MapReduce triangle-counting
+       literature's answer to wedge explosion): every backbone edge
+       orients from its lower-(deg, id) endpoint to the higher, so
+       wedge generation — the self-join on the oriented source — is
+       bounded by Σ outdeg² = O(m^1.5) even if a hub concentrates
+       in-ties. Each triangle forms exactly one wedge at its
+       lowest-rank vertex and closes against one oriented edge: exact
+       count, no post-hoc division.
+
+    Output: backbone edges, triangles, total wedges (Σ deg·(deg−1)/2),
+    and the milli-floored global clustering coefficient
+    3·triangles/wedges."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    soporte = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("ok").cast("bigint").alias("s"))
+    )
+    lados = soporte.select(
+        F.col("u").alias("nodo"), F.col("v").alias("vecino"), "s"
+    ).unionAll(
+        soporte.select(F.col("v").alias("nodo"), F.col("u").alias("vecino"), "s")
+    )
+    w_top = Window.partitionBy("nodo").orderBy(F.col("s").desc(), "vecino")
+    top5 = lados.withColumn("rn", F.row_number().over(w_top)).where(
+        F.col("rn") <= 5
+    )
+    pares = top5.select(
+        F.least("nodo", "vecino").alias("u"),
+        F.greatest("nodo", "vecino").alias("v"),
+    ).distinct()
+    grados = (
+        pares.select(F.col("u").alias("nodo"))
+        .unionAll(pares.select(F.col("v").alias("nodo")))
+        .groupBy("nodo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    gu = grados.select(F.col("nodo").alias("u"), F.col("deg").alias("deg_u"))
+    gv = grados.select(F.col("nodo").alias("v"), F.col("deg").alias("deg_v"))
+    con_grados = pares.join(gu, "u").join(gv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    orientadas = con_grados.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    o1 = orientadas.select(
+        "src", F.col("dst").alias("v"), F.col("deg_dst").alias("dv")
+    )
+    o2 = orientadas.select(
+        "src", F.col("dst").alias("w"), F.col("deg_dst").alias("dw")
+    )
+    cunas = o1.join(o2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    ).select("v", "w")
+    tri = cunas.join(
+        orientadas.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("triangulos"))
+    tot = pares.agg(F.count(F.lit(1)).cast("bigint").alias("aristas")).crossJoin(
+        grados.agg(
+            F.sum(F.expr("deg * (deg - 1) div 2"))
+            .cast("bigint")
+            .alias("cunas_totales")
+        )
+    )
+    return tot.crossJoin(F.broadcast(tri)).select(
+        "aristas",
+        "triangulos",
+        "cunas_totales",
+        F.expr("(3000 * triangulos) div cunas_totales")
+        .cast("bigint")
+        .alias("coef_agrupamiento_milli"),
+    )

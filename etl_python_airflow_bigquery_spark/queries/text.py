@@ -1595,3 +1595,180 @@ def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("impulso_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary growth audit — deciles of the global token stream
+# --------------------------------------------------------------------------
+
+_HEAPS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+conteos AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d
+),
+bases AS (
+    SELECT doc_id,
+           CAST(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS base
+    FROM conteos
+),
+tokpos AS (
+    SELECT d.doc_id, coalesce(b.base, 0) + g.i AS gpos, d.toks[CAST(g.i AS INT)] AS token
+    FROM d JOIN bases b USING (doc_id),
+         LATERAL unnest(generate_series(1, len(d.toks))) AS g(i)
+),
+primera AS (
+    SELECT token, CAST(min(gpos) AS BIGINT) AS gpos_min
+    FROM tokpos WHERE token != '' GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM conteos)
+SELECT g.d AS decil,
+       CAST(t.total * g.d // 10 AS BIGINT) AS tokens_acum,
+       CAST(count(*) FILTER (p.gpos_min <= t.total * g.d // 10) AS BIGINT)
+           AS vocab_acum
+FROM primera p
+CROSS JOIN tot t
+CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) g
+GROUP BY 1, 2
+"""
+
+
+@register("ley_heaps", oracle=_HEAPS_ORACLE, ops=("TX1", "W1", "A6"),
+          driver=False)
+def ley_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-GROWTH curve (Heaps' law audit): cumulative distinct
+    vocabulary at each decile of the doc_id-ordered global token
+    stream — the training-data diagnostic for tokenizer sizing and
+    dedup health (a corpus whose vocab curve flattens early is
+    repetitive; one that stays near-linear is heavy-tailed). Global
+    token positions WITHOUT a global window: per-doc token counts
+    cumulate over the doc-grain frame (a window over docs, not
+    tokens), each token's in-doc position offsets from its doc's
+    base, and the vocabulary-at-decile roll-up is 10 conditional
+    counts over the token-grain first-occurrence frame. Shuffles:
+    the doc-count window, one token-grain min, one 10-row roll-up —
+    nothing at stream grain."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    conteos = docs.select("doc_id", F.size("toks").cast("long").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    bases = conteos.select(
+        "doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("base")
+    )
+    tokpos = (
+        docs.join(bases, "doc_id")
+        .select(
+            "base", F.posexplode("toks").alias("i0", "token")
+        )
+        .where(F.col("token") != "")
+        .select((F.col("base") + F.col("i0") + 1).alias("gpos"), "token")
+    )
+    primera = tokpos.groupBy("token").agg(
+        F.min("gpos").cast("long").alias("gpos_min")
+    )
+    tot = conteos.agg(F.sum("n").cast("long").alias("total"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decil"))
+    return (
+        primera.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .groupBy("decil", F.expr("(total * decil) div 10").cast("bigint").alias("tokens_acum"))
+        .agg(
+            F.sum(
+                F.when(F.col("gpos_min") <= F.expr("(total * decil) div 10"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab_acum")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Phrase search — adjacent-bigram index, deterministic corpus phrase
+# --------------------------------------------------------------------------
+
+_FRASES_TOP = 10
+
+_FRASES_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bigramas AS (
+    SELECT doc_id,
+           d.toks[CAST(g.i AS INT)] AS t1,
+           d.toks[CAST(g.i + 1 AS INT)] AS t2
+    FROM d, LATERAL unnest(generate_series(1, len(d.toks) - 1)) AS g(i)
+    WHERE d.toks[CAST(g.i AS INT)] != '' AND d.toks[CAST(g.i + 1 AS INT)] != ''
+),
+frase AS (
+    SELECT t1, t2 FROM bigramas
+    GROUP BY 1, 2 ORDER BY count(*) DESC, t1, t2 LIMIT 1
+),
+ocurrencias AS (
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ocurrencias
+    FROM bigramas b JOIN frase f ON b.t1 = f.t1 AND b.t2 = f.t2
+    GROUP BY 1
+)
+SELECT o.doc_id,
+       f.t1 || ' ' || f.t2 AS frase,
+       o.n_ocurrencias,
+       CAST(row_number() OVER (ORDER BY o.n_ocurrencias DESC, o.doc_id)
+            AS BIGINT) AS pos
+FROM ocurrencias o CROSS JOIN frase f
+ORDER BY pos LIMIT {_FRASES_TOP}
+"""
+
+
+@register("busqueda_frases", oracle=_FRASES_ORACLE, ops=("TX1", "O7", "O1"),
+          driver=False)
+def busqueda_frases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE (adjacency) SEARCH — the positional face of the inverted
+    index: adjacent-token bigrams generate MAP-SIDE from each doc's
+    split array (transform over positions — no posexplode self-join,
+    no position-keyed shuffle), the query phrase is the corpus's most
+    frequent bigram (deterministic and scale-factor-proof like
+    busqueda_invertida's term policy), and matching docs rank by
+    occurrence count, top-10 via TakeOrdered. Shuffles: the bigram
+    aggregation and the per-doc occurrence roll-up — both
+    partial-aggregable; the phrase itself broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bigramas = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(toks) - 1, 1)), "
+                "i -> struct(toks[i-1] AS t1, toks[i] AS t2)), "
+                "p -> p.t1 != '' AND p.t2 != '' AND p.t2 IS NOT NULL)"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+    frase = (
+        bigramas.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t1", "t2")
+        .limit(1)
+        .select("t1", "t2")
+    )
+    ocurrencias = bigramas.join(F.broadcast(frase), ["t1", "t2"]).groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ocurrencias"))
+    wr = Window.orderBy(F.col("n_ocurrencias").desc(), "doc_id")
+    return (
+        ocurrencias.crossJoin(F.broadcast(frase))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t1", "t2").alias("frase"),
+            "n_ocurrencias",
+            F.row_number().over(wr).cast("bigint").alias("pos"),
+        )
+        .orderBy("pos")
+        .limit(_FRASES_TOP)
+    )

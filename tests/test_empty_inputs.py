@@ -42,6 +42,8 @@ SMOKE = [
     "superposicion_programas",
     "dedup_subcadenas",
     "muestreo_temperatura",
+    "ley_heaps",
+    "busqueda_frases",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",

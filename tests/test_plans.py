@@ -127,12 +127,18 @@ def test_shingle_postings_materialized_once(spark, sf_dir):
 
 
 def test_validity_window_coarse_filter_pushes(spark, sf_dir):
-    # the global-envelope ts prefilter must reach the events scan as a
-    # plain int comparison (pushable), even though the exact per-brand
-    # clamp is join-dependent
+    # validity_window now reads the date-PARTITIONED mart (round 5): the
+    # global-envelope prefilter must be a PARTITION filter on dia —
+    # whole directories pruned at planning — and the raw events table
+    # must not be scanned at all on the mart path
     plan = plan_of(spark, sf_dir, "validity_window")
-    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "events" in l)
-    assert "GreaterThanOrEqual(ts" in scan or "ts#" in scan and ">=" in scan
+    scan = next(
+        (l for l in plan.splitlines() if "FileScan" in l and "dia" in l), None
+    )
+    assert scan is not None, plan
+    assert "PartitionFilters" in scan
+    assert "dia" in scan.split("PartitionFilters", 1)[1]
+    assert "events.parquet" not in plan
 
 
 def test_asof_single_exchange_no_product(spark, sf_dir):
