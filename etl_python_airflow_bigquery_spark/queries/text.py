@@ -1772,3 +1772,142 @@ def busqueda_frases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(_FRASES_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-filter rules — the published heuristic gate, rule-by-rule
+# --------------------------------------------------------------------------
+
+# Thresholds follow the published Gopher/MassiveText rule set (Rae et
+# al. 2021 §A1.1), scaled to the synthetic corpus's short docs: word
+# count bounds, mean-word-length band, symbol-to-word ratio cap,
+# alphabetic-word share floor, stop-word presence. Every ratio test is a
+# CLEARED INEQUALITY over integers (a·x ≥ b·y), so both engines decide
+# each rule bit-identically — no float thresholds.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 5, 100_000
+# mean word length in [3, 12]:  3·words ≤ chars ≤ 12·words
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3, 12
+# symbol-to-word ratio < 0.1:   10·symbols < words
+# alpha-word share ≥ 0.8:       5·alpha_words ≥ 4·words
+# stop-word rule: ≥ 2 DISTINCT stop-list words present
+
+_GOPHER_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+por_doc AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (w != '') AS BIGINT) AS palabras,
+           CAST(coalesce(sum(len(w)) FILTER (w != ''), 0) AS BIGINT) AS chars,
+           CAST(count(*) FILTER (regexp_matches(w, '[#@%$]')) AS BIGINT)
+               AS simbolos,
+           CAST(count(*) FILTER (regexp_matches(w, '[A-Za-z]')) AS BIGINT)
+               AS alfa,
+           CAST(count(DISTINCT w)
+                FILTER (list_contains({_STOP_LIST_SQL}, w)) AS BIGINT)
+               AS stops
+    FROM tok GROUP BY doc_id
+),
+reglas AS (
+    SELECT doc_id,
+           palabras BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS r_palabras,
+           {_GOPHER_MWL_LO} * palabras <= chars
+               AND chars <= {_GOPHER_MWL_HI} * palabras AS r_longitud,
+           10 * simbolos < palabras AS r_simbolos,
+           5 * alfa >= 4 * palabras AS r_alfa,
+           stops >= 2 AS r_stops
+    FROM por_doc
+),
+largo AS (
+    SELECT 'palabras' AS regla, r_palabras AS ok FROM reglas
+    UNION ALL SELECT 'longitud_media', r_longitud FROM reglas
+    UNION ALL SELECT 'simbolos', r_simbolos FROM reglas
+    UNION ALL SELECT 'alfabeticas', r_alfa FROM reglas
+    UNION ALL SELECT 'stopwords', r_stops FROM reglas
+    UNION ALL SELECT 'todas',
+        r_palabras AND r_longitud AND r_simbolos AND r_alfa AND r_stops
+    FROM reglas
+)
+SELECT regla,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS aprobados,
+       CAST(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+           AS tasa_milli
+FROM largo GROUP BY regla
+"""
+
+
+@register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"),
+          driver=False)
+def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER QUALITY-FILTER rule set (Rae et al. 2021's
+    MassiveText heuristics — the published gate real pre-training
+    pipelines run before dedup): word-count bounds, mean-word-length
+    band, symbol-to-word cap, alphabetic-share floor, and stop-word
+    presence, evaluated per document and reported RULE BY RULE (docs
+    checked / passed / milli pass-rate, plus the conjunction row
+    'todas') — the breakdown a curation review reads to see WHICH
+    heuristic is eating the corpus. Complements `text_quality` (scalar
+    score) and `corpus_curado` (the applied gate) with the auditable
+    per-rule view.
+
+    Every ratio is a cleared integer inequality, so the rule bits are
+    engine-identical. Shape: one token explode → one per-doc
+    aggregation (partial-combinable conditional counts) → a 6-row
+    rule roll-up via map-side explode of the rule array — the corpus
+    is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    stops_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    por_doc = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") != "", 1).otherwise(0)).cast("long").alias("palabras"),
+        F.coalesce(
+            F.sum(F.when(F.col("w") != "", F.length("w")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("chars"),
+        F.sum(F.when(F.col("w").rlike("[#@%$]"), 1).otherwise(0))
+        .cast("long")
+        .alias("simbolos"),
+        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("alfa"),
+        F.countDistinct(
+            F.when(F.expr(f"array_contains({stops_arr}, w)"), F.col("w"))
+        ).cast("long").alias("stops"),
+    )
+    reglas = por_doc.select(
+        "doc_id",
+        F.col("palabras").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
+            "r_palabras"
+        ),
+        (
+            (F.lit(_GOPHER_MWL_LO) * F.col("palabras") <= F.col("chars"))
+            & (F.col("chars") <= F.lit(_GOPHER_MWL_HI) * F.col("palabras"))
+        ).alias("r_longitud"),
+        (F.lit(10) * F.col("simbolos") < F.col("palabras")).alias("r_simbolos"),
+        (F.lit(5) * F.col("alfa") >= F.lit(4) * F.col("palabras")).alias("r_alfa"),
+        (F.col("stops") >= 2).alias("r_stops"),
+    )
+    largo = reglas.select(
+        F.explode(
+            F.expr(
+                "array(struct('palabras' AS regla, r_palabras AS ok), "
+                "struct('longitud_media' AS regla, r_longitud AS ok), "
+                "struct('simbolos' AS regla, r_simbolos AS ok), "
+                "struct('alfabeticas' AS regla, r_alfa AS ok), "
+                "struct('stopwords' AS regla, r_stops AS ok), "
+                "struct('todas' AS regla, (r_palabras AND r_longitud "
+                "AND r_simbolos AND r_alfa AND r_stops) AS ok))"
+            )
+        ).alias("e")
+    ).select(F.col("e.regla").alias("regla"), F.col("e.ok").alias("ok"))
+    return largo.groupBy("regla").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("aprobados"),
+        F.expr(
+            "(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) div count(*)"
+        ).cast("bigint").alias("tasa_milli"),
+    )

@@ -44,6 +44,7 @@ SMOKE = [
     "muestreo_temperatura",
     "ley_heaps",
     "busqueda_frases",
+    "reglas_gopher",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
