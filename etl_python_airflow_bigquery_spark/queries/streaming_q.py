@@ -369,3 +369,83 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"hopping_{uuid.uuid4().hex[:8]}")
+
+
+# --------------------------------------------------------------------------
+# Streaming curation gate — the Gopher rules applied in-stream
+# --------------------------------------------------------------------------
+
+_CALIDAD_STREAM_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+por_doc AS (
+    SELECT doc_id, source,
+           CAST(count(*) FILTER (w != '') AS BIGINT) AS palabras,
+           CAST(coalesce(sum(len(w)) FILTER (w != ''), 0) AS BIGINT) AS chars,
+           CAST(count(*) FILTER (regexp_matches(w, '[#@%$]')) AS BIGINT)
+               AS simbolos,
+           CAST(count(*) FILTER (regexp_matches(w, '[A-Za-z]')) AS BIGINT)
+               AS alfa,
+           CAST(count(DISTINCT w)
+                FILTER (list_contains(['the', 'a', 'or', 'and', 'of'], w))
+                AS BIGINT) AS stops
+    FROM tok GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN palabras BETWEEN 5 AND 100000
+                      AND 3 * palabras <= chars AND chars <= 12 * palabras
+                      AND 10 * simbolos < palabras
+                      AND 5 * alfa >= 4 * palabras
+                      AND stops >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS aprobados,
+       CAST(1000 * sum(CASE WHEN palabras BETWEEN 5 AND 100000
+                      AND 3 * palabras <= chars AND chars <= 12 * palabras
+                      AND 10 * simbolos < palabras
+                      AND 5 * alfa >= 4 * palabras
+                      AND stops >= 2 THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+           AS tasa_milli
+FROM por_doc GROUP BY source
+"""
+
+
+@register("streaming_reglas_calidad", oracle=_CALIDAD_STREAM_ORACLE,
+          ops=("ST1", "TX2", "A8"), driver=False)
+def streaming_reglas_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate running IN-STREAM — the curation
+    ingest's shape: documents arrive as landed files, every micro-batch
+    computes the rule bits with the SAME `gopher_flags` projection the
+    batch query uses (stateless — append mode with no watermark, no
+    operator state at all), and the drained per-doc flags roll up to
+    per-source pass rates that must equal the batch oracle. At 100 TB
+    this is the filter stage of a streaming curation pipeline: pure
+    map work per batch, so throughput is bounded by the scan, not by
+    state."""
+    from etl_python_airflow_bigquery_spark.queries.text import gopher_flags
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_to_memory_append,
+        table_dir_for,
+    )
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    flags = gopher_flags(stream).select("doc_id", "source", "aprobado")
+    tabla, _metrics = run_to_memory_append(
+        flags, f"calidad_{uuid.uuid4().hex[:8]}"
+    )
+    return tabla.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("aprobado"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("aprobados"),
+        F.expr("(1000 * sum(CASE WHEN aprobado THEN 1 ELSE 0 END)) div count(*)")
+        .cast("bigint")
+        .alias("tasa_milli"),
+    )

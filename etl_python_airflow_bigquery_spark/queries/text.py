@@ -1839,6 +1839,58 @@ FROM largo GROUP BY regla
 """
 
 
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule bits as a PURE PROJECTION — higher-order
+    functions over the split array (filter/aggregate/array_intersect),
+    no explode, no per-doc shuffle. Stateless, so the SAME definition
+    runs on a batch frame (reglas_gopher) and on a document STREAM
+    (streaming_reglas_calidad) — one rule set, two execution modes.
+    Emits (doc_id, source, r_*..., aprobado)."""
+    stops_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("long")
+        .alias("palabras"),
+        F.expr(
+            "aggregate(filter(split(text, ' '), w -> w != ''), 0L, "
+            "(a, w) -> a + length(w))"
+        ).cast("long").alias("chars"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '[#@%$]'))")
+        .cast("long")
+        .alias("simbolos"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))")
+        .cast("long")
+        .alias("alfa"),
+        F.expr(
+            f"size(array_intersect(array_distinct(split(text, ' ')), {stops_arr}))"
+        ).cast("long").alias("stops"),
+    )
+    reglas = base.select(
+        "doc_id",
+        "source",
+        F.col("palabras").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
+            "r_palabras"
+        ),
+        (
+            (F.lit(_GOPHER_MWL_LO) * F.col("palabras") <= F.col("chars"))
+            & (F.col("chars") <= F.lit(_GOPHER_MWL_HI) * F.col("palabras"))
+        ).alias("r_longitud"),
+        (F.lit(10) * F.col("simbolos") < F.col("palabras")).alias("r_simbolos"),
+        (F.lit(5) * F.col("alfa") >= F.lit(4) * F.col("palabras")).alias("r_alfa"),
+        (F.col("stops") >= 2).alias("r_stops"),
+    )
+    return reglas.withColumn(
+        "aprobado",
+        F.col("r_palabras")
+        & F.col("r_longitud")
+        & F.col("r_simbolos")
+        & F.col("r_alfa")
+        & F.col("r_stops"),
+    )
+
+
 @register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"),
           driver=False)
 def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,43 +1906,14 @@ def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule view.
 
     Every ratio is a cleared integer inequality, so the rule bits are
-    engine-identical. Shape: one token explode → one per-doc
-    aggregation (partial-combinable conditional counts) → a 6-row
-    rule roll-up via map-side explode of the rule array — the corpus
-    is scanned once."""
+    engine-identical. Shape: the rule bits are a PURE PROJECTION
+    (higher-order functions over the split array — `gopher_flags`,
+    shared with the streaming gate), so the ONLY shuffle in the whole
+    query is the 6-row rule roll-up after a map-side rule-array
+    explode — the corpus is scanned once, nothing doc-grain ever
+    exchanges."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    stops_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
-    por_doc = tok.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("w") != "", 1).otherwise(0)).cast("long").alias("palabras"),
-        F.coalesce(
-            F.sum(F.when(F.col("w") != "", F.length("w")).otherwise(0)), F.lit(0)
-        ).cast("long").alias("chars"),
-        F.sum(F.when(F.col("w").rlike("[#@%$]"), 1).otherwise(0))
-        .cast("long")
-        .alias("simbolos"),
-        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0))
-        .cast("long")
-        .alias("alfa"),
-        F.countDistinct(
-            F.when(F.expr(f"array_contains({stops_arr}, w)"), F.col("w"))
-        ).cast("long").alias("stops"),
-    )
-    reglas = por_doc.select(
-        "doc_id",
-        F.col("palabras").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
-            "r_palabras"
-        ),
-        (
-            (F.lit(_GOPHER_MWL_LO) * F.col("palabras") <= F.col("chars"))
-            & (F.col("chars") <= F.lit(_GOPHER_MWL_HI) * F.col("palabras"))
-        ).alias("r_longitud"),
-        (F.lit(10) * F.col("simbolos") < F.col("palabras")).alias("r_simbolos"),
-        (F.lit(5) * F.col("alfa") >= F.lit(4) * F.col("palabras")).alias("r_alfa"),
-        (F.col("stops") >= 2).alias("r_stops"),
-    )
+    reglas = gopher_flags(docs)
     largo = reglas.select(
         F.explode(
             F.expr(

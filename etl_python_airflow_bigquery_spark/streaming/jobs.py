@@ -206,7 +206,7 @@ def run_to_memory_append(stream_df: DataFrame, name: str):
     return spark.table(name), state_metrics
 
 
-def events_dir_for(sf_dir: str) -> str:
+def table_dir_for(sf_dir: str, table: str) -> str:
     """The file-stream source requires a DIRECTORY of files (its
     listing-based discovery model); the testdata ships one parquet file
     per table, so expose it through a per-sf symlink directory. In
@@ -214,9 +214,9 @@ def events_dir_for(sf_dir: str) -> str:
     into (consumo_detalle's 12-hour chunks, reference
     consumo_detalle.py:44-77)."""
     tag = sf_dir.strip("/").replace("/", "_")
-    stream_dir = os.path.join("/tmp", "spark_graft_streams", tag)
+    stream_dir = os.path.join("/tmp", "spark_graft_streams", f"{tag}_{table}")
     os.makedirs(stream_dir, exist_ok=True)
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
         # a directory-shaped drop (e.g. a Spark-written replica, as the
         # 10× scale probe produces): link its part files individually —
@@ -228,10 +228,14 @@ def events_dir_for(sf_dir: str) -> str:
                 if not os.path.exists(link):
                     os.symlink(os.path.join(src, f), link)
     else:
-        link = os.path.join(stream_dir, "events.parquet")
+        link = os.path.join(stream_dir, f"{table}.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
     return stream_dir
+
+
+def events_dir_for(sf_dir: str) -> str:
+    return table_dir_for(sf_dir, "events")
 
 
 # --------------------------------------------------------------------------

@@ -45,6 +45,7 @@ SMOKE = [
     "ley_heaps",
     "busqueda_frases",
     "reglas_gopher",
+    "streaming_reglas_calidad",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",

@@ -465,6 +465,15 @@ def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
         assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
     finally:
         set_reliable_checkpoint_dir(None)
+        # the block purge above also killed any SESSION-CACHED
+        # localCheckpoint frames (non-replayable once their blocks are
+        # gone) — drop the dedup caches so later tests rebuild them
+        # instead of reading a corpse
+        from etl_python_airflow_bigquery_spark.queries.dedup import (
+            clear_session_caches,
+        )
+
+        clear_session_caches()
 
 
 def test_assign_cells_broadcast_dispatch_matches_literal(spark, sf_dir, monkeypatch):
