@@ -1934,3 +1934,126 @@ def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) div count(*)"
         ).cast("bigint").alias("tasa_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — classifier audit against gold labels
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+SELECT lang_real, lang_pred,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(1000 * count(*)
+            // sum(count(*)) OVER (PARTITION BY lang_real) AS BIGINT)
+           AS share_real_milli
+FROM ({_LANG_ORACLE}) AS pred
+GROUP BY lang_real, lang_pred
+"""
+
+
+@register("idioma_confusion", oracle=_CONFUSION_ORACLE, ops=("TX3", "A8", "W1"),
+          driver=False, bench=True)
+def idioma_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the n-gram language classifier against the
+    corpus's gold ``lang`` labels — the audit that decides whether the
+    lang-ID gate is safe to run before language-filtered curation
+    (diagonal rows ARE per-language accuracy; off-diagonal mass shows
+    which languages bleed into which). Composes `lang_id_ngram`'s
+    per-doc prediction (the session recomputes it — the frame is
+    doc-sized and cheap) with one languages²-bounded aggregation and a
+    window share per gold label; milli-floored so both engines agree
+    exactly. At scale the matrix is languages² rows regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    pred = lang_id_ngram(spark, sf_dir)
+    w = Window.partitionBy("lang_real")
+    return (
+        pred.groupBy("lang_real", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+        .select(
+            "lang_real",
+            "lang_pred",
+            "docs",
+            F.expr("(1000 * docs) div (sum(docs) OVER (PARTITION BY lang_real))")
+            .cast("bigint")
+            .alias("share_real_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup-induced source-mix shift — the distribution-bias audit
+# --------------------------------------------------------------------------
+
+_SESGO_ORACLE = """
+WITH kept AS (
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY md5(text)
+),
+antes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS docs_antes
+    FROM documents GROUP BY 1
+),
+despues AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS docs_despues
+    FROM documents d JOIN kept k USING (doc_id) GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(docs_antes) AS BIGINT) AS n_antes,
+           CAST((SELECT sum(docs_despues) FROM despues) AS BIGINT) AS n_despues
+    FROM antes
+)
+SELECT a.source, a.docs_antes, d.docs_despues,
+       CAST(1000 * a.docs_antes // t.n_antes AS BIGINT) AS share_antes_milli,
+       CAST(1000 * d.docs_despues // t.n_despues AS BIGINT)
+           AS share_despues_milli,
+       CAST(1000 * d.docs_despues // t.n_despues
+            - 1000 * a.docs_antes // t.n_antes AS BIGINT) AS sesgo_milli
+FROM antes a JOIN despues d USING (source) CROSS JOIN tot t
+"""
+
+
+@register("sesgo_duplicados", oracle=_SESGO_ORACLE, ops=("DD1", "A8", "A3"),
+          driver=False)
+def sesgo_duplicados(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-INDUCED DISTRIBUTION SHIFT: per-source corpus share BEFORE
+    vs AFTER exact dedup (first-occurrence-wins, the dedup_exact
+    contract) and the milli-point shift between them — the audit that
+    catches a dedup pass silently rebalancing the training mixture
+    (template-heavy sources lose share; the mixture weights planned on
+    the RAW corpus no longer hold). Shape: one hash aggregation for
+    the keep set, two source-grain counts, scalar totals broadcast
+    back — sources-sized output at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").cast("long").alias("doc_id")
+    ).select("doc_id")
+    antes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_antes")
+    )
+    despues = docs.join(kept, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_despues")
+    )
+    tot = antes.agg(F.sum("docs_antes").cast("long").alias("n_antes")).crossJoin(
+        despues.agg(F.sum("docs_despues").cast("long").alias("n_despues"))
+    )
+    return (
+        antes.join(despues, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs_antes",
+            "docs_despues",
+            F.expr("(1000 * docs_antes) div n_antes")
+            .cast("bigint")
+            .alias("share_antes_milli"),
+            F.expr("(1000 * docs_despues) div n_despues")
+            .cast("bigint")
+            .alias("share_despues_milli"),
+            F.expr(
+                "(1000 * docs_despues) div n_despues"
+                " - (1000 * docs_antes) div n_antes"
+            ).cast("bigint").alias("sesgo_milli"),
+        )
+    )

@@ -46,6 +46,8 @@ SMOKE = [
     "busqueda_frases",
     "reglas_gopher",
     "streaming_reglas_calidad",
+    "idioma_confusion",
+    "sesgo_duplicados",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
