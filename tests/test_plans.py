@@ -499,3 +499,39 @@ def test_assign_cells_broadcast_dispatch_matches_literal(spark, sf_dir, monkeypa
     plan = bc_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "superposicion_programas",
+        "dedup_subcadenas",
+        "muestreo_temperatura",
+        "grafo_triangulos",
+        "ley_heaps",
+        "busqueda_frases",
+        "reglas_gopher",
+        "idioma_confusion",
+        "sesgo_duplicados",
+    ],
+)
+def test_round5_ops_no_cartesian(spark, sf_dir, name):
+    """Every round-5 operator must keep candidate/grid generation keyed
+    or broadcast — an unkeyed CartesianProduct is the quadratic smell
+    none of them may regress into. (Broadcast NLJ against 1-row totals
+    frames is legitimate and allowed.)"""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_rules_single_shuffle(spark, sf_dir):
+    """reglas_gopher's rule bits are a pure projection (gopher_flags —
+    higher-order functions, no explode of tokens): the ONLY hash
+    exchange in the whole plan is the 6-row rule roll-up."""
+    plan = plan_of(spark, sf_dir, "reglas_gopher")
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(shuffles) <= 1, shuffles
