@@ -2936,3 +2936,87 @@ def similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster labeling — top rare-weighted terms per k-means cell
+# --------------------------------------------------------------------------
+
+_TEMAS_ORACLE = f"""
+WITH asign AS (
+    SELECT vec_id, celda FROM ({_kmeans_oracle(_KMEANS_ITERS)})
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT a.celda, t.token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok t JOIN asign a ON a.vec_id = t.doc_id
+    WHERE t.token != ''
+    GROUP BY 1, 2
+),
+df AS (
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok WHERE token != '' GROUP BY 1
+),
+pesos AS (
+    SELECT tf.celda, tf.token, tf.tf * (1000000 // df.df) AS peso
+    FROM tf JOIN df USING (token)
+),
+rk AS (
+    SELECT celda, token, peso,
+           row_number() OVER (PARTITION BY celda
+                              ORDER BY peso DESC, token) AS pos
+    FROM pesos
+)
+SELECT celda, CAST(pos AS BIGINT) AS pos, token, CAST(peso AS BIGINT) AS peso
+FROM rk WHERE pos <= 3
+"""
+
+
+@register("temas_centroides", oracle=_TEMAS_ORACLE, ops=("NN2", "TX1", "O7"),
+          driver=False, bench=True)
+def temas_centroides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER LABELING — the interpretation step after the embedding
+    k-means: each coarse cell gets its top-3 rarity-weighted terms
+    (tf · ⌊1e6/df⌋, the busqueda_invertida integer weight — exact in
+    both engines where a float idf would drift), read from the
+    documents aligned 1:1 with the vectors. This is what turns an
+    opaque IVF cell map into a topic readout a curation review can
+    act on ("cell 7 is license boilerplate — drop it").
+
+    Shape: the Lloyd fit reuses the k-means policy (driver state
+    ≤ K_CAP×64 ints), the doc→cell map joins token postings on doc_id
+    (equi), tf aggregates per (cell, token) with map-side combine, df
+    is the posting-list groupBy, and the top-3 window partitions by
+    cell — per-cell sort input is bounded by that cell's vocabulary.
+    Cells×3 rows out at any corpus size."""
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    asign = similarity_ivf_kmeans(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "celda"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.join(asign, "doc_id").groupBy("celda", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    pesos = tf.join(dfreq, "token").select(
+        "celda", "token", F.expr("tf * (1000000 div df)").alias("peso")
+    )
+    w = Window.partitionBy("celda").orderBy(F.col("peso").desc(), "token")
+    return (
+        pesos.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 3)
+        .select(
+            "celda",
+            F.col("pos").cast("bigint").alias("pos"),
+            "token",
+            F.col("peso").cast("bigint").alias("peso"),
+        )
+    )

@@ -48,6 +48,7 @@ SMOKE = [
     "streaming_reglas_calidad",
     "idioma_confusion",
     "sesgo_duplicados",
+    "temas_centroides",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
