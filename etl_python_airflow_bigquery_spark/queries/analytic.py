@@ -241,7 +241,8 @@ JOIN mensual m ON year(o.o_orderdate) = m.anio AND month(o.o_orderdate) = m.mes
 """
 
 
-@register("date_part_join", oracle=_DATEPART_ORACLE, ops=("J12", "A1"))
+@register("date_part_join", oracle=_DATEPART_ORACLE, ops=("J12", "A1"),
+          driver=False)
 def date_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows aligned to their calendar month's aggregate by an
     EXTRACT-on-both-sides equi join (reference

@@ -794,7 +794,8 @@ FROM est
 """
 
 
-@register("sketch_cms_tokens", oracle=_CMS_ORACLE, ops=("A1", "O7"))
+@register("sketch_cms_tokens", oracle=_CMS_ORACLE, ops=("A1", "O7"),
+          driver=False)
 def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT-MIN SKETCH heavy-hitter audit: build the D×W=3×1024 counter
     grid over the corpus token stream (md5-bucket per hash row, one
@@ -1465,7 +1466,7 @@ GROUP BY hs.doc_id
 
 
 @register("dedup_subcadenas", oracle=_SUBCADENAS_ORACLE,
-          ops=("DD1", "TX4", "A8"), driver=False)
+          ops=("DD1", "TX4", "A8"))
 def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT duplicate-SUBSTRING detection — the span-level dedup of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -1891,8 +1892,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"),
-          driver=False)
+@register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"))
 def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GOPHER QUALITY-FILTER rule set (Rae et al. 2021's
     MassiveText heuristics — the published gate real pre-training
