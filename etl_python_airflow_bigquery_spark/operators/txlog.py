@@ -608,6 +608,40 @@ class TxTable:
             parent,
         )
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: commit a NEW version whose file set IS
+        the target version's — time travel made durable. Nothing is
+        rewritten and history is preserved (the restore is itself an
+        ordinary commit on top of the current head, so the bad versions
+        remain readable for forensics); readers at HEAD simply see the
+        old snapshot again. Because data files are immutable, this is a
+        manifest flip — O(KB) regardless of table size. Fails loudly if
+        ``vacuum`` already reclaimed any file the target references
+        (the retention window is the undo horizon). The change feed
+        treats a restore as a rewrite: ``changes`` across it raises
+        NonIncrementalHistory, exactly like merge/overwrite."""
+        m = self._manifest(version)
+        missing = [
+            n
+            for n in self._names(m["files"])
+            if not os.path.exists(os.path.join(self.data_dir, n))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore: version {version} references vacuumed files "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''} — "
+                "past the retention undo horizon"
+            )
+        return self._claim(
+            {
+                "files": m["files"],
+                "op": "restore",
+                "schema": m["schema"],
+                "restored_from": version,
+            },
+            self.version(),
+        )
+
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
         data file no surviving manifest references (crashed-writer

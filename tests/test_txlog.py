@@ -549,3 +549,31 @@ def test_append_rejects_type_drift_on_shared_column(spark, tmp_path):
         spark.createDataFrame([(2, 2.0, "x")], "k BIGINT, v DOUBLE, tag STRING")
     )
     assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == {1: None, 2: "x"}
+
+
+def test_restore_flips_head_to_old_snapshot(spark, tmp_path):
+    """RESTORE: a new commit whose file set is the target version's —
+    HEAD reads the old snapshot again, history stays readable, the
+    change feed treats it as a rewrite, and a restore past the vacuum
+    horizon fails loudly."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import (
+        NonIncrementalHistory,
+    )
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))          # v0: 5 rows
+    t.append(_df(spark, 5, 8))             # v1: 8 rows
+    t.overwrite(_df(spark, 0, 2, val=9.0)) # v2: the "bad" load, 2 rows
+    v = t.restore(1)
+    assert v == 3
+    assert t.read(spark).count() == 8      # HEAD is v1's snapshot again
+    assert t.read(spark, version=2).count() == 2  # forensics intact
+    # the feed across the restore is non-incremental by contract
+    with pytest.raises(NonIncrementalHistory):
+        t.changes(spark, since_version=1).collect()
+    # vacuum away everything but HEAD, then try restoring the dropped v2
+    t.vacuum(keep_versions=1, retention_s=0.0)
+    with pytest.raises(Exception):
+        # v2's manifest itself is gone (or its files are) — either way
+        # the undo horizon is passed and the restore must not succeed
+        t.restore(2)
