@@ -1465,6 +1465,23 @@ GROUP BY hs.doc_id
 """
 
 
+def subcadena_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) window hashes — the span-dedup index rows: fixed
+    windows generated MAP-SIDE from each doc's text (sequence+transform,
+    fan-out len/stride per doc), hashed with the engine-shared md5
+    prefix. Shared by the batch span dedup and its incremental probe."""
+    wins = docs.where(F.length("text") >= _SUBC_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - {_SUBC_W}) div {_SUBC_S}),"
+                f" i -> substring(text, i * {_SUBC_S} + 1, {_SUBC_W}))"
+            )
+        ).alias("w"),
+    )
+    return wins.select("doc_id", hex_hash(F.col("w")).alias("h"))
+
+
 @register("dedup_subcadenas", oracle=_SUBCADENAS_ORACLE,
           ops=("DD1", "TX4", "A8"))
 def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,19 +1503,7 @@ def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs), and the per-doc roll-up. At 100 TB the window index is
     the big object and it is hash-partitioned — never collected,
     never broadcast."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _SUBC_W
-    )
-    wins = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, (length(text) - {_SUBC_W}) div {_SUBC_S}),"
-                f" i -> substring(text, i * {_SUBC_S} + 1, {_SUBC_W}))"
-            )
-        ).alias("w"),
-    )
-    hs = wins.select("doc_id", hex_hash(F.col("w")).alias("h"))
+    hs = subcadena_hashes(load_table(spark, sf_dir, "documents"))
     rep = (
         hs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("d"))
@@ -2055,5 +2060,69 @@ def sesgo_duplicados(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(1000 * docs_despues) div n_despues"
                 " - (1000 * docs_antes) div n_antes"
             ).cast("bigint").alias("sesgo_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental span dedup — the batch probes the stored window index
+# --------------------------------------------------------------------------
+
+_SUBC_INC_ORACLE = f"""
+WITH ventanas AS (
+    SELECT doc_id,
+           substring(text, CAST(g.i * {_SUBC_S} + 1 AS INT), {_SUBC_W}) AS w
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             (length(text) - {_SUBC_W}) // {_SUBC_S})) AS g(i)
+    WHERE length(text) >= {_SUBC_W}
+),
+hs AS (SELECT doc_id, {_hex_hash_sql("w")} AS h FROM ventanas),
+indice AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 != 0),
+nuevos AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 = 0)
+SELECT n.doc_id,
+       CAST(count(*) AS BIGINT) AS q_ventanas,
+       CAST(sum(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS q_conocidas,
+       CAST(1000 * sum(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS prop_milli
+FROM nuevos n LEFT JOIN indice i ON n.h = i.h
+GROUP BY n.doc_id
+"""
+
+
+@register("dedup_subcadenas_incremental", oracle=_SUBC_INC_ORACLE,
+          ops=("DD1", "TX4", "J2"), driver=False)
+def dedup_subcadenas_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL span dedup — the daily-ingest read path of
+    `dedup_subcadenas`: the NEW BATCH (every 10th doc_id) generates its
+    window hashes map-side and probes the stored CORPUS window index
+    with one hash-keyed equi join — cost ∝ batch windows × index hit
+    rate, never corpus². Output per new doc: window count, windows the
+    corpus has already seen, and the milli share — the signal a
+    streaming curation gate uses to cut already-known spans from
+    incoming documents before they reach training shards. The index
+    side is exactly what the batch op maintains (`subcadena_hashes` —
+    same windows, same hashes); within-batch duplication is the batch
+    op's job, this is the cross-corpus probe."""
+    hs = subcadena_hashes(load_table(spark, sf_dir, "documents"))
+    indice = hs.where(F.col("doc_id") % 10 != 0).select("h").distinct()
+    nuevos = hs.where(F.col("doc_id") % 10 == 0)
+    return (
+        nuevos.join(indice.withColumn("conocida", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("q_ventanas"),
+            F.sum(F.coalesce(F.col("conocida"), F.lit(0)))
+            .cast("bigint")
+            .alias("q_conocidas"),
+        )
+        .select(
+            "doc_id",
+            "q_ventanas",
+            "q_conocidas",
+            F.expr("(1000 * q_conocidas) div q_ventanas")
+            .cast("bigint")
+            .alias("prop_milli"),
         )
     )

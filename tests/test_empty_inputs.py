@@ -49,6 +49,7 @@ SMOKE = [
     "idioma_confusion",
     "sesgo_duplicados",
     "temas_centroides",
+    "dedup_subcadenas_incremental",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
