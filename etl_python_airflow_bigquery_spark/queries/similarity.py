@@ -3020,3 +3020,144 @@ def temas_centroides(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peso").cast("bigint").alias("peso"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Label balance + dispersion — the embedding-space class audit
+# --------------------------------------------------------------------------
+
+_EQUILIBRIO_ORACLE = f"""
+WITH ints AS (
+    SELECT label, vec_id,
+           [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding]
+               AS ev
+    FROM embeddings
+),
+normas AS (
+    SELECT label, vec_id,
+           CAST(list_sum([CAST(v AS HUGEINT) * v FOR v IN ev]) AS HUGEINT)
+               AS n2
+    FROM ints
+),
+elems AS (
+    SELECT label, ev[CAST(d.d AS INT)] AS x, d.d AS d
+    FROM ints CROSS JOIN generate_series(1, {DIM}) d(d)
+),
+sums AS (
+    SELECT label, d, CAST(sum(x) AS HUGEINT) AS s FROM elems GROUP BY 1, 2
+),
+por_label AS (
+    SELECT n.label,
+           CAST(count(DISTINCT n.vec_id) AS BIGINT) AS vectores,
+           CAST(sum(n.n2) AS HUGEINT) AS a
+    FROM normas n GROUP BY 1
+),
+b_label AS (
+    SELECT label, CAST(sum(s * s) AS HUGEINT) AS b FROM sums GROUP BY 1
+),
+intra AS (
+    SELECT p.label, p.vectores,
+           CAST(p.vectores AS HUGEINT) * p.a - b.b AS intra_l
+    FROM por_label p JOIN b_label b USING (label)
+),
+totales AS (
+    SELECT (SELECT CAST(sum(vectores) AS BIGINT) FROM por_label) AS n_g,
+           (SELECT CAST(sum(a) AS HUGEINT) FROM por_label) AS a_g,
+           (SELECT CAST(sum(sg * sg) AS HUGEINT) FROM
+               (SELECT CAST(sum(s) AS HUGEINT) AS sg FROM sums GROUP BY d))
+               AS b_g
+)
+SELECT i.label AS label,
+       i.vectores,
+       CAST(1000 * i.vectores // g.n_g AS BIGINT) AS share_milli,
+       CAST(floor(
+            (1000.0 * (CAST(i.intra_l AS DOUBLE)
+                       / (CAST(i.vectores AS DOUBLE) * i.vectores)))
+            / (CAST(CAST(g.n_g AS HUGEINT) * g.a_g - g.b_g AS DOUBLE)
+               / (CAST(g.n_g AS DOUBLE) * g.n_g))) AS BIGINT)
+           AS dispersion_rel_milli
+FROM intra i CROSS JOIN totales g
+"""
+
+
+@register("equilibrio_etiquetas", oracle=_EQUILIBRIO_ORACLE,
+          ops=("NN2", "A6", "A3"), driver=False)
+def equilibrio_etiquetas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL BALANCE + DISPERSION audit over the embedding space: per
+    label its vector share (milli) and its intra-label dispersion
+    RELATIVE to the global dispersion — milli < 1000 means the label is
+    tighter than the space at large (separable; safe to use as a
+    stratification/blocking key), ≈1000 means the label carries no
+    geometric signal. Dispersion uses the exact integer identity
+    n·Σ‖x‖² − ‖Σx‖² (no per-point-minus-centroid pass, no float
+    accumulation): per-row squared norms and per-dim sums aggregate in
+    decimal38/HUGEINT, so both engines hold the same exact integers;
+    only the final scale-free ratio divides — in doubles cast from
+    identical integers, hence bit-identical. Shape: one map-side norm
+    pass + one (label, dim) aggregation (bounded by labels×64) + a
+    labels-sized roll-up; the driver never sees a vector."""
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    ints = emb.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)"
+            " AS BIGINT))"
+        ).alias("ev"),
+    )
+    d38 = "decimal(38,0)"
+    normas = ints.select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("ev"), F.col("ev"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast(d38).alias("n2"),
+    )
+    elems = ints.select(
+        "label", F.posexplode("ev").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    sums = elems.groupBy("label", "d").agg(F.sum("x").cast(d38).alias("s"))
+    por_label = normas.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("vectores"),
+        F.sum("n2").cast(d38).alias("a"),
+    )
+    b_label = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast(d38).alias("b")
+    )
+    intra = por_label.join(b_label, "label").select(
+        "label",
+        "vectores",
+        (F.col("vectores").cast(d38) * F.col("a") - F.col("b")).alias("intra_l"),
+    )
+    sums_g = sums.groupBy("d").agg(F.sum("s").cast(d38).alias("sg"))
+    glob = (
+        por_label.agg(
+            F.sum("vectores").cast("bigint").alias("n_g"),
+            F.sum("a").cast(d38).alias("a_g"),
+        )
+        .crossJoin(
+            sums_g.agg(F.sum(F.col("sg") * F.col("sg")).cast(d38).alias("b_g"))
+        )
+    )
+    return intra.crossJoin(F.broadcast(glob)).select(
+        F.col("label").cast("int").alias("label"),
+        "vectores",
+        F.expr("(1000 * vectores) div n_g").cast("bigint").alias("share_milli"),
+        F.floor(
+            (
+                F.lit(1000.0)
+                * (
+                    F.col("intra_l").cast("double")
+                    / (F.col("vectores").cast("double") * F.col("vectores"))
+                )
+            )
+            / (
+                (F.col("n_g").cast(d38) * F.col("a_g") - F.col("b_g")).cast(
+                    "double"
+                )
+                / (F.col("n_g").cast("double") * F.col("n_g"))
+            )
+        ).cast("bigint").alias("dispersion_rel_milli"),
+    )

@@ -50,6 +50,7 @@ SMOKE = [
     "sesgo_duplicados",
     "temas_centroides",
     "dedup_subcadenas_incremental",
+    "equilibrio_etiquetas",
     "anomalias_trafico",
     "atribucion_multitoque",
     "rfm_segmentacion",
