@@ -31,6 +31,27 @@ from etl_python_airflow_bigquery_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixed-membership subtotal for ROUND-OVER-ROUND comparability: the bench
+# set grows as operators land (11→13→17→21+ across rounds), so total_wall
+# is not comparable between rounds. core_wall IS: the 11 queries benched
+# since round 1 plus corpus_desduplicado (the dedup endgame, benched since
+# round 4). This tuple is PINNED — never add to or remove from it; new
+# queries change total_wall only. BASELINE.md tables core_wall per round.
+CORE_12 = (
+    "indicadores_total",
+    "pricing_summary",
+    "funnel_vip",
+    "programas_live",
+    "bloques_pivot",
+    "superposicion_hora",
+    "similarity_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sessionization",
+    "rollup_periodos",
+    "corpus_desduplicado",
+)
+
 
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -87,6 +108,9 @@ def main() -> int:
     if len(sys.argv) == 3 and sys.argv[1] == "--one":
         return _run_one(sys.argv[2])
     names = [n for n, q in REGISTRY.items() if q.bench] or list(REGISTRY)
+    # the pinned core must be timed even if a member ever leaves the
+    # gated set — core_wall's membership never changes
+    names += [n for n in CORE_12 if n not in names]
     reps_env = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     stat_env = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
     if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1":
@@ -95,6 +119,7 @@ def main() -> int:
             "metric": "total_wall",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
+            "core_wall": round(sum(timings[n] for n in CORE_12 if n in timings), 3),
             "queries": timings,
             "sf": sf_of(SF_DIR),
             "mode": "cold",
@@ -139,6 +164,9 @@ def main() -> int:
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # fixed-membership subtotal (CORE_12): THE round-over-round
+        # comparable number — total_wall changes meaning as the set grows
+        "core_wall": round(sum(timings[n] for n in CORE_12 if n in timings), 3),
         "queries": timings,
         # per-query max−min over the reps: the session-noise bar to read
         # the headline numbers against (BASELINE.md round-4 noise note —

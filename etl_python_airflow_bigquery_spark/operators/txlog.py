@@ -620,7 +620,16 @@ class TxTable:
         (the retention window is the undo horizon). The change feed
         treats a restore as a rewrite: ``changes`` across it raises
         NonIncrementalHistory, exactly like merge/overwrite."""
-        m = self._manifest(version)
+        try:
+            m = self._manifest(version)
+        except FileNotFoundError as exc:
+            # vacuum drops old MANIFESTS too — a vacuumed target version
+            # is the same "past the undo horizon" condition as vacuumed
+            # data files, and must fail with the same documented error.
+            raise ValueError(
+                f"restore: version {version} has no manifest (vacuumed) — "
+                "past the retention undo horizon"
+            ) from exc
         missing = [
             n
             for n in self._names(m["files"])

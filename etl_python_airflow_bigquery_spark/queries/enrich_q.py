@@ -157,7 +157,11 @@ def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S5/S6 + A12 — GA demographic pipeline end to end
 # --------------------------------------------------------------------------
 
-_GA_PIPE_ORACLE = """
+from etl_python_airflow_bigquery_spark.queries.reshape import (  # noqa: E402
+    RATE_METRICS_SQL,
+)
+
+_GA_PIPE_ORACLE = f"""
 WITH demo AS (
     SELECT event_type AS metrica,
            CASE user_id % 4 WHEN 0 THEN 'f18-34' WHEN 1 THEN 'f35+'
@@ -172,7 +176,7 @@ totals AS (
     FROM events GROUP BY 1
 )
 SELECT d.metrica, d.demografico, d.sesiones,
-       CASE WHEN d.metrica IN ('error', 'signup')
+       CASE WHEN d.metrica IN ({RATE_METRICS_SQL})
             THEN t.total_metric / t.n
             ELSE round(t.total_metric * d.sesiones
                        / (sum(d.sesiones) OVER (PARTITION BY d.metrica)))

@@ -206,7 +206,11 @@ def bloques_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applies to every split as-is. The synthetic estate's rate-class stand-ins:
 RATE_METRICS = ("error", "signup")
 
-_ALLOC_ORACLE = """
+# Interpolated into every oracle that mirrors the rate-metric exemption,
+# so the SQL twin can never drift from the Spark-side class.
+RATE_METRICS_SQL = ", ".join(f"'{m}'" for m in RATE_METRICS)
+
+_ALLOC_ORACLE = f"""
 WITH demo AS (
     SELECT event_type,
            CASE user_id % 4 WHEN 0 THEN 'f18-34' WHEN 1 THEN 'f35+'
@@ -221,7 +225,7 @@ totals AS (
     FROM events GROUP BY 1
 )
 SELECT d.event_type, d.demografico, d.visitas,
-       CASE WHEN d.event_type IN ('error', 'signup')
+       CASE WHEN d.event_type IN ({RATE_METRICS_SQL})
             THEN t.total_metric / t.n
             ELSE round(t.total_metric * d.visitas
                        / (sum(d.visitas) OVER (PARTITION BY d.event_type)))

@@ -375,7 +375,15 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming curation gate — the Gopher rules applied in-stream
 # --------------------------------------------------------------------------
 
-_CALIDAD_STREAM_ORACLE = """
+from etl_python_airflow_bigquery_spark.queries.text import (  # noqa: E402
+    _STOP_LIST_SQL,
+)
+
+# The stop-word rule MUST use the same list as the Spark-side
+# gopher_flags projection (queries/text.py STOPWORDS) — built from the
+# shared _STOP_LIST_SQL constant so an edit to STOPWORDS cannot
+# silently break batch/stream oracle parity.
+_CALIDAD_STREAM_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
     FROM documents
@@ -389,7 +397,7 @@ por_doc AS (
            CAST(count(*) FILTER (regexp_matches(w, '[A-Za-z]')) AS BIGINT)
                AS alfa,
            CAST(count(DISTINCT w)
-                FILTER (list_contains(['the', 'a', 'or', 'and', 'of'], w))
+                FILTER (list_contains({_STOP_LIST_SQL}, w))
                 AS BIGINT) AS stops
     FROM tok GROUP BY doc_id, source
 )

@@ -1749,10 +1749,16 @@ def busqueda_frases(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigramas = docs.select(
         "doc_id",
         F.explode(
+            # Guard the positional fan-out by size: a single-token or
+            # empty/NULL-text doc has no adjacent pair, and an unguarded
+            # sequence(1, size-1) would force i=1 with toks[1] out of
+            # bounds — a hard INVALID_ARRAY_INDEX under ANSI mode.
             F.expr(
-                "filter(transform(sequence(1, greatest(size(toks) - 1, 1)), "
+                "CASE WHEN size(toks) >= 2 THEN "
+                "filter(transform(sequence(1, size(toks) - 1), "
                 "i -> struct(toks[i-1] AS t1, toks[i] AS t2)), "
-                "p -> p.t1 != '' AND p.t2 != '' AND p.t2 IS NOT NULL)"
+                "p -> p.t1 != '' AND p.t2 != '') "
+                "ELSE cast(array() AS array<struct<t1:string,t2:string>>) END"
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))

@@ -146,6 +146,19 @@ def test_every_survey_op_keeps_a_driver_row():
     )
 
 
+def test_every_registry_op_tag_is_mapped():
+    """Coverage-map invariant: every op tag any query carries must have a
+    row in tools/coverage_map.py's OP_LABELS (single-letter family tags
+    S*/K* roll up to their family row) — otherwise the generated
+    COVERAGE.md silently drops coverage the registry actually has."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+    from tools.coverage_map import OP_LABELS
+
+    tagged = {op for q in REGISTRY.values() for op in q.ops}
+    unmapped = sorted(tagged - set(OP_LABELS))
+    assert unmapped == [], f"op tags missing from OP_LABELS: {unmapped}"
+
+
 def test_readme_registry_counts_match_code():
     """The README's registry counts are hand-maintained next to each new
     operator — pin them to the code so the docs cannot drift."""

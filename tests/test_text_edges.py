@@ -1,0 +1,81 @@
+"""Hostile-text edge cases for the text family (ADVICE r5, high):
+legitimate corpora contain single-token docs (URLs, no-space scripts),
+empty strings, and NULL text. Under Spark 4's default ANSI mode an
+unguarded positional fan-out (sequence(1, size-1) with a floor of 1)
+throws INVALID_ARRAY_INDEX on such docs, while the DuckDB oracle
+returns normally — a silent engine divergence. These tests pin both
+engines on a fixture that contains every hostile shape."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY
+from tools.compare import compare_frames
+
+HOSTILE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "hello world hello world", "en", "web", 23),
+    (2, "single", "en", "web", 6),  # single token: no adjacent pair
+    (3, "", "en", "web", 0),  # empty text
+    (4, None, "en", "web", 0),  # NULL text
+    (5, "http://example.com/no-space-url", "en", "web", 31),  # no-space doc
+    (6, "hello world again", "en", "books", 17),
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("hostile_text"))
+    cols = list(zip(*HOSTILE_DOCS))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    return out
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_busqueda_frases_hostile_docs_matches_oracle(spark, hostile_sf_dir):
+    q = REGISTRY["busqueda_frases"]
+    got = q.fn(spark, hostile_sf_dir).toPandas()
+    want = _oracle(hostile_sf_dir, q.oracle)
+    assert compare_frames(got, want) == []
+    # the phrase is "hello world" (2+1 occurrences) and only docs 1 and 6 match
+    assert set(got["doc_id"]) == {1, 6}
+    assert (got["frase"] == "hello world").all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["reglas_gopher", "ley_heaps", "token_count", "lang_id_ngram",
+     "doc_fingerprint", "dedup_subcadenas", "colocaciones_pmi"],
+)
+def test_text_family_survives_hostile_docs(spark, hostile_sf_dir, name):
+    if name not in REGISTRY:
+        pytest.skip(f"{name} not registered")
+    df = REGISTRY[name].fn(spark, hostile_sf_dir)
+    df.count()  # must not raise (INVALID_ARRAY_INDEX, div-by-zero, ...)

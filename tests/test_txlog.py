@@ -571,9 +571,10 @@ def test_restore_flips_head_to_old_snapshot(spark, tmp_path):
     # the feed across the restore is non-incremental by contract
     with pytest.raises(NonIncrementalHistory):
         t.changes(spark, since_version=1).collect()
-    # vacuum away everything but HEAD, then try restoring the dropped v2
+    # vacuum away everything but HEAD, then try restoring the dropped v2:
+    # whether the manifest itself or its files were reclaimed, the
+    # DOCUMENTED error is the undo-horizon ValueError (a raw
+    # FileNotFoundError here would break callers that catch the contract)
     t.vacuum(keep_versions=1, retention_s=0.0)
-    with pytest.raises(Exception):
-        # v2's manifest itself is gone (or its files are) — either way
-        # the undo horizon is passed and the restore must not succeed
+    with pytest.raises(ValueError, match="undo horizon"):
         t.restore(2)
