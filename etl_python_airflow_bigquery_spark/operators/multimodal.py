@@ -4,10 +4,14 @@ Arrow-batched pandas over ``mapInPandas``.
 
 The decode step is REAL for container headers: pure-Python parsers read
 PNG IHDR dimensions, JPEG SOF dimensions, and WAV fmt/data duration —
-no codec libraries needed. Full-frame pixel/sample decode (e.g. mp4)
-still requires a codec stack the container doesn't ship, so that branch
-raises NotImplementedError and the extractor degrades to byte-level
-features (documented stub; a deployment drops in PIL/libav there).
+no codec libraries needed. Full-frame pixel/sample decode goes through
+an INJECTABLE codec registry (the maxminddb pattern from
+operators/enrich.py:150): stdlib ``wave`` serves WAV sample decode
+everywhere, PIL/PyAV are picked up automatically when installed, and a
+deployment can ``register_codec`` anything else. A format with no
+available codec raises the typed ``CodecUnavailable`` and the extractor
+degrades to byte-level features — multimodal pipelines must degrade,
+not die.
 
 Scale shape: media bytes never shuffle for feature extraction — the
 mapInPandas stage is map-only over whatever partitioning the source
@@ -108,21 +112,113 @@ def _decode_wav(payload: bytes) -> dict:
     raise ValueError("no data chunk found")
 
 
+class CodecUnavailable(Exception):
+    """No codec stack can decode this format here — the typed signal
+    extractors catch to degrade to byte-level features instead of dying
+    (the optional-dependency contract open_geo_db uses for maxminddb)."""
+
+
+# Injectable full-decode codec registry: format → callable(payload) →
+# dict of decoded fields (n_samples / duration_ms / width / height /
+# n_frames, whichever apply). A deployment injects its codec stack
+# explicitly; `open_media_codec` also auto-detects optional libraries.
+_CODECS: dict[str, object] = {}
+
+
+def register_codec(fmt: str, fn) -> None:
+    """Inject a real decoder for ``fmt`` (e.g. a PIL- or libav-backed
+    callable). Explicit registrations win over auto-detection."""
+    _CODECS[fmt] = fn
+
+
+def open_media_codec(fmt: str):
+    """Resolve a FULL-decode codec for ``fmt``: explicit registration
+    first, then optional libraries (PIL for images, PyAV for video),
+    then the stdlib ``wave`` module for WAV (always present — real PCM
+    sample decode with no third-party dep). None ⇒ no codec here."""
+    if fmt in _CODECS:
+        return _CODECS[fmt]
+    if fmt in ("png", "jpeg"):
+        try:
+            from PIL import Image  # optional dep, absent in this sandbox
+        except ImportError:
+            return None
+
+        def _img(payload: bytes) -> dict:
+            import io
+
+            with Image.open(io.BytesIO(payload)) as im:
+                im.load()
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "n_samples": im.width * im.height,
+                }
+
+        return _img
+    if fmt == "wav":
+        import io
+        import wave as _wave
+
+        def _wav(payload: bytes) -> dict:
+            with _wave.open(io.BytesIO(payload)) as wv:
+                n, rate = wv.getnframes(), wv.getframerate()
+                return {"n_samples": n, "duration_ms": n * 1000 // rate}
+
+        return _wav
+    if fmt == "mp4":
+        try:
+            import av  # optional dep, absent in this sandbox
+        except ImportError:
+            return None
+
+        def _mp4(payload: bytes) -> dict:
+            import io
+
+            with av.open(io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                return {
+                    "n_frames": stream.frames,
+                    "width": stream.codec_context.width,
+                    "height": stream.codec_context.height,
+                }
+
+        return _mp4
+    return None
+
+
 def decode_media(payload: bytes, fmt: str) -> dict:
     """Pure-Python HEADER decode for png/jpeg/wav (dimensions/duration
-    without codec deps). Formats needing a real codec stack (mp4 frame
-    sampling etc.) raise — the extractor degrades to byte features."""
+    without codec deps). Other formats resolve through the injectable
+    codec registry; with no codec available the typed CodecUnavailable
+    raises and the extractor degrades to byte features."""
     if fmt == "png":
         return _decode_png(payload)
     if fmt == "jpeg":
         return _decode_jpeg(payload)
     if fmt == "wav":
         return _decode_wav(payload)
-    raise NotImplementedError(
-        f"media decode for format={fmt!r} requires a codec library not "
-        "present in this environment (e.g. av.open for mp4); "
-        "extract_features falls back to byte-level features"
-    )
+    codec = open_media_codec(fmt)
+    if codec is None:
+        raise CodecUnavailable(
+            f"no codec available for format={fmt!r} (inject one via "
+            "register_codec, or install PIL/PyAV); extract_features "
+            "falls back to byte-level features"
+        )
+    dec = dict(codec(payload))
+    dec.setdefault("header_len", 0)
+    return dec
+
+
+def decode_samples(payload: bytes, fmt: str) -> dict:
+    """FULL decode through the codec registry (vs decode_media's
+    header-only fast path): real pixel/sample-level fields from an
+    actual codec. Raises CodecUnavailable when no codec serves ``fmt``
+    — WAV always decodes (stdlib wave)."""
+    codec = open_media_codec(fmt)
+    if codec is None:
+        raise CodecUnavailable(f"no codec available for format={fmt!r}")
+    return dict(codec(payload))
 
 
 def _byte_features(payload: bytes) -> tuple[int, int]:
@@ -150,7 +246,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 body = payload[dec["header_len"] :]
                 w, h = dec.get("width"), dec.get("height")
                 dur = dec.get("duration_ms")
-            except NotImplementedError:
+            except CodecUnavailable:
                 pass
             nb, ck = _byte_features(body)
             n_bytes.append(nb)

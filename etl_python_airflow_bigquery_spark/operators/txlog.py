@@ -360,7 +360,17 @@ class TxTable:
         change on a shared column is rejected loudly: the parquet reader
         cannot coerce a physical INT64 file under an int manifest, so
         such an append would poison every later read of the older
-        files."""
+        files.
+
+        RENAME-shaped evolution is also rejected loudly: an append that
+        simultaneously drops column X and adds column Y of the same type
+        is indistinguishable from a rename, and silently treating a
+        rename as drop+add breaks ``changes()`` consumers mid-stream
+        (old rows read NULL under the new name with no signal). There is
+        no mapped-rename support — to rename, ``overwrite`` with the new
+        schema (the change feed already flags that as NonIncremental);
+        to genuinely drop one column and add an unrelated same-typed
+        one, do it in two appends so the intent is unambiguous."""
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
         if parent >= 0:
@@ -370,16 +380,35 @@ class TxTable:
                     json.loads(self._manifest(parent)["schema"])
                 ).fields
             }
+            new_types = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
             clash = [
-                f"{f.name}: {old_types[f.name]} -> {f.dataType.simpleString()}"
-                for f in df.schema.fields
-                if f.name in old_types
-                and f.dataType.simpleString() != old_types[f.name]
+                f"{n}: {old_types[n]} -> {t}"
+                for n, t in new_types.items()
+                if n in old_types and t != old_types[n]
             ]
             if clash:
                 raise ValueError(
                     f"append type drift on {self.path!r} ({'; '.join(clash)}):"
                     " cast the batch or use overwrite/merge for type changes"
+                )
+            dropped = {n: t for n, t in old_types.items() if n not in new_types}
+            added = {n: t for n, t in new_types.items() if n not in old_types}
+            renames = [
+                f"{d} -> {a}"
+                for d, dt in dropped.items()
+                for a, at in added.items()
+                if dt == at
+            ]
+            if renames:
+                raise ValueError(
+                    f"rename-shaped evolution on {self.path!r} "
+                    f"({'; '.join(renames)}): one append drops a column and "
+                    "adds a same-typed one — ambiguous with a rename, which "
+                    "would silently break changes() consumers. Use overwrite "
+                    "for renames, or two separate appends for an unrelated "
+                    "drop+add"
                 )
         new = self._write_files(df)
         return self._claim(

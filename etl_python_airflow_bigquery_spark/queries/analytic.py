@@ -1118,7 +1118,7 @@ FROM r{_PR_ITER}
 
 
 @register("grafo_pagerank", oracle=_pagerank_oracle(), ops=("J1", "A1"),
-          bench=True)
+          bench=True, driver=False)
 def grafo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK over the bipartite customer↔supplier purchase graph
     (edges = distinct trading pairs from lineitem⋈orders, walked

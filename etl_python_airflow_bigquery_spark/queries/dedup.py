@@ -102,6 +102,14 @@ def clear_session_caches() -> None:
     reuse."""
     _SHINGLES_CACHE.clear()
     _PARES_CACHE.clear()
+    # the lang-ID prediction cache follows the same contract (text.py);
+    # cleared here so every timed-harness / block-purging caller that
+    # already calls this function covers it too
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        clear_lang_pred_cache,
+    )
+
+    clear_lang_pred_cache()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

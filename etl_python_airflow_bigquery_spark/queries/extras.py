@@ -190,7 +190,7 @@ FROM events
 """
 
 
-@register("global_scalar", oracle=_SCALAR_ORACLE, ops=("A6", "A2"))
+@register("global_scalar", oracle=_SCALAR_ORACLE, ops=("A6", "A2"), driver=False)
 def global_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-row global aggregate — the reference's one-number device
     count (email_ratpack.py:44-48). Partial aggregation makes this a

@@ -2975,7 +2975,7 @@ FROM rk WHERE pos <= 3
 
 
 @register("temas_centroides", oracle=_TEMAS_ORACLE, ops=("NN2", "TX1", "O7"),
-          driver=False, bench=True)
+          bench=True)
 def temas_centroides(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER LABELING — the interpretation step after the embedding
     k-means: each coarse cell gets its top-3 rarity-weighted terms
@@ -3081,7 +3081,7 @@ FROM intra i CROSS JOIN totales g
 
 
 @register("equilibrio_etiquetas", oracle=_EQUILIBRIO_ORACLE,
-          ops=("NN2", "A6", "A3"), driver=False)
+          ops=("NN2", "A6", "A3"))
 def equilibrio_etiquetas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL BALANCE + DISPERSION audit over the embedding space: per
     label its vector share (milli) and its intra-label dispersion

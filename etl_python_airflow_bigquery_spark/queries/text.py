@@ -55,7 +55,8 @@ GROUP BY 1
 """
 
 
-@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, ops=("DD1", "A2"))
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, ops=("DD1", "A2"),
+          driver=False)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-hash groupBy keeping the lowest doc_id per
     distinct text. One shuffle on the 128-bit hash — the canonical
@@ -128,7 +129,7 @@ FROM stats
 """
 
 
-@register("text_quality", oracle=_QUALITY_ORACLE, ops=("TX2",))
+@register("text_quality", oracle=_QUALITY_ORACLE, ops=("TX2",), driver=False)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring per document: word count, stopword ratio, distinct
     ratio, mean word length, and a Gopher-style keep/drop rule. Ratios
@@ -210,12 +211,46 @@ LEFT JOIN mejor m ON m.doc_id = d.doc_id AND m.rn = 1
 """
 
 
+# Session-scoped per-doc language-prediction cache (the _shingles
+# pattern from queries/dedup.py): TWO consumers exist (lang_id_ngram
+# itself and idioma_confusion's confusion matrix), and the trigram
+# explode is the family's dominant cost — one materialization serves
+# both within a session. dedup.clear_session_caches() clears this too,
+# so bench.py / scale_probe reps keep reporting the real plan cost.
+_LANG_PRED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LANG_PRED_CACHE_MAX = 8
+
+
+def clear_lang_pred_cache() -> None:
+    _LANG_PRED_CACHE.clear()
+
+
+def _lang_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _LANG_PRED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _lang_id_frame(spark, sf_dir).localCheckpoint(eager=False)
+    while len(_LANG_PRED_CACHE) >= _LANG_PRED_CACHE_MAX:
+        _LANG_PRED_CACHE.pop(next(iter(_LANG_PRED_CACHE)))
+    _LANG_PRED_CACHE[key] = out
+    return out
+
+
 @register("lang_id_ngram", oracle=_LANG_ORACLE, ops=("TX3",))
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID: explode each doc into trigrams,
     broadcast-join the profile table, vote per (doc, lang), argmax via
     row_number. The profile join is a broadcast; the heavy explode is
-    map-side; one shuffle for the vote."""
+    map-side; one shuffle for the vote. Predictions materialize ONCE per
+    (session, dataset) via `_lang_preds` — `idioma_confusion` shares
+    the same frame instead of re-running the explode."""
+    return _lang_preds(spark, sf_dir)
+
+
+def _lang_id_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tri = docs.where(F.col("n_chars") >= 3).select(
         "doc_id",
@@ -270,7 +305,8 @@ FROM fps GROUP BY doc_id
 """
 
 
-@register("doc_fingerprint", oracle=_FP_ORACLE, ops=("TX4", "W1"))
+@register("doc_fingerprint", oracle=_FP_ORACLE, ops=("TX4", "W1"),
+          driver=False)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (the public Schleimer/Wilkerson/Aiken
     scheme): hash every 5-char gram, keep the min hash of each sliding
@@ -1466,20 +1502,25 @@ GROUP BY hs.doc_id
 
 
 def subcadena_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) window hashes — the span-dedup index rows: fixed
+    """(doc_id, i, h) window hashes — the span-dedup index rows: fixed
     windows generated MAP-SIDE from each doc's text (sequence+transform,
     fan-out len/stride per doc), hashed with the engine-shared md5
-    prefix. Shared by the batch span dedup and its incremental probe."""
+    prefix; ``i`` is the window's index (start char = i·stride), which
+    the span CUTTER needs to excise duplicated windows in place. Shared
+    by the batch span dedup, its incremental probe, and both cut
+    consumers."""
     wins = docs.where(F.length("text") >= _SUBC_W).select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"transform(sequence(0, (length(text) - {_SUBC_W}) div {_SUBC_S}),"
-                f" i -> substring(text, i * {_SUBC_S} + 1, {_SUBC_W}))"
+                f" i -> substring(text, cast(i * {_SUBC_S} + 1 as int), {_SUBC_W}))"
             )
-        ).alias("w"),
+        ).alias("i", "w"),
     )
-    return wins.select("doc_id", hex_hash(F.col("w")).alias("h"))
+    return wins.select(
+        "doc_id", F.col("i").cast("bigint").alias("i"), hex_hash(F.col("w")).alias("h")
+    )
 
 
 @register("dedup_subcadenas", oracle=_SUBCADENAS_ORACLE,
@@ -1527,6 +1568,194 @@ def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Span-dedup CUT consumer — reconstruct documents with duplicated windows
+# excised (the Lee et al. 2022 endgame: train on the cleaned text)
+# --------------------------------------------------------------------------
+
+# The tile algebra below requires window = exactly two strides: window i
+# covers chars [i·S+1, i·S+2S] = tiles i and i+1, so "cut the union of
+# duplicated windows" ≡ "cut the union of tiles {i, i+1}" — no interval
+# merge, no fold, and both engines rebuild by filtered tile concat.
+assert _SUBC_W == 2 * _SUBC_S, "span cut tiling assumes W == 2*S"
+
+_SIN_SUBC_SELECT = f"""
+SELECT d.doc_id,
+       CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_original,
+       CAST(length(coalesce(l.texto, '')) AS BIGINT) AS n_limpio,
+       md5(coalesce(l.texto, '')) AS huella
+"""
+
+_SIN_SUBC_ORACLE = f"""
+WITH ventanas AS (
+    SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+           {_hex_hash_sql(f"substring(text, CAST(g.i * {_SUBC_S} + 1 AS INT), {_SUBC_W})")} AS h
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             (length(text) - {_SUBC_W}) // {_SUBC_S})) AS g(i)
+    WHERE length(text) >= {_SUBC_W}
+),
+rep AS (SELECT h FROM ventanas GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cortes AS (
+    SELECT DISTINCT v.doc_id, v.i + o.o AS tile
+    FROM ventanas v JOIN rep USING (h), LATERAL unnest([0, 1]) AS o(o)
+),
+trozos AS (
+    SELECT d.doc_id, CAST(g.t AS BIGINT) AS tile,
+           substring(d.text, CAST(g.t * {_SUBC_S} + 1 AS INT), {_SUBC_S}) AS trozo
+    FROM documents d,
+         LATERAL unnest(generate_series(0,
+             (length(d.text) - 1) // {_SUBC_S})) AS g(t)
+    WHERE coalesce(length(d.text), 0) >= 1
+),
+limpio AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(t.trozo, '' ORDER BY t.tile)
+                    FILTER (c.tile IS NULL), '') AS texto
+    FROM trozos t LEFT JOIN cortes c
+      ON t.doc_id = c.doc_id AND t.tile = c.tile
+    GROUP BY t.doc_id
+)
+{_SIN_SUBC_SELECT}
+FROM documents d LEFT JOIN limpio l USING (doc_id)
+"""
+
+
+def _rebuild_sin_cortes() -> Column:
+    """Filtered-tile document rebuild: keep every stride-sized tile whose
+    index is not in the per-doc cut set, concat in order — all MAP-SIDE
+    column expressions after the cut-set join. The length >= 1 guard
+    keeps the tile sequence bound non-negative (Spark `div` truncates
+    while DuckDB `//` floors, so a -1 div would diverge)."""
+    return F.expr(
+        f"CASE WHEN coalesce(length(text), 0) = 0 THEN '' "
+        f"ELSE array_join(transform(filter("
+        f"sequence(0, cast((length(text) - 1) div {_SUBC_S} as bigint)), "
+        f"t -> NOT array_contains("
+        f"coalesce(cortes, CAST(array() AS ARRAY<BIGINT>)), t)), "
+        f"t -> substring(text, cast(t * {_SUBC_S} + 1 as int), {_SUBC_S})), '') "
+        f"END"
+    )
+
+
+def _cut_output(docs: DataFrame, cortes: DataFrame) -> DataFrame:
+    """(doc_id, n_original, n_limpio, huella) from docs + per-doc cut
+    tile sets: md5 pins the reconstructed CONTENT exactly cross-engine
+    without hauling full texts through the compare."""
+    return (
+        docs.join(cortes, "doc_id", "left")
+        .select("doc_id", "text", _rebuild_sin_cortes().alias("texto"))
+        .select(
+            "doc_id",
+            F.coalesce(F.length("text"), F.lit(0)).cast("bigint").alias("n_original"),
+            F.length("texto").cast("bigint").alias("n_limpio"),
+            F.md5("texto").alias("huella"),
+        )
+    )
+
+
+@register("corpus_sin_subcadenas", oracle=_SIN_SUBC_ORACLE,
+          ops=("DD1", "TX4", "A8"))
+def corpus_sin_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL corpus cleaning — the consumer of `dedup_subcadenas`'s
+    cut list, completing the family the way `corpus_desduplicado`
+    completes doc-level dedup (Lee et al. 2022: EXCISE duplicated
+    substrings and train on the cleaned text, don't just score them).
+    Every window whose hash appears in ≥2 distinct documents is cut
+    from EVERY document carrying it; each doc is reconstructed from its
+    surviving stride-tiles and content-pinned with md5. Docs shorter
+    than one window (or empty/NULL) pass through whole.
+
+    Scale shape: windows and tiles generate map-side; shuffles are the
+    window-hash aggregation (partial-agg), the hash equi-join back, and
+    one per-doc collect_set of cut-tile indices — bounded by doc
+    length/stride, never corpus². The rebuild is pure column
+    expressions; no fold, no interval merge, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = subcadena_hashes(docs)
+    rep = (
+        hs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2)
+        .select("h")
+    )
+    cortes = (
+        hs.join(rep, "h")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("i"), F.col("i") + F.lit(1))).alias("tile"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tile").alias("cortes"))
+    )
+    return _cut_output(docs, cortes)
+
+
+_SIN_SUBC_INC_ORACLE = f"""
+WITH ventanas AS (
+    SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+           {_hex_hash_sql(f"substring(text, CAST(g.i * {_SUBC_S} + 1 AS INT), {_SUBC_W})")} AS h
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             (length(text) - {_SUBC_W}) // {_SUBC_S})) AS g(i)
+    WHERE length(text) >= {_SUBC_W}
+),
+indice AS (SELECT DISTINCT h FROM ventanas WHERE doc_id % 10 != 0),
+cortes AS (
+    SELECT DISTINCT v.doc_id, v.i + o.o AS tile
+    FROM ventanas v JOIN indice USING (h), LATERAL unnest([0, 1]) AS o(o)
+    WHERE v.doc_id % 10 = 0
+),
+trozos AS (
+    SELECT d.doc_id, CAST(g.t AS BIGINT) AS tile,
+           substring(d.text, CAST(g.t * {_SUBC_S} + 1 AS INT), {_SUBC_S}) AS trozo
+    FROM documents d,
+         LATERAL unnest(generate_series(0,
+             (length(d.text) - 1) // {_SUBC_S})) AS g(t)
+    WHERE coalesce(length(d.text), 0) >= 1 AND d.doc_id % 10 = 0
+),
+limpio AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(t.trozo, '' ORDER BY t.tile)
+                    FILTER (c.tile IS NULL), '') AS texto
+    FROM trozos t LEFT JOIN cortes c
+      ON t.doc_id = c.doc_id AND t.tile = c.tile
+    GROUP BY t.doc_id
+)
+{_SIN_SUBC_SELECT}
+FROM documents d LEFT JOIN limpio l USING (doc_id)
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@register("corpus_sin_subcadenas_incremental", oracle=_SIN_SUBC_INC_ORACLE,
+          ops=("DD1", "TX4", "J2"), driver=False)
+def corpus_sin_subcadenas_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL span cutting — the daily-ingest write path paired
+    with `dedup_subcadenas_incremental`'s read path: the NEW BATCH
+    (every 10th doc_id) probes the stored corpus window index
+    (`subcadena_hashes` over the rest — exactly what the batch op
+    maintains) and every window the corpus has already seen is excised
+    from the incoming document before it reaches a training shard.
+    Cost ∝ batch windows × index hit rate, never corpus²; the index is
+    hash-partitioned and the batch side is batch-sized. Within-batch
+    duplication is the batch op's job — this is the cross-corpus cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = subcadena_hashes(docs)
+    indice = hs.where(F.col("doc_id") % 10 != 0).select("h").distinct()
+    nuevos_hs = hs.where(F.col("doc_id") % 10 == 0)
+    cortes = (
+        nuevos_hs.join(indice, "h")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("i"), F.col("i") + F.lit(1))).alias("tile"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tile").alias("cortes"))
+    )
+    return _cut_output(docs.where(F.col("doc_id") % 10 == 0), cortes)
+
+
+# --------------------------------------------------------------------------
 # Temperature-based mixture sampling — the multilingual upsampling idiom
 # --------------------------------------------------------------------------
 
@@ -1558,7 +1787,7 @@ FROM pesos p CROSS JOIN tot t
 
 
 @register("muestreo_temperatura", oracle=_TEMPERATURA_ORACLE,
-          ops=("A6", "A1", "J6"), driver=False)
+          ops=("A6", "A1", "J6"))
 def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPERATURE sampling shares (α = 0.5): per-source sampling weight
     ∝ tokens^α — the multilingual/multi-source upsampling rule (mT5-style
@@ -2098,7 +2327,7 @@ GROUP BY n.doc_id
 
 
 @register("dedup_subcadenas_incremental", oracle=_SUBC_INC_ORACLE,
-          ops=("DD1", "TX4", "J2"), driver=False)
+          ops=("DD1", "TX4", "J2"))
 def dedup_subcadenas_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL span dedup — the daily-ingest read path of
     `dedup_subcadenas`: the NEW BATCH (every 10th doc_id) generates its

@@ -50,6 +50,8 @@ SMOKE = [
     "sesgo_duplicados",
     "temas_centroides",
     "dedup_subcadenas_incremental",
+    "corpus_sin_subcadenas",
+    "corpus_sin_subcadenas_incremental",
     "equilibrio_etiquetas",
     "anomalias_trafico",
     "atribucion_multitoque",

@@ -46,11 +46,80 @@ def test_decode_media_parses_real_headers():
     assert d["header_len"] == len(wav)
 
 
-def test_decode_media_codec_formats_still_stubbed():
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\x00\x01", "mp4")
+def test_decode_media_codecless_formats_raise_typed_error():
+    """Formats with no available codec raise the TYPED CodecUnavailable
+    (the degrade signal), never a bare NotImplementedError."""
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        CodecUnavailable,
+        open_media_codec,
+    )
+
+    if open_media_codec("mp4") is None:  # PyAV absent in this sandbox
+        with pytest.raises(CodecUnavailable, match="codec"):
+            decode_media(b"\x00\x01", "mp4")
     with pytest.raises(ValueError):
         decode_media(b"not a png", "png")
+
+
+def test_wav_full_decode_through_real_codec():
+    """The codec-injection path exercised with a REAL decoder: stdlib
+    ``wave`` fully parses the PCM container (no third-party dep), and
+    its sample-count-derived duration agrees with the header parser's
+    byte-rate-derived one."""
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        decode_samples,
+    )
+
+    data = b"\x00" * 32000
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    full = decode_samples(wav + data, "wav")
+    assert full["n_samples"] == 16000  # 32000 bytes / 2 bytes-per-sample
+    header = decode_media(wav + data, "wav")
+    assert abs(full["duration_ms"] - header["duration_ms"]) <= 1
+
+
+def test_injected_codec_wins_and_feeds_decode_media():
+    """register_codec injects a deployment decoder (the mmdb pattern):
+    decode_media routes codec-registry formats through it, and the
+    extractor would see real fields instead of the byte fallback."""
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        _CODECS,
+        register_codec,
+    )
+
+    def fake_mp4(payload: bytes) -> dict:
+        return {"n_frames": len(payload), "width": 64, "height": 48}
+
+    register_codec("mp4", fake_mp4)
+    try:
+        d = decode_media(b"\x00\x01\x02", "mp4")
+        assert d["n_frames"] == 3 and d["width"] == 64
+        assert d["header_len"] == 0  # injected decoders see the full payload
+    finally:
+        _CODECS.pop("mp4", None)
+
+
+def test_pil_image_full_decode_if_available():
+    """Env-gated like the mmdb test: when PIL is installed the image
+    formats decode pixels through it; skipped in codec-less sandboxes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        decode_samples,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 11)).save(buf, format="PNG")
+    full = decode_samples(buf.getvalue(), "png")
+    assert (full["width"], full["height"]) == (17, 11)
+    assert full["n_samples"] == 17 * 11
 
 
 def test_byte_features_deterministic():

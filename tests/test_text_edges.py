@@ -72,10 +72,61 @@ def test_busqueda_frases_hostile_docs_matches_oracle(spark, hostile_sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["reglas_gopher", "ley_heaps", "token_count", "lang_id_ngram",
-     "doc_fingerprint", "dedup_subcadenas", "colocaciones_pmi"],
+     "doc_fingerprint", "dedup_subcadenas", "colocaciones_pmi",
+     "corpus_sin_subcadenas", "corpus_sin_subcadenas_incremental"],
 )
 def test_text_family_survives_hostile_docs(spark, hostile_sf_dir, name):
     if name not in REGISTRY:
         pytest.skip(f"{name} not registered")
     df = REGISTRY[name].fn(spark, hostile_sf_dir)
     df.count()  # must not raise (INVALID_ARRAY_INDEX, div-by-zero, ...)
+
+
+def test_corpus_sin_subcadenas_cuts_exactly_the_shared_spans(spark, tmp_path):
+    """Content semantics pinned on a crafted corpus: two docs share one
+    40-char block at stride-aligned offsets; the cut removes exactly that
+    block (both tiles of the duplicated window) from BOTH docs and keeps
+    the distinct surroundings; a third doc with no shared span and a
+    short doc pass through byte-identical."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "X" * 19 + " " + "Y" * 19 + " "  # 40 chars, one window
+    a_pre, a_post = "a" * 40, "b" * 40
+    b_pre, b_post = "c" * 40, "d" * 40
+    rows = [
+        (1, a_pre + shared + a_post),
+        (2, b_pre + shared + b_post),
+        (3, "unique text with no shared span at all here"),
+        (4, "short"),
+    ]
+    out = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["web"] * 4, pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        _os.path.join(out, "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["corpus_sin_subcadenas"].fn(spark, out).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # the shared block occupies chars 41-80 of both docs — exactly window
+    # i=2 (windows start at 0,20,40,...); it is the only window hashing
+    # equal across distinct docs, so tiles {2,3} are cut and the pre
+    # (tiles 0,1) / post (tiles 4,5) 40-char runs survive.
+    assert got[1]["huella"] == md5(a_pre + a_post)
+    assert got[1]["n_limpio"] == 80 and got[1]["n_original"] == 120
+    assert got[2]["huella"] == md5(b_pre + b_post)
+    assert got[3]["huella"] == md5(rows[2][1])  # untouched
+    assert got[4]["huella"] == md5("short")  # sub-window doc passes whole

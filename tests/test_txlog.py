@@ -578,3 +578,98 @@ def test_restore_flips_head_to_old_snapshot(spark, tmp_path):
     t.vacuum(keep_versions=1, retention_s=0.0)
     with pytest.raises(ValueError, match="undo horizon"):
         t.restore(2)
+
+
+def test_append_refuses_rename_shaped_evolution(spark, tmp_path):
+    """Schema-evolution contract: column add OR remove is legal, but ONE
+    append that drops a column and adds a same-typed one is
+    rename-shaped — ambiguous with a rename, which would silently break
+    changes() consumers (old rows read NULL under the new name). The
+    contract is LOUD refusal; renames go through overwrite (whose change
+    feed already raises NonIncrementalHistory), and a genuine unrelated
+    drop+add goes through two appends."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 2.0)], "k BIGINT, precio DOUBLE")
+    )
+    # rename-shaped: precio (double) disappears, importe (double) appears
+    with pytest.raises(ValueError, match="rename-shaped"):
+        t.append(
+            spark.createDataFrame([(2, 3.0)], "k BIGINT, importe DOUBLE")
+        )
+    # same intent expressed unambiguously in two appends is legal:
+    t.append(spark.createDataFrame([(2,)], "k BIGINT"))  # drop precio
+    v = t.append(  # add importe
+        spark.createDataFrame([(3, 4.0)], "k BIGINT, importe DOUBLE")
+    )
+    assert v == 2 and t.read(spark).count() == 3
+    # drop+add with DIFFERENT types is not rename-shaped — legal in one
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([(1, 2.0)], "k BIGINT, precio DOUBLE"))
+    t2.append(spark.createDataFrame([(2, "x")], "k BIGINT, etiqueta STRING"))
+    assert t2.read(spark).count() == 2
+
+
+def test_interleaved_writers_one_commits_one_retries(spark, tmp_path):
+    """TWO-THREAD interleaving (VERDICT r5 #10): both writers read the
+    same parent version and stage files before either claims — a
+    lockstep barrier inside _write_files forces the true race window.
+    Exactly one claim must win; the loser gets a loud CommitConflict
+    (never a lost update, never a torn manifest) and a plain retry then
+    lands BOTH updates."""
+    import threading
+
+    path = str(tmp_path / "t")
+    TxTable(path).overwrite(
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 1.0)], "dia INT, k INT, v DOUBLE"
+        )
+    )
+    barrier = threading.Barrier(2, timeout=60)
+
+    class LockstepStage(TxTable):
+        # sync on the FIRST staging only: replace_partitions stages twice
+        # (incoming files, then survivors of overlapping files), and the
+        # race window we need is both-read-parent-before-either-claims,
+        # which the first staging already guarantees
+        _synced = False
+
+        def _write_files(self, df):
+            out = super()._write_files(df)
+            if not self._synced:
+                self._synced = True
+                barrier.wait()  # both writers staged; neither has claimed
+            return out
+
+    results: dict[str, tuple] = {}
+
+    def run(name, fn):
+        try:
+            results[name] = ("ok", fn())
+        except CommitConflict:
+            results[name] = ("conflict", None)
+
+    ta, tb = LockstepStage(path), LockstepStage(path)
+    new_a = spark.createDataFrame([(1, 10, 9.0)], "dia INT, k INT, v DOUBLE")
+    new_b = spark.createDataFrame([(2, 20, 7.0)], "dia INT, k INT, v DOUBLE")
+    th_a = threading.Thread(
+        target=run, args=("a", lambda: ta.replace_partitions(spark, new_a, ["dia"]))
+    )
+    th_b = threading.Thread(
+        target=run, args=("b", lambda: tb.merge(spark, new_b, key_cols=["k"]))
+    )
+    th_a.start(); th_b.start(); th_a.join(60); th_b.join(60)
+
+    outcomes = sorted(v[0] for v in results.values())
+    assert outcomes == ["conflict", "ok"], results
+    # no torn manifest: the table reads cleanly at the winner's version
+    t = TxTable(path)
+    assert t.read(spark).count() == 2
+    # the loser retries against the NEW head and both updates land
+    loser = next(n for n, v in results.items() if v[0] == "conflict")
+    if loser == "a":
+        t.replace_partitions(spark, new_a, ["dia"])
+    else:
+        t.merge(spark, new_b, key_cols=["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {10: 9.0, 20: 7.0}, got

@@ -123,19 +123,29 @@ def main() -> int:
             clear_session_caches,
         )
 
+        # Materialize like bench.py: an all-column checksum, NOT count().
+        # count() lets Catalyst eliminate a final left join whose right
+        # side is unique-per-key (the corpus_sin_subcadenas shape) and
+        # prune map-only projections — the probe would time a fraction of
+        # the plan. Probe rows recorded before round 6 used count().
+        def _mat(df):
+            df.select(F.xxhash64(*df.columns).alias("h")).agg(
+                F.expr("bit_xor(h)")
+            ).collect()
+
         for name in names:
-            REGISTRY[name].fn(spark, src).count()  # warm small
+            _mat(REGISTRY[name].fn(spark, src))  # warm small
             # the warm run populates the session materialization caches;
             # clear before EACH timed measurement or a cache-backed query
             # compares a warm base against a cold replica (the bench.py
             # honesty rule applied here too)
             clear_session_caches()
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, src).count()
+            _mat(REGISTRY[name].fn(spark, src))
             base = time.perf_counter() - t0
             clear_session_caches()
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, tmp).count()
+            _mat(REGISTRY[name].fn(spark, tmp))
             big = time.perf_counter() - t0
             ratio = big / base if base > 0 else float("inf")
             print(
