@@ -322,11 +322,25 @@ def ventana_particionada(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate prunes whole PARTITION DIRECTORIES at planning time
     (PartitionFilters in the scan, plan-pinned), which at 100 TB is the
     difference between touching a week and touching years. The window
-    derives from the data's own min day (one scalar to the driver), so
+    derives from the mart's own min day — read from the CATALOG
+    partition listing (SHOW PARTITIONS, zero data files) — so
     the query is scale-factor-proof; the oracle filters the raw events
     identically."""
     mart = eventos_particionados_mart(spark, sf_dir)
-    d0 = mart.agg(F.min("dia")).collect()[0][0]
+    name = mart_name("eventos_part", sf_dir)
+    if spark.catalog.tableExists(name):
+        # metadata-only window anchor: partition VALUES come from the
+        # catalog listing (SHOW PARTITIONS — O(#partitions), zero data
+        # files touched), so anchoring no longer costs a full pre-prune
+        # scan (the r5 soft spot). The fallback (unwritable warehouse)
+        # keeps the scan-derived anchor on its plain frame.
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {name}").collect()
+        ]
+        d0 = min(parts) if parts else None
+    else:
+        d0 = mart.agg(F.min("dia")).collect()[0][0]
     if d0 is None:
         return mart.select(
             F.col("dia"),

@@ -931,21 +931,12 @@ def _bpe_oracle(rounds: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
-@register("bpe_fusiones", oracle=_bpe_oracle(_BPE_ROUNDS), ops=("TX1", "A1"),
-          driver=False)
-def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE MERGE INDUCTION — the first 3 merges a byte-pair-encoding
-    tokenizer trainer learns: adjacent-pair statistics over the word
-    VOCABULARY (corpus frequencies as weights, so each round scans
-    vocab-sized data — the trainer never re-reads the corpus), greedy
-    argmax merge with (count DESC, pair ASC) tie-break, merged pair
-    collapsed to a placeholder symbol before the next round. The merge
-    table — one pair per round — is all that reaches the driver, the
-    same bounded-model contract as the k-means and PQ fits; at 100 TB
-    each round is one groupBy-sum over the vocabulary. Output: the
-    learned merges expanded back to base characters, with their
-    weighted pair counts."""
-    docs = load_table(spark, sf_dir, "documents")
+def _bpe_learn(docs: DataFrame) -> list[tuple[str, int]]:
+    """The BPE trainer loop (see bpe_fusiones): returns the learned
+    merges as RAW (placeholder-space) pairs with their weighted counts
+    — merge t's pair may contain chr(u<t) placeholders, which is what
+    the ENCODER needs to replay the replaces in order. Shared by the
+    trainer report and the corpus encoder."""
     tok = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
         F.col("w") != ""
     )
@@ -977,6 +968,25 @@ def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("w"),
                 "freq",
             )
+    return merges
+
+
+@register("bpe_fusiones", oracle=_bpe_oracle(_BPE_ROUNDS), ops=("TX1", "A1"),
+          driver=False)
+def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE INDUCTION — the first 3 merges a byte-pair-encoding
+    tokenizer trainer learns: adjacent-pair statistics over the word
+    VOCABULARY (corpus frequencies as weights, so each round scans
+    vocab-sized data — the trainer never re-reads the corpus), greedy
+    argmax merge with (count DESC, pair ASC) tie-break, merged pair
+    collapsed to a placeholder symbol before the next round. The merge
+    table — one pair per round — is all that reaches the driver, the
+    same bounded-model contract as the k-means and PQ fits; at 100 TB
+    each round is one groupBy-sum over the vocabulary. Output: the
+    learned merges expanded back to base characters, with their
+    weighted pair counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn(docs)
     # expand placeholder symbols to base characters (driver-side: the
     # merge table is O(rounds) strings)
     out = []
@@ -989,6 +999,113 @@ def bpe_fusiones(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((t, s, c))
     return spark.createDataFrame(
         out, "ronda INT, par STRING, ocurrencias BIGINT"
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE corpus ENCODING — the apply half of the tokenizer
+# --------------------------------------------------------------------------
+
+# A placeholder guaranteed absent from the corpus text: when fewer than
+# _BPE_ROUNDS merges exist (degenerate corpora), the oracle's replace
+# chain substitutes this no-op pair so both engines skip the round.
+_BPE_NOOP = "chr(127)"
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    parts = [
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "w0 AS (SELECT w, count(*) AS freq FROM tok WHERE w != '' GROUP BY 1)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"p{t} AS (SELECT par, sum(freq) AS c FROM "
+            f"({_BPE_PAIRS_SQL.format(src=f'w{t - 1}')}) GROUP BY 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT par, c FROM p{t} ORDER BY c DESC, par LIMIT 1)"
+        )
+        if t < rounds:
+            parts.append(
+                f"w{t} AS (SELECT replace(w, coalesce((SELECT par FROM m{t}),"
+                f" {_BPE_NOOP}), chr({t})) AS w, freq FROM w{t - 1})"
+            )
+    enc = "td.w"
+    for t in range(1, rounds + 1):
+        enc = (
+            f"replace({enc}, coalesce((SELECT par FROM m{t}), {_BPE_NOOP}),"
+            f" chr({t}))"
+        )
+    parts.append(
+        "tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)"
+    )
+    parts.append(
+        "pordoc AS (SELECT td.doc_id, "
+        "CAST(count(*) FILTER (td.w != '') AS BIGINT) AS n_palabras, "
+        "CAST(coalesce(sum(length(td.w)) FILTER (td.w != ''), 0) AS BIGINT)"
+        " AS n_chars, "
+        f"CAST(coalesce(sum(length({enc})) FILTER (td.w != ''), 0) AS BIGINT)"
+        " AS n_tokens FROM tokd td GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.doc_id, "
+        "CAST(coalesce(p.n_palabras, 0) AS BIGINT) AS n_palabras, "
+        "CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars, "
+        "CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(CASE WHEN coalesce(p.n_chars, 0) = 0 THEN 0 "
+        "ELSE 1000 * (p.n_chars - p.n_tokens) // p.n_chars END AS BIGINT)"
+        " AS ahorro_milli "
+        "FROM documents d LEFT JOIN pordoc p USING (doc_id)"
+    )
+
+
+@register("bpe_codificacion", oracle=_bpe_encode_oracle(_BPE_ROUNDS),
+          ops=("TX1", "A8", "J2"), driver=False)
+def bpe_codificacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus ENCODING — the apply half whose train half is
+    `bpe_fusiones`: the learned merge table (3 raw placeholder-space
+    pairs, the only driver-side state) replays over every word of every
+    document in order, and each document reports its symbol count under
+    the trained tokenizer next to its raw character count — the
+    per-document token-budget accounting a packing/mixture planner
+    consumes (token_count's whitespace proxy, upgraded to the actual
+    trained vocabulary). ``ahorro_milli`` is the milli-floored
+    compression the merges bought.
+
+    Scale shape: training scans vocab-sized data per round
+    (bpe_fusiones' trainer contract); encoding is one word explode +
+    a chain of 3 literal replaces (map-side, whole-stage codegen) + one
+    partial-aggregable per-doc roll-up. No UDFs, no driver text."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn(docs)
+    palabra = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    enc = F.col("w")
+    for t, (par, _) in enumerate(merges, start=1):
+        enc = F.replace(enc, F.lit(par), F.lit(chr(t)))
+    por_doc = palabra.select(
+        "doc_id", F.length("w").alias("nc"), F.length(enc).alias("nt")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_palabras"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(por_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_palabras", F.lit(0)).cast("bigint").alias("n_palabras"),
+            F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN coalesce(n_chars, 0) = 0 THEN 0 "
+                "ELSE (1000 * (n_chars - n_tokens)) div n_chars END"
+            ).cast("bigint").alias("ahorro_milli"),
+        )
     )
 
 
@@ -1221,6 +1338,181 @@ def busqueda_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= _BM25_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation — MRR / overlap@k between the two rankers
+# --------------------------------------------------------------------------
+# The missing piece of the retrieval family: a metric harness. The
+# SYSTEM under test is the BM25 ranker; the GOLD standard is the exact
+# rarity-weighted ranking (busqueda_invertida's Σ tf·⌊1e6/df⌋) over the
+# SAME disjunctive query — the eval-loop shape (judged ranking vs
+# system ranking → RR / overlap@k) is the operator; the synthetic gold
+# stands in for human judgments. All metrics integer-exact: RR in
+# milli (1000 // rank, 0 beyond the cutoff), overlap as set counts.
+
+_EVAL_KS = (1, 3, 5, 10)
+
+_EVAL_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT sum(dl) * 1000 // count(*) FROM dl) AS avgdl_mili
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+consulta AS (
+    SELECT token, df FROM df, stats
+    WHERE df * 20 >= n
+    ORDER BY df, token LIMIT {_BM25_TERMS}
+),
+pesos AS (
+    SELECT c.token, c.df,
+           {_floor_log2_sql("greatest(1, (s.n * 1000) // (c.df * 1000 + 500))")}
+               AS idf_q
+    FROM consulta c, stats s
+),
+puntos AS (
+    SELECT t.doc_id,
+           CAST(sum(
+               ((t.tf * {_BM25_K1 + 1000} * 1000)
+                // (t.tf * 1000
+                    + ({_BM25_K1} * (1000 - {_BM25_B}
+                       + (({_BM25_B} * d.dl * 1000) // s.avgdl_mili)))
+                      // 1000))
+               * w.idf_q
+           ) AS BIGINT) AS score_mili,
+           CAST(sum(t.tf * (1000000 // w.df)) AS BIGINT) AS score_ex
+    FROM tf t
+    JOIN pesos w USING (token)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY 1
+),
+sistema AS (
+    SELECT doc_id, pos_sys FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_mili DESC, doc_id) AS pos_sys
+        FROM puntos) WHERE pos_sys <= {_BM25_TOP}
+),
+oro AS (
+    SELECT doc_id, pos_oro FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_ex DESC, doc_id) AS pos_oro
+        FROM puntos) WHERE pos_oro <= {_BM25_TOP}
+),
+pares AS (
+    SELECT o.pos_oro, s.pos_sys FROM oro o JOIN sistema s USING (doc_id)
+),
+rr AS (
+    SELECT CAST(coalesce(max(CASE WHEN pos_oro = 1
+                                  THEN 1000 // pos_sys END), 0) AS BIGINT)
+               AS rr_milli
+    FROM pares
+),
+ks(k) AS (VALUES (1), (3), (5), (10))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(coalesce(sum(CASE WHEN p.pos_oro <= ks.k AND p.pos_sys <= ks.k
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS solape,
+       (SELECT rr_milli FROM rr) AS rr_milli
+FROM ks LEFT JOIN pares p ON TRUE
+GROUP BY ks.k
+"""
+
+
+@register("evaluacion_recuperacion", oracle=_EVAL_ORACLE,
+          ops=("O7", "A8", "J11"), driver=False, bench=True)
+def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION harness — reciprocal rank and overlap@k of
+    the BM25 ranker against the exact rarity-weighted gold over the
+    same query, both computed from ONE pass over the query terms'
+    posting lists (the two scores share the tf⋈pesos⋈dl join, so the
+    eval costs one extra aggregate column, not a second retrieval).
+    Output per k ∈ {1,3,5,10}: |gold_top_k ∩ system_top_k| and the
+    milli reciprocal rank of the gold #1 in the system list (0 when
+    outside the cutoff). Both rankings truncate to the top-10 BEFORE
+    the metric join, so the metric stage is constant-sized at any
+    corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n = docs.count()
+    avgdl_mili = int(
+        dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    consulta = (
+        df_t.where(F.col("df") * 20 >= n).orderBy("df", "token")
+        .limit(_BM25_TERMS)
+    )
+    pesos = consulta.select(
+        "token",
+        "df",
+        F.expr(
+            _floor_log2_sql(f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))")
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    puntos = (
+        tf.join(F.broadcast(pesos), "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"({tf_comp}) * idf_q")).cast("bigint")
+            .alias("score_mili"),
+            F.sum(F.expr("tf * (1000000L div df)")).cast("bigint")
+            .alias("score_ex"),
+        )
+    )
+    ws = Window.orderBy(F.desc("score_mili"), "doc_id")
+    wo = Window.orderBy(F.desc("score_ex"), "doc_id")
+    sistema = (
+        puntos.select("doc_id", F.row_number().over(ws).alias("pos_sys"))
+        .where(F.col("pos_sys") <= _BM25_TOP)
+    )
+    oro = (
+        puntos.select("doc_id", F.row_number().over(wo).alias("pos_oro"))
+        .where(F.col("pos_oro") <= _BM25_TOP)
+    )
+    pares = oro.join(sistema, "doc_id").select("pos_oro", "pos_sys")
+    rr = pares.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("pos_oro") == 1, F.expr("1000 div pos_sys"))
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("rr_milli")
+    )
+    ks = spark.createDataFrame([(k,) for k in _EVAL_KS], "k BIGINT")
+    solape = (
+        ks.join(
+            F.broadcast(pares),
+            F.expr("pos_oro <= k AND pos_sys <= k"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("pos_oro").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("solape")
+        )
+    )
+    return solape.crossJoin(F.broadcast(rr)).select("k", "solape", "rr_milli")
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,10 @@ SMOKE = [
     "dedup_subcadenas_incremental",
     "corpus_sin_subcadenas",
     "corpus_sin_subcadenas_incremental",
+    "bpe_codificacion",
+    # evaluacion_recuperacion is NOT here: on an empty corpus it returns
+    # its fixed 4-row k-grid with zero metrics (matching its oracle's
+    # LEFT JOIN ON TRUE), not an empty frame — the grid-completion class
     "equilibrio_etiquetas",
     "anomalias_trafico",
     "atribucion_multitoque",
