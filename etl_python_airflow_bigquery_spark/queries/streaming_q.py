@@ -457,3 +457,82 @@ def streaming_reglas_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tasa_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming span-cut gate — known duplicated spans excised in-stream
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.queries.text import (  # noqa: E402
+    _SIN_SUBC_INC_ORACLE,
+)
+
+
+@register("streaming_cortes_subcadenas", oracle=_SIN_SUBC_INC_ORACLE,
+          ops=("ST1", "DD1", "TX4"), driver=False)
+def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPAN-CUT gate running IN-STREAM — the consumer
+    `corpus_sin_subcadenas_incremental` promised: new documents (every
+    10th doc_id) arrive as landed files, and every micro-batch excises
+    the windows the STORED corpus index already knows before the text
+    would reach a training shard. Identical cut logic to the batch op
+    (shared `subcadena_hashes` + `_cut_output`), so the drained stream
+    result equals the batch oracle row for row — the gopher-gate
+    factoring (streaming_reglas_calidad) applied to span dedup.
+
+    Shape: the corpus index builds ONCE (static side, localCheckpoint)
+    and joins each micro-batch stream-side via foreachBatch (the
+    aggregation-per-batch form run_validated_ingest uses — per-batch
+    collect_set of cut tiles is batch-bounded, never corpus-sized). The
+    result rows here drain to the driver for the oracle check; a
+    production gate appends them to a TxTable exactly like
+    run_validated_ingest's clean path."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _cut_output,
+        subcadena_hashes,
+    )
+    from etl_python_airflow_bigquery_spark.streaming.jobs import table_dir_for
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    static_docs = spark.read.parquet(docs_dir)
+    indice = (
+        subcadena_hashes(static_docs.where(F.col("doc_id") % 10 != 0))
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    resultados: list = []
+
+    def cortar(batch_df: DataFrame, batch_id: int) -> None:
+        nuevos = batch_df.where(F.col("doc_id") % 10 == 0)
+        if nuevos.isEmpty():
+            return
+        hs = subcadena_hashes(nuevos)
+        cortes = (
+            hs.join(indice, "h")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array(F.col("i"), F.col("i") + F.lit(1))
+                ).alias("tile"),
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set("tile").alias("cortes"))
+        )
+        resultados.extend(_cut_output(nuevos, cortes).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(cortar)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = "doc_id BIGINT, n_original BIGINT, n_limpio BIGINT, huella STRING"
+    if not resultados:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(resultados, schema)

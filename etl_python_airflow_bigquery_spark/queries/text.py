@@ -2048,6 +2048,101 @@ def corpus_sin_subcadenas_incremental(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# Vocabulary drift — PSI-shaped source-vs-corpus distribution audit
+# --------------------------------------------------------------------------
+# The data-drift monitor a training pipeline runs per ingest source:
+# Population Stability Index structure Σ (p−q)·log(p/q) over the top
+# reference tokens, with the log replaced by the two-sided log2 BAND
+# ladder (the colocaciones_pmi device) so every term is pure integer
+# comparisons and both engines agree bit for bit. A token the source
+# lacks entirely lands in the clamped bottom band — the "this
+# population no longer produces X" alarm PSI is used for.
+
+_DERIVA_TOP = 32
+
+_DERIVA_ORACLE = f"""
+WITH tt AS (
+    SELECT source, t.w FROM
+        (SELECT source, string_split(text, ' ') AS ws FROM documents) d,
+        LATERAL unnest(d.ws) AS t(w)
+    WHERE t.w != ''
+),
+gl AS (SELECT w, CAST(count(*) AS BIGINT) AS c_g FROM tt GROUP BY 1),
+cg AS (SELECT CAST(sum(c_g) AS BIGINT) AS t_g FROM gl),
+ref AS (SELECT w, c_g FROM gl ORDER BY c_g DESC, w LIMIT {_DERIVA_TOP}),
+fuentes AS (SELECT source, CAST(count(*) AS BIGINT) AS t_s FROM tt GROUP BY 1),
+cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_s
+       FROM tt GROUP BY 1, 2),
+celda AS (
+    SELECT f.source, t.w, coalesce(c.c_s, 0) AS c_s, t.c_g, f.t_s, g.t_g
+    FROM fuentes f CROSS JOIN ref t CROSS JOIN cg g
+    LEFT JOIN cs c ON c.source = f.source AND c.w = t.w
+)
+SELECT source,
+       CAST(sum(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS presentes,
+       CAST(sum(((1000 * c_s) // t_s - (1000 * c_g) // t_g)
+                * {_pmi_ladder_sql("c_s * t_g", "c_g * t_s")})
+            AS BIGINT) AS deriva_milli
+FROM celda GROUP BY 1
+"""
+
+
+@register("deriva_vocabulario", oracle=_DERIVA_ORACLE,
+          ops=("TX2", "A8", "J6"), driver=False)
+def deriva_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY DRIFT monitor — per ingest source, a PSI-shaped score
+    of how far the source's token distribution sits from the whole
+    corpus, over the top-{_DERIVA_TOP} reference tokens: each cell
+    contributes (p_milli − q_milli)·band where band is the two-sided
+    integer log2 ladder of the odds ratio (absent tokens clamp to the
+    bottom band — the "source stopped producing X" alarm). Near-zero =
+    the source looks like the corpus; large |score| = mix shift a
+    mixture planner should re-weight for.
+
+    Scale shape: one token explode feeds BOTH count layers (partial-agg
+    combinable); the reference set is top-{_DERIVA_TOP} (broadcast);
+    the cell grid is sources×{_DERIVA_TOP} — dim-sized at any corpus
+    scale. No floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tt = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    glob = tt.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_g"))
+    cg = glob.agg(F.sum("c_g").cast("bigint").alias("t_g"))
+    top = glob.orderBy(F.desc("c_g"), "w").limit(_DERIVA_TOP)
+    fuentes = tt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_s")
+    )
+    cs = tt.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    celda = (
+        fuentes.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(cg))
+        .join(cs, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce("c_s", F.lit(0)).cast("bigint").alias("c_s"),
+            "c_g",
+            "t_s",
+            "t_g",
+        )
+    )
+    return celda.groupBy("source").agg(
+        F.sum(F.when(F.col("c_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("presentes"),
+        F.sum(
+            F.expr(
+                "((1000 * c_s) div t_s - (1000 * c_g) div t_g) * "
+                + _pmi_ladder_sql("c_s * t_g", "c_g * t_s")
+            )
+        ).cast("bigint").alias("deriva_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Temperature-based mixture sampling — the multilingual upsampling idiom
 # --------------------------------------------------------------------------
 
