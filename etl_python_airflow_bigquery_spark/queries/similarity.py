@@ -3161,3 +3161,146 @@ def equilibrio_etiquetas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("dispersion_rel_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Truncated-dimension retrieval audit — the Matryoshka serving trade
+# --------------------------------------------------------------------------
+# Production vector serving often searches on a PREFIX of the embedding
+# (Matryoshka representation learning: the first d dims carry most of
+# the signal) and rescores survivors at full width — RAM and FLOPs per
+# query drop by 64/d. This audit measures what that buys/costs on the
+# actual corpus: per truncation width d, the overlap between the
+# truncated top-k and the full-width top-k over the policy query set.
+
+_TRUNC_DIMS = (8, 16, 32)
+_TRUNC_K = 3
+
+_TRUNC_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+{_PARAMS_SQL},
+consultas AS (
+    SELECT vec_id AS query_id, ev AS qv FROM enteros
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+dims(d) AS (VALUES (8), (16), (32), (64)),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id, dm.d,
+           CAST(list_sum(list_transform(generate_series(1, dm.d),
+                k -> q.qv[k] * e.ev[k])) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(generate_series(1, dm.d),
+                k -> q.qv[k] * q.qv[k])) AS BIGINT) AS nq,
+           CAST(list_sum(list_transform(generate_series(1, dm.d),
+                k -> e.ev[k] * e.ev[k])) AS BIGINT) AS nc
+    FROM consultas q CROSS JOIN enteros e CROSS JOIN dims dm
+    WHERE e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, cand_id, d FROM (
+        SELECT query_id, cand_id, d,
+               row_number() OVER (
+                   PARTITION BY query_id, d
+                   ORDER BY CAST(dot AS DOUBLE)
+                            / sqrt(CAST(greatest(1, nq) AS DOUBLE)
+                                   * CAST(greatest(1, nc) AS DOUBLE)) DESC,
+                            cand_id) AS pos
+        FROM scored) WHERE pos <= {_TRUNC_K}
+),
+oro AS (SELECT query_id, cand_id FROM ranked WHERE d = 64),
+nq AS (SELECT count(*) AS consultas FROM consultas)
+SELECT CAST(r.d AS BIGINT) AS dims,
+       (SELECT CAST(consultas AS BIGINT) FROM nq) AS consultas,
+       CAST(sum(CASE WHEN o.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS solape,
+       CAST((1000 * sum(CASE WHEN o.cand_id IS NOT NULL THEN 1 ELSE 0 END))
+            // ({_TRUNC_K} * (SELECT consultas FROM nq)) AS BIGINT)
+           AS solape_milli
+FROM ranked r
+LEFT JOIN oro o ON o.query_id = r.query_id AND o.cand_id = r.cand_id
+WHERE r.d != 64
+GROUP BY r.d
+"""
+
+
+@register("dimension_truncada", oracle=_TRUNC_ORACLE, ops=("NN1", "O7", "A8"),
+          driver=False, bench=True)
+def dimension_truncada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED-DIMENSION retrieval audit (the Matryoshka serving
+    trade): for d ∈ {8,16,32}, the overlap@{_TRUNC_K} between top-k
+    computed on the embedding's first d dims and the full-64-dim top-k,
+    over the policy query set — the measured answer to "how many dims
+    can serving drop before recall pays". All four widths score in ONE
+    pass over the query×corpus product (the exact-scoring baseline
+    family, query count pinned at ~{Q_TARGET} by the corpus-derived
+    policy, so the product is bounded at any corpus scale); prefix dots
+    and norms come from slice() inside one projection — no per-d
+    rescans."""
+    enteros = _int_vectors(_emb(spark, sf_dir))
+    n = enteros.count()
+    qmod = _query_mod(n)
+    consultas = enteros.where(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    dims = spark.createDataFrame([(d,) for d in (*_TRUNC_DIMS, DIM)], "d INT")
+    scored = (
+        consultas.crossJoin(
+            enteros.select(F.col("vec_id").alias("cand_id"), F.col("ev").alias("cv"))
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "query_id",
+            "cand_id",
+            "d",
+            F.expr(
+                "aggregate(zip_with(slice(qv, 1, d), slice(cv, 1, d),"
+                " (x, y) -> x * y), 0L, (a, v) -> a + v)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(slice(qv, 1, d), 0L, (a, v) -> a + v * v)"
+            ).alias("nq"),
+            F.expr(
+                "aggregate(slice(cv, 1, d), 0L, (a, v) -> a + v * v)"
+            ).alias("nc"),
+        )
+    )
+    w = Window.partitionBy("query_id", "d").orderBy(
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.greatest(F.lit(1), F.col("nq")).cast("double")
+                * F.greatest(F.lit(1), F.col("nc")).cast("double")
+            )
+        ).desc(),
+        "cand_id",
+    )
+    ranked = (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _TRUNC_K)
+        .select("query_id", "cand_id", "d")
+    )
+    oro = ranked.where(F.col("d") == DIM).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    nq_df = consultas.agg(F.count(F.lit(1)).cast("bigint").alias("consultas"))
+    return (
+        ranked.where(F.col("d") != DIM)
+        .join(F.broadcast(oro), ["query_id", "cand_id"], "left")
+        .groupBy("d")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("solape")
+        )
+        .crossJoin(F.broadcast(nq_df))
+        .select(
+            F.col("d").cast("bigint").alias("dims"),
+            "consultas",
+            "solape",
+            F.expr(f"(1000 * solape) div ({_TRUNC_K} * consultas)")
+            .cast("bigint")
+            .alias("solape_milli"),
+        )
+    )

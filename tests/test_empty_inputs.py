@@ -55,6 +55,7 @@ SMOKE = [
     "bpe_codificacion",
     "streaming_cortes_subcadenas",
     "deriva_vocabulario",
+    "dimension_truncada",
     # evaluacion_recuperacion is NOT here: on an empty corpus it returns
     # its fixed 4-row k-grid with zero metrics (matching its oracle's
     # LEFT JOIN ON TRUE), not an empty frame — the grid-completion class

