@@ -1989,3 +1989,133 @@ def grafo_triangulos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coef_agrupamiento_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling — the iterative density filter on the trade graph
+# --------------------------------------------------------------------------
+# The peeling class is NEW among the graph ops (PageRank = fixpoint
+# iteration, BFS = frontier expansion, CC = label propagation,
+# triangles = orientation counting; peeling = iterative node DELETION):
+# each round drops every node whose current degree is below k, which
+# can cascade — removing a weak node demotes its neighbors. Community
+# detection / anti-abuse pipelines use the k-core as the "dense enough
+# to matter" backbone. k derives from the DATA (half the average degree
+# + 1, integer-exact on both engines — the ANN corpus-policy
+# discipline), so the peel actually fires at every scale factor;
+# rounds are FIXED and unrolled in the oracle (the k-means discipline).
+
+_KCORE_ROUNDS = 4
+
+# k policy: (directed-edge rows // nodes) // 2 + 1 == half the average
+# degree + 1. Average-degree+1 over-peels a hub-and-spoke bipartite
+# graph to empty in one round (every customer sits below the
+# supplier-inflated average); half of it keeps the denser half engaged.
+_KCORE_K_SQL = "count(*) // count(DISTINCT src) // 2 + 1"
+
+
+def _kcore_oracle(rounds: int) -> str:
+    parts = [
+        """dirigidas AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        """a0 AS (
+    SELECT src, dst FROM dirigidas
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM dirigidas
+)""",
+        f"kp AS (SELECT {_KCORE_K_SQL} AS k FROM a0)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"g{t} AS (SELECT src AS nodo, count(*) AS grado"
+            f" FROM a{t - 1} GROUP BY 1)"
+        )
+        parts.append(
+            f"v{t} AS (SELECT nodo FROM g{t}"
+            f" WHERE grado >= (SELECT k FROM kp))"
+        )
+        parts.append(
+            f"a{t} AS (SELECT a.src, a.dst FROM a{t - 1} a"
+            f" JOIN v{t} s ON a.src = s.nodo"
+            f" JOIN v{t} d ON a.dst = d.nodo)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS ronda,"
+        f" CAST((SELECT count(DISTINCT src) FROM a{t}) AS BIGINT) AS nodos,"
+        f" CAST((SELECT count(*) // 2 FROM a{t}) AS BIGINT) AS aristas"
+        for t in range(0, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + sel + ")"
+
+
+@register("grafo_kcore", oracle=_kcore_oracle(_KCORE_ROUNDS),
+          ops=("J1", "A1", "A6"), driver=False, bench=True)
+def grafo_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE PEELING on the customer-supplier trade graph: round by
+    round, every node whose degree fell below the data-derived k (half
+    the average degree + 1) is removed along with its edges; the output
+    traces (ronda, surviving nodes, surviving undirected edges) for 4
+    fixed rounds — the densification curve an anti-abuse or community
+    pipeline reads to pick its core threshold, with convergence visible
+    as repeated identical rows.
+
+    Scale shape: per round ONE degree aggregation (partial-agg
+    combinable) + two node-keyed joins; lineage truncates per round via
+    iter_checkpoint (replayable under SPARK_GRAFT_CHECKPOINT_DIR, like
+    PageRank/BFS). The edge list only ever SHRINKS, and once a round
+    removes nothing the remaining rounds are provably identical — the
+    loop EARLY-EXITS and pads the trace instead of recomputing a fixed
+    point (the oracle unrolls all rounds; the answers are equal by the
+    fixpoint argument). Driver state: two counts per round."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dirigidas = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    aristas = iter_checkpoint(
+        dirigidas.unionAll(
+            dirigidas.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    fila = aristas.agg(
+        F.countDistinct("src").alias("n"),
+        F.count(F.lit(1)).alias("e2"),
+    ).first()
+    nodos, e2 = int(fila["n"] or 0), int(fila["e2"] or 0)
+    k = (e2 // nodos) // 2 + 1 if nodos else 1
+    trace: list[tuple[int, int, int]] = [(0, nodos, e2 // 2)]
+    for t in range(1, _KCORE_ROUNDS + 1):
+        prev_n = trace[-1][1]
+        if prev_n == 0:
+            trace.append((t, 0, 0))
+            continue
+        grados = aristas.groupBy("src").agg(F.count(F.lit(1)).alias("grado"))
+        vivos = grados.where(F.col("grado") >= k).select(
+            F.col("src").alias("nodo")
+        )
+        aristas = iter_checkpoint(
+            aristas.join(vivos.withColumnRenamed("nodo", "src"), "src")
+            .join(vivos.withColumnRenamed("nodo", "dst"), "dst")
+            .select("src", "dst")
+        )
+        fila = aristas.agg(
+            F.countDistinct("src").alias("n"), F.count(F.lit(1)).alias("e2")
+        ).first()
+        n_t, e2_t = int(fila["n"] or 0), int(fila["e2"] or 0)
+        trace.append((t, n_t, e2_t // 2))
+        if n_t == prev_n:
+            # fixpoint: no node was removed, so every later round is
+            # identical — pad without recomputing
+            for u in range(t + 1, _KCORE_ROUNDS + 1):
+                trace.append((u, n_t, e2_t // 2))
+            break
+    return spark.createDataFrame(
+        trace, "ronda BIGINT, nodos BIGINT, aristas BIGINT"
+    )

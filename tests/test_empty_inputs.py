@@ -56,6 +56,9 @@ SMOKE = [
     "streaming_cortes_subcadenas",
     "deriva_vocabulario",
     "dimension_truncada",
+    # grafo_kcore is NOT here: on empty input it returns its fixed
+    # 5-round trace with zero counts (matching the unrolled oracle),
+    # not an empty frame — the fixed-trace class
     # evaluacion_recuperacion is NOT here: on an empty corpus it returns
     # its fixed 4-row k-grid with zero metrics (matching its oracle's
     # LEFT JOIN ON TRUE), not an empty frame — the grid-completion class

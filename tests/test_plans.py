@@ -546,6 +546,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "evaluacion_recuperacion",
         "deriva_vocabulario",
         "dimension_truncada",
+        "grafo_kcore",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
