@@ -1144,3 +1144,118 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return actualizado.join(con_pares, "doc_id").select(
         "doc_id", "cluster_id", "representante"
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split assignment — the FIX for what fuga_particiones finds
+# --------------------------------------------------------------------------
+# fuga_particiones AUDITS train/test contamination (near-dup pairs that
+# straddle a naive per-doc split); this operator is the corresponding
+# fix: assign splits per duplicate FAMILY (the dedup_clusters component,
+# singletons being their own family), so every near-dup lands on the
+# same side by construction. The output carries its own guard column:
+# the count of near-dup pairs crossing splits, provably zero.
+
+_FAMILIAS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+aristas AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM aristas
+        UNION SELECT doc_b, doc_a FROM aristas),
+nodos AS (SELECT DISTINCT a AS n FROM sym),
+reach(n, m) AS (
+    SELECT n, n FROM nodos
+    UNION
+    SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+asig AS (
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS familia,
+           coalesce(len(string_split(d.text, ' ')), 0) AS toks,
+           CASE WHEN {_hex_hash_sql("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)", 10)} < 8
+                THEN 'train'
+                WHEN {_hex_hash_sql("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)", 10)} = 8
+                THEN 'val' ELSE 'test' END AS particion
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+cruz AS (
+    SELECT CAST(count(*) AS BIGINT) AS pares_cruzados
+    FROM aristas a
+    JOIN asig x ON x.doc_id = a.doc_a
+    JOIN asig y ON y.doc_id = a.doc_b
+    WHERE x.particion != y.particion
+)
+SELECT particion,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(count(DISTINCT familia) AS BIGINT) AS familias,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       (SELECT pares_cruzados FROM cruz) AS pares_cruzados
+FROM asig GROUP BY 1
+"""
+
+
+@register("particion_familias", oracle=_FAMILIAS_ORACLE,
+          ops=("DD4", "A8", "J2"), driver=False, bench=True)
+def particion_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment — the fix paired with the
+    `fuga_particiones` audit: the split key is the duplicate FAMILY
+    (dedup_clusters' component id; a doc with no near-dups is its own
+    family), hashed 8/1/1 into train/val/test, so transitively-linked
+    near-duplicates can never straddle a split. The output's
+    `pares_cruzados` column re-counts near-dup pairs crossing splits —
+    zero BY CONSTRUCTION, and the oracle recomputes the same guard, so
+    a regression in the family logic fails the hash match loudly.
+
+    Scale shape: rides the session-cached verified-pair frame and the
+    checkpointed min-label propagation (both already materialized by
+    any dedup-family pipeline run); the assignment itself is one hash
+    projection + a splits-sized roll-up."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("toks"),
+    )
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    asig = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("cluster_id", "doc_id").alias("familia"),
+    ).select(
+        "doc_id",
+        "toks",
+        "familia",
+        F.when(hex_hash(F.col("familia").cast("string"), 10) < 8, "train")
+        .when(hex_hash(F.col("familia").cast("string"), 10) == 8, "val")
+        .otherwise("test")
+        .alias("particion"),
+    )
+    aristas = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cruz = (
+        aristas.join(
+            asig.select(F.col("doc_id").alias("doc_a"),
+                        F.col("particion").alias("pa")), "doc_a")
+        .join(
+            asig.select(F.col("doc_id").alias("doc_b"),
+                        F.col("particion").alias("pb")), "doc_b")
+        .where(F.col("pa") != F.col("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pares_cruzados"))
+    )
+    return (
+        asig.groupBy("particion")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.countDistinct("familia").cast("bigint").alias("familias"),
+            F.sum("toks").cast("bigint").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(cruz))
+    )

@@ -56,6 +56,7 @@ SMOKE = [
     "streaming_cortes_subcadenas",
     "deriva_vocabulario",
     "dimension_truncada",
+    "particion_familias",
     # grafo_kcore is NOT here: on empty input it returns its fixed
     # 5-round trace with zero counts (matching the unrolled oracle),
     # not an empty frame — the fixed-trace class

@@ -547,6 +547,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "deriva_vocabulario",
         "dimension_truncada",
         "grafo_kcore",
+        "particion_familias",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
