@@ -20,6 +20,7 @@ from etl_python_airflow_bigquery_spark.operators.checkpoints import (
     iter_checkpoint,
 )
 from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -2118,4 +2119,121 @@ def grafo_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return spark.createDataFrame(
         trace, "ronda BIGINT, nodos BIGINT, aristas BIGINT"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling — contrastive training-pair builder
+# --------------------------------------------------------------------------
+# The training-data op every two-tower / CF / contrastive pipeline runs
+# after assembling positives: for each observed (customer, part) pair,
+# draw k pseudo-random candidate negatives and THROW OUT the ones that
+# are secretly positives (the classic "accidental hit" correction).
+# Sampling is a deterministic hash chain — reproducible across runs,
+# engines, and cluster topologies, the same discipline as
+# barajado_global's shard shuffle.
+
+_NEG_K = 3
+
+_NEGATIVOS_ORACLE = f"""
+WITH positivos AS (
+    SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+cand AS (
+    SELECT p.custkey, p.partkey, j.j,
+           {_hex_hash_sql(
+               "CAST(p.custkey AS VARCHAR) || '#' || "
+               "CAST(p.partkey AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)"
+           )} % (SELECT n FROM np) AS negativo
+    FROM positivos p, LATERAL unnest(generate_series(1, {_NEG_K})) AS j(j)
+),
+marcado AS (
+    SELECT c.j, c.negativo,
+           CASE WHEN p2.partkey IS NOT NULL THEN 1 ELSE 0 END AS colision
+    FROM cand c
+    LEFT JOIN positivos p2
+      ON p2.custkey = c.custkey AND p2.partkey = c.negativo
+)
+SELECT CAST(j AS BIGINT) AS j,
+       CAST(count(*) AS BIGINT) AS generados,
+       CAST(sum(colision) AS BIGINT) AS colisiones,
+       CAST(count(*) - sum(colision) AS BIGINT) AS netos,
+       CAST(count(DISTINCT negativo) AS BIGINT) AS items_distintos
+FROM marcado GROUP BY 1
+"""
+
+
+@register("muestreo_negativos", oracle=_NEGATIVOS_ORACLE,
+          ops=("J7", "A8", "A2"), driver=False, bench=True)
+def muestreo_negativos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive training pairs:
+    each positive (customer, part) interaction draws k=3 candidate
+    negatives via an md5 hash chain over (custkey, partkey, j) mapped
+    into the contiguous part-key space, and candidates that are
+    ACCIDENTAL POSITIVES for that customer are detected with one
+    (custkey, candidate)-keyed left join and excluded from the net
+    count — the correction in-batch samplers approximate and this
+    materialized form gets exactly. Per draw index j: candidates
+    generated, collisions excluded, net negatives, distinct items hit
+    (the coverage read-out).
+
+    Scale shape: candidate generation is MAP-SIDE (a k-way literal
+    explode per positive — fan-out k, reproducible by construction);
+    the collision check is an equi left join back to the positives on
+    the candidate key; the roll-up is k rows. No randomness API, no
+    driver state beyond the part count scalar."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    positivos = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    n_parts = load_table(spark, sf_dir, "part").count()
+    cand = positivos.select(
+        "custkey",
+        "partkey",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])
+        ).alias("j"),
+    ).select(
+        "custkey",
+        "j",
+        (
+            hex_hash(
+                F.concat_ws(
+                    "#",
+                    F.col("custkey").cast("string"),
+                    F.col("partkey").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.lit(n_parts)
+        ).alias("negativo"),
+    )
+    marcado = cand.join(
+        positivos.select(
+            "custkey", F.col("partkey").alias("negativo"), F.lit(1).alias("col")
+        ),
+        ["custkey", "negativo"],
+        "left",
+    )
+    return marcado.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("generados"),
+        F.sum(F.coalesce("col", F.lit(0))).cast("bigint").alias("colisiones"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("col", F.lit(0))))
+        .cast("bigint")
+        .alias("netos"),
+        F.countDistinct("negativo").cast("bigint").alias("items_distintos"),
+    ).select(
+        F.col("j").cast("bigint").alias("j"),
+        "generados",
+        "colisiones",
+        "netos",
+        "items_distintos",
     )

@@ -177,3 +177,29 @@ def test_readme_registry_counts_match_code():
     assert int(m.group(2)) == sum(
         1 for q in REGISTRY.values() if q.oracle is not None
     )
+
+
+def test_core12_bench_membership_is_pinned():
+    """core_wall's meaning depends on CORE_12 never changing: the tuple
+    is pinned here BY VALUE (editing bench.py without editing this test
+    fails), every member must exist in the registry, and every member
+    must still be timed by the bench (bench-gated or force-included)."""
+    import bench
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    assert bench.CORE_12 == (
+        "indicadores_total",
+        "pricing_summary",
+        "funnel_vip",
+        "programas_live",
+        "bloques_pivot",
+        "superposicion_hora",
+        "similarity_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "sessionization",
+        "rollup_periodos",
+        "corpus_desduplicado",
+    )
+    for name in bench.CORE_12:
+        assert name in REGISTRY, name

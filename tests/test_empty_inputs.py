@@ -57,6 +57,7 @@ SMOKE = [
     "deriva_vocabulario",
     "dimension_truncada",
     "particion_familias",
+    "muestreo_negativos",
     # grafo_kcore is NOT here: on empty input it returns its fixed
     # 5-round trace with zero counts (matching the unrolled oracle),
     # not an empty frame — the fixed-trace class

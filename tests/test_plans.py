@@ -548,6 +548,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "dimension_truncada",
         "grafo_kcore",
         "particion_familias",
+        "muestreo_negativos",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
