@@ -2748,3 +2748,99 @@ def dedup_subcadenas_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prop_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Context-length accounting — truncation waste per candidate max_len
+# --------------------------------------------------------------------------
+# The first question when picking a training context length: how much
+# of the corpus FITS, and how many tokens fall off the end at each
+# candidate limit. The corpus collapses to a LENGTH HISTOGRAM first
+# (bounded by distinct doc lengths, not doc count), so the candidate
+# grid joins a dim-sized frame — the same reason the lens grid itself
+# is a broadcast.
+
+_CONTEXT_LENS = (64, 256, 1024)
+
+_CONTEXTO_ORACLE = f"""
+WITH d AS (
+    SELECT coalesce(len(list_filter(string_split(text, ' '),
+                                    w -> w != '')), 0) AS toks
+    FROM documents
+),
+hist AS (SELECT toks, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+lens(max_len) AS (VALUES (64), (256), (1024))
+SELECT CAST(l.max_len AS BIGINT) AS max_len,
+       CAST(coalesce(sum(CASE WHEN h.toks <= l.max_len THEN h.nd END), 0)
+            AS BIGINT) AS docs_completos,
+       CAST(coalesce(sum(CASE WHEN h.toks > l.max_len THEN h.nd END), 0)
+            AS BIGINT) AS docs_truncados,
+       CAST(coalesce(sum(greatest(h.toks - l.max_len, 0) * h.nd), 0)
+            AS BIGINT) AS tokens_perdidos,
+       CAST(CASE WHEN coalesce(sum(h.toks * h.nd), 0) = 0 THEN 0
+            ELSE (1000 * sum(greatest(h.toks - l.max_len, 0) * h.nd))
+                 // sum(h.toks * h.nd) END AS BIGINT) AS perdida_milli
+FROM lens l LEFT JOIN hist h ON TRUE
+GROUP BY 1
+"""
+
+
+@register("longitud_contexto", oracle=_CONTEXTO_ORACLE,
+          ops=("TX1", "A8", "J6"), driver=False)
+def longitud_contexto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-LENGTH accounting: for each candidate max_len, how many
+    documents fit whole, how many truncate, how many tokens fall off
+    the end, and the milli share of the corpus lost to truncation —
+    the table that picks a training context length (and feeds the
+    packing-efficiency analysis empaquetado_secuencias runs at the
+    chosen length).
+
+    Scale shape: per-doc token counts compute map-side, then the corpus
+    COLLAPSES to a (length → doc count) histogram — bounded by distinct
+    lengths, not documents — before the 3-row candidate grid joins it;
+    every downstream row count is lens- or histogram-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.coalesce(
+                F.size(F.filter(F.split("text", " "), lambda w: w != "")),
+                F.lit(0),
+            ).cast("bigint").alias("toks")
+        )
+        .groupBy("toks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
+    lens = spark.createDataFrame([(l,) for l in _CONTEXT_LENS], "max_len INT")
+    return (
+        lens.join(F.broadcast(hist), F.lit(True), "left")
+        .groupBy("max_len")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("toks") <= F.col("max_len"), F.col("nd"))),
+                F.lit(0),
+            ).cast("bigint").alias("docs_completos"),
+            F.coalesce(
+                F.sum(F.when(F.col("toks") > F.col("max_len"), F.col("nd"))),
+                F.lit(0),
+            ).cast("bigint").alias("docs_truncados"),
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.col("toks") - F.col("max_len"), F.lit(0))
+                    * F.col("nd")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tokens_perdidos"),
+            F.expr(
+                "CASE WHEN coalesce(sum(toks * nd), 0) = 0 THEN 0 "
+                "ELSE (1000 * sum(greatest(toks - max_len, 0L) * nd))"
+                " div sum(toks * nd) END"
+            ).cast("bigint").alias("perdida_milli"),
+        )
+        .select(
+            F.col("max_len").cast("bigint").alias("max_len"),
+            "docs_completos",
+            "docs_truncados",
+            "tokens_perdidos",
+            "perdida_milli",
+        )
+    )

@@ -549,6 +549,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "grafo_kcore",
         "particion_familias",
         "muestreo_negativos",
+        "longitud_contexto",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
