@@ -3304,3 +3304,88 @@ def dimension_truncada(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("solape_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier audit — robust norm gate before vectors reach training
+# --------------------------------------------------------------------------
+
+_ATIPICOS_ORACLE = f"""
+WITH enteros AS (
+    SELECT vec_id, label, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+normas AS (
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                k -> ev[k] * ev[k])) AS BIGINT) AS nn
+    FROM enteros
+),
+med AS (
+    SELECT label, CAST(2 * quantile_cont(nn, 0.5) AS BIGINT) AS med2
+    FROM normas GROUP BY 1
+),
+desv AS (
+    SELECT n.label, n.nn, abs(2 * n.nn - m.med2) AS dev2
+    FROM normas n JOIN med m USING (label)
+),
+escala AS (
+    SELECT label, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2
+    FROM desv GROUP BY 1
+)
+SELECT CAST(d.label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS vectores,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * e.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS atipicos,
+       CAST((1000 * sum(CASE WHEN 2 * d.dev2 > 3 * e.mad2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS atipicos_milli
+FROM desv d JOIN escala e USING (label)
+GROUP BY 1
+"""
+
+
+@register("atipicos_embeddings", oracle=_ATIPICOS_ORACLE,
+          ops=("NN1", "A3", "A8"), driver=False)
+def atipicos_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER gate — the quality check vectors pass before
+    they reach an index or a training batch: per label, flag vectors
+    whose squared norm sits beyond median ± 3·MAD of the label's norm
+    distribution (dead/exploded encoder outputs, wrong-preprocessing
+    batches). Integer-exact via the anomalias_mad doubled-median trick
+    on the scaled-int squared norms: med2 = 2·median, dev2 = |2·nn −
+    med2|, mad2 = 2·median(dev2), flag 2·dev2 > 3·mad2 — both engines'
+    interpolated quantile agrees exactly on doubled integers.
+
+    Shape: one map-side norm pass, two labels-grain exact medians, a
+    labels-sized roll-up — no vector ever shuffles, only (label, nn)
+    pairs."""
+    enteros = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1e6) AS BIGINT)), 0L, (a, v) -> a + v * v)"
+        ).alias("nn"),
+    )
+    med = enteros.groupBy("label").agg(
+        F.expr("CAST(2 * percentile(nn, 0.5) AS BIGINT)").alias("med2")
+    )
+    desv = enteros.join(med, "label").select(
+        "label", "nn", F.abs(2 * F.col("nn") - F.col("med2")).alias("dev2")
+    )
+    escala = desv.groupBy("label").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").alias("mad2")
+    )
+    return (
+        desv.join(escala, "label")
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vectores"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad2"), 1).otherwise(0)
+            ).cast("bigint").alias("atipicos"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN 2 * dev2 > 3 * mad2 THEN 1 "
+                "ELSE 0 END)) div count(*) AS BIGINT)"
+            ).alias("atipicos_milli"),
+        )
+    )

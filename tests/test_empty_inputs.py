@@ -58,6 +58,7 @@ SMOKE = [
     "dimension_truncada",
     "particion_familias",
     "muestreo_negativos",
+    "atipicos_embeddings",
     # longitud_contexto is NOT here: fixed 3-row candidate grid on empty
     # grafo_kcore is NOT here: on empty input it returns its fixed
     # 5-round trace with zero counts (matching the unrolled oracle),

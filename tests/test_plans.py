@@ -550,6 +550,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "particion_familias",
         "muestreo_negativos",
         "longitud_contexto",
+        "atipicos_embeddings",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
