@@ -122,6 +122,31 @@ class TxTable:
             *[os.path.join(self.data_dir, n) for n in self._names(entries)]
         )
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY: one row per surviving version manifest —
+        (version, parent, op, n_files, restored_from) — newest first.
+        The ops-auditing face of the log (what rewrote the table, when a
+        restore happened, which versions vacuum already dropped show as
+        gaps); O(#versions) driver work reading manifests, no data files
+        touched."""
+        rows = []
+        for v in sorted(self._versions(), reverse=True):
+            m = self._manifest(v)
+            rows.append(
+                (
+                    v,
+                    m.get("parent", v - 1),
+                    m.get("op", "?"),
+                    len(m.get("files", [])),
+                    m.get("restored_from"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version BIGINT, parent BIGINT, op STRING, n_files BIGINT, "
+            "restored_from BIGINT",
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: the file set comes from ONE manifest (pinned if
         ``version`` is given — time travel), never a directory listing,

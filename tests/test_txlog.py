@@ -673,3 +673,21 @@ def test_interleaved_writers_one_commits_one_retries(spark, tmp_path):
         t.merge(spark, new_b, key_cols=["k"])
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {10: 9.0, 20: 7.0}, got
+
+
+def test_history_describes_surviving_versions(spark, tmp_path):
+    """DESCRIBE HISTORY parity: one row per surviving manifest, newest
+    first, carrying op names and restore provenance; vacuumed versions
+    show as gaps; no data files are read."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 8))
+    t.overwrite(_df(spark, 0, 2))
+    t.restore(1)
+    h = t.history(spark).collect()
+    assert [r["version"] for r in h] == [3, 2, 1, 0]
+    assert [r["op"] for r in h] == ["restore", "overwrite", "append", "overwrite"]
+    assert h[0]["restored_from"] == 1 and h[1]["restored_from"] is None
+    assert h[2]["n_files"] > h[3]["n_files"]  # append grew the file set
+    t.vacuum(keep_versions=2, retention_s=0.0)
+    assert [r["version"] for r in t.history(spark).collect()] == [3, 2]
