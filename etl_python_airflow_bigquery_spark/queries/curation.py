@@ -567,3 +567,206 @@ def proporcion_plantillas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_mayoria_plantilla"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The full curation FUNNEL — every gate composed, per-stage accounting
+# --------------------------------------------------------------------------
+
+_EMBUDO_ORACLE_TMPL = """
+WITH tokw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+por_doc AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (w != '') AS BIGINT) AS palabras,
+           CAST(coalesce(sum(len(w)) FILTER (w != ''), 0) AS BIGINT) AS chars,
+           CAST(count(*) FILTER (regexp_matches(w, '[#@%$]')) AS BIGINT)
+               AS simbolos,
+           CAST(count(*) FILTER (regexp_matches(w, '[A-Za-z]')) AS BIGINT)
+               AS alfa,
+           CAST(count(DISTINCT w) FILTER (list_contains({stops}, w))
+                AS BIGINT) AS stops
+    FROM tokw GROUP BY 1
+),
+aprobados AS (
+    SELECT doc_id, palabras FROM por_doc
+    WHERE palabras BETWEEN {minw} AND {maxw}
+      AND {mwl_lo} * palabras <= chars AND chars <= {mwl_hi} * palabras
+      AND 10 * simbolos < palabras
+      AND 5 * alfa >= 4 * palabras
+      AND stops >= 2
+),
+ventanas AS (
+    SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+           {win_hash} AS h
+    FROM documents,
+         LATERAL unnest(generate_series(0, (length(text) - {W}) // {S})) AS g(i)
+    WHERE length(text) >= {W}
+),
+rep AS (SELECT h FROM ventanas GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cortes AS (
+    SELECT DISTINCT v.doc_id, v.i + o.o AS tile
+    FROM ventanas v JOIN rep USING (h), LATERAL unnest([0, 1]) AS o(o)
+),
+trozos AS (
+    SELECT d.doc_id, CAST(g.t AS BIGINT) AS tile,
+           substring(d.text, CAST(g.t * {S} + 1 AS INT), {S}) AS trozo
+    FROM documents d,
+         LATERAL unnest(generate_series(0, (length(d.text) - 1) // {S})) AS g(t)
+    WHERE coalesce(length(d.text), 0) >= 1
+),
+limpio AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(t.trozo, '' ORDER BY t.tile)
+                    FILTER (c.tile IS NULL), '') AS texto
+    FROM trozos t LEFT JOIN cortes c
+      ON t.doc_id = c.doc_id AND t.tile = c.tile
+    GROUP BY t.doc_id
+),
+texto_doc AS (
+    SELECT d.doc_id, coalesce(l.texto, '') AS texto
+    FROM documents d LEFT JOIN limpio l USING (doc_id)
+),
+tok_limpio AS (
+    SELECT doc_id,
+           CAST(coalesce(len(list_filter(string_split(texto, ' '),
+                                         w -> w != '')), 0) AS BIGINT) AS toks,
+           md5(texto) AS huella
+    FROM texto_doc
+),
+familias AS (
+    SELECT t.huella, CAST(max(t.toks) AS BIGINT) AS toks
+    FROM tok_limpio t JOIN aprobados a USING (doc_id)
+    GROUP BY t.huella
+)
+SELECT * FROM (
+SELECT CAST(1 AS BIGINT) AS orden, 'bruto' AS etapa,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs,
+       (SELECT CAST(coalesce(sum(palabras), 0) AS BIGINT) FROM por_doc) AS tokens
+UNION ALL
+SELECT 2, 'gopher',
+       (SELECT CAST(count(*) AS BIGINT) FROM aprobados),
+       (SELECT CAST(coalesce(sum(palabras), 0) AS BIGINT) FROM aprobados)
+UNION ALL
+SELECT 3, 'sin_spans',
+       (SELECT CAST(count(*) AS BIGINT) FROM aprobados),
+       (SELECT CAST(coalesce(sum(t.toks), 0) AS BIGINT)
+        FROM tok_limpio t JOIN aprobados a USING (doc_id))
+UNION ALL
+SELECT 4, 'dedup',
+       (SELECT CAST(count(*) AS BIGINT) FROM familias),
+       (SELECT CAST(coalesce(sum(toks), 0) AS BIGINT) FROM familias)
+)
+"""
+
+
+def _embudo_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _STOP_LIST_SQL,
+        _SUBC_S,
+        _SUBC_W,
+    )
+
+    return _EMBUDO_ORACLE_TMPL.format(
+        stops=_STOP_LIST_SQL,
+        minw=_GOPHER_MIN_WORDS,
+        maxw=_GOPHER_MAX_WORDS,
+        mwl_lo=_GOPHER_MWL_LO,
+        mwl_hi=_GOPHER_MWL_HI,
+        W=_SUBC_W,
+        S=_SUBC_S,
+        win_hash=_hex_hash_sql(
+            "substring(text, CAST(g.i * 20 + 1 AS INT), 40)"
+        ),
+    )
+
+
+@register("embudo_curacion", oracle=_embudo_oracle(),
+          ops=("TX2", "DD1", "A8"), driver=False, bench=True)
+def embudo_curacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation funnel in one query — every gate the engine
+    ships, composed in production order, with per-stage doc/token
+    accounting: raw corpus → Gopher quality gate (gopher_flags, the
+    batch/stream-shared projection) → span-level cleaning (duplicated
+    windows excised via the corpus_sin_subcadenas tile cut; the window
+    index is corpus-wide, applied to the survivors) → exact content
+    dedup of the CLEANED text (md5 families, one representative each).
+    The output is the (stage, docs, tokens) table a training-data lead
+    reads to see where the corpus went — each stage's marginal cost in
+    tokens is the difference from the previous row.
+
+    Scale shape: strictly the union of the component ops' shapes (each
+    already probed ≤1.6 at 10×); the funnel adds only joins on doc_id
+    between stages and four scalar aggregates. At 100 TB every stage
+    keeps its own bounded plan — nothing new shuffles."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _rebuild_sin_cortes,
+        gopher_flags,
+        subcadena_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    palabras = docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("long")
+        .alias("palabras"),
+    )
+    aprobados = (
+        gopher_flags(docs).where(F.col("aprobado")).select("doc_id")
+        .join(palabras, "doc_id")
+    )
+    hs = subcadena_hashes(docs)
+    rep = (
+        hs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2)
+        .select("h")
+    )
+    cortes = (
+        hs.join(rep, "h")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("i"), F.col("i") + F.lit(1))).alias("tile"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tile").alias("cortes"))
+    )
+    tok_limpio = (
+        docs.join(cortes, "doc_id", "left")
+        .select("doc_id", _rebuild_sin_cortes().alias("texto"))
+        .select(
+            "doc_id",
+            F.expr("size(filter(split(texto, ' '), w -> w != ''))")
+            .cast("long")
+            .alias("toks"),
+            F.md5("texto").alias("huella"),
+        )
+    )
+    familias = (
+        tok_limpio.join(aprobados.select("doc_id"), "doc_id")
+        .groupBy("huella")
+        .agg(F.max("toks").alias("toks"))
+    )
+
+    def fila(orden: int, etapa: str, frame: DataFrame, col: str) -> DataFrame:
+        return frame.agg(
+            F.lit(orden).cast("bigint").alias("orden"),
+            F.lit(etapa).alias("etapa"),
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.coalesce(F.sum(col), F.lit(0)).cast("bigint").alias("tokens"),
+        )
+
+    e1 = fila(1, "bruto", palabras, "palabras")
+    e2 = fila(2, "gopher", aprobados, "palabras")
+    e3 = fila(
+        3, "sin_spans",
+        tok_limpio.join(aprobados.select("doc_id"), "doc_id"), "toks",
+    )
+    e4 = fila(4, "dedup", familias, "toks")
+    return e1.unionAll(e2).unionAll(e3).unionAll(e4)

@@ -59,6 +59,7 @@ SMOKE = [
     "particion_familias",
     "muestreo_negativos",
     "atipicos_embeddings",
+    # embudo_curacion is NOT here: fixed 4-stage funnel rows on empty
     # longitud_contexto is NOT here: fixed 3-row candidate grid on empty
     # grafo_kcore is NOT here: on empty input it returns its fixed
     # 5-round trace with zero counts (matching the unrolled oracle),

@@ -551,6 +551,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "muestreo_negativos",
         "longitud_contexto",
         "atipicos_embeddings",
+        "embudo_curacion",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
