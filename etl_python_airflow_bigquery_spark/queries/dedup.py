@@ -1007,7 +1007,8 @@ GROUP BY 1
 """
 
 
-@register("calibracion_lsh", oracle=_CALIBRACION_ORACLE, ops=("DD2", "A3"))
+@register("calibracion_lsh", oracle=_CALIBRACION_ORACLE, ops=("DD2", "A3"),
+          driver=False)
 def calibracion_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH RECALL CALIBRATION — the index-quality audit every LSH
     deployment needs before trusting its parameters: for each true
@@ -1206,7 +1207,7 @@ FROM asig GROUP BY 1
 
 
 @register("particion_familias", oracle=_FAMILIAS_ORACLE,
-          ops=("DD4", "A8", "J2"), driver=False, bench=True)
+          ops=("DD4", "A8", "J2"), bench=True)
 def particion_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/val/test assignment — the fix paired with the
     `fuga_particiones` audit: the split key is the duplicate FAMILY

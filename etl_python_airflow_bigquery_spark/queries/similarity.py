@@ -2340,7 +2340,8 @@ FROM ranked WHERE pos <= {_PQ_SEARCH_K}
 )
 
 
-@register("similarity_pq_search", oracle=_PQ_SEARCH_ORACLE, ops=("NN2", "O7"))
+@register("similarity_pq_search", oracle=_PQ_SEARCH_ORACLE, ops=("NN2", "O7"),
+          driver=False)
 def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search in the production two-stage shape: an ASYMMETRIC-
     DISTANCE (ADC) scan over the codes builds a shortlist — the query
