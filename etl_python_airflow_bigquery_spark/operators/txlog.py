@@ -741,6 +741,50 @@ class TxTable:
         return removed
 
     # -- change feed ------------------------------------------------------
+    def diff(
+        self,
+        spark: SparkSession,
+        v_old: int,
+        v_new: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """SNAPSHOT DIFF between two versions — the table-comparison
+        complement to ``changes()``: where the change feed replays the
+        WRITES between versions (and refuses across rewrites), diff
+        compares the READ STATES and therefore works across ANY history
+        — merges, overwrites, restores — because immutable snapshots
+        are always re-readable. One full-outer join on ``key_cols``;
+        per key the row is tagged ``agregada`` (only in new),
+        ``eliminada`` (only in old), ``modificada`` (present in both,
+        any shared non-key column differs, null-safely) or ``igual``.
+        Returns (key cols…, estado); callers aggregate counts. Cost is
+        a join of the two snapshots — the honest price of diffing
+        across a rewrite, paid only when asked."""
+        old = self.read(spark, v_old)
+        new = self.read(spark, v_new)
+        comunes = [
+            c for c in old.columns if c in new.columns and c not in key_cols
+        ]
+        o = old.select(
+            *key_cols, *[F.col(c).alias(f"__o_{c}") for c in comunes]
+        )
+        n = new.select(
+            *key_cols,
+            F.lit(1).alias("__en_new"),
+            *[F.col(c).alias(f"__n_{c}") for c in comunes],
+        )
+        j = o.withColumn("__en_old", F.lit(1)).join(n, key_cols, "full_outer")
+        cambio = F.lit(False)
+        for c in comunes:
+            cambio = cambio | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        estado = (
+            F.when(F.col("__en_old").isNull(), "agregada")
+            .when(F.col("__en_new").isNull(), "eliminada")
+            .when(cambio, "modificada")
+            .otherwise("igual")
+        )
+        return j.select(*key_cols, estado.alias("estado"))
+
     def changes(
         self,
         spark: SparkSession,

@@ -691,3 +691,41 @@ def test_history_describes_surviving_versions(spark, tmp_path):
     assert h[2]["n_files"] > h[3]["n_files"]  # append grew the file set
     t.vacuum(keep_versions=2, retention_s=0.0)
     assert [r["version"] for r in t.history(spark).collect()] == [3, 2]
+
+
+def test_diff_compares_snapshots_across_rewrites(spark, tmp_path):
+    """diff() works where changes() refuses: across a MERGE rewrite it
+    compares the two read states key by key — added / removed / changed
+    / equal, null-safely on the value columns."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import (
+        NonIncrementalHistory,
+    )
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, None)], "k INT, v DOUBLE"
+        )
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, 9.0), (3, None), (4, 4.0)], "k INT, v DOUBLE"),
+        key_cols=["k"],
+    )
+    # delete k=1 via replace-style overwrite keeping the rest
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, 9.0), (3, None), (4, 4.0)], "k INT, v DOUBLE"
+        )
+    )
+    # the change feed cannot cross these rewrites…
+    with pytest.raises(NonIncrementalHistory):
+        t.changes(spark, since_version=0).collect()
+    # …diff can:
+    got = {r["k"]: r["estado"] for r in t.diff(spark, 0, 2, ["k"]).collect()}
+    assert got == {
+        1: "eliminada",
+        2: "modificada",
+        3: "igual",  # NULL == NULL under eqNullSafe
+        4: "agregada",
+    }
