@@ -837,3 +837,111 @@ def retraso_envios(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_20_dias"),
         F.max("dias").cast("bigint").alias("max_dias"),
     )
+
+
+# --------------------------------------------------------------------------
+# Attribution-window funnel — conversion only counts within W of the
+# previous stage (the time-bounded class funnel_ordenado doesn't impose)
+# --------------------------------------------------------------------------
+
+_VENTANA_FUNNEL_US = 30 * 60 * 1_000_000  # 30-minute attribution window
+
+_FUNNEL_VENTANA_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type AS tipo, epoch_us(ts) AS t FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT DISTINCT user_id FROM ev WHERE tipo = 'view'),
+c2 AS (
+    SELECT DISTINCT c.user_id
+    FROM ev c JOIN ev v ON v.user_id = c.user_id
+    WHERE c.tipo = 'click' AND v.tipo = 'view'
+      AND v.t < c.t AND c.t - v.t <= {_VENTANA_FUNNEL_US}
+),
+c3 AS (
+    SELECT DISTINCT p.user_id
+    FROM ev p
+    JOIN ev c ON c.user_id = p.user_id
+    JOIN ev v ON v.user_id = p.user_id
+    WHERE p.tipo = 'purchase' AND c.tipo = 'click' AND v.tipo = 'view'
+      AND v.t < c.t AND c.t - v.t <= {_VENTANA_FUNNEL_US}
+      AND c.t < p.t AND p.t - c.t <= {_VENTANA_FUNNEL_US}
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS usuarios_vista,
+       CAST((SELECT count(*) FROM c2) AS BIGINT) AS usuarios_click_30m,
+       CAST((SELECT count(*) FROM c3) AS BIGINT) AS usuarios_compra_30m,
+       CAST((1000 * (SELECT count(*) FROM c2))
+            // greatest((SELECT count(*) FROM v), 1) AS BIGINT)
+           AS conv_click_milli,
+       CAST((1000 * (SELECT count(*) FROM c3))
+            // greatest((SELECT count(*) FROM c2), 1) AS BIGINT)
+           AS conv_compra_milli
+"""
+
+
+@register("funnel_ventana", oracle=_FUNNEL_VENTANA_ORACLE,
+          ops=("A8", "W1", "J9"), driver=False)
+def funnel_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTION-WINDOW funnel: view → click within 30 min → purchase
+    within 30 min of a REACHABLE click — the time-bounded conversion
+    class (strict order alone, funnel_ordenado, lets a Tuesday view
+    convert a Friday click; ad attribution doesn't).
+
+    Spark-first: one groupBy(user) collecting the sorted event array,
+    then a single fold tracking the LATEST reachable completion per
+    stage — exact for windowed chain existence because any qualifying
+    predecessor in [t−W, t) implies the latest one also qualifies (it
+    is ≥ the qualifier and < t). The oracle is the literal existence
+    form (per-user windowed joins), so the fold's optimality argument
+    is itself oracle-checked. One shuffle + one map pass at any scale;
+    the per-user join blowup the oracle pays never happens Spark-side."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.col("event_type").alias("tipo"),
+        event_ts_us(events).alias("t"),
+    ).where(F.col("tipo").isin("view", "click", "purchase"))
+    por_usuario = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "tipo"))).alias("evs")
+    )
+    W = _VENTANA_FUNNEL_US
+    fold = F.expr(
+        "aggregate(evs, "
+        "struct(CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2, "
+        "CAST(NULL AS BIGINT) AS l3), "
+        "(acc, e) -> CASE "
+        "WHEN e.tipo = 'view' THEN "
+        "  struct(e.t AS l1, acc.l2 AS l2, acc.l3 AS l3) "
+        f"WHEN e.tipo = 'click' AND acc.l1 IS NOT NULL AND e.t > acc.l1 "
+        f"  AND e.t - acc.l1 <= {W} THEN "
+        "  struct(acc.l1 AS l1, e.t AS l2, acc.l3 AS l3) "
+        f"WHEN e.tipo = 'purchase' AND acc.l2 IS NOT NULL AND e.t > acc.l2 "
+        f"  AND e.t - acc.l2 <= {W} THEN "
+        "  struct(acc.l1 AS l1, acc.l2 AS l2, e.t AS l3) "
+        "ELSE acc END)"
+    )
+    est = por_usuario.select(
+        fold.alias("s"),
+        F.exists("evs", lambda e: e["tipo"] == F.lit("view")).alias("vio"),
+    )
+    return est.agg(
+        F.sum(F.when(F.col("vio"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("usuarios_vista"),
+        F.sum(F.when(F.col("s.l2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("usuarios_click_30m"),
+        F.sum(F.when(F.col("s.l3").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("usuarios_compra_30m"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN s.l2 IS NOT NULL THEN 1 ELSE 0 END))"
+            " div greatest(sum(CASE WHEN vio THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("conv_click_milli"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN s.l3 IS NOT NULL THEN 1 ELSE 0 END))"
+            " div greatest(sum(CASE WHEN s.l2 IS NOT NULL THEN 1 ELSE 0 END),"
+            " 1) AS BIGINT)"
+        ).alias("conv_compra_milli"),
+    )

@@ -59,6 +59,8 @@ SMOKE = [
     "particion_familias",
     "muestreo_negativos",
     "atipicos_embeddings",
+    # funnel_ventana is NOT here: global scalar row (zeros) on empty,
+    # matching its oracle
     # embudo_curacion is NOT here: fixed 4-stage funnel rows on empty
     # longitud_contexto is NOT here: fixed 3-row candidate grid on empty
     # grafo_kcore is NOT here: on empty input it returns its fixed

@@ -552,6 +552,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "longitud_contexto",
         "atipicos_embeddings",
         "embudo_curacion",
+        "funnel_ventana",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
