@@ -879,6 +879,28 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS usuarios_vista,
 """
 
 
+def _funnel_ventana_fold(w_us: int):
+    """The latest-reachable-completion fold over a sorted (t, tipo)
+    event array — factored so the hypothesis test can drive the SAME
+    expression against a brute-force existence check on random event
+    sequences (tests/test_funnel_property.py)."""
+    return F.expr(
+        "aggregate(evs, "
+        "struct(CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2, "
+        "CAST(NULL AS BIGINT) AS l3), "
+        "(acc, e) -> CASE "
+        "WHEN e.tipo = 'view' THEN "
+        "  struct(e.t AS l1, acc.l2 AS l2, acc.l3 AS l3) "
+        f"WHEN e.tipo = 'click' AND acc.l1 IS NOT NULL AND e.t > acc.l1 "
+        f"  AND e.t - acc.l1 <= {w_us} THEN "
+        "  struct(acc.l1 AS l1, e.t AS l2, acc.l3 AS l3) "
+        f"WHEN e.tipo = 'purchase' AND acc.l2 IS NOT NULL AND e.t > acc.l2 "
+        f"  AND e.t - acc.l2 <= {w_us} THEN "
+        "  struct(acc.l1 AS l1, acc.l2 AS l2, e.t AS l3) "
+        "ELSE acc END)"
+    )
+
+
 @register("funnel_ventana", oracle=_FUNNEL_VENTANA_ORACLE,
           ops=("A8", "W1", "J9"), driver=False)
 def funnel_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,22 +926,7 @@ def funnel_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
     por_usuario = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("t", "tipo"))).alias("evs")
     )
-    W = _VENTANA_FUNNEL_US
-    fold = F.expr(
-        "aggregate(evs, "
-        "struct(CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2, "
-        "CAST(NULL AS BIGINT) AS l3), "
-        "(acc, e) -> CASE "
-        "WHEN e.tipo = 'view' THEN "
-        "  struct(e.t AS l1, acc.l2 AS l2, acc.l3 AS l3) "
-        f"WHEN e.tipo = 'click' AND acc.l1 IS NOT NULL AND e.t > acc.l1 "
-        f"  AND e.t - acc.l1 <= {W} THEN "
-        "  struct(acc.l1 AS l1, e.t AS l2, acc.l3 AS l3) "
-        f"WHEN e.tipo = 'purchase' AND acc.l2 IS NOT NULL AND e.t > acc.l2 "
-        f"  AND e.t - acc.l2 <= {W} THEN "
-        "  struct(acc.l1 AS l1, acc.l2 AS l2, e.t AS l3) "
-        "ELSE acc END)"
-    )
+    fold = _funnel_ventana_fold(_VENTANA_FUNNEL_US)
     est = por_usuario.select(
         fold.alias("s"),
         F.exists("evs", lambda e: e["tipo"] == F.lit("view")).alias("vio"),

@@ -130,3 +130,82 @@ def test_corpus_sin_subcadenas_cuts_exactly_the_shared_spans(spark, tmp_path):
     assert got[2]["huella"] == md5(b_pre + b_post)
     assert got[3]["huella"] == md5(rows[2][1])  # untouched
     assert got[4]["huella"] == md5("short")  # sub-window doc passes whole
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _cut_reference(texts: list[str], w: int = 40, s: int = 20) -> dict[int, str]:
+    """Pure-Python reference for the tile cut: windows at stride s of
+    width w; a window duplicated across >=2 distinct docs cuts its two
+    tiles; docs rebuild from surviving tiles."""
+    wins: dict[str, set[int]] = {}
+    per_doc: list[list[tuple[int, str]]] = []
+    for d, t in enumerate(texts):
+        t = t or ""
+        ws = []
+        if len(t) >= w:
+            for i in range((len(t) - w) // s + 1):
+                win = t[i * s : i * s + w]
+                ws.append((i, win))
+                wins.setdefault(win, set()).add(d)
+        per_doc.append(ws)
+    out = {}
+    for d, t in enumerate(texts):
+        t = t or ""
+        cut: set[int] = set()
+        for i, win in per_doc[d]:
+            if len(wins[win]) >= 2:
+                cut.update((i, i + 1))
+        tiles = [
+            t[k * s : k * s + s]
+            for k in range((len(t) - 1) // s + 1)
+            if k not in cut
+        ] if t else []
+        out[d] = "".join(tiles)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abX ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_corpus_sin_subcadenas_matches_python_reference(
+    spark_prop, tmp_path_factory, texts
+):
+    """Property pin for the tile-cut algebra: on random small-alphabet
+    corpora (where 40-char windows collide constantly) the Spark cut
+    must equal the pure-Python window/tile reference byte for byte."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = spark_prop
+    out = str(tmp_path_factory.mktemp("prop_cut"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["web"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        _os.path.join(out, "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r["huella"]
+        for r in REGISTRY["corpus_sin_subcadenas"].fn(spark, out).collect()
+    }
+    want = _cut_reference(texts)
+    for d, texto in want.items():
+        assert got[d] == hashlib.md5(texto.encode()).hexdigest(), (
+            d, texts[d], texto,
+        )
