@@ -662,6 +662,46 @@ class TxTable:
             parent,
         )
 
+    def clone_to(self, dst_path: str, version: int | None = None) -> "TxTable":
+        """ZERO-COPY CLONE (Delta SHALLOW CLONE semantics, hard-link
+        implementation): create a new independent table at ``dst_path``
+        whose v0 is the source's snapshot at ``version`` (default HEAD).
+        Data files HARD-LINK into the clone — no bytes copied, O(files)
+        metadata work — and because data files are immutable on both
+        sides, the clone and the source then diverge freely: writes to
+        either never touch the other, and either side's vacuum only
+        unlinks ITS directory entry (the inode survives until the last
+        table drops it). The classic uses: a dev/test copy of a
+        production mart, or a frozen training-data snapshot that keeps
+        living while the source keeps ingesting."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(v)
+        dst = TxTable(
+            dst_path,
+            stats_cols=self.stats_cols,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+            bloom_hashes=self.bloom_hashes,
+        )
+        for name in self._names(m["files"]):
+            src_f = os.path.join(self.data_dir, name)
+            dst_f = os.path.join(dst.data_dir, name)
+            if not os.path.exists(dst_f):
+                os.link(src_f, dst_f)
+        dst._claim(
+            {
+                "files": m["files"],
+                "op": "clone",
+                "schema": m["schema"],
+                "cloned_from": self.path,
+                "cloned_version": v,
+            },
+            -1,
+        )
+        return dst
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: commit a NEW version whose file set IS
         the target version's — time travel made durable. Nothing is

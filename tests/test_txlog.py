@@ -729,3 +729,32 @@ def test_diff_compares_snapshots_across_rewrites(spark, tmp_path):
         3: "igual",  # NULL == NULL under eqNullSafe
         4: "agregada",
     }
+
+
+def test_clone_is_zero_copy_and_divergent(spark, tmp_path):
+    """Shallow clone: the clone's v0 is the source snapshot via hard
+    links (same inodes, no bytes copied); afterwards writes and vacuums
+    on either side never affect the other."""
+    src = TxTable(str(tmp_path / "src"))
+    src.overwrite(_df(spark, 0, 5))
+    src.append(_df(spark, 5, 8))
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert dst.read(spark).count() == 8
+    # zero-copy: every clone file shares its inode with the source
+    m = src._manifest(src.version())
+    for name in src._names(m["files"]):
+        s_ino = os.stat(os.path.join(src.data_dir, name)).st_ino
+        d_ino = os.stat(os.path.join(dst.data_dir, name)).st_ino
+        assert s_ino == d_ino
+    # divergence: each side writes independently
+    src.append(_df(spark, 100, 110))
+    dst.append(_df(spark, 200, 203))
+    assert src.read(spark).count() == 18
+    assert dst.read(spark).count() == 11
+    # the source vacuuming its history never breaks the clone
+    src.overwrite(_df(spark, 0, 1))
+    src.vacuum(keep_versions=1, retention_s=0.0)
+    assert dst.read(spark).count() == 11  # inodes survive via dst's links
+    # clone provenance is recorded
+    m0 = dst._manifest(0)
+    assert m0["op"] == "clone" and m0["cloned_version"] == 1
