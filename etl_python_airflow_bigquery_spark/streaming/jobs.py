@@ -526,3 +526,93 @@ def run_ann_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_span_cut_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    index_df: DataFrame | None = None,
+) -> dict:
+    """PRODUCTION streaming span-cut gate — the TxTable-writing face of
+    the `streaming_cortes_subcadenas` query: documents arrive as landed
+    files, every micro-batch excises the windows the stored corpus
+    index already knows (shared `subcadena_hashes` + `_cut_output`
+    tile-cut logic), and the CLEANED documents append atomically to a
+    txlog table — one manifest flip per batch, crash-replay idempotent
+    via the checkpoint, downstream training-shard readers never see an
+    uncleaned or half-ingested batch (run_validated_ingest's contract
+    applied to span dedup).
+
+    ``index_df``: the corpus window-hash index (one ``h`` column). By
+    default it builds from the already-ingested table's own content —
+    the self-maintaining form — falling back to empty (first batches
+    pass through whole) when the table has no commits yet."""
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _rebuild_sin_cortes,
+        subcadena_hashes,
+    )
+
+    tabla = TxTable(os.path.join(out_path, "limpios"))
+    if index_df is None:
+        if tabla.version() >= 0:
+            index_df = (
+                subcadena_hashes(tabla.read(spark))
+                .select("h")
+                .distinct()
+            )
+        else:
+            index_df = spark.createDataFrame([], "h BIGINT")
+    indice = index_df.localCheckpoint(eager=True)
+    stats = {"commits": 0, "docs": 0}
+
+    batch_schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def cortar(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hs = subcadena_hashes(batch_df)
+        cortes = (
+            hs.join(indice, "h")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array(F.col("i"), F.col("i") + F.lit(1))
+                ).alias("tile"),
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set("tile").alias("cortes"))
+        )
+        limpio = (
+            batch_df.join(cortes, "doc_id", "left")
+            .select(
+                "doc_id",
+                _rebuild_sin_cortes().alias("text"),
+                *[c for c in batch_df.columns if c not in ("doc_id", "text")],
+            )
+        )
+        if tabla.version() >= 0:
+            tabla.append(limpio)
+        else:
+            tabla.overwrite(limpio)
+        stats["commits"] += 1
+        stats["docs"] += limpio.count()
+
+    q = (
+        src.writeStream.foreachBatch(cortar)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -304,3 +304,58 @@ def test_validated_ingest_gates_bad_batches(spark, sf_dir, tmp_path):
     assert cuar.count() == 2
     rotas = cuar.select("reglas_rotas").distinct().collect()[0][0]
     assert "no_nulo_user" in rotas and "rango_valor" in rotas
+
+
+def test_span_cut_ingest_writes_cleaned_docs_transactionally(spark, tmp_path):
+    """run_span_cut_ingest: known duplicated spans are excised from
+    arriving documents BEFORE they land; the output is a txlog table
+    (one manifest flip per batch, time-travelable), and docs with no
+    known spans pass through byte-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.queries.text import subcadena_hashes
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_span_cut_ingest,
+    )
+
+    shared = "Z" * 40  # one known 40-char span
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    rows = [
+        (1, "a" * 40 + shared + "b" * 40),  # span in the middle: cut
+        (2, "clean short doc"),  # passes whole
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array(["web", "web"], pa.string()),
+            }
+        ),
+        os.path.join(src_dir, "batch1.parquet"),
+    )
+    # the corpus index knows the shared span
+    corpus = spark.createDataFrame(
+        [(99, "x" * 20 + shared + "y" * 20)], "doc_id BIGINT, text STRING"
+    )
+    indice = subcadena_hashes(corpus).select("h").distinct()
+    stats = run_span_cut_ingest(
+        spark,
+        src_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        index_df=indice,
+    )
+    assert stats["commits"] == 1 and stats["docs"] == 2
+    t = TxTable(str(tmp_path / "out" / "limpios"))
+    got = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    # corpus window "Z"*40 occupies doc 1's chars 41-80 = window i=2 →
+    # tiles {2,3} cut; the corpus doc's own UNIQUE windows ("x…Z…" etc.)
+    # don't match doc 1, so only the exact aligned span goes
+    assert got[1] == "a" * 40 + "b" * 40
+    assert got[2] == "clean short doc"
