@@ -2844,3 +2844,106 @@ def longitud_contexto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perdida_milli",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-space integrity audit — measure the md5-prefix collision claim
+# --------------------------------------------------------------------------
+# Every dedup/posting join in the engine keys on 60-bit md5-prefix
+# int64s with a documented "~1e-6 collisions at 1e6 keys, affecting
+# both engines equally" argument. This op MEASURES it instead of
+# asserting it: per hash space (word 3-gram shingles; 40-char span
+# windows), distinct texts vs distinct hashes — any gap is a real
+# collision, and the output doubles as the canary that would catch a
+# hashing-discipline regression (e.g. someone shortening the prefix).
+
+_COLISIONES_ORACLE = f"""
+WITH gramas AS (
+    SELECT DISTINCT w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS texto
+    FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+         LATERAL unnest(generate_series(1, len(d.w) - 2)) AS g(i)
+    WHERE len(d.w) >= 3
+),
+ventanas AS (
+    SELECT DISTINCT substring(text, CAST(g.i * {_SUBC_S} + 1 AS INT),
+                              {_SUBC_W}) AS texto
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             (length(text) - {_SUBC_W}) // {_SUBC_S})) AS g(i)
+    WHERE length(text) >= {_SUBC_W}
+)
+SELECT * FROM (
+SELECT 'shingles' AS espacio,
+       CAST(count(*) AS BIGINT) AS textos_distintos,
+       CAST(count(DISTINCT {_hex_hash_sql("texto")}) AS BIGINT)
+           AS hashes_distintos,
+       CAST(count(*) - count(DISTINCT {_hex_hash_sql("texto")}) AS BIGINT)
+           AS colisiones
+FROM gramas
+UNION ALL
+SELECT 'ventanas',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT {_hex_hash_sql("texto")}) AS BIGINT),
+       CAST(count(*) - count(DISTINCT {_hex_hash_sql("texto")}) AS BIGINT)
+FROM ventanas
+)
+"""
+
+
+@register("colisiones_hash", oracle=_COLISIONES_ORACLE,
+          ops=("TX4", "A2", "A6"), driver=False)
+def colisiones_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-SPACE INTEGRITY audit: the engine's posting/dedup joins all
+    key on 60-bit md5-prefix int64s under a "collisions are ~1e-6 and
+    symmetric" argument — this measures it. Per hash space (word
+    3-gram shingles; 40-char span windows): distinct texts, distinct
+    hashes, and their gap = actual collisions. Zero is the expected
+    reading at these corpus sizes; a nonzero gap (or a regression that
+    shortens the prefix) surfaces here before it silently merges
+    unrelated documents.
+
+    Shape: two map-side distinct-text sets (the shingle/window
+    generators the dedup family already runs), each reduced by one
+    exact two-distinct aggregate; output is 2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    gramas = (
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("texto")
+        )
+        .distinct()
+    )
+    ventanas = (
+        docs.where(F.length("text") >= _SUBC_W)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (length(text) - {_SUBC_W})"
+                    f" div {_SUBC_S}),"
+                    f" i -> substring(text, cast(i * {_SUBC_S} + 1 as int),"
+                    f" {_SUBC_W}))"
+                )
+            ).alias("texto")
+        )
+        .distinct()
+    )
+
+    def fila(nombre: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(nombre).alias("espacio"),
+            F.count(F.lit(1)).cast("bigint").alias("textos_distintos"),
+            F.countDistinct(hex_hash(F.col("texto")))
+            .cast("bigint")
+            .alias("hashes_distintos"),
+            (F.count(F.lit(1)) - F.countDistinct(hex_hash(F.col("texto"))))
+            .cast("bigint")
+            .alias("colisiones"),
+        )
+
+    return fila("shingles", gramas).unionAll(fila("ventanas", ventanas))

@@ -553,6 +553,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "atipicos_embeddings",
         "embudo_curacion",
         "funnel_ventana",
+        "colisiones_hash",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
