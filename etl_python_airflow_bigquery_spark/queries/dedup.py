@@ -1260,3 +1260,138 @@ def particion_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(cruz))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal consistency — do text near-dups agree with embedding space?
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.queries.similarity import (  # noqa: E402
+    _scaled_int_sql,
+    _int_vectors,
+    _emb,
+)
+
+_CONSISTENCIA_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pares AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+normas AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                k -> ev[k] * ev[k])) AS BIGINT) AS nn
+    FROM enteros
+),
+puntuado AS (
+    SELECT g.grupo, g.a, g.b,
+           CAST(floor(1e6 * CAST(list_sum(list_transform(
+                    generate_series(1, 64), k -> ea.ev[k] * eb.ev[k]))
+                AS DOUBLE)
+                / sqrt(CAST(greatest(na.nn, 1) AS DOUBLE)
+                       * CAST(greatest(nb.nn, 1) AS DOUBLE))) AS BIGINT)
+               AS cos_micro
+    FROM (
+        SELECT 'texto_dup' AS grupo, doc_a AS a, doc_b AS b FROM pares
+        UNION ALL
+        SELECT 'control', e.vec_id, e.vec_id + 1
+        FROM enteros e JOIN enteros e2 ON e2.vec_id = e.vec_id + 1
+    ) g
+    JOIN enteros ea ON ea.vec_id = g.a
+    JOIN enteros eb ON eb.vec_id = g.b
+    JOIN normas na ON na.vec_id = g.a
+    JOIN normas nb ON nb.vec_id = g.b
+)
+SELECT grupo,
+       CAST(count(*) AS BIGINT) AS pares,
+       CAST(CASE WHEN count(*) = 0 THEN 0
+            ELSE sum(cos_micro) // count(*) END AS BIGINT)
+           AS cos_promedio_micro
+FROM puntuado GROUP BY 1
+"""
+
+
+@register("consistencia_modalidades", oracle=_CONSISTENCIA_ORACLE,
+          ops=("DD4", "DD5", "A3"), driver=False, bench=True)
+def consistencia_modalidades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL CONSISTENCY audit — the bridge between the two
+    near-dup families: for text near-duplicate pairs (exact Jaccard ≥
+    0.5) whose BOTH sides also have embeddings, the mean embedding
+    cosine, next to an adjacent-id CONTROL pairing (ids are arbitrary,
+    so consecutive ids are an unbiased random-pair stand-in that costs
+    n rows, never n²). If the embedding model is healthy, texto_dup
+    sits far above control; convergence of the two is the drift alarm
+    that the embeddings stopped encoding content. Cosines are
+    floor-micro integers (the established cross-engine device), means
+    are integer divisions.
+
+    Shape: rides the session-cached verified pair frame; the control
+    group is a self-join on vec_id+1 (equi); scoring joins are
+    vec_id-keyed; output is 2 rows."""
+    pares = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).withColumn("grupo", F.lit("texto_dup"))
+    enteros = _int_vectors(_emb(spark, sf_dir))
+    control = (
+        enteros.select(F.col("vec_id").alias("a"))
+        .join(
+            enteros.select((F.col("vec_id") - 1).alias("a"),
+                           F.col("vec_id").alias("b")),
+            "a",
+        )
+        .withColumn("grupo", F.lit("control"))
+    )
+    grupos = pares.unionByName(control.select("a", "b", "grupo"))
+    normas = enteros.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(ev, ev, (x, y) -> x * y), 0L, (p, v) -> p + v)"
+        ).alias("nn"),
+    )
+    puntuado = (
+        grupos.join(
+            enteros.select(F.col("vec_id").alias("a"), F.col("ev").alias("ea")),
+            "a",
+        )
+        .join(
+            enteros.select(F.col("vec_id").alias("b"), F.col("ev").alias("eb")),
+            "b",
+        )
+        .join(normas.select(F.col("vec_id").alias("a"),
+                            F.col("nn").alias("na")), "a")
+        .join(normas.select(F.col("vec_id").alias("b"),
+                            F.col("nn").alias("nb")), "b")
+        .select(
+            "grupo",
+            F.floor(
+                F.lit(1e6)
+                * F.expr(
+                    "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L,"
+                    " (p, v) -> p + v)"
+                ).cast("double")
+                / F.sqrt(
+                    F.greatest(F.col("na"), F.lit(1)).cast("double")
+                    * F.greatest(F.col("nb"), F.lit(1)).cast("double")
+                )
+            ).cast("bigint").alias("cos_micro"),
+        )
+    )
+    return puntuado.groupBy("grupo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pares"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 0 "
+            "ELSE sum(cos_micro) div count(*) END AS BIGINT)"
+        ).alias("cos_promedio_micro"),
+    )

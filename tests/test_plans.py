@@ -554,6 +554,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "embudo_curacion",
         "funnel_ventana",
         "colisiones_hash",
+        "consistencia_modalidades",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
