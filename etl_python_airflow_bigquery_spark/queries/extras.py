@@ -21,7 +21,7 @@ from etl_python_airflow_bigquery_spark.functions import (
 )
 from etl_python_airflow_bigquery_spark.operators.intervals import sessions_from_events
 from etl_python_airflow_bigquery_spark.queries import register
-from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql
+from etl_python_airflow_bigquery_spark.queries.text import _hex_hash_sql, hex_hash
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -1934,4 +1934,83 @@ def frescura_datos(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dias_faltantes"),
         )
         .drop("d_max")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampled-estimator accuracy audit — what a 1/K user sample gets wrong
+# --------------------------------------------------------------------------
+# At 100 TB many dashboards run on a deterministic user sample (scan
+# 1/K of the data, scale by K). This op MEASURES that estimator against
+# the exact answer per event type: the hash-gated 1/K user panel
+# (muestra_estratificada's gate, so panel membership is stable across
+# runs and engines), the scaled estimate, and the milli relative error
+# — the table that decides whether the cheap pipeline is honest enough
+# to serve.
+
+_MUESTREO_K = 10
+
+_ERROR_MUESTREO_ORACLE = f"""
+WITH marcado AS (
+    SELECT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {_MUESTREO_K} = 0 AS en_panel
+    FROM events
+),
+por_tipo AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS exacto,
+           CAST({_MUESTREO_K} * count(*) FILTER (en_panel) AS BIGINT)
+               AS estimado
+    FROM marcado GROUP BY 1
+)
+SELECT event_type,
+       exacto,
+       estimado,
+       CAST(CASE WHEN exacto = 0 THEN 0
+            ELSE (1000 * abs(estimado - exacto)) // exacto END AS BIGINT)
+           AS error_milli
+FROM por_tipo
+"""
+
+
+@register("error_muestreo", oracle=_ERROR_MUESTREO_ORACLE,
+          ops=("A8", "A3", "P5"), driver=False)
+def error_muestreo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-ESTIMATOR accuracy audit: per event type, the exact
+    event count next to the 1/{_MUESTREO_K}-user-panel scaled estimate
+    (deterministic md5 gate on user_id — the same panel every run, on
+    every engine) and the milli relative error. This is the honesty
+    check a sampled 100 TB dashboard pipeline publishes next to its
+    numbers: when error_milli drifts past budget for a type (small
+    audiences sample badly), that type moves back to the exact path.
+
+    Shape: ONE scan — the panel flag is a map-side projection, both
+    exact and estimated counts come from the same conditional
+    aggregation; output is event-types-sized."""
+    events = load_table(spark, sf_dir, "events")
+    marcado = events.select(
+        "event_type",
+        (
+            hex_hash(F.col("user_id").cast("string")) % _MUESTREO_K == 0
+        ).alias("en_panel"),
+    )
+    return (
+        marcado.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exacto"),
+            (
+                F.lit(_MUESTREO_K)
+                * F.sum(F.when(F.col("en_panel"), 1).otherwise(0))
+            ).cast("bigint").alias("estimado"),
+        )
+        .select(
+            "event_type",
+            "exacto",
+            "estimado",
+            F.expr(
+                "CASE WHEN exacto = 0 THEN 0 "
+                "ELSE (1000 * abs(estimado - exacto)) div exacto END"
+            ).cast("bigint").alias("error_milli"),
+        )
     )

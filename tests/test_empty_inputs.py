@@ -59,6 +59,7 @@ SMOKE = [
     "particion_familias",
     "muestreo_negativos",
     "atipicos_embeddings",
+    "error_muestreo",
     # colisiones_hash is NOT here: fixed 2-row per-space audit on empty
     # funnel_ventana is NOT here: global scalar row (zeros) on empty,
     # matching its oracle

@@ -555,6 +555,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "funnel_ventana",
         "colisiones_hash",
         "consistencia_modalidades",
+        "error_muestreo",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
