@@ -1395,3 +1395,133 @@ def consistencia_modalidades(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE sum(cos_micro) div count(*) END AS BIGINT)"
         ).alias("cos_promedio_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level MinHash sketch union — mergeability demonstrated + audited
+# --------------------------------------------------------------------------
+# The property that makes MinHash a DISTRIBUTED sketch: the signature of
+# a UNION is the elementwise min of the parts' signatures, so per-shard
+# sketches merge associatively with no re-scan. This op runs that at the
+# source level — each source's sketch is the min over its shingles
+# (identically: the merge of its docs' sketches) — and AUDITS the
+# estimator against the exact pairwise source Jaccard, which is
+# affordable here precisely because sources are few while docs are not.
+
+_FUENTES_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_PERMS_SQL},
+fs AS (
+    SELECT DISTINCT d.source, sh.s
+    FROM sh JOIN documents d USING (doc_id)
+),
+tamf AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fs GROUP BY 1),
+interf AS (
+    SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS c
+    FROM fs a JOIN fs b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+),
+h0 AS (SELECT source, s % {_MERSENNE} AS h FROM fs),
+minh AS (
+    SELECT h0.source, p.i, min((p.a * h0.h + p.b) % {_MERSENNE}) AS mh
+    FROM h0 CROSS JOIN perms p
+    GROUP BY 1, 2
+),
+coinc AS (
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+    FROM minh a JOIN minh b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT ta.source AS fuente_a, tb.source AS fuente_b,
+       CAST((1000 * coalesce(i.c, 0))
+            // (ta.n + tb.n - coalesce(i.c, 0)) AS BIGINT)
+           AS jaccard_exacto_milli,
+       CAST((1000 * co.m) // {_N_PERM} AS BIGINT) AS jaccard_estimado_milli,
+       co.m AS coincidencias
+FROM tamf ta
+JOIN tamf tb ON ta.source < tb.source
+LEFT JOIN interf i ON i.sa = ta.source AND i.sb = tb.source
+JOIN coinc co ON co.sa = ta.source AND co.sb = tb.source
+"""
+
+
+@register("similitud_fuentes", oracle=_FUENTES_ORACLE,
+          ops=("DD2", "A3", "J9"), driver=False, bench=True)
+def similitud_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level MinHash sketch union, audited: each ingest source's
+    16-permutation sketch is the min over its shingle set — which, by
+    the mergeability property that makes MinHash a distributed sketch,
+    equals the elementwise merge of its documents' sketches (per-shard
+    sketches union associatively with no re-scan at 100 TB). The
+    pairwise matching-coordinate estimate of source-vs-source Jaccard
+    sits next to the EXACT pairwise Jaccard in the output — affordable
+    as an audit precisely because sources are few while documents are
+    not; at scale only the sketches travel.
+
+    Shape: shingles ride the session-cached posting frame; the sketch
+    is one (source ×16)-cell aggregation; exact intersection is an
+    equi self-join on the shingle hash; everything downstream is
+    sources²-sized."""
+    sh = _shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fs = sh.join(docs, "doc_id").select("source", "s").distinct()
+    tamf = fs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    interf = (
+        fs.alias("a")
+        .join(
+            fs.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    h0 = fs.select("source", (F.col("s") % _MERSENNE).alias("h"))
+    firmas = h0.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
+            for i, a, b in _perm_params()
+        ]
+    )
+    a, b = firmas.alias("a"), firmas.alias("b")
+    m_expr = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i, _, _ in _perm_params()
+    )
+    coinc = (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            m_expr.cast("bigint").alias("m"),
+        )
+    )
+    ta = tamf.select(F.col("source").alias("fuente_a"), F.col("n").alias("na"))
+    tb = tamf.select(F.col("source").alias("fuente_b"), F.col("n").alias("nb"))
+    return (
+        ta.join(F.broadcast(tb), F.col("fuente_a") < F.col("fuente_b"))
+        .join(
+            interf,
+            (F.col("sa") == F.col("fuente_a")) & (F.col("sb") == F.col("fuente_b")),
+            "left",
+        )
+        .join(
+            coinc.withColumnsRenamed({"sa": "ca", "sb": "cb"}),
+            (F.col("ca") == F.col("fuente_a")) & (F.col("cb") == F.col("fuente_b")),
+        )
+        .select(
+            "fuente_a",
+            "fuente_b",
+            F.expr(
+                "CAST((1000 * coalesce(c, 0L))"
+                " div (na + nb - coalesce(c, 0L)) AS BIGINT)"
+            ).alias("jaccard_exacto_milli"),
+            F.expr(f"CAST((1000 * m) div {_N_PERM} AS BIGINT)").alias(
+                "jaccard_estimado_milli"
+            ),
+            F.col("m").alias("coincidencias"),
+        )
+    )

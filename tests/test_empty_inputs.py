@@ -60,6 +60,7 @@ SMOKE = [
     "muestreo_negativos",
     "atipicos_embeddings",
     "error_muestreo",
+    "similitud_fuentes",
     # colisiones_hash is NOT here: fixed 2-row per-space audit on empty
     # funnel_ventana is NOT here: global scalar row (zeros) on empty,
     # matching its oracle

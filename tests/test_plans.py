@@ -556,6 +556,7 @@ def test_gopher_rules_single_shuffle(spark, sf_dir):
         "colisiones_hash",
         "consistencia_modalidades",
         "error_muestreo",
+        "similitud_fuentes",
     ],
 )
 def test_round6_ops_no_cartesian(spark, sf_dir, name):
