@@ -880,23 +880,38 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS usuarios_vista,
 
 
 def _funnel_ventana_fold(w_us: int):
-    """The latest-reachable-completion fold over a sorted (t, tipo)
-    event array — factored so the hypothesis test can drive the SAME
-    expression against a brute-force existence check on random event
-    sequences (tests/test_funnel_property.py)."""
+    """The windowed-chain reachability fold over a sorted (t, tipo)
+    event array. Stage-2 state is TWO-LEVEL — the latest reachable
+    click l2a AND the latest reachable click strictly below it, l2b —
+    because the window's two bounds pull opposite ways: the lower bound
+    (c ≥ t−W) favors the LATEST reachable click, but the strict upper
+    bound (c < t) can disqualify exactly that one when it shares the
+    purchase's timestamp, while an earlier reachable click still
+    qualifies. The hypothesis suite found the counterexample (view@0,
+    click@1, click@2, purchase@2) against the single-level form; with
+    both levels, the max reachable click strictly below t is always at
+    hand, which is exact for existence. l1 needs no second level: the
+    sort order puts a view after any same-timestamp click, so l1 < t
+    holds at every click evaluation. Factored so the property test
+    (tests/test_funnel_property.py) drives the SAME expression against
+    brute force."""
     return F.expr(
         "aggregate(evs, "
-        "struct(CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2, "
-        "CAST(NULL AS BIGINT) AS l3), "
+        "struct(CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2a, "
+        "CAST(NULL AS BIGINT) AS l2b, CAST(NULL AS BIGINT) AS l3), "
         "(acc, e) -> CASE "
         "WHEN e.tipo = 'view' THEN "
-        "  struct(e.t AS l1, acc.l2 AS l2, acc.l3 AS l3) "
+        "  struct(e.t AS l1, acc.l2a AS l2a, acc.l2b AS l2b, acc.l3 AS l3) "
         f"WHEN e.tipo = 'click' AND acc.l1 IS NOT NULL AND e.t > acc.l1 "
-        f"  AND e.t - acc.l1 <= {w_us} THEN "
-        "  struct(acc.l1 AS l1, e.t AS l2, acc.l3 AS l3) "
-        f"WHEN e.tipo = 'purchase' AND acc.l2 IS NOT NULL AND e.t > acc.l2 "
-        f"  AND e.t - acc.l2 <= {w_us} THEN "
-        "  struct(acc.l1 AS l1, acc.l2 AS l2, e.t AS l3) "
+        f"  AND e.t - acc.l1 <= {w_us} "
+        "  AND (acc.l2a IS NULL OR e.t > acc.l2a) THEN "
+        "  struct(acc.l1 AS l1, e.t AS l2a, acc.l2a AS l2b, acc.l3 AS l3) "
+        f"WHEN e.tipo = 'purchase' AND acc.l3 IS NULL AND ("
+        f"  (acc.l2a IS NOT NULL AND e.t > acc.l2a"
+        f"   AND e.t - acc.l2a <= {w_us}) OR "
+        f"  (acc.l2b IS NOT NULL AND e.t > acc.l2b"
+        f"   AND e.t - acc.l2b <= {w_us})) THEN "
+        "  struct(acc.l1 AS l1, acc.l2a AS l2a, acc.l2b AS l2b, e.t AS l3) "
         "ELSE acc END)"
     )
 
@@ -935,20 +950,20 @@ def funnel_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("vio"), 1).otherwise(0))
         .cast("bigint")
         .alias("usuarios_vista"),
-        F.sum(F.when(F.col("s.l2").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("s.l2a").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("usuarios_click_30m"),
         F.sum(F.when(F.col("s.l3").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("usuarios_compra_30m"),
         F.expr(
-            "CAST((1000 * sum(CASE WHEN s.l2 IS NOT NULL THEN 1 ELSE 0 END))"
+            "CAST((1000 * sum(CASE WHEN s.l2a IS NOT NULL THEN 1 ELSE 0 END))"
             " div greatest(sum(CASE WHEN vio THEN 1 ELSE 0 END), 1)"
             " AS BIGINT)"
         ).alias("conv_click_milli"),
         F.expr(
             "CAST((1000 * sum(CASE WHEN s.l3 IS NOT NULL THEN 1 ELSE 0 END))"
-            " div greatest(sum(CASE WHEN s.l2 IS NOT NULL THEN 1 ELSE 0 END),"
+            " div greatest(sum(CASE WHEN s.l2a IS NOT NULL THEN 1 ELSE 0 END),"
             " 1) AS BIGINT)"
         ).alias("conv_compra_milli"),
     )

@@ -31,7 +31,7 @@ def _brute(evs, w):
     return bool(c_ok), p_ok
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(evs=st.lists(evento, min_size=0, max_size=14))
 def test_fold_reachability_equals_bruteforce(spark_prop, evs):
     spark = spark_prop
@@ -40,5 +40,5 @@ def test_fold_reachability_equals_bruteforce(spark_prop, evs):
     )
     row = df.select(_funnel_ventana_fold(W).alias("s")).collect()[0]["s"]
     want2, want3 = _brute(evs, W)
-    assert (row["l2"] is not None) == want2, (evs, row)
+    assert (row["l2a"] is not None) == want2, (evs, row)
     assert (row["l3"] is not None) == want3, (evs, row)
