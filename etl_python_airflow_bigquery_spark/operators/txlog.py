@@ -338,11 +338,26 @@ class TxTable:
         """Atomically claim version expected_parent+1: write the full
         manifest to a temp name, then hard-link it to the version file —
         link fails with EEXIST if a concurrent writer got there first
-        (their data files and ours are disjoint, so losing is clean)."""
+        (their data files and ours are disjoint, so losing is clean).
+
+        The application-transaction fence (``txn``: app_id -> last
+        applied version, Delta's txnAppId/txnVersion pattern) is carried
+        forward from the parent manifest and merged with any entry the
+        new commit contributes — so a compaction, merge, or overwrite in
+        between never erases a streaming writer's idempotency marker."""
         v = expected_parent + 1
+        parent_txn = (
+            self._manifest(expected_parent).get("txn", {})
+            if expected_parent >= 0
+            else {}
+        )
+        txn = {**parent_txn, **manifest.get("txn", {})}
+        payload = {**manifest, "version": v, "parent": expected_parent}
+        if txn:
+            payload["txn"] = txn
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as fh:
-            json.dump({**manifest, "version": v, "parent": expected_parent}, fh)
+            json.dump(payload, fh)
             fh.flush()
             os.fsync(fh.fileno())
         final = os.path.join(self.log_dir, f"v{v}.json")
@@ -362,12 +377,35 @@ class TxTable:
             self.version(),
         )
 
-    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
+    def txn_version(self, app_id: str) -> int:
+        """Last version this application id recorded via ``txn=`` (-1 if
+        never): the read half of the txnAppId/txnVersion idempotency
+        fence. One manifest read — no data files touched."""
+        v = self.version()
+        if v < 0:
+            return -1
+        return int(self._manifest(v).get("txn", {}).get(app_id, -1))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """K2 with snapshot isolation: old files stay on disk (prior
         versions remain readable) — only the manifest flips. ``extra``
         keys land IN the manifest, so application checkpoints (e.g. the
         upstream version an incremental refresh consumed) commit
-        atomically with the data they describe."""
+        atomically with the data they describe.
+
+        ``txn=(app_id, version)``: application-transaction fence. If the
+        table has already recorded ``version`` (or later) for ``app_id``,
+        the write is SKIPPED and the current table version returned —
+        exactly-once semantics for foreachBatch replays, where a crash
+        between the manifest flip and the streaming checkpoint commit
+        makes the stream re-deliver an already-applied batch."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.version()
         m = {
             "files": self._write_files(df),
             "op": "overwrite",
@@ -375,9 +413,13 @@ class TxTable:
         }
         if extra:
             m.update(extra)
+        if txn is not None:
+            m["txn"] = {txn[0]: txn[1]}
         return self._claim(m, self.version())
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """K1: new files added to the parent version's set. COLUMN
         add/remove is allowed (the manifest schema governs the scan:
         files missing a column read NULL, deterministic — pinned by
@@ -395,7 +437,14 @@ class TxTable:
         no mapped-rename support — to rename, ``overwrite`` with the new
         schema (the change feed already flags that as NonIncremental);
         to genuinely drop one column and add an unrelated same-typed
-        one, do it in two appends so the intent is unambiguous."""
+        one, do it in two appends so the intent is unambiguous.
+
+        ``txn=(app_id, version)``: idempotency fence — an append whose
+        (app_id, version) the table has already recorded is skipped (see
+        ``overwrite``); a committed append records it in the manifest so
+        a foreachBatch replay after a crash never double-appends."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.version()
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
         if parent >= 0:
@@ -436,10 +485,10 @@ class TxTable:
                     "drop+add"
                 )
         new = self._write_files(df)
-        return self._claim(
-            {"files": base + new, "op": "append", "schema": df.schema.json()},
-            parent,
-        )
+        m = {"files": base + new, "op": "append", "schema": df.schema.json()}
+        if txn is not None:
+            m["txn"] = {txn[0]: txn[1]}
+        return self._claim(m, parent)
 
     def merge(self, spark: SparkSession, staging: DataFrame, key_cols: list[str]) -> int:
         """K4 MERGE with real snapshot isolation: reconcile against the

@@ -423,9 +423,12 @@ def run_validated_ingest(
     appended to ``<out>/cuarentena`` with the failing rule names — and
     the MAIN table's manifest never flips for it, so downstream readers
     only ever see rows that passed every rule. A clean batch appends
-    atomically. Both paths are txlog commits: crash-safe, idempotent on
-    restart (the checkpoint replays the batch, the same decision
-    re-commits or re-quarantines deterministically).
+    atomically. Both paths are txlog commits carrying a
+    txnAppId/txnVersion fence: crash-safe AND exactly-once on restart —
+    a crash between the manifest flip and the streaming-checkpoint
+    commit re-delivers the batch, and the fence (last applied batch_id
+    recorded in the manifest itself) turns the replay into a no-op
+    rather than a duplicate append/quarantine.
 
     ``rules``: (name, SQL boolean expr that is TRUE for a VIOLATION).
     Defaults: null user_id, negative value. Shape: rule evaluation is a
@@ -452,8 +455,19 @@ def run_validated_ingest(
         .parquet(src_dir)
     )
 
+    app_id = f"validated_ingest:{os.path.abspath(checkpoint)}"
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # txnAppId/txnVersion fence: a crash after the manifest flip but
+        # before the streaming checkpoint commit replays this batch_id —
+        # the table remembers it and the append becomes a no-op, on
+        # WHICHEVER of the two tables (main/quarantine) took the batch.
+        if (
+            main.txn_version(app_id) >= batch_id
+            or cuarentena.txn_version(app_id) >= batch_id
+        ):
             return
         counts = batch_df.agg(
             *[
@@ -462,17 +476,21 @@ def run_validated_ingest(
             ]
         ).collect()[0]
         rotas = [name for name, _ in rules if (counts[name] or 0) > 0]
+        txn = (app_id, batch_id)
         if rotas:
-            cuarentena.append(
-                batch_df.withColumn("reglas_rotas", F.lit(",".join(rotas)))
-            ) if cuarentena.version() >= 0 else cuarentena.overwrite(
-                batch_df.withColumn("reglas_rotas", F.lit(",".join(rotas)))
+            marcado = batch_df.withColumn(
+                "reglas_rotas", F.lit(",".join(rotas))
             )
+            if cuarentena.version() >= 0:
+                cuarentena.append(marcado, txn=txn)
+            else:
+                cuarentena.overwrite(marcado, txn=txn)
             stats["cuarentenas"] += 1
         else:
-            main.append(batch_df) if main.version() >= 0 else main.overwrite(
-                batch_df
-            )
+            if main.version() >= 0:
+                main.append(batch_df, txn=txn)
+            else:
+                main.overwrite(batch_df, txn=txn)
             stats["commits"] += 1
 
     q = (
@@ -541,9 +559,12 @@ def run_span_cut_ingest(
     index already knows (shared `subcadena_hashes` + `_cut_output`
     tile-cut logic), and the CLEANED documents append atomically to a
     txlog table — one manifest flip per batch, crash-replay idempotent
-    via the checkpoint, downstream training-shard readers never see an
-    uncleaned or half-ingested batch (run_validated_ingest's contract
-    applied to span dedup).
+    via a txnAppId/txnVersion fence IN the manifest (the checkpoint
+    alone is not enough: a crash between the manifest flip and the
+    checkpoint commit re-delivers the batch, and the fence turns that
+    replay into a no-op instead of a double-append); downstream
+    training-shard readers never see an uncleaned or half-ingested
+    batch (run_validated_ingest's contract applied to span dedup).
 
     ``index_df``: the corpus window-hash index (one ``h`` column). By
     default it builds from the already-ingested table's own content —
@@ -578,8 +599,16 @@ def run_span_cut_ingest(
         .parquet(src_dir)
     )
 
+    app_id = f"span_cut_ingest:{os.path.abspath(checkpoint)}"
+
     def cortar(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # txnAppId/txnVersion fence (Delta's pattern): a crash after the
+        # txlog manifest commit but before the streaming checkpoint
+        # commit re-delivers this batch_id; the manifest remembers it
+        # and the replayed append is a no-op instead of a double-ingest.
+        if tabla.txn_version(app_id) >= batch_id:
             return
         hs = subcadena_hashes(batch_df)
         cortes = (
@@ -602,9 +631,9 @@ def run_span_cut_ingest(
             )
         )
         if tabla.version() >= 0:
-            tabla.append(limpio)
+            tabla.append(limpio, txn=(app_id, batch_id))
         else:
-            tabla.overwrite(limpio)
+            tabla.overwrite(limpio, txn=(app_id, batch_id))
         stats["commits"] += 1
         stats["docs"] += limpio.count()
 

@@ -359,3 +359,46 @@ def test_span_cut_ingest_writes_cleaned_docs_transactionally(spark, tmp_path):
     # don't match doc 1, so only the exact aligned span goes
     assert got[1] == "a" * 40 + "b" * 40
     assert got[2] == "clean short doc"
+
+
+def test_span_cut_ingest_replay_is_fenced(spark, tmp_path):
+    """The crash-replay double-ingest window (ADVICE r6): a crash AFTER
+    the txlog manifest flips but BEFORE the streaming checkpoint commits
+    re-delivers the same batch_id on restart. Simulated here by wiping
+    the checkpoint (the stream restarts at batch 0 over the same file):
+    the txnAppId/txnVersion fence in the manifest must turn the replay
+    into a no-op — same rows, same table version, no duplicate docs."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_span_cut_ingest,
+    )
+
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha doc", "beta doc"], pa.string()),
+                "source": pa.array(["web", "web"], pa.string()),
+            }
+        ),
+        os.path.join(src_dir, "batch1.parquet"),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    indice = spark.createDataFrame([(0,)], "h BIGINT").where("h < 0")
+    run_span_cut_ingest(spark, src_dir, out, ck, index_df=indice)
+    t = TxTable(os.path.join(out, "limpios"))
+    v1, n1 = t.version(), t.read(spark).count()
+    assert n1 == 2
+    # crash replay: checkpoint gone, same landing file -> batch 0 again
+    shutil.rmtree(ck)
+    stats2 = run_span_cut_ingest(spark, src_dir, out, ck, index_df=indice)
+    assert stats2["commits"] == 0  # fence fired before any write
+    assert t.version() == v1 and t.read(spark).count() == n1

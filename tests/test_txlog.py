@@ -758,3 +758,50 @@ def test_clone_is_zero_copy_and_divergent(spark, tmp_path):
     # clone provenance is recorded
     m0 = dst._manifest(0)
     assert m0["op"] == "clone" and m0["cloned_version"] == 1
+
+
+def test_txn_fence_skips_replayed_append(spark, tmp_path):
+    """txnAppId/txnVersion idempotency fence (ADVICE r6): an append
+    carrying an already-recorded (app_id, version) is a NO-OP — the
+    foreachBatch crash-replay case — while later versions commit, and
+    the fence survives intervening commits from OTHER writers because
+    _claim carries the txn map forward through every manifest."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5), txn=("stream-a", 0))
+    assert t.txn_version("stream-a") == 0
+    assert t.txn_version("stream-b") == -1
+    v = t.append(_df(spark, 5, 8), txn=("stream-a", 1))
+    assert t.txn_version("stream-a") == 1 and t.read(spark).count() == 8
+    # crash replay: same batch id again -> skipped, version unchanged
+    assert t.append(_df(spark, 5, 8), txn=("stream-a", 1)) == v
+    assert t.read(spark).count() == 8
+    # an UNRELATED commit in between must not erase the fence
+    t.append(_df(spark, 100, 103))
+    assert t.txn_version("stream-a") == 1
+    assert t.append(_df(spark, 5, 8), txn=("stream-a", 1)) == t.version()
+    assert t.read(spark).count() == 11
+    # an OLDER batch id replayed late is also fenced (>= semantics)
+    assert t.append(_df(spark, 0, 5), txn=("stream-a", 0)) == t.version()
+    # distinct app ids are independent fences
+    t.append(_df(spark, 200, 201), txn=("stream-b", 1))
+    assert t.txn_version("stream-b") == 1 and t.txn_version("stream-a") == 1
+    # a genuinely new version for stream-a still lands
+    t.append(_df(spark, 300, 302), txn=("stream-a", 2))
+    assert t.txn_version("stream-a") == 2
+    assert t.read(spark).count() == 14
+
+
+def test_txn_fence_survives_compaction_and_restore(spark, tmp_path):
+    """The fence must outlive table-maintenance rewrites: compaction and
+    restore() both produce new manifests, and each carries the txn map
+    forward — otherwise a nightly OPTIMIZE would reopen the
+    double-append window for every streaming writer."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5), txn=("ing", 0))
+    t.append(_df(spark, 5, 8), txn=("ing", 1))
+    t.optimize_compact(spark)
+    assert t.txn_version("ing") == 1
+    assert t.append(_df(spark, 5, 8), txn=("ing", 1)) == t.version()
+    assert t.read(spark).count() == 8
+    t.restore(1)
+    assert t.txn_version("ing") == 1
