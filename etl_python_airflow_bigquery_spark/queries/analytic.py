@@ -2146,7 +2146,7 @@ cand AS (
            {_hex_hash_sql(
                "CAST(p.custkey AS VARCHAR) || '#' || "
                "CAST(p.partkey AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)"
-           )} % (SELECT n FROM np) AS negativo
+           )} % (SELECT n FROM np) + 1 AS negativo
     FROM positivos p, LATERAL unnest(generate_series(1, {_NEG_K})) AS j(j)
 ),
 marcado AS (
@@ -2171,7 +2171,10 @@ def muestreo_negativos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC NEGATIVE SAMPLING for contrastive training pairs:
     each positive (customer, part) interaction draws k=3 candidate
     negatives via an md5 hash chain over (custkey, partkey, j) mapped
-    into the contiguous part-key space, and candidates that are
+    into the contiguous part-key space ``hash % n_parts + 1`` — the
+    actual key range [1, n_parts], so candidate 0 (a nonexistent item
+    that could never be an accidental positive) is unreachable and
+    part n_parts is sampled — and candidates that are
     ACCIDENTAL POSITIVES for that customer are detected with one
     (custkey, candidate)-keyed left join and excluded from the net
     count — the correction in-batch samplers approximate and this
@@ -2214,6 +2217,7 @@ def muestreo_negativos(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             % F.lit(n_parts)
+            + F.lit(1)
         ).alias("negativo"),
     )
     marcado = cand.join(

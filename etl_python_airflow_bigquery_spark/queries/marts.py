@@ -313,6 +313,24 @@ GROUP BY 1
 """
 
 
+def catalog_min_partition(spark: SparkSession, name: str) -> int | None:
+    """Metadata-only window anchor: the minimum INTEGER partition value
+    from the catalog listing (SHOW PARTITIONS — O(#partitions), zero
+    data files touched). Non-numeric partition values are SKIPPED, not
+    a ValueError — a null-day row materializes its partition directory
+    as ``__HIVE_DEFAULT_PARTITION__``, which must not break the anchor
+    (ADVICE r6). Returns None when no value parses, signalling the
+    caller to fall back to its scan-derived anchor."""
+    parts = []
+    for r in spark.sql(f"SHOW PARTITIONS {name}").collect():
+        v = r[0].split("=", 1)[1]
+        try:
+            parts.append(int(v))
+        except ValueError:
+            continue
+    return min(parts) if parts else None
+
+
 @register("ventana_particionada", oracle=_VENTANA_ORACLE, ops=("P3", "W2"),
           driver=False)
 def ventana_particionada(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,11 +352,9 @@ def ventana_particionada(spark: SparkSession, sf_dir: str) -> DataFrame:
         # files touched), so anchoring no longer costs a full pre-prune
         # scan (the r5 soft spot). The fallback (unwritable warehouse)
         # keeps the scan-derived anchor on its plain frame.
-        parts = [
-            int(r[0].split("=", 1)[1])
-            for r in spark.sql(f"SHOW PARTITIONS {name}").collect()
-        ]
-        d0 = min(parts) if parts else None
+        d0 = catalog_min_partition(spark, name)
+        if d0 is None:
+            d0 = mart.agg(F.min("dia")).collect()[0][0]
     else:
         d0 = mart.agg(F.min("dia")).collect()[0][0]
     if d0 is None:

@@ -331,3 +331,35 @@ def test_mart_fallback_triage():
 
     with pytest.raises(RuntimeError, match="boom"):
         _fallback("m", RuntimeError("boom"), sentinel)
+
+
+def test_catalog_min_partition_skips_hive_default(spark):
+    """SHOW PARTITIONS anchor (ADVICE r6): a null partition value lands
+    in __HIVE_DEFAULT_PARTITION__ — the anchor must skip it instead of
+    raising ValueError, and return None when NOTHING parses so the
+    caller falls back to its scan-derived anchor."""
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        catalog_min_partition,
+    )
+
+    name = "t_anchor_null_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, 7), (2, 9), (3, None)], "x INT, dia INT"
+    ).write.partitionBy("dia").saveAsTable(name)
+    try:
+        parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()]
+        assert any("__HIVE_DEFAULT_PARTITION__" in p for p in parts)
+        assert catalog_min_partition(spark, name) == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    name2 = "t_anchor_all_null"
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    spark.createDataFrame([(1, None)], "x INT, dia INT").write.partitionBy(
+        "dia"
+    ).saveAsTable(name2)
+    try:
+        assert catalog_min_partition(spark, name2) is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")
