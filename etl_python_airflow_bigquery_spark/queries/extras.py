@@ -1882,6 +1882,127 @@ def l_diversidad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t-closeness — the third leg of the release-audit triad
+# --------------------------------------------------------------------------
+
+_TCERCA_ORACLE = """
+WITH bandas AS (
+    SELECT c_nationkey AS nacion,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS banda,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer GROUP BY 1, 2
+),
+globo AS (SELECT banda, CAST(sum(cnt) AS BIGINT) AS gcnt FROM bandas GROUP BY 1),
+tot AS (
+    SELECT CAST(sum(gcnt) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS m
+    FROM globo
+),
+clases AS (SELECT nacion, CAST(sum(cnt) AS BIGINT) AS n_clase FROM bandas GROUP BY 1),
+rejilla AS (
+    SELECT c.nacion, g.banda, c.n_clase, g.gcnt, COALESCE(b.cnt, 0) AS cnt
+    FROM clases c
+    CROSS JOIN globo g
+    LEFT JOIN bandas b ON b.nacion = c.nacion AND b.banda = g.banda
+),
+acum AS (
+    SELECT nacion, n_clase,
+           sum(cnt) OVER (PARTITION BY nacion ORDER BY banda) AS a_i,
+           sum(gcnt) OVER (PARTITION BY nacion ORDER BY banda) AS b_i
+    FROM rejilla
+)
+SELECT a.nacion,
+       CAST(a.n_clase AS BIGINT) AS miembros,
+       CAST(sum(abs(CAST(a_i AS HUGEINT) * t.n_total
+                    - CAST(b_i AS HUGEINT) * a.n_clase)) AS BIGINT)
+           AS emd_escalado,
+       CAST((1000 * sum(abs(CAST(a_i AS HUGEINT) * t.n_total
+                            - CAST(b_i AS HUGEINT) * a.n_clase)))
+            // ((t.m - 1) * CAST(a.n_clase AS HUGEINT) * t.n_total)
+            AS BIGINT) AS t_mili
+FROM acum a CROSS JOIN tot t
+GROUP BY a.nacion, a.n_clase, t.m, t.n_total
+"""
+
+
+@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"),
+          driver=False)
+def t_cercania(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the release triad next to ``anonimato_k`` and
+    ``l_diversidad``: a class can be large AND diverse yet still leak if
+    its sensitive-attribute DISTRIBUTION sits far from the global one
+    (skewness attack). Sensitive attribute = the ordered balance band;
+    distance = the Earth Mover's Distance for ordered discrete values,
+    EMD = (1/(m-1)) * sum_i |cumsum_i(P) - cumsum_i(Q)|. Computed
+    EXACTLY in integers: with A_i/B_i the class/global cumulative band
+    counts and n/N the class/global sizes, each term is
+    |A_i*N - B_i*n| / (n*N), so ``emd_escalado`` = sum_i |A_i*N - B_i*n|
+    is an exact integer and ``t_mili`` its floor-milli normalization —
+    no floats, hash-identical across engines (decimal38/HUGEINT wide,
+    the equilibrio_etiquetas discipline).
+
+    Shape: one quasi-identifier band aggregation (map-side combinable),
+    then everything downstream lives on DIMENSION-SIZED frames — the
+    (class x band) zero-fill grid is |nations| x |bands| (grid_completion
+    J11 idiom, broadcast NLJ not cartesian), the cumsums are windows
+    over that grid, and the scalar (N, m) rides in as a 1-row broadcast.
+    At 100 TB the only full-data pass is the first groupBy."""
+    customer = load_table(spark, sf_dir, "customer")
+    bandas = customer.groupBy(
+        F.col("c_nationkey").alias("nacion"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("banda"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    globo = bandas.groupBy("banda").agg(F.sum("cnt").alias("gcnt"))
+    tot = globo.agg(
+        F.sum("gcnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    clases = bandas.groupBy("nacion").agg(F.sum("cnt").alias("n_clase"))
+    rejilla = (
+        clases.crossJoin(F.broadcast(globo))
+        .join(bandas, ["nacion", "banda"], "left")
+        .select(
+            "nacion",
+            "banda",
+            "n_clase",
+            "gcnt",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    w = Window.partitionBy("nacion").orderBy("banda")
+    acum = rejilla.select(
+        "nacion",
+        "n_clase",
+        F.sum("cnt").over(w).alias("a_i"),
+        F.sum("gcnt").over(w).alias("b_i"),
+    )
+    wide = "decimal(38,0)"
+    return (
+        acum.crossJoin(F.broadcast(tot))
+        .groupBy("nacion", "n_clase", "m", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("a_i").cast(wide) * F.col("n_total")
+                    - F.col("b_i").cast(wide) * F.col("n_clase")
+                )
+            ).alias("emd")
+        )
+        .select(
+            "nacion",
+            F.col("n_clase").cast("bigint").alias("miembros"),
+            F.col("emd").cast("bigint").alias("emd_escalado"),
+            F.expr(
+                "CAST((1000 * emd) div"
+                " ((m - 1) * CAST(n_clase AS decimal(38,0)) * n_total)"
+                " AS BIGINT)"
+            ).alias("t_mili"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Freshness audit — per-stream staleness against the corpus frontier
 # --------------------------------------------------------------------------
 

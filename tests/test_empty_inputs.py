@@ -109,6 +109,7 @@ SMOKE = [
     "colocaciones_pmi",
     "migracion_estados",
     "afinidad_segmentos",
+    "t_cercania",
 ]
 
 

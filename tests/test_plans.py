@@ -581,3 +581,17 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
     # window-hash agg + membership + per-doc collect_set + final join:
     # hash exchanges stay bounded (no doc_id re-exchange for the rebuild)
     assert plan.count("CartesianProduct") == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t_cercania",
+    ],
+)
+def test_round7_ops_no_cartesian(spark, sf_dir, name):
+    """Round-7 operators keep the standing invariant: every candidate /
+    grid / dimension stage is keyed or broadcast — no unkeyed
+    CartesianProduct anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
