@@ -45,6 +45,11 @@ class CommitConflict(RuntimeError):
     """Another writer claimed the version first; retry on fresh state."""
 
 
+class ConstraintViolation(RuntimeError):
+    """An incoming batch (or the existing data, for add_constraint)
+    breaks a CHECK constraint — the commit is refused, nothing flips."""
+
+
 class NonIncrementalHistory(RuntimeError):
     """changes() crossed a version that rewrote data (merge /
     replace_where / overwrite of a non-empty table): a file-level diff
@@ -355,6 +360,17 @@ class TxTable:
         payload = {**manifest, "version": v, "parent": expected_parent}
         if txn:
             payload["txn"] = txn
+        # CHECK constraints carry forward the same way: a data commit
+        # inherits the parent's set verbatim; only add_constraint /
+        # drop_constraint set the key explicitly (an explicit {} after
+        # the last drop genuinely clears it — hence the `in` test, not
+        # a truthiness merge)
+        if "constraints" not in manifest and expected_parent >= 0:
+            parent_cons = self._manifest(expected_parent).get("constraints", {})
+            if parent_cons:
+                payload["constraints"] = parent_cons
+        elif not payload.get("constraints"):
+            payload.pop("constraints", None)
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -386,6 +402,108 @@ class TxTable:
             return -1
         return int(self._manifest(v).get("txn", {}).get(app_id, -1))
 
+    # -- CHECK constraints --------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name -> SQL boolean expression.
+        Stored IN the manifest so they version with the data (time
+        travel shows the constraints of that era) and survive every
+        maintenance rewrite via _claim's carry-forward."""
+        v = self.version()
+        if v < 0:
+            return {}
+        return dict(self._manifest(v).get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Delta-style ``ALTER TABLE ADD CONSTRAINT``: the EXISTING
+        snapshot is validated first (one aggregation pass — a table
+        already violating the rule must not get a constraint that lies
+        about it), then a manifest-only version commits the rule. From
+        then on every data commit (append/overwrite/merge/replace_*)
+        validates its incoming rows and REFUSES the whole commit on any
+        violation — Delta CHECK semantics: the expression must evaluate
+        TRUE for every row; FALSE **or NULL** is a violation (stricter
+        than ANSI CHECK, which lets UNKNOWN pass — an ingest gate that
+        waves nulls through is not a gate). Dropping a column an active
+        constraint references is refused at enforcement time by the
+        analyzer (loudly); drop the constraint first."""
+        if not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        cur = self.constraints()
+        if name in cur:
+            raise ValueError(f"constraint {name!r} already exists")
+        parent = self.version()
+        if parent < 0:
+            raise ValueError(
+                "cannot constrain a table with no schema yet — commit "
+                "first (an empty overwrite establishes the schema)"
+            )
+        self._enforce_one(self.read(spark, parent), name, expr, existing=True)
+        m = self._manifest(parent)
+        return self._claim(
+            {
+                "files": m["files"],
+                "op": "add_constraint",
+                "schema": m["schema"],
+                "constraints": {**cur, name: expr},
+            },
+            parent,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (manifest-only version). Unknown
+        names raise — a deploy that thinks it relaxed a gate must not
+        silently keep enforcing it."""
+        cur = self.constraints()
+        if name not in cur:
+            raise ValueError(f"no such constraint: {name!r}")
+        parent = self.version()
+        m = self._manifest(parent)
+        rest = {k: v for k, v in cur.items() if k != name}
+        return self._claim(
+            {
+                "files": m["files"],
+                "op": "drop_constraint",
+                "schema": m["schema"],
+                "constraints": rest,
+            },
+            parent,
+        )
+
+    @staticmethod
+    def _violation_count(df: DataFrame, expr: str):
+        return F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+        )
+
+    def _enforce_one(
+        self, df: DataFrame, name: str, expr: str, existing: bool = False
+    ) -> None:
+        bad = int(df.agg(self._violation_count(df, expr).alias("n")).first()["n"] or 0)
+        if bad:
+            where = "existing rows" if existing else "incoming rows"
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) fails for {bad} {where}"
+            )
+
+    def _enforce(self, df: DataFrame) -> None:
+        """Validate an incoming batch against every active constraint in
+        ONE aggregation pass (all violation counters in a single agg —
+        the same single extra job Delta pays per constrained write)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        row = df.agg(
+            *[self._violation_count(df, e).alias(n) for n, e in cons.items()]
+        ).first()
+        bad = {n: int(row[n] or 0) for n in cons if (row[n] or 0) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{n!r} ({cons[n]}): {c} rows" for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"commit refused — CHECK constraint violations: {detail}"
+            )
+
     def overwrite(
         self,
         df: DataFrame,
@@ -406,6 +524,7 @@ class TxTable:
         makes the stream re-deliver an already-applied batch."""
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.version()
+        self._enforce(df)
         m = {
             "files": self._write_files(df),
             "op": "overwrite",
@@ -445,6 +564,7 @@ class TxTable:
         a foreachBatch replay after a crash never double-appends."""
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.version()
+        self._enforce(df)
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
         if parent >= 0:
@@ -496,6 +616,7 @@ class TxTable:
         version claim CONFLICTS instead of silently losing their rows —
         the lost-update window `merge_upsert`'s lockfile only guards
         becomes impossible by construction."""
+        self._enforce(staging)
         parent = self.version()
         if parent >= 0:
             target = self.read(spark, parent)
@@ -536,6 +657,7 @@ class TxTable:
                 f"replace_where: {n_bad} incoming rows fall outside "
                 f"[{lo}, {hi}] on {col!r} (NULLs count as outside)"
             )
+        self._enforce(df)
         parent = self.version()
         entries = self._manifest(parent)["files"] if parent >= 0 else []
         # point windows additionally consult the Bloom index: a file the
@@ -583,6 +705,7 @@ class TxTable:
                     "refresh_predicate (NULLs count as violating) — they "
                     "would duplicate against the preserved slice"
                 )
+        self._enforce(df)
         parent = self.version()
         entries = self._manifest(parent)["files"] if parent >= 0 else []
         tuples = df.select(*partition_cols).distinct()
@@ -784,12 +907,20 @@ class TxTable:
                 f"{missing[:3]}{'...' if len(missing) > 3 else ''} — "
                 "past the retention undo horizon"
             )
+        # Delta RESTORE restores METADATA with the data: the target
+        # era's constraint set comes back explicitly (an era with no
+        # constraints restores to none — the explicit {} overrides
+        # _claim's parent carry-forward). The txn fence map is NOT
+        # restored: idempotency markers are monotone facts about what
+        # was ever applied, and reviving older ones would reopen the
+        # double-append window the fence exists to close.
         return self._claim(
             {
                 "files": m["files"],
                 "op": "restore",
                 "schema": m["schema"],
                 "restored_from": version,
+                "constraints": m.get("constraints", {}),
             },
             self.version(),
         )

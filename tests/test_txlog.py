@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.operators.txlog import (
     CommitConflict,
+    ConstraintViolation,
     TxTable,
 )
 
@@ -805,3 +806,84 @@ def test_txn_fence_survives_compaction_and_restore(spark, tmp_path):
     assert t.read(spark).count() == 8
     t.restore(1)
     assert t.txn_version("ing") == 1
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    """Delta-style CHECK constraints: added against a validated
+    snapshot, enforced on append/overwrite/merge/replace_where (FALSE
+    **or NULL** = violation), and a refused commit flips NOTHING — the
+    version and the readable rows are exactly what they were."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"])
+    t.overwrite(_df(spark, 0, 5))
+    t.add_constraint(spark, "k_no_negativo", "k >= 0")
+    t.add_constraint(spark, "v_positivo", "v > 0")
+    assert set(t.constraints()) == {"k_no_negativo", "v_positivo"}
+
+    # clean writes pass through every path
+    t.append(_df(spark, 5, 8))
+    t.replace_where(spark, _df(spark, 5, 8, val=2.0), "k", 5, 7)
+    t.merge(spark, _df(spark, 7, 9, val=3.0), ["k"])
+    assert t.read(spark).count() == 9
+
+    v = t.version()
+    # violating append: refused, version unchanged
+    bad = spark.createDataFrame([(-1, 1.0)], "k bigint, v double")
+    with pytest.raises(ConstraintViolation, match="k_no_negativo"):
+        t.append(bad)
+    assert t.version() == v and t.read(spark).count() == 9
+    # NULL is a violation (Delta semantics, not ANSI UNKNOWN-passes)
+    nulo = spark.createDataFrame([(10, None)], "k bigint, v double")
+    with pytest.raises(ConstraintViolation, match="v_positivo"):
+        t.merge(spark, nulo, ["k"])
+    # overwrite and replace_where are gated too
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(bad)
+    with pytest.raises(ConstraintViolation):
+        t.replace_where(
+            spark,
+            spark.createDataFrame([(6, -5.0)], "k bigint, v double"),
+            "k", 6, 6,
+        )
+    assert t.version() == v
+
+    # both violations of one batch reported together, with counts
+    feo = spark.createDataFrame(
+        [(-2, 1.0), (-3, 1.0), (1, None)], "k bigint, v double"
+    )
+    with pytest.raises(ConstraintViolation, match="k_no_negativo.*2 rows"):
+        t.append(feo)
+
+    # drop relaxes the gate; unknown drop is loud
+    t.drop_constraint("v_positivo")
+    t.append(nulo)
+    assert t.read(spark).where(F.col("v").isNull()).count() == 1
+    with pytest.raises(ValueError, match="no such constraint"):
+        t.drop_constraint("v_positivo")
+
+
+def test_add_constraint_validates_existing_and_versions(spark, tmp_path):
+    """add_constraint refuses a snapshot that already violates the rule;
+    constraints survive compaction (carry-forward through _claim) and
+    TIME TRAVEL shows each era's own set (restore to a pre-constraint
+    version clears it)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5, val=-1.0))
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint(spark, "v_positivo", "v > 0")
+    assert t.constraints() == {}
+
+    t.overwrite(_df(spark, 0, 5, val=2.0))  # v1: clean data, no rule yet
+    v_pre = t.version()
+    t.add_constraint(spark, "v_positivo", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "v_positivo", "v > 1")
+    t.append(_df(spark, 5, 7, val=3.0))
+    t.optimize_compact(spark)
+    assert t.constraints() == {"v_positivo": "v > 0"}  # survived rewrite
+    with pytest.raises(ConstraintViolation):
+        t.append(_df(spark, 7, 8, val=-9.0))
+    # restore to the pre-constraint era: the gate of THAT era applies
+    t.restore(v_pre)
+    assert t.constraints() == {}
+    t.append(_df(spark, 7, 8, val=-9.0))  # now legal again
+    assert t.read(spark).count() == 6
