@@ -2220,6 +2220,146 @@ def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DSIR-style importance reweighting — hashed n-gram target/raw ratios
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): estimate target and raw distributions over HASHED
+# token features, weight each raw document by how target-like its
+# features are, then select/resample by weight. DSIR proper scores
+# log p_target(f) - log p_raw(f); floating-point logs are not
+# reproducible bit-for-bit across engines, so this variant uses the
+# LINEAR per-feature ratio (add-one smoothed, fixed-point micro) and a
+# per-doc MEAN token importance — same ordering intent, exact integers.
+
+_DSIR_B = 128  # hashed feature buckets
+_DSIR_SCALE = 1_000_000
+_DSIR_TARGET = "en"  # the wiki-like "target distribution" proxy
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_hex_hash_sql("w", _DSIR_B)} AS b
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+),
+cubos AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS r_b,
+           CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t_b
+    FROM toks GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+           CAST(sum(t_b) AS BIGINT) AS t_tot
+    FROM cubos
+),
+ratios AS (
+    SELECT b,
+           CAST((CAST(t_b + 1 AS HUGEINT) * (r_tot + {_DSIR_B})
+                 * {_DSIR_SCALE})
+                // (CAST(r_b + 1 AS HUGEINT) * (t_tot + {_DSIR_B}))
+                AS BIGINT) AS ratio
+    FROM cubos CROSS JOIN tot
+),
+puntajes AS (
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(r.ratio) AS BIGINT) AS s
+    FROM toks t JOIN ratios r ON r.b = t.b
+    GROUP BY 1, 2
+),
+deciles AS (
+    SELECT lang, s // n_tok AS media,
+           ntile(10) OVER (ORDER BY s // n_tok DESC, doc_id) AS decil
+    FROM puntajes
+)
+SELECT CAST(decil AS INT) AS decil,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_objetivo,
+       CAST(sum(media) AS BIGINT) AS importancia_total
+FROM deciles GROUP BY 1
+"""
+
+
+@register("ponderacion_importancia", oracle=_DSIR_ORACLE,
+          ops=("TX2", "A8", "W1"), driver=False)
+def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-STYLE IMPORTANCE REWEIGHTING (Xie et al. 2023,
+    arXiv:2302.03169 — Data Selection via Importance Resampling): score
+    every raw document by how TARGET-LIKE its hashed token features
+    are, where the target distribution is estimated from the
+    wiki-proxy subset (lang = 'en') and the raw distribution from the
+    whole corpus. Per feature bucket b the importance ratio is the
+    add-one-smoothed (t_b+1)(R+B) / ((r_b+1)(T+B)) in fixed-point
+    micro — the LINEAR-ratio variant of DSIR's log-ratio (logs are not
+    bit-reproducible across engines; the per-doc MEAN token importance
+    keeps the same ordering intent in exact integers, decimal38/HUGEINT
+    wide). The read-out is the selection audit: per importance decile,
+    document counts and how many are genuinely target-language — a
+    top-decile enriched in the target validates the weights before any
+    resampling consumes them.
+
+    Scale shape: ONE token explode feeds both distributions (the target
+    tally is a conditional sum inside the same 128-bucket aggregation —
+    no second corpus pass); the bucket-ratio table is B=128 rows and
+    broadcasts onto the token stream; the per-doc roll-up is one
+    doc-keyed exchange. The decile split is a doc-grain global window
+    (the gini/pareto precedent — doc-grain, not token-grain; at
+    production scale swap ntile for approx-quantile boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "lang", hex_hash(F.col("w"), _DSIR_B).alias("b"))
+    cubos = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("r_b"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("long")
+        .alias("t_b"),
+    )
+    tot = cubos.agg(
+        F.sum("r_b").cast("long").alias("r_tot"),
+        F.sum("t_b").cast("long").alias("t_tot"),
+    )
+    d38 = "decimal(38,0)"
+    ratios = cubos.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"(CAST(t_b + 1 AS {d38}) * (r_tot + {_DSIR_B}) * {_DSIR_SCALE})"
+            f" div (CAST(r_b + 1 AS {d38}) * (t_tot + {_DSIR_B}))"
+        )
+        .cast("long")
+        .alias("ratio"),
+    )
+    puntajes = (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("ratio").cast("long").alias("s"),
+        )
+    )
+    deciles = puntajes.select(
+        "lang",
+        F.expr("s div n_tok").alias("media"),
+        F.ntile(10)
+        .over(Window.orderBy(F.expr("s div n_tok").desc(), "doc_id"))
+        .alias("decil"),
+    )
+    return deciles.groupBy("decil").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_objetivo"),
+        F.sum("media").cast("bigint").alias("importancia_total"),
+    ).select(
+        F.col("decil").cast("int").alias("decil"),
+        "docs",
+        "docs_objetivo",
+        "importancia_total",
+    )
+
+
+# --------------------------------------------------------------------------
 # Heaps-law vocabulary growth audit — deciles of the global token stream
 # --------------------------------------------------------------------------
 

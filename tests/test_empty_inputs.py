@@ -110,6 +110,7 @@ SMOKE = [
     "migracion_estados",
     "afinidad_segmentos",
     "t_cercania",
+    "ponderacion_importancia",
 ]
 
 
