@@ -201,6 +201,120 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining — contrastive training's other half
+# --------------------------------------------------------------------------
+
+_DIFICILES_ORACLE = f"""
+WITH {_NORMS_SQL.strip()},
+{_PARAMS_SQL},
+consultas AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+neg AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST({_scaled_dot_sql("q.embedding", "c.embedding")} AS DOUBLE)
+               / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cos
+    FROM consultas q
+    JOIN embeddings c ON c.label != q.label
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand_id) AS pos
+    FROM neg
+),
+pos_max AS (
+    SELECT q.vec_id AS query_id,
+           max(CAST({_scaled_dot_sql("q.embedding", "c.embedding")} AS DOUBLE)
+               / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)))
+               AS cos_pos
+    FROM consultas q
+    JOIN embeddings c ON c.label = q.label AND c.vec_id != q.vec_id
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+    GROUP BY 1
+)
+SELECT r.query_id, r.cand_id, CAST(r.pos AS BIGINT) AS pos,
+       floor(r.cos * 1e6) / 1e6 AS similitud,
+       CAST(floor((r.cos - p.cos_pos) * 1e6) AS BIGINT) AS margen_micro
+FROM ranked r
+LEFT JOIN pos_max p ON p.query_id = r.query_id
+WHERE r.pos <= 3
+"""
+
+
+@register("negativos_dificiles", oracle=_DIFICILES_ORACLE,
+          ops=("NN1", "O7", "W1"), driver=False)
+def negativos_dificiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020, arXiv:2004.04906): for each anchor, the
+    top-3 most-similar candidates of a DIFFERENT label — the near-miss
+    negatives that actually move a contrastive loss, where
+    ``muestreo_negativos``' hash-chain draws give only easy ones. Each
+    mined negative also carries its MARGIN against the anchor's best
+    same-label positive (floor-micro): a non-negative margin means a
+    negative outranks every positive — the label-noise flag miners
+    route to human review before the pair enters training.
+
+    Scale shape: the anchor set is fixed-size by the corpus-derived
+    query modulus and BROADCASTS against one candidate scan (map-side
+    integer-scaled dot products, the similarity_topk discipline); the
+    per-anchor top-3 is a query_id-partitioned window and the positive
+    ceiling one partial-aggregable max over the same scored stream —
+    both sides of the margin come from ONE pass over the candidates.
+    At production scale the candidate scan drops to IVF-probed cells
+    (the stored-index path `run_ann_ingest` serves); the mined triples
+    and the audit margin are unchanged."""
+    emb = _emb(spark, sf_dir)
+    norms = _norms(spark, sf_dir)
+    consultas = emb.where(F.col("vec_id") % _query_mod(emb.count()) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc"))
+    scored = (
+        emb.join(F.broadcast(consultas), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "label",
+            F.col("vec_id").alias("cand_id"),
+            scaled_dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .withColumn(
+            "cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    duros = (
+        scored.where(F.col("label") != F.col("q_label"))
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 3)
+    )
+    techo = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.max("cos").alias("cos_pos"))
+    )
+    return duros.join(F.broadcast(techo), "query_id", "left").select(
+        "query_id",
+        "cand_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
+        F.floor((F.col("cos") - F.col("cos_pos")) * 1e6)
+        .cast("bigint")
+        .alias("margen_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup with coarse-quantizer blocking (IVF-style)
 # --------------------------------------------------------------------------
 

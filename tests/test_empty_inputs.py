@@ -111,6 +111,7 @@ SMOKE = [
     "afinidad_segmentos",
     "t_cercania",
     "ponderacion_importancia",
+    "negativos_dificiles",
 ]
 
 

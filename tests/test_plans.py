@@ -588,6 +588,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
     [
         "t_cercania",
         "ponderacion_importancia",
+        "negativos_dificiles",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
