@@ -632,6 +632,110 @@ class TxTable:
             parent,
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        matched_update: dict[str, str] | None = None,
+        matched_delete: str | None = None,
+        insert_unmatched: bool = True,
+    ) -> int:
+        """Full Delta-style ``MERGE INTO`` clause semantics (the plain
+        ``merge`` above is the upsert special case). For each target row
+        with a key match in ``source``:
+
+        * ``matched_delete`` (SQL condition over ``t.*`` / ``s.*``)
+          true → the row is DELETED;
+        * else ``matched_update`` ({target col -> SQL expr over t/s})
+          → the row is rewritten with those expressions (unlisted
+          columns keep their target values);
+        * else the row carries through unchanged.
+
+        Unmatched target rows always carry through; unmatched SOURCE
+        rows insert when ``insert_unmatched`` (they must then supply
+        every target column). Delta's multiple-matches rule applies: a
+        source with DUPLICATE keys would update one target row twice in
+        an undefined order, so it is refused loudly up front. Snapshot
+        isolation is merge()'s: reconcile against the version read at
+        start, claim parent+1 — a concurrent commit turns into
+        CommitConflict, never a lost update. CHECK constraints validate
+        the final frame (updates can violate just as inserts can).
+
+        Shape: ONE key-equi full-outer join target×source; every clause
+        is a CASE over that joined row — no per-clause rescans. Like
+        merge(), this rewrites the snapshot's files; a stats-pruned
+        touched-file variant (replace_where's trick keyed by the
+        source's key range) is the documented upgrade path when merges
+        touch a narrow window of a huge table."""
+        parent = self.version()
+        if parent < 0:
+            if not insert_unmatched:
+                raise ValueError("merge_into on an empty table inserts only")
+            return self.merge(spark, source, key_cols)
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            k = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                f"merge_into: source has duplicate key {k} — multiple "
+                "source rows would match one target row (Delta's "
+                "deterministic-merge rule refuses this)"
+            )
+        target = self.read(spark, parent)
+        cols = target.columns
+        # existence sentinels, not key-null tests: eqNullSafe lets NULL
+        # keys match each other, and a null-keyed matched row must still
+        # read as matched
+        t = target.withColumn("_t_exists", F.lit(True)).alias("t")
+        s = source.withColumn("_s_exists", F.lit(True)).alias("s")
+        cond = None
+        for c in key_cols:
+            eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = eq if cond is None else cond & eq
+        joined = (
+            t.join(s, cond, "full_outer")
+            .withColumn(
+                "_is_target", F.coalesce(F.col("t._t_exists"), F.lit(False))
+            )
+            .withColumn(
+                "_matched",
+                F.col("_is_target")
+                & F.coalesce(F.col("s._s_exists"), F.lit(False)),
+            )
+        )
+        # matched deletes drop; unmatched source rows drop unless inserting
+        keep = F.lit(True)
+        if matched_delete is not None:
+            keep = keep & ~(
+                F.col("_matched") & F.coalesce(F.expr(matched_delete), F.lit(False))
+            )
+        if not insert_unmatched:
+            keep = keep & F.col("_is_target")
+        survivors = joined.where(keep)
+        out_cols = []
+        upd = matched_update or {}
+        for c in cols:
+            updated = F.expr(upd[c]) if c in upd else F.col(f"t.{c}")
+            out_cols.append(
+                F.when(F.col("_matched"), updated)
+                .when(F.col("_is_target"), F.col(f"t.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
+        merged = survivors.select(*out_cols)
+        self._enforce(merged)
+        files = self._write_files(merged)
+        return self._claim(
+            {"files": files, "op": "merge_into", "schema": merged.schema.json()},
+            parent,
+        )
+
     def replace_where(
         self, spark: SparkSession, df: DataFrame, col: str, lo, hi
     ) -> int:

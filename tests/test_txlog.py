@@ -887,3 +887,84 @@ def test_add_constraint_validates_existing_and_versions(spark, tmp_path):
     assert t.constraints() == {}
     t.append(_df(spark, 7, 8, val=-9.0))  # now legal again
     assert t.read(spark).count() == 6
+
+
+def test_merge_into_full_clause_semantics(spark, tmp_path):
+    """Delta MERGE INTO clause semantics: matched+delete-cond rows go,
+    matched rows update via expressions over t/s (unlisted columns keep
+    target values), unmatched target rows carry through, unmatched
+    source rows insert — all from ONE full-outer join."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del"),
+             (4, 40.0, "keep")],
+            "k bigint, v double, tag string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, 5.0, "x"), (3, 0.0, "x"), (9, 90.0, "new")],
+        "k bigint, v double, tag string",
+    )
+    t.merge_into(
+        spark,
+        src,
+        ["k"],
+        matched_update={"v": "t.v + s.v"},  # tag keeps target value
+        matched_delete="t.tag = 'del'",
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {
+        1: (10.0, "keep"),   # unmatched target: untouched
+        2: (25.0, "upd"),    # matched: updated, tag preserved
+        4: (40.0, "keep"),
+        9: (90.0, "new"),    # unmatched source: inserted
+    }  # 3 deleted
+
+    # insert_unmatched=False: source-only rows are ignored
+    t.merge_into(
+        spark,
+        spark.createDataFrame([(1, 1.0, "z"), (77, 7.0, "z")],
+                              "k bigint, v double, tag string"),
+        ["k"],
+        matched_update={"tag": "s.tag"},
+        insert_unmatched=False,
+    )
+    got = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert got == {1: "z", 2: "upd", 4: "keep", 9: "new"}
+
+    # duplicate source keys are refused loudly (Delta's rule)
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b")], "k bigint, v double, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_into(spark, dup, ["k"])
+
+
+def test_merge_into_null_keys_and_constraints(spark, tmp_path):
+    """NULL keys match each other (eqNullSafe + existence sentinels, not
+    key-null tests), and CHECK constraints validate the FINAL frame — an
+    UPDATE that breaks a rule is refused with nothing flipped."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(None, 1.0), (2, 2.0)], "k bigint, v double")
+    )
+    t.merge_into(
+        spark,
+        spark.createDataFrame([(None, 8.0)], "k bigint, v double"),
+        ["k"],
+        matched_update={"v": "s.v"},
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {None: 8.0, 2: 2.0}  # null-keyed row UPDATED, not duplicated
+
+    t.add_constraint(spark, "v_positivo", "v > 0")
+    v = t.version()
+    with pytest.raises(ConstraintViolation, match="v_positivo"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(2, 1.0)], "k bigint, v double"),
+            ["k"],
+            matched_update={"v": "t.v - 99"},
+        )
+    assert t.version() == v and {r["v"] for r in t.read(spark).collect()} == {8.0, 2.0}
