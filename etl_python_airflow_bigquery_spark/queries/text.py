@@ -1353,8 +1353,11 @@ def busqueda_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_KS = (1, 3, 5, 10)
 
-_EVAL_ORACLE = f"""
-WITH tok AS (
+# Shared CTE chain: BM25 system ranking + exact rarity-weighted gold
+# ranking over the same disjunctive query (both truncated to top-10).
+# evaluacion_recuperacion consumes it for metrics; fusion_rrf for rank
+# fusion — one definition, two read-outs.
+_RANKINGS_CTES = f"""tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 tf AS (
@@ -1406,7 +1409,10 @@ oro AS (
         SELECT doc_id,
                row_number() OVER (ORDER BY score_ex DESC, doc_id) AS pos_oro
         FROM puntos) WHERE pos_oro <= {_BM25_TOP}
-),
+)"""
+
+_EVAL_ORACLE = f"""
+WITH {_RANKINGS_CTES},
 pares AS (
     SELECT o.pos_oro, s.pos_sys FROM oro o JOIN sistema s USING (doc_id)
 ),
@@ -1426,19 +1432,12 @@ GROUP BY ks.k
 """
 
 
-@register("evaluacion_recuperacion", oracle=_EVAL_ORACLE,
-          ops=("O7", "A8", "J11"), driver=False, bench=True)
-def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RETRIEVAL EVALUATION harness — reciprocal rank and overlap@k of
-    the BM25 ranker against the exact rarity-weighted gold over the
-    same query, both computed from ONE pass over the query terms'
-    posting lists (the two scores share the tf⋈pesos⋈dl join, so the
-    eval costs one extra aggregate column, not a second retrieval).
-    Output per k ∈ {1,3,5,10}: |gold_top_k ∩ system_top_k| and the
-    milli reciprocal rank of the gold #1 in the system list (0 when
-    outside the cutoff). Both rankings truncate to the top-10 BEFORE
-    the metric join, so the metric stage is constant-sized at any
-    corpus scale."""
+def _rankings_retrieval(spark: SparkSession, sf_dir: str):
+    """The shared two-ranker build (Spark twin of _RANKINGS_CTES):
+    BM25 system ranking and exact rarity-weighted gold ranking over the
+    same disjunctive query, both from ONE pass over the query terms'
+    posting lists, both truncated to top-{_BM25_TOP}. Returns
+    (sistema[doc_id, pos_sys], oro[doc_id, pos_oro])."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -1489,6 +1488,23 @@ def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         puntos.select("doc_id", F.row_number().over(wo).alias("pos_oro"))
         .where(F.col("pos_oro") <= _BM25_TOP)
     )
+    return sistema, oro
+
+
+@register("evaluacion_recuperacion", oracle=_EVAL_ORACLE,
+          ops=("O7", "A8", "J11"), driver=False, bench=True)
+def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION harness — reciprocal rank and overlap@k of
+    the BM25 ranker against the exact rarity-weighted gold over the
+    same query, both computed from ONE pass over the query terms'
+    posting lists (the two scores share the tf⋈pesos⋈dl join, so the
+    eval costs one extra aggregate column, not a second retrieval).
+    Output per k ∈ {1,3,5,10}: |gold_top_k ∩ system_top_k| and the
+    milli reciprocal rank of the gold #1 in the system list (0 when
+    outside the cutoff). Both rankings truncate to the top-10 BEFORE
+    the metric join, so the metric stage is constant-sized at any
+    corpus scale."""
+    sistema, oro = _rankings_retrieval(spark, sf_dir)
     pares = oro.join(sistema, "doc_id").select("pos_oro", "pos_sys")
     rr = pares.agg(
         F.coalesce(
@@ -1513,6 +1529,81 @@ def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return solape.crossJoin(F.broadcast(rr)).select("k", "solape", "rr_milli")
+
+
+# --------------------------------------------------------------------------
+# Reciprocal rank fusion — combine the two retrieval rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical constant from Cormack et al. 2009
+_RRF_SCALE = 1_000_000
+
+_RRF_ORACLE = f"""
+WITH {_RANKINGS_CTES},
+fusion AS (
+    SELECT COALESCE(s.doc_id, o.doc_id) AS doc_id,
+           COALESCE({_RRF_SCALE} // ({_RRF_K} + s.pos_sys), 0)
+           + COALESCE({_RRF_SCALE} // ({_RRF_K} + o.pos_oro), 0) AS rrf,
+           s.pos_sys, o.pos_oro
+    FROM sistema s FULL OUTER JOIN oro o ON s.doc_id = o.doc_id
+)
+SELECT doc_id, rrf_micro, pos_fusion, pos_sys, pos_oro FROM (
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS pos_fusion,
+           CAST(pos_sys AS BIGINT) AS pos_sys,
+           CAST(pos_oro AS BIGINT) AS pos_oro
+    FROM fusion
+) WHERE pos_fusion <= {_BM25_TOP}
+"""
+
+
+@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"),
+          driver=False)
+def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of the two retrieval rankings the eval harness already builds —
+    the standard hybrid-search combiner (lexical BM25 + a second
+    ranker) that needs only RANKS, never score calibration:
+    rrf(d) = Σ_rankers 1/(K + rank_r(d)), K = 60. Computed in exact
+    integers as floor({_RRF_SCALE}/(K + rank)) per ranker (absent from
+    a ranker's top-{_BM25_TOP} contributes 0), so the fused ordering is
+    engine-reproducible. Output: the fused top-{_BM25_TOP} with each
+    doc's per-ranker positions for provenance — NULL where one ranker
+    missed a doc the other surfaced, exactly the docs fusion exists to
+    rescue.
+
+    Scale shape: both input rankings are already top-{_BM25_TOP}
+    truncated (constant-sized), so the fusion join, scoring, and final
+    window all run on O(top-k) rows regardless of corpus size — the
+    expensive part is the shared posting-list pass, paid once in
+    `_rankings_retrieval`."""
+    sistema, oro = _rankings_retrieval(spark, sf_dir)
+    fusion = sistema.join(oro, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + pos_sys)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + pos_oro)"), F.lit(0)
+            )
+        ).alias("rrf"),
+        "pos_sys",
+        "pos_oro",
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fusion.withColumn("pos_fusion", F.row_number().over(w))
+        .where(F.col("pos_fusion") <= _BM25_TOP)
+        .select(
+            "doc_id",
+            F.col("rrf").cast("bigint").alias("rrf_micro"),
+            F.col("pos_fusion").cast("bigint").alias("pos_fusion"),
+            F.col("pos_sys").cast("bigint").alias("pos_sys"),
+            F.col("pos_oro").cast("bigint").alias("pos_oro"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

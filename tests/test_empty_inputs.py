@@ -112,6 +112,7 @@ SMOKE = [
     "t_cercania",
     "ponderacion_importancia",
     "negativos_dificiles",
+    "fusion_rrf",
 ]
 
 

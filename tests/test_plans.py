@@ -589,6 +589,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "t_cercania",
         "ponderacion_importancia",
         "negativos_dificiles",
+        "fusion_rrf",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
