@@ -1110,6 +1110,115 @@ def bpe_codificacion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer fertility by language — the multilingual-fairness audit
+# --------------------------------------------------------------------------
+
+def _fertilidad_oracle(rounds: int) -> str:
+    parts = [
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "w0 AS (SELECT w, count(*) AS freq FROM tok WHERE w != '' GROUP BY 1)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"p{t} AS (SELECT par, sum(freq) AS c FROM "
+            f"({_BPE_PAIRS_SQL.format(src=f'w{t - 1}')}) GROUP BY 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT par, c FROM p{t} ORDER BY c DESC, par LIMIT 1)"
+        )
+        if t < rounds:
+            parts.append(
+                f"w{t} AS (SELECT replace(w, coalesce((SELECT par FROM m{t}),"
+                f" {_BPE_NOOP}), chr({t})) AS w, freq FROM w{t - 1})"
+            )
+    enc = "tl.w"
+    for t in range(1, rounds + 1):
+        enc = (
+            f"replace({enc}, coalesce((SELECT par FROM m{t}), {_BPE_NOOP}),"
+            f" chr({t}))"
+        )
+    parts.append(
+        "tokl AS (SELECT lang, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)"
+    )
+    parts.append(
+        "por_lang AS (SELECT tl.lang, "
+        "CAST(count(*) AS BIGINT) AS palabras, "
+        f"CAST(sum(length({enc})) AS BIGINT) AS simbolos "
+        "FROM tokl tl WHERE tl.w != '' GROUP BY 1)"
+    )
+    parts.append(
+        "mejor AS (SELECT simbolos AS s_m, palabras AS p_m FROM por_lang "
+        "ORDER BY simbolos * 1000 // palabras, lang LIMIT 1)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT l.lang, l.palabras, l.simbolos, "
+        "CAST(1000 * l.simbolos // l.palabras AS BIGINT) AS fertilidad_milli, "
+        "CAST((CAST(l.simbolos AS HUGEINT) * m.p_m * 1000) "
+        "// (CAST(l.palabras AS HUGEINT) * m.s_m) AS BIGINT) AS prima_milli "
+        "FROM por_lang l CROSS JOIN mejor m"
+    )
+
+
+@register("fertilidad_tokenizador", oracle=_fertilidad_oracle(_BPE_ROUNDS),
+          ops=("TX1", "A3", "A1"), driver=False)
+def fertilidad_tokenizador(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY BY LANGUAGE — the multilingual-fairness audit
+    (Petrov et al. 2023, arXiv:2305.15425 'Language Model Tokenizers
+    Introduce Unfairness Between Languages'; fertility = subword symbols
+    per word, Ács/ACL parlance): the SAME trained merge table
+    (`_bpe_learn`, shared with bpe_fusiones/bpe_codificacion) encodes
+    every word, and each language reports its milli fertility plus its
+    PREMIUM over the corpus-best language — the ratio that prices one
+    language's context window and API tokens against another's. BPE
+    merges learned on a majority-language corpus compress that language
+    best, so the premium column is precisely where the bias shows.
+    Cross-language ratio computed from the RAW sums
+    (s_l·p_best·1000) div (p_l·s_best) in decimal38/HUGEINT — exact,
+    not a ratio of rounded ratios.
+
+    Scale shape: training is bpe_fusiones' vocab-sized loop; the audit
+    is one word explode + the 3-literal replace chain (map-side) + a
+    languages-sized roll-up, with the best-language scalar riding in as
+    a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn(docs)
+    palabra = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    enc = F.col("w")
+    for t, (par, _) in enumerate(merges, start=1):
+        enc = F.replace(enc, F.lit(par), F.lit(chr(t)))
+    por_lang = palabra.select("lang", F.length(enc).alias("nt")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("palabras"),
+        F.sum("nt").cast("bigint").alias("simbolos"),
+    )
+    mejor = (
+        por_lang.orderBy(F.expr("simbolos * 1000 div palabras"), "lang")
+        .limit(1)
+        .select(F.col("simbolos").alias("s_m"), F.col("palabras").alias("p_m"))
+    )
+    d38 = "decimal(38,0)"
+    return por_lang.crossJoin(F.broadcast(mejor)).select(
+        "lang",
+        "palabras",
+        "simbolos",
+        F.expr("(1000 * simbolos) div palabras")
+        .cast("bigint")
+        .alias("fertilidad_milli"),
+        F.expr(
+            f"(CAST(simbolos AS {d38}) * p_m * 1000)"
+            f" div (CAST(palabras AS {d38}) * s_m)"
+        )
+        .cast("bigint")
+        .alias("prima_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Inverted-index retrieval — posting intersection + rarity-weighted rank
 # --------------------------------------------------------------------------
 # The dedup layer consumes posting lists implicitly (shingle joins);

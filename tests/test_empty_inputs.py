@@ -113,6 +113,7 @@ SMOKE = [
     "ponderacion_importancia",
     "negativos_dificiles",
     "fusion_rrf",
+    "fertilidad_tokenizador",
 ]
 
 
