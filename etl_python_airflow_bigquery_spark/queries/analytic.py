@@ -1415,7 +1415,8 @@ GROUP BY 1, 2
 """
 
 
-@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"), bench=True)
+@register("grafo_bfs", oracle=_BFS_ORACLE, ops=("J1", "A1"), bench=True,
+          driver=False)
 def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS SHORTEST PATHS over the customer↔supplier trade graph from a
     seed set (the smallest present nation's suppliers — non-degenerate at

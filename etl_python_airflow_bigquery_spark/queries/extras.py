@@ -1788,7 +1788,8 @@ FROM cuasi
 """
 
 
-@register("anonimato_k", oracle=_KANON_ORACLE, ops=("A8", "A6"))
+@register("anonimato_k", oracle=_KANON_ORACLE, ops=("A8", "A6"),
+          driver=False)
 def anonimato_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-ANONYMITY AUDIT over the customer quasi-identifier tuple
     (nation, market segment, account-balance band): the privacy gate a
@@ -1925,8 +1926,7 @@ GROUP BY a.nacion, a.n_clase, t.m, t.n_total
 """
 
 
-@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"),
-          driver=False)
+@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"))
 def t_cercania(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian, ICDE 2007) — the
     third leg of the release triad next to ``anonimato_k`` and

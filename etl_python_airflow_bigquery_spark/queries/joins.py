@@ -722,7 +722,7 @@ GROUP BY 1
 
 
 @register("ingresos_por_nacion", oracle=_INGRESOS_ORACLE,
-          ops=("J1", "A1", "P3"))
+          ops=("J1", "A1", "P3"), driver=False)
 def ingresos_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-SHAPED snowflake revenue pipeline: lineitem → orders →
     customer → supplier → nation → region, with the Q5 co-location

@@ -247,7 +247,7 @@ WHERE r.pos <= 3
 
 
 @register("negativos_dificiles", oracle=_DIFICILES_ORACLE,
-          ops=("NN1", "O7", "W1"), driver=False)
+          ops=("NN1", "O7", "W1"))
 def negativos_dificiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD-NEGATIVE MINING for contrastive training (the DPR recipe,
     Karpukhin et al. 2020, arXiv:2004.04906): for each anchor, the

@@ -82,7 +82,7 @@ FROM documents
 """
 
 
-@register("token_count", oracle=_TOKEN_ORACLE, ops=("TX1",))
+@register("token_count", oracle=_TOKEN_ORACLE, ops=("TX1",), driver=False)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, BPE-ish regex
     tokenizer, chars/4 heuristic. Map-only; the regex stays in codegen."""
@@ -1162,7 +1162,7 @@ def _fertilidad_oracle(rounds: int) -> str:
 
 
 @register("fertilidad_tokenizador", oracle=_fertilidad_oracle(_BPE_ROUNDS),
-          ops=("TX1", "A3", "A1"), driver=False)
+          ops=("TX1", "A3", "A1"))
 def fertilidad_tokenizador(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER FERTILITY BY LANGUAGE — the multilingual-fairness audit
     (Petrov et al. 2023, arXiv:2305.15425 'Language Model Tokenizers
@@ -1667,8 +1667,7 @@ SELECT doc_id, rrf_micro, pos_fusion, pos_sys, pos_oro FROM (
 """
 
 
-@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"),
-          driver=False)
+@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"))
 def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009)
     of the two retrieval rankings the eval harness already builds —
@@ -2374,7 +2373,7 @@ FROM pesos p CROSS JOIN tot t
 
 
 @register("muestreo_temperatura", oracle=_TEMPERATURA_ORACLE,
-          ops=("A6", "A1", "J6"))
+          ops=("A6", "A1", "J6"), driver=False)
 def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPERATURE sampling shares (α = 0.5): per-source sampling weight
     ∝ tokens^α — the multilingual/multi-source upsampling rule (mT5-style
@@ -2482,7 +2481,7 @@ FROM deciles GROUP BY 1
 
 
 @register("ponderacion_importancia", oracle=_DSIR_ORACLE,
-          ops=("TX2", "A8", "W1"), driver=False)
+          ops=("TX2", "A8", "W1"))
 def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-STYLE IMPORTANCE REWEIGHTING (Xie et al. 2023,
     arXiv:2302.03169 — Data Selection via Importance Resampling): score
