@@ -272,6 +272,125 @@ def _lang_id_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Code-switching audit — half-vs-half language disagreement
+# --------------------------------------------------------------------------
+
+_PERFILES_VALUES = (
+    "perfiles(lang_p, trigram) AS (\n"
+    "    VALUES " + ",".join(f"('{l}','{t}')" for l, t in LANG_PROFILES) + "\n)"
+)
+
+_MEZCLA_IDIOMAS_ORACLE = f"""
+WITH {_PERFILES_VALUES},
+tri AS (
+    SELECT d.doc_id, d.source,
+           CASE WHEN g.i + 2 <= d.n_chars // 2 THEN 1
+                WHEN g.i > d.n_chars // 2 THEN 2 END AS mitad,
+           substring(d.text, g.i, 3) AS trigram
+    FROM documents d,
+         LATERAL unnest(generate_series(1, d.n_chars - 2)) AS g(i)
+    WHERE d.n_chars >= 6
+),
+votos AS (
+    SELECT t.doc_id, t.source, t.mitad, p.lang_p, count(*) AS matches
+    FROM tri t JOIN perfiles p ON t.trigram = p.trigram
+    WHERE t.mitad IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+),
+mejor AS (
+    SELECT doc_id, source, mitad, lang_p,
+           row_number() OVER (PARTITION BY doc_id, mitad
+                              ORDER BY matches DESC, lang_p) AS rn
+    FROM votos
+),
+pares AS (
+    SELECT a.doc_id, a.source, a.lang_p AS lang_1, b.lang_p AS lang_2
+    FROM mejor a JOIN mejor b
+      ON b.doc_id = a.doc_id AND a.mitad = 1 AND b.mitad = 2
+         AND a.rn = 1 AND b.rn = 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_evaluados,
+       CAST(sum(CASE WHEN lang_1 != lang_2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mezclados,
+       CAST(1000 * sum(CASE WHEN lang_1 != lang_2 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS tasa_mili
+FROM pares GROUP BY 1
+"""
+
+
+@register("mezcla_idiomas", oracle=_MEZCLA_IDIOMAS_ORACLE,
+          ops=("TX3", "A8", "J9"), driver=False, bench=True)
+def mezcla_idiomas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-SWITCHING AUDIT: classify each document's two character
+    halves INDEPENDENTLY with the same trigram-profile vote
+    `lang_id_ngram` uses, and report per source how many documents'
+    halves disagree — the within-document language-mix signal a
+    doc-level language ID structurally cannot see (a 50/50
+    English/German page votes 'en' once and passes as clean English;
+    its halves vote en/de and flag it). Mixed-language documents
+    contaminate monolingual training subsets, so per-source mixing
+    rates tell the mixture planner which ingest streams need
+    segment-level splitting rather than doc-level routing. Boundary
+    trigrams that straddle the midpoint belong to NEITHER half
+    (deterministic, engine-identical); only documents where BOTH
+    halves produce a profiled vote are evaluated.
+
+    Scale shape: identical to lang_id_ngram's — one map-side trigram
+    explode (with a half tag computed from the position), one broadcast
+    profile join, one (doc, half, lang) vote aggregation, the per-half
+    argmax window, and a sources-sized roll-up. Everything after the
+    vote shuffle is doc- then source-grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.where(F.col("n_chars") >= 6)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_chars") - 2)).alias("i"),
+            "text",
+            F.expr("n_chars div 2").alias("mitad_pos"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("i") + 2 <= F.col("mitad_pos"), 1)
+            .when(F.col("i") > F.col("mitad_pos"), 2)
+            .alias("mitad"),
+            F.expr("substring(text, i, 3)").alias("trigram"),
+        )
+        .where(F.col("mitad").isNotNull())
+    )
+    perfiles = values_dim(spark, LANG_PROFILES, ["lang_p", "trigram"])
+    votos = (
+        tri.join(F.broadcast(perfiles), "trigram")
+        .groupBy("doc_id", "source", "mitad", "lang_p")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    w = Window.partitionBy("doc_id", "mitad").orderBy(
+        F.col("matches").desc(), "lang_p"
+    )
+    mejor = votos.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    m1 = mejor.where(F.col("mitad") == 1).select(
+        "doc_id", "source", F.col("lang_p").alias("lang_1")
+    )
+    m2 = mejor.where(F.col("mitad") == 2).select(
+        "doc_id", F.col("lang_p").alias("lang_2")
+    )
+    pares = m1.join(m2, "doc_id")
+    return pares.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_evaluados"),
+        F.sum(F.when(F.col("lang_1") != F.col("lang_2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("mezclados"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN lang_1 != lang_2 THEN 1 ELSE 0 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("tasa_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting — winnowing (rolling k-gram min-hash)
 # --------------------------------------------------------------------------
 

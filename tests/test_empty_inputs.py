@@ -114,6 +114,7 @@ SMOKE = [
     "negativos_dificiles",
     "fusion_rrf",
     "fertilidad_tokenizador",
+    "mezcla_idiomas",
 ]
 
 
