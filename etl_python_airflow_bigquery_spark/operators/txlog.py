@@ -1178,3 +1178,45 @@ class TxTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+def mirror_incremental(
+    spark: SparkSession,
+    src: TxTable,
+    dst: TxTable,
+    transform=None,
+) -> dict:
+    """Maintain ``dst`` as a derived mirror of ``src`` from the CHANGE
+    FEED — the materialized-view refresh loop every downstream mart
+    runs: read only the delta since the last mirrored version, apply
+    ``transform`` (identity by default), commit. The last-mirrored
+    upstream version is recorded as the txn fence
+    ``("mirror:<src>", upstream_version)`` IN dst's manifest, which
+    buys three properties at once: the marker commits ATOMICALLY with
+    the data it describes, it SURVIVES dst maintenance (compaction /
+    other writers — _claim carries the txn map through every manifest),
+    and a crashed-and-rerun refresh is a NO-OP instead of a double
+    append (the streaming jobs' exactly-once discipline, batch-side).
+
+    Upstream rewrites (merge/overwrite/replace) make the feed
+    non-incremental; the mirror then REBUILDS from the snapshot —
+    degradation is loud in the returned ``mode``, never silent schema
+    or row drift. Cost: incremental refreshes scan only the delta
+    files (KB of manifest metadata + the new parquet); the rebuild
+    path scans the snapshot exactly like the first load."""
+    app = f"mirror:{os.path.abspath(src.path)}"
+    last = dst.txn_version(app)
+    cur = src.version()
+    if cur < 0 or cur <= last:
+        return {"mode": "noop", "upstream_version": cur}
+    tf = transform if transform is not None else (lambda df: df)
+    if last < 0:
+        dst.overwrite(tf(src.read(spark, cur)), txn=(app, cur))
+        return {"mode": "initial", "upstream_version": cur}
+    try:
+        delta = src.changes(spark, since_version=last, until_version=cur)
+    except NonIncrementalHistory:
+        dst.overwrite(tf(src.read(spark, cur)), txn=(app, cur))
+        return {"mode": "rebuild", "upstream_version": cur}
+    dst.append(tf(delta.drop("_commit_version")), txn=(app, cur))
+    return {"mode": "incremental", "upstream_version": cur}
