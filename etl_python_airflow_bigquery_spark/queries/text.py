@@ -241,33 +241,94 @@ def _lang_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lang_id_ngram", oracle=_LANG_ORACLE, ops=("TX3",))
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language ID: explode each doc into trigrams,
-    broadcast-join the profile table, vote per (doc, lang), argmax via
-    row_number. The profile join is a broadcast; the heavy explode is
-    map-side; one shuffle for the vote. Predictions materialize ONCE per
-    (session, dataset) via `_lang_preds` — `idioma_confusion` shares
-    the same frame instead of re-running the explode."""
+    """Character-trigram language ID: each profile trigram's occurrence
+    count is a pure replace-length expression (the borderless-trigram
+    identity, asserted at import) over a CONSTANT 20-row profile
+    explode — the r1 design's per-CHARACTER explode shuffled ~1000 rows
+    per doc to vote; this shuffles 5 partial-aggregated rows per doc
+    and the argmax is a min-over-orderable-struct, no window. (The
+    zero-shuffle all-expression form was measured and rejected: its
+    generated projection costs seconds of codegen JIT per fresh plan —
+    see the design note at _lang_id_frame.) Predictions materialize
+    ONCE per (session, dataset) via `_lang_preds` — `idioma_confusion`
+    shares the same frame."""
     return _lang_preds(spark, sf_dir)
 
 
+# None of the profile trigrams may have a BORDER (proper prefix =
+# proper suffix, i.e. t[0]==t[2] or t[:2]==t[1:]): borderless trigrams
+# cannot self-overlap, so the non-overlapping replace() count equals the
+# sliding-window occurrence count — the identity _tri_cnt relies on.
+# Checked at import so a future profile edit cannot silently break it.
+assert not [
+    t for _, t in LANG_PROFILES if t[0] == t[2] or t[:2] == t[1:]
+], "lang profile trigrams must be borderless for replace-counting"
+
+_LANGS = sorted({l for l, _ in LANG_PROFILES})
+
+
+def _tri_cnt(col: Column, tri: Column) -> Column:
+    """Occurrences of a BORDERLESS trigram as a pure column expression:
+    (len - len(replace(col, tri, '')))/3 — equal to the sliding-window
+    count precisely because the trigram cannot overlap itself."""
+    return (
+        (F.length(col) - F.length(F.replace(col, tri, F.lit("")))) / 3
+    ).cast("long")
+
+
+def _perfiles_array() -> Column:
+    """The 20 (lang, trigram) profile literals as one inline array —
+    explodes to a constant 20-row fan-out per document."""
+    return F.array(
+        *[
+            F.struct(F.lit(l).alias("lang_p"), F.lit(t).alias("tri"))
+            for l, t in LANG_PROFILES
+        ]
+    )
+
+
+def _best_struct(neg_votes: Column, lang: Column, votes: Column) -> Column:
+    """Orderable (neg votes, lang, votes) struct: MIN over it is the
+    (matches DESC, lang ASC) argmax the oracle's window computes."""
+    return F.struct(
+        neg_votes.alias("neg"), lang.alias("lang_p"), votes.alias("votos")
+    )
+
+
+# Design note (measured, round 7): the obvious all-column-expression
+# form — 20 replace() counts folded into 5 vote sums and a sorted
+# 5-struct array, zero shuffles — has a ~3-5 s whole-stage-codegen
+# JIT cost PER FRESH PLAN (the generated projection is thousands of
+# Java lines; execution after compile was 0.06 s at sf0.1). Exploding
+# the 20 profile literals instead compiles ONE small replace expression
+# and pays two partial-aggregable doc-grain shuffles (docs×5 rows) —
+# strictly better end-to-end wall clock at every SF measured, and the
+# aggregation is the textbook scale shape anyway.
 def _lang_id_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tri = docs.where(F.col("n_chars") >= 3).select(
+    base = docs.select(
+        "doc_id", "lang", F.explode(_perfiles_array()).alias("p"), "text"
+    ).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_chars") - 2)).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, i, 3)").alias("trigram"))
-    perfiles = values_dim(spark, LANG_PROFILES, ["lang_p", "trigram"])
-    votos = tri.join(F.broadcast(perfiles), "trigram").groupBy("doc_id", "lang_p").agg(
-        F.count(F.lit(1)).alias("matches")
+        "lang",
+        F.col("p.lang_p").alias("lang_p"),
+        _tri_cnt(F.col("text"), F.col("p.tri")).alias("c"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("matches").desc(), F.col("lang_p"))
-    mejor = votos.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return docs.join(mejor, "doc_id", "left").select(
+    votos = base.groupBy("doc_id", "lang", "lang_p").agg(
+        F.sum("c").alias("votes")
+    )
+    mejor = votos.groupBy("doc_id", "lang").agg(
+        F.min(
+            _best_struct(-F.col("votes"), F.col("lang_p"), F.col("votes"))
+        ).alias("m")
+    )
+    return mejor.select(
         "doc_id",
         F.col("lang").alias("lang_real"),
-        F.coalesce(F.col("lang_p"), F.lit("unknown")).alias("lang_pred"),
-        F.coalesce(F.col("matches"), F.lit(0)).cast("bigint").alias("votos"),
+        F.when(F.col("m.votos") > 0, F.col("m.lang_p"))
+        .otherwise("unknown")
+        .alias("lang_pred"),
+        F.col("m.votos").cast("bigint").alias("votos"),
     )
 
 
@@ -336,48 +397,50 @@ def mezcla_idiomas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic, engine-identical); only documents where BOTH
     halves produce a profiled vote are evaluated.
 
-    Scale shape: identical to lang_id_ngram's — one map-side trigram
-    explode (with a half tag computed from the position), one broadcast
-    profile join, one (doc, half, lang) vote aggregation, the per-half
-    argmax window, and a sources-sized roll-up. Everything after the
-    vote shuffle is doc- then source-grain."""
+    Scale shape: lang_id_ngram's constant-20-explode form applied to
+    BOTH halves in one pass — the halves are substring projections
+    whose trigram sets are exactly the halves' trigram sets (a trigram
+    straddling the midpoint appears in neither substring, matching the
+    oracle's neither-half rule), each (doc, profile) row counts both
+    halves with the borderless replace identity, and the per-half
+    argmaxes are two min-over-struct aggregates in ONE doc-grain
+    roll-up. Shuffled rows: 5 per doc, then sources."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = (
+    base = (
         docs.where(F.col("n_chars") >= 6)
         .select(
             "doc_id",
             "source",
-            F.explode(F.sequence(F.lit(1), F.col("n_chars") - 2)).alias("i"),
-            "text",
-            F.expr("n_chars div 2").alias("mitad_pos"),
+            F.explode(_perfiles_array()).alias("p"),
+            F.expr("substring(text, 1, n_chars div 2)").alias("h1"),
+            F.expr("substring(text, n_chars div 2 + 1)").alias("h2"),
         )
         .select(
             "doc_id",
             "source",
-            F.when(F.col("i") + 2 <= F.col("mitad_pos"), 1)
-            .when(F.col("i") > F.col("mitad_pos"), 2)
-            .alias("mitad"),
-            F.expr("substring(text, i, 3)").alias("trigram"),
+            F.col("p.lang_p").alias("lang_p"),
+            _tri_cnt(F.col("h1"), F.col("p.tri")).alias("c1"),
+            _tri_cnt(F.col("h2"), F.col("p.tri")).alias("c2"),
         )
-        .where(F.col("mitad").isNotNull())
     )
-    perfiles = values_dim(spark, LANG_PROFILES, ["lang_p", "trigram"])
-    votos = (
-        tri.join(F.broadcast(perfiles), "trigram")
-        .groupBy("doc_id", "source", "mitad", "lang_p")
-        .agg(F.count(F.lit(1)).alias("matches"))
+    votos = base.groupBy("doc_id", "source", "lang_p").agg(
+        F.sum("c1").alias("v1"), F.sum("c2").alias("v2")
     )
-    w = Window.partitionBy("doc_id", "mitad").orderBy(
-        F.col("matches").desc(), "lang_p"
+    mejor = votos.groupBy("doc_id", "source").agg(
+        F.min(
+            _best_struct(-F.col("v1"), F.col("lang_p"), F.col("v1"))
+        ).alias("m1"),
+        F.min(
+            _best_struct(-F.col("v2"), F.col("lang_p"), F.col("v2"))
+        ).alias("m2"),
     )
-    mejor = votos.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    m1 = mejor.where(F.col("mitad") == 1).select(
-        "doc_id", "source", F.col("lang_p").alias("lang_1")
+    pares = mejor.where(
+        (F.col("m1.votos") > 0) & (F.col("m2.votos") > 0)
+    ).select(
+        "source",
+        F.col("m1.lang_p").alias("lang_1"),
+        F.col("m2.lang_p").alias("lang_2"),
     )
-    m2 = mejor.where(F.col("mitad") == 2).select(
-        "doc_id", F.col("lang_p").alias("lang_2")
-    )
-    pares = m1.join(m2, "doc_id")
     return pares.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_evaluados"),
         F.sum(F.when(F.col("lang_1") != F.col("lang_2"), 1).otherwise(0))
