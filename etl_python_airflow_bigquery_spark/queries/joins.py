@@ -8,7 +8,7 @@ multi-branch registry union (O2/O3) over the snowflake dims (J1/J2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import (
@@ -632,6 +632,98 @@ def retencion_cohortes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohorte").cast("bigint").alias("cohorte"),
         (F.col("dia") - F.col("cohorte")).cast("bigint").alias("dia_offset"),
     ).agg(F.countDistinct("user_id").cast("bigint").alias("usuarios"))
+
+
+# --------------------------------------------------------------------------
+# Life table — survival-analysis hazard over user lifespans
+# --------------------------------------------------------------------------
+
+_VIDA_CENSURA = 7  # days of silence before the frontier = churn
+
+_VIDA_ORACLE = f"""
+WITH dias AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS dia FROM events
+),
+frontera AS (SELECT max(dia) AS f FROM dias),
+usuarios AS (
+    SELECT user_id, min(dia) AS primero, max(dia) AS ultimo
+    FROM dias GROUP BY 1
+),
+vidas AS (
+    SELECT u.ultimo - u.primero AS t,
+           CASE WHEN u.ultimo < fr.f - {_VIDA_CENSURA} THEN 1 ELSE 0 END
+               AS baja
+    FROM usuarios u CROSS JOIN frontera fr
+),
+por_t AS (
+    SELECT t, CAST(sum(baja) AS BIGINT) AS bajas,
+           CAST(sum(1 - baja) AS BIGINT) AS censurados
+    FROM vidas GROUP BY 1
+),
+riesgo AS (
+    SELECT t, bajas, censurados,
+           sum(bajas + censurados) OVER (ORDER BY t DESC) AS n_riesgo
+    FROM por_t
+)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(n_riesgo AS BIGINT) AS n_riesgo,
+       bajas, censurados,
+       CAST(1000 * bajas // n_riesgo AS BIGINT) AS riesgo_mili
+FROM riesgo
+"""
+
+
+@register("tabla_vida", oracle=_VIDA_ORACLE, ops=("A8", "W1", "A6"),
+          driver=False)
+def tabla_vida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFE TABLE over user lifespans — the survival-analysis read-out
+    of churn (the discrete actuarial estimator behind Kaplan-Meier):
+    each user's lifespan t = last active day − first active day; users
+    silent for more than {_VIDA_CENSURA} days before the data frontier
+    COUNT AS CHURNED at t, the rest are right-CENSORED (still alive
+    when observation ended — the distinction naive churn metrics drop,
+    biasing hazard high for recent signups). Per lifespan t: the risk
+    set n_t = users surviving at least t (reverse cumulative of deaths
+    + censors), deaths, censors, and the discrete hazard in floor-milli
+    1000·d_t/n_t — all exact integers, so the cross-engine hash pins
+    the estimator itself. (The KM survival CURVE is the running product
+    of (1 − hazard); products of rounded ratios aren't cross-engine
+    exact, so the table emits the per-step hazards a consumer folds.)
+
+    Shape: one user-grain aggregation over events (map-side
+    combinable), the frontier as a 1-row broadcast, then everything is
+    LIFESPAN-grain — the histogram, the reverse-cumulative window, and
+    the output are all ≤ #distinct-lifespans rows (≤ calendar days)
+    regardless of user count."""
+    events = load_table(spark, sf_dir, "events")
+    dias = events.select("user_id", event_day_num(events).alias("dia"))
+    usuarios = dias.groupBy("user_id").agg(
+        F.min("dia").alias("primero"), F.max("dia").alias("ultimo")
+    )
+    frontera = dias.agg(F.max("dia").alias("f"))
+    vidas = usuarios.crossJoin(F.broadcast(frontera)).select(
+        (F.col("ultimo") - F.col("primero")).alias("t"),
+        F.when(F.col("ultimo") < F.col("f") - _VIDA_CENSURA, 1)
+        .otherwise(0)
+        .alias("baja"),
+    )
+    por_t = vidas.groupBy("t").agg(
+        F.sum("baja").cast("bigint").alias("bajas"),
+        F.sum(1 - F.col("baja")).cast("bigint").alias("censurados"),
+    )
+    w = Window.orderBy(F.desc("t"))
+    return por_t.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.sum(F.col("bajas") + F.col("censurados"))
+        .over(w)
+        .cast("bigint")
+        .alias("n_riesgo"),
+        "bajas",
+        "censurados",
+    ).withColumn(
+        "riesgo_mili",
+        F.expr("CAST((1000 * bajas) div n_riesgo AS BIGINT)"),
+    )
 
 
 # --------------------------------------------------------------------------

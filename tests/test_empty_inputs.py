@@ -115,6 +115,7 @@ SMOKE = [
     "fusion_rrf",
     "fertilidad_tokenizador",
     "mezcla_idiomas",
+    "tabla_vida",
 ]
 
 
