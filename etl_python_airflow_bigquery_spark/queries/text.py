@@ -2940,8 +2940,11 @@ _GOPHER_MWL_LO, _GOPHER_MWL_HI = 3, 12
 # alpha-word share ≥ 0.8:       5·alpha_words ≥ 4·words
 # stop-word rule: ≥ 2 DISTINCT stop-list words present
 
-_GOPHER_ORACLE = f"""
-WITH tok AS (
+# Shared Gopher-rules CTE prefix (tok -> por_doc -> reglas): consumed by
+# reglas_gopher's per-rule report and calibracion_calidad's validity
+# audit — one rule definition, two read-outs (the _RANKINGS_CTES
+# pattern).
+_GOPHER_REGLAS_CTES = f"""tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w
     FROM documents
 ),
@@ -2968,7 +2971,10 @@ reglas AS (
            5 * alfa >= 4 * palabras AS r_alfa,
            stops >= 2 AS r_stops
     FROM por_doc
-),
+)"""
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_REGLAS_CTES},
 largo AS (
     SELECT 'palabras' AS regla, r_palabras AS ok FROM reglas
     UNION ALL SELECT 'longitud_media', r_longitud FROM reglas
@@ -3081,6 +3087,88 @@ def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) div count(*)"
         ).cast("bigint").alias("tasa_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-score calibration — do the Gopher rules predict duplication?
+# --------------------------------------------------------------------------
+
+_CALIBRACION_ORACLE = f"""
+WITH {_GOPHER_REGLAS_CTES},
+familias AS (
+    SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1
+),
+docdup AS (
+    SELECT d.doc_id, CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS dup
+    FROM documents d JOIN familias f ON md5(d.text) = f.h
+),
+puntos AS (
+    SELECT doc_id,
+           CAST(r_palabras AS INT) + CAST(r_longitud AS INT)
+           + CAST(r_simbolos AS INT) + CAST(r_alfa AS INT)
+           + CAST(r_stops AS INT) AS reglas_ok
+    FROM reglas
+)
+SELECT CAST(p.reglas_ok AS BIGINT) AS reglas_ok,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(d.dup) AS BIGINT) AS duplicados,
+       CAST(1000 * sum(d.dup) // count(*) AS BIGINT) AS tasa_dup_mili
+FROM puntos p JOIN docdup d USING (doc_id)
+GROUP BY 1
+"""
+
+
+@register("calibracion_calidad", oracle=_CALIBRACION_ORACLE,
+          ops=("TX2", "DD1", "A8"), driver=False)
+def calibracion_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-SCORE CALIBRATION audit: bucket documents by how many
+    Gopher rules they pass (0-5, the shared `gopher_flags` projection)
+    and measure each bucket's EXACT-DUPLICATE rate (md5 family size
+    > 1) — the cheap validity check a curation pipeline runs before
+    trusting a heuristic score as a sampling weight. If low-rule-count
+    buckets are not enriched in duplicates (boilerplate and template
+    spam duplicate heavily), the score is not measuring what the
+    pipeline assumes, and weighting by it just reshuffles noise. The
+    same readout generalizes to any label: swap the dup flag for a
+    downstream-model loss decile and the calibration audit is identical
+    Spark shape.
+
+    Shape: the rule bits are gopher_flags' pure projection (no explode,
+    no shuffle); the dup flag is one md5-partition window count; the
+    join is doc-grain and the output is 6 buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    bits = gopher_flags(docs).select(
+        "doc_id",
+        (
+            F.col("r_palabras").cast("int")
+            + F.col("r_longitud").cast("int")
+            + F.col("r_simbolos").cast("int")
+            + F.col("r_alfa").cast("int")
+            + F.col("r_stops").cast("int")
+        ).alias("reglas_ok"),
+    )
+    wdup = Window.partitionBy(F.md5("text"))
+    dup = docs.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(wdup) > 1).cast("int").alias("dup"),
+    )
+    return (
+        bits.join(dup, "doc_id")
+        .groupBy("reglas_ok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("dup").cast("bigint").alias("duplicados"),
+            F.expr("CAST((1000 * sum(dup)) div count(1) AS BIGINT)").alias(
+                "tasa_dup_mili"
+            ),
+        )
+        .select(
+            F.col("reglas_ok").cast("bigint").alias("reglas_ok"),
+            "docs",
+            "duplicados",
+            "tasa_dup_mili",
+        )
     )
 
 

@@ -116,6 +116,7 @@ SMOKE = [
     "fertilidad_tokenizador",
     "mezcla_idiomas",
     "tabla_vida",
+    "calibracion_calidad",
 ]
 
 

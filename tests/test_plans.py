@@ -593,6 +593,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "fertilidad_tokenizador",
         "mezcla_idiomas",
         "tabla_vida",
+        "calibracion_calidad",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
