@@ -1924,13 +1924,18 @@ def grafo_triangulos(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the milli-floored global clustering coefficient
     3·triangles/wedges."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    # pre-distinct (order, supplier) once: the pair join then produces
+    # each (order, u, v) exactly once, so support is a plain count —
+    # the countDistinct Expand over the joined pair stream (3-6 rows
+    # per order) collapses into one distinct over ~1 row per lineitem
+    presencia = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u")
+    ).distinct()
     soporte = (
-        a.join(b, "ok")
+        presencia.join(presencia.withColumnRenamed("u", "v"), "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("ok").cast("bigint").alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
     )
     lados = soporte.select(
         F.col("u").alias("nodo"), F.col("v").alias("vecino"), "s"
@@ -1941,10 +1946,21 @@ def grafo_triangulos(spark: SparkSession, sf_dir: str) -> DataFrame:
     top5 = lados.withColumn("rn", F.row_number().over(w_top)).where(
         F.col("rn") <= 5
     )
-    pares = top5.select(
-        F.least("nodo", "vecino").alias("u"),
-        F.greatest("nodo", "vecino").alias("v"),
-    ).distinct()
+    # the backbone is ≤5n rows and feeds FIVE consumers (degrees, the
+    # orientation join, the wedge self-join's two sides, the edge
+    # count); without a materialization Spark re-executes the whole
+    # co-supply aggregation per consumer (measured: zero ReusedExchange
+    # in the static plan). localCheckpoint pins the tiny frame in
+    # executor blocks — the _shingles discipline, executor-local, freed
+    # on GC; at cluster scale the same role is persist(MEMORY_AND_DISK)
+    pares = (
+        top5.select(
+            F.least("nodo", "vecino").alias("u"),
+            F.greatest("nodo", "vecino").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     grados = (
         pares.select(F.col("u").alias("nodo"))
         .unionAll(pares.select(F.col("v").alias("nodo")))
