@@ -2206,6 +2206,13 @@ def muestreo_negativos(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state beyond the part count scalar."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # the distinct-positives build (join + distinct, the query's
+    # dominant cost) feeds BOTH the candidate generator and the
+    # accidental-hit collision join — localCheckpoint materializes it
+    # once instead of letting each consumer re-execute the lineage
+    # (grafo_triangulos' backbone discipline; same-session A/B: ~10%
+    # at both sf0.1 and sf1 — AQE's exchange reuse recovers most of
+    # the duplication here, the checkpoint takes the rest)
     positivos = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
@@ -2213,6 +2220,7 @@ def muestreo_negativos(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_parts = load_table(spark, sf_dir, "part").count()
     cand = positivos.select(
