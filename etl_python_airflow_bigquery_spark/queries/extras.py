@@ -1917,10 +1917,11 @@ SELECT a.nacion,
        CAST(sum(abs(CAST(a_i AS HUGEINT) * t.n_total
                     - CAST(b_i AS HUGEINT) * a.n_clase)) AS BIGINT)
            AS emd_escalado,
-       CAST((1000 * sum(abs(CAST(a_i AS HUGEINT) * t.n_total
+       CAST(CASE WHEN t.m <= 1 THEN 0 ELSE
+            (1000 * sum(abs(CAST(a_i AS HUGEINT) * t.n_total
                             - CAST(b_i AS HUGEINT) * a.n_clase)))
             // ((t.m - 1) * CAST(a.n_clase AS HUGEINT) * t.n_total)
-            AS BIGINT) AS t_mili
+            END AS BIGINT) AS t_mili
 FROM acum a CROSS JOIN tot t
 GROUP BY a.nacion, a.n_clase, t.m, t.n_total
 """
@@ -1993,10 +1994,14 @@ def t_cercania(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nacion",
             F.col("n_clase").cast("bigint").alias("miembros"),
             F.col("emd").cast("bigint").alias("emd_escalado"),
+            # m = 1 (a single observed band) makes every class
+            # distribution identical to the global: EMD is 0 by
+            # definition, and the (m-1) normalizer must not divide by
+            # zero (ANSI crash — caught by the property suite)
             F.expr(
-                "CAST((1000 * emd) div"
+                "CAST(CASE WHEN m <= 1 THEN 0 ELSE (1000 * emd) div"
                 " ((m - 1) * CAST(n_clase AS decimal(38,0)) * n_total)"
-                " AS BIGINT)"
+                " END AS BIGINT)"
             ).alias("t_mili"),
         )
     )
