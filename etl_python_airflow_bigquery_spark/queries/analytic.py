@@ -313,7 +313,8 @@ LEFT JOIN counts c ON g.day_num = c.day_num AND g.bloque = c.bloque
 """
 
 
-@register("grid_completion", oracle=_GRID_ORACLE, ops=("J6", "J11", "A13"))
+@register("grid_completion", oracle=_GRID_ORACLE, ops=("J6", "J11", "A13"),
+          driver=False)
 def grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every (day × day-part block) cell with zero-filled distinct
     audience — the superposition notebooks' df_comb grid pattern
@@ -1324,7 +1325,8 @@ FROM paso WHERE rn = n
 """
 
 
-@register("pronostico_holt", oracle=_holt_duck(), ops=("W1", "A1"))
+@register("pronostico_holt", oracle=_holt_duck(), ops=("W1", "A1"),
+          driver=False)
 def pronostico_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT LINEAR-TREND FORECAST per event type — the TWO-state
     recursive metric (level + trend) that window frames cannot express

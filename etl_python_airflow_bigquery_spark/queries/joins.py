@@ -673,8 +673,7 @@ FROM riesgo
 """
 
 
-@register("tabla_vida", oracle=_VIDA_ORACLE, ops=("A8", "W1", "A6"),
-          driver=False)
+@register("tabla_vida", oracle=_VIDA_ORACLE, ops=("A8", "W1", "A6"))
 def tabla_vida(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIFE TABLE over user lifespans — the survival-analysis read-out
     of churn (the discrete actuarial estimator behind Kaplan-Meier):

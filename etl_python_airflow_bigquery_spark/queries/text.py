@@ -381,7 +381,7 @@ FROM pares GROUP BY 1
 
 
 @register("mezcla_idiomas", oracle=_MEZCLA_IDIOMAS_ORACLE,
-          ops=("TX3", "A8", "J9"), driver=False, bench=True)
+          ops=("TX3", "A8", "J9"), bench=True)
 def mezcla_idiomas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CODE-SWITCHING AUDIT: classify each document's two character
     halves INDEPENDENTLY with the same trigram-profile vote
@@ -2197,7 +2197,7 @@ def subcadena_hashes(docs: DataFrame) -> DataFrame:
 
 
 @register("dedup_subcadenas", oracle=_SUBCADENAS_ORACLE,
-          ops=("DD1", "TX4", "A8"))
+          ops=("DD1", "TX4", "A8"), driver=False)
 def dedup_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT duplicate-SUBSTRING detection — the span-level dedup of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -3120,7 +3120,7 @@ GROUP BY 1
 
 
 @register("calibracion_calidad", oracle=_CALIBRACION_ORACLE,
-          ops=("TX2", "DD1", "A8"), driver=False)
+          ops=("TX2", "DD1", "A8"))
 def calibracion_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-SCORE CALIBRATION audit: bucket documents by how many
     Gopher rules they pass (0-5, the shared `gopher_flags` projection)
