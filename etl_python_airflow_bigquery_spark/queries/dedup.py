@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.dims import values_dim
 from etl_python_airflow_bigquery_spark.operators.checkpoints import (
     iter_checkpoint,
 )
@@ -571,6 +572,93 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000
             ).alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep — dedup aggressiveness curve over the exact pairs
+# --------------------------------------------------------------------------
+
+_UMBRALES = (500, 600, 700, 800, 900, 1000)
+
+_CURVA_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pares AS (
+    SELECT CAST(floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c))
+                AS BIGINT) AS milli,
+           i.doc_a, i.doc_b
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+umbrales(tau) AS (VALUES {", ".join(f"({t})" for t in _UMBRALES)})
+SELECT CAST(u.tau AS BIGINT) AS tau_mili,
+       CAST((SELECT count(*) FROM pares p WHERE p.milli >= u.tau)
+            AS BIGINT) AS pares,
+       CAST((SELECT count(DISTINCT d)
+             FROM (SELECT milli, doc_a AS d FROM pares
+                   UNION SELECT milli, doc_b FROM pares) x
+             WHERE x.milli >= u.tau) AS BIGINT) AS docs_implicados,
+       CAST((SELECT count(DISTINCT p.doc_b) FROM pares p
+             WHERE p.milli >= u.tau) AS BIGINT) AS eliminacion_max
+FROM umbrales u
+"""
+
+
+@register("curva_umbral_dedup", oracle=_CURVA_ORACLE, ops=("DD4", "A8", "J11"),
+          driver=False, bench=True)
+def curva_umbral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP — the curve a curation team reads before
+    committing to a Jaccard cutoff: for each candidate τ (500-1000
+    milli), how many exact-Jaccard pairs survive, how many documents
+    they implicate, and the pairwise removal UPPER BOUND (drop the
+    higher doc_id of every pair — an overestimate whenever clusters
+    chain, which is exactly what comparing it against
+    `corpus_desduplicado`'s realized CC-based removal reveals). Too-low
+    τ removes distinct documents that merely share boilerplate; too-high
+    τ leaves true near-dups in; the sweep shows where THIS corpus's
+    knee sits instead of importing another corpus's folklore constant.
+
+    Shape: the verified pair frame (τ ≥ 0.5, prefix-filtered,
+    session-shared with the whole dedup family) is the only expensive
+    input; the sweep itself is a 6-row broadcast grid joined with
+    pair-grain rows — two bounded aggregations and a 6-row output at
+    any corpus size."""
+    pares = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1000).cast("long").alias("milli"),
+    )
+    grid = values_dim(spark, [(t,) for t in _UMBRALES], ["tau"])
+    por_par = (
+        F.broadcast(grid)
+        .join(pares, F.col("milli") >= F.col("tau"), "left")
+        .groupBy("tau")
+        .agg(
+            F.count("doc_a").cast("bigint").alias("pares"),
+            F.countDistinct("doc_b").cast("bigint").alias("eliminacion_max"),
+        )
+    )
+    docs = pares.select("milli", F.col("doc_a").alias("d")).union(
+        pares.select("milli", F.col("doc_b").alias("d"))
+    ).distinct()
+    por_doc = (
+        F.broadcast(grid)
+        .join(docs, F.col("milli") >= F.col("tau"), "left")
+        .groupBy("tau")
+        .agg(F.countDistinct("d").cast("bigint").alias("docs_implicados"))
+    )
+    return por_par.join(por_doc, "tau").select(
+        F.col("tau").cast("bigint").alias("tau_mili"),
+        "pares",
+        "docs_implicados",
+        "eliminacion_max",
     )
 
 
