@@ -2601,6 +2601,103 @@ def muestreo_temperatura(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Epoch budget — the data-constrained scaling planner
+# --------------------------------------------------------------------------
+
+_EPOCAS_K = 3  # training budget = K × corpus tokens
+_EPOCAS_LIMITE_MILI = 4000  # >4 epochs: repetition returns decay fast
+
+_EPOCAS_ORACLE = f"""
+WITH tok AS (
+    SELECT source, len(string_split(text, ' ')) AS t FROM documents
+),
+fuentes AS (
+    SELECT source, CAST(sum(t) AS BIGINT) AS tokens_fuente
+    FROM tok GROUP BY source
+),
+pesos AS (
+    SELECT source, tokens_fuente,
+           CAST(floor(sqrt(CAST(tokens_fuente AS DOUBLE))) AS BIGINT)
+               AS peso
+    FROM fuentes
+),
+tot AS (
+    SELECT CAST(sum(tokens_fuente) AS BIGINT) AS corpus,
+           CAST(sum(peso) AS BIGINT) AS suma_pesos
+    FROM pesos
+)
+SELECT p.source, p.tokens_fuente,
+       CAST(({_EPOCAS_K} * t.corpus * p.peso) // t.suma_pesos AS BIGINT)
+           AS tokens_asignados,
+       CAST((1000 * {_EPOCAS_K} * t.corpus * p.peso)
+            // (t.suma_pesos * p.tokens_fuente) AS BIGINT) AS epocas_mili,
+       CAST(CASE WHEN (1000 * {_EPOCAS_K} * t.corpus * p.peso)
+                      // (t.suma_pesos * p.tokens_fuente)
+                      > {_EPOCAS_LIMITE_MILI}
+                 THEN 1 ELSE 0 END AS BIGINT) AS sobre_limite,
+       CAST(least((1000 * {_EPOCAS_K} * t.corpus * p.peso)
+                  // (t.suma_pesos * p.tokens_fuente),
+                  {_EPOCAS_LIMITE_MILI}) * p.tokens_fuente // 1000
+            AS BIGINT) AS tokens_utiles
+FROM pesos p CROSS JOIN tot t
+"""
+
+
+@register("presupuesto_epocas", oracle=_EPOCAS_ORACLE,
+          ops=("A6", "A1", "J6"), driver=False)
+def presupuesto_epocas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-BUDGET PLANNER under data-constrained scaling (Muennighoff
+    et al. 2023, arXiv:2305.16264 — repeating data up to ~4 epochs is
+    nearly as good as fresh tokens, beyond that returns decay fast):
+    given a training budget of {_EPOCAS_K}× the corpus and the same
+    temperature-weighted allocation ``muestreo_temperatura`` computes
+    (floor-sqrt weights), how many EPOCHS does each source's allocation
+    imply? Sources pushed past the 4-epoch line are flagged
+    (``sobre_limite``) and their allocation is clipped to the cap in
+    ``tokens_utiles`` — the number the mixture planner actually gets to
+    train on, and the gap to ``tokens_asignados`` is the budget the
+    temperature curve wants to spend where no useful data exists (the
+    signal to flatten the temperature or go collect more of that
+    source). All floor-division integer algebra over the sources-sized
+    frame; the corpus totals ride in as a 1-row broadcast.
+
+    Scale shape: one token-count aggregation over documents (map-side
+    combinable) and then everything is sources-grain — identical to
+    muestreo_temperatura, whose weights it deliberately shares so the
+    two read-outs never disagree about the allocation."""
+    docs = load_table(spark, sf_dir, "documents")
+    fuentes = (
+        docs.select("source", F.size(F.split("text", " ")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("tokens_fuente"))
+        .withColumn(
+            "peso",
+            F.floor(F.sqrt(F.col("tokens_fuente").cast("double"))).cast("long"),
+        )
+    )
+    tot = fuentes.agg(
+        F.sum("tokens_fuente").cast("long").alias("corpus"),
+        F.sum("peso").cast("long").alias("suma_pesos"),
+    )
+    k, cap = _EPOCAS_K, _EPOCAS_LIMITE_MILI
+    epocas = f"(1000 * {k} * corpus * peso) div (suma_pesos * tokens_fuente)"
+    return fuentes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_fuente",
+        F.expr(f"({k} * corpus * peso) div suma_pesos")
+        .cast("bigint")
+        .alias("tokens_asignados"),
+        F.expr(epocas).cast("bigint").alias("epocas_mili"),
+        F.expr(f"CASE WHEN {epocas} > {cap} THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("sobre_limite"),
+        F.expr(f"(least({epocas}, {cap}) * tokens_fuente) div 1000")
+        .cast("bigint")
+        .alias("tokens_utiles"),
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance reweighting — hashed n-gram target/raw ratios
 # --------------------------------------------------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023,

@@ -595,6 +595,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "tabla_vida",
         "calibracion_calidad",
         "curva_umbral_dedup",
+        "presupuesto_epocas",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
