@@ -663,6 +663,95 @@ def curva_umbral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH empirical recall — the ANN dedup path audited against exact
+# --------------------------------------------------------------------------
+
+_COBERTURA_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_PERMS_SQL},
+{_MINSIG_SQL.strip()},
+inter_todo AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exactos AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(floor(CAST(i.c AS DOUBLE) * 1000 / (ta.n + tb.n - i.c))
+                AS BIGINT) AS milli
+    FROM inter_todo i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE 2 * i.c >= (ta.n + tb.n - i.c)
+),
+candidatos AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM baldes a
+    JOIN baldes b ON a.banda = b.banda AND a.clave = b.clave
+                 AND a.doc_id < b.doc_id
+),
+marcado AS (
+    SELECT e.milli // 100 * 100 AS banda,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hallado
+    FROM exactos e
+    LEFT JOIN candidatos c
+      ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT CAST(banda AS BIGINT) AS banda_mili,
+       CAST(count(*) AS BIGINT) AS exactos,
+       CAST(sum(hallado) AS BIGINT) AS hallados,
+       CAST(1000 * sum(hallado) // count(*) AS BIGINT) AS recall_mili
+FROM marcado GROUP BY 1
+"""
+
+
+@register("cobertura_lsh", oracle=_COBERTURA_ORACLE, ops=("DD2", "DD4", "A8"),
+          driver=False, bench=True)
+def cobertura_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL LSH RECALL BY TRUE SIMILARITY — the audit that closes
+    the loop between the two dedup families: every exact near-dup pair
+    (prefix-filtered exact Jaccard, J ≥ 0.5) is checked for membership
+    in the MinHash banding's candidate set, and recall is reported PER
+    TRUE-SIMILARITY BAND (500-599 … 900-999, 1000 milli). Where
+    `calibracion_lsh` predicts the 1−(1−s^r)^b S-curve from theory,
+    this measures the curve the 4×4 banding actually achieved on THIS
+    corpus — high-J bands should sit near 1000 and the near-threshold
+    band is where the two diverge; a gap bigger than the theory's at
+    high J means the signature permutations, not the banding math, are
+    the problem. (Any candidate with true J ≥ τ survives verification
+    by construction, so candidate membership IS found-by-LSH for these
+    rows.)
+
+    Shape: both pair generators are the session-shared dedup frames
+    (one shingle materialization feeds the prefix join and the
+    signature banding); the membership check is one pair-keyed left
+    join; output is ≤6 bands."""
+    sh = _shingles(spark, sf_dir)
+    exactos = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1000).cast("long").alias("milli"),
+    )
+    candidatos = _lsh_candidatos(sh).withColumn("hallado", F.lit(1))
+    marcado = exactos.join(candidatos, ["doc_a", "doc_b"], "left").select(
+        F.expr("(milli div 100) * 100").alias("banda"),
+        F.coalesce("hallado", F.lit(0)).alias("hallado"),
+    )
+    return marcado.groupBy("banda").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exactos"),
+        F.sum("hallado").cast("bigint").alias("hallados"),
+        F.expr("CAST((1000 * sum(hallado)) div count(1) AS BIGINT)").alias(
+            "recall_mili"
+        ),
+    ).select(
+        F.col("banda").cast("bigint").alias("banda_mili"),
+        "exactos",
+        "hallados",
+        "recall_mili",
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup clustering — connected components over near-dup pairs
 # --------------------------------------------------------------------------
 

@@ -118,6 +118,7 @@ SMOKE = [
     "tabla_vida",
     "calibracion_calidad",
     "presupuesto_epocas",
+    "cobertura_lsh",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -596,6 +596,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "calibracion_calidad",
         "curva_umbral_dedup",
         "presupuesto_epocas",
+        "cobertura_lsh",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
