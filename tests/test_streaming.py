@@ -402,3 +402,33 @@ def test_span_cut_ingest_replay_is_fenced(spark, tmp_path):
     stats2 = run_span_cut_ingest(spark, src_dir, out, ck, index_df=indice)
     assert stats2["commits"] == 0  # fence fired before any write
     assert t.version() == v1 and t.read(spark).count() == n1
+
+
+def test_validated_ingest_replay_is_fenced(spark, tmp_path):
+    """The same crash-replay window for run_validated_ingest (ADVICE r6
+    named both jobs): wipe the checkpoint, re-deliver batch 0 — the
+    fence must no-op the replay on WHICHEVER table took the batch
+    (main here), leaving version, rows, and stats untouched."""
+    import os
+    import shutil
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_validated_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 7, "view", 2.0), (2, 8, "click", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    ).coalesce(1).write.parquet(src + "/f1.parquet")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stats1 = run_validated_ingest(spark, src, out, ck)
+    assert stats1["commits"] == 1
+    datos = TxTable(out + "/datos")
+    v1, n1 = datos.version(), datos.read(spark).count()
+    shutil.rmtree(ck)
+    stats2 = run_validated_ingest(spark, src, out, ck)
+    assert stats2["commits"] == 0 and stats2["cuarentenas"] == 0
+    assert datos.version() == v1 and datos.read(spark).count() == n1 == 2
