@@ -968,3 +968,24 @@ def test_merge_into_null_keys_and_constraints(spark, tmp_path):
             matched_update={"v": "t.v - 99"},
         )
     assert t.version() == v and {r["v"] for r in t.read(spark).collect()} == {8.0, 2.0}
+
+
+def test_string_stats_prune_files(spark, tmp_path):
+    """min/max stats work for STRING columns too (lexicographic): files
+    whose [min, max] provably misses the probed range are skipped, and
+    read_where stays exact — the categorical-column (lang/source)
+    pruning a curation pipeline leans on."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["lang"])
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, lang string")  # noqa: E731
+    t.overwrite(mk([(1, "de"), (2, "en")]).coalesce(1))
+    t.append(mk([(3, "es"), (4, "fr")]).coalesce(1))
+    t.append(mk([(5, "zh")]).coalesce(1))
+    m = t._manifest(t.version())
+    assert all(e["stats"]["lang"] is not None for e in m["files"])
+    hits = [e for e in m["files"] if t._overlaps(e, "lang", "es", "fr")]
+    assert len(hits) == 1  # only the middle file can hold [es, fr]
+    got = t.read_where(spark, "lang", "es", "fr")
+    assert sorted(r["k"] for r in got.collect()) == [3, 4]
+    # prefix-range probe: everything >= "e" and < "f" (en, es)
+    got2 = t.read_where(spark, "lang", "e", "ezzz")
+    assert sorted(r["k"] for r in got2.collect()) == [2, 3]
