@@ -784,6 +784,55 @@ class TxTable:
             parent,
         )
 
+    def delete_where(self, spark: SparkSession, col: str, value) -> int:
+        """Transactional DELETE of every row with ``col = value`` — the
+        right-to-be-forgotten primitive (the storage half of the
+        anonimato_k / l_diversidad / t_cercania release audits): one
+        manifest flip, and only files that MAY hold the value (stats
+        range + Bloom filter both admit it) are rewritten without the
+        matching rows; every other file carries into the new version
+        physically untouched, so the cost is bounded by the subject's
+        file footprint, not the table. NULL never equals — a NULL key
+        row survives any delete_where, per SQL DELETE semantics.
+
+        Honesty about erasure: prior versions still reference the old
+        files (time travel works), so the data is GONE FROM HEAD but
+        not from disk until ``vacuum`` passes the retention window —
+        the retention setting IS the legal deletion horizon, exactly as
+        in Delta. Returns the new version."""
+        parent = self.version()
+        if parent < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(parent)
+        touched = [
+            e
+            for e in m["files"]
+            if self._overlaps(e, col, value, value)
+            and self._bloom_may_contain(e, col, value)
+        ]
+        untouched = [
+            e
+            for e in m["files"]
+            if not (
+                self._overlaps(e, col, value, value)
+                and self._bloom_may_contain(e, col, value)
+            )
+        ]
+        new = []
+        if touched:
+            survivors = self._read_entries(spark, touched, m["schema"]).where(
+                ~F.col(col).eqNullSafe(F.lit(value))
+            )
+            new = self._write_files(survivors)
+        return self._claim(
+            {
+                "files": untouched + new,
+                "op": "delete_where",
+                "schema": m["schema"],
+            },
+            parent,
+        )
+
     def replace_partitions(
         self,
         spark: SparkSession,

@@ -989,3 +989,39 @@ def test_string_stats_prune_files(spark, tmp_path):
     # prefix-range probe: everything >= "e" and < "f" (en, es)
     got2 = t.read_where(spark, "lang", "e", "ezzz")
     assert sorted(r["k"] for r in got2.collect()) == [2, 3]
+
+
+def test_delete_where_bounded_rewrite_and_forget_flow(spark, tmp_path):
+    """delete_where: matching rows gone from HEAD in one manifest flip;
+    files the stats+Bloom prove clean carry over PHYSICALLY untouched;
+    NULL keys survive (SQL DELETE semantics); time travel still shows
+    the pre-delete state until vacuum passes the retention window — the
+    documented erasure horizon."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["u"], bloom_cols=["u"])
+    mk = lambda rows: spark.createDataFrame(rows, "u bigint, v string")  # noqa: E731
+    t.overwrite(mk([(1, "a"), (2, "b")]).coalesce(1))
+    t.append(mk([(100, "c"), (101, "d")]).coalesce(1))
+    t.append(mk([(None, "e"), (100, "f")]).coalesce(1))
+    before = set(t._names(t._manifest(t.version())["files"]))
+
+    v = t.delete_where(spark, "u", 100)
+    got = {(r["u"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (101, "d"), (None, "e")}
+    after = set(t._names(t._manifest(v)["files"]))
+    # the [1,2] file provably misses u=100: carried over untouched
+    assert len(before & after) >= 1
+    # time travel: the subject is still visible at the old version...
+    assert {r["u"] for r in t.read(spark, version=v - 1).collect()} >= {100}
+    # ...until vacuum passes retention — then the old manifests/files go
+    t.vacuum(keep_versions=1, retention_s=0)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="undo horizon"):
+        t.restore(v - 1)
+
+    # deleting a value nothing holds: no files rewritten, clean commit
+    names0 = set(t._names(t._manifest(t.version())["files"]))
+    t.delete_where(spark, "u", 999_999)
+    assert set(t._names(t._manifest(t.version())["files"])) == names0
+    # constraints still gate other writes after a delete (smoke)
+    assert t.read(spark).count() == 4
