@@ -201,6 +201,226 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hybrid search — lexical BM25 + dense cosine, RRF-fused
+# --------------------------------------------------------------------------
+
+_HIB_Q = 0       # the query document (doc_id == vec_id anchor)
+_HIB_RRF_K = 60
+_HIB_SCALE = 1_000_000
+
+
+def _hibrida_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOP,
+        _floor_log2_sql,
+    )
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT sum(dl) * 1000 // count(*) FROM dl) AS avgdl_mili
+),
+consulta AS (SELECT DISTINCT token FROM tf WHERE doc_id = {_HIB_Q}),
+df AS (
+    SELECT t.token, count(*) AS df FROM tf t
+    JOIN consulta q ON q.token = t.token GROUP BY 1
+),
+pesos AS (
+    SELECT d.token,
+           {_floor_log2_sql("greatest(1, (s.n * 1000) // (d.df * 1000 + 500))")}
+               AS idf_q
+    FROM df d, stats s
+),
+lex AS (
+    SELECT doc_id, pos_lex FROM (
+        SELECT t.doc_id,
+               row_number() OVER (
+                   ORDER BY sum(
+                       ((t.tf * {_BM25_K1 + 1000} * 1000)
+                        // (t.tf * 1000
+                            + ({_BM25_K1} * (1000 - {_BM25_B}
+                               + (({_BM25_B} * d.dl * 1000)
+                                  // s.avgdl_mili))) // 1000))
+                       * w.idf_q
+                   ) DESC, t.doc_id) AS pos_lex
+        FROM tf t
+        JOIN pesos w USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.doc_id != {_HIB_Q}
+        GROUP BY t.doc_id
+    ) WHERE pos_lex <= {_BM25_TOP}
+),
+{_NORMS_SQL.strip()},
+q_emb AS (SELECT embedding FROM embeddings WHERE vec_id = {_HIB_Q}),
+vec AS (
+    SELECT vec_id AS doc_id, pos_vec FROM (
+        SELECT c.vec_id,
+               row_number() OVER (
+                   ORDER BY CAST({_scaled_dot_sql("q.embedding", "c.embedding")}
+                                 AS DOUBLE)
+                            / sqrt(CAST(nq.nn AS DOUBLE)
+                                   * CAST(nc.nn AS DOUBLE)) DESC,
+                            c.vec_id) AS pos_vec
+        FROM embeddings c
+        CROSS JOIN q_emb q
+        JOIN norms nq ON nq.vec_id = {_HIB_Q}
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE c.vec_id != {_HIB_Q}
+    ) WHERE pos_vec <= {_BM25_TOP}
+),
+fusion AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + l.pos_lex), 0)
+           + COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + v.pos_vec), 0) AS rrf,
+           l.pos_lex, v.pos_vec
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS pos_fusion,
+           CAST(pos_lex AS BIGINT) AS pos_lex,
+           CAST(pos_vec AS BIGINT) AS pos_vec
+    FROM fusion
+) WHERE pos_fusion <= {_BM25_TOP}
+"""
+
+
+@register("busqueda_hibrida", oracle=_hibrida_oracle(),
+          ops=("NN1", "O7", "J11"), driver=False, bench=True)
+def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH — the lexical+dense fusion every production
+    retrieval stack runs (Elastic/Vespa/Weaviate's hybrid mode, RAG's
+    default retriever): one query document (the more-like-this anchor,
+    doc_id = vec_id = {_HIB_Q} — the two tables correspond 1:1 by id)
+    is ranked against the corpus BOTH ways — BM25 over its distinct
+    terms (the integer log2-idf ladder shared with busqueda_bm25) and
+    exact cosine over its embedding (the integer-scaled dot discipline
+    shared with similarity_topk) — and the two top-10s fuse with
+    reciprocal rank fusion, K = 60 in exact integers. Provenance
+    columns show each fused hit's per-ranker position; NULL where one
+    modality missed a doc the other surfaced — lexical catches shared
+    rare terms the embedding smooths away, dense catches paraphrases
+    sharing no tokens, which is the entire argument for hybrid.
+
+    Scale shape: the lexical side is one posting join over the query
+    terms' lists; the dense side is one broadcast-query scan (map-side
+    integer dots); both truncate to top-10 BEFORE the fusion join, so
+    fusion is O(top-k) at any corpus size. At production scale the
+    dense scan drops to the stored IVF index and the lexical side to
+    the persisted postings mirror — both already built in this repo."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOP,
+        _floor_log2_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n = docs.count()
+    avgdl_mili = int(
+        dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
+    )
+    consulta = (
+        tf.where(F.col("doc_id") == _HIB_Q).select("token").distinct()
+    )
+    df_t = tf.join(F.broadcast(consulta), "token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    pesos = df_t.select(
+        "token",
+        F.expr(
+            _floor_log2_sql(f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))")
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        tf.where(F.col("doc_id") != _HIB_Q)
+        .join(F.broadcast(pesos), "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
+        .select("doc_id", F.row_number().over(w_lex).alias("pos_lex"))
+        .where(F.col("pos_lex") <= _BM25_TOP)
+    )
+    emb = _emb(spark, sf_dir)
+    norms = _norms(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == _HIB_Q).select(
+        F.col("embedding").alias("q_emb")
+    )
+    fila_nq = norms.where(F.col("vec_id") == _HIB_Q).select("nn").first()
+    # empty corpus (or missing anchor): the dense side is empty anyway —
+    # any nonzero norm keeps the expression well-typed
+    nq = int(fila_nq["nn"]) if fila_nq is not None else 1
+    w_vec = Window.orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        emb.where(F.col("vec_id") != _HIB_Q)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            scaled_dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+        .join(
+            F.broadcast(norms.select(F.col("vec_id").alias("doc_id"), "nn")),
+            "doc_id",
+        )
+        .withColumn(
+            "cos", cosine_from_ints(F.col("dot"), F.lit(nq), F.col("nn"))
+        )
+        .select("doc_id", F.row_number().over(w_vec).alias("pos_vec"))
+        .where(F.col("pos_vec") <= _BM25_TOP)
+    )
+    fusion = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_vec)"), F.lit(0)
+            )
+        ).alias("rrf"),
+        "pos_lex",
+        "pos_vec",
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fusion.withColumn("pos_fusion", F.row_number().over(w_f))
+        .where(F.col("pos_fusion") <= _BM25_TOP)
+        .select(
+            "doc_id",
+            F.col("rrf").cast("bigint").alias("rrf_micro"),
+            F.col("pos_fusion").cast("bigint").alias("pos_fusion"),
+            F.col("pos_lex").cast("bigint").alias("pos_lex"),
+            F.col("pos_vec").cast("bigint").alias("pos_vec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hard-negative mining — contrastive training's other half
 # --------------------------------------------------------------------------
 

@@ -119,6 +119,7 @@ SMOKE = [
     "calibracion_calidad",
     "presupuesto_epocas",
     "cobertura_lsh",
+    "busqueda_hibrida",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class
