@@ -612,7 +612,7 @@ FROM umbrales u
 
 
 @register("curva_umbral_dedup", oracle=_CURVA_ORACLE, ops=("DD4", "A8", "J11"),
-          driver=False, bench=True)
+          bench=True)
 def curva_umbral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP THRESHOLD SWEEP — the curve a curation team reads before
     committing to a Jaccard cutoff: for each candidate τ (500-1000
@@ -706,7 +706,7 @@ FROM marcado GROUP BY 1
 
 
 @register("cobertura_lsh", oracle=_COBERTURA_ORACLE, ops=("DD2", "DD4", "A8"),
-          driver=False, bench=True)
+          bench=True)
 def cobertura_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMPIRICAL LSH RECALL BY TRUE SIMILARITY — the audit that closes
     the loop between the two dedup families: every exact near-dup pair
@@ -872,7 +872,8 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels
 
 
-@register("dedup_clusters", oracle=_CLUSTER_ORACLE, ops=("DD4", "DD2"))
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE, ops=("DD4", "DD2"),
+          driver=False)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME: near-dup pairs (Jaccard ≥ 0.5) form a graph;
     connected components assign every duplicate family one cluster_id

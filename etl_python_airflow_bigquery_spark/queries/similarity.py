@@ -298,7 +298,7 @@ SELECT doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
 
 
 @register("busqueda_hibrida", oracle=_hibrida_oracle(),
-          ops=("NN1", "O7", "J11"), driver=False, bench=True)
+          ops=("NN1", "O7", "J11"), bench=True)
 def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID SEARCH — the lexical+dense fusion every production
     retrieval stack runs (Elastic/Vespa/Weaviate's hybrid mode, RAG's
@@ -1197,7 +1197,8 @@ FROM rk WHERE pos <= 5
 """
 
 
-@register("similarity_topk_vectorized", oracle=_TOPK_VEC_ORACLE, ops=("NN1", "U2"))
+@register("similarity_topk_vectorized", oracle=_TOPK_VEC_ORACLE, ops=("NN1", "U2"),
+          driver=False)
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The throughput variant of brute-force top-k: candidate partitions
     stream through mapInPandas where numpy does an int64 MATRIX multiply

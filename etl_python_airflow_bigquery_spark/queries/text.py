@@ -2327,7 +2327,7 @@ def _cut_output(docs: DataFrame, cortes: DataFrame) -> DataFrame:
 
 
 @register("corpus_sin_subcadenas", oracle=_SIN_SUBC_ORACLE,
-          ops=("DD1", "TX4", "A8"))
+          ops=("DD1", "TX4", "A8"), driver=False)
 def corpus_sin_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-LEVEL corpus cleaning — the consumer of `dedup_subcadenas`'s
     cut list, completing the family the way `corpus_desduplicado`
