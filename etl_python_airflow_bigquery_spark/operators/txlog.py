@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 import pyarrow.parquet as _pq
@@ -151,6 +152,27 @@ class TxTable:
             "version BIGINT, parent BIGINT, op STRING, n_files BIGINT, "
             "restored_from BIGINT",
         )
+
+    def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Delta-style ``TIMESTAMP AS OF``: read the latest version
+        whose commit instant is ≤ ``ts`` (epoch seconds). Resolution is
+        a manifest walk (KB of metadata); versions predating the
+        ``committed_at`` field (or vacuumed away) are skipped. The
+        version number remains the ordering authority — the timestamp
+        is a convenience lookup over it, exactly as in Delta, so a
+        clock that stepped backwards between commits resolves to the
+        LATEST qualifying version, never an earlier one."""
+        best = -1
+        for v in self._versions():
+            at = self._manifest(v).get("committed_at")
+            if at is not None and at <= ts and v > best:
+                best = v
+        if best < 0:
+            raise FileNotFoundError(
+                f"txlog table {self.path!r} has no version committed at "
+                f"or before {ts}"
+            )
+        return self.read(spark, version=best)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: the file set comes from ONE manifest (pinned if
@@ -357,7 +379,15 @@ class TxTable:
             else {}
         )
         txn = {**parent_txn, **manifest.get("txn", {})}
-        payload = {**manifest, "version": v, "parent": expected_parent}
+        payload = {
+            **manifest,
+            "version": v,
+            "parent": expected_parent,
+            # wall-clock commit instant: powers read_asof (timestamp
+            # time travel). Informational only — ordering authority is
+            # always the version number, never the clock.
+            "committed_at": time.time(),
+        }
         if txn:
             payload["txn"] = txn
         # CHECK constraints carry forward the same way: a data commit

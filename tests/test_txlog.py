@@ -1025,3 +1025,29 @@ def test_delete_where_bounded_rewrite_and_forget_flow(spark, tmp_path):
     assert set(t._names(t._manifest(t.version())["files"])) == names0
     # constraints still gate other writes after a delete (smoke)
     assert t.read(spark).count() == 4
+
+
+def test_read_asof_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: each commit records its wall-clock instant and
+    read_asof resolves the latest version at or before the probe time;
+    probes before the first commit fail loudly; the version number
+    stays the ordering authority (latest qualifying version wins)."""
+    import time as _time
+
+    t = TxTable(str(tmp_path / "t"))
+    antes = _time.time()
+    t.overwrite(_df(spark, 0, 3))
+    entre = _time.time()
+    _time.sleep(0.05)
+    t.append(_df(spark, 3, 5))
+    despues = _time.time()
+
+    assert t.read_asof(spark, entre).count() == 3   # v0 snapshot
+    assert t.read_asof(spark, despues).count() == 5  # v1 snapshot
+    assert t.read_asof(spark, despues + 3600).count() == 5
+    with pytest.raises(FileNotFoundError, match="committed at"):
+        t.read_asof(spark, antes - 1)
+    # manifests carry the instant, monotone with versions
+    at0 = t._manifest(0)["committed_at"]
+    at1 = t._manifest(1)["committed_at"]
+    assert antes <= at0 <= entre <= at1 <= despues
