@@ -432,3 +432,84 @@ def test_validated_ingest_replay_is_fenced(spark, tmp_path):
     stats2 = run_validated_ingest(spark, src, out, ck)
     assert stats2["commits"] == 0 and stats2["cuarentenas"] == 0
     assert datos.version() == v1 and datos.read(spark).count() == n1 == 2
+
+
+def test_transform_with_state_cumulative_counts(spark, sf_dir, tmp_path):
+    """The Spark 4 typed-state API (transformWithStateInPandas): per
+    event-type ValueState folds batch counts across micro-batches; the
+    final cumulative totals equal the batch ground truth and the batch
+    counter proves state actually persisted across >1 batch.
+    Skipped where protobuf (the transformWithState wire format) is not
+    installed — the operator itself raises loudly there, pinned by
+    test_transform_with_state_requires_protobuf below."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import os
+
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        conteo_estado_stream,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select("event_type").limit(400)
+    half = events.limit(200)
+    half.coalesce(1).write.parquet(src + "/f1.parquet")
+    # second file: the remaining rows (overlap-free split via row_number
+    # is overkill — two halves of the SAME 400 rows would double-count,
+    # so write the full set minus nothing: use two disjoint limits)
+    events.subtract(half).coalesce(1).write.parquet(src + "/f2.parquet")
+    # ground truth from what actually landed in the two files
+    landed = spark.read.parquet(src + "/f1.parquet", src + "/f2.parquet")
+    want = {
+        r["event_type"]: r["n"]
+        for r in landed.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = conteo_estado_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_conteo")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    filas = spark.sql(
+        "SELECT event_type, max(eventos_acumulados) AS total,"
+        " max(lote) AS lotes FROM tws_conteo GROUP BY 1"
+    ).collect()
+    got = {r["event_type"]: r["total"] for r in filas}
+    assert got == want
+    # at least one key was seen in BOTH micro-batches: state persisted
+    assert max(r["lotes"] for r in filas) >= 2
+
+
+def test_transform_with_state_requires_protobuf(spark):
+    """Without protobuf the raw API silently emits ZERO rows (observed);
+    the wrapper must turn that into a loud typed failure instead."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the e2e test above covers this")
+    except ImportError:
+        pass
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        conteo_estado_stream,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS event_type"
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        conteo_estado_stream(stream)
