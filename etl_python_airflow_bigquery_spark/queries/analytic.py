@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import day_part_blocks_dim, day_grid
-from etl_python_airflow_bigquery_spark.functions import dsum, event_day_num
+from etl_python_airflow_bigquery_spark.functions import (
+    dsum,
+    event_day_num,
+    event_ts_us,
+)
 from etl_python_airflow_bigquery_spark.operators.intervals import (
     DAY_TIER_MIN_DAYS,
     expand_day_atoms_to_hours,
@@ -642,6 +646,79 @@ SELECT origen, destino, transiciones,
             AS BIGINT) AS prob_mili
 FROM trans
 """
+
+
+_SECUENCIAS_TOP = 15
+_SECUENCIAS_MIN_USERS = 3
+
+_SECUENCIAS_ORACLE = f"""
+WITH ordenado AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS e2,
+           lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS e3
+    FROM events
+),
+trigramas AS (
+    SELECT user_id, event_type AS e1, e2, e3
+    FROM ordenado WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+),
+patrones AS (
+    SELECT e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS ocurrencias,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios
+    FROM trigramas GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, ocurrencias, usuarios, pos FROM (
+    SELECT *, CAST(row_number() OVER (
+        ORDER BY ocurrencias DESC, e1, e2, e3) AS BIGINT) AS pos
+    FROM patrones WHERE usuarios >= {_SECUENCIAS_MIN_USERS}
+) WHERE pos <= {_SECUENCIAS_TOP}
+"""
+
+
+@register("secuencias_frecuentes", oracle=_SECUENCIAS_ORACLE,
+          ops=("W1", "A2", "O7"), driver=False)
+def secuencias_frecuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING, trigram grain — the contiguous-window
+    special case of PrefixSpan-style frequent-sequence mining, and what
+    `cadena_markov`'s first-order transitions structurally cannot see:
+    a Markov chain scores view→click and click→purchase independently,
+    while the trigram table distinguishes view→click→purchase (the
+    converting path) from view→click→view (the browse loop) directly.
+    Patterns need ≥{_SECUENCIAS_MIN_USERS} distinct users (frequent-
+    pattern support, which also makes the readout privacy-safer than
+    raw paths); top-{_SECUENCIAS_TOP} by occurrence with deterministic
+    tie-break.
+
+    Shape: ONE user-partitioned ordered window produces both lookahead
+    columns (no self-joins — the window shuffles each user's events
+    once); the pattern roll-up is map-side combinable on the tiny
+    (types³) key space; the final top-k is a constant-size sort. At
+    100 TB the only full-data stage is the per-user window — the same
+    shuffle sessionization already pays."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(event_ts_us(events), "event_id")
+    ordenado = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    patrones = ordenado.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ocurrencias"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )
+    w_top = Window.orderBy(F.desc("ocurrencias"), "e1", "e2", "e3")
+    return (
+        patrones.where(F.col("usuarios") >= _SECUENCIAS_MIN_USERS)
+        .withColumn("pos", F.row_number().over(w_top).cast("bigint"))
+        .where(F.col("pos") <= _SECUENCIAS_TOP)
+        .select("e1", "e2", "e3", "ocurrencias", "usuarios", "pos")
+    )
 
 
 @register("cadena_markov", oracle=_MARKOV_ORACLE, ops=("W1", "A3"),

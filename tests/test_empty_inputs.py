@@ -120,6 +120,7 @@ SMOKE = [
     "presupuesto_epocas",
     "cobertura_lsh",
     "busqueda_hibrida",
+    "secuencias_frecuentes",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class
