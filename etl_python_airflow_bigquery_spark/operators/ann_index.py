@@ -195,3 +195,43 @@ def recall_drift(
             " div greatest(size(top_nuevo), 1) AS BIGINT)"
         ).alias("solape_mili"),
     )
+
+
+def busqueda_hibrida_indexada(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """The hybrid retrieval query SERVED FROM THE STORED INDEX — the
+    production path `busqueda_hibrida`'s docstring promises, executed:
+    the lexical ranker is the shared BM25 frame (one definition, both
+    paths), the dense ranker probes the persisted IVF tables instead of
+    scanning the corpus, and the fusion algebra is the shared
+    `rrf_fuse_hibrida` so the two paths can never drift. With
+    ``nprobe`` ≥ the stored cell count the probe covers every posting
+    and the fused output matches the brute registry query row for row
+    (pinned by test; the one theoretical divergence is a dense-top-10
+    near-tie under the index's coarser per-element quantization); at
+    production nprobe it reads nprobe/k of the posting table
+    (file-pruned on ``celda`` stats) and trades that recall for scan
+    cost like any served ANN system."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _HIB_Q,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        hibrida_lexical_top,
+        rrf_fuse_hibrida,
+    )
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    lex = hibrida_lexical_top(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    consulta = _int_vectors(emb.where(F.col("vec_id") == _HIB_Q)).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    vec = search_ivf_index(
+        spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP
+    ).select(F.col("cand_id").alias("doc_id"), F.col("pos").alias("pos_vec"))
+    return rrf_fuse_hibrida(lex, vec)

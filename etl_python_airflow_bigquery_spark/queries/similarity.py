@@ -297,29 +297,12 @@ SELECT doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
 """
 
 
-@register("busqueda_hibrida", oracle=_hibrida_oracle(),
-          ops=("NN1", "O7", "J11"), bench=True)
-def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HYBRID SEARCH — the lexical+dense fusion every production
-    retrieval stack runs (Elastic/Vespa/Weaviate's hybrid mode, RAG's
-    default retriever): one query document (the more-like-this anchor,
-    doc_id = vec_id = {_HIB_Q} — the two tables correspond 1:1 by id)
-    is ranked against the corpus BOTH ways — BM25 over its distinct
-    terms (the integer log2-idf ladder shared with busqueda_bm25) and
-    exact cosine over its embedding (the integer-scaled dot discipline
-    shared with similarity_topk) — and the two top-10s fuse with
-    reciprocal rank fusion, K = 60 in exact integers. Provenance
-    columns show each fused hit's per-ranker position; NULL where one
-    modality missed a doc the other surfaced — lexical catches shared
-    rare terms the embedding smooths away, dense catches paraphrases
-    sharing no tokens, which is the entire argument for hybrid.
-
-    Scale shape: the lexical side is one posting join over the query
-    terms' lists; the dense side is one broadcast-query scan (map-side
-    integer dots); both truncate to top-10 BEFORE the fusion join, so
-    fusion is O(top-k) at any corpus size. At production scale the
-    dense scan drops to the stored IVF index and the lexical side to
-    the persisted postings mirror — both already built in this repo."""
+def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid's LEXICAL ranker as a reusable frame: BM25 over the
+    query document's distinct terms, top-{10} as (doc_id, pos_lex).
+    Consumed by busqueda_hibrida (brute dense side) and by
+    operators/ann_index.busqueda_hibrida_indexada (stored-IVF dense
+    side) — one lexical definition, two serving paths."""
     from etl_python_airflow_bigquery_spark.queries.text import (
         _BM25_B,
         _BM25_K1,
@@ -357,7 +340,7 @@ def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
     w_lex = Window.orderBy(F.desc("score"), "doc_id")
-    lex = (
+    return (
         tf.where(F.col("doc_id") != _HIB_Q)
         .join(F.broadcast(pesos), "token")
         .join(dl, "doc_id")
@@ -366,6 +349,69 @@ def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.row_number().over(w_lex).alias("pos_lex"))
         .where(F.col("pos_lex") <= _BM25_TOP)
     )
+
+
+def rrf_fuse_hibrida(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """RRF-fuse (doc_id, pos_lex) × (doc_id, pos_vec) into the hybrid's
+    output shape — shared by both serving paths so the fusion algebra
+    can never drift between them."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    fusion = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_vec)"), F.lit(0)
+            )
+        ).alias("rrf"),
+        "pos_lex",
+        "pos_vec",
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fusion.withColumn("pos_fusion", F.row_number().over(w_f))
+        .where(F.col("pos_fusion") <= _BM25_TOP)
+        .select(
+            "doc_id",
+            F.col("rrf").cast("bigint").alias("rrf_micro"),
+            F.col("pos_fusion").cast("bigint").alias("pos_fusion"),
+            F.col("pos_lex").cast("bigint").alias("pos_lex"),
+            F.col("pos_vec").cast("bigint").alias("pos_vec"),
+        )
+    )
+
+
+@register("busqueda_hibrida", oracle=_hibrida_oracle(),
+          ops=("NN1", "O7", "J11"), bench=True)
+def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH — the lexical+dense fusion every production
+    retrieval stack runs (Elastic/Vespa/Weaviate's hybrid mode, RAG's
+    default retriever): one query document (the more-like-this anchor,
+    doc_id = vec_id = {_HIB_Q} — the two tables correspond 1:1 by id)
+    is ranked against the corpus BOTH ways — BM25 over its distinct
+    terms (the integer log2-idf ladder shared with busqueda_bm25) and
+    exact cosine over its embedding (the integer-scaled dot discipline
+    shared with similarity_topk) — and the two top-10s fuse with
+    reciprocal rank fusion, K = 60 in exact integers. Provenance
+    columns show each fused hit's per-ranker position; NULL where one
+    modality missed a doc the other surfaced — lexical catches shared
+    rare terms the embedding smooths away, dense catches paraphrases
+    sharing no tokens, which is the entire argument for hybrid.
+
+    Scale shape: the lexical side is one posting join over the query
+    terms' lists; the dense side is one broadcast-query scan (map-side
+    integer dots); both truncate to top-10 BEFORE the fusion join, so
+    fusion is O(top-k) at any corpus size. At production scale the
+    dense scan drops to the stored IVF index and the lexical side to
+    the persisted postings mirror — both already built in this repo
+    (operators/ann_index.busqueda_hibrida_indexada IS that dense path,
+    full-probe-equal to this query by test)."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    lex = hibrida_lexical_top(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     norms = _norms(spark, sf_dir)
     q = emb.where(F.col("vec_id") == _HIB_Q).select(
@@ -393,31 +439,7 @@ def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.row_number().over(w_vec).alias("pos_vec"))
         .where(F.col("pos_vec") <= _BM25_TOP)
     )
-    fusion = lex.join(vec, "doc_id", "full_outer").select(
-        "doc_id",
-        (
-            F.coalesce(
-                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_lex)"), F.lit(0)
-            )
-            + F.coalesce(
-                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_vec)"), F.lit(0)
-            )
-        ).alias("rrf"),
-        "pos_lex",
-        "pos_vec",
-    )
-    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fusion.withColumn("pos_fusion", F.row_number().over(w_f))
-        .where(F.col("pos_fusion") <= _BM25_TOP)
-        .select(
-            "doc_id",
-            F.col("rrf").cast("bigint").alias("rrf_micro"),
-            F.col("pos_fusion").cast("bigint").alias("pos_fusion"),
-            F.col("pos_lex").cast("bigint").alias("pos_lex"),
-            F.col("pos_vec").cast("bigint").alias("pos_vec"),
-        )
-    )
+    return rrf_fuse_hibrida(lex, vec)
 
 
 # --------------------------------------------------------------------------

@@ -163,3 +163,45 @@ def test_recall_drift_across_versions(spark, sf_dir, tmp_path):
     # and overall most neighborhoods were untouched by one vector
     touched = sum(1 for v in rows.values() if v < 1000)
     assert touched <= max(1, len(rows) // 2)
+
+
+def test_indexed_hybrid_matches_brute_at_full_probe(spark, sf_dir, tmp_path):
+    """busqueda_hibrida_indexada IS the registry query's promised
+    production path: same shared lexical frame, same shared fusion
+    algebra, dense side served from the stored IVF tables. At full
+    probe (nprobe >= cells) the posting coverage equals the brute scan
+    and the fused output matches row for row. (The index stores
+    per-element 1e6-floored ints while the brute path floors per-term
+    at 1e12 — a near-tie in the dense top-10 could in principle order
+    differently; on this corpus it does not, and if a future testdata
+    drop introduces such a tie this assertion points exactly there.)
+    Default-nprobe serving keeps the lexical provenance identical and
+    is checked for high fused-set recall rather than exact order."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        build_ivf_index,
+        busqueda_hibrida_indexada,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        busqueda_hibrida,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, load_table(spark, sf_dir, "embeddings"), path)
+    brute = sorted(tuple(r) for r in busqueda_hibrida(spark, sf_dir).collect())
+    full = sorted(
+        tuple(r)
+        for r in busqueda_hibrida_indexada(
+            spark, sf_dir, path, nprobe=10_000
+        ).collect()
+    )
+    assert full == brute
+    dflt = busqueda_hibrida_indexada(spark, sf_dir, path).collect()
+    brute_docs = {r[0] for r in brute}
+    assert len({r["doc_id"] for r in dflt} & brute_docs) >= 7
+    # lexical provenance is the SAME frame on both paths
+    lex_brute = {(r[0], r[3]) for r in brute if r[3] is not None}
+    lex_dflt = {
+        (r["doc_id"], r["pos_lex"]) for r in dflt if r["pos_lex"] is not None
+    }
+    assert lex_dflt >= lex_brute or lex_brute >= lex_dflt
