@@ -863,6 +863,50 @@ class TxTable:
             parent,
         )
 
+    def delete_matching(
+        self,
+        spark: SparkSession,
+        predicate,
+        prune: tuple[str, object, object] | None = None,
+    ) -> int:
+        """Full Delta-style DELETE: drop every row where ``predicate``
+        (a Column or SQL string) evaluates TRUE — NULL keeps the row,
+        SQL DELETE semantics — in one manifest flip. ``prune`` is the
+        optional stats hint ``(col, lo, hi)``: files whose recorded
+        min/max provably miss the range carry over physically untouched
+        (the caller asserts the predicate can only be TRUE inside the
+        range — the same contract as Delta's partition-pruned DELETE);
+        without a hint every file is rewritten, correct but unpruned.
+        ``delete_where`` remains the point form with automatic
+        stats+Bloom pruning; this is its arbitrary-predicate sibling."""
+        parent = self.version()
+        if parent < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(parent)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if prune is not None:
+            col, lo, hi = prune
+            touched = [e for e in m["files"] if self._may_hold_range(e, col, lo, hi)]
+            untouched = [
+                e for e in m["files"] if not self._may_hold_range(e, col, lo, hi)
+            ]
+        else:
+            touched, untouched = list(m["files"]), []
+        new = []
+        if touched:
+            survivors = self._read_entries(spark, touched, m["schema"]).where(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            new = self._write_files(survivors)
+        return self._claim(
+            {
+                "files": untouched + new,
+                "op": "delete_matching",
+                "schema": m["schema"],
+            },
+            parent,
+        )
+
     def replace_partitions(
         self,
         spark: SparkSession,

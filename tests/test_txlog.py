@@ -1051,3 +1051,38 @@ def test_read_asof_timestamp_time_travel(spark, tmp_path):
     at0 = t._manifest(0)["committed_at"]
     at1 = t._manifest(1)["committed_at"]
     assert antes <= at0 <= entre <= at1 <= despues
+
+
+def test_delete_matching_predicate_and_prune_hint(spark, tmp_path):
+    """delete_matching: arbitrary-predicate DELETE in one manifest flip;
+    NULL predicate keeps rows (SQL DELETE); the (col, lo, hi) stats
+    hint carries provably-out-of-range files over physically untouched;
+    no hint = every file rewritten, still correct."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v double")  # noqa: E731
+    t.overwrite(mk([(1, 1.0), (2, -1.0)]).coalesce(1))
+    t.append(mk([(100, -5.0), (101, 5.0)]).coalesce(1))
+    t.append(mk([(200, None), (201, -2.0)]).coalesce(1))
+    before = set(t._names(t._manifest(t.version())["files"]))
+
+    # delete negatives, hinted to k >= 100 (caller asserts the range)
+    v = t.delete_matching(
+        spark, "v < 0 AND k >= 100", prune=("k", 100, 10_000)
+    )
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    # NULL v row survives (predicate NULL), out-of-range negatives too
+    assert got == {(1, 1.0), (2, -1.0), (101, 5.0), (200, None)}
+    after = set(t._names(t._manifest(v)["files"]))
+    assert len(before & after) == 1  # the [1,2] file carried untouched
+
+    # unhinted predicate: correct, all files rewritten
+    t.delete_matching(spark, F.col("v") < 0)
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 1.0), (101, 5.0), (200, None)}
+    # change feed sees a rewrite, loudly
+    from etl_python_airflow_bigquery_spark.operators.txlog import (
+        NonIncrementalHistory,
+    )
+
+    with pytest.raises(NonIncrementalHistory):
+        t.changes(spark, since_version=0)
