@@ -1823,6 +1823,68 @@ def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rank agreement — Spearman over the two retrieval rankings
+# --------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = f"""
+WITH {_RANKINGS_CTES},
+comunes AS (
+    SELECT s.pos_sys, o.pos_oro,
+           CAST((s.pos_sys - o.pos_oro) * (s.pos_sys - o.pos_oro) AS BIGINT)
+               AS d2
+    FROM sistema s JOIN oro o USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_comunes,
+       CAST(coalesce(sum(d2), 0) AS BIGINT) AS suma_d2,
+       CAST(CASE WHEN count(*) >= 2 THEN
+            (1000 * (count(*) * (count(*) * count(*) - 1)
+                     - 6 * coalesce(sum(d2), 0)))
+            // (count(*) * (count(*) * count(*) - 1))
+            END AS BIGINT) AS rho_mili
+FROM comunes
+"""
+
+
+@register("correlacion_rangos", oracle=_SPEARMAN_ORACLE,
+          ops=("O7", "A6", "W1"), driver=False)
+def correlacion_rangos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK AGREEMENT between the two retrieval rankings the
+    eval harness builds (BM25 system vs exact rarity gold) — the
+    modality-agreement scalar that tells a hybrid-search owner whether
+    fusion is even worth running: ρ near 1 means the rankers are
+    redundant (fusion adds latency, not recall), low or negative ρ
+    means they disagree and RRF has something to combine. Computed over
+    the documents BOTH top-10s contain with the exact rational formula
+    ρ = 1 − 6·Σd²/(n(n²−1)), floor-milli'd from pure integers (Σd² and
+    n are counts — no float enters until never); n < 2 yields NULL
+    rather than a fabricated coefficient. On ties this is Spearman
+    over the rankers' own deterministic tie-broken positions — the
+    positions a consumer actually sees.
+
+    Shape: both rankings are top-10 truncated before the join, so the
+    agreement stage is O(top-k) rows and one scalar aggregate at any
+    corpus size; the cost is the shared posting pass, paid once."""
+    sistema, oro = _rankings_retrieval(spark, sf_dir)
+    comunes = sistema.join(oro, "doc_id").select(
+        (
+            (F.col("pos_sys") - F.col("pos_oro"))
+            * (F.col("pos_sys") - F.col("pos_oro"))
+        ).cast("long").alias("d2")
+    )
+    return comunes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comunes"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint").alias("suma_d2"),
+        F.expr(
+            "CAST(CASE WHEN count(1) >= 2 THEN"
+            " (1000 * (count(1) * (count(1) * count(1) - 1)"
+            " - 6 * coalesce(sum(d2), 0)))"
+            " div (count(1) * (count(1) * count(1) - 1))"
+            " END AS BIGINT)"
+        ).alias("rho_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Reciprocal rank fusion — combine the two retrieval rankings
 # --------------------------------------------------------------------------
 

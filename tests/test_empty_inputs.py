@@ -124,6 +124,8 @@ SMOKE = [
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class
+    # correlacion_rangos is NOT here: global scalar row (0, 0, NULL)
+    # on empty, matching its oracle — the global-aggregate class
 ]
 
 

@@ -599,6 +599,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "cobertura_lsh",
         "busqueda_hibrida",
         "secuencias_frecuentes",
+        "correlacion_rangos",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
