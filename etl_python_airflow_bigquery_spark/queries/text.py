@@ -1823,6 +1823,91 @@ def evaluacion_recuperacion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus datasheet — the one-row release summary
+# --------------------------------------------------------------------------
+
+_RESUMEN_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents
+),
+dups AS (
+    SELECT CAST(sum(n - 1) AS BIGINT) AS copias_exactas
+    FROM (SELECT count(*) AS n FROM documents GROUP BY md5(text))
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs,
+       CAST((SELECT sum(nt) FROM toks) AS BIGINT) AS tokens,
+       CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+           AS idiomas,
+       CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+           AS fuentes,
+       CAST((SELECT min(nt) FROM toks) AS BIGINT) AS tokens_min,
+       CAST((SELECT max(nt) FROM toks) AS BIGINT) AS tokens_max,
+       CAST(CASE WHEN (SELECT count(*) FROM documents) > 0 THEN
+            (SELECT sum(nt) FROM toks)
+            // (SELECT count(*) FROM documents) END AS BIGINT)
+           AS tokens_prom,
+       (SELECT copias_exactas FROM dups) AS copias_exactas,
+       CAST(CASE WHEN (SELECT count(*) FROM documents) > 0 THEN
+            1000 * (SELECT copias_exactas FROM dups)
+            // (SELECT count(*) FROM documents) END AS BIGINT)
+           AS tasa_dup_mili
+"""
+
+
+@register("resumen_corpus", oracle=_RESUMEN_ORACLE, ops=("A6", "A2", "A1"),
+          driver=False)
+def resumen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CORPUS DATASHEET ROW — the one-line summary a dataset
+    release publishes (Gebru et al. 2021, 'Datasheets for Datasets',
+    arXiv:1803.09010: composition, size, and known redundancy belong on
+    the tin): document and token counts, language and source breadth,
+    token-length extremes and floor-mean, and the exact-duplicate
+    surplus (copies beyond each md5 family's first) with its floor-milli
+    rate. Every deeper audit in this registry drills into one of these
+    cells — this row is the table of contents.
+
+    Shape: ONE scan computes the token counts and the md5 families
+    (two map-side-combinable aggregations over the same pass at the
+    optimizer's discretion); everything else is scalar algebra on the
+    resulting 1-row frames, broadcast by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", F.size(F.split("text", " ")).alias("nt"),
+        F.md5("text").alias("huella"),
+    )
+    base = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("nt").cast("bigint").alias("tokens"),
+        F.countDistinct("lang").cast("bigint").alias("idiomas"),
+        F.countDistinct("source").cast("bigint").alias("fuentes"),
+        F.min("nt").cast("bigint").alias("tokens_min"),
+        F.max("nt").cast("bigint").alias("tokens_max"),
+    )
+    dups = (
+        toks.groupBy("huella")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1).cast("bigint").alias("copias_exactas"))
+    )
+    return base.crossJoin(F.broadcast(dups)).select(
+        "docs",
+        "tokens",
+        "idiomas",
+        "fuentes",
+        "tokens_min",
+        "tokens_max",
+        # docs = 0 (empty corpus) must yield NULL means/rates, not an
+        # ANSI divide-by-zero — the t_cercania m=1 lesson applied early
+        F.expr("CASE WHEN docs > 0 THEN tokens div docs END")
+        .cast("bigint")
+        .alias("tokens_prom"),
+        "copias_exactas",
+        F.expr("CASE WHEN docs > 0 THEN (1000 * copias_exactas) div docs END")
+        .cast("bigint")
+        .alias("tasa_dup_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rank agreement — Spearman over the two retrieval rankings
 # --------------------------------------------------------------------------
 

@@ -126,6 +126,8 @@ SMOKE = [
     # oracle's VALUES grid + correlated counts) — the grid class
     # correlacion_rangos is NOT here: global scalar row (0, 0, NULL)
     # on empty, matching its oracle — the global-aggregate class
+    # resumen_corpus is NOT here: the datasheet row (zero counts, NULL
+    # means — div-by-zero guarded) on empty, matching its oracle
 ]
 
 

@@ -600,6 +600,7 @@ def test_span_cut_rebuild_is_projection_after_one_join(spark, sf_dir):
         "busqueda_hibrida",
         "secuencias_frecuentes",
         "correlacion_rangos",
+        "resumen_corpus",
     ],
 )
 def test_round7_ops_no_cartesian(spark, sf_dir, name):
