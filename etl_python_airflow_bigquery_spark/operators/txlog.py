@@ -371,14 +371,24 @@ class TxTable:
         applied version, Delta's txnAppId/txnVersion pattern) is carried
         forward from the parent manifest and merged with any entry the
         new commit contributes — so a compaction, merge, or overwrite in
-        between never erases a streaming writer's idempotency marker."""
+        between never erases a streaming writer's idempotency marker.
+        The merge is per-app ``max()``, never overwrite: fences are
+        monotonic by contract, and the fence-check in append/overwrite
+        and the parent read here are not one atomic step — a writer that
+        read the fence before a concurrent commit could otherwise claim
+        the next version carrying a LOWER fence for the same app_id,
+        regressing it and reopening the double-apply window the fence
+        exists to close."""
         v = expected_parent + 1
         parent_txn = (
             self._manifest(expected_parent).get("txn", {})
             if expected_parent >= 0
             else {}
         )
-        txn = {**parent_txn, **manifest.get("txn", {})}
+        txn = dict(parent_txn)
+        for app_id, new_v in manifest.get("txn", {}).items():
+            old_v = txn.get(app_id)
+            txn[app_id] = new_v if old_v is None else max(old_v, new_v)
         payload = {
             **manifest,
             "version": v,
@@ -699,10 +709,11 @@ class TxTable:
         source's key range) is the documented upgrade path when merges
         touch a narrow window of a huge table."""
         parent = self.version()
-        if parent < 0:
-            if not insert_unmatched:
-                raise ValueError("merge_into on an empty table inserts only")
-            return self.merge(spark, source, key_cols)
+        # duplicate-source-key refusal comes BEFORE the empty-table
+        # fallback: the deterministic-merge rule is about the SOURCE, so
+        # a first load must be refused exactly like a merge against data
+        # — otherwise the duplicates insert silently on day one and the
+        # same call starts failing the day the table is non-empty
         dup = (
             source.groupBy(*key_cols)
             .count()
@@ -717,6 +728,10 @@ class TxTable:
                 "source rows would match one target row (Delta's "
                 "deterministic-merge rule refuses this)"
             )
+        if parent < 0:
+            if not insert_unmatched:
+                raise ValueError("merge_into on an empty table inserts only")
+            return self.merge(spark, source, key_cols)
         target = self.read(spark, parent)
         cols = target.columns
         # existence sentinels, not key-null tests: eqNullSafe lets NULL
@@ -829,7 +844,21 @@ class TxTable:
         files (time travel works), so the data is GONE FROM HEAD but
         not from disk until ``vacuum`` passes the retention window —
         the retention setting IS the legal deletion horizon, exactly as
-        in Delta. Returns the new version."""
+        in Delta. Returns the new version.
+
+        ``value=None`` is refused: a point DELETE of NULL is ill-defined
+        under the stated "NULL never equals" contract (eqNullSafe would
+        silently match — and delete — every NULL-keyed row, and pruning
+        degrades to rewriting all files). Use
+        ``delete_matching("col IS NULL")`` to delete NULL rows on
+        purpose."""
+        if value is None:
+            raise ValueError(
+                "delete_where(value=None) is ill-defined — NULL never "
+                "equals under SQL DELETE semantics; use "
+                "delete_matching(f'{col} IS NULL') to delete NULL rows "
+                "explicitly"
+            )
         parent = self.version()
         if parent < 0:
             raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
@@ -1250,7 +1279,11 @@ class TxTable:
         appended batch); ``optimize_zorder``/``optimize_compact`` are
         data-preserving rewrites and contribute nothing (their rewritten
         files are tracked so later appends still diff correctly — no
-        double counting through a compaction); any data-REWRITING op
+        double counting through a compaction); ``add_constraint``/
+        ``drop_constraint`` are manifest-only (file set identical) and
+        likewise contribute nothing — Delta CDF treats metadata-only
+        commits as empty, and a consumer must not lose its feed because
+        an operator tightened a CHECK; any data-REWRITING op
         (``merge``, ``replace_where``, ``replace_partitions``,
         ``overwrite``) raises :class:`NonIncrementalHistory` unless its
         parent file set was empty (a first load is all-inserts whatever
@@ -1271,7 +1304,12 @@ class TxTable:
             schema_json = m["schema"]
             op = m.get("op", "append")
             names_v = self._names(m["files"])
-            if op in ("optimize_zorder", "optimize_compact"):
+            if op in (
+                "optimize_zorder",
+                "optimize_compact",
+                "add_constraint",
+                "drop_constraint",
+            ):
                 have = set(names_v)
                 continue
             if op != "append" and have:

@@ -1086,3 +1086,102 @@ def test_delete_matching_predicate_and_prune_hint(spark, tmp_path):
 
     with pytest.raises(NonIncrementalHistory):
         t.changes(spark, since_version=0)
+
+
+def test_changes_pass_through_constraint_commits(spark, tmp_path):
+    """ADVICE r7 (medium): add_constraint/drop_constraint are
+    manifest-only — the file set is identical — so the change feed must
+    treat them like optimize_* (data-preserving, zero contributed rows)
+    instead of raising NonIncrementalHistory and forcing every
+    incremental consumer into a full rebuild over a commit that changed
+    no row."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))            # v0
+    t.add_constraint(spark, "k_nn", "k >= 0")  # v1 (manifest-only)
+    t.append(_df(spark, 5, 8))               # v2
+    t.drop_constraint("k_nn")                # v3 (manifest-only)
+    t.append(_df(spark, 8, 10))              # v4
+
+    # feed across both constraint commits: exactly the appended rows
+    delta = t.changes(spark, since_version=0)
+    assert delta.count() == 5
+    assert {r["_commit_version"] for r in delta.collect()} == {2, 4}
+    # a window holding ONLY a constraint commit is an empty delta
+    assert t.changes(spark, since_version=2, until_version=3).count() == 0
+    # and the incremental mirror keeps refreshing instead of rebuilding
+    from etl_python_airflow_bigquery_spark.operators.txlog import (
+        mirror_incremental,
+    )
+
+    dst = TxTable(str(tmp_path / "m"))
+    assert mirror_incremental(spark, t, dst)["mode"] == "initial"
+    t.add_constraint(spark, "k_nn2", "k >= 0")
+    t.append(_df(spark, 10, 12))
+    out = mirror_incremental(spark, t, dst)
+    assert out["mode"] == "incremental" and dst.read(spark).count() == 12
+
+
+def test_txn_fence_merge_never_regresses(spark, tmp_path):
+    """ADVICE r7: _claim merges the fence map per-app with max(), never
+    a dict overwrite — a racer that read the fence before a concurrent
+    commit must not claim the next version carrying a LOWER fence for
+    the same app_id (that would reopen the double-apply window)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3), txn=("app", 0))
+    t.append(_df(spark, 3, 5), txn=("app", 7))
+    assert t.txn_version("app") == 7
+    # simulate the racer: a raw _claim carrying a STALE fence entry
+    files = t._manifest(t.version())["files"]
+    t._claim(
+        {"files": files, "op": "append", "schema": t._manifest(1)["schema"],
+         "txn": {"app": 2}},
+        expected_parent=t.version(),
+    )
+    # the fence held at 7 — max-merge, not overwrite
+    assert t.txn_version("app") == 7
+    # so the replay of batch 7 is still fenced to a no-op
+    v = t.version()
+    assert t.append(_df(spark, 3, 5), txn=("app", 7)) == v
+    assert t.read(spark).count() == 5
+    # a genuinely newer fence still advances
+    t.append(_df(spark, 5, 6), txn=("app", 8))
+    assert t.txn_version("app") == 8
+
+
+def test_delete_where_refuses_null_value(spark, tmp_path):
+    """ADVICE r7: delete_where(value=None) contradicts its own 'NULL
+    never equals' contract (eqNullSafe WOULD match every NULL row) — it
+    is refused loudly; delete_matching('col IS NULL') is the explicit
+    path, and NULL rows genuinely survive any point delete."""
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (None, 3.0)], "k long, v double"
+    )
+    t.overwrite(df)
+    with pytest.raises(ValueError, match="IS NULL"):
+        t.delete_where(spark, "k", None)
+    # nothing flipped
+    assert t.version() == 0 and t.read(spark).count() == 3
+    # point delete of a real key leaves the NULL rows alone
+    t.delete_where(spark, "k", 1)
+    assert {r["v"] for r in t.read(spark).collect()} == {2.0, 3.0}
+    # the sanctioned explicit path
+    t.delete_matching(spark, "k IS NULL")
+    assert t.read(spark).count() == 0
+
+
+def test_merge_into_refuses_dup_source_on_empty_table(spark, tmp_path):
+    """ADVICE r7: the deterministic-merge refusal is about the SOURCE,
+    so it applies on the first load too — a duplicate-keyed source must
+    not insert both rows silently just because the table was empty."""
+    t = TxTable(str(tmp_path / "t"))
+    dup_src = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "k long, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_into(spark, dup_src, key_cols=["k"])
+    assert t.version() == -1  # nothing committed
+    # a clean source on the empty table still first-loads fine
+    clean = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
+    t.merge_into(spark, clean, key_cols=["k"])
+    assert t.read(spark).count() == 2
