@@ -245,3 +245,14 @@ def surrogate_id(fuente: Column, marca: Column, fecha_us: Column, agg: Column, t
         F.lower(agg),
         F.lower(target),
     )
+
+
+def _log2_ladder(expr: str, cap: int = 20) -> str:
+    """floor(log2(x)) for x ≥ 1 as pure comparisons (the busqueda_bm25
+    ladder) — no float log whose ulp at exact powers of two differs.
+    Shared by grafo_grados and ley_zipf (lives here, not in a queries
+    module, to stay import-cycle-free)."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(cap, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"

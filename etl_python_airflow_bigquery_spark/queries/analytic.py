@@ -1842,13 +1842,9 @@ def correlacion_tipos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _log2_ladder(expr: str, cap: int = 20) -> str:
-    """floor(log2(x)) for x ≥ 1 as pure comparisons (the busqueda_bm25
-    ladder) — no float log whose ulp at exact powers of two differs."""
-    branches = " ".join(
-        f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(cap, 0, -1)
-    )
-    return f"(CASE {branches} ELSE 0 END)"
+# moved to functions.py (shared with ley_zipf without an import cycle);
+# re-exported here for the existing consumers
+from etl_python_airflow_bigquery_spark.functions import _log2_ladder  # noqa: E402
 
 
 _GRADOS_ORACLE = f"""

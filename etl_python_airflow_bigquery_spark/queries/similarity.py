@@ -201,6 +201,287 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversity reranking
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 10  # relevance-ranked candidate pool per query
+_MMR_LAMBDA_DECI = 7  # λ = 0.7 → score_deci-µ = 7·rel_mi − 3·maxsim_mi
+
+
+def _mmr_rel_sql() -> str:
+    """Candidate pool CTEs shared by the MMR oracle: per policy query,
+    the top-`_MMR_POOL` candidates by integer micro-cosine (rank and
+    score both use the SAME floored integer, so engines agree even where
+    raw doubles would micro-tie)."""
+    cos = (
+        f"CAST(floor(CAST({_scaled_dot_sql('q.embedding', 'c.embedding')} "
+        "AS DOUBLE) / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE))"
+        " * 1e6) AS BIGINT)"
+    )
+    return f"""
+consultas AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % (SELECT query_mod FROM params) = 0
+),
+rel_all AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS rel_mi
+    FROM consultas q
+    JOIN embeddings c ON c.vec_id != q.vec_id
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+),
+rel AS (
+    SELECT query_id, cand_id, rel_mi FROM (
+        SELECT query_id, cand_id, rel_mi,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_mi DESC, cand_id) AS rn
+        FROM rel_all
+    ) WHERE rn <= {_MMR_POOL}
+),
+simp AS (
+    SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+           CAST(floor(CAST({_scaled_dot_sql('ea.embedding', 'eb.embedding')}
+                 AS DOUBLE)
+                 / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                 * 1e6) AS BIGINT) AS sim_mi
+    FROM rel a
+    JOIN rel b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+    JOIN embeddings ea ON ea.vec_id = a.cand_id
+    JOIN embeddings eb ON eb.vec_id = b.cand_id
+    JOIN norms na ON na.vec_id = a.cand_id
+    JOIN norms nb ON nb.vec_id = b.cand_id
+)"""
+
+
+_MMR_ORACLE = f"""
+WITH {_NORMS_SQL.strip()},
+{_PARAMS_SQL},
+{_mmr_rel_sql().strip()},
+s1 AS (
+    SELECT query_id, cand_id, {_MMR_LAMBDA_DECI} * rel_mi AS punt FROM (
+        SELECT query_id, cand_id, rel_mi,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_mi DESC, cand_id) AS rn
+        FROM rel
+    ) WHERE rn = 1
+),
+r2 AS (
+    SELECT r.query_id, r.cand_id,
+           {_MMR_LAMBDA_DECI} * r.rel_mi
+               - {10 - _MMR_LAMBDA_DECI} * p.sim_mi AS punt
+    FROM rel r
+    JOIN s1 ON s1.query_id = r.query_id AND r.cand_id != s1.cand_id
+    JOIN simp p ON p.query_id = r.query_id
+               AND p.ca = r.cand_id AND p.cb = s1.cand_id
+),
+s2 AS (
+    SELECT query_id, cand_id, punt FROM (
+        SELECT query_id, cand_id, punt,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY punt DESC, cand_id) AS rn
+        FROM r2
+    ) WHERE rn = 1
+),
+r3 AS (
+    SELECT r.query_id, r.cand_id,
+           {_MMR_LAMBDA_DECI} * r.rel_mi
+               - {10 - _MMR_LAMBDA_DECI}
+                 * greatest(p1.sim_mi, p2.sim_mi) AS punt
+    FROM rel r
+    JOIN s1 ON s1.query_id = r.query_id AND r.cand_id != s1.cand_id
+    JOIN s2 ON s2.query_id = r.query_id AND r.cand_id != s2.cand_id
+    JOIN simp p1 ON p1.query_id = r.query_id
+                AND p1.ca = r.cand_id AND p1.cb = s1.cand_id
+    JOIN simp p2 ON p2.query_id = r.query_id
+                AND p2.ca = r.cand_id AND p2.cb = s2.cand_id
+),
+s3 AS (
+    SELECT query_id, cand_id, punt FROM (
+        SELECT query_id, cand_id, punt,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY punt DESC, cand_id) AS rn
+        FROM r3
+    ) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS pos, cand_id, punt FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT) AS pos, cand_id, punt FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT) AS pos, cand_id, punt FROM s3
+"""
+
+
+def _mmr_argmax(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("punt").desc(), F.col("cand_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "cand_id", "punt")
+    )
+
+
+@register("puntuacion_mmr", oracle=_MMR_ORACLE, ops=("NN1", "O7", "W1"),
+          driver=False)
+def puntuacion_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    — the retrieval-diversity pass between ANN shortlist and serving: a
+    top-k that is all near-clones of the best hit wastes its slots, so
+    each pick maximizes λ·relevance − (1−λ)·max-similarity-to-already-
+    picked. Exact, integer-deterministic formulation: relevance and
+    pairwise similarity are both floored micro-cosines (BIGINT), λ = 0.7
+    clears to deci-units (7·rel − 3·maxsim — pure int64 algebra), ties
+    break on cand_id, and the greedy loop is UNROLLED: pick 1 is argmax
+    relevance (maxsim over the empty set = 0), picks 2 and 3 re-score
+    the remaining pool against the growing selection. Scale shape: the
+    pool is `_MMR_POOL` rows per query (the ANN shortlist — bounded), so
+    every rerank stage is O(queries·pool) with the pairwise-sim table
+    O(queries·pool²); the corpus is touched exactly once, by the pool
+    scorer (the broadcast-query brute scan `similarity_topk` uses; in
+    production the stored-IVF shortlist replaces it). Oracle: the same
+    three stages as CTEs."""
+    emb = _emb(spark, sf_dir)
+    norms = _norms(spark, sf_dir)
+    consultas = emb.where(
+        F.col("vec_id") % _query_mod(emb.count()) == 0
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nn").alias("nq_"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nn").alias("nc_"))
+    rel_all = (
+        emb.join(F.broadcast(consultas), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            scaled_dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(
+                cosine_from_ints(F.col("dot"), F.col("nq_"), F.col("nc_")) * 1e6
+            )
+            .cast("long")
+            .alias("rel_mi"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_mi").desc(), F.col("cand_id")
+    )
+    # the pool is O(queries·POOL) — five downstream consumers (pair sims
+    # ×2 sides, three rerank stages) would each re-run the corpus scan
+    # (the _shingles lesson): materialize it once
+    rel = (
+        rel_all.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cand_id", "rel_mi")
+        .localCheckpoint(eager=False)
+    )
+    ea = emb.select(F.col("vec_id").alias("ca"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("cb"), F.col("embedding").alias("e_b"))
+    na = norms.select(F.col("vec_id").alias("ca"), F.col("nn").alias("n_a"))
+    nb = norms.select(F.col("vec_id").alias("cb"), F.col("nn").alias("n_b"))
+    pa = rel.select("query_id", F.col("cand_id").alias("ca"))
+    pb = rel.select(F.col("query_id").alias("qb"), F.col("cand_id").alias("cb"))
+    simp = (
+        pa.join(pb, (F.col("query_id") == F.col("qb")) & (F.col("ca") != F.col("cb")))
+        .join(F.broadcast(ea), "ca")
+        .join(F.broadcast(eb), "cb")
+        .join(F.broadcast(na), "ca")
+        .join(F.broadcast(nb), "cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.floor(
+                cosine_from_ints(
+                    scaled_dot(F.col("e_a"), F.col("e_b")),
+                    F.col("n_a"),
+                    F.col("n_b"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("sim_mi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam, lam_c = _MMR_LAMBDA_DECI, 10 - _MMR_LAMBDA_DECI
+    s1 = _mmr_argmax(
+        rel.select("query_id", "cand_id", (F.lit(lam) * F.col("rel_mi")).alias("punt"))
+    )
+    s1k = s1.select("query_id", F.col("cand_id").alias("c1"))
+    r2 = (
+        rel.join(s1k, "query_id")
+        .where(F.col("cand_id") != F.col("c1"))
+        .join(
+            simp.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("c1"),
+                "sim_mi",
+            ),
+            ["query_id", "cand_id", "c1"],
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (lam * F.col("rel_mi") - lam_c * F.col("sim_mi")).alias("punt"),
+        )
+    )
+    s2 = _mmr_argmax(r2)
+    s2k = s2.select("query_id", F.col("cand_id").alias("c2"))
+    r3 = (
+        rel.join(s1k, "query_id")
+        .join(s2k, "query_id")
+        .where((F.col("cand_id") != F.col("c1")) & (F.col("cand_id") != F.col("c2")))
+        .join(
+            simp.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("c1"),
+                F.col("sim_mi").alias("sim1"),
+            ),
+            ["query_id", "cand_id", "c1"],
+        )
+        .join(
+            simp.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("c2"),
+                F.col("sim_mi").alias("sim2"),
+            ),
+            ["query_id", "cand_id", "c2"],
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                lam * F.col("rel_mi")
+                - lam_c * F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("punt"),
+        )
+    )
+    s3 = _mmr_argmax(r3)
+    out = (
+        s1.select("query_id", F.lit(1).cast("bigint").alias("pos"), "cand_id", "punt")
+        .unionByName(
+            s2.select(
+                "query_id", F.lit(2).cast("bigint").alias("pos"), "cand_id", "punt"
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id", F.lit(3).cast("bigint").alias("pos"), "cand_id", "punt"
+            )
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
 # Hybrid search — lexical BM25 + dense cosine, RRF-fused
 # --------------------------------------------------------------------------
 
@@ -613,6 +894,139 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         (F.floor(F.col("cos") * 1e6) / 1e6).alias("similitud"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside trained k-means cells
+# --------------------------------------------------------------------------
+
+# Pair threshold for "semantically duplicate": the synthetic corpus has
+# no true clones (max within-label cosine ≈ 0.47), so the gate sits where
+# the audit has signal; production SemDeDup runs this at ~0.95+ — the
+# threshold is the one knob and everything else is scale-invariant.
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    it = _KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(it))
+        + ",\n"
+        + _NORMS_SQL.strip()
+        + f""",
+asig_sd AS (SELECT vec_id, celda FROM asig{it + 1}),
+m_sd AS (
+    SELECT a.vec_id, a.celda, e.embedding, n.nn
+    FROM asig_sd a
+    JOIN embeddings e USING (vec_id)
+    JOIN norms n USING (vec_id)
+),
+pares_sd AS (
+    SELECT a.celda, b.vec_id AS vb
+    FROM m_sd a JOIN m_sd b ON a.celda = b.celda AND a.vec_id < b.vec_id
+    WHERE CAST({_scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))
+          >= {_SEMDEDUP_TAU}
+),
+dups_sd AS (SELECT celda, vb FROM pares_sd GROUP BY 1, 2)
+SELECT a.celda, CAST(count(*) AS BIGINT) AS vecs,
+       CAST(count(d.vb) AS BIGINT) AS duplicados,
+       (CAST(count(d.vb) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+           AS tasa_mili
+FROM asig_sd a
+LEFT JOIN dups_sd d ON d.celda = a.celda AND d.vb = a.vec_id
+GROUP BY 1"""
+    )
+
+
+@register("dedup_semantico", ops=("DD5", "NN2"), driver=False, bench=True)
+def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that only ever compares vectors INSIDE a trained
+    k-means cell — the paper's device for making embedding-cosine dedup
+    tractable at web scale. The flow is exactly the production one:
+
+    1. fit the coarse quantizer (the same deterministic integer Lloyd
+       rounds as ``similarity_ivf_kmeans`` — k ≤ K_CAP by the corpus
+       policy, so the fit is O(n·K_CAP) and the centroid table is the
+       only driver state);
+    2. pair members WITHIN each cell (an equi join on the cell id —
+       Σ cell² work, never corpus²; at 100 TB each cell is one shuffle
+       partition and the hot cell bounds the critical path, which is why
+       the paper runs k in the tens of thousands);
+    3. a pair at cosine ≥ τ marks the LARGER vec_id a semantic
+       duplicate (keep-min-id, the same representative convention as
+       ``corpus_desduplicado``).
+
+    Output is the release audit: per cell, member count, duplicates that
+    SemDeDup would drop, and the floor-milli drop rate. Oracle: the
+    identical Lloyd rounds unrolled as DuckDB CTEs + the same pair gate.
+    Reference scope: the engine-side dedup family (SURVEY §2 DD5);
+    dedup_embedding_cosine is the label-blocked pair LIST, this is the
+    trained-quantizer KEEP/DROP decision."""
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    # the assignment feeds THREE consumers (both pair sides + the
+    # per-cell census) and its lineage is the whole Lloyd fit — without a
+    # checkpoint each consumer re-executes the assign (the _shingles
+    # multi-consumer lesson; measured 5.96 s → materialized once)
+    asig = (
+        _assign_cells(enteros, cent)
+        .select("vec_id", "celda")
+        .localCheckpoint(eager=False)
+    )
+    m = (
+        asig.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(_norms(spark, sf_dir), "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    a = m.select(
+        "celda",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = m.select(
+        F.col("celda").alias("celda_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pares = a.join(
+        b, (F.col("celda") == F.col("celda_b")) & (F.col("va") < F.col("vb"))
+    )
+    cos = cosine_from_ints(
+        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    dups = pares.where(cos >= _SEMDEDUP_TAU).select("celda", "vb").distinct()
+    per_cell = asig.groupBy("celda").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vecs")
+    )
+    dcount = dups.groupBy("celda").agg(
+        F.count(F.lit(1)).cast("bigint").alias("duplicados")
+    )
+    return (
+        per_cell.join(dcount, "celda", "left")
+        .select(
+            "celda",
+            "vecs",
+            F.coalesce(F.col("duplicados"), F.lit(0))
+            .cast("bigint")
+            .alias("duplicados"),
+        )
+        .withColumn(
+            "tasa_mili",
+            F.expr("(duplicados * 1000) div vecs").cast("bigint"),
+        )
+    )
+
+
+# the oracle needs _kmeans_ctes, defined later in this module — bind it
+# after definition (module import order), keeping the register() call
+# next to its family
+# (set at module end: REGISTRY["dedup_semantico"].oracle)
 
 
 # --------------------------------------------------------------------------
@@ -3747,3 +4161,12 @@ def atipicos_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("atipicos_milli"),
         )
     )
+
+
+# Deferred oracle bind for dedup_semantico: its SQL unrolls _kmeans_ctes /
+# _KMEANS_ITERS, which are defined below the register() site (the module
+# groups by family, not by dependency order). Binding here keeps the
+# query next to its dedup siblings without reordering 3k lines.
+from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()

@@ -3077,6 +3077,89 @@ def ley_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Zipf's law — rank-frequency bands (ley_heaps' sibling axis)
+# --------------------------------------------------------------------------
+
+
+def _zipf_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    return f"""
+WITH tokens AS (
+    SELECT t.tok
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS t(tok)
+    WHERE t.tok != ''
+),
+frecuencia AS (SELECT tok, count(*) AS f FROM tokens GROUP BY 1),
+rangos AS (
+    SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r
+    FROM frecuencia
+),
+tot AS (SELECT sum(f) AS n FROM frecuencia)
+SELECT CAST({_log2_ladder("r", cap=30)} AS INT) AS banda_log2,
+       CAST(count(*) AS BIGINT) AS tipos,
+       CAST(sum(f) AS BIGINT) AS ocurrencias,
+       CAST((1000 * sum(f)) // (SELECT n FROM tot) AS BIGINT) AS masa_mili,
+       CAST(max(f) AS BIGINT) AS f_max,
+       CAST(min(f) AS BIGINT) AS f_min,
+       CAST(max(f * r) AS BIGINT) AS fr_max,
+       CAST(min(f * r) AS BIGINT) AS fr_min
+FROM rangos
+GROUP BY 1"""
+
+
+@register("ley_zipf", ops=("TX1", "A1", "W1"), driver=False)
+def ley_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF rank-frequency profile — ley_heaps' sibling axis (Heaps
+    tracks vocabulary vs corpus GROWTH; Zipf tracks frequency vs RANK at
+    a point in time): token frequencies ranked (f desc, token), then
+    rolled up per floor-log2(rank) band. Under an ideal Zipf exponent
+    s = 1 every log2 band carries roughly equal occurrence mass
+    (Σ 1/r over [2^b, 2^{{b+1}}) ≈ ln 2), so a FLAT masa_mili column IS
+    the Zipfian read and a bulge at low bands says head-heavy (template/
+    boilerplate corpus), at high bands says long-tail-heavy (noisy OCR /
+    ID-like tokens). fr_max/fr_min bound the classic f·r ≈ C constancy
+    diagnostic per band — all integer-exact, the band from the pure-
+    comparison ladder (grafo_grados discipline: no float log2 ulp at
+    power-of-two boundaries). Shape: one token explode + one vocab
+    aggregation + ONE vocab-sized global sort (vocabulary is corpus-
+    sublinear by Heaps — at 100 TB the frequency table is the small
+    derived table, exactly what busqueda_bm25's idf build sorts too) +
+    a bands-sized roll-up."""
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    frecuencia = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    rangos = frecuencia.withColumn("r", F.row_number().over(w))
+    total = frecuencia.agg(F.sum("f").alias("n"))
+    return (
+        rangos.crossJoin(F.broadcast(total))
+        .groupBy(F.expr(_log2_ladder("r", cap=30)).cast("int").alias("banda_log2"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tipos"),
+            F.sum("f").cast("bigint").alias("ocurrencias"),
+            F.expr("CAST((1000 * sum(f)) div any_value(n) AS BIGINT)").alias(
+                "masa_mili"
+            ),
+            F.max("f").cast("bigint").alias("f_max"),
+            F.min("f").cast("bigint").alias("f_min"),
+            F.max(F.col("f") * F.col("r")).cast("bigint").alias("fr_max"),
+            F.min(F.col("f") * F.col("r")).cast("bigint").alias("fr_min"),
+        )
+    )
+
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY_Z  # noqa: E402
+
+_REGISTRY_Z["ley_zipf"].oracle = _zipf_oracle()
+
+
+# --------------------------------------------------------------------------
 # Phrase search — adjacent-bigram index, deterministic corpus phrase
 # --------------------------------------------------------------------------
 

@@ -121,6 +121,10 @@ SMOKE = [
     "cobertura_lsh",
     "busqueda_hibrida",
     "secuencias_frecuentes",
+    # round-8 operator families
+    "dedup_semantico",
+    "puntuacion_mmr",
+    "ley_zipf",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -609,3 +609,21 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
     CartesianProduct anywhere in the plan."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_semantico",
+        "puntuacion_mmr",
+        "ley_zipf",
+    ],
+)
+def test_round8_ops_no_cartesian(spark, sf_dir, name):
+    """Round-8 operators keep the standing invariant: every candidate /
+    pool / band stage is keyed or broadcast — no unkeyed
+    CartesianProduct anywhere in the plan (dedup_semantico's pair stage
+    must stay an equi join on celda; puntuacion_mmr's pool stages are
+    query-keyed joins over the checkpointed shortlist)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
