@@ -71,6 +71,7 @@ FAMILIES = {
             "particion_familias",
             "consistencia_modalidades",
             "fuga_particiones",
+            "tamanos_familias",
         ),
     },
 }

@@ -909,6 +909,82 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Family-size distribution — the "template blob" audit over the clusters
+# --------------------------------------------------------------------------
+
+
+def _familias_tamanos_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    comp_ctes = _CLUSTER_ORACLE.split("WITH RECURSIVE", 1)[1].rsplit(
+        "SELECT doc_id", 1
+    )[0].strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {comp_ctes},
+tamf AS (SELECT cluster_id, count(*) AS tam FROM comp GROUP BY 1),
+sing AS (
+    SELECT count(*) AS s FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id)
+)
+SELECT CAST({_log2_ladder("tam")} AS INT) AS banda_log2,
+       CAST(count(*) AS BIGINT) AS familias,
+       CAST(sum(tam) AS BIGINT) AS docs,
+       CAST(max(tam) AS BIGINT) AS tam_max,
+       CAST(min(tam) AS BIGINT) AS tam_min
+FROM tamf GROUP BY 1
+UNION ALL
+SELECT 0, CAST(s AS BIGINT), CAST(s AS BIGINT),
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+FROM sing WHERE s > 0"""
+
+
+@register("tamanos_familias", oracle=_familias_tamanos_oracle(),
+          ops=("DD4", "A1"), driver=False, bench=True)
+def tamanos_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP FAMILY-SIZE DISTRIBUTION, log2-banded — the audit that
+    reads the dedup graph's SHAPE before anyone trusts its output: a
+    corpus whose mass sits in a few giant bands is template/boilerplate
+    blob material (one mirror dominating the crawl), while a healthy
+    near-dup profile is singleton-heavy with a thin geometric tail —
+    and the band histogram is exactly what sizes the retention win
+    corpus_desduplicado will realize (docs − familias per band = rows
+    removed). Singleton docs (no near-dup edge at all) report as band
+    0 via an anti join against the cluster map — they never enter the
+    label propagation, so the audit is complete over the corpus, not
+    just the connected part. Reuses the session-shared cluster build
+    (dedup_clusters ← the prefix-filtered pair engine); its own work is
+    a families-sized roll-up + one broadcast anti join. Oracle: the
+    recursive-CTE closure + the same banding ladder."""
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    clusters = dedup_clusters(spark, sf_dir).localCheckpoint(eager=False)
+    tamf = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("tam"))
+    bandas = tamf.groupBy(
+        F.expr(_log2_ladder("tam")).cast("int").alias("banda_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("familias"),
+        F.sum("tam").cast("bigint").alias("docs"),
+        F.max("tam").cast("bigint").alias("tam_max"),
+        F.min("tam").cast("bigint").alias("tam_min"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sing = (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") > 0)
+        .select(
+            F.lit(0).cast("int").alias("banda_log2"),
+            F.col("s").cast("bigint").alias("familias"),
+            F.col("s").cast("bigint").alias("docs"),
+            F.lit(1).cast("bigint").alias("tam_max"),
+            F.lit(1).cast("bigint").alias("tam_min"),
+        )
+    )
+    return bandas.unionByName(sing)
+
+
+# --------------------------------------------------------------------------
 # Incremental dedup — the daily-ingest shape: batch probes the index
 # --------------------------------------------------------------------------
 

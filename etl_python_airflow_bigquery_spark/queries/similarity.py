@@ -1030,6 +1030,110 @@ def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coreset selection — k-center greedy (farthest-point traversal)
+# --------------------------------------------------------------------------
+
+_CORESET_K = 4  # seed + 3 greedy picks; production raises it — each pick
+# is one corpus scan, so the budget is k scans by construction
+
+
+def _coreset_d2_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"k -> ({a}[k] - {b}[k]) * ({a}[k] - {b}[k]))) AS BIGINT)"
+    )
+
+
+def _coreset_oracle() -> str:
+    ints = _scaled_int_sql("embedding")
+    parts = [
+        f"enteros AS (SELECT vec_id, {ints} AS ev FROM embeddings)",
+        "s1 AS (SELECT vec_id, ev FROM enteros "
+        "WHERE vec_id = (SELECT min(vec_id) FROM enteros))",
+        "d1 AS (SELECT e.vec_id, e.ev, "
+        + _coreset_d2_sql("e.ev", "s.ev")
+        + " AS dm FROM enteros e, s1 s WHERE e.vec_id != s.vec_id)",
+    ]
+    for i in range(2, _CORESET_K + 1):
+        parts.append(
+            f"s{i} AS (SELECT vec_id, ev, dm FROM (SELECT vec_id, ev, dm, "
+            f"row_number() OVER (ORDER BY dm DESC, vec_id) AS rn FROM d{i - 1})"
+            " WHERE rn = 1)"
+        )
+        if i < _CORESET_K:
+            parts.append(
+                f"d{i} AS (SELECT d.vec_id, d.ev, "
+                f"least(d.dm, {_coreset_d2_sql('d.ev', 's.ev')}) AS dm "
+                f"FROM d{i - 1} d, s{i} s WHERE d.vec_id != s.vec_id)"
+            )
+    sels = ["SELECT CAST(1 AS BIGINT) AS pos, vec_id, "
+            "CAST(0 AS BIGINT) AS d2_sel FROM s1"]
+    sels += [
+        f"SELECT CAST({i} AS BIGINT) AS pos, vec_id, CAST(dm AS BIGINT)"
+        f" AS d2_sel FROM s{i}"
+        for i in range(2, _CORESET_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("seleccion_coreset", ops=("NN2", "O7"), driver=False)
+def seleccion_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET SELECTION by k-center greedy / farthest-point traversal
+    (Gonzalez 1985; the data-selection device of Sener & Savarese 2018,
+    arXiv:1708.00489): seed with the min vec_id, then repeatedly pick
+    the point FARTHEST from everything already selected — the classic
+    2-approximation of the k-center cover, and the budget-pruning
+    answer to 'which 4 examples summarize this corpus'. Deterministic
+    end to end: micro-scaled integer vectors, integer squared L2, ties
+    break on vec_id; each pick's d2_sel is the max-min distance at that
+    step, so the column IS the (decreasing) covering-radius curve.
+    Scale shape: one corpus scan per pick (k scans total — inherent to
+    the greedy), each a narrow map over the running min-distance column
+    plus a 1-row argmax aggregate; the only driver state is the k×64
+    selected vectors (the _kmeans_fit discipline). Oracle: the same
+    picks unrolled as CTEs."""
+    enteros = _int_vectors(_emb(spark, sf_dir)).select("vec_id", "ev")
+    seed = (
+        enteros.orderBy("vec_id").limit(1).collect()
+    )
+    out_rows: list[tuple[int, int, int]] = []
+    if not seed:
+        return spark.createDataFrame(
+            [], "pos bigint, vec_id bigint, d2_sel bigint"
+        )
+    sel_id, sel_ev = seed[0]["vec_id"], list(seed[0]["ev"])
+    out_rows.append((1, sel_id, 0))
+
+    def d2_lit(ev: list[int]) -> F.Column:
+        arr = "array(" + ", ".join(f"{v}L" for v in ev) + ")"
+        return F.expr(
+            f"aggregate(zip_with(ev, {arr}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (a, v) -> a + v)"
+        )
+
+    rest = enteros.where(F.col("vec_id") != sel_id).withColumn(
+        "dm", d2_lit(sel_ev)
+    )
+    for pos in range(2, _CORESET_K + 1):
+        top = (
+            rest.orderBy(F.col("dm").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        sel_id, sel_ev, dm = top[0]["vec_id"], list(top[0]["ev"]), top[0]["dm"]
+        out_rows.append((pos, sel_id, dm))
+        if pos < _CORESET_K:
+            rest = rest.where(F.col("vec_id") != sel_id).withColumn(
+                "dm", F.least(F.col("dm"), d2_lit(sel_ev))
+            )
+    return spark.createDataFrame(
+        out_rows, "pos bigint, vec_id bigint, d2_sel bigint"
+    )
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH — the 100 TB scale path
 # --------------------------------------------------------------------------
 
@@ -4170,3 +4274,4 @@ def atipicos_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
+_REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()

@@ -125,6 +125,8 @@ SMOKE = [
     "dedup_semantico",
     "puntuacion_mmr",
     "ley_zipf",
+    "seleccion_coreset",
+    "tamanos_familias",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

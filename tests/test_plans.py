@@ -617,6 +617,8 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "dedup_semantico",
         "puntuacion_mmr",
         "ley_zipf",
+        "seleccion_coreset",
+        "tamanos_familias",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
