@@ -607,48 +607,56 @@ class TxTable:
         self._enforce(df)
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
-        if parent >= 0:
-            old_types = {
-                f.name: f.dataType.simpleString()
-                for f in StructType.fromJson(
-                    json.loads(self._manifest(parent)["schema"])
-                ).fields
-            }
-            new_types = {
-                f.name: f.dataType.simpleString() for f in df.schema.fields
-            }
-            clash = [
-                f"{n}: {old_types[n]} -> {t}"
-                for n, t in new_types.items()
-                if n in old_types and t != old_types[n]
-            ]
-            if clash:
-                raise ValueError(
-                    f"append type drift on {self.path!r} ({'; '.join(clash)}):"
-                    " cast the batch or use overwrite/merge for type changes"
-                )
-            dropped = {n: t for n, t in old_types.items() if n not in new_types}
-            added = {n: t for n, t in new_types.items() if n not in old_types}
-            renames = [
-                f"{d} -> {a}"
-                for d, dt in dropped.items()
-                for a, at in added.items()
-                if dt == at
-            ]
-            if renames:
-                raise ValueError(
-                    f"rename-shaped evolution on {self.path!r} "
-                    f"({'; '.join(renames)}): one append drops a column and "
-                    "adds a same-typed one — ambiguous with a rename, which "
-                    "would silently break changes() consumers. Use overwrite "
-                    "for renames, or two separate appends for an unrelated "
-                    "drop+add"
-                )
+        self._check_append_evolution(parent, df.schema)
         new = self._write_files(df)
         m = {"files": base + new, "op": "append", "schema": df.schema.json()}
         if txn is not None:
             m["txn"] = {txn[0]: txn[1]}
         return self._claim(m, parent)
+
+    def _check_append_evolution(self, parent: int, new_schema) -> None:
+        """Append-shaped schema-evolution gate (shared by ``append`` and
+        WAP ``publish``): column add/remove is legal, a TYPE change on a
+        shared column or a RENAME-shaped drop+add is refused loudly —
+        see ``append``'s docstring for the full contract."""
+        if parent < 0:
+            return
+        old_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(
+                json.loads(self._manifest(parent)["schema"])
+            ).fields
+        }
+        new_types = {
+            f.name: f.dataType.simpleString() for f in new_schema.fields
+        }
+        clash = [
+            f"{n}: {old_types[n]} -> {t}"
+            for n, t in new_types.items()
+            if n in old_types and t != old_types[n]
+        ]
+        if clash:
+            raise ValueError(
+                f"append type drift on {self.path!r} ({'; '.join(clash)}):"
+                " cast the batch or use overwrite/merge for type changes"
+            )
+        dropped = {n: t for n, t in old_types.items() if n not in new_types}
+        added = {n: t for n, t in new_types.items() if n not in old_types}
+        renames = [
+            f"{d} -> {a}"
+            for d, dt in dropped.items()
+            for a, at in added.items()
+            if dt == at
+        ]
+        if renames:
+            raise ValueError(
+                f"rename-shaped evolution on {self.path!r} "
+                f"({'; '.join(renames)}): one append drops a column and "
+                "adds a same-typed one — ambiguous with a rename, which "
+                "would silently break changes() consumers. Use overwrite "
+                "for renames, or two separate appends for an unrelated "
+                "drop+add"
+            )
 
     def merge(self, spark: SparkSession, staging: DataFrame, key_cols: list[str]) -> int:
         """K4 MERGE with real snapshot isolation: reconcile against the
@@ -1181,6 +1189,172 @@ class TxTable:
             self.version(),
         )
 
+    # -- tags: named refs (Iceberg-style), vacuum GC roots ------------------
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.log_dir, f"tag_{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAMED, immutable ref to a version (Iceberg tag
+        semantics): ``read_tag`` resolves it forever, and ``vacuum``
+        treats tagged versions as GC ROOTS — their manifest and data
+        files survive any retention policy until the tag is deleted.
+        That is the release-pinning contract: a model card that says
+        'trained on corpus@v12' needs v12 readable after the nightly
+        vacuum, not best-effort. Tags are immutable (re-pointing is
+        delete + create, both explicit); duplicate names and unknown
+        versions are refused loudly."""
+        if not name.isidentifier():
+            raise ValueError(f"tag name must be an identifier: {name!r}")
+        v = self.version() if version is None else version
+        if v < 0 or not os.path.exists(os.path.join(self.log_dir, f"v{v}.json")):
+            raise ValueError(f"cannot tag unknown version {v} of {self.path!r}")
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v, "created_at": time.time()}, fh)
+        try:
+            os.link(tmp, self._tag_path(name))
+        except FileExistsError as exc:
+            raise ValueError(
+                f"tag {name!r} already exists on {self.path!r} "
+                "(tags are immutable — delete_tag first to re-point)"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for f in os.listdir(self.log_dir):
+            if f.startswith("tag_") and f.endswith(".json"):
+                with open(os.path.join(self.log_dir, f)) as fh:
+                    t = json.load(fh)
+                out[t["name"]] = t["version"]
+        return out
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        ts = self.tags()
+        if name not in ts:
+            raise ValueError(f"no such tag {name!r} on {self.path!r}")
+        return self.read(spark, version=ts[name])
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"no such tag {name!r} on {self.path!r}"
+            ) from exc
+
+    # -- write-audit-publish (Iceberg WAP / staged commits) -----------------
+    def _staged_path(self, staging_id: str) -> str:
+        return os.path.join(self.log_dir, f"staged_{staging_id}.json")
+
+    def _staged_manifest(self, staging_id: str) -> dict:
+        try:
+            with open(self._staged_path(staging_id)) as fh:
+                return json.load(fh)
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"unknown staging id {staging_id!r} on {self.path!r} "
+                "(already published or discarded?)"
+            ) from exc
+
+    def stage_append(self, df: DataFrame) -> str:
+        """WRITE half of write-audit-publish (the Iceberg WAP pattern):
+        the batch's data files land in the data dir and a STAGED manifest
+        records them, but no version flips — readers cannot see the rows,
+        and vacuum's staged-file root set protects them from GC while
+        they await audit. Returns the staging id for ``read_staged`` /
+        ``publish`` / ``discard_staged``.
+
+        Nothing is validated here BY DESIGN: the audit window is where
+        quality gates run (on the would-be state, via read_staged), and
+        publish() re-checks constraints and schema evolution against the
+        head AT PUBLISH TIME — the head may have moved since staging, and
+        append semantics make that legal (disjoint files)."""
+        files = self._write_files(df)
+        sid = uuid.uuid4().hex[:8]
+        payload = {
+            "files": files,
+            "op": "append",
+            "schema": df.schema.json(),
+            "base_version": self.version(),
+            "staged_at": time.time(),
+        }
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.link(tmp, self._staged_path(sid))
+        os.unlink(tmp)
+        return sid
+
+    def staged(self) -> dict[str, dict]:
+        """Staging inventory: id -> {base_version, staged_at, n_files}."""
+        out: dict[str, dict] = {}
+        for f in os.listdir(self.log_dir):
+            if f.startswith("staged_") and f.endswith(".json"):
+                sid = f[len("staged_"):-5]
+                m = self._staged_manifest(sid)
+                out[sid] = {
+                    "base_version": m["base_version"],
+                    "staged_at": m["staged_at"],
+                    "n_files": len(m["files"]),
+                }
+        return out
+
+    def read_staged(self, spark: SparkSession, staging_id: str) -> DataFrame:
+        """AUDIT half of WAP: the WOULD-BE table state if the staged
+        batch published right now — current head's files plus the staged
+        files, under the staged schema (exactly what the published
+        append's manifest would govern). Quality gates, row-count diffs,
+        and constraint dry-runs read this; the real table stays
+        untouched."""
+        m = self._staged_manifest(staging_id)
+        parent = self.version()
+        base = self._manifest(parent)["files"] if parent >= 0 else []
+        return self._read_entries(spark, base + m["files"], m["schema"])
+
+    def publish(self, spark: SparkSession, staging_id: str) -> int:
+        """PUBLISH half of WAP: one atomic version flip making the staged
+        batch visible. Validation happens HERE, against the head at
+        publish time — CHECK constraints evaluate over the staged rows
+        (one aggregation pass over only the staged files) and the
+        append-evolution gate (type drift / rename shape) runs against
+        the current schema, because the head may have moved since
+        staging; append semantics make a moved head legal (file sets are
+        disjoint), so a WAP publish never needs the base_version it was
+        staged against. A concurrent commit during publish raises
+        CommitConflict (retry republishes the same staged files — they
+        are still on disk and still staged). On success the staged
+        manifest is consumed; a second publish of the same id raises."""
+        m = self._staged_manifest(staging_id)
+        parent = self.version()
+        self._check_append_evolution(
+            parent, StructType.fromJson(json.loads(m["schema"]))
+        )
+        staged_rows = self._read_entries(spark, m["files"], m["schema"])
+        self._enforce(staged_rows)
+        base = self._manifest(parent)["files"] if parent >= 0 else []
+        v = self._claim(
+            {"files": base + m["files"], "op": "append", "schema": m["schema"]},
+            parent,
+        )
+        os.unlink(self._staged_path(staging_id))
+        return v
+
+    def discard_staged(self, staging_id: str) -> None:
+        """Abandon a staged batch: the manifest goes now; the data files
+        become unreferenced orphans that the next vacuum (past its
+        retention window) collects."""
+        try:
+            os.unlink(self._staged_path(staging_id))
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"unknown staging id {staging_id!r} on {self.path!r}"
+            ) from exc
+
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
         data file no surviving manifest references (crashed-writer
@@ -1191,14 +1365,23 @@ class TxTable:
         between its ``_write_files`` and ``_claim`` has staged files that
         no manifest references YET — deleting them would commit a
         manifest pointing at missing files. Pass ``retention_s=0`` only
-        when no in-flight writers exist (e.g. tests)."""
+        when no in-flight writers exist (e.g. tests).
+
+        GC roots beyond the retention window: TAGGED versions (their
+        manifest and files survive until the tag is deleted — the
+        release-pinning contract) and WAP-STAGED batches (their files
+        are referenced by a staged manifest awaiting audit, regardless
+        of age)."""
         import time as _time
 
         vs = self._versions()
-        keep = vs[-keep_versions:] if keep_versions > 0 else vs
+        keep = set(vs[-keep_versions:] if keep_versions > 0 else vs)
+        keep.update(v for v in self.tags().values() if v in vs)
         live: set[str] = set()
         for v in keep:
             live.update(self._names(self._manifest(v)["files"]))
+        for sid in self.staged():
+            live.update(self._names(self._staged_manifest(sid)["files"]))
         removed = 0
         for v in vs:
             if v not in keep:

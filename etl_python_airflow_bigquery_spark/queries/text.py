@@ -685,6 +685,108 @@ def mezcla_entrenamiento(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Source token-budget capping — the clipping mezcla_entrenamiento plans
+# --------------------------------------------------------------------------
+
+_CUOTAS_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS t FROM documents
+),
+fuentes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(t) AS BIGINT) AS tokens
+    FROM tok GROUP BY 1
+),
+lim AS (
+    SELECT CAST(sum(tokens) AS BIGINT) // (2 * count(*)) AS cap FROM fuentes
+),
+acum AS (
+    SELECT source, t,
+           sum(t) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cs
+    FROM tok
+),
+recortado AS (
+    SELECT a.source, CAST(count(*) AS BIGINT) AS docs_cap,
+           CAST(sum(a.t) AS BIGINT) AS tokens_cap
+    FROM acum a, lim l
+    WHERE a.cs - a.t < l.cap
+    GROUP BY 1
+)
+SELECT f.source, f.docs, f.tokens,
+       CAST(coalesce(r.docs_cap, 0) AS BIGINT) AS docs_cap,
+       CAST(coalesce(r.tokens_cap, 0) AS BIGINT) AS tokens_cap,
+       CASE WHEN f.tokens > 0
+            THEN CAST((1000 * (f.tokens - coalesce(r.tokens_cap, 0)))
+                      // f.tokens AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS recorte_mili
+FROM fuentes f LEFT JOIN recortado r USING (source)
+"""
+
+
+@register("cuotas_fuentes", oracle=_CUOTAS_ORACLE, ops=("A1", "W1", "J2"),
+          driver=False)
+def cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE TOKEN-BUDGET CAPPING — the clipping pass that EXECUTES
+    what ``mezcla_entrenamiento`` plans: no single source may exceed
+    ``corpus // (2·n_sources)`` tokens (the anti-domination rule a
+    mixture applies before weighting — one giant crawl must not drown
+    the long tail). Selection is deterministic and order-stable: docs
+    admit per source in doc_id order while the RUNNING token total
+    before the doc stays under the cap (first doc always admits when
+    cap ≥ 1, so no source silently vanishes). Output is the per-source
+    clipping audit — docs/tokens before and after, floor-milli trim
+    rate — the table a datasheet publishes next to the mixture weights.
+    Shape: one column-pruned scan for token counts, one per-source
+    cumulative-sum window (source-partitioned — parallel across
+    sources, and the window is the textbook one-pass prefix sum), a
+    sources-sized roll-up joined back broadcast. All integer; empty
+    sources guard the trim-rate division on BOTH engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("t")
+    )
+    fuentes = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("t").cast("bigint").alias("tokens"),
+    )
+    lim = fuentes.agg(
+        F.expr("CAST(sum(tokens) div (2 * count(*)) AS BIGINT)").alias("cap")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acum = tok.withColumn("cs", F.sum("t").over(w))
+    recortado = (
+        acum.crossJoin(F.broadcast(lim))
+        .where(F.col("cs") - F.col("t") < F.col("cap"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_cap"),
+            F.sum("t").cast("bigint").alias("tokens_cap"),
+        )
+    )
+    return fuentes.join(F.broadcast(recortado), "source", "left").select(
+        "source",
+        "docs",
+        "tokens",
+        F.coalesce("docs_cap", F.lit(0)).cast("bigint").alias("docs_cap"),
+        F.coalesce("tokens_cap", F.lit(0)).cast("bigint").alias("tokens_cap"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr(
+                "(1000 * (tokens - coalesce(tokens_cap, 0))) div tokens"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("recorte_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus curation pipeline — filter → quality gate → dedup → mixture audit
 # --------------------------------------------------------------------------
 

@@ -127,6 +127,7 @@ SMOKE = [
     "ley_zipf",
     "seleccion_coreset",
     "tamanos_familias",
+    "cuotas_fuentes",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -619,6 +619,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "ley_zipf",
         "seleccion_coreset",
         "tamanos_familias",
+        "cuotas_fuentes",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):

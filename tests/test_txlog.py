@@ -1185,3 +1185,104 @@ def test_merge_into_refuses_dup_source_on_empty_table(spark, tmp_path):
     clean = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
     t.merge_into(spark, clean, key_cols=["k"])
     assert t.read(spark).count() == 2
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """Iceberg-style tags: a named ref resolves its version forever and
+    is a vacuum GC ROOT — the tagged manifest and its data files survive
+    any retention policy until the tag is deleted (the release-pinning
+    contract: 'trained on corpus@v0' must stay readable)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))            # v0
+    t.create_tag("lanzamiento_v1")           # pins v0
+    t.overwrite(_df(spark, 10, 12))          # v1 rewrites everything
+    t.append(_df(spark, 12, 13))             # v2
+    assert t.tags() == {"lanzamiento_v1": 0}
+    assert t.read_tag(spark, "lanzamiento_v1").count() == 5
+    # aggressive vacuum: keep only the head — but the tag is a root
+    t.vacuum(keep_versions=1, retention_s=0.0)
+    assert t.read_tag(spark, "lanzamiento_v1").count() == 5
+    assert t.read(spark).count() == 3
+    # v1 (untagged, not head) is genuinely gone
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    # immutability + loud unknowns
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("lanzamiento_v1")
+    with pytest.raises(ValueError, match="unknown version"):
+        t.create_tag("fantasma", version=99)
+    with pytest.raises(ValueError, match="no such tag"):
+        t.read_tag(spark, "nadie")
+    # delete releases the root; the next vacuum collects v0
+    t.delete_tag("lanzamiento_v1")
+    t.vacuum(keep_versions=1, retention_s=0.0)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+
+
+def test_wap_stage_audit_publish_flow(spark, tmp_path):
+    """Write-audit-publish: staged rows are INVISIBLE to readers, the
+    audit reads the would-be state, publish is one atomic flip that
+    validates constraints + schema evolution at publish time, and a
+    discarded stage never surfaces."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))
+    t.add_constraint(spark, "k_nn", "k >= 0")
+
+    sid = t.stage_append(_df(spark, 5, 8))
+    # invisible until published; audit sees head + staged
+    assert t.read(spark).count() == 5
+    assert t.read_staged(spark, sid).count() == 8
+    assert t.staged()[sid]["n_files"] >= 1
+    v = t.publish(spark, sid)
+    assert v == 2 and t.read(spark).count() == 8
+    # consumed: double publish and re-audit both raise
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.publish(spark, sid)
+
+    # constraint violations are caught AT PUBLISH, table untouched
+    bad = spark.createDataFrame([(-1, 1.0)], "k long, v double")
+    sid_bad = t.stage_append(bad)
+    with pytest.raises(ConstraintViolation):
+        t.publish(spark, sid_bad)
+    assert t.read(spark).count() == 8 and t.version() == 2
+    t.discard_staged(sid_bad)
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.discard_staged(sid_bad)
+
+    # discarded files are orphans: vacuum past retention collects them,
+    # while a LIVE staged batch's files are GC roots at any age
+    sid_live = t.stage_append(_df(spark, 100, 102))
+    removed = t.vacuum(keep_versions=1, retention_s=0.0)
+    assert removed >= 1  # the discarded bad batch's file went
+    assert t.publish(spark, sid_live) == 3  # staged files survived vacuum
+    assert t.read(spark).count() == 10
+
+
+def test_wap_publish_against_moved_head(spark, tmp_path):
+    """The head moving between stage and publish is LEGAL for append
+    semantics (disjoint files): publish lands on the new head and the
+    audit's read_staged always reflects the CURRENT would-be state, not
+    the stale base_version."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+    sid = t.stage_append(_df(spark, 10, 12))
+    assert t.staged()[sid]["base_version"] == 0
+    t.append(_df(spark, 3, 5))  # concurrent writer moves the head
+    assert t.read_staged(spark, sid).count() == 7  # 5 head + 2 staged
+    v = t.publish(spark, sid)
+    assert v == 2
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {0, 1, 2, 3, 4, 10, 11}
+    # schema evolution is checked against the head AT PUBLISH: a staged
+    # batch whose type now clashes is refused
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.overwrite(_df(spark, 0, 2))
+    sid2 = t2.stage_append(
+        spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    t2.overwrite(
+        spark.createDataFrame([("a", 1.0)], "k string, v double")
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        t2.publish(spark, sid2)
