@@ -546,6 +546,125 @@ def run_ann_ingest(
     q.awaitTermination()
 
 
+def run_semdedup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str,
+    tau: float = 0.35,
+) -> None:
+    """STREAMING SEMANTIC-DEDUP GATE — ``dedup_semantico``'s production
+    read path, run against the STORED ANN index instead of a per-batch
+    refit (the add_to_ivf_index discipline): each micro-batch of
+    arriving embeddings
+
+    1. assigns against the stored centroids (map-only, O(batch·k));
+    2. joins the stored postings WITHIN its cells — an arrival at
+       cosine ≥ ``tau`` to anything already indexed is a semantic
+       duplicate and is DROPPED (SemDeDup's keep-first, which in a
+       stream is keep-EARLIEST-ARRIVED — the only causal choice);
+    3. dedupes within the batch itself the same way (keep min vec_id
+       among same-cell pairs at ≥ tau);
+    4. appends the survivors to the postings table as ONE atomic
+       manifest flip, fenced with txnAppId/txnVersion so a crash
+       between the flip and the checkpoint commit replays into a
+       NO-OP, never a double-append (run_span_cut_ingest's contract).
+
+    Requires a built index (build_ivf_index) — same prerequisite as
+    add_to_ivf_index; the index IS the dedup memory, so the gate's
+    state is bounded by the index, not the stream. Candidate volume is
+    Σ cell-local products per batch — never batch × corpus."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _stored_centroids,
+        _tables,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _assign_cells,
+        _int_vectors,
+        cosine_from_ints,
+    )
+
+    _, vec_tx = _tables(index_path)
+    cent = _stored_centroids(spark, index_path)
+    app_id = f"semdedup:{os.path.abspath(src_dir)}"
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enteros = _int_vectors(batch_df)
+        asig = (
+            _assign_cells(enteros, cent)
+            .select("vec_id", "celda")
+            .join(enteros, "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        con_norma = asig.withColumn("nn", _dot("ev", "ev"))
+        stored = vec_tx.read(spark).select(
+            "celda",
+            F.col("vec_id").alias("vid_s"),
+            F.col("ev").alias("ev_s"),
+        ).withColumn("nn_s", _dot("ev_s", "ev_s"))
+        dup_stored = (
+            con_norma.join(stored, "celda")
+            .where(
+                cosine_from_ints(_dot("ev", "ev_s"), F.col("nn"), F.col("nn_s"))
+                >= tau
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        a = con_norma.select(
+            "celda", F.col("vec_id").alias("va"),
+            F.col("ev").alias("ev_a"), F.col("nn").alias("nn_a"),
+        )
+        b = con_norma.select(
+            F.col("celda").alias("celda_b"), F.col("vec_id").alias("vb"),
+            F.col("ev").alias("ev_b"), F.col("nn").alias("nn_b"),
+        )
+        dup_batch = (
+            a.join(b, (F.col("celda") == F.col("celda_b"))
+                   & (F.col("va") < F.col("vb")))
+            .where(
+                cosine_from_ints(
+                    _dot("ev_a", "ev_b"), F.col("nn_a"), F.col("nn_b")
+                )
+                >= tau
+            )
+            .select(F.col("vb").alias("vec_id"))
+            .distinct()
+        )
+        survivors = asig.join(
+            dup_stored.unionByName(dup_batch).distinct(),
+            "vec_id",
+            "left_anti",
+        ).select("vec_id", "celda", "ev")
+        vec_tx.append(survivors, txn=(app_id, batch_id))
+
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_span_cut_ingest(
     spark: SparkSession,
     src_dir: str,

@@ -205,3 +205,59 @@ def test_indexed_hybrid_matches_brute_at_full_probe(spark, sf_dir, tmp_path):
         (r["doc_id"], r["pos_lex"]) for r in dflt if r["pos_lex"] is not None
     }
     assert lex_dflt >= lex_brute or lex_brute >= lex_dflt
+
+
+def test_streaming_semdedup_gate(spark, sf_dir, tmp_path):
+    """run_semdedup_ingest: the in-stream SemDeDup gate against the
+    STORED index — a clone of an indexed vector is dropped, a novel
+    vector is kept, a within-batch duplicate pair keeps the min id, and
+    a crash replay (checkpoint wiped, same file redelivered) is fenced
+    into a no-op by the manifest's txnAppId/txnVersion."""
+    import os
+    import shutil
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_semdedup_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), path)
+    vec_tx = TxTable(f"{path}/vectores")
+    v0, n0 = vec_tx.version(), vec_tx.read(spark).count()
+
+    # one micro-batch: a clone of INDEXED vector 0 (cos = 1.0 -> dup vs
+    # stored), a genuinely distinct vector (vec 1 is NOT indexed; corpus
+    # max pairwise cos ~0.47 < tau=0.9 -> novel), and an identical copy
+    # of it (within-batch dup -> larger id dropped)
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    clon = emb.where(F.col("vec_id") == 0).select(
+        F.lit(8_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    novel = emb.where(F.col("vec_id") == 1).select(
+        F.lit(8_000_001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    novel_dup = emb.where(F.col("vec_id") == 1).select(
+        F.lit(8_000_002).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    clon.unionByName(novel).unionByName(novel_dup).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    run_semdedup_ingest(spark, src, path, str(tmp_path / "ck"), tau=0.9)
+
+    assert vec_tx.version() == v0 + 1  # one atomic flip
+    nuevos = {
+        r["vec_id"]
+        for r in vec_tx.read(spark).where(F.col("vec_id") >= 8_000_000).collect()
+    }
+    assert nuevos == {8_000_001}  # clone + within-batch dup both dropped
+    assert vec_tx.read(spark).count() == n0 + 1
+
+    # crash replay: wipe the checkpoint, redeliver the same file — the
+    # txn fence turns the replayed batch 0 into a no-op
+    shutil.rmtree(str(tmp_path / "ck"))
+    run_semdedup_ingest(spark, src, path, str(tmp_path / "ck"), tau=0.9)
+    assert vec_tx.version() == v0 + 1
+    assert vec_tx.read(spark).count() == n0 + 1
