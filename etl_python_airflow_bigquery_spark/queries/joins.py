@@ -866,6 +866,106 @@ def ingresos_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bilateral trade volume — the TPC-H-Q7-shaped two-sided nation join
+# --------------------------------------------------------------------------
+
+_COMERCIO_ORACLE = """
+SELECT ns.n_name AS proveedor,
+       nc.n_name AS cliente,
+       CAST(CASE WHEN epoch_us(o.o_orderdate) < 820454400000000
+                 THEN 1995 ELSE 1996 END AS BIGINT) AS anio,
+       CAST(count(*) AS BIGINT) AS lineas,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+            // 1000 AS BIGINT) AS ingreso_centavos
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE s.s_nationkey != c.c_nationkey
+  AND epoch_us(o.o_orderdate) >= 788918400000000
+  AND epoch_us(o.o_orderdate) < 852076800000000
+GROUP BY 1, 2, 3
+"""
+
+
+@register("comercio_bilateral", oracle=_COMERCIO_ORACLE,
+          ops=("J1", "A1", "P3"), driver=False, bench=True)
+def comercio_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-SHAPED bilateral trade matrix: cross-border revenue per
+    (supplier nation, customer nation, year) — the two-sided dimension
+    join Q5 lacks (the SAME nation table joins twice under different
+    roles, so column disambiguation and the != co-location predicate
+    both exercise paths the equi-chain never touches). Generalized from
+    Q7's two-nation literal filter to the full pair matrix (nations²
+    output bound). Year buckets are pure integer epoch comparisons —
+    no session-tz-dependent year() extraction — over a two-year window
+    pushed into the orders scan (P3 via ts_lit_for). Revenue follows
+    the ingresos_por_nacion exact-integer discipline (centavos ×
+    milli-discount, one final floor-div). Plan: both nation roles
+    broadcast, supplier broadcasts, the two fact joins are the only
+    shuffles — Catalyst's join-reorder target shape.
+
+    1995 window anchors: epoch_us(1995-01-01) = 788918400000000,
+    epoch_us(1996-01-01) = 820454400000000,
+    epoch_us(1997-01-01) = 852076800000000."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lim95 = ts_lit_for(orders, "o_orderdate", "1995-01-01 00:00:00")
+    lim96 = ts_lit_for(orders, "o_orderdate", "1996-01-01 00:00:00")
+    lim97 = ts_lit_for(orders, "o_orderdate", "1997-01-01 00:00:00")
+    o = orders.where(
+        (F.col("o_orderdate") >= lim95) & (F.col("o_orderdate") < lim97)
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("proveedor")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cliente")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(customer, o.o_custkey == F.col("c_custkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    )
+    ingreso = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    return (
+        joined.groupBy(
+            "proveedor",
+            "cliente",
+            F.when(F.col("o_orderdate") < lim96, 1995)
+            .otherwise(1996)
+            .cast("bigint")
+            .alias("anio"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lineas"),
+            ingreso.cast("bigint").alias("_bruto"),
+        )
+        .select(
+            "proveedor",
+            "cliente",
+            "anio",
+            "lineas",
+            F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Shipping-delay distribution — the order-to-ship SLA percentiles
 # --------------------------------------------------------------------------
 

@@ -1030,6 +1030,123 @@ def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mutual-kNN graph — cell-blocked graph construction
+# --------------------------------------------------------------------------
+
+_KNN_GRAFO_K = 3
+
+
+def _knn_mutuo_oracle() -> str:
+    it = _KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(it))
+        + f""",
+asig_kg AS (SELECT vec_id, celda FROM asig{it + 1}),
+m_kg AS (
+    SELECT a.vec_id, a.celda, e.ev
+    FROM (SELECT vec_id, celda FROM asig_kg) a
+    JOIN enteros e USING (vec_id)
+),
+d_kg AS (
+    SELECT a.celda, a.vec_id AS src, b.vec_id AS dst,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                k -> (a.ev[k] - b.ev[k]) * (a.ev[k] - b.ev[k])))
+                AS BIGINT) AS d2
+    FROM m_kg a JOIN m_kg b
+      ON a.celda = b.celda AND a.vec_id != b.vec_id
+),
+knn AS (
+    SELECT celda, src, dst FROM (
+        SELECT celda, src, dst, d2,
+               row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+        FROM d_kg
+    ) WHERE rn <= {_KNN_GRAFO_K}
+),
+mutuas AS (
+    SELECT a.celda, a.src, a.dst FROM knn a
+    JOIN knn b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT k.celda,
+       CAST(count(DISTINCT k.src) AS BIGINT) AS miembros,
+       CAST(count(*) AS BIGINT) AS aristas_knn,
+       CAST(coalesce(mx.m, 0) AS BIGINT) AS aristas_mutuas,
+       CAST((1000 * coalesce(mx.m, 0)) // count(*) AS BIGINT)
+           AS tasa_mutua_mili
+FROM knn k
+LEFT JOIN (SELECT celda, count(*) AS m FROM mutuas GROUP BY 1) mx
+       ON mx.celda = k.celda
+GROUP BY 1, mx.m"""
+    )
+
+
+@register("grafo_knn_mutuo", ops=("NN2", "O7", "A1"), driver=False,
+          bench=True)
+def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN GRAPH construction, cell-blocked — the graph behind
+    density clustering and graph-based label propagation (mutual-kNN is
+    the standard symmetrization that kills hub nodes: an edge survives
+    only when BOTH endpoints rank each other top-k). Neighbors come
+    from WITHIN the trained k-means cell (the SemDeDup/IVF blocking —
+    Σ cell² candidate work, never corpus²; production raises k and adds
+    multi-cell probing for boundary recall). Integer L2, (d2, dst)
+    tie-break, k = 3. Output is the per-cell graph-shape audit:
+    members, directed kNN edges, mutual edges, and the floor-milli
+    mutuality rate — a LOW rate flags hubby/asymmetric neighborhoods
+    where a density cluster would be unreliable. Oracle: the same
+    Lloyd rounds + ranked pair CTEs."""
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    m = (
+        _assign_cells(enteros, cent)
+        .select("vec_id", "celda")
+        .join(enteros, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    a = m.select(
+        "celda", F.col("vec_id").alias("src"), F.col("ev").alias("ev_a")
+    )
+    b = m.select(
+        F.col("celda").alias("celda_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("ev").alias("ev_b"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev_a"), F.col("ev_b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pares = a.join(
+        b, (F.col("celda") == F.col("celda_b")) & (F.col("src") != F.col("dst"))
+    ).select("celda", "src", "dst", d2.alias("d2"))
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        pares.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_GRAFO_K)
+        .select("celda", "src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutuas = knn.join(rev, ["src", "dst"]).groupBy("celda").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    por_celda = knn.groupBy("celda").agg(
+        F.countDistinct("src").cast("bigint").alias("miembros"),
+        F.count(F.lit(1)).cast("bigint").alias("aristas_knn"),
+    )
+    return por_celda.join(F.broadcast(mutuas), "celda", "left").select(
+        "celda",
+        "miembros",
+        "aristas_knn",
+        F.coalesce("m", F.lit(0)).cast("bigint").alias("aristas_mutuas"),
+        F.expr("(1000 * coalesce(m, 0)) div aristas_knn")
+        .cast("bigint")
+        .alias("tasa_mutua_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Coreset selection — k-center greedy (farthest-point traversal)
 # --------------------------------------------------------------------------
 
@@ -4275,3 +4392,4 @@ from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # n
 
 _REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
+_REGISTRY["grafo_knn_mutuo"].oracle = _knn_mutuo_oracle()

@@ -2299,6 +2299,98 @@ def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# OOV rate — token mass outside the top-V corpus vocabulary
+# --------------------------------------------------------------------------
+
+_OOV_V = 256
+
+_OOV_ORACLE = f"""
+WITH tokens AS (
+    SELECT d.source, t.tok
+    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS t(tok)
+    WHERE t.tok != ''
+),
+frec AS (SELECT tok, count(*) AS f FROM tokens GROUP BY 1),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY f DESC, tok) AS rn FROM frec
+    ) WHERE rn <= {_OOV_V}
+),
+cnt AS (
+    SELECT t.source, CAST(count(*) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov
+    FROM tokens t LEFT JOIN vocab v USING (tok)
+    GROUP BY 1
+),
+d AS (SELECT source, CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1)
+SELECT d.source, d.docs,
+       CAST(coalesce(c.tokens, 0) AS BIGINT) AS tokens,
+       CAST(coalesce(c.oov, 0) AS BIGINT) AS oov,
+       CASE WHEN coalesce(c.tokens, 0) > 0
+            THEN CAST((1000 * c.oov) // c.tokens AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS oov_mili
+FROM d LEFT JOIN cnt c USING (source)
+"""
+
+
+@register("palabras_oov", oracle=_OOV_ORACLE, ops=("TX1", "A8", "J2"),
+          driver=False)
+def palabras_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY RATE per source against the corpus's own
+    top-256 vocabulary — the tokenizer-planning sibling of
+    ``fertilidad_tokenizador`` (fertility measures how a TRAINED BPE
+    splits; OOV mass measures how far a closed vocab of a given size
+    would fall short, per source): a source whose token mass is mostly
+    outside the corpus head (IDs, OCR noise, another language) will
+    blow up any fixed-vocab model and is the first candidate for a
+    source-specific normalizer. Deterministic: vocab rank breaks ties
+    (freq desc, token asc); rates floor-milli; all-empty sources guard
+    the division on BOTH engines. Shape: one token explode feeding one
+    vocab aggregation (corpus-sublinear by Heaps), the top-V vocab is a
+    256-row BROADCAST against the token stream (map-side member
+    test, no shuffle of the big side), sources-sized output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    frec = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    vocab = (
+        frec.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _OOV_V)
+        .select("tok", F.lit(True).alias("en_vocab"))
+    )
+    cnt = (
+        tokens.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tokens"),
+            F.sum(F.when(F.col("en_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov"),
+        )
+    )
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs")
+    )
+    return d.join(F.broadcast(cnt), "source", "left").select(
+        "source",
+        "docs",
+        F.coalesce("tokens", F.lit(0)).cast("bigint").alias("tokens"),
+        F.coalesce("oov", F.lit(0)).cast("bigint").alias("oov"),
+        F.when(
+            F.coalesce("tokens", F.lit(0)) > 0,
+            F.expr("(1000 * oov) div tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("oov_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PMI collocations — log2-banded pointwise mutual information
 # --------------------------------------------------------------------------
 

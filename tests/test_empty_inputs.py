@@ -128,6 +128,9 @@ SMOKE = [
     "seleccion_coreset",
     "tamanos_familias",
     "cuotas_fuentes",
+    "comercio_bilateral",
+    "grafo_knn_mutuo",
+    "palabras_oov",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -620,6 +620,9 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "seleccion_coreset",
         "tamanos_familias",
         "cuotas_fuentes",
+        "comercio_bilateral",
+        "grafo_knn_mutuo",
+        "palabras_oov",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
