@@ -612,7 +612,7 @@ FROM umbrales u
 
 
 @register("curva_umbral_dedup", oracle=_CURVA_ORACLE, ops=("DD4", "A8", "J11"),
-          bench=True)
+          bench=True, driver=False)
 def curva_umbral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP THRESHOLD SWEEP — the curve a curation team reads before
     committing to a Jaccard cutoff: for each candidate τ (500-1000
@@ -939,7 +939,7 @@ FROM sing WHERE s > 0"""
 
 
 @register("tamanos_familias", oracle=_familias_tamanos_oracle(),
-          ops=("DD4", "A1"), driver=False, bench=True)
+          ops=("DD4", "A1"), bench=True)
 def tamanos_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP FAMILY-SIZE DISTRIBUTION, log2-banded — the audit that
     reads the dedup graph's SHAPE before anyone trusts its output: a

@@ -1927,7 +1927,7 @@ GROUP BY a.nacion, a.n_clase, t.m, t.n_total
 """
 
 
-@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"))
+@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"), driver=False)
 def t_cercania(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian, ICDE 2007) — the
     third leg of the release triad next to ``anonimato_k`` and

@@ -892,7 +892,7 @@ GROUP BY 1, 2, 3
 
 
 @register("comercio_bilateral", oracle=_COMERCIO_ORACLE,
-          ops=("J1", "A1", "P3"), driver=False, bench=True)
+          ops=("J1", "A1", "P3"), bench=True)
 def comercio_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-SHAPED bilateral trade matrix: cross-border revenue per
     (supplier nation, customer nation, year) — the two-sided dimension

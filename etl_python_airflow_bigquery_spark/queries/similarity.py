@@ -322,8 +322,7 @@ def _mmr_argmax(df: DataFrame) -> DataFrame:
     )
 
 
-@register("puntuacion_mmr", oracle=_MMR_ORACLE, ops=("NN1", "O7", "W1"),
-          driver=False)
+@register("puntuacion_mmr", oracle=_MMR_ORACLE, ops=("NN1", "O7", "W1"))
 def puntuacion_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
     — the retrieval-diversity pass between ANN shortlist and serving: a
@@ -770,7 +769,7 @@ WHERE r.pos <= 3
 
 
 @register("negativos_dificiles", oracle=_DIFICILES_ORACLE,
-          ops=("NN1", "O7", "W1"))
+          ops=("NN1", "O7", "W1"), driver=False)
 def negativos_dificiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD-NEGATIVE MINING for contrastive training (the DPR recipe,
     Karpukhin et al. 2020, arXiv:2004.04906): for each anchor, the
@@ -940,7 +939,7 @@ GROUP BY 1"""
     )
 
 
-@register("dedup_semantico", ops=("DD5", "NN2"), driver=False, bench=True)
+@register("dedup_semantico", ops=("DD5", "NN2"), bench=True)
 def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that only ever compares vectors INSIDE a trained
@@ -1193,7 +1192,7 @@ def _coreset_oracle() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
 
 
-@register("seleccion_coreset", ops=("NN2", "O7"), driver=False)
+@register("seleccion_coreset", ops=("NN2", "O7"))
 def seleccion_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORESET SELECTION by k-center greedy / farthest-point traversal
     (Gonzalez 1985; the data-selection device of Sener & Savarese 2018,
@@ -4074,7 +4073,7 @@ FROM intra i CROSS JOIN totales g
 
 
 @register("equilibrio_etiquetas", oracle=_EQUILIBRIO_ORACLE,
-          ops=("NN2", "A6", "A3"))
+          ops=("NN2", "A6", "A3"), driver=False)
 def equilibrio_etiquetas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL BALANCE + DISPERSION audit over the embedding space: per
     label its vector share (milli) and its intra-label dispersion

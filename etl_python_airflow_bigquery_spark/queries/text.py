@@ -3101,7 +3101,7 @@ FROM deciles GROUP BY 1
 
 
 @register("ponderacion_importancia", oracle=_DSIR_ORACLE,
-          ops=("TX2", "A8", "W1"))
+          ops=("TX2", "A8", "W1"), driver=False)
 def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-STYLE IMPORTANCE REWEIGHTING (Xie et al. 2023,
     arXiv:2302.03169 — Data Selection via Importance Resampling): score
