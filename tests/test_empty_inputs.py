@@ -131,6 +131,7 @@ SMOKE = [
     "comercio_bilateral",
     "grafo_knn_mutuo",
     "palabras_oov",
+    "agrupacion_densidad",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -623,6 +623,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "comercio_bilateral",
         "grafo_knn_mutuo",
         "palabras_oov",
+        "agrupacion_densidad",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
