@@ -1838,6 +1838,91 @@ def correlacion_tipos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Year-over-year growth — LAG against the same period one cycle back
+# --------------------------------------------------------------------------
+
+_INTERANUAL_ORACLE = """
+WITH ord AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 // 30 AS periodo,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS centavos
+    FROM orders
+),
+por_periodo AS (
+    SELECT periodo, CAST(sum(centavos) AS BIGINT) AS ingreso,
+           CAST(count(*) AS BIGINT) AS ordenes
+    FROM ord GROUP BY 1
+),
+con_lag AS (
+    SELECT periodo, ingreso, ordenes,
+           lag(ingreso, 12) OVER (ORDER BY periodo) AS ingreso_previo,
+           lag(periodo, 12) OVER (ORDER BY periodo) AS periodo_previo
+    FROM por_periodo
+)
+SELECT CAST(periodo AS BIGINT) AS periodo, ingreso, ordenes,
+       CAST(ingreso_previo AS BIGINT) AS ingreso_previo,
+       CASE WHEN periodo_previo = periodo - 12 AND ingreso_previo > 0
+            THEN CAST(((ingreso - ingreso_previo) * 1000) // ingreso_previo
+                      AS BIGINT) END AS crecimiento_mili
+FROM con_lag
+"""
+
+
+@register("crecimiento_interanual", oracle=_INTERANUAL_ORACLE,
+          ops=("W1", "A1", "P3"), driver=False)
+def crecimiento_interanual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR-OVER-YEAR GROWTH per 30-day period: revenue LAGged twelve
+    periods back (the integer-period calendar every time-derived column
+    here uses — day_num // 30, session-tz-proof by construction).
+    Growth only reports when the lagged row is EXACTLY 12 periods
+    earlier (a gap in the period sequence would otherwise silently
+    compare against the wrong year — lag() counts rows, not periods;
+    the periodo_previo equality check converts row-lag into time-lag)
+    and the base is positive; floor-milli integer rate. Shape: one
+    centavos aggregation to period grain (periods-sized — tiny at any
+    corpus size), one ordered window over that tiny frame; the single
+    global sort is over periods, never rows."""
+    from etl_python_airflow_bigquery_spark.functions import micros
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = "o_orderdate"
+    dia = (
+        (micros(c) - micros(c) % 86_400_000_000) / 86_400_000_000
+    ).cast("bigint")
+    por_periodo = (
+        orders.select(
+            (dia / 30).cast("bigint").alias("periodo"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("centavos"),
+        )
+        .groupBy("periodo")
+        .agg(
+            F.sum("centavos").cast("bigint").alias("ingreso"),
+            F.count(F.lit(1)).cast("bigint").alias("ordenes"),
+        )
+    )
+    w = Window.orderBy("periodo")
+    con_lag = por_periodo.select(
+        "periodo",
+        "ingreso",
+        "ordenes",
+        F.lag("ingreso", 12).over(w).alias("ingreso_previo"),
+        F.lag("periodo", 12).over(w).alias("periodo_previo"),
+    )
+    return con_lag.select(
+        F.col("periodo").cast("bigint").alias("periodo"),
+        "ingreso",
+        "ordenes",
+        F.col("ingreso_previo").cast("bigint").alias("ingreso_previo"),
+        F.when(
+            (F.col("periodo_previo") == F.col("periodo") - 12)
+            & (F.col("ingreso_previo") > 0),
+            F.expr("((ingreso - ingreso_previo) * 1000) div ingreso_previo"),
+        )
+        .cast("bigint")
+        .alias("crecimiento_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Degree distribution — the graph-shape audit (log2-binned)
 # --------------------------------------------------------------------------
 

@@ -1146,6 +1146,73 @@ def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding drift — per-dimension mean shift between ingest waves
+# --------------------------------------------------------------------------
+
+_DERIVA_EMB_ORACLE = f"""
+WITH ent AS (
+    SELECT vec_id, vec_id % 2 AS ola, {{ints}} AS ev FROM embeddings
+),
+dims AS (
+    SELECT e.ola, g.k, CAST(e.ev[g.k] AS BIGINT) AS x
+    FROM ent e CROSS JOIN generate_series(1, {DIM}) g(k)
+),
+olas AS (
+    SELECT k,
+           sum(CASE WHEN ola = 0 THEN x ELSE 0 END) AS sa,
+           sum(CASE WHEN ola = 1 THEN x ELSE 0 END) AS sb,
+           sum(CASE WHEN ola = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN ola = 1 THEN 1 ELSE 0 END) AS nb
+    FROM dims GROUP BY 1
+)
+SELECT CAST(k AS INT) AS dim,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa AS BIGINT) AS suma_a, CAST(sb AS BIGINT) AS suma_b,
+       CAST(abs(sa * nb - sb * na) AS BIGINT) AS deriva_cruzada
+FROM olas
+WHERE na > 0 AND nb > 0
+"""
+
+
+@register("deriva_embeddings", ops=("NN2", "A8"), driver=False)
+def deriva_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT between two ingest waves (here vec_id parity
+    stands in for old-batch/new-batch) — ``deriva_vocabulario``'s
+    sibling for the dense modality: per dimension, the CLEARED mean
+    difference |Σa·n_b − Σb·n_a| over micro-scaled integer components
+    (the exact-fraction clearing trick: comparing Σa/n_a to Σb/n_b
+    without a division, so both engines agree to the last unit). A
+    spiking dimension is the operational rebuild signal for the stored
+    IVF index (recall_drift measures the SYMPTOM on queries; this
+    measures the CAUSE on the distribution). Shape: one posexplode to
+    (row, dim) grain — 64n rows, the same order as the vectors
+    themselves — and ONE 64-group aggregation; no joins, no windows.
+    Oracle: the same conditional sums."""
+    ent = _int_vectors(_emb(spark, sf_dir)).select(
+        "vec_id", (F.col("vec_id") % 2).alias("ola"), "ev"
+    )
+    dims = ent.select(
+        "ola", F.posexplode("ev").alias("k0", "x")
+    ).select("ola", (F.col("k0") + 1).alias("k"), "x")
+    olas = dims.groupBy("k").agg(
+        F.sum(F.when(F.col("ola") == 0, F.col("x")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("ola") == 1, F.col("x")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("ola") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("ola") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    return olas.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        F.col("k").cast("int").alias("dim"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("sa").cast("bigint").alias("suma_a"),
+        F.col("sb").cast("bigint").alias("suma_b"),
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        .cast("bigint")
+        .alias("deriva_cruzada"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Density clustering — connected components over the mutual-kNN graph
 # --------------------------------------------------------------------------
 
@@ -4527,3 +4594,4 @@ _REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
 _REGISTRY["grafo_knn_mutuo"].oracle = _knn_mutuo_oracle()
 _REGISTRY["agrupacion_densidad"].oracle = _densidad_oracle()
+_REGISTRY["deriva_embeddings"].oracle = _DERIVA_EMB_ORACLE.format(ints=_scaled_int_sql("embedding"))

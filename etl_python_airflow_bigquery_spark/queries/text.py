@@ -2299,6 +2299,122 @@ def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weak supervision — labeling-function votes, coverage and conflict
+# --------------------------------------------------------------------------
+
+_DEBIL_ORACLE = """
+WITH votos AS (
+    SELECT doc_id, source,
+           CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 END AS lf_longitud,
+           CASE WHEN len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                     > len(text) // 10 THEN -1 END AS lf_digitos,
+           CASE WHEN lang IN ('en', 'es') THEN 1
+                WHEN lang = 'unknown' THEN -1 END AS lf_idioma
+    FROM documents
+),
+decision AS (
+    SELECT source,
+           coalesce(lf_longitud, 0) + coalesce(lf_digitos, 0)
+               + coalesce(lf_idioma, 0) AS suma,
+           CASE WHEN lf_longitud IS NULL AND lf_digitos IS NULL
+                     AND lf_idioma IS NULL THEN 1 ELSE 0 END AS abstuvo,
+           CASE WHEN greatest(coalesce(lf_longitud, 0),
+                              coalesce(lf_idioma, 0)) = 1
+                     AND least(coalesce(lf_digitos, 0),
+                               coalesce(lf_idioma, 0)) = -1
+                THEN 1 ELSE 0 END AS conflicto
+    FROM votos
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN suma > 0 THEN 1 ELSE 0 END) AS BIGINT) AS alto,
+       CAST(sum(CASE WHEN suma < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bajo,
+       CAST(sum(CASE WHEN suma = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sin_etiqueta,
+       CAST(sum(abstuvo) AS BIGINT) AS abstenciones,
+       CAST(sum(conflicto) AS BIGINT) AS conflictos,
+       CAST((1000 * (count(*) - sum(abstuvo))) // count(*) AS BIGINT)
+           AS cobertura_mili,
+       CAST((1000 * sum(conflicto)) // count(*) AS BIGINT) AS conflicto_mili
+FROM decision
+GROUP BY 1
+"""
+
+
+@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"),
+          driver=False)
+def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEAK SUPERVISION vote audit (the Snorkel/labeling-function
+    pattern, Ratner et al. 2017, arXiv:1711.10160): three deterministic
+    labeling functions — length ≥ 40 tokens votes QUALITY(+1),
+    digit mass > 10% of chars votes NOISE(−1), language votes either
+    way — each allowed to ABSTAIN (NULL); a doc's label is the vote
+    sum's sign. The audit a weak-label pipeline publishes before
+    training the label model: per source, label counts, abstention
+    (no LF fired — coverage's complement) and CONFLICT (some LF said
+    + and some said − — where the label model earns its keep), with
+    floor-milli coverage and conflict rates. Pure CASE algebra in one
+    map pass + a sources-sized roll-up — at 100 TB this is a single
+    scan with zero shuffles before the tiny aggregation. LF thresholds
+    are fixed constants; production swaps in a broadcast config dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    digitos = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), F.lit("[0-9]"), F.lit(""))
+    )
+    votos = docs.select(
+        "source",
+        F.when(F.size(F.split("text", " ")) >= 40, 1).alias("lf_longitud"),
+        F.when(digitos > F.expr("length(text) div 10"), -1).alias("lf_digitos"),
+        F.when(F.col("lang").isin("en", "es"), 1)
+        .when(F.col("lang") == "unknown", -1)
+        .alias("lf_idioma"),
+    )
+    suma = (
+        F.coalesce("lf_longitud", F.lit(0))
+        + F.coalesce("lf_digitos", F.lit(0))
+        + F.coalesce("lf_idioma", F.lit(0))
+    )
+    abstuvo = F.when(
+        F.col("lf_longitud").isNull()
+        & F.col("lf_digitos").isNull()
+        & F.col("lf_idioma").isNull(),
+        1,
+    ).otherwise(0)
+    pos = F.greatest(
+        F.coalesce("lf_longitud", F.lit(0)), F.coalesce("lf_idioma", F.lit(0))
+    )
+    neg = F.least(
+        F.coalesce("lf_digitos", F.lit(0)), F.coalesce("lf_idioma", F.lit(0))
+    )
+    conflicto = F.when((pos == 1) & (neg == -1), 1).otherwise(0)
+    d = votos.select(
+        "source",
+        suma.alias("suma"),
+        abstuvo.alias("abstuvo"),
+        conflicto.alias("conflicto"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("suma") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("alto"),
+        F.sum(F.when(F.col("suma") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bajo"),
+        F.sum(F.when(F.col("suma") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sin_etiqueta"),
+        F.sum("abstuvo").cast("bigint").alias("abstenciones"),
+        F.sum("conflicto").cast("bigint").alias("conflictos"),
+        F.expr(
+            "CAST((1000 * (count(*) - sum(abstuvo))) div count(*) AS BIGINT)"
+        ).alias("cobertura_mili"),
+        F.expr("CAST((1000 * sum(conflicto)) div count(*) AS BIGINT)").alias(
+            "conflicto_mili"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # OOV rate — token mass outside the top-V corpus vocabulary
 # --------------------------------------------------------------------------
 

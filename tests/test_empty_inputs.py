@@ -132,6 +132,9 @@ SMOKE = [
     "grafo_knn_mutuo",
     "palabras_oov",
     "agrupacion_densidad",
+    "etiquetado_debil",
+    "deriva_embeddings",
+    "crecimiento_interanual",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

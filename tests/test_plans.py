@@ -624,6 +624,9 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "grafo_knn_mutuo",
         "palabras_oov",
         "agrupacion_densidad",
+        "etiquetado_debil",
+        "deriva_embeddings",
+        "crecimiento_interanual",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
