@@ -135,6 +135,15 @@ def main() -> int:
     # the pinned core must be timed even if a member ever leaves the
     # gated set — core_wall's membership never changes
     names += [n for n in CORE_12 if n not in names]
+    # CORE_12 runs FIRST: the gated set grows every round (33 → 39 → …),
+    # and late-position queries inherit the session's accumulated
+    # GC/heap state — measured +0.5-1.5 s drift on funnel_vip /
+    # programas_live when they ran after 25+ other queries, with
+    # IDENTICAL plans (PLANSHAPES diff clean). Pinning the core's
+    # position pins the session state core_wall is measured under, so
+    # the round-over-round number compares like with like; the tail's
+    # order stays registry order.
+    names = [n for n in CORE_12] + [n for n in names if n not in CORE_12]
     reps_env = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     stat_env = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
     if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1":
