@@ -74,6 +74,17 @@ FAMILIES = {
             "tamanos_familias",
         ),
     },
+    # the k-means coarse-quantizer fit (_KMEANS_CACHE): one Lloyd fit
+    # per dataset serves the whole cell-blocked family in a session
+    "kmeans_fit": {
+        "build": "similarity_ivf_kmeans",
+        "members": (
+            "dedup_semantico",
+            "temas_centroides",
+            "grafo_knn_mutuo",
+            "agrupacion_densidad",
+        ),
+    },
 }
 
 

@@ -111,6 +111,14 @@ def clear_session_caches() -> None:
     )
 
     clear_lang_pred_cache()
+    # the k-means fit cache too (similarity.py): seven consumers share
+    # one Lloyd fit per dataset in a session; timed harnesses must pay
+    # the fit per rep
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        clear_kmeans_cache,
+    )
+
+    clear_kmeans_cache()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,8 @@ DuckDB — and cosines derived from those integers compare identically.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -966,7 +968,9 @@ def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained-quantizer KEEP/DROP decision."""
     emb = _emb(spark, sf_dir)
     enteros = _int_vectors(emb)
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
+    )
     # the assignment feeds THREE consumers (both pair sides + the
     # per-cell census) and its lineage is the whole Lloyd fit — without a
     # checkpoint each consumer re-executes the assign (the _shingles
@@ -1096,7 +1100,9 @@ def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd rounds + ranked pair CTEs."""
     emb = _emb(spark, sf_dir)
     enteros = _int_vectors(emb)
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
+    )
     m = (
         _assign_cells(enteros, cent)
         .select("vec_id", "celda")
@@ -1259,7 +1265,9 @@ def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     their clusters). Oracle: the kNN CTEs + recursive-CTE closure."""
     emb = _emb(spark, sf_dir)
     enteros = _int_vectors(emb)
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
+    )
     asig = (
         _assign_cells(enteros, cent)
         .select("vec_id", "celda")
@@ -3044,7 +3052,9 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays distributed and is O(n·K_CAP) once the cap engages. Oracle:
     the same rounds unrolled as DuckDB CTEs."""
     enteros = _int_vectors(_emb(spark, sf_dir))
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
+    )
     return _assign_cells(enteros, cent)
 
 
@@ -3058,15 +3068,42 @@ def _int_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped FIT cache: seven registered consumers (the IVF family,
+# SemDeDup, the kNN-graph pair, density clustering) share the SAME
+# deterministic Lloyd fit per dataset — in a pipeline session the fit
+# runs once and every consumer reuses the k×64 centroid dict (driver
+# memory only, no Spark state). bench.py clears this via
+# clear_session_caches before every timed rep, so per-query numbers
+# keep their cold contract (the _shingles/_PARES discipline).
+_KMEANS_CACHE: dict[tuple[str, str, int], dict[int, list[int]]] = {}
+_KMEANS_CACHE_MAX = 8
+
+
+def clear_kmeans_cache() -> None:
+    _KMEANS_CACHE.clear()
+
+
 def _kmeans_fit(
-    spark: SparkSession, enteros: DataFrame, iters: int, n: int | None = None
+    spark: SparkSession,
+    enteros: DataFrame,
+    iters: int,
+    n: int | None = None,
+    cache_key: str | None = None,
 ) -> dict[int, list[int]]:
     """Run `iters` deterministic Lloyd's rounds; returns the final
     centroid table (k×64 ints — the only data that ever reaches the
     driver). k is bounded by the corpus-size policy (≤ K_CAP), so the
     driver dict and every per-round broadcast stay O(K_CAP·DIM) no
     matter the corpus size, and the assign step is O(n·K_CAP) — linear
-    in n once the cap engages."""
+    in n once the cap engages. ``cache_key`` (the dataset path) opts
+    into the session fit cache above; callers whose ``enteros`` is not
+    exactly the dataset's `_int_vectors` frame must pass None."""
+    key = None
+    if cache_key is not None:
+        key = (spark.sparkContext.applicationId, cache_key, iters)
+        hit = _KMEANS_CACHE.get(key)
+        if hit is not None:
+            return hit
     if n is None:
         n = enteros.count()
     cent: dict[int, list[int]] = {
@@ -3094,6 +3131,10 @@ def _kmeans_fit(
         for r in upd:
             nuevo.setdefault(r["celda"], [0] * DIM)[r["k"] - 1] = r["cv"]
         cent = {**cent, **nuevo}  # empty cells keep their previous centroid
+    if key is not None:
+        while len(_KMEANS_CACHE) >= _KMEANS_CACHE_MAX:
+            _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))
+        _KMEANS_CACHE[key] = cent
     return cent
 
 
@@ -3168,7 +3209,9 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds + probe unrolled in DuckDB."""
     enteros = _int_vectors(_emb(spark, sf_dir))
     n = enteros.count()
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, n=n, cache_key=_os.path.abspath(sf_dir)
+    )
     cent_df = _centroid_values_df(spark, cent)
     asig = _assign_cells(enteros, cent)
 
@@ -3729,7 +3772,9 @@ def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rerank unrolled."""
     book, n, ents = _pq_fit(spark, sf_dir)
     enteros = ents.select("vec_id", "ev")
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, n=n, cache_key=_os.path.abspath(sf_dir)
+    )
     cent_df = _centroid_values_df(spark, cent)
     asig = _assign_cells(enteros, cent)
     enc = _pq_encoded(enteros, book).select(
@@ -4019,7 +4064,9 @@ def similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     n = emb.count()
     enteros = _int_vectors(emb).localCheckpoint(eager=False)
-    cent = _kmeans_fit(spark, enteros, _KMEANS_ITERS, n=n)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, n=n, cache_key=_os.path.abspath(sf_dir)
+    )
     cent_df = _centroid_values_df(spark, cent)
     asig = _assign_cells(enteros, cent)
     case_cent = _cent_case_arrays(cent)
