@@ -966,6 +966,101 @@ def comercio_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Market share — the TPC-H-Q8-shaped share-of-total window
+# --------------------------------------------------------------------------
+
+_MERCADO_ORACLE = """
+WITH ventas AS (
+    SELECT r.r_name AS region, ns.n_name AS nacion,
+           CAST(CASE WHEN epoch_us(o.o_orderdate) < 820454400000000
+                     THEN 1995 ELSE 1996 END AS BIGINT) AS anio,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                    * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+                // 1000 AS BIGINT) AS ingreso
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN region r   ON ns.n_regionkey = r.r_regionkey
+    WHERE epoch_us(o.o_orderdate) >= 788918400000000
+      AND epoch_us(o.o_orderdate) < 852076800000000
+    GROUP BY 1, 2, 3
+)
+SELECT region, nacion, anio, ingreso,
+       CAST((1000 * ingreso)
+            // sum(ingreso) OVER (PARTITION BY region, anio) AS BIGINT)
+           AS cuota_mili
+FROM ventas
+"""
+
+
+@register("mercado_participacion", oracle=_MERCADO_ORACLE,
+          ops=("J1", "A1", "W1", "P3"), driver=False)
+def mercado_participacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-SHAPED MARKET SHARE: each supplier nation's floor-milli
+    share of its REGION's revenue per year — the share-of-total pattern
+    (an aggregate re-read by a window over its own output) Q5/Q7's
+    plain roll-ups never exercise. The window partitions the
+    ALREADY-AGGREGATED frame (regions × nations × 2 rows), so the
+    share step is free at any corpus size; the fact-side plan is
+    comercio_bilateral's (broadcast snowflake dims, pushed two-year
+    window, exact centavos × milli-discount revenue). Integer
+    floor-milli shares sum to ≤ 1000 per (region, year) — the
+    release-audit property a reader can check by eye."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lim95 = ts_lit_for(orders, "o_orderdate", "1995-01-01 00:00:00")
+    lim96 = ts_lit_for(orders, "o_orderdate", "1996-01-01 00:00:00")
+    lim97 = ts_lit_for(orders, "o_orderdate", "1997-01-01 00:00:00")
+    o = orders.where(
+        (F.col("o_orderdate") >= lim95) & (F.col("o_orderdate") < lim97)
+    )
+    ns = nation.select(
+        "n_nationkey", F.col("n_name").alias("nacion"), "n_regionkey"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    ingreso_b = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    ventas = (
+        joined.groupBy(
+            F.col("r_name").alias("region"),
+            "nacion",
+            F.when(F.col("o_orderdate") < lim96, 1995)
+            .otherwise(1996)
+            .cast("bigint")
+            .alias("anio"),
+        )
+        .agg(ingreso_b.cast("bigint").alias("_bruto"))
+        .select(
+            "region", "nacion", "anio",
+            F.expr("_bruto div 1000").cast("bigint").alias("ingreso"),
+        )
+    )
+    w = Window.partitionBy("region", "anio")
+    return ventas.withColumn(
+        "_tot", F.sum("ingreso").over(w)
+    ).select(
+        "region",
+        "nacion",
+        "anio",
+        "ingreso",
+        F.expr("(1000 * ingreso) div _tot").cast("bigint").alias("cuota_mili"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Shipping-delay distribution — the order-to-ship SLA percentiles
 # --------------------------------------------------------------------------
 

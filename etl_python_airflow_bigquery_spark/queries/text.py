@@ -2299,6 +2299,76 @@ def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Length-bucketed batching — padding waste per log2 band
+# --------------------------------------------------------------------------
+
+
+def _buckets_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    return f"""
+WITH d AS (
+    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+),
+tope AS (SELECT CAST(max(n) AS BIGINT) AS nmax FROM d),
+bandas AS (
+    SELECT CAST({_log2_ladder("n")} AS INT) AS banda, n FROM d
+)
+SELECT b.banda,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(b.n) AS BIGINT) AS tokens,
+       CAST(sum((CAST(1 AS BIGINT) << (b.banda + 1)) - 1 - b.n) AS BIGINT)
+           AS relleno_banda,
+       CAST(sum(t.nmax - b.n) AS BIGINT) AS relleno_sin_bandas
+FROM bandas b CROSS JOIN tope t
+GROUP BY 1"""
+
+
+@register("bucketizacion_longitud", ops=("TX1", "A1", "A6"), driver=False)
+def bucketizacion_longitud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING audit — the dynamic-padding design
+    table (`longitud_contexto` prices TRUNCATION against a max_len
+    grid; this prices PADDING against a bucket scheme): docs bucket by
+    floor-log2(token length), each bucket pads to its band cap
+    2^{{b+1}}−1, and the per-band padding cost is compared against the
+    single-bucket baseline (pad everything to the corpus max — what a
+    naive fixed-shape batcher pays). The gap between relleno_sin_bandas
+    and relleno_banda, summed over bands, is exactly the compute a
+    bucketed batcher saves; power-of-two caps are what static-shape
+    compilers (XLA-style) want anyway. Integer-exact: the
+    pure-comparison ladder bands, shifts for the caps, one global max
+    broadcast back by cross join (1 row). One scan + a bands-sized
+    roll-up."""
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(F.split("text", " ")).cast("long").alias("n"))
+    tope = d.agg(F.max("n").cast("long").alias("nmax"))
+    bandas = d.select(F.expr(_log2_ladder("n")).cast("int").alias("banda"), "n")
+    return (
+        bandas.crossJoin(F.broadcast(tope))
+        .groupBy("banda")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n").cast("bigint").alias("tokens"),
+            F.sum(
+                F.expr("(shiftleft(CAST(1 AS BIGINT), banda + 1)) - 1 - n")
+            )
+            .cast("bigint")
+            .alias("relleno_banda"),
+            F.sum(F.col("nmax") - F.col("n"))
+            .cast("bigint")
+            .alias("relleno_sin_bandas"),
+        )
+    )
+
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY_B  # noqa: E402
+
+_REGISTRY_B["bucketizacion_longitud"].oracle = _buckets_oracle()
+
+
+# --------------------------------------------------------------------------
 # Weak supervision — labeling-function votes, coverage and conflict
 # --------------------------------------------------------------------------
 

@@ -627,6 +627,8 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "etiquetado_debil",
         "deriva_embeddings",
         "crecimiento_interanual",
+        "mercado_participacion",
+        "bucketizacion_longitud",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
