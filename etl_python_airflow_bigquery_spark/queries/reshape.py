@@ -382,7 +382,7 @@ FROM customer
 """
 
 
-@register("scalar_census", oracle=_CENSUS_ORACLE, ops=("P2",))
+@register("scalar_census", oracle=_CENSUS_ORACLE, ops=("P2",), driver=False)
 def scalar_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per user exercising the reference's scalar-function census
     (SURVEY.md §2.8): concat, lower/initcap, regexp_replace, substring,

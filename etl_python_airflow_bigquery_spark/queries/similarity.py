@@ -1083,7 +1083,7 @@ GROUP BY 1, mx.m"""
     )
 
 
-@register("grafo_knn_mutuo", ops=("NN2", "O7", "A1"), driver=False,
+@register("grafo_knn_mutuo", ops=("NN2", "O7", "A1"),
           bench=True)
 def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL-kNN GRAPH construction, cell-blocked — the graph behind
@@ -1246,7 +1246,7 @@ GROUP BY 1"""
     )
 
 
-@register("agrupacion_densidad", ops=("NN2", "DD4", "A1"), driver=False,
+@register("agrupacion_densidad", ops=("NN2", "DD4", "A1"),
           bench=True)
 def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DENSITY CLUSTERING of the embedding space — connected components
@@ -4215,7 +4215,7 @@ FROM rk WHERE pos <= 3
 
 
 @register("temas_centroides", oracle=_TEMAS_ORACLE, ops=("NN2", "TX1", "O7"),
-          bench=True)
+          bench=True, driver=False)
 def temas_centroides(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER LABELING — the interpretation step after the embedding
     k-means: each coarse cell gets its top-3 rarity-weighted terms

@@ -381,7 +381,7 @@ FROM pares GROUP BY 1
 
 
 @register("mezcla_idiomas", oracle=_MEZCLA_IDIOMAS_ORACLE,
-          ops=("TX3", "A8", "J9"), bench=True)
+          ops=("TX3", "A8", "J9"), bench=True, driver=False)
 def mezcla_idiomas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CODE-SWITCHING AUDIT: classify each document's two character
     halves INDEPENDENTLY with the same trigram-profile vote
@@ -724,8 +724,7 @@ FROM fuentes f LEFT JOIN recortado r USING (source)
 """
 
 
-@register("cuotas_fuentes", oracle=_CUOTAS_ORACLE, ops=("A1", "W1", "J2"),
-          driver=False)
+@register("cuotas_fuentes", oracle=_CUOTAS_ORACLE, ops=("A1", "W1", "J2"))
 def cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOURCE TOKEN-BUDGET CAPPING — the clipping pass that EXECUTES
     what ``mezcla_entrenamiento`` plans: no single source may exceed
@@ -2098,7 +2097,7 @@ SELECT doc_id, rrf_micro, pos_fusion, pos_sys, pos_oro FROM (
 """
 
 
-@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"))
+@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"), driver=False)
 def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009)
     of the two retrieval rankings the eval harness already builds —
@@ -2521,8 +2520,7 @@ FROM d LEFT JOIN cnt c USING (source)
 """
 
 
-@register("palabras_oov", oracle=_OOV_ORACLE, ops=("TX1", "A8", "J2"),
-          driver=False)
+@register("palabras_oov", oracle=_OOV_ORACLE, ops=("TX1", "A8", "J2"))
 def palabras_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OUT-OF-VOCABULARY RATE per source against the corpus's own
     top-256 vocabulary — the tokenizer-planning sibling of
@@ -3489,7 +3487,7 @@ FROM rangos
 GROUP BY 1"""
 
 
-@register("ley_zipf", ops=("TX1", "A1", "W1"), driver=False)
+@register("ley_zipf", ops=("TX1", "A1", "W1"))
 def ley_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIPF rank-frequency profile — ley_heaps' sibling axis (Heaps
     tracks vocabulary vs corpus GROWTH; Zipf tracks frequency vs RANK at
@@ -3827,7 +3825,7 @@ GROUP BY 1
 
 
 @register("calibracion_calidad", oracle=_CALIBRACION_ORACLE,
-          ops=("TX2", "DD1", "A8"))
+          ops=("TX2", "DD1", "A8"), driver=False)
 def calibracion_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-SCORE CALIBRATION audit: bucket documents by how many
     Gopher rules they pass (0-5, the shared `gopher_flags` projection)
