@@ -223,10 +223,13 @@ class TxTable:
                 continue
             src = os.path.join(tmp, f)
             stats = self._footer_stats(src) if self.stats_cols else {}
+            nulls = self._footer_nulls(src) if self.stats_cols else {}
             blooms = self._file_blooms(src) if self.bloom_cols else {}
             name = f"part-{uuid.uuid4().hex}.parquet"
             os.rename(src, os.path.join(self.data_dir, name))
             entry = {"name": name, "stats": stats}
+            if nulls:
+                entry["nulls"] = nulls
             if blooms:
                 entry["blooms"] = blooms
             out.append(entry)
@@ -327,6 +330,29 @@ class TxTable:
         ]
         df = self._read_entries(spark, hits, m["schema"])
         return df.where(F.col(col) == F.lit(value))
+
+    def _footer_nulls(self, path: str) -> dict:
+        """Per-file NULL counts for ``stats_cols`` (Delta's nullCount
+        stat): rolls up row-group ``null_count`` from the footer just
+        written. Unknown (any row group missing the stat) degrades to
+        absent = never skipped. Powers IS NULL pruning in
+        ``delete_matching``: a file with zero recorded NULLs provably
+        has nothing for an IS-NULL predicate to delete."""
+        md = _pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, int] = {}
+        for col in self.stats_cols:
+            if col not in idx:
+                continue
+            total = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or st.null_count is None:
+                    break
+                total += st.null_count
+            else:
+                out[col] = total
+        return out
 
     def _footer_stats(self, path: str) -> dict:
         md = _pq.ParquetFile(path).metadata
@@ -905,6 +931,7 @@ class TxTable:
         spark: SparkSession,
         predicate,
         prune: tuple[str, object, object] | None = None,
+        prune_null: str | None = None,
     ) -> int:
         """Full Delta-style DELETE: drop every row where ``predicate``
         (a Column or SQL string) evaluates TRUE — NULL keeps the row,
@@ -913,7 +940,13 @@ class TxTable:
         min/max provably miss the range carry over physically untouched
         (the caller asserts the predicate can only be TRUE inside the
         range — the same contract as Delta's partition-pruned DELETE);
-        without a hint every file is rewritten, correct but unpruned.
+        ``prune_null`` is its IS-NULL sibling (Delta's nullCount stat):
+        the caller asserts the predicate can only be TRUE where that
+        column IS NULL, so files whose recorded null count is ZERO carry
+        over untouched — the pruning half of the sanctioned
+        ``delete_matching("col IS NULL")`` path delete_where's refusal
+        points at. Files with no recorded null count degrade to touched
+        (correct, unpruned). Without any hint every file is rewritten.
         ``delete_where`` remains the point form with automatic
         stats+Bloom pruning; this is its arbitrary-predicate sibling."""
         parent = self.version()
@@ -921,12 +954,23 @@ class TxTable:
             raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
         m = self._manifest(parent)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if prune is not None and prune_null is not None:
+            raise ValueError("pass prune OR prune_null, not both")
         if prune is not None:
             col, lo, hi = prune
             touched = [e for e in m["files"] if self._may_hold_range(e, col, lo, hi)]
             untouched = [
                 e for e in m["files"] if not self._may_hold_range(e, col, lo, hi)
             ]
+        elif prune_null is not None:
+
+            def may_hold_null(entry) -> bool:
+                nulls = entry.get("nulls", {}) if isinstance(entry, dict) else {}
+                n = nulls.get(prune_null)
+                return n is None or n > 0
+
+            touched = [e for e in m["files"] if may_hold_null(e)]
+            untouched = [e for e in m["files"] if not may_hold_null(e)]
         else:
             touched, untouched = list(m["files"]), []
         new = []

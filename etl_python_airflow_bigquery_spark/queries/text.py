@@ -2298,6 +2298,98 @@ def cobertura_vocabulario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distinctive terms — per-source lift (what makes this source different)
+# --------------------------------------------------------------------------
+
+_CARACTERISTICOS_TOP = 3
+_CARACTERISTICOS_MIN_F = 3
+
+_CARACTERISTICOS_ORACLE = f"""
+WITH tokens AS (
+    SELECT d.source, t.tok
+    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL unnest(d.ws) AS t(tok)
+    WHERE t.tok != ''
+),
+tf AS (SELECT source, tok, count(*) AS f FROM tokens GROUP BY 1, 2),
+tot_fuente AS (SELECT source, sum(f) AS nf FROM tf GROUP BY 1),
+tf_corpus AS (SELECT tok, sum(f) AS fc FROM tf GROUP BY 1),
+tot AS (SELECT sum(f) AS n FROM tf),
+lift AS (
+    SELECT t.source, t.tok, t.f,
+           (t.f * (SELECT n FROM tot) * 1000)
+               // (c.fc * s.nf) AS lift_mili
+    FROM tf t
+    JOIN tf_corpus c USING (tok)
+    JOIN tot_fuente s USING (source)
+    WHERE t.f >= {_CARACTERISTICOS_MIN_F}
+)
+SELECT source, tok, CAST(f AS BIGINT) AS f,
+       CAST(lift_mili AS BIGINT) AS lift_mili,
+       CAST(rn AS BIGINT) AS rango
+FROM (
+    SELECT source, tok, f, lift_mili,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY lift_mili DESC, tok) AS rn
+    FROM lift
+) WHERE rn <= {_CARACTERISTICOS_TOP}
+"""
+
+
+@register("ngramas_caracteristicos", oracle=_CARACTERISTICOS_ORACLE,
+          ops=("TX1", "A3", "O7"), driver=False)
+def ngramas_caracteristicos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE TERMS per source — the interpretability readout
+    "what makes this source different from the corpus" (the text-side
+    sibling of ``temas_centroides``' cluster labels): per-source lift
+    = P(tok|source)/P(tok) cleared to integers as
+    (f·N·1000) // (f_corpus·n_source) — the same rarity-weighting idea
+    as PMI but reported as a per-source TOP-3
+    (ties on token), with a minimum in-source frequency of
+    3 so one-off noise can't top the list. The
+    table a datasheet shows next to the source mix: a crawl whose top
+    lift terms are boilerplate artifacts is mislabeled. Shape: one
+    token explode, one (source, token) aggregation, two small
+    dimension joins (per-token corpus counts — vocab-sized — and
+    per-source totals — sources-sized), one per-source top-k window.
+    All integer; a single global-scalar cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tokens.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    tot_fuente = tf.groupBy("source").agg(F.sum("f").alias("nf"))
+    tf_corpus = tf.groupBy("tok").agg(F.sum("f").alias("fc"))
+    tot = tf.agg(F.sum("f").alias("n"))
+    lift = (
+        tf.where(F.col("f") >= _CARACTERISTICOS_MIN_F)
+        .join(tf_corpus, "tok")
+        .join(F.broadcast(tot_fuente), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "f",
+            F.expr("(f * n * 1000) div (fc * nf)").alias("lift_mili"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_mili").desc(), F.col("tok")
+    )
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CARACTERISTICOS_TOP)
+        .select(
+            "source",
+            "tok",
+            F.col("f").cast("bigint").alias("f"),
+            F.col("lift_mili").cast("bigint").alias("lift_mili"),
+            F.col("rn").cast("bigint").alias("rango"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Length-bucketed batching — padding waste per log2 band
 # --------------------------------------------------------------------------
 

@@ -629,6 +629,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "crecimiento_interanual",
         "mercado_participacion",
         "bucketizacion_longitud",
+        "ngramas_caracteristicos",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):

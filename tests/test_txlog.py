@@ -1286,3 +1286,32 @@ def test_wap_publish_against_moved_head(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type drift"):
         t2.publish(spark, sid2)
+
+
+def test_null_count_stats_prune_is_null_delete(spark, tmp_path):
+    """nullCount stats (Delta parity): _write_files records per-file
+    NULL counts for stats_cols, and delete_matching(prune_null=col)
+    skips files provably free of NULLs — they carry over physically
+    untouched — while NULL-bearing files rewrite without their NULL
+    rows. Files lacking the stat degrade to touched (correct)."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["k"])
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    nully = spark.createDataFrame(
+        [(3, 3.0), (None, 9.0), (None, 8.0)], "k long, v double"
+    )
+    t.overwrite(clean.coalesce(1))
+    t.append(nully.coalesce(1))
+    m = t._manifest(t.version())
+    by_nulls = {e["nulls"]["k"] for e in m["files"]}
+    assert by_nulls == {0, 2}
+    before = set(t._names(m["files"]))
+
+    v = t.delete_matching(spark, "k IS NULL", prune_null="k")
+    after = set(t._names(t._manifest(v)["files"]))
+    # the clean file carried over untouched (same physical name)
+    assert len(before & after) == 1
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+    # both hints at once is ambiguous — refused
+    with pytest.raises(ValueError, match="not both"):
+        t.delete_matching(spark, "k IS NULL", prune=("k", 0, 1), prune_null="k")
