@@ -207,3 +207,50 @@ def secuencias_multimodales(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((max(acum) + {b - 1}) div {b} * {b} - max(acum) AS BIGINT)"
         ).alias("relleno_final"),
     )
+
+
+_FOTOGRAMAS_ORACLE = """
+WITH v AS (
+    SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INT) AS nf
+    FROM documents WHERE doc_id % 4 = 3
+),
+f AS (
+    SELECT media_id, CAST(g.i AS INT) AS frame_idx
+    FROM v, LATERAL unnest(generate_series(0, nf - 1, 5)) AS g(i)
+)
+SELECT media_id, frame_idx,
+       CAST(frame_idx * 1000 // 25 AS BIGINT) AS ts_ms,
+       md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+           AS huella
+FROM f
+"""
+
+
+@register("muestreo_fotogramas", oracle=_FOTOGRAMAS_ORACLE, ops=("MM1",),
+          driver=False)
+def muestreo_fotogramas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO FRAME SAMPLING end to end — the fan-out mapInPandas shape
+    (rows OUT exceed rows IN: each mp4 row emits one row per 1-in-5
+    frame) that none of the other extractors exercise: documents → fake
+    media (metadata-real, codec-stubbed) → ``sample_frames`` emits
+    (frame_idx, ts_ms, frame bytes) map-only from the partition the
+    payload lives in — at 100 TB the video bytes never shuffle and the
+    frame fan-out lands in the same tasks. The oracle recomputes the
+    sampled indices from the n_frames metadata arithmetic, the REAL
+    timestamps (idx·1000//25 at the fixed 25 fps), and the
+    deterministic frame fingerprint (md5 of "media:idx" — exactly the
+    stand-in bytes the codec stub emits), so the whole Arrow fan-out
+    path is value-verified row for row, not just counted."""
+    from etl_python_airflow_bigquery_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(media_from_documents(docs), every_n=5)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.lower(F.hex("frame")).alias("huella"),
+    )

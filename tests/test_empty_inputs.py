@@ -138,6 +138,7 @@ SMOKE = [
     "mercado_participacion",
     "bucketizacion_longitud",
     "ngramas_caracteristicos",
+    "muestreo_fotogramas",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

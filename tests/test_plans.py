@@ -630,6 +630,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "mercado_participacion",
         "bucketizacion_longitud",
         "ngramas_caracteristicos",
+        "muestreo_fotogramas",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
