@@ -536,3 +536,51 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not resultados:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(resultados, schema)
+
+
+# --------------------------------------------------------------------------
+# Streaming weak-label gate — the votos_debiles projection in-stream
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.queries.text import (  # noqa: E402
+    _DEBIL_ORACLE,
+)
+
+
+@register("streaming_etiquetado_debil", oracle=_DEBIL_ORACLE,
+          ops=("ST1", "TX2", "A8"), driver=False)
+def streaming_etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weak-supervision vote audit running IN-STREAM — the
+    labeling-function gate at ingest time: documents arrive as landed
+    files, every micro-batch computes the SAME ``votos_debiles``
+    projection the batch query uses (stateless — pure column
+    expressions, append mode, no watermark, no operator state), and
+    the drained per-doc votes roll up to the per-source coverage/
+    conflict table that must equal the batch oracle row for row. The
+    gopher_flags batch/stream factoring applied to weak supervision:
+    one definition, two execution modes, zero drift possible. At
+    100 TB this is pure map work per batch — throughput bounded by the
+    scan, not by state."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _rollup_debil,
+        votos_debiles,
+    )
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_to_memory_append,
+        table_dir_for,
+    )
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    votos = votos_debiles(stream).select(
+        "doc_id", "source", "suma", "abstuvo", "conflicto"
+    )
+    tabla, _metrics = run_to_memory_append(
+        votos, f"debil_{uuid.uuid4().hex[:8]}"
+    )
+    return _rollup_debil(tabla)

@@ -2501,27 +2501,17 @@ GROUP BY 1
 """
 
 
-@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"),
-          driver=False)
-def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEAK SUPERVISION vote audit (the Snorkel/labeling-function
-    pattern, Ratner et al. 2017, arXiv:1711.10160): three deterministic
-    labeling functions — length ≥ 40 tokens votes QUALITY(+1),
-    digit mass > 10% of chars votes NOISE(−1), language votes either
-    way — each allowed to ABSTAIN (NULL); a doc's label is the vote
-    sum's sign. The audit a weak-label pipeline publishes before
-    training the label model: per source, label counts, abstention
-    (no LF fired — coverage's complement) and CONFLICT (some LF said
-    + and some said − — where the label model earns its keep), with
-    floor-milli coverage and conflict rates. Pure CASE algebra in one
-    map pass + a sources-sized roll-up — at 100 TB this is a single
-    scan with zero shuffles before the tiny aggregation. LF thresholds
-    are fixed constants; production swaps in a broadcast config dim."""
-    docs = load_table(spark, sf_dir, "documents")
+def votos_debiles(docs: DataFrame) -> DataFrame:
+    """The labeling-function VOTE projection (doc grain: source, suma,
+    abstuvo, conflicto) — pure column expressions with no aggregation,
+    so the SAME definition runs in batch (etiquetado_debil) and
+    stateless in-stream (streaming_etiquetado_debil), the gopher_flags
+    batch/stream factoring applied to weak supervision."""
     digitos = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), F.lit("[0-9]"), F.lit(""))
     )
     votos = docs.select(
+        "doc_id",
         "source",
         F.when(F.size(F.split("text", " ")) >= 40, 1).alias("lf_longitud"),
         F.when(digitos > F.expr("length(text) div 10"), -1).alias("lf_digitos"),
@@ -2547,12 +2537,16 @@ def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("lf_digitos", F.lit(0)), F.coalesce("lf_idioma", F.lit(0))
     )
     conflicto = F.when((pos == 1) & (neg == -1), 1).otherwise(0)
-    d = votos.select(
+    return votos.select(
+        "doc_id",
         "source",
         suma.alias("suma"),
         abstuvo.alias("abstuvo"),
         conflicto.alias("conflicto"),
     )
+
+
+def _rollup_debil(d: DataFrame) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs"),
         F.sum(F.when(F.col("suma") > 0, 1).otherwise(0))
@@ -2573,6 +2567,27 @@ def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conflicto_mili"
         ),
     )
+
+
+@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"),
+          driver=False)
+def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEAK SUPERVISION vote audit (the Snorkel/labeling-function
+    pattern, Ratner et al. 2017, arXiv:1711.10160): three deterministic
+    labeling functions — length ≥ 40 tokens votes QUALITY(+1),
+    digit mass > 10% of chars votes NOISE(−1), language votes either
+    way — each allowed to ABSTAIN (NULL); a doc's label is the vote
+    sum's sign. The audit a weak-label pipeline publishes before
+    training the label model: per source, label counts, abstention
+    (no LF fired — coverage's complement) and CONFLICT (some LF said
+    + and some said − — where the label model earns its keep), with
+    floor-milli coverage and conflict rates. Pure CASE algebra in one
+    map pass + a sources-sized roll-up — at 100 TB this is a single
+    scan with zero shuffles before the tiny aggregation. LF thresholds
+    are fixed constants; production swaps in a broadcast config dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _rollup_debil(votos_debiles(docs))
+
 
 
 # --------------------------------------------------------------------------

@@ -139,6 +139,7 @@ SMOKE = [
     "bucketizacion_longitud",
     "ngramas_caracteristicos",
     "muestreo_fotogramas",
+    "streaming_etiquetado_debil",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -631,6 +631,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "bucketizacion_longitud",
         "ngramas_caracteristicos",
         "muestreo_fotogramas",
+        "streaming_etiquetado_debil",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
