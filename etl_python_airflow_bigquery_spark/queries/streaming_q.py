@@ -584,3 +584,81 @@ def streaming_etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
         votos, f"debil_{uuid.uuid4().hex[:8]}"
     )
     return _rollup_debil(tabla)
+
+
+# --------------------------------------------------------------------------
+# Streaming token-budget admission — cuotas_fuentes' stateful twin
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.streaming.jobs import (  # noqa: E402
+    CUOTA_STREAM_CAP,
+)
+
+_CUOTA_STREAM_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+    FROM documents
+),
+acum AS (
+    SELECT source, t,
+           sum(t) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cs
+    FROM tok
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_vistos,
+       CAST(sum(t) AS BIGINT) AS tokens_vistos,
+       CAST(sum(CASE WHEN cs - t < {CUOTA_STREAM_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_cap,
+       CAST(sum(CASE WHEN cs - t < {CUOTA_STREAM_CAP} THEN t ELSE 0 END)
+            AS BIGINT) AS tokens_cap
+FROM acum GROUP BY 1
+"""
+
+
+@register("streaming_cuotas_fuentes", oracle=_CUOTA_STREAM_ORACLE,
+          ops=("ST2", "A1", "W1"), driver=False)
+def streaming_cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cuotas_fuentes' STREAMING twin — per-source token-budget
+    admission as a CUSTOM STATEFUL OPERATOR (applyInPandasWithState):
+    the running seen/admitted totals live in GroupState (four int64s
+    per source, regardless of corpus size), each arriving doc admits
+    iff the tokens seen before it are still under the fixed budget
+    (prefix-sum admission without a window — the state IS the prefix).
+    The budget is a config constant: a stream cannot derive the batch
+    form's corpus//(2n) cap from unseen future data, which is exactly
+    why production feeds the budget from the mixture plan. Admission
+    order is arrival order (within a trigger, rows fold doc_id-sorted
+    so partition interleaving cannot reorder); the fixture's single
+    ordered file makes arrival = doc_id, which is what the batch
+    window oracle models. Update-mode drain; all totals are monotonic,
+    so max() per source recovers the final state."""
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        cuota_stream,
+        table_dir_for,
+    )
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    out = cuota_stream(stream)
+    name = f"cuota_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("source").agg(
+        F.max("docs_vistos").cast("bigint").alias("docs_vistos"),
+        F.max("tokens_vistos").cast("bigint").alias("tokens_vistos"),
+        F.max("docs_cap").cast("bigint").alias("docs_cap"),
+        F.max("tokens_cap").cast("bigint").alias("tokens_cap"),
+    )

@@ -848,3 +848,77 @@ def conteo_estado_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator — streaming per-source token-budget admission
+# --------------------------------------------------------------------------
+
+CUOTA_STREAM_CAP = 1000  # fixed admission budget per source (a stream
+# cannot derive cuotas_fuentes' corpus//(2n) cap from unseen future
+# data — production feeds the budget from the mixture plan's config)
+CUOTA_OUT_SCHEMA = (
+    "source STRING, docs_vistos BIGINT, tokens_vistos BIGINT, "
+    "docs_cap BIGINT, tokens_cap BIGINT"
+)
+CUOTA_STATE_SCHEMA = (
+    "docs_vistos BIGINT, tokens_vistos BIGINT, "
+    "docs_cap BIGINT, tokens_cap BIGINT"
+)
+
+
+def _cuota_fn(key, pdfs, state):
+    """applyInPandasWithState worker: per source, fold each batch's
+    docs IN doc_id ORDER into the running seen/admitted totals — a doc
+    admits iff the tokens seen BEFORE it are still under the budget
+    (cuotas_fuentes' prefix-sum rule, held in GroupState instead of a
+    window). Batch rows are concatenated and sorted before folding so
+    partition interleaving within a trigger cannot reorder admission;
+    across triggers, arrival order IS the contract (a stream admits
+    first-come). All four totals are monotonic, so update-mode drains
+    recover the final state with max()."""
+    import pandas as pd
+
+    dv, tv, dc, tc = (
+        (int(state.get[0]), int(state.get[1]), int(state.get[2]), int(state.get[3]))
+        if state.exists
+        else (0, 0, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    for t in rows["t"]:
+        t = int(t)
+        if tv < CUOTA_STREAM_CAP:
+            dc += 1
+            tc += t
+        dv += 1
+        tv += t
+    state.update((dv, tv, dc, tc))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "docs_vistos": [dv],
+            "tokens_vistos": [tv],
+            "docs_cap": [dc],
+            "tokens_cap": [tc],
+        }
+    )
+
+
+def cuota_stream(docs: DataFrame) -> DataFrame:
+    """cuotas_fuentes' STREAMING twin as a custom stateful operator:
+    the per-source admitted-token budget lives in GroupState across
+    micro-batches, so the gate needs no rescan of history — state is
+    four int64s per source regardless of corpus size (the bounded-state
+    discipline of streaming_expanding_distinct, minus even the array)."""
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+    )
+    return tok.groupBy("source").applyInPandasWithState(
+        _cuota_fn,
+        outputStructType=CUOTA_OUT_SCHEMA,
+        stateStructType=CUOTA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

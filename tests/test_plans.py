@@ -632,6 +632,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "ngramas_caracteristicos",
         "muestreo_fotogramas",
         "streaming_etiquetado_debil",
+        "streaming_cuotas_fuentes",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
