@@ -414,3 +414,70 @@ def migracion_estados(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OVER (PARTITION BY desde) AS BIGINT)"
         ).alias("proporcion_mili"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-event gap distribution — the SESSION_GAP design table
+# --------------------------------------------------------------------------
+
+
+def _gaps_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    return f"""
+WITH e AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us FROM events
+),
+gaps AS (
+    SELECT event_type,
+           (t_us - lag(t_us) OVER (PARTITION BY user_id
+                                   ORDER BY t_us, event_id))
+               // 1000000 AS seg
+    FROM e
+)
+SELECT event_type,
+       CAST({_log2_ladder("(seg + 1)")} AS INT) AS banda_log2,
+       CAST(count(*) AS BIGINT) AS brechas,
+       CAST(min(seg) AS BIGINT) AS seg_min,
+       CAST(max(seg) AS BIGINT) AS seg_max
+FROM gaps WHERE seg IS NOT NULL
+GROUP BY 1, 2"""
+
+
+@register("tiempo_entre_eventos", ops=("W1", "A1"), driver=False)
+def tiempo_entre_eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP DISTRIBUTION, log2-banded in seconds and split by
+    the LATER event's type — the empirical basis for the streaming
+    SESSION_GAP constant and the sessionization threshold (a gap
+    histogram with a clear valley says where sessions really break; a
+    30-minute constant chosen blind is folklore). Gap = each event's
+    distance to the user's previous event (any type — the user's
+    timeline is one stream), seconds by integer floor-div, bands from
+    the pure-comparison ladder on seg+1 so zero-second gaps land in
+    band 0. Shape: ONE user-partitioned ordered window (the shuffle
+    sessionization already pays) then a (types × bands)-sized roll-up.
+    Oracle: same window + ladder."""
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(event_ts_us(events), "event_id")
+    t_us = event_ts_us(events)
+    gaps = events.select(
+        "event_type",
+        ((t_us - F.lag(t_us).over(w)) / 1_000_000)
+        .cast("long")
+        .alias("seg"),
+    ).where(F.col("seg").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.expr(_log2_ladder("(seg + 1)")).cast("int").alias("banda_log2"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("brechas"),
+        F.min("seg").cast("bigint").alias("seg_min"),
+        F.max("seg").cast("bigint").alias("seg_max"),
+    )
+
+
+from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY_G  # noqa: E402
+
+_REGISTRY_G["tiempo_entre_eventos"].oracle = _gaps_oracle()

@@ -141,6 +141,7 @@ SMOKE = [
     "muestreo_fotogramas",
     "streaming_etiquetado_debil",
     "streaming_cuotas_fuentes",
+    "tiempo_entre_eventos",
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -633,6 +633,7 @@ def test_round7_ops_no_cartesian(spark, sf_dir, name):
         "muestreo_fotogramas",
         "streaming_etiquetado_debil",
         "streaming_cuotas_fuentes",
+        "tiempo_entre_eventos",
     ],
 )
 def test_round8_ops_no_cartesian(spark, sf_dir, name):
