@@ -87,6 +87,20 @@ FAMILIES = {
     },
 }
 
+# The bucketed atom-mart family (VERDICT r8 #6): build is NOT a registry
+# query — it is the one-time ``atomos_usuario_dia`` mart build — so it is
+# special-cased in main(). Members are every mart consumer; they run WARM
+# (mart present), which is the production regime where the mart is
+# maintained by refresh, not rebuilt per query.
+MART_FAMILY = {
+    "build_mart": "atomos_usuario_dia",
+    "members": (
+        "superposicion_hora",
+        "grid_completion",
+        "superposicion_segmentos",
+    ),
+}
+
 
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -207,9 +221,14 @@ def main() -> int:
         clear_session_caches,
     )
 
+    # Sub-2 s queries get extra reps (VERDICT r8 #8): at second scale the
+    # ±30% session-noise band is wider than a best-of-2 can resolve, so a
+    # third-plus rep pins the best down. Knob: SPARK_GRAFT_BENCH_REPS_FAST
+    # (total reps for queries whose current best is < 2 s; default 4).
+    reps_fast = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_FAST", "4")))
     for name in names:
         runs = []
-        for _ in range(reps):
+        while len(runs) < reps or (min(runs) < 2.0 and len(runs) < reps_fast):
             # each rep pays its query's true plan cost: the session-level
             # materialization caches (shingle postings / verified pairs)
             # would otherwise turn rep 2 into a near-zero cache read
@@ -220,7 +239,11 @@ def main() -> int:
         runs.sort()
         picked = runs[len(runs) // 2] if stat == "median" else runs[0]
         timings[name] = round(picked, 3)
-        spread[name] = round(runs[-1] - runs[0], 3)
+        # reproducibility bar for a best-of statistic: gap between the two
+        # BEST runs (== max−min at reps=2, so round-comparable), not the
+        # full range — one GC-hit outlier shouldn't widen the error bar
+        # the best is read against
+        spread[name] = round(runs[1] - runs[0], 3)
 
     # Supplementary family pass: one shared build, then marginal costs.
     families: dict[str, dict] = {}
@@ -245,6 +268,34 @@ def main() -> int:
             "amortized_wall": round(build_s + sum(marginal.values()), 3),
         }
 
+    # Mart family (build is the mart itself, not a registry query): drop
+    # the bucketed table so the build is timed cold, then each consumer
+    # warm — the amortization story the mart exists to buy, measured.
+    if "superposicion_hora" in names:
+        from etl_python_airflow_bigquery_spark.catalog import mart_name
+        from etl_python_airflow_bigquery_spark.queries.marts import (
+            atomos_usuario_mart,
+        )
+
+        spark.sql(
+            f"DROP TABLE IF EXISTS {mart_name(MART_FAMILY['build_mart'], SF_DIR)}"
+        )
+        t0 = time.perf_counter()
+        atomos_usuario_mart(spark, SF_DIR).count()
+        build_s = time.perf_counter() - t0
+        marginal = {}
+        for m in MART_FAMILY["members"]:
+            if m not in REGISTRY:
+                continue
+            t0 = time.perf_counter()
+            _materialize(REGISTRY[m].fn(spark, SF_DIR))
+            marginal[m] = round(time.perf_counter() - t0, 3)
+        families["mart_atoms"] = {
+            "build": round(build_s, 3),
+            "marginal": marginal,
+            "amortized_wall": round(build_s + sum(marginal.values()), 3),
+        }
+
     out = {
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),
@@ -253,9 +304,10 @@ def main() -> int:
         # comparable number — total_wall changes meaning as the set grows
         "core_wall": round(sum(timings[n] for n in CORE_12 if n in timings), 3),
         "queries": timings,
-        # per-query max−min over the reps: the session-noise bar to read
-        # the headline numbers against (BASELINE.md round-4 noise note —
-        # same-session repeats move ±30%, so compare against ranges)
+        # per-query best-to-second-best gap over the reps: the
+        # session-noise bar to read the headline numbers against
+        # (BASELINE.md round-4 noise note — same-session repeats move
+        # ±30%, so compare against ranges)
         "spread": spread,
         "sf": sf_of(SF_DIR),
     }
@@ -263,7 +315,29 @@ def main() -> int:
         out["mart_build"] = mart_build
     if families:
         out["families"] = families
-    print(json.dumps(out))
+
+    # FULL record → committed artifact; stdout gets a line that SURVIVES
+    # the driver's 2000-char tail capture (BENCH_r08's 4 KB line arrived
+    # parsed:null — the round's official record lost core_wall). The
+    # stdout line keeps the contract fields (metric/value/unit/queries/
+    # core_wall/sf); spread + families + mart_build live in the file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the headline
+    lean = {k: out[k] for k in
+            ("metric", "value", "unit", "core_wall", "queries", "sf")}
+    lean["full"] = "BENCH_LAST.json"
+    line = json.dumps(lean)
+    if len(line) > 1900:  # tail-capture guard: drop per-query detail last
+        lean["queries"] = {n: timings[n] for n in CORE_12 if n in timings}
+        lean["queries_dropped_see_full"] = True
+        line = json.dumps(lean)
+    print(line)
     return 0
 
 

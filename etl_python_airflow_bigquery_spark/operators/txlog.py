@@ -1270,8 +1270,11 @@ class TxTable:
         out: dict[str, int] = {}
         for f in os.listdir(self.log_dir):
             if f.startswith("tag_") and f.endswith(".json"):
-                with open(os.path.join(self.log_dir, f)) as fh:
-                    t = json.load(fh)
+                try:
+                    with open(os.path.join(self.log_dir, f)) as fh:
+                        t = json.load(fh)
+                except FileNotFoundError:
+                    continue  # concurrent delete_tag between listdir & open
                 out[t["name"]] = t["version"]
         return out
 
@@ -1340,7 +1343,10 @@ class TxTable:
         for f in os.listdir(self.log_dir):
             if f.startswith("staged_") and f.endswith(".json"):
                 sid = f[len("staged_"):-5]
-                m = self._staged_manifest(sid)
+                try:
+                    m = self._staged_manifest(sid)
+                except ValueError:
+                    continue  # concurrent publish/discard unlinked it mid-scan
                 out[sid] = {
                     "base_version": m["base_version"],
                     "staged_at": m["staged_at"],
@@ -1372,9 +1378,33 @@ class TxTable:
         staged against. A concurrent commit during publish raises
         CommitConflict (retry republishes the same staged files — they
         are still on disk and still staged). On success the staged
-        manifest is consumed; a second publish of the same id raises."""
+        manifest is consumed; a second publish of the same id raises.
+
+        CRASH-WINDOW FENCE (ADVICE r8): the version flip (_claim) and the
+        staged-manifest unlink are two steps — a crash between them
+        leaves the staged manifest alive after the publish landed, and a
+        naive retry would append the same file entries a SECOND time.
+        Each published manifest therefore records its ``staging_id``
+        (mirroring the txnAppId/txnVersion fence on streaming appends),
+        and publish first scans manifests newer than the staged batch's
+        base_version: if one carries this id, the flip already happened —
+        consume the leftover staged manifest and return that committed
+        version (idempotent) instead of duplicating the rows."""
         m = self._staged_manifest(staging_id)
         parent = self.version()
+        for v in self._versions():
+            if v <= m.get("base_version", -1):
+                continue
+            try:
+                prior = self._manifest(v)
+            except (FileNotFoundError, ValueError, json.JSONDecodeError):
+                continue  # vacuumed / racing writer — not this publish
+            if prior.get("staging_id") == staging_id:
+                try:
+                    os.unlink(self._staged_path(staging_id))
+                except FileNotFoundError:
+                    pass
+                return v
         self._check_append_evolution(
             parent, StructType.fromJson(json.loads(m["schema"]))
         )
@@ -1382,7 +1412,12 @@ class TxTable:
         self._enforce(staged_rows)
         base = self._manifest(parent)["files"] if parent >= 0 else []
         v = self._claim(
-            {"files": base + m["files"], "op": "append", "schema": m["schema"]},
+            {
+                "files": base + m["files"],
+                "op": "append",
+                "schema": m["schema"],
+                "staging_id": staging_id,
+            },
             parent,
         )
         os.unlink(self._staged_path(staging_id))
@@ -1425,7 +1460,10 @@ class TxTable:
         for v in keep:
             live.update(self._names(self._manifest(v)["files"]))
         for sid in self.staged():
-            live.update(self._names(self._staged_manifest(sid)["files"]))
+            try:
+                live.update(self._names(self._staged_manifest(sid)["files"]))
+            except ValueError:
+                continue  # published/discarded between staged() and here
         removed = 0
         for v in vs:
             if v not in keep:

@@ -3083,6 +3083,31 @@ def clear_kmeans_cache() -> None:
     _KMEANS_CACHE.clear()
 
 
+def _path_signature(path: str) -> str:
+    """Cheap content fingerprint for the fit cache key (ADVICE r8): the
+    sorted (name, size, mtime_ns) listing of the embeddings source under
+    ``path`` — one listdir + one stat per file, no data read. A rewrite
+    of the dataset within a session changes the signature, so stale
+    centroids are never served; same-content same-layout reads hit."""
+    target = _os.path.join(path, "embeddings.parquet")
+    if not _os.path.exists(target):
+        target = path
+    sig: list[tuple[str, int, int]] = []
+    if _os.path.isdir(target):
+        for f in sorted(_os.listdir(target)):
+            try:
+                st = _os.stat(_os.path.join(target, f))
+            except FileNotFoundError:
+                continue  # concurrent writer mid-listing
+            sig.append((f, st.st_size, st.st_mtime_ns))
+    elif _os.path.exists(target):
+        st = _os.stat(target)
+        sig.append((_os.path.basename(target), st.st_size, st.st_mtime_ns))
+    import hashlib
+
+    return hashlib.sha1(repr(sig).encode()).hexdigest()[:16]
+
+
 def _kmeans_fit(
     spark: SparkSession,
     enteros: DataFrame,
@@ -3097,10 +3122,18 @@ def _kmeans_fit(
     matter the corpus size, and the assign step is O(n·K_CAP) — linear
     in n once the cap engages. ``cache_key`` (the dataset path) opts
     into the session fit cache above; callers whose ``enteros`` is not
-    exactly the dataset's `_int_vectors` frame must pass None."""
+    exactly the dataset's `_int_vectors` frame must pass None. The key
+    folds in a file-listing signature of the dataset (``_path_signature``)
+    so an in-session rewrite of the table invalidates the cache instead
+    of silently serving stale centroids to every consumer."""
     key = None
     if cache_key is not None:
-        key = (spark.sparkContext.applicationId, cache_key, iters)
+        key = (
+            spark.sparkContext.applicationId,
+            cache_key,
+            iters,
+            _path_signature(cache_key),
+        )
         hit = _KMEANS_CACHE.get(key)
         if hit is not None:
             return hit

@@ -12,6 +12,7 @@ column would re-render in the driver's session zone — integers can't.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -640,6 +641,23 @@ def streaming_cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs_dir = table_dir_for(sf_dir, "documents")
+    # Oracle contract (ADVICE r8): the batch oracle admits in GLOBAL
+    # doc_id order, the stream admits in FILE-ARRIVAL order (doc_id-
+    # sorted only within a trigger). They coincide only while the
+    # documents fixture is ONE file — assert that, so a regenerated
+    # multi-file fixture fails loudly here instead of silently
+    # diverging from the oracle. (Production has no oracle to match:
+    # arrival order IS the admission semantics there.)
+    n_files = len([
+        f for f in os.listdir(docs_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ])
+    if n_files != 1:
+        raise AssertionError(
+            f"streaming_cuotas_fuentes oracle requires a single-file "
+            f"documents fixture (found {n_files} in {docs_dir}): global "
+            f"doc_id admission order != multi-file arrival order"
+        )
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)

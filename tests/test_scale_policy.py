@@ -126,3 +126,33 @@ def test_pq_policy_identical_and_bounded():
         # LIMIT, and the codebook itself is exactly min(n, K_PQ) rows
         if n:
             assert (n - 1) // _pq_mod(n) + 1 >= min(n, _PQ_K)
+
+
+def test_kmeans_cache_path_signature_tracks_content(tmp_path):
+    """ADVICE r8 (low): the session fit cache keys on a file-listing
+    signature, so rewriting the dataset at the same path within a
+    session changes the key (stale centroids are never served)."""
+    import os
+    import time
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _path_signature,
+    )
+
+    emb = tmp_path / "embeddings.parquet"
+    emb.mkdir()
+    (emb / "part-0.parquet").write_bytes(b"aaaa")
+    s1 = _path_signature(str(tmp_path))
+    assert s1 == _path_signature(str(tmp_path))  # stable on same content
+    time.sleep(0.01)
+    (emb / "part-0.parquet").write_bytes(b"bbbbbb")  # in-session rewrite
+    s2 = _path_signature(str(tmp_path))
+    assert s2 != s1
+    # layout change (new part file) also invalidates
+    (emb / "part-1.parquet").write_bytes(b"cc")
+    assert _path_signature(str(tmp_path)) not in (s1, s2)
+    # a bare-file table (no embeddings.parquet subdir) signs the path itself
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    (solo / "data.parquet").write_bytes(b"x")
+    assert _path_signature(str(solo))

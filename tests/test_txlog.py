@@ -1315,3 +1315,54 @@ def test_null_count_stats_prune_is_null_delete(spark, tmp_path):
     # both hints at once is ambiguous — refused
     with pytest.raises(ValueError, match="not both"):
         t.delete_matching(spark, "k IS NULL", prune=("k", 0, 1), prune_null="k")
+
+
+def test_wap_publish_crash_window_fence(spark, tmp_path):
+    """ADVICE r8 (medium): a crash between publish's version flip and the
+    staged-manifest unlink leaves the staged manifest alive; the retry
+    path must NOT append the same files twice. The committed manifest
+    records its staging_id, and a re-publish of an already-flipped id is
+    an idempotent no-op returning the committed version."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))
+    sid = t.stage_append(_df(spark, 5, 8))
+    staged_path = t._staged_path(sid)
+    with open(staged_path) as fh:
+        staged_payload = fh.read()
+    v = t.publish(spark, sid)
+    assert v == 1 and t.read(spark).count() == 8
+    # simulate the crash window: the flip landed but the unlink didn't
+    with open(staged_path, "w") as fh:
+        fh.write(staged_payload)
+    v2 = t.publish(spark, sid)  # retry after "crash"
+    assert v2 == v  # the already-committed version, not a new flip
+    assert t.version() == v  # no duplicate append happened
+    assert t.read(spark).count() == 8  # rows not doubled
+    # and the leftover staged manifest was consumed by the retry
+    assert not os.path.exists(staged_path)
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.publish(spark, sid)
+
+
+def test_vacuum_tolerates_vanishing_roots(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (low): vacuum's GC-root collection lists then opens
+    tag_/staged_ json files; a concurrent delete_tag/publish between the
+    listing and the open must be skipped, not crash the vacuum."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+    t.append(_df(spark, 3, 5))
+    t.create_tag("estable")
+    real_listdir = os.listdir
+
+    def phantom_listdir(path):
+        out = list(real_listdir(path))
+        if os.path.abspath(path) == os.path.abspath(t.log_dir):
+            # entries that vanished between listdir and open
+            out += ["tag_fantasma.json", "staged_fantasma.json"]
+        return out
+
+    monkeypatch.setattr(os, "listdir", phantom_listdir)
+    assert t.tags() == {"estable": 1}  # phantom tag skipped
+    assert set(t.staged()) == set()  # phantom staged skipped
+    t.vacuum(keep_versions=1, retention_s=0.0)  # must not raise
+    assert t.read(spark).count() == 5
