@@ -203,3 +203,25 @@ def test_core12_bench_membership_is_pinned():
     )
     for name in bench.CORE_12:
         assert name in REGISTRY, name
+
+
+def test_every_survey2_op_has_a_coverage_row():
+    """VERDICT r8 #7: the "every SURVEY §2 op appears in COVERAGE.md"
+    invariant, mechanically. Tags are parsed from SURVEY.md §2's tables
+    (the source of truth), each must be an OP_LABELS key, and the
+    regenerated COVERAGE.md on disk must carry its row."""
+    import re
+
+    from tools.coverage_map import OP_LABELS
+
+    with open("SURVEY.md") as fh:
+        text = fh.read()
+    sec2 = text.split("## 2. ")[1].split("\n## ")[0]
+    tags = set(re.findall(r"^\| ([A-Z]+[0-9]+) \|", sec2, re.M))
+    assert tags, "SURVEY.md §2 parse found no op tags"
+    missing = sorted(tags - set(OP_LABELS))
+    assert missing == [], f"SURVEY §2 tags without OP_LABELS rows: {missing}"
+    with open("COVERAGE.md") as fh:
+        cov = fh.read()
+    absent = sorted(t for t in tags if f"| {t} |" not in cov)
+    assert absent == [], f"SURVEY §2 tags missing from COVERAGE.md: {absent}"
