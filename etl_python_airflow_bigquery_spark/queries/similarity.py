@@ -2727,6 +2727,10 @@ def _hier_seeds(
         (r["vec_id"], list(r["ev"]))
         for r in enteros.where(F.col("vec_id") % m2 == 0).collect()
     )
+    if not s1:  # empty corpus: one zero seed keeps the literal argmin
+        # expression analyzable (it never evaluates on zero rows) —
+        # the _kmeans_fit empty-cent guard, mirrored
+        s1 = [(0, [0] * DIM)]
 
     def l1_of(ev: list[int]) -> int:
         best_sid, best_d2 = None, None
@@ -2742,6 +2746,20 @@ def _hier_seeds(
     return s1, por_celda
 
 
+_NO_LEAF_SENTINEL = (
+    "struct(CAST(-1 AS BIGINT) AS sid, CAST(NULL AS BIGINT) AS d2)"
+)
+
+
+def _case_dispatch(branches: str) -> str:
+    """CASE-dispatch over celda1 with the no-leaf sentinel as ELSE; a
+    branchless CASE is a Spark parse error (empty corpus ⇒ no level-2
+    seeds anywhere), so degrade to the sentinel alone."""
+    if not branches:
+        return _NO_LEAF_SENTINEL
+    return f"CASE celda1 {branches} ELSE {_NO_LEAF_SENTINEL} END"
+
+
 def _hier_assign(enteros: DataFrame, n: int):
     """Two-level map-only assignment; returns (frame with vec_id, ev,
     celda1, hoja, nivel, d2, plus the s1 seed list and the per-cell
@@ -2752,11 +2770,7 @@ def _hier_assign(enteros: DataFrame, n: int):
         f"WHEN CAST({c} AS BIGINT) THEN {_argmin_literal(sorted(seeds))}"
         for c, seeds in sorted(por_celda.items())
     )
-    b2_expr = (
-        f"CASE celda1 {b2_branches} "
-        "ELSE struct(CAST(-1 AS BIGINT) AS sid, "
-        "CAST(NULL AS BIGINT) AS d2) END"
-    )
+    b2_expr = _case_dispatch(b2_branches)
     base = enteros.select(
         "vec_id", "ev", F.expr(_argmin_literal(s1)).alias("b1")
     ).select(
@@ -2975,11 +2989,7 @@ def similarity_ivf_search_jerarquico(spark: SparkSession, sf_dir: str) -> DataFr
         )
         for c, seeds in sorted(por_celda.items())
     )
-    leaf2_expr = (
-        f"CASE celda1 {leaf2_branches} "
-        "ELSE struct(CAST(-1 AS BIGINT) AS sid, "
-        "CAST(NULL AS BIGINT) AS d2) END"
-    )
+    leaf2_expr = _case_dispatch(leaf2_branches)
     consultas = (
         asig.where(F.col("vec_id") % _query_mod(n) == 0)
         .withColumn("l2", F.expr(leaf2_expr))
@@ -4661,6 +4671,507 @@ def atipicos_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE 0 END)) div count(*) AS BIGINT)"
             ).alias("atipicos_milli"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical 2-probe family (VERDICT r8 #2) — SemDeDup / mutual-kNN /
+# density clustering routed through the TWO-LEVEL coarse quantizer with a
+# 2-LEAF PROBE. This retires the flat family's K_CAP=64 Σ cell² regime:
+# the leaf count is k2 ≤ 256 (4× the flat cap, a constant production
+# raises further) at an assign cost of O(k1 + k2/k1) comparisons per
+# vector, and each vector is blocked into its TWO nearest leaves, so a
+# true neighbor pair straddling one leaf boundary is still co-blocked —
+# the pairs the 1-cell form silently missed (cobertura_sondas pins the
+# gain). Probes never leave the vector's level-1 cell, which keeps every
+# candidate pair celda1-contained — the containment the per-group
+# union-find in the density variant relies on.
+# --------------------------------------------------------------------------
+
+
+def _hier_probes(enteros: DataFrame, n: int) -> DataFrame:
+    """(vec_id, celda1, hoja, sonda): one row per PROBED leaf — ``hoja``
+    is the primary (nearest) leaf on every row; ``sonda`` explodes to
+    the 1-2 leaves the vector blocks into (second-nearest leaf via the
+    same CASE-dispatched literal argmin the hierarchical search probes
+    with, so the assign stays map-only: no joins, no shuffles)."""
+    asig, _s1, por_celda = _hier_assign(enteros, n)
+    leaf2_branches = " ".join(
+        "WHEN CAST({c} AS BIGINT) THEN {e}".format(
+            c=c, e=_argmin_literal_excl(sorted(seeds), "hoja")
+        )
+        for c, seeds in sorted(por_celda.items())
+    )
+    leaf2_expr = _case_dispatch(leaf2_branches)
+    return asig.withColumn("l2", F.expr(leaf2_expr)).select(
+        "vec_id",
+        "celda1",
+        "hoja",
+        F.explode(
+            F.when(
+                (F.col("nivel") == "l1") | (F.col("l2.sid") == -1),
+                F.array(F.col("hoja")),
+            ).otherwise(F.array(F.col("hoja"), F.col("l2.sid")))
+        ).alias("sonda"),
+    )
+
+
+def _hier_probe_ctes() -> str:
+    """DuckDB CTE chain ending in ``asig_h`` (vec_id, celda1, hoja,
+    hoja2 — one row per vector) and ``probes`` (the exploded 1-2 probe
+    rows) — the exact mirror of ``_hier_probes``: primary leaf = rank-1
+    of (d2, sid2) among the vector's cell's level-2 seeds (celda1
+    fallback when the cell has none), second probe = rank-2 when it
+    exists."""
+    return f"""enteros AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+{_HPARAMS_SQL},
+s1 AS (SELECT vec_id AS sid, ev AS sv FROM enteros
+       WHERE vec_id % (SELECT m1 FROM hparams) = 0),
+d1 AS (SELECT e.vec_id, s.sid, {_D2_SQL.format(a="e.ev", b="s.sv")} AS d2
+       FROM enteros e CROSS JOIN s1 s),
+a1 AS (SELECT vec_id, sid AS celda1 FROM
+       (SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+        FROM d1) WHERE rn = 1),
+s2 AS (SELECT e.vec_id AS sid2, e.ev AS sv2, a.celda1
+       FROM enteros e JOIN a1 a USING (vec_id)
+       WHERE e.vec_id % (SELECT m2 FROM hparams) = 0),
+d2c AS (SELECT e.vec_id, s.sid2, {_D2_SQL.format(a="e.ev", b="s.sv2")} AS d2
+        FROM enteros e JOIN a1 a USING (vec_id)
+        JOIN s2 s ON s.celda1 = a.celda1),
+a2r AS (SELECT vec_id, sid2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid2) AS rn
+        FROM d2c),
+asig_h AS (SELECT a1.vec_id, a1.celda1,
+                  CAST(coalesce(p1.sid2, a1.celda1) AS BIGINT) AS hoja,
+                  p2.sid2 AS hoja2
+           FROM a1
+           LEFT JOIN (SELECT vec_id, sid2 FROM a2r WHERE rn = 1) p1
+                  ON p1.vec_id = a1.vec_id
+           LEFT JOIN (SELECT vec_id, sid2 FROM a2r WHERE rn = 2) p2
+                  ON p2.vec_id = a1.vec_id),
+probes AS (SELECT vec_id, celda1, hoja, hoja AS sonda FROM asig_h
+           UNION ALL
+           SELECT vec_id, celda1, hoja, CAST(hoja2 AS BIGINT) FROM asig_h
+           WHERE hoja2 IS NOT NULL)"""
+
+
+_SEMDEDUP_H_ORACLE = (
+    "WITH "
+    + _hier_probe_ctes()
+    + ",\n"
+    + _NORMS_SQL.strip()
+    + f""",
+cand_h AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM probes a JOIN probes b
+             ON a.sonda = b.sonda AND a.vec_id < b.vec_id),
+dups_h AS (
+    SELECT DISTINCT c.vb
+    FROM cand_h c
+    JOIN embeddings ea ON ea.vec_id = c.va
+    JOIN embeddings eb ON eb.vec_id = c.vb
+    JOIN norms na ON na.vec_id = c.va
+    JOIN norms nb ON nb.vec_id = c.vb
+    WHERE CAST({_scaled_dot_sql("ea.embedding", "eb.embedding")} AS DOUBLE)
+          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+          >= {_SEMDEDUP_TAU}
+)
+SELECT h.hoja, CAST(count(*) AS BIGINT) AS vecs,
+       CAST(count(d.vb) AS BIGINT) AS duplicados,
+       (CAST(count(d.vb) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+           AS tasa_mili
+FROM asig_h h LEFT JOIN dups_h d ON d.vb = h.vec_id
+GROUP BY 1"""
+)
+
+
+@register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
+          ops=("DD5", "NN2"), driver=False, bench=True)
+def dedup_semantico_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the HIERARCHICAL index with a 2-leaf probe — the
+    scale form of ``dedup_semantico`` (SCALING.md's K_CAP item): pair
+    work is Σ leaf² over k2 ≤ 256 leaves instead of Σ cell² over 64
+    flat cells, and a vector blocks into its two nearest leaves so a
+    duplicate straddling a leaf boundary is still caught (SemDeDup's
+    published recipe probes cells for exactly this reason). Candidates
+    come from an equi join on the probed leaf + DISTINCT — never
+    corpus². Keep-min-id convention unchanged; the census is per
+    PRIMARY leaf. Oracle: the two-level assign + probe union unrolled
+    as CTEs (rank-1/rank-2 of the same integer argmin)."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    # probes feed both pair sides + the per-leaf census; its lineage is
+    # two giant literal argmin projections — checkpoint once
+    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    cand = (
+        probes.select(F.col("vec_id").alias("va"), "sonda")
+        .join(
+            probes.select(F.col("vec_id").alias("vb"),
+                          F.col("sonda").alias("sonda_b")),
+            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb")
+        .distinct()
+    )
+    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
+    ea = m.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    eb = m.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = cosine_from_ints(
+        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    dups = (
+        cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
+        .select("vb")
+        .distinct()
+    )
+    prim = probes.select("vec_id", "hoja").distinct()
+    per_leaf = prim.groupBy("hoja").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vecs")
+    )
+    dcount = (
+        dups.join(prim.withColumnRenamed("vec_id", "vb"), "vb")
+        .groupBy("hoja")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("duplicados"))
+    )
+    return (
+        per_leaf.join(dcount, "hoja", "left")
+        .select(
+            "hoja",
+            "vecs",
+            F.coalesce("duplicados", F.lit(0)).cast("bigint")
+            .alias("duplicados"),
+        )
+        .withColumn(
+            "tasa_mili",
+            F.expr("(duplicados * 1000) div vecs").cast("bigint"),
+        )
+    )
+
+
+def _knn_probe_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the hierarchical kNN pair: returns
+    (knn, prim) where knn = the directed top-k edge list over 2-probe
+    candidates (checkpointed — both the mutual join and the census
+    consume it) and prim = one (vec_id, celda1, hoja) row per vector."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    prim = probes.select("vec_id", "celda1", "hoja").distinct()
+    cand = (
+        probes.select(F.col("vec_id").alias("src"), "sonda")
+        .join(
+            probes.select(F.col("vec_id").alias("dst"),
+                          F.col("sonda").alias("sonda_b")),
+            (F.col("sonda") == F.col("sonda_b"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    ea = enteros.select(F.col("vec_id").alias("src"), F.col("ev").alias("ev_a"))
+    eb = enteros.select(F.col("vec_id").alias("dst"), F.col("ev").alias("ev_b"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev_a"), F.col("ev_b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select("src", "dst", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_GRAFO_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    return knn, prim
+
+
+_KNN_H_ORACLE = (
+    "WITH "
+    + _hier_probe_ctes()
+    + f""",
+cand_k AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           FROM probes a JOIN probes b
+             ON a.sonda = b.sonda AND a.vec_id != b.vec_id),
+d_k AS (SELECT c.src, c.dst, {_D2_SQL.format(a="ea.ev", b="eb.ev")} AS d2
+        FROM cand_k c
+        JOIN enteros ea ON ea.vec_id = c.src
+        JOIN enteros eb ON eb.vec_id = c.dst),
+knn_h AS (SELECT src, dst FROM (
+            SELECT src, dst, d2,
+                   row_number() OVER (PARTITION BY src ORDER BY d2, dst)
+                       AS rn
+            FROM d_k) WHERE rn <= {_KNN_GRAFO_K}),
+mutuas_h AS (SELECT a.src, a.dst FROM knn_h a
+             JOIN knn_h b ON b.src = a.dst AND b.dst = a.src)
+SELECT h.hoja,
+       CAST(count(DISTINCT k.src) AS BIGINT) AS miembros,
+       CAST(count(*) AS BIGINT) AS aristas_knn,
+       CAST(coalesce(mx.m, 0) AS BIGINT) AS aristas_mutuas,
+       CAST((1000 * coalesce(mx.m, 0)) // count(*) AS BIGINT)
+           AS tasa_mutua_mili
+FROM knn_h k JOIN asig_h h ON h.vec_id = k.src
+LEFT JOIN (SELECT h2.hoja, count(*) AS m FROM mutuas_h mm
+           JOIN asig_h h2 ON h2.vec_id = mm.src GROUP BY 1) mx
+       ON mx.hoja = h.hoja
+GROUP BY 1, mx.m"""
+)
+
+
+@register("grafo_knn_mutuo_jerarquico", oracle=_KNN_H_ORACLE,
+          ops=("NN2", "O7", "A1"), driver=False, bench=True)
+def grafo_knn_mutuo_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the HIERARCHICAL 2-probe index — the scale
+    form of ``grafo_knn_mutuo``: neighbor candidates come from the two
+    nearest leaves of the two-level quantizer (k2 ≤ 256 leaves, probes
+    confined to the vector's level-1 cell), so candidate work per
+    vector is ≈ 2·(n/k2) and a true neighbor across one leaf boundary
+    is still rankable — the hub-killing mutual symmetrization then
+    operates on a STRICTLY richer edge set than the 1-cell form (the
+    cobertura_sondas pin measures the gain). Census per primary leaf,
+    same tie-breaks, k = 3."""
+    knn, prim = _knn_probe_edges(spark, sf_dir)
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutuas = (
+        knn.join(rev, ["src", "dst"])
+        .join(prim.select(F.col("vec_id").alias("src"), "hoja"), "src")
+        .groupBy("hoja")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    por_hoja = (
+        knn.join(prim.select(F.col("vec_id").alias("src"), "hoja"), "src")
+        .groupBy("hoja")
+        .agg(
+            F.countDistinct("src").cast("bigint").alias("miembros"),
+            F.count(F.lit(1)).cast("bigint").alias("aristas_knn"),
+        )
+    )
+    return por_hoja.join(F.broadcast(mutuas), "hoja", "left").select(
+        "hoja",
+        "miembros",
+        "aristas_knn",
+        F.coalesce("m", F.lit(0)).cast("bigint").alias("aristas_mutuas"),
+        F.expr("(1000 * coalesce(m, 0)) div aristas_knn")
+        .cast("bigint")
+        .alias("tasa_mutua_mili"),
+    )
+
+
+_DENSIDAD_H_ORACLE = (
+    "WITH RECURSIVE "
+    + _hier_probe_ctes()
+    + f""",
+cand_k AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           FROM probes a JOIN probes b
+             ON a.sonda = b.sonda AND a.vec_id != b.vec_id),
+d_k AS (SELECT c.src, c.dst, {_D2_SQL.format(a="ea.ev", b="eb.ev")} AS d2
+        FROM cand_k c
+        JOIN enteros ea ON ea.vec_id = c.src
+        JOIN enteros eb ON eb.vec_id = c.dst),
+knn_h AS (SELECT src, dst FROM (
+            SELECT src, dst, d2,
+                   row_number() OVER (PARTITION BY src ORDER BY d2, dst)
+                       AS rn
+            FROM d_k) WHERE rn <= {_KNN_GRAFO_K}),
+mutuas_h AS (SELECT a.src, a.dst FROM knn_h a
+             JOIN knn_h b ON b.src = a.dst AND b.dst = a.src),
+sym_h AS (SELECT src AS a, dst AS b FROM mutuas_h
+          UNION SELECT dst, src FROM mutuas_h),
+nodos_h AS (SELECT DISTINCT a AS n FROM sym_h),
+reach_h(n, m) AS (
+    SELECT n, n FROM nodos_h
+    UNION
+    SELECT r.n, s.b FROM reach_h r JOIN sym_h s ON r.m = s.a
+),
+comp_h AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach_h GROUP BY n)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS miembros,
+       CAST(min(h.hoja) AS BIGINT) AS hoja_min,
+       CAST(max(h.hoja) AS BIGINT) AS hoja_max
+FROM comp_h c JOIN asig_h h ON h.vec_id = c.vec_id
+GROUP BY 1"""
+)
+
+
+@register("agrupacion_densidad_jerarquica", oracle=_DENSIDAD_H_ORACLE,
+          ops=("NN2", "DD4", "A1"), driver=False, bench=True)
+def agrupacion_densidad_jerarquica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering over the HIERARCHICAL 2-probe mutual-kNN graph
+    — the scale form of ``agrupacion_densidad``, and the variant where
+    the 2-leaf probe VISIBLY pays off: mutual edges can now cross leaf
+    borders (both endpoints probe the shared neighbor leaf), so a dense
+    region straddling a boundary forms ONE cluster where the 1-cell
+    form split it (hoja_min ≠ hoja_max rows are exactly those rescued
+    clusters). Probes never leave the level-1 cell, so components stay
+    celda1-contained and the per-group union-find (one applyInPandas
+    shuffle on celda1, the agrupacion_densidad lesson: ~3× over the
+    global propagate loop) remains the right physical shape; at
+    production scale the level-1 cell — not the corpus — bounds each
+    group. Output: cluster census with the primary-leaf span audit."""
+    knn, prim = _knn_probe_edges(spark, sf_dir)
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutuas = knn.join(rev, ["src", "dst"])
+    aristas_c1 = mutuas.join(
+        prim.select(F.col("vec_id").alias("src"), "celda1"), "src"
+    ).select("celda1", "src", "dst")
+
+    def _cc_celda1(pdf):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, t in zip(pdf["src"], pdf["dst"]):
+            s, t = int(s), int(t)
+            parent.setdefault(s, s)
+            parent.setdefault(t, t)
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                lo, hi = (rs, rt) if rs < rt else (rt, rs)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        return pd.DataFrame(
+            {
+                "celda1": [int(pdf["celda1"].iloc[0])] * len(rows),
+                "vec_id": [r[0] for r in rows],
+                "cluster_id": [r[1] for r in rows],
+            }
+        )
+
+    labels = aristas_c1.groupBy("celda1").applyInPandas(
+        _cc_celda1, "celda1 long, vec_id long, cluster_id long"
+    )
+    return (
+        labels.join(prim, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("miembros"),
+            F.min("hoja").cast("bigint").alias("hoja_min"),
+            F.max("hoja").cast("bigint").alias("hoja_max"),
+        )
+    )
+
+
+_COBERTURA_SONDAS_ORACLE = (
+    "WITH "
+    + _hier_probe_ctes()
+    + ",\n"
+    + _NORMS_SQL.strip()
+    + f""",
+cand_h AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM probes a JOIN probes b
+             ON a.sonda = b.sonda AND a.vec_id < b.vec_id),
+verif AS (
+    SELECT c.va, c.vb,
+           CASE WHEN ha.hoja = hb.hoja THEN 1 ELSE 0 END AS misma_hoja
+    FROM cand_h c
+    JOIN embeddings ea ON ea.vec_id = c.va
+    JOIN embeddings eb ON eb.vec_id = c.vb
+    JOIN norms na ON na.vec_id = c.va
+    JOIN norms nb ON nb.vec_id = c.vb
+    JOIN asig_h ha ON ha.vec_id = c.va
+    JOIN asig_h hb ON hb.vec_id = c.vb
+    WHERE CAST({_scaled_dot_sql("ea.embedding", "eb.embedding")} AS DOUBLE)
+          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+          >= {_SEMDEDUP_TAU}
+)
+SELECT CAST(sum(misma_hoja) AS BIGINT) AS pares_1sonda,
+       CAST(count(*) AS BIGINT) AS pares_2sondas,
+       CAST(count(*) - sum(misma_hoja) AS BIGINT) AS ganancia
+FROM verif"""
+)
+
+
+@register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
+          ops=("NN2", "DD5", "A6"), driver=False)
+def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
+    the hierarchical index, count the τ-verified near-dup pairs whose
+    endpoints share their PRIMARY leaf (what 1-cell blocking finds) vs
+    those sharing ANY probed leaf (what the 2-probe finds) — the
+    primary-leaf candidates are a subset by construction, so
+    ``ganancia`` is exactly the boundary-straddling true pairs the
+    1-cell form silently missed. tests/test_similarity_recall.py pins
+    ganancia > 0 on the fixture, making a silent probe regression a
+    test failure."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    prim = probes.select("vec_id", "hoja").distinct()
+    cand = (
+        probes.select(F.col("vec_id").alias("va"), "sonda")
+        .join(
+            probes.select(F.col("vec_id").alias("vb"),
+                          F.col("sonda").alias("sonda_b")),
+            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb")
+        .distinct()
+    )
+    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
+    ea = m.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    eb = m.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = cosine_from_ints(
+        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    # prim is corpus-sized (one row per vector) — these are shuffle
+    # joins by design; only the 5-column verified-pair frame moves
+    verif = (
+        cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
+        .join(
+            prim.select(F.col("vec_id").alias("va"),
+                        F.col("hoja").alias("hoja_a")),
+            "va",
+        )
+        .join(
+            prim.select(F.col("vec_id").alias("vb"),
+                        F.col("hoja").alias("hoja_b")),
+            "vb",
+        )
+        .select(
+            F.when(F.col("hoja_a") == F.col("hoja_b"), 1)
+            .otherwise(0)
+            .alias("misma_hoja")
+        )
+    )
+    return verif.agg(
+        F.sum("misma_hoja").cast("bigint").alias("pares_1sonda"),
+        F.count(F.lit(1)).cast("bigint").alias("pares_2sondas"),
+        (F.count(F.lit(1)) - F.sum("misma_hoja"))
+        .cast("bigint")
+        .alias("ganancia"),
     )
 
 

@@ -142,6 +142,12 @@ SMOKE = [
     "streaming_etiquetado_debil",
     "streaming_cuotas_fuentes",
     "tiempo_entre_eventos",
+    # round-9 hierarchical 2-probe family
+    "dedup_semantico_jerarquico",
+    "grafo_knn_mutuo_jerarquico",
+    "agrupacion_densidad_jerarquica",
+    # cobertura_sondas is NOT here: global scalar row (0, 0, 0) on
+    # empty, matching its oracle — the global-aggregate class
     # curva_umbral_dedup is NOT here: on empty input it returns its
     # fixed 6-row threshold grid with zero counts (matching the
     # oracle's VALUES grid + correlated counts) — the grid class

@@ -644,3 +644,21 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
     query-keyed joins over the checkpointed shortlist)."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_semantico_jerarquico",
+        "grafo_knn_mutuo_jerarquico",
+        "agrupacion_densidad_jerarquica",
+        "cobertura_sondas",
+    ],
+)
+def test_round9_ops_no_cartesian(spark, sf_dir, name):
+    """Round-9 hierarchical 2-probe family keeps the standing
+    invariant: candidate pairs come from an equi join on the probed
+    leaf (sonda), cosine verification joins on vec ids — no unkeyed
+    CartesianProduct anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name

@@ -256,3 +256,24 @@ def test_ivfpq_residual_recall(spark):
         true3 = {int(ids[i]) for i in np.argsort(-sims)[:3]}
         recalls.append(len(cands & true3) / 3)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_two_probe_finds_pairs_one_cell_misses(spark):
+    """VERDICT r8 #2's recall pin: over the hierarchical index, the
+    2-leaf probe's verified near-dup pair set strictly contains the
+    primary-leaf-only set, and the gain is real on the fixture (the
+    boundary-straddling pairs the 1-cell form silently lost). Numbers
+    cross-checked against the DuckDB oracle by tools/compare; here the
+    Spark side pins the invariants so a probe regression fails loudly."""
+    row = REGISTRY["cobertura_sondas"].fn(spark, SF_DIR).collect()[0]
+    assert row["pares_2sondas"] == row["pares_1sonda"] + row["ganancia"]
+    assert row["ganancia"] > 0, "2-probe found nothing beyond 1-cell"
+    assert row["pares_1sonda"] > 0  # the 1-cell baseline is non-trivial
+
+
+def test_two_probe_rescues_cross_leaf_clusters(spark):
+    """Density clustering over the 2-probe graph must produce clusters
+    whose members span MULTIPLE primary leaves — exactly the clusters
+    single-cell blocking would have split."""
+    rows = REGISTRY["agrupacion_densidad_jerarquica"].fn(spark, SF_DIR).collect()
+    assert rows and any(r["hoja_min"] != r["hoja_max"] for r in rows)
