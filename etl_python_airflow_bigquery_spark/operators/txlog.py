@@ -1306,7 +1306,17 @@ class TxTable:
                 "(already published or discarded?)"
             ) from exc
 
-    def stage_append(self, df: DataFrame) -> str:
+    def _resolve_staging(self, id_or_name: str) -> str:
+        """Accept a staging id or a stage NAME; names resolve to the one
+        live stage carrying them (uniqueness enforced at stage time)."""
+        if os.path.exists(self._staged_path(id_or_name)):
+            return id_or_name
+        for sid, meta in self.staged().items():
+            if meta.get("name") == id_or_name:
+                return sid
+        return id_or_name  # let _staged_manifest raise the loud unknown
+
+    def stage_append(self, df: DataFrame, name: str | None = None) -> str:
         """WRITE half of write-audit-publish (the Iceberg WAP pattern):
         the batch's data files land in the data dir and a STAGED manifest
         records them, but no version flips — readers cannot see the rows,
@@ -1314,11 +1324,30 @@ class TxTable:
         they await audit. Returns the staging id for ``read_staged`` /
         ``publish`` / ``discard_staged``.
 
+        NAMED STAGES (Iceberg's multi-branch WAP): pass ``name`` to label
+        the stage; any number of pipelines can stage/audit/publish
+        INDEPENDENTLY on one table — each stage sees head + ITS OWN rows
+        only, publishes in any order, and vacuum protects every live
+        stage's files. Names are unique among ACTIVE stages (a second
+        stage under a live name is refused loudly — two pipelines racing
+        one label is a wiring bug); the name frees on publish/discard.
+        read_staged/publish/discard_staged accept the id or the name.
+
         Nothing is validated here BY DESIGN: the audit window is where
         quality gates run (on the would-be state, via read_staged), and
         publish() re-checks constraints and schema evolution against the
         head AT PUBLISH TIME — the head may have moved since staging, and
         append semantics make that legal (disjoint files)."""
+        if name is not None:
+            activos = {
+                m.get("name") for m in self.staged().values()
+            } - {None}
+            if name in activos:
+                raise ValueError(
+                    f"stage name {name!r} is already active on "
+                    f"{self.path!r} — publish or discard it first "
+                    "(names are unique among live stages)"
+                )
         files = self._write_files(df)
         sid = uuid.uuid4().hex[:8]
         payload = {
@@ -1327,6 +1356,7 @@ class TxTable:
             "schema": df.schema.json(),
             "base_version": self.version(),
             "staged_at": time.time(),
+            "name": name,
         }
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as fh:
@@ -1338,7 +1368,8 @@ class TxTable:
         return sid
 
     def staged(self) -> dict[str, dict]:
-        """Staging inventory: id -> {base_version, staged_at, n_files}."""
+        """Staging inventory: id -> {base_version, staged_at, n_files,
+        name} (name None for anonymous stages)."""
         out: dict[str, dict] = {}
         for f in os.listdir(self.log_dir):
             if f.startswith("staged_") and f.endswith(".json"):
@@ -1351,6 +1382,7 @@ class TxTable:
                     "base_version": m["base_version"],
                     "staged_at": m["staged_at"],
                     "n_files": len(m["files"]),
+                    "name": m.get("name"),
                 }
         return out
 
@@ -1360,8 +1392,8 @@ class TxTable:
         files, under the staged schema (exactly what the published
         append's manifest would govern). Quality gates, row-count diffs,
         and constraint dry-runs read this; the real table stays
-        untouched."""
-        m = self._staged_manifest(staging_id)
+        untouched. Accepts the staging id or the stage name."""
+        m = self._staged_manifest(self._resolve_staging(staging_id))
         parent = self.version()
         base = self._manifest(parent)["files"] if parent >= 0 else []
         return self._read_entries(spark, base + m["files"], m["schema"])
@@ -1390,6 +1422,7 @@ class TxTable:
         base_version: if one carries this id, the flip already happened —
         consume the leftover staged manifest and return that committed
         version (idempotent) instead of duplicating the rows."""
+        staging_id = self._resolve_staging(staging_id)
         m = self._staged_manifest(staging_id)
         parent = self.version()
         for v in self._versions():
@@ -1426,9 +1459,9 @@ class TxTable:
     def discard_staged(self, staging_id: str) -> None:
         """Abandon a staged batch: the manifest goes now; the data files
         become unreferenced orphans that the next vacuum (past its
-        retention window) collects."""
+        retention window) collects. Accepts the staging id or name."""
         try:
-            os.unlink(self._staged_path(staging_id))
+            os.unlink(self._staged_path(self._resolve_staging(staging_id)))
         except FileNotFoundError as exc:
             raise ValueError(
                 f"unknown staging id {staging_id!r} on {self.path!r}"

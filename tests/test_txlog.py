@@ -1366,3 +1366,48 @@ def test_vacuum_tolerates_vanishing_roots(spark, tmp_path, monkeypatch):
     assert set(t.staged()) == set()  # phantom staged skipped
     t.vacuum(keep_versions=1, retention_s=0.0)  # must not raise
     assert t.read(spark).count() == 5
+
+
+def test_wap_named_stages_interleave_independently(spark, tmp_path):
+    """Multi-branch WAP (VERDICT r8 #5): two pipelines stage under their
+    own NAMES on one table, each audit sees head + ITS OWN rows only,
+    publish order is free (B then A), vacuum protects both while they
+    are live, and a name is unique among live stages then frees on
+    publish."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 4))  # head: 4 rows
+
+    sid_a = t.stage_append(_df(spark, 10, 13), name="pipeline_a")  # 3 rows
+    sid_b = t.stage_append(_df(spark, 20, 22), name="pipeline_b")  # 2 rows
+    assert t.staged()[sid_a]["name"] == "pipeline_a"
+    assert t.staged()[sid_b]["name"] == "pipeline_b"
+    # a second live stage under an active name is a wiring bug — refused
+    with pytest.raises(ValueError, match="already active"):
+        t.stage_append(_df(spark, 30, 31), name="pipeline_a")
+
+    # isolation: each audit = head + its own rows, by NAME
+    assert {r["k"] for r in t.read_staged(spark, "pipeline_a").collect()} \
+        == {0, 1, 2, 3, 10, 11, 12}
+    assert {r["k"] for r in t.read_staged(spark, "pipeline_b").collect()} \
+        == {0, 1, 2, 3, 20, 21}
+    assert t.read(spark).count() == 4  # table untouched while staged
+
+    # vacuum protects BOTH live stages' files at any age
+    t.vacuum(keep_versions=1, retention_s=0.0)
+
+    # publish B first, then A — order-free; both land
+    vb = t.publish(spark, "pipeline_b")
+    assert {r["k"] for r in t.read(spark).collect()} == {0, 1, 2, 3, 20, 21}
+    va = t.publish(spark, "pipeline_a")
+    assert va == vb + 1
+    assert {r["k"] for r in t.read(spark).collect()} \
+        == {0, 1, 2, 3, 10, 11, 12, 20, 21}
+
+    # names freed on publish: the label is reusable, and the old names
+    # no longer resolve
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.read_staged(spark, "pipeline_a")
+    sid_a2 = t.stage_append(_df(spark, 40, 41), name="pipeline_a")
+    t.discard_staged("pipeline_a")  # discard by name works too
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.publish(spark, sid_a2)
