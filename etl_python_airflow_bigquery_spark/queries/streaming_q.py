@@ -680,3 +680,119 @@ def streaming_cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("docs_cap").cast("bigint").alias("docs_cap"),
         F.max("tokens_cap").cast("bigint").alias("tokens_cap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming WINDOWED Gopher gate — per-day rule pass rates (tumbling day)
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.queries.text import (  # noqa: E402
+    _GOPHER_REGLAS_CTES,
+)
+
+# Synthetic ingest day for the documents table (which carries no event
+# time): day = doc_id div 100, anchored at 2024-01-01 UTC expressed in
+# EPOCH MICROSECONDS on both engines — timestamp_micros keeps the Spark
+# side absolute (no session-timezone parse; the hostile-tz driver-sim
+# lesson), and day boundaries land exactly on window starts because the
+# anchor is a multiple of 86 400 s. doc_id is monotone in arrival order,
+# so the synthetic event time never runs backwards and a watermark can
+# never drop a day that is still filling.
+_VENTANA_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_VENTANA_DIA_US = 86_400_000_000
+_VENTANA_DIV = 100
+
+_REGLAS_VENTANA_ORACLE = f"""
+WITH {_GOPHER_REGLAS_CTES},
+largo_v AS (
+    SELECT doc_id, 'palabras' AS regla, r_palabras AS ok FROM reglas
+    UNION ALL SELECT doc_id, 'longitud_media', r_longitud FROM reglas
+    UNION ALL SELECT doc_id, 'simbolos', r_simbolos FROM reglas
+    UNION ALL SELECT doc_id, 'alfabeticas', r_alfa FROM reglas
+    UNION ALL SELECT doc_id, 'stopwords', r_stops FROM reglas
+    UNION ALL SELECT doc_id, 'todas',
+        r_palabras AND r_longitud AND r_simbolos AND r_alfa AND r_stops
+    FROM reglas
+)
+SELECT CAST({_VENTANA_EPOCH_US} + (doc_id // {_VENTANA_DIV})
+            * {_VENTANA_DIA_US} AS BIGINT) AS dia_us,
+       regla,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS aprobados,
+       CAST(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+           AS tasa_milli
+FROM largo_v GROUP BY 1, 2
+"""
+
+
+@register("streaming_reglas_ventana", oracle=_REGLAS_VENTANA_ORACLE,
+          ops=("ST1", "TX2", "W2", "A8"), driver=False)
+def streaming_reglas_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher gate's WINDOWED streaming form (VERDICT r8 #9) —
+    completing the batch/stream twin pattern: where
+    ``streaming_reglas_calidad`` is the stateless per-doc filter and
+    ``reglas_gopher`` the global batch audit, this is the per-day
+    OPERATIONAL readout a streaming curation pipeline actually watches
+    — tumbling-day pass rates per rule, so a feed whose quality decays
+    shows up as a dropping day-over-day tasa_milli on the specific rule
+    that started eating it. The rule bits are the SAME shared
+    ``gopher_flags`` projection (one definition, three execution
+    modes); the windowed aggregate runs in the streaming engine
+    (withWatermark + window — state is rules × open windows, four
+    int64-ish values each, regardless of corpus size) and the drained
+    result must equal the batch day-grouped oracle row for row."""
+    from etl_python_airflow_bigquery_spark.queries.text import gopher_flags
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_to_memory,
+        table_dir_for,
+    )
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    reglas = gopher_flags(stream).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(_VENTANA_EPOCH_US)
+            + F.expr(f"doc_id div {_VENTANA_DIV}") * F.lit(_VENTANA_DIA_US)
+        ),
+    )
+    largo = reglas.select(
+        "ts",
+        F.explode(
+            F.expr(
+                "array(struct('palabras' AS regla, r_palabras AS ok), "
+                "struct('longitud_media' AS regla, r_longitud AS ok), "
+                "struct('simbolos' AS regla, r_simbolos AS ok), "
+                "struct('alfabeticas' AS regla, r_alfa AS ok), "
+                "struct('stopwords' AS regla, r_stops AS ok), "
+                "struct('todas' AS regla, (r_palabras AND r_longitud "
+                "AND r_simbolos AND r_alfa AND r_stops) AS ok))"
+            )
+        ).alias("e"),
+    ).select("ts", F.col("e.regla").alias("regla"), F.col("e.ok").alias("ok"))
+    agg = (
+        largo.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "regla")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("aprobados"),
+            F.expr(
+                "(1000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("bigint").alias("tasa_milli"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("dia_us"),
+            "regla",
+            "docs",
+            "aprobados",
+            "tasa_milli",
+        )
+    )
+    return run_to_memory(agg, f"reglas_v_{uuid.uuid4().hex[:8]}")

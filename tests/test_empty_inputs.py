@@ -144,6 +144,7 @@ SMOKE = [
     "tiempo_entre_eventos",
     # round-9 hierarchical 2-probe family
     "dedup_semantico_jerarquico",
+    "streaming_reglas_ventana",
     "grafo_knn_mutuo_jerarquico",
     "agrupacion_densidad_jerarquica",
     # cobertura_sondas is NOT here: global scalar row (0, 0, 0) on
