@@ -1253,3 +1253,276 @@ def funnel_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1) AS BIGINT)"
         ).alias("conv_compra_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q21-shaped sole-blame audit — EXISTS/NOT-EXISTS depth as one aggregation
+# --------------------------------------------------------------------------
+
+_MOROSOS_LATE_US = 90 * 86_400_000_000  # the 90-day lateness horizon
+
+_MOROSOS_ORACLE = f"""
+WITH lineas AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN epoch_us(l.l_shipdate)
+                     >= epoch_us(o.o_orderdate) + {_MOROSOS_LATE_US}
+                THEN 1 ELSE 0 END AS tarde
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+por_orden AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_prov,
+           count(DISTINCT CASE WHEN tarde = 1 THEN l_suppkey END) AS n_tarde
+    FROM lineas GROUP BY 1
+),
+culpables AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineas l JOIN por_orden p USING (l_orderkey)
+    WHERE l.tarde = 1 AND p.n_prov >= 2 AND p.n_tarde = 1
+)
+SELECT s.s_name AS proveedor, n.n_name AS nacion,
+       CAST(count(*) AS BIGINT) AS pedidos_morosos
+FROM culpables c
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("proveedores_morosos", oracle=_MOROSOS_ORACLE,
+          ops=("J8", "J7", "A2", "A8"), driver=False, bench=True)
+def proveedores_morosos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-SHAPED sole-blame audit: suppliers who were the ONLY
+    late shipper on a finished multi-supplier order (late = shipped ≥ 90
+    days after the order date; the fixture has no commit/receipt dates,
+    so the order date anchors lateness). Q21's correlated
+    EXISTS (another supplier on the order) / NOT EXISTS (another LATE
+    supplier) pair is rewritten as ONE per-order aggregation — distinct
+    suppliers and distinct LATE suppliers per order — which is the
+    Spark-first physical shape: the naive double self-join of lineitem
+    against itself scans the fact three times and shuffles it twice,
+    where the aggregate form pays one orderkey shuffle and a broadcast
+    of nothing (the per-order frame joins back on the same key, so AQE
+    plans it shuffle-free on the co-partitioned side). Lateness is pure
+    epoch-µs integer arithmetic (micros(), tz-proof).
+    Reference scope: the multi-level anti/semi cohort chains of
+    Bigquery_to_csv_2.ipynb generalized to the correlated-blame shape."""
+    from etl_python_airflow_bigquery_spark.functions import micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lineas = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                micros("l_shipdate")
+                >= micros("o_orderdate") + F.lit(_MOROSOS_LATE_US)
+            ).alias("tarde"),
+        )
+        .localCheckpoint(eager=False)  # feeds the per-order agg AND the blame side
+    )
+    por_orden = lineas.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_prov"),
+        F.countDistinct(
+            F.when(F.col("tarde"), F.col("l_suppkey"))
+        ).alias("n_tarde"),
+    )
+    culpables = (
+        lineas.where(F.col("tarde"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            por_orden.where(
+                (F.col("n_prov") >= 2) & (F.col("n_tarde") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    return (
+        culpables.join(
+            F.broadcast(supplier), culpables.l_suppkey == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("s_name").alias("proveedor"), F.col("n_name").alias("nacion")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pedidos_morosos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-shaped dominant-supplier audit — aggregate-threshold semi join
+# --------------------------------------------------------------------------
+
+_EXCEDENTE_ORACLE = """
+WITH por_ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS qty_ps
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 788918400000000
+      AND epoch_us(l_shipdate) < 820454400000000
+    GROUP BY 1, 2
+),
+por_p AS (
+    SELECT l_partkey, sum(qty_ps) AS qty_total,
+           count(*) AS n_prov
+    FROM por_ps GROUP BY 1
+)
+SELECT s.s_name AS proveedor, n.n_name AS nacion,
+       CAST(count(*) AS BIGINT) AS partes_dominadas,
+       CAST(sum(ps.qty_ps) AS BIGINT) AS unidades
+FROM por_ps ps
+JOIN por_p p ON p.l_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.n_prov >= 2 AND 2 * ps.qty_ps > p.qty_total
+GROUP BY 1, 2
+"""
+
+
+@register("stock_excedente", oracle=_EXCEDENTE_ORACLE,
+          ops=("J8", "A1", "P3"), driver=False)
+def stock_excedente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-SHAPED aggregate-threshold audit: suppliers who shipped
+    the MAJORITY of a contested part's 1995 volume (strictly more than
+    half of a part shipped by ≥ 2 suppliers — Q20's 'more than half the
+    stock' correlated subquery, re-anchored on shipped quantity since
+    the fixture carries no partsupp). The correlated IN (SELECT ... >
+    0.5 * agg) becomes two stacked aggregations joined on partkey — the
+    second aggregate REUSES the first's (partkey) partitioning, so
+    Catalyst plans the threshold join without a new Exchange on the
+    already-partitioned side. Quantities floor to integer units (the
+    fixture ships integral doubles), keeping both engines bit-equal.
+    Window pushed into the scan: epoch_us(1995-01-01) = 788918400000000,
+    epoch_us(1996-01-01) = 820454400000000."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ventana = li.where(
+        (F.col("l_shipdate") >= ts_lit_for(li, "l_shipdate", "1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit_for(li, "l_shipdate", "1996-01-01 00:00:00"))
+    )
+    por_ps = ventana.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_ps")
+    )
+    por_p = por_ps.groupBy("l_partkey").agg(
+        F.sum("qty_ps").alias("qty_total"),
+        F.count(F.lit(1)).alias("n_prov"),
+    )
+    dominantes = por_ps.join(por_p, "l_partkey").where(
+        (F.col("n_prov") >= 2) & (2 * F.col("qty_ps") > F.col("qty_total"))
+    )
+    return (
+        dominantes.join(
+            F.broadcast(supplier), dominantes.l_suppkey == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("s_name").alias("proveedor"), F.col("n_name").alias("nacion")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("partes_dominadas"),
+            F.sum("qty_ps").cast("bigint").alias("unidades"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-shaped dormant-capital audit — cleared-fraction scalar + anti join
+# --------------------------------------------------------------------------
+
+_SIN_CONTACTO_ORACLE = """
+WITH saldos AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS saldo_cent
+    FROM customer
+),
+umbral AS (
+    SELECT sum(saldo_cent) AS suma_pos, count(*) AS n_pos
+    FROM saldos WHERE saldo_cent > 0
+),
+ricos AS (
+    SELECT s.c_custkey, s.c_nationkey, s.saldo_cent
+    FROM saldos s, umbral u
+    WHERE s.saldo_cent * u.n_pos > u.suma_pos
+),
+dormidos AS (
+    SELECT r.* FROM ricos r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND epoch_us(o.o_orderdate) >= 915148800000000)
+)
+SELECT n.n_name AS nacion,
+       CAST(count(*) AS BIGINT) AS clientes,
+       CAST(sum(d.saldo_cent) AS BIGINT) AS saldo_centavos
+FROM dormidos d JOIN nation n ON n.n_nationkey = d.c_nationkey
+GROUP BY 1
+"""
+
+
+@register("clientes_sin_contacto", oracle=_SIN_CONTACTO_ORACLE,
+          ops=("J7", "A6", "A1"), driver=False)
+def clientes_sin_contacto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-SHAPED dormant-capital audit: customers whose balance
+    beats the average POSITIVE balance yet placed no order since
+    1999-01-01 — per nation, how many and how much capital sits dormant
+    (the fixture has no phone column, so nation stands in for Q22's
+    country code, and every synthetic customer has SOME order, so
+    Q22's 'never ordered' becomes the operationally-identical recency
+    window; epoch_us(1999-01-01) = 915148800000000). The scalar
+    subquery is the cleared-fraction integer comparison
+    (saldo · n_pos > Σ_pos — comparing against the mean WITHOUT a
+    division, so both engines agree to the centavo); the NOT EXISTS is
+    a left-anti join against the date-pruned orders scan, which at
+    scale is the cheap side: the anti join runs on the
+    already-thresholded rich-customer subset, not the full customer
+    table. The 1-row threshold attaches via a broadcast cross join —
+    the global-scalar idiom (A6)."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    saldos = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("saldo_cent"),
+    )
+    umbral = saldos.where(F.col("saldo_cent") > 0).agg(
+        F.sum("saldo_cent").alias("suma_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    ricos = saldos.crossJoin(F.broadcast(umbral)).where(
+        F.col("saldo_cent") * F.col("n_pos") > F.col("suma_pos")
+    )
+    recientes = orders.where(
+        F.col("o_orderdate")
+        >= ts_lit_for(orders, "o_orderdate", "1999-01-01 00:00:00")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    dormidos = ricos.join(recientes, "c_custkey", "left_anti")
+    return (
+        dormidos.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nacion"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("clientes"),
+            F.sum("saldo_cent").cast("bigint").alias("saldo_centavos"),
+        )
+    )

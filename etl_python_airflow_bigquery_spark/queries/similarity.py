@@ -5106,7 +5106,7 @@ FROM verif"""
 
 
 @register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
-          ops=("NN2", "DD5", "A6"), driver=False)
+          ops=("NN2", "DD5", "A6"), driver=False, bench=True)
 def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
     the hierarchical index, count the τ-verified near-dup pairs whose
@@ -5172,6 +5172,85 @@ def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("misma_hoja"))
         .cast("bigint")
         .alias("ganancia"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization audit — per-dimension compression error
+# --------------------------------------------------------------------------
+
+_CUANT_ESC_ORACLE = f"""
+WITH ent AS (
+    SELECT vec_id, {_scaled_int_sql("embedding")} AS ev FROM embeddings
+),
+dims AS (
+    SELECT g.k, CAST(e.ev[g.k] AS BIGINT) AS x
+    FROM ent e CROSS JOIN generate_series(1, {DIM}) g(k)
+),
+rangos AS (
+    SELECT k, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1
+),
+cuant AS (
+    SELECT d.k, d.x, r.mn, r.mx,
+           CASE WHEN r.mx > r.mn
+                THEN ((d.x - r.mn) * 255) // (r.mx - r.mn)
+                ELSE 0 END AS q
+    FROM dims d JOIN rangos r USING (k)
+)
+SELECT CAST(k AS INT) AS dim,
+       CAST(mx - mn AS BIGINT) AS rango,
+       CAST(max(x - (mn + (q * (mx - mn)) // 255)) AS BIGINT) AS err_max,
+       CAST(sum(x - (mn + (q * (mx - mn)) // 255)) AS BIGINT) AS err_total,
+       CAST(count(DISTINCT q) AS BIGINT) AS niveles
+FROM cuant GROUP BY 1, 2
+"""
+
+
+@register("cuantizacion_escalar", oracle=_CUANT_ESC_ORACLE,
+          ops=("NN2", "A1", "A2"), driver=False)
+def cuantizacion_escalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR (int8) QUANTIZATION audit — the embedding-compression
+    decision table: per dimension, min/max-calibrate an 8-bit grid,
+    quantize every component, and report the reconstruction error
+    (max + total) and the number of grid levels actually used. This is
+    the readout that says whether int8 storage (4× smaller vectors, 4×
+    more corpus per executor) is safe for the ANN family or whether a
+    dimension's range is dominated by outliers (huge rango, few niveles
+    used — the classic case for clipping before quantizing). All
+    integer: µ-scaled components, truncating div on non-negative
+    operands (== floor in both engines), so the error table is
+    bit-identical to the DuckDB oracle. Shape: one posexplode to (row,
+    dim) grain, a 64-row min/max aggregate joined back (broadcast), one
+    64-group roll-up — two narrow passes, no corpus-grain shuffle."""
+    ent = _int_vectors(_emb(spark, sf_dir))
+    dims = ent.select(F.posexplode("ev").alias("k0", "x")).select(
+        (F.col("k0") + 1).alias("k"), "x"
+    )
+    rangos = dims.groupBy("k").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    cuant = dims.join(F.broadcast(rangos), "k").select(
+        "k",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr("((x - mn) * 255) div (mx - mn)"),
+        )
+        .otherwise(0)
+        .alias("q"),
+    )
+    err = F.col("x") - (
+        F.col("mn") + F.expr("(q * (mx - mn)) div 255")
+    )
+    return cuant.groupBy(
+        F.col("k").cast("int").alias("dim"),
+        (F.col("mx") - F.col("mn")).cast("bigint").alias("rango"),
+    ).agg(
+        F.max(err).cast("bigint").alias("err_max"),
+        F.sum(err).cast("bigint").alias("err_total"),
+        F.countDistinct("q").cast("bigint").alias("niveles"),
     )
 
 

@@ -147,6 +147,10 @@ SMOKE = [
     "streaming_reglas_ventana",
     "grafo_knn_mutuo_jerarquico",
     "agrupacion_densidad_jerarquica",
+    "proveedores_morosos",
+    "stock_excedente",
+    "clientes_sin_contacto",
+    "cuantizacion_escalar",
     # cobertura_sondas is NOT here: global scalar row (0, 0, 0) on
     # empty, matching its oracle — the global-aggregate class
     # curva_umbral_dedup is NOT here: on empty input it returns its

@@ -653,6 +653,10 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "grafo_knn_mutuo_jerarquico",
         "agrupacion_densidad_jerarquica",
         "cobertura_sondas",
+        "streaming_reglas_ventana",
+        "proveedores_morosos",
+        "stock_excedente",
+        "cuantizacion_escalar",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
