@@ -83,6 +83,7 @@ FAMILIES = {
             "temas_centroides",
             "grafo_knn_mutuo",
             "agrupacion_densidad",
+            "pureza_celdas",
         ),
     },
 }

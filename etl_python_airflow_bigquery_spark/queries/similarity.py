@@ -5254,6 +5254,174 @@ def cuantizacion_escalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Label-based index evaluation — cell purity + kNN classifier accuracy
+# --------------------------------------------------------------------------
+
+
+def _pureza_oracle() -> str:
+    it = _KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(it))
+        + f""",
+asig_pz AS (SELECT vec_id, celda FROM asig{it + 1}),
+conteos_pz AS (
+    SELECT a.celda, e.label, count(*) AS n
+    FROM asig_pz a JOIN embeddings e USING (vec_id)
+    GROUP BY 1, 2
+),
+mayoria_pz AS (
+    SELECT celda, label AS label_mayoria, n AS n_mayoria FROM (
+        SELECT celda, label, n,
+               row_number() OVER (PARTITION BY celda
+                                  ORDER BY n DESC, label) AS rn
+        FROM conteos_pz
+    ) WHERE rn = 1
+)
+SELECT m.celda,
+       CAST(sum(c.n) AS BIGINT) AS vecs,
+       CAST(m.label_mayoria AS BIGINT) AS label_mayoria,
+       CAST(m.n_mayoria AS BIGINT) AS n_mayoria,
+       CAST(1000 * m.n_mayoria // sum(c.n) AS BIGINT) AS pureza_mili
+FROM conteos_pz c JOIN mayoria_pz m ON m.celda = c.celda
+GROUP BY m.celda, m.label_mayoria, m.n_mayoria"""
+    )
+
+
+@register("pureza_celdas", ops=("NN2", "A2", "W1"), driver=False,
+          bench=True)
+def pureza_celdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER CELL PURITY against the label column — the standard
+    external cluster-quality audit (majority-label fraction per cell):
+    a low-purity cell means the coarse quantizer mixes semantic
+    classes, which degrades every consumer downstream (SemDeDup
+    compares across classes, IVF probes retrieve cross-class
+    candidates). Deterministic majority: (count DESC, label ASC)
+    row_number — no mode() ambiguity across engines. Shape: the shared
+    Lloyd fit (session cache), one (celda, label) aggregate (labels are
+    a small domain, the agg is map-side combinable), a cells-sized
+    argmax window — nothing doc-grain shuffles after the assign."""
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb)
+    cent = _kmeans_fit(
+        spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
+    )
+    asig = _assign_cells(enteros, cent).select("vec_id", "celda")
+    conteos = (
+        asig.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("celda", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds the argmax AND the census
+    )
+    w = Window.partitionBy("celda").orderBy(F.col("n").desc(), "label")
+    mayoria = (
+        conteos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "celda",
+            F.col("label").alias("label_mayoria"),
+            F.col("n").alias("n_mayoria"),
+        )
+    )
+    census = conteos.groupBy("celda").agg(F.sum("n").alias("vecs"))
+    return census.join(F.broadcast(mayoria), "celda").select(
+        "celda",
+        F.col("vecs").cast("bigint").alias("vecs"),
+        F.col("label_mayoria").cast("bigint").alias("label_mayoria"),
+        F.col("n_mayoria").cast("bigint").alias("n_mayoria"),
+        F.expr("1000 * n_mayoria div vecs").cast("bigint").alias("pureza_mili"),
+    )
+
+
+_CLASIF_KNN_ORACLE = (
+    "WITH "
+    + _hier_probe_ctes()
+    + f""",
+cand_cl AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM probes a JOIN probes b
+              ON a.sonda = b.sonda AND a.vec_id != b.vec_id),
+d_cl AS (SELECT c.src, c.dst, {_D2_SQL.format(a="ea.ev", b="eb.ev")} AS d2
+         FROM cand_cl c
+         JOIN enteros ea ON ea.vec_id = c.src
+         JOIN enteros eb ON eb.vec_id = c.dst),
+knn_cl AS (SELECT src, dst FROM (
+             SELECT src, dst, d2,
+                    row_number() OVER (PARTITION BY src ORDER BY d2, dst)
+                        AS rn
+             FROM d_cl) WHERE rn <= {_KNN_GRAFO_K}),
+votos_cl AS (
+    SELECT k.src, e.label, count(*) AS n
+    FROM knn_cl k JOIN embeddings e ON e.vec_id = k.dst
+    GROUP BY 1, 2
+),
+pred_cl AS (
+    SELECT src, label AS label_pred FROM (
+        SELECT src, label, n,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, label) AS rn
+        FROM votos_cl
+    ) WHERE rn = 1
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS evaluados,
+       CAST(sum(CASE WHEN p.label_pred = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS aciertos,
+       CAST(1000 * sum(CASE WHEN p.label_pred = e.label THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS acierto_mili
+FROM pred_cl p JOIN embeddings e ON e.vec_id = p.src
+GROUP BY 1"""
+)
+
+
+@register("clasificador_knn", oracle=_CLASIF_KNN_ORACLE,
+          ops=("NN2", "O7", "A8"), driver=False, bench=True)
+def clasificador_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFIER leave-one-out evaluation over the hierarchical
+    2-probe index — the label-propagation quality readout: predict each
+    vector's label by majority vote of its k = 3 nearest 2-probe
+    neighbors (deterministic vote: count DESC, label ASC) and report
+    per-true-label accuracy. This is how a weak-supervision pipeline
+    decides whether embedding neighborhoods are clean enough to
+    propagate labels from a seed set — per-label accuracy exposes the
+    classes whose neighborhoods are polluted (where etiquetado_debil's
+    votes need a higher threshold). Candidates, distances, and
+    tie-breaks are exactly grafo_knn_mutuo_jerarquico's; the vote adds
+    one (src, label) aggregate and one src-sized argmax window."""
+    knn, _prim = _knn_probe_edges(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    votos = (
+        knn.join(
+            emb.select(F.col("vec_id").alias("dst"), "label"), "dst"
+        )
+        .groupBy("src", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), "label")
+    pred = (
+        votos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("label").alias("label_pred"))
+    )
+    verdad = emb.select(
+        F.col("vec_id").alias("src"), F.col("label").alias("label_real")
+    )
+    return (
+        pred.join(verdad, "src")
+        .groupBy(F.col("label_real").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("evaluados"),
+            F.sum(
+                F.when(F.col("label_pred") == F.col("label_real"), 1).otherwise(0)
+            ).cast("bigint").alias("aciertos"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN label_pred = label_real THEN 1 "
+                "ELSE 0 END) div count(*) AS BIGINT)"
+            ).alias("acierto_mili"),
+        )
+    )
+
+
 # Deferred oracle bind for dedup_semantico: its SQL unrolls _kmeans_ctes /
 # _KMEANS_ITERS, which are defined below the register() site (the module
 # groups by family, not by dependency order). Binding here keeps the
@@ -5261,6 +5429,7 @@ def cuantizacion_escalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
+_REGISTRY["pureza_celdas"].oracle = _pureza_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
 _REGISTRY["grafo_knn_mutuo"].oracle = _knn_mutuo_oracle()
 _REGISTRY["agrupacion_densidad"].oracle = _densidad_oracle()

@@ -151,6 +151,8 @@ SMOKE = [
     "stock_excedente",
     "clientes_sin_contacto",
     "cuantizacion_escalar",
+    "pureza_celdas",
+    "clasificador_knn",
     # cobertura_sondas is NOT here: global scalar row (0, 0, 0) on
     # empty, matching its oracle — the global-aggregate class
     # curva_umbral_dedup is NOT here: on empty input it returns its

@@ -657,6 +657,8 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "proveedores_morosos",
         "stock_excedente",
         "cuantizacion_escalar",
+        "pureza_celdas",
+        "clasificador_knn",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
