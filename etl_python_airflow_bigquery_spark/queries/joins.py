@@ -1526,3 +1526,244 @@ def clientes_sin_contacto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("saldo_cent").cast("bigint").alias("saldo_centavos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q4-shaped priority audit — correlated EXISTS as a semi join
+# --------------------------------------------------------------------------
+
+_PRIORIDAD_ORACLE = """
+SELECT o.o_orderpriority AS prioridad,
+       CAST(count(*) AS BIGINT) AS pedidos
+FROM orders o
+WHERE epoch_us(o.o_orderdate) >= 788918400000000
+  AND epoch_us(o.o_orderdate) < 796694400000000
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate)
+                    > epoch_us(o.o_orderdate) + 2592000000000)
+GROUP BY 1
+"""
+
+
+@register("prioridad_pedidos", oracle=_PRIORIDAD_ORACLE,
+          ops=("J8", "P3", "A1"), driver=False)
+def prioridad_pedidos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-SHAPED order-priority audit: per priority class, how
+    many 1995-Q1 orders had at least one line shipped more than 30 days
+    after ordering (the fixture's lateness anchor, as in
+    proveedores_morosos). Q4's correlated EXISTS is a LEFT SEMI join —
+    but the correlation touches BOTH tables (l_shipdate vs o_orderdate),
+    so the semi join's probe side is the pre-joined late-line key set:
+    the quarter window prunes the orders scan first, lineitem joins
+    only surviving keys, and the distinct late-order keys semi-join
+    back. epoch anchors: 1995-01-01 = 788918400000000, 1995-04-01 =
+    796694400000000, 30 days = 2592000000000 µs."""
+    from etl_python_airflow_bigquery_spark.functions import micros, ts_lit_for
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= ts_lit_for(orders, "o_orderdate", "1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit_for(orders, "o_orderdate", "1995-04-01 00:00:00"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    tardias = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            micros("l_shipdate")
+            > micros("o_orderdate") + F.lit(30 * 86_400_000_000)
+        )
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(tardias, o.o_orderkey == tardias.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("prioridad"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pedidos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15-shaped star supplier — window revenue + global-max equality (ties kept)
+# --------------------------------------------------------------------------
+
+_ESTRELLA_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+               * (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS bruto
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 788918400000000
+      AND epoch_us(l_shipdate) < 804556800000000
+    GROUP BY 1
+)
+SELECT s.s_name AS proveedor, n.n_name AS nacion,
+       CAST(r.bruto // 1000 AS BIGINT) AS ingreso_centavos
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.bruto = (SELECT max(bruto) FROM rev)
+"""
+
+
+@register("proveedor_estrella", oracle=_ESTRELLA_ORACLE,
+          ops=("A6", "A1", "P3"), driver=False)
+def proveedor_estrella(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-SHAPED top supplier: the supplier(s) with maximum
+    revenue in 1995-H1 — Q15's CREATE VIEW + scalar-max + equality
+    join, which unlike a LIMIT 1 KEEPS TIES (the correctness detail
+    Q15 exists to test). The revenue aggregate computes once and feeds
+    both the global max (1-row broadcast) and the equality filter —
+    localCheckpoint pins the single materialization, the exact pattern
+    a production 'top partner this quarter' report runs. Integer
+    centavos × milli-discount revenue (the comercio_bilateral
+    discipline). epoch anchors: 1995-01-01 = 788918400000000,
+    1995-07-01 = 804556800000000."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= ts_lit_for(li, "l_shipdate", "1995-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts_lit_for(li, "l_shipdate", "1995-07-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+                * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+            ).alias("bruto")
+        )
+        .localCheckpoint(eager=False)  # one materialization, two consumers
+    )
+    tope = rev.agg(F.max("bruto").alias("tope"))
+    return (
+        rev.crossJoin(F.broadcast(tope))
+        .where(F.col("bruto") == F.col("tope"))
+        .join(F.broadcast(supplier), rev.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name").alias("proveedor"),
+            F.col("n_name").alias("nacion"),
+            F.expr("bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17-shaped fractional-demand audit — cleared-fraction correlated filter
+# --------------------------------------------------------------------------
+
+_FRACCIONADA_ORACLE = """
+WITH pa AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS sq,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand AS marca,
+       CAST(count(*) AS BIGINT) AS lineas_fraccionadas,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS importe_centavos
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(floor(l.l_quantity) AS BIGINT) * pa.n < pa.sq
+GROUP BY 1
+"""
+
+
+@register("demanda_fraccionada", oracle=_FRACCIONADA_ORACLE,
+          ops=("A6", "A1", "J1"), driver=False)
+def demanda_fraccionada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-SHAPED small-order audit: lines whose quantity is
+    under 20% of their part's average order quantity — the correlated
+    scalar subquery (0.2 * avg(l_quantity) per part) CLEARED to integers
+    (5·qty·n < Σqty — no division, so both engines agree exactly),
+    reported per brand with the money those fractional lines carry.
+    The per-part aggregate joins back on partkey — the stacked-agg
+    partitioning-reuse shape of stock_excedente — and the brand dim
+    broadcasts. This is Q17's 'should we stop selling in small lots'
+    decision readout generalized from one brand+container literal to
+    the full brand table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .where(
+            5 * F.floor("l_quantity").cast("bigint") * F.col("n") < F.col("sq")
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("marca"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lineas_fraccionadas"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("importe_centavos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-shaped volume customers — HAVING over a grouped join
+# --------------------------------------------------------------------------
+
+_VOLUMEN_ORACLE = """
+WITH grandes AS (
+    SELECT l_orderkey,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS cantidad_total
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 200
+)
+SELECT c.c_name AS cliente,
+       o.o_orderkey AS pedido,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS fecha_us,
+       CAST(g.cantidad_total AS BIGINT) AS cantidad_total
+FROM grandes g
+JOIN orders o ON o.o_orderkey = g.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("clientes_volumen", oracle=_VOLUMEN_ORACLE,
+          ops=("A1", "J1", "O1"), driver=False)
+def clientes_volumen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-SHAPED large-volume orders: orders whose total quantity
+    exceeds 200 units, with their customer — Q18's HAVING-over-a-join
+    shape. The aggregate runs FIRST (lineitem groups to orderkey before
+    any join, so the join probe side is only the surviving big orders —
+    the order every optimizer wants but a naive join-then-having SQL
+    denies it), then orders and customer attach by key. Order dates
+    surface as epoch-µs integers (tz-proof, the engine-wide timestamp
+    egress rule)."""
+    from etl_python_airflow_bigquery_spark.functions import micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    grandes = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("cantidad_total"))
+        .where(F.col("cantidad_total") > 200)
+    )
+    return (
+        grandes.join(orders, grandes.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("cliente"),
+            F.col("o_orderkey").alias("pedido"),
+            micros("o_orderdate").cast("bigint").alias("fecha_us"),
+            F.col("cantidad_total").cast("bigint").alias("cantidad_total"),
+        )
+    )

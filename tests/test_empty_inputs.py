@@ -153,6 +153,12 @@ SMOKE = [
     "cuantizacion_escalar",
     "pureza_celdas",
     "clasificador_knn",
+    "prioridad_pedidos",
+    "demanda_fraccionada",
+    "clientes_volumen",
+    # proveedor_estrella: the global-max equality against a NULL max
+    # matches nothing, so the empty input yields an empty frame (verified)
+    "proveedor_estrella",
     # cobertura_sondas is NOT here: global scalar row (0, 0, 0) on
     # empty, matching its oracle — the global-aggregate class
     # curva_umbral_dedup is NOT here: on empty input it returns its

@@ -659,6 +659,9 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "cuantizacion_escalar",
         "pureza_celdas",
         "clasificador_knn",
+        "prioridad_pedidos",
+        "demanda_fraccionada",
+        "clientes_volumen",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
