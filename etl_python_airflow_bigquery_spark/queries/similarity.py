@@ -5422,6 +5422,109 @@ def clasificador_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multi-vector late-interaction retrieval (ColBERT MaxSim)
+# --------------------------------------------------------------------------
+
+_MAXSIM_G = 4  # token vectors per multi-vector "document" (vec_id div G)
+_MAXSIM_Q = 10  # target query-document count (policy modulus derives from it)
+_MAXSIM_K = 3  # results per query
+
+_MAXSIM_ORACLE = f"""
+WITH toks AS (
+    SELECT vec_id // {_MAXSIM_G} AS doc_id, vec_id, embedding
+    FROM embeddings
+),
+qmod AS (
+    SELECT greatest(1, (count(DISTINCT doc_id)) // {_MAXSIM_Q}) AS m
+    FROM toks
+),
+qtoks AS (
+    SELECT t.doc_id AS q_doc, t.vec_id AS q_vec, t.embedding AS q_emb
+    FROM toks t, qmod WHERE t.doc_id % qmod.m = 0
+),
+dots AS (
+    SELECT q.q_doc, q.q_vec, t.doc_id AS c_doc,
+           {_scaled_dot_sql("q.q_emb", "t.embedding")} AS dot
+    FROM qtoks q JOIN toks t ON t.doc_id != q.q_doc
+),
+maxsim AS (
+    SELECT q_doc, c_doc, q_vec, max(dot) AS mejor
+    FROM dots GROUP BY 1, 2, 3
+),
+puntajes AS (
+    SELECT q_doc, c_doc, sum(mejor) AS puntaje
+    FROM maxsim GROUP BY 1, 2
+)
+SELECT q_doc, c_doc,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(puntaje AS BIGINT) AS puntaje
+FROM (
+    SELECT q_doc, c_doc, puntaje,
+           row_number() OVER (PARTITION BY q_doc
+                              ORDER BY puntaje DESC, c_doc) AS pos
+    FROM puntajes
+) WHERE pos <= {_MAXSIM_K}
+"""
+
+
+@register("puntuacion_maxsim", oracle=_MAXSIM_ORACLE,
+          ops=("NN1", "O7", "A1"), driver=False)
+def puntuacion_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
+    Khattab & Zaharia 2020, arXiv:2004.12832): a 'document' is a BAG of
+    token vectors (here groups of {_MAXSIM_G} consecutive vec_ids — the
+    fixture's stand-in for per-token embeddings) and the query-document
+    score is Σ over query tokens of the MAX dot product against any
+    document token — the late-interaction form that beats single-vector
+    retrieval on fine-grained matches because no pooling happens before
+    scoring. Shape: the policy-sized query token set (≈{_MAXSIM_Q}
+    docs × {_MAXSIM_G} vectors) BROADCASTS against one corpus scan —
+    dots, the per-query-token max, and the per-pair sum are two
+    map-side-combinable aggregations; the final top-{_MAXSIM_K} is a
+    query-partitioned window over doc-grain scores. Integer-scaled dots
+    (exact cross-engine); production swaps the brute token scan for the
+    stored IVF postings exactly as busqueda_hibrida_indexada does for
+    the single-vector path."""
+    emb = _emb(spark, sf_dir)
+    toks = emb.select(
+        F.expr(f"vec_id div {_MAXSIM_G}").alias("doc_id"), "vec_id", "embedding"
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    qmod = max(1, n_docs // _MAXSIM_Q)
+    qtoks = toks.where(F.col("doc_id") % qmod == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+    )
+    dots = (
+        toks.join(F.broadcast(qtoks), F.col("doc_id") != F.col("q_doc"))
+        .select(
+            "q_doc",
+            "q_vec",
+            F.col("doc_id").alias("c_doc"),
+            scaled_dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+    )
+    maxsim = dots.groupBy("q_doc", "c_doc", "q_vec").agg(
+        F.max("dot").alias("mejor")
+    )
+    puntajes = maxsim.groupBy("q_doc", "c_doc").agg(
+        F.sum("mejor").alias("puntaje")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.col("puntaje").desc(), "c_doc")
+    return (
+        puntajes.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _MAXSIM_K)
+        .select(
+            "q_doc",
+            "c_doc",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("puntaje").cast("bigint").alias("puntaje"),
+        )
+    )
+
+
 # Deferred oracle bind for dedup_semantico: its SQL unrolls _kmeans_ctes /
 # _KMEANS_ITERS, which are defined below the register() site (the module
 # groups by family, not by dependency order). Binding here keeps the

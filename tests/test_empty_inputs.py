@@ -153,6 +153,7 @@ SMOKE = [
     "cuantizacion_escalar",
     "pureza_celdas",
     "clasificador_knn",
+    "puntuacion_maxsim",
     "prioridad_pedidos",
     "demanda_fraccionada",
     "clientes_volumen",

@@ -662,6 +662,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "prioridad_pedidos",
         "demanda_fraccionada",
         "clientes_volumen",
+        "puntuacion_maxsim",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
