@@ -947,7 +947,7 @@ FROM sing WHERE s > 0"""
 
 
 @register("tamanos_familias", oracle=_familias_tamanos_oracle(),
-          ops=("DD4", "A1"), bench=True)
+          ops=("DD4", "A1"), bench=True, driver=False)
 def tamanos_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP FAMILY-SIZE DISTRIBUTION, log2-banded — the audit that
     reads the dedup graph's SHAPE before anyone trusts its output: a

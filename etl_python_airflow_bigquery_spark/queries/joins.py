@@ -892,7 +892,7 @@ GROUP BY 1, 2, 3
 
 
 @register("comercio_bilateral", oracle=_COMERCIO_ORACLE,
-          ops=("J1", "A1", "P3"), bench=True)
+          ops=("J1", "A1", "P3"), bench=True, driver=False)
 def comercio_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-SHAPED bilateral trade matrix: cross-border revenue per
     (supplier nation, customer nation, year) — the two-sided dimension
@@ -995,7 +995,7 @@ FROM ventas
 
 
 @register("mercado_participacion", oracle=_MERCADO_ORACLE,
-          ops=("J1", "A1", "W1", "P3"), driver=False)
+          ops=("J1", "A1", "W1", "P3"))
 def mercado_participacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8-SHAPED MARKET SHARE: each supplier nation's floor-milli
     share of its REGION's revenue per year — the share-of-total pattern

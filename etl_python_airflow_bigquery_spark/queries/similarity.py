@@ -941,7 +941,7 @@ GROUP BY 1"""
     )
 
 
-@register("dedup_semantico", ops=("DD5", "NN2"), bench=True)
+@register("dedup_semantico", ops=("DD5", "NN2"), bench=True, driver=False)
 def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that only ever compares vectors INSIDE a trained
@@ -1084,7 +1084,7 @@ GROUP BY 1, mx.m"""
 
 
 @register("grafo_knn_mutuo", ops=("NN2", "O7", "A1"),
-          bench=True)
+          bench=True, driver=False)
 def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL-kNN GRAPH construction, cell-blocked — the graph behind
     density clustering and graph-based label propagation (mutual-kNN is
@@ -1180,7 +1180,7 @@ WHERE na > 0 AND nb > 0
 """
 
 
-@register("deriva_embeddings", ops=("NN2", "A8"), driver=False)
+@register("deriva_embeddings", ops=("NN2", "A8"))
 def deriva_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING DRIFT between two ingest waves (here vec_id parity
     stands in for old-batch/new-batch) — ``deriva_vocabulario``'s
@@ -1247,7 +1247,7 @@ GROUP BY 1"""
 
 
 @register("agrupacion_densidad", ops=("NN2", "DD4", "A1"),
-          bench=True)
+          bench=True, driver=False)
 def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DENSITY CLUSTERING of the embedding space — connected components
     over the MUTUAL-kNN graph (the DBSCAN-family construction: a mutual
@@ -1401,7 +1401,7 @@ def _coreset_oracle() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
 
 
-@register("seleccion_coreset", ops=("NN2", "O7"))
+@register("seleccion_coreset", ops=("NN2", "O7"), driver=False)
 def seleccion_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORESET SELECTION by k-center greedy / farthest-point traversal
     (Gonzalez 1985; the data-selection device of Sener & Savarese 2018,
@@ -3044,7 +3044,7 @@ def similarity_ivf_search_jerarquico(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register("similarity_ivf_kmeans", oracle=_kmeans_oracle(_KMEANS_ITERS),
-          ops=("NN2",), bench=True)
+          ops=("NN2",), bench=True, driver=False)
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL Lloyd's k-means as the IVF coarse quantizer — the converging
     loop the one-step ``similarity_ivf`` lacked: seeds (corpus-derived
@@ -4788,7 +4788,7 @@ GROUP BY 1"""
 
 
 @register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
-          ops=("DD5", "NN2"), driver=False, bench=True)
+          ops=("DD5", "NN2"), bench=True)
 def dedup_semantico_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the HIERARCHICAL index with a 2-leaf probe — the
     scale form of ``dedup_semantico`` (SCALING.md's K_CAP item): pair
@@ -5106,7 +5106,7 @@ FROM verif"""
 
 
 @register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
-          ops=("NN2", "DD5", "A6"), driver=False, bench=True)
+          ops=("NN2", "DD5", "A6"), bench=True)
 def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
     the hierarchical index, count the τ-verified near-dup pairs whose

@@ -2337,7 +2337,7 @@ FROM (
 
 
 @register("ngramas_caracteristicos", oracle=_CARACTERISTICOS_ORACLE,
-          ops=("TX1", "A3", "O7"), driver=False)
+          ops=("TX1", "A3", "O7"))
 def ngramas_caracteristicos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCTIVE TERMS per source — the interpretability readout
     "what makes this source different from the corpus" (the text-side
@@ -2569,8 +2569,7 @@ def _rollup_debil(d: DataFrame) -> DataFrame:
     )
 
 
-@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"),
-          driver=False)
+@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"))
 def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEAK SUPERVISION vote audit (the Snorkel/labeling-function
     pattern, Ratner et al. 2017, arXiv:1711.10160): three deterministic
@@ -2627,7 +2626,8 @@ FROM d LEFT JOIN cnt c USING (source)
 """
 
 
-@register("palabras_oov", oracle=_OOV_ORACLE, ops=("TX1", "A8", "J2"))
+@register("palabras_oov", oracle=_OOV_ORACLE, ops=("TX1", "A8", "J2"),
+          driver=False)
 def palabras_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OUT-OF-VOCABULARY RATE per source against the corpus's own
     top-256 vocabulary — the tokenizer-planning sibling of
@@ -3594,7 +3594,7 @@ FROM rangos
 GROUP BY 1"""
 
 
-@register("ley_zipf", ops=("TX1", "A1", "W1"))
+@register("ley_zipf", ops=("TX1", "A1", "W1"), driver=False)
 def ley_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIPF rank-frequency profile — ley_heaps' sibling axis (Heaps
     tracks vocabulary vs corpus GROWTH; Zipf tracks frequency vs RANK at
