@@ -2559,6 +2559,73 @@ def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
     )
 
 
+def _assign_cells_2probe(
+    enteros: DataFrame, cent: dict[int, list[int]]
+) -> DataFrame:
+    """TOP-2 cell assignment — (vec_id, celda, rango) with rango 1 for
+    the primary (== ``_assign_cells``'s celda, same tie-break) and 2 for
+    the second-nearest cell (absent when k == 1). The 2-cell probe for
+    FLAT quantizers: a near-duplicate pair straddling one cell boundary
+    still shares a probed cell (the hierarchical family's
+    ``_hier_probes`` idea applied to the stored-index gates, which keep
+    flat centroid tables). Size-dispatched like ``_assign_cells``:
+    literal fold (second argmin excludes the primary sid) below
+    LITERAL_ASSIGN_MAX, broadcast two-pass min-struct above — both
+    forms shuffle nothing per-row beyond what the 1-probe assign does."""
+    if len(cent) > LITERAL_ASSIGN_MAX:
+        cent_df = _centroid_values_df(enteros.sparkSession, cent)
+        d2 = F.aggregate(
+            F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = enteros.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", F.col("seed_id"), d2.alias("d2")
+        ).localCheckpoint(eager=False)
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "seed_id")).alias("__b")
+        ).select("vec_id", F.col("__b.seed_id").alias("celda1"))
+        second = (
+            scored.join(best, "vec_id")
+            .where(F.col("seed_id") != F.col("celda1"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "seed_id")).alias("__b"))
+            .select("vec_id", F.col("__b.seed_id").alias("celda2"))
+        )
+        both = best.join(second, "vec_id", "left")
+    else:
+        items = sorted(cent.items())
+        best_expr = _argmin_literal(items)
+        both = enteros.select(
+            "vec_id", "ev", F.expr(best_expr).alias("__b1")
+        ).select(
+            "vec_id",
+            "ev",
+            F.col("__b1.sid").alias("celda1"),
+        ).withColumn(
+            "__b2", F.expr(_argmin_literal_excl(items, "celda1"))
+        ).select(
+            "vec_id",
+            "celda1",
+            F.when(F.col("__b2.sid") == -1, F.lit(None))
+            .otherwise(F.col("__b2.sid"))
+            .alias("celda2"),
+        )
+    return both.select(
+        "vec_id",
+        F.explode(
+            F.when(F.col("celda2").isNull(), F.array(F.struct(
+                F.col("celda1").alias("celda"), F.lit(1).alias("rango"))))
+            .otherwise(F.array(
+                F.struct(F.col("celda1").alias("celda"), F.lit(1).alias("rango")),
+                F.struct(F.col("celda2").cast("bigint").alias("celda"),
+                         F.lit(2).alias("rango")),
+            ))
+        ).alias("__p"),
+    ).select("vec_id", F.col("__p.celda").alias("celda"),
+             F.col("__p.rango").alias("rango"))
+
+
 def _assign_cells_broadcast(
     enteros: DataFrame, cent: dict[int, list[int]]
 ) -> DataFrame:

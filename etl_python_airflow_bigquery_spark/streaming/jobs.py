@@ -580,6 +580,7 @@ def run_semdedup_ingest(
     )
     from etl_python_airflow_bigquery_spark.queries.similarity import (
         _assign_cells,
+        _assign_cells_2probe,
         _int_vectors,
         cosine_from_ints,
     )
@@ -605,7 +606,20 @@ def run_semdedup_ingest(
             .join(enteros, "vec_id")
             .localCheckpoint(eager=False)
         )
-        con_norma = asig.withColumn("nn", _dot("ev", "ev"))
+        # DUP CHECKS probe the arrival's TWO nearest cells (round-9
+        # 2-probe upgrade): with a 1-cell check, a stored twin sitting
+        # just across the boundary of the arrival's primary cell was
+        # silently admitted — exactly the class cobertura_sondas
+        # measures. The APPEND still records the primary cell only
+        # (postings stay one row per vector; the probe is a read-side
+        # recall device, not a storage change).
+        sondas = (
+            _assign_cells_2probe(enteros, cent)
+            .select("vec_id", "celda")
+            .join(enteros, "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        con_norma = sondas.withColumn("nn", _dot("ev", "ev"))
         stored = vec_tx.read(spark).select(
             "celda",
             F.col("vec_id").alias("vid_s"),

@@ -261,3 +261,108 @@ def test_streaming_semdedup_gate(spark, sf_dir, tmp_path):
     run_semdedup_ingest(spark, src, path, str(tmp_path / "ck"), tau=0.9)
     assert vec_tx.version() == v0 + 1
     assert vec_tx.read(spark).count() == n0 + 1
+
+
+def test_assign_2probe_matches_numpy_top2(spark, sf_dir):
+    """_assign_cells_2probe: rango-1 equals _assign_cells' primary and
+    rango-2 equals numpy's second argmin ((d2, sid) tie-break), in BOTH
+    dispatch forms (literal fold below LITERAL_ASSIGN_MAX, broadcast
+    two-pass min-struct above)."""
+    import numpy as np
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _assign_cells,
+        _assign_cells_2probe,
+        _kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enteros = _int_vectors(emb).localCheckpoint(eager=True)
+    rows = enteros.collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["ev"] for r in rows], dtype=np.int64)
+
+    def check(cent):
+        sids = np.array(sorted(cent), dtype=np.int64)
+        cm = np.array([cent[s] for s in sorted(cent)], dtype=np.int64)
+        d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        # (d2, sid) lexicographic top-2
+        order = np.lexsort((np.broadcast_to(sids, d2.shape), d2), axis=1)
+        want1 = {v: int(sids[order[i, 0]]) for i, v in enumerate(ids)}
+        want2 = {v: int(sids[order[i, 1]]) for i, v in enumerate(ids)}
+        got = _assign_cells_2probe(enteros, cent).collect()
+        got1 = {r["vec_id"]: r["celda"] for r in got if r["rango"] == 1}
+        got2 = {r["vec_id"]: r["celda"] for r in got if r["rango"] == 2}
+        assert got1 == want1
+        assert got2 == want2
+        prim = {r["vec_id"]: r["celda"]
+                for r in _assign_cells(enteros, cent).collect()}
+        assert got1 == prim  # rango 1 IS the 1-probe assign
+
+    # literal form: the policy fit (k ~ 5 at this sf)
+    check(_kmeans_fit(spark, enteros, 1))
+    # broadcast form: >256 synthetic centroids from the vectors themselves
+    big = {int(r["vec_id"]): list(r["ev"]) for r in rows[:300]}
+    assert len(big) > 256
+    check(big)
+
+
+def test_semdedup_gate_2probe_catches_boundary_twin(spark, tmp_path):
+    """Round-9 ingest-gate upgrade: an arrival whose stored near-twin
+    sits JUST ACROSS its primary cell's boundary is still dropped,
+    because the duplicate check probes the arrival's two nearest cells.
+    Hand-built index (two colinear cells), so the geometry is exact:
+    the stored twin is NOT in the arrival's primary cell (the 1-probe
+    gate would admit it — asserted), cos(arrival, twin) = 1.0 >= tau."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import _tables
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        DIM,
+        _assign_cells,
+    )
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_semdedup_ingest,
+    )
+
+    def vec(x0: float) -> list[float]:
+        return [x0] + [0.0] * (DIM - 1)
+
+    # arrival at 130 µ-units on dim 0; stored twin at 110; cells at 110
+    # (A, id 0) and 136 (B, id 1): primary(arrival) = B (d2 ~ 36 vs
+    # ~400), second probe = A where the twin lives; cos = 1 (colinear)
+    path = str(tmp_path / "idx")
+    cent_tx, vec_tx = _tables(path)
+    sv_a = [110] + [0] * (DIM - 1)
+    sv_b = [136] + [0] * (DIM - 1)
+    cent_tx.overwrite(spark.createDataFrame(
+        [(0, sv_a), (1, sv_b)], "celda long, sv array<bigint>"
+    ))
+    vec_tx.overwrite(spark.createDataFrame(
+        [(1, 0, [110] + [0] * (DIM - 1))],
+        "vec_id long, celda long, ev array<bigint>",
+    ))
+
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    arrivals = spark.createDataFrame(
+        [
+            (9_000_000, vec(130e-6), 0),  # boundary twin of stored vec 1
+            (9_000_001, [0.0, 0.5] + [0.0] * (DIM - 2), 0),  # novel
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    arrivals.coalesce(1).write.parquet(src + "/f1.parquet")
+
+    # premise: the twin's PRIMARY cell (B) is not the stored twin's (A),
+    # so a 1-cell check would never see the stored vector
+    ent = _int_vectors(arrivals.where(F.col("vec_id") == 9_000_000))
+    prim = _assign_cells(ent, {0: sv_a, 1: sv_b}).collect()[0]["celda"]
+    assert prim == 1
+
+    run_semdedup_ingest(spark, src, path, str(tmp_path / "ck"), tau=0.9)
+    got = {r["vec_id"] for r in TxTable(f"{path}/vectores").read(spark).collect()}
+    assert 9_000_000 not in got  # boundary twin dropped via the 2nd probe
+    assert 9_000_001 in got  # novel admitted
+    assert 1 in got  # stored row untouched
