@@ -235,3 +235,119 @@ def busqueda_hibrida_indexada(
         spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP
     ).select(F.col("cand_id").alias("doc_id"), F.col("pos").alias("pos_vec"))
     return rrf_fuse_hibrida(lex, vec)
+
+
+def busqueda_maxsim_indexada(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """MULTI-VECTOR (ColBERT MaxSim) retrieval SERVED FROM THE STORED
+    INDEX — the production path ``puntuacion_maxsim``'s docstring
+    promises, executed with the PLAID/ColBERTv2 two-stage shape:
+
+    1. CANDIDATE GENERATION from the index: every query TOKEN probes
+       its ``nprobe`` nearest stored cells; any document with a token
+       in a probed cell becomes a candidate — the posting scan reads
+       nprobe/k of the table (file-pruned on ``celda`` stats), never
+       the corpus.
+    2. EXACT RERANK: candidates' FULL token sets come from the source
+       embeddings and score with the registry query's exact integer
+       MaxSim (per-query-token max, per-pair sum) — so a candidate is
+       never scored on a partial token set, and with nprobe ≥ the
+       stored cell count the output matches the brute
+       ``puntuacion_maxsim`` row for row (test-pinned).
+
+    The recall knob is candidate generation only: a missed candidate is
+    a doc NONE of whose tokens landed in any probed cell of any query
+    token — the multi-token analogue of IVF probe recall."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _MAXSIM_G,
+        _MAXSIM_K,
+        _MAXSIM_Q,
+        scaled_dot,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"vec_id div {_MAXSIM_G}").alias("doc_id"), "vec_id", "embedding"
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    qmod = max(1, n_docs // _MAXSIM_Q)
+    qtoks = toks.where(F.col("doc_id") % qmod == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+    ).localCheckpoint(eager=False)
+
+    # stage 1: probe cells per query token against the STORED centroids,
+    # candidates from the stored postings only
+    cent_tx, vec_tx = _tables(path)
+    cent_df = cent_tx.read(spark).select(F.col("celda").alias("seed_id"), "sv")
+    q_int = _int_vectors(
+        qtoks.select(F.col("q_vec").alias("vec_id"),
+                     F.col("q_emb").alias("embedding"))
+    ).select(F.col("vec_id").alias("q_vec"), F.col("ev").alias("qv"))
+    qdist = q_int.crossJoin(F.broadcast(cent_df)).select(
+        "q_vec",
+        "seed_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("q_vec").orderBy("d2", "seed_id")
+    probed = (
+        qdist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_vec", F.col("seed_id").alias("celda"))
+    )
+    postings = vec_tx.read(spark).select(
+        "celda", F.expr(f"vec_id div {_MAXSIM_G}").alias("c_doc")
+    )
+    cand = (
+        probed.join(postings, "celda")
+        .join(
+            F.broadcast(qtoks.select("q_vec", "q_doc").distinct()), "q_vec"
+        )
+        .where(F.col("c_doc") != F.col("q_doc"))
+        .select("q_doc", "c_doc")
+        .distinct()
+    )
+
+    # stage 2: exact rerank on the candidates' FULL token sets (source
+    # embeddings), with the registry query's integer MaxSim
+    ctoks = toks.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("embedding").alias("c_emb"),
+    )
+    dots = (
+        cand.join(ctoks, "c_doc")
+        .join(F.broadcast(qtoks), "q_doc")
+        .select(
+            "q_doc",
+            "c_doc",
+            "q_vec",
+            scaled_dot(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+    maxsim = dots.groupBy("q_doc", "c_doc", "q_vec").agg(
+        F.max("dot").alias("mejor")
+    )
+    puntajes = maxsim.groupBy("q_doc", "c_doc").agg(
+        F.sum("mejor").alias("puntaje")
+    )
+    wr = Window.partitionBy("q_doc").orderBy(F.col("puntaje").desc(), "c_doc")
+    return (
+        puntajes.withColumn("pos", F.row_number().over(wr))
+        .where(F.col("pos") <= _MAXSIM_K)
+        .select(
+            "q_doc",
+            "c_doc",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("puntaje").cast("bigint").alias("puntaje"),
+        )
+    )

@@ -5550,9 +5550,11 @@ def puntuacion_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots, the per-query-token max, and the per-pair sum are two
     map-side-combinable aggregations; the final top-{_MAXSIM_K} is a
     query-partitioned window over doc-grain scores. Integer-scaled dots
-    (exact cross-engine); production swaps the brute token scan for the
-    stored IVF postings exactly as busqueda_hibrida_indexada does for
-    the single-vector path."""
+    (exact cross-engine); the production path is
+    operators/ann_index.busqueda_maxsim_indexada — candidate generation
+    from the stored IVF postings (per-query-token cell probes), exact
+    rerank with THIS scoring; at full probe it reproduces this query
+    row for row (test-pinned)."""
     emb = _emb(spark, sf_dir)
     toks = emb.select(
         F.expr(f"vec_id div {_MAXSIM_G}").alias("doc_id"), "vec_id", "embedding"

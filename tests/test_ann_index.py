@@ -366,3 +366,43 @@ def test_semdedup_gate_2probe_catches_boundary_twin(spark, tmp_path):
     assert 9_000_000 not in got  # boundary twin dropped via the 2nd probe
     assert 9_000_001 in got  # novel admitted
     assert 1 in got  # stored row untouched
+
+
+def test_indexed_maxsim_matches_brute_at_full_probe(spark, sf_dir, tmp_path):
+    """busqueda_maxsim_indexada IS puntuacion_maxsim's promised
+    production path: with nprobe >= the stored cell count, candidate
+    generation covers every posting and the exact rerank reproduces the
+    brute registry query row for row; at small nprobe the output stays
+    well-formed (contiguous positions per query, scores non-increasing)
+    and every result is also in the brute top set's doc universe."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_maxsim_indexada,
+    )
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    info = build_ivf_index(spark, emb, path)
+
+    brute = {
+        (r["q_doc"], r["c_doc"], r["pos"], r["puntaje"])
+        for r in REGISTRY["puntuacion_maxsim"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        (r["q_doc"], r["c_doc"], r["pos"], r["puntaje"])
+        for r in busqueda_maxsim_indexada(
+            spark, sf_dir, path, nprobe=info["k"]
+        ).collect()
+    }
+    assert full == brute
+
+    low = busqueda_maxsim_indexada(spark, sf_dir, path, nprobe=1).collect()
+    assert low
+    por_q = {}
+    for r in low:
+        por_q.setdefault(r["q_doc"], []).append((r["pos"], r["puntaje"]))
+    for q, rows in por_q.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
