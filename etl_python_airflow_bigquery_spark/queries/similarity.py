@@ -5594,6 +5594,131 @@ def puntuacion_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Semantic source-overlap matrix — who duplicates whom, by embedding
+# --------------------------------------------------------------------------
+
+_SOLAP_SEM_ORACLE = (
+    "WITH "
+    + _hier_probe_ctes()
+    + ",\n"
+    + _NORMS_SQL.strip()
+    + f""",
+cand_ss AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM probes a JOIN probes b
+              ON a.sonda = b.sonda AND a.vec_id < b.vec_id),
+verif_ss AS (
+    SELECT c.va, c.vb
+    FROM cand_ss c
+    JOIN embeddings ea ON ea.vec_id = c.va
+    JOIN embeddings eb ON eb.vec_id = c.vb
+    JOIN norms na ON na.vec_id = c.va
+    JOIN norms nb ON nb.vec_id = c.vb
+    WHERE CAST({_scaled_dot_sql("ea.embedding", "eb.embedding")} AS DOUBLE)
+          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+          >= {_SEMDEDUP_TAU}
+),
+pares_f AS (
+    SELECT least(da.source, db.source) AS fuente_a,
+           greatest(da.source, db.source) AS fuente_b
+    FROM verif_ss v
+    JOIN documents da ON da.doc_id = v.va
+    JOIN documents db ON db.doc_id = v.vb
+),
+tams AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1)
+SELECT p.fuente_a, p.fuente_b,
+       CAST(count(*) AS BIGINT) AS pares,
+       CAST(1000000 * count(*) // (ta.docs * tb.docs) AS BIGINT)
+           AS tasa_micro
+FROM pares_f p
+JOIN tams ta ON ta.source = p.fuente_a
+JOIN tams tb ON tb.source = p.fuente_b
+GROUP BY p.fuente_a, p.fuente_b, ta.docs, tb.docs"""
+)
+
+
+@register("solapamiento_semantico_fuentes", oracle=_SOLAP_SEM_ORACLE,
+          ops=("DD5", "NN2", "A3"), driver=False, bench=True)
+def solapamiento_semantico_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC SOURCE-OVERLAP MATRIX: which ingestion sources duplicate
+    WHICH OTHERS in embedding space — the cross-source contamination
+    readout (a high off-diagonal cell means two feeds carry the same
+    content re-encoded, so their mixture weights double-count it; the
+    lexical sibling is ``similitud_fuentes``, this is the paraphrase-
+    robust dense version). Pairs come from the hierarchical 2-probe
+    blocking (boundary pairs included), verify at the SemDeDup τ, then
+    map onto the documents table's sources (vec_id ↔ doc_id are
+     1:1 in this corpus — the multimodal alignment the fixture ships).
+    Rates are size-cleared: pairs per million source-pair combinations
+    (integer floor-div, no float division). Candidate work is the
+    shared Σ leaf² regime, the pair→source map is two doc-grain joins,
+    the output is sources²-bounded."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    enteros = _int_vectors(emb)
+    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    cand = (
+        probes.select(F.col("vec_id").alias("va"), "sonda")
+        .join(
+            probes.select(F.col("vec_id").alias("vb"),
+                          F.col("sonda").alias("sonda_b")),
+            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb")
+        .distinct()
+    )
+    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
+    ea = m.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    eb = m.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = cosine_from_ints(
+        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    verif = cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pares_f = (
+        verif.select("va", "vb")
+        .join(docs.select(F.col("doc_id").alias("va"),
+                          F.col("source").alias("src_a")), "va")
+        .join(docs.select(F.col("doc_id").alias("vb"),
+                          F.col("source").alias("src_b")), "vb")
+        .select(
+            F.least("src_a", "src_b").alias("fuente_a"),
+            F.greatest("src_a", "src_b").alias("fuente_b"),
+        )
+    )
+    tams = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        pares_f.groupBy("fuente_a", "fuente_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pares"))
+        .join(
+            F.broadcast(tams.select(F.col("source").alias("fuente_a"),
+                                    F.col("docs").alias("docs_a"))),
+            "fuente_a",
+        )
+        .join(
+            F.broadcast(tams.select(F.col("source").alias("fuente_b"),
+                                    F.col("docs").alias("docs_b"))),
+            "fuente_b",
+        )
+        .select(
+            "fuente_a",
+            "fuente_b",
+            "pares",
+            F.expr("(1000000 * pares) div (docs_a * docs_b)")
+            .cast("bigint")
+            .alias("tasa_micro"),
+        )
+    )
+
+
 # Deferred oracle bind for dedup_semantico: its SQL unrolls _kmeans_ctes /
 # _KMEANS_ITERS, which are defined below the register() site (the module
 # groups by family, not by dependency order). Binding here keeps the

@@ -154,6 +154,7 @@ SMOKE = [
     "pureza_celdas",
     "clasificador_knn",
     "puntuacion_maxsim",
+    "solapamiento_semantico_fuentes",
     "prioridad_pedidos",
     "demanda_fraccionada",
     "clientes_volumen",

@@ -663,6 +663,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "demanda_fraccionada",
         "clientes_volumen",
         "puntuacion_maxsim",
+        "solapamiento_semantico_fuentes",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
