@@ -1767,3 +1767,102 @@ def clientes_volumen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cantidad_total").cast("bigint").alias("cantidad_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q13-shaped engagement histogram — left join + count-of-counts
+# --------------------------------------------------------------------------
+
+_DISTRIBUCION_ORACLE = """
+WITH cc AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS pedidos
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority != '1-URGENT'
+    GROUP BY 1
+)
+SELECT CAST(pedidos AS BIGINT) AS pedidos,
+       CAST(count(*) AS BIGINT) AS clientes
+FROM cc GROUP BY 1
+"""
+
+
+@register("distribucion_pedidos", oracle=_DISTRIBUCION_ORACLE,
+          ops=("J2", "A1", "A2"), driver=False)
+def distribucion_pedidos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-SHAPED engagement histogram: how many customers placed
+    exactly N qualifying orders — INCLUDING the zero bucket, which is
+    the whole reason Q13 exists: an inner join silently drops the
+    never-ordered customers, so the count must come from a LEFT join
+    with the order predicate IN THE JOIN CONDITION (pushed to WHERE it
+    would turn the left join back into an inner one — the classic
+    outer-join-filter trap, here exercised deliberately). count(col)
+    over the null-extended side yields the correct 0. Two stacked
+    aggregations: per-customer counts, then the count-of-counts —
+    both map-side combinable, output bounded by max orders/customer."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    cc = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("pedidos"))
+    )
+    return cc.groupBy(F.col("pedidos").cast("bigint").alias("pedidos")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("clientes")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16-shaped supplier-variety audit — distinct count behind an anti join
+# --------------------------------------------------------------------------
+
+_VARIEDAD_ORACLE = """
+WITH excluidos AS (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand AS marca,
+       CAST(p.p_size % 5 AS BIGINT) AS banda_tamano,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS proveedores
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excluidos)
+GROUP BY 1, 2
+"""
+
+
+@register("variedad_proveedores", oracle=_VARIEDAD_ORACLE,
+          ops=("J7", "A2", "J1"), driver=False)
+def variedad_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-SHAPED supplier-variety audit: distinct suppliers able
+    to serve each (brand, size-band), EXCLUDING flagged suppliers —
+    Q16's NOT IN complaint-subquery shape (here the negative-balance
+    flag stands in for the complaint scan). The NOT IN is a left-anti
+    join against the tiny flagged set (broadcast — the fact side never
+    shuffles for the exclusion); the part dim broadcasts; the only
+    shuffle is the final distinct-count aggregate on the
+    (brand, band) key. At 100 TB the anti join's broadcast side is the
+    flagged-supplier list — naturally small — and the distinct count
+    is the one genuine exchange, exactly where it belongs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excluidos = supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluidos), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("marca"),
+            (F.col("p_size") % 5).cast("bigint").alias("banda_tamano"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("proveedores"))
+    )

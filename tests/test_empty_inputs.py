@@ -155,6 +155,8 @@ SMOKE = [
     "clasificador_knn",
     "puntuacion_maxsim",
     "solapamiento_semantico_fuentes",
+    "variedad_proveedores",
+    "distribucion_pedidos",
     "prioridad_pedidos",
     "demanda_fraccionada",
     "clientes_volumen",

@@ -664,6 +664,8 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "clientes_volumen",
         "puntuacion_maxsim",
         "solapamiento_semantico_fuentes",
+        "distribucion_pedidos",
+        "variedad_proveedores",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
