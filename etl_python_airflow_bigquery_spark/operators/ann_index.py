@@ -351,3 +351,81 @@ def busqueda_maxsim_indexada(
             F.col("puntaje").cast("bigint").alias("puntaje"),
         )
     )
+
+
+def etiquetar_por_vecinos(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    path: str,
+    labels_df: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """LABEL PROPAGATION AT INGEST — ``clasificador_knn``'s stored-index
+    face: new vectors (vec_id, embedding) take the majority label of
+    their k nearest INDEXED neighbors, with candidates drawn from each
+    arrival's TWO nearest stored cells (the round-9 2-probe discipline —
+    a neighbor just across the primary cell's border still votes).
+    ``labels_df`` (vec_id, label) carries the stored corpus's labels —
+    kept OUT of the posting table on purpose: labels revise on their own
+    cadence (re-annotation, taxonomy moves) and joining them at vote
+    time means a label fix never requires rewriting postings.
+
+    Returns (vec_id, label_pred, votos) — votos is the winning label's
+    count (≤ k), the per-arrival confidence a weak-supervision gate
+    thresholds on. Deterministic end to end: integer L2, (d2, vec_id)
+    neighbor tie-break, (count DESC, label ASC) vote tie-break — the
+    exact clasificador_knn conventions, so batch evaluation and ingest
+    propagation can never disagree about a vote."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _assign_cells_2probe,
+    )
+
+    cent = _stored_centroids(spark, path)
+    _, vec_tx = _tables(path)
+    enteros = _int_vectors(arrivals).localCheckpoint(eager=False)
+    probes = _assign_cells_2probe(enteros, cent).select("vec_id", "celda")
+    postings = vec_tx.read(spark).select(
+        "celda",
+        F.col("vec_id").alias("vecino"),
+        F.col("ev").alias("ev_s"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("ev_s"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        probes.join(postings, "celda")
+        .select("vec_id", "vecino")
+        .distinct()  # a neighbor reachable via both probes votes once
+        .join(enteros, "vec_id")
+        .join(
+            postings.select("vecino", "ev_s").distinct(),
+            "vecino",
+        )
+        .select("vec_id", "vecino", d2.alias("d2"))
+    )
+    wk = Window.partitionBy("vec_id").orderBy("d2", "vecino")
+    knn = (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "vecino")
+    )
+    votos = (
+        knn.join(
+            labels_df.select(F.col("vec_id").alias("vecino"), "label"),
+            "vecino",
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), "label")
+    return (
+        votos.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label_pred"),
+            F.col("n").cast("bigint").alias("votos"),
+        )
+    )

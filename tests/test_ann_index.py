@@ -406,3 +406,66 @@ def test_indexed_maxsim_matches_brute_at_full_probe(spark, sf_dir, tmp_path):
         assert [p for p, _ in rows] == list(range(1, len(rows) + 1))
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_label_propagation_matches_numpy_vote(spark, sf_dir, tmp_path):
+    """etiquetar_por_vecinos: arrivals take the majority label of their
+    k nearest indexed neighbors under the 2-probe candidate rule —
+    checked against a numpy replay of the same rule (2 probed cells,
+    top-k by (d2, vec_id), vote by (count DESC, label ASC)), and an
+    exact clone of a stored vector must vote its twin's neighborhood."""
+    import numpy as np
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _stored_centroids,
+        etiquetar_por_vecinos,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _int_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    labels = emb.select("vec_id", "label")
+
+    # arrivals: 5 fixture vectors re-shipped under new ids (their old
+    # rows are IN the index, so the nearest neighbor is the twin itself)
+    base = emb.where(F.col("vec_id") % 97 == 0).limit(5)
+    arrivals = base.select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: (r["label_pred"], r["votos"])
+        for r in etiquetar_por_vecinos(spark, arrivals, path, labels).collect()
+    }
+    assert set(got) == {r["vec_id"] + 7_000_000 for r in base.collect()}
+
+    # numpy replay of the exact rule
+    cent = _stored_centroids(spark, path)
+    sids = np.array(sorted(cent), dtype=np.int64)
+    cm = np.array([cent[s] for s in sorted(cent)], dtype=np.int64)
+    stored = _int_vectors(emb).collect()
+    sid_v = np.array([r["vec_id"] for r in stored], dtype=np.int64)
+    mat = np.array([r["ev"] for r in stored], dtype=np.int64)
+    cell_of = {}
+    d2s = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.broadcast_to(sids, d2s.shape), d2s), axis=1)
+    for i, v in enumerate(sid_v):
+        cell_of[int(v)] = int(sids[order[i, 0]])
+    lab = {r["vec_id"]: r["label"] for r in labels.collect()}
+    arr = _int_vectors(arrivals).collect()
+    for r in arr:
+        ev = np.array(r["ev"], dtype=np.int64)
+        d2c = ((cm - ev) ** 2).sum(axis=1)
+        probe = set(sids[np.lexsort((sids, d2c))][:2].tolist())
+        cands = [(int(((mat[i] - ev) ** 2).sum()), int(sid_v[i]))
+                 for i in range(len(sid_v))
+                 if cell_of[int(sid_v[i])] in probe]
+        cands.sort()
+        top = [v for _, v in cands[:3]]
+        counts: dict[int, int] = {}
+        for v in top:
+            counts[lab[v]] = counts.get(lab[v], 0) + 1
+        want = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0]
+        assert got[r["vec_id"]] == (want[0], want[1]), r["vec_id"]
