@@ -481,3 +481,75 @@ def tiempo_entre_eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY_G  # noqa: E402
 
 _REGISTRY_G["tiempo_entre_eventos"].oracle = _gaps_oracle()
+
+
+# --------------------------------------------------------------------------
+# Conversion latency — first-view → first-purchase delay distribution
+# --------------------------------------------------------------------------
+
+
+def _latencia_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    return f"""
+WITH f AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view'
+                    THEN epoch_us(ts) END) AS vista_us,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS compra_us
+    FROM events GROUP BY 1
+),
+conv AS (
+    SELECT (compra_us - vista_us) // 1000000 AS seg
+    FROM f
+    WHERE vista_us IS NOT NULL AND compra_us IS NOT NULL
+      AND compra_us > vista_us
+)
+SELECT CAST({_log2_ladder("(seg + 1)")} AS INT) AS banda_log2,
+       CAST(count(*) AS BIGINT) AS usuarios,
+       CAST(min(seg) AS BIGINT) AS seg_min,
+       CAST(max(seg) AS BIGINT) AS seg_max
+FROM conv GROUP BY 1"""
+
+
+@register("latencia_conversion", ops=("A8", "A1"), driver=False)
+def latencia_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION LATENCY distribution: seconds from a user's FIRST view
+    to their FIRST subsequent purchase, log2-banded — the funnel-timing
+    readout the funnel queries (counts) and tiempo_entre_eventos (any-
+    gap histogram) both stop short of: it answers 'how long does
+    conversion take when it happens', which prices attribution windows
+    and retargeting delays. Users whose first purchase precedes their
+    first view (or who never did both) are not conversions and drop
+    out. Shape: ONE conditional-min aggregation per user (no window, no
+    self-join — the two firsts come from the same map-combinable agg),
+    then a bands-sized roll-up; integer seconds by floor-div, the
+    pure-comparison ladder (zero-second conversions land in band 0)."""
+    from etl_python_airflow_bigquery_spark.functions import _log2_ladder
+
+    events = load_table(spark, sf_dir, "events")
+    t_us = event_ts_us(events)
+    f = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("vista_us"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias(
+            "compra_us"
+        ),
+    )
+    conv = f.where(
+        F.col("vista_us").isNotNull()
+        & F.col("compra_us").isNotNull()
+        & (F.col("compra_us") > F.col("vista_us"))
+    ).select(
+        F.expr("(compra_us - vista_us) div 1000000").alias("seg")
+    )
+    return conv.groupBy(
+        F.expr(_log2_ladder("(seg + 1)")).cast("int").alias("banda_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("usuarios"),
+        F.min("seg").cast("bigint").alias("seg_min"),
+        F.max("seg").cast("bigint").alias("seg_max"),
+    )
+
+
+_REGISTRY_G["latencia_conversion"].oracle = _latencia_oracle()

@@ -157,6 +157,7 @@ SMOKE = [
     "solapamiento_semantico_fuentes",
     "variedad_proveedores",
     "distribucion_pedidos",
+    "latencia_conversion",
     "prioridad_pedidos",
     "demanda_fraccionada",
     "clientes_volumen",

@@ -666,6 +666,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "solapamiento_semantico_fuentes",
         "distribucion_pedidos",
         "variedad_proveedores",
+        "latencia_conversion",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
