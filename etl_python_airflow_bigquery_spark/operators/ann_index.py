@@ -399,10 +399,10 @@ def etiquetar_por_vecinos(
         .select("vec_id", "vecino")
         .distinct()  # a neighbor reachable via both probes votes once
         .join(enteros, "vec_id")
-        .join(
-            postings.select("vecino", "ev_s").distinct(),
-            "vecino",
-        )
+        # postings is one row per stored vector, so no distinct here —
+        # a corpus-wide distinct on the vector column would shuffle the
+        # whole posting table for nothing
+        .join(postings.select("vecino", "ev_s"), "vecino")
         .select("vec_id", "vecino", d2.alias("d2"))
     )
     wk = Window.partitionBy("vec_id").orderBy("d2", "vecino")
