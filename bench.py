@@ -74,6 +74,19 @@ FAMILIES = {
             "tamanos_familias",
         ),
     },
+    # the hierarchical 2-probe frame (_PROBES_CACHE): one seed
+    # collection + probe projection per dataset serves all six 2-probe
+    # consumers in a session
+    "hier_probes": {
+        "build": "dedup_semantico_jerarquico",
+        "members": (
+            "grafo_knn_mutuo_jerarquico",
+            "agrupacion_densidad_jerarquica",
+            "cobertura_sondas",
+            "clasificador_knn",
+            "solapamiento_semantico_fuentes",
+        ),
+    },
     # the k-means coarse-quantizer fit (_KMEANS_CACHE): one Lloyd fit
     # per dataset serves the whole cell-blocked family in a session
     "kmeans_fit": {

@@ -116,9 +116,12 @@ def clear_session_caches() -> None:
     # the fit per rep
     from etl_python_airflow_bigquery_spark.queries.similarity import (
         clear_kmeans_cache,
+        clear_probes_cache,
     )
 
     clear_kmeans_cache()
+    # ...and the 2-probe frame cache (six hierarchical consumers)
+    clear_probes_cache()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

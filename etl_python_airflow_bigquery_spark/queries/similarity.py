@@ -4783,6 +4783,42 @@ def _hier_probes(enteros: DataFrame, n: int) -> DataFrame:
     )
 
 
+# Session-scoped PROBES cache: six 2-probe consumers (SemDeDup, the
+# mutual-kNN pair, density clustering, the recall pin, the source
+# matrix, the kNN classifier) share the SAME deterministic probes frame
+# per dataset — in a pipeline session the seed collection + the giant
+# literal-argmin projection run once and every consumer reuses the
+# checkpointed frame (the _shingles/_KMEANS_CACHE discipline).
+# bench.py clears this via clear_session_caches before every timed rep,
+# so per-query numbers keep their cold contract; the hier_probes bench
+# FAMILY measures the amortized pipeline view.
+_PROBES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PROBES_CACHE_MAX = 4
+
+
+def clear_probes_cache() -> None:
+    _PROBES_CACHE.clear()
+
+
+def _hier_probes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset's 2-probe frame, session-cached and checkpointed.
+    Key folds in the file-listing signature (the _KMEANS_CACHE ADVICE-r8
+    discipline) so an in-session rewrite invalidates."""
+    path = _os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, path, _path_signature(path))
+    hit = _PROBES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = _emb(spark, sf_dir)
+    probes = _hier_probes(_int_vectors(emb), emb.count()).localCheckpoint(
+        eager=False
+    )
+    while len(_PROBES_CACHE) >= _PROBES_CACHE_MAX:
+        _PROBES_CACHE.pop(next(iter(_PROBES_CACHE)))
+    _PROBES_CACHE[key] = probes
+    return probes
+
+
 def _hier_probe_ctes() -> str:
     """DuckDB CTE chain ending in ``asig_h`` (vec_id, celda1, hoja,
     hoja2 — one row per vector) and ``probes`` (the exploded 1-2 probe
@@ -4868,11 +4904,9 @@ def dedup_semantico_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRIMARY leaf. Oracle: the two-level assign + probe union unrolled
     as CTEs (rank-1/rank-2 of the same integer argmin)."""
     emb = _emb(spark, sf_dir)
-    n = emb.count()
-    enteros = _int_vectors(emb)
-    # probes feed both pair sides + the per-leaf census; its lineage is
-    # two giant literal argmin projections — checkpoint once
-    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    # probes feed both pair sides + the per-leaf census AND five sibling
+    # queries in a session — the session-cached checkpointed frame
+    probes = _hier_probes_cached(spark, sf_dir)
     cand = (
         probes.select(F.col("vec_id").alias("va"), "sonda")
         .join(
@@ -4933,10 +4967,8 @@ def _knn_probe_edges(
     (knn, prim) where knn = the directed top-k edge list over 2-probe
     candidates (checkpointed — both the mutual join and the census
     consume it) and prim = one (vec_id, celda1, hoja) row per vector."""
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    enteros = _int_vectors(emb)
-    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    enteros = _int_vectors(_emb(spark, sf_dir))
+    probes = _hier_probes_cached(spark, sf_dir)
     prim = probes.select("vec_id", "celda1", "hoja").distinct()
     cand = (
         probes.select(F.col("vec_id").alias("src"), "sonda")
@@ -5185,9 +5217,7 @@ def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ganancia > 0 on the fixture, making a silent probe regression a
     test failure."""
     emb = _emb(spark, sf_dir)
-    n = emb.count()
-    enteros = _int_vectors(emb)
-    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    probes = _hier_probes_cached(spark, sf_dir)
     prim = probes.select("vec_id", "hoja").distinct()
     cand = (
         probes.select(F.col("vec_id").alias("va"), "sonda")
@@ -5654,9 +5684,7 @@ def solapamiento_semantico_fuentes(spark: SparkSession, sf_dir: str) -> DataFram
     shared Σ leaf² regime, the pair→source map is two doc-grain joins,
     the output is sources²-bounded."""
     emb = _emb(spark, sf_dir)
-    n = emb.count()
-    enteros = _int_vectors(emb)
-    probes = _hier_probes(enteros, n).localCheckpoint(eager=False)
+    probes = _hier_probes_cached(spark, sf_dir)
     cand = (
         probes.select(F.col("vec_id").alias("va"), "sonda")
         .join(
