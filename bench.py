@@ -247,6 +247,7 @@ def main() -> int:
         while len(runs) < reps or (
             len(runs) < reps_fast
             and (min(runs) < 2.0
+                 or len(runs) < 2
                  or sorted(runs)[1] - sorted(runs)[0] >= 0.5 * min(runs))
         ):
             # each rep pays its query's true plan cost: the session-level
@@ -263,7 +264,7 @@ def main() -> int:
         # BEST runs (== max−min at reps=2, so round-comparable), not the
         # full range — one GC-hit outlier shouldn't widen the error bar
         # the best is read against
-        spread[name] = round(runs[1] - runs[0], 3)
+        spread[name] = round(runs[1] - runs[0], 3) if len(runs) >= 2 else 0.0
 
     # Supplementary family pass: one shared build, then marginal costs.
     families: dict[str, dict] = {}

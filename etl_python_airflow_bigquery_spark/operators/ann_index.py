@@ -51,6 +51,37 @@ def _tables(path: str) -> tuple[TxTable, TxTable]:
     )
 
 
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "index_meta.json")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+    import uuid as _uuid
+
+    tmp = os.path.join(path, f"_tmp_meta_{_uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _meta_path(path))
+
+
+def read_index_meta(path: str) -> dict:
+    """Index-level metadata written at build time and maintained by
+    ``add_to_ivf_index``: {'n': stored vector count, 'k': cell count}.
+    Serving paths that need a corpus-size-derived policy constant
+    (ADVICE r9: ``busqueda_maxsim_indexada``'s query modulus) read it
+    from HERE — never by recounting the source corpus at serve time."""
+    import json
+
+    with open(_meta_path(path)) as fh:
+        return json.load(fh)
+
+
 def build_ivf_index(
     spark: SparkSession, emb: DataFrame, path: str, iters: int = _KMEANS_ITERS
 ) -> dict:
@@ -70,6 +101,7 @@ def build_ivf_index(
     )
     cent_tx.overwrite(cent_df)
     v = vec_tx.overwrite(asignados)
+    _write_meta(path, {"n": n, "k": len(cent)})
     return {"n": n, "k": len(cent), "version": v}
 
 
@@ -88,14 +120,22 @@ def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
     tables' versions make before/after recall measurable.)"""
     _, vec_tx = _tables(path)
     cent = _stored_centroids(spark, path)
-    enteros = _int_vectors(emb_new)
+    enteros = _int_vectors(emb_new).localCheckpoint(eager=False)
+    n_batch = enteros.count()
     nuevos = (
         _assign_cells(enteros, cent)
         .select("vec_id", "celda")
         .join(enteros, "vec_id")
         .select("vec_id", "celda", "ev")
     )
-    return vec_tx.append(nuevos)
+    v = vec_tx.append(nuevos)
+    try:  # keep the serve-time size policy current without a rescan
+        meta = read_index_meta(path)
+        meta["n"] = meta.get("n", 0) + n_batch
+        _write_meta(path, meta)
+    except FileNotFoundError:
+        pass  # pre-meta index (built before r10) — serve paths fall back
+    return v
 
 
 def search_ivf_index(
@@ -274,7 +314,15 @@ def busqueda_maxsim_indexada(
     toks = emb.select(
         F.expr(f"vec_id div {_MAXSIM_G}").alias("doc_id"), "vec_id", "embedding"
     )
-    n_docs = toks.select("doc_id").distinct().count()
+    # Corpus size for the query-modulus policy comes from the INDEX
+    # metadata (ADVICE r9): serving must never pay a corpus-wide
+    # distinct().count() just to pick its query docs. vec_id is a dense
+    # surrogate (0..n-1, TESTDATA.md), so distinct (vec_id div G) is
+    # ceil(n/G) exactly — the same value the brute registry query counts.
+    try:
+        n_docs = -(-read_index_meta(path)["n"] // _MAXSIM_G)
+    except FileNotFoundError:  # pre-meta index — one-time legacy fallback
+        n_docs = toks.select("doc_id").distinct().count()
     qmod = max(1, n_docs // _MAXSIM_Q)
     qtoks = toks.where(F.col("doc_id") % qmod == 0).select(
         F.col("doc_id").alias("q_doc"),

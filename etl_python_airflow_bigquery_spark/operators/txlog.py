@@ -1316,6 +1316,65 @@ class TxTable:
                 return sid
         return id_or_name  # let _staged_manifest raise the loud unknown
 
+    def _stage_name_marker(self, name: str) -> str:
+        import hashlib
+
+        h = hashlib.sha1(name.encode("utf-8")).hexdigest()[:16]
+        return os.path.join(self.log_dir, f"stagename_{h}.json")
+
+    def _claim_stage_name(self, name: str, sid: str) -> None:
+        """ATOMIC name claim (ADVICE r9): the old uniqueness check was
+        scan-then-write, so two concurrent stagers under one name could
+        both pass and leave two live stages the name resolved between by
+        listdir order. The claim is now a hard-link marker (same atomic
+        idiom as ``_claim``): first link wins, EEXIST is the loud
+        refusal. A marker whose staged manifest is gone is a crash
+        leftover (publish/discard unlink the manifest FIRST, and the
+        marker is only ever linked after its manifest) — reclaimed in
+        place."""
+        marker = self._stage_name_marker(name)
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "sid": sid}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            for _ in range(3):
+                try:
+                    os.link(tmp, marker)
+                    return
+                except FileExistsError:
+                    pass
+                try:
+                    with open(marker) as fh:
+                        prev = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # holder vanished / mid-race — retry the link
+                if os.path.exists(self._staged_path(prev.get("sid", ""))):
+                    raise ValueError(
+                        f"stage name {name!r} is already active on "
+                        f"{self.path!r} — publish or discard it first "
+                        "(names are unique among live stages)"
+                    )
+                try:  # stale marker from a crashed publish/discard
+                    os.unlink(marker)
+                except FileNotFoundError:
+                    pass
+            raise ValueError(
+                f"stage name {name!r} is already active on {self.path!r} "
+                "— publish or discard it first (names are unique among "
+                "live stages)"
+            )
+        finally:
+            os.unlink(tmp)
+
+    def _release_stage_name(self, manifest: dict) -> None:
+        if manifest.get("name") is not None:
+            try:
+                os.unlink(self._stage_name_marker(manifest["name"]))
+            except FileNotFoundError:
+                pass
+
     def stage_append(self, df: DataFrame, name: str | None = None) -> str:
         """WRITE half of write-audit-publish (the Iceberg WAP pattern):
         the batch's data files land in the data dir and a STAGED manifest
@@ -1338,16 +1397,6 @@ class TxTable:
         publish() re-checks constraints and schema evolution against the
         head AT PUBLISH TIME — the head may have moved since staging, and
         append semantics make that legal (disjoint files)."""
-        if name is not None:
-            activos = {
-                m.get("name") for m in self.staged().values()
-            } - {None}
-            if name in activos:
-                raise ValueError(
-                    f"stage name {name!r} is already active on "
-                    f"{self.path!r} — publish or discard it first "
-                    "(names are unique among live stages)"
-                )
         files = self._write_files(df)
         sid = uuid.uuid4().hex[:8]
         payload = {
@@ -1365,6 +1414,18 @@ class TxTable:
             os.fsync(fh.fileno())
         os.link(tmp, self._staged_path(sid))
         os.unlink(tmp)
+        if name is not None:
+            # Claim AFTER the manifest is live so a marker without its
+            # manifest is always a crash leftover (reclaimable), never a
+            # racer mid-stage. Losing the claim unstages this batch.
+            try:
+                self._claim_stage_name(name, sid)
+            except ValueError:
+                try:
+                    os.unlink(self._staged_path(sid))
+                except FileNotFoundError:
+                    pass
+                raise
         return sid
 
     def staged(self) -> dict[str, dict]:
@@ -1437,6 +1498,7 @@ class TxTable:
                     os.unlink(self._staged_path(staging_id))
                 except FileNotFoundError:
                     pass
+                self._release_stage_name(m)
                 return v
         self._check_append_evolution(
             parent, StructType.fromJson(json.loads(m["schema"]))
@@ -1454,18 +1516,22 @@ class TxTable:
             parent,
         )
         os.unlink(self._staged_path(staging_id))
+        self._release_stage_name(m)
         return v
 
     def discard_staged(self, staging_id: str) -> None:
         """Abandon a staged batch: the manifest goes now; the data files
         become unreferenced orphans that the next vacuum (past its
         retention window) collects. Accepts the staging id or name."""
+        sid = self._resolve_staging(staging_id)
+        m = self._staged_manifest(sid)  # raises the loud unknown
         try:
-            os.unlink(self._staged_path(self._resolve_staging(staging_id)))
+            os.unlink(self._staged_path(sid))
         except FileNotFoundError as exc:
             raise ValueError(
                 f"unknown staging id {staging_id!r} on {self.path!r}"
             ) from exc
+        self._release_stage_name(m)
 
     def vacuum(self, keep_versions: int = 1, retention_s: float = 3600.0) -> int:
         """Drop manifests older than the last ``keep_versions`` and every
@@ -1489,6 +1555,42 @@ class TxTable:
         vs = self._versions()
         keep = set(vs[-keep_versions:] if keep_versions > 0 else vs)
         keep.update(v for v in self.tags().values() if v in vs)
+        # ADVICE r9: a committed manifest carrying a ``staging_id`` is the
+        # crash-window FENCE for its leftover staged twin — if vacuum drops
+        # the fence while the twin is alive, a publish retry re-appends the
+        # same files. Consume the twin (the publish DID land; the staged
+        # files are referenced by every newer append manifest) BEFORE the
+        # fence manifest can vanish.
+        for v in vs:
+            if v in keep:
+                continue
+            try:
+                man = self._manifest(v)
+            except (FileNotFoundError, ValueError, json.JSONDecodeError):
+                continue
+            sid = man.get("staging_id")
+            if sid and os.path.exists(self._staged_path(sid)):
+                try:
+                    twin = self._staged_manifest(sid)
+                    os.unlink(self._staged_path(sid))
+                    self._release_stage_name(twin)
+                except (ValueError, FileNotFoundError):
+                    pass  # raced with the retrying publisher — its problem now
+        # Stale name markers (crash between staged-manifest unlink and
+        # marker unlink) are reclaimable the moment their manifest is gone.
+        for f in os.listdir(self.log_dir):
+            if f.startswith("stagename_") and f.endswith(".json"):
+                p = os.path.join(self.log_dir, f)
+                try:
+                    with open(p) as fh:
+                        mk = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                if not os.path.exists(self._staged_path(mk.get("sid", ""))):
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
         live: set[str] = set()
         for v in keep:
             live.update(self._names(self._manifest(v)["files"]))

@@ -3171,12 +3171,19 @@ def _path_signature(path: str) -> str:
         target = path
     sig: list[tuple[str, int, int]] = []
     if _os.path.isdir(target):
-        for f in sorted(_os.listdir(target)):
-            try:
-                st = _os.stat(_os.path.join(target, f))
-            except FileNotFoundError:
-                continue  # concurrent writer mid-listing
-            sig.append((f, st.st_size, st.st_mtime_ns))
+        # Full walk, not just the immediate children (ADVICE r9): under a
+        # partitioned layout the top level is partition DIRECTORIES, and
+        # an in-place leaf rewrite can leave the directory's own
+        # size/mtime unchanged — the leaf stats must feed the signature.
+        for raiz, dirs, files in _os.walk(target):
+            dirs.sort()
+            rel = _os.path.relpath(raiz, target)
+            for f in sorted(files):
+                try:
+                    st = _os.stat(_os.path.join(raiz, f))
+                except FileNotFoundError:
+                    continue  # concurrent writer mid-listing
+                sig.append((_os.path.join(rel, f), st.st_size, st.st_mtime_ns))
     elif _os.path.exists(target):
         st = _os.stat(target)
         sig.append((_os.path.basename(target), st.st_size, st.st_mtime_ns))

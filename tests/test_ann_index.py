@@ -469,3 +469,25 @@ def test_label_propagation_matches_numpy_vote(spark, sf_dir, tmp_path):
             counts[lab[v]] = counts.get(lab[v], 0) + 1
         want = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0]
         assert got[r["vec_id"]] == (want[0], want[1]), r["vec_id"]
+
+
+def test_index_meta_tracks_size_without_corpus_rescan(spark, sf_dir, tmp_path):
+    """ADVICE r9: build persists {'n','k'} in index metadata;
+    add_to_ivf_index keeps n current; the maxsim serve path derives its
+    query modulus from the META (never a corpus-wide distinct count) and
+    still matches the brute query — covered by the full-probe test; here
+    the meta lifecycle itself is pinned."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        read_index_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    info = build_ivf_index(spark, emb, path)
+    meta = read_index_meta(path)
+    assert meta == {"n": info["n"], "k": info["k"]}
+    clon = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding", "label"
+    )
+    add_to_ivf_index(spark, clon, path)
+    assert read_index_meta(path)["n"] == info["n"] + 3

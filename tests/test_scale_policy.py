@@ -156,3 +156,28 @@ def test_kmeans_cache_path_signature_tracks_content(tmp_path):
     solo.mkdir()
     (solo / "data.parquet").write_bytes(b"x")
     assert _path_signature(str(solo))
+
+
+def test_kmeans_cache_signature_sees_nested_partition_rewrites(tmp_path):
+    """ADVICE r9 (low): under a PARTITIONED layout the top-level entries
+    are partition directories — an in-place rewrite of a LEAF file that
+    leaves the directory's own size/mtime untouched must still change
+    the signature (the walk stats leaves, not just immediate children)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _path_signature,
+    )
+
+    emb = tmp_path / "embeddings.parquet"
+    part = emb / "fecha=2025-01-01"
+    part.mkdir(parents=True)
+    leaf = part / "part-0.parquet"
+    leaf.write_bytes(b"aaaa")
+    os.utime(part, (1_000_000_000, 1_000_000_000))  # pin the dir stats
+    s1 = _path_signature(str(tmp_path))
+    # same-size leaf rewrite with a bumped mtime; dir stats re-pinned
+    leaf.write_bytes(b"bbbb")
+    os.utime(leaf, (1_100_000_000, 1_100_000_000))
+    os.utime(part, (1_000_000_000, 1_000_000_000))
+    assert _path_signature(str(tmp_path)) != s1

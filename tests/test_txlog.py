@@ -1411,3 +1411,58 @@ def test_wap_named_stages_interleave_independently(spark, tmp_path):
     t.discard_staged("pipeline_a")  # discard by name works too
     with pytest.raises(ValueError, match="unknown staging id"):
         t.publish(spark, sid_a2)
+
+
+def test_wap_name_claim_is_atomic_marker(spark, tmp_path):
+    """ADVICE r9: the stage-name uniqueness guarantee is a hard-link
+    marker, not a scan — the marker exists exactly while the stage is
+    live, a crash leftover (marker without manifest) is reclaimed by the
+    next stager, and publish/discard free the name."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+
+    sid = t.stage_append(_df(spark, 10, 12), name="etiqueta")
+    marker = t._stage_name_marker("etiqueta")
+    assert os.path.exists(marker)
+    with pytest.raises(ValueError, match="already active"):
+        t.stage_append(_df(spark, 20, 21), name="etiqueta")
+    t.publish(spark, sid)
+    assert not os.path.exists(marker)
+
+    # crash leftover: manifest unlinked (publish step 1) but marker
+    # survived (crash before step 2) — next claim reclaims in place
+    sid2 = t.stage_append(_df(spark, 30, 32), name="etiqueta")
+    os.unlink(t._staged_path(sid2))  # simulate the crash window
+    assert os.path.exists(marker)
+    sid3 = t.stage_append(_df(spark, 40, 42), name="etiqueta")
+    assert t.staged()[sid3]["name"] == "etiqueta"
+    t.discard_staged("etiqueta")
+    assert not os.path.exists(marker)
+
+
+def test_vacuum_consumes_fence_twin_before_dropping_manifest(spark, tmp_path):
+    """ADVICE r9: vacuum must not drop a committed manifest carrying a
+    ``staging_id`` while its leftover staged twin is alive — it consumes
+    the twin first, so a publish retry can never re-append the rows
+    (it now gets the loud already-consumed ValueError instead)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))
+    sid = t.stage_append(_df(spark, 5, 8))
+    staged_path = t._staged_path(sid)
+    with open(staged_path) as fh:
+        staged_payload = fh.read()
+    v_pub = t.publish(spark, sid)
+    # crash window: staged manifest resurrected after the flip landed
+    with open(staged_path, "w") as fh:
+        fh.write(staged_payload)
+    # head moves on; the fence manifest falls outside keep_versions
+    t.append(_df(spark, 100, 101))
+    t.append(_df(spark, 101, 102))
+    assert t.read(spark).count() == 10
+    t.vacuum(keep_versions=1, retention_s=0.0)
+    # the twin was consumed WITH the fence, not orphaned past it
+    assert not os.path.exists(staged_path)
+    with pytest.raises(ValueError, match="unknown staging id"):
+        t.publish(spark, sid)
+    assert t.read(spark).count() == 10  # no duplicated rows, ever
+    assert v_pub not in t._versions()  # the old manifest did get dropped
