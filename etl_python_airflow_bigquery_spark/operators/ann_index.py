@@ -72,14 +72,43 @@ def _write_meta(path: str, meta: dict) -> None:
 
 def read_index_meta(path: str) -> dict:
     """Index-level metadata written at build time and maintained by
-    ``add_to_ivf_index``: {'n': stored vector count, 'k': cell count}.
-    Serving paths that need a corpus-size-derived policy constant
-    (ADVICE r9: ``busqueda_maxsim_indexada``'s query modulus) read it
-    from HERE — never by recounting the source corpus at serve time."""
+    ``add_to_ivf_index``: {'n': stored vector count, 'k': cell count,
+    'version': posting-table version ``n`` was computed at,
+    'vec_basis': the BUILD corpus's dense-id basis (max vec_id + 1),
+    'dense_ids': whether the build ids were verifiably dense}. Serving
+    paths that need a corpus-size-derived policy constant (ADVICE r9:
+    ``busqueda_maxsim_indexada``'s query modulus) read it from HERE —
+    never by recounting the source corpus at serve time. ``vec_basis``
+    is FROZEN at build on purpose: the query-sampling modulus is a
+    corpus policy, and growing the index (``add_to_ivf_index`` accepts
+    arbitrary vec_ids) must not silently move which docs are queries
+    (ADVICE r10). NOTE: raw, possibly version-stale for 'n' — callers
+    that need 'n' consistent with the CURRENT postings use
+    ``index_meta_current``."""
     import json
 
     with open(_meta_path(path)) as fh:
         return json.load(fh)
+
+
+def index_meta_current(spark: SparkSession, path: str) -> dict:
+    """``read_index_meta`` with the self-healing 'n' contract (ADVICE
+    r10): the json cache is a read-modify-write decoupled from the
+    posting-table append, so a crash between ``vec_tx.append`` and
+    ``_write_meta`` — or two concurrent adds losing an increment —
+    leaves 'n' stale. The cache therefore carries the posting-table
+    VERSION it was computed at; on mismatch this recounts 'n' from the
+    current snapshot and heals the cache. Policy fields (vec_basis,
+    dense_ids, k) are preserved — only 'n'/'version' heal."""
+    _, vec_tx = _tables(path)
+    v = vec_tx.version()
+    meta = read_index_meta(path)
+    if meta.get("version") == v:
+        return meta
+    meta["n"] = vec_tx.read(spark).count()
+    meta["version"] = v
+    _write_meta(path, meta)
+    return meta
 
 
 def build_ivf_index(
@@ -101,7 +130,24 @@ def build_ivf_index(
     )
     cent_tx.overwrite(cent_df)
     v = vec_tx.overwrite(asignados)
-    _write_meta(path, {"n": n, "k": len(cent)})
+    # vec_basis: the build corpus's id basis (max vec_id + 1), the
+    # EXPLICIT doc-count basis for per-doc serve policies (ADVICE r10 —
+    # 'n' grows with adds of arbitrary vec_ids, so ceil(n/G) silently
+    # diverges from the corpus doc count the brute twins use).
+    # dense_ids records whether basis == n, i.e. whether max+1 is
+    # verifiably the distinct-id count; serve paths fall back to a
+    # corpus count when it is not.
+    basis = (enteros.agg(F.max("vec_id")).first()[0] or -1) + 1
+    _write_meta(
+        path,
+        {
+            "n": n,
+            "k": len(cent),
+            "version": v,
+            "vec_basis": basis,
+            "dense_ids": basis == n,
+        },
+    )
     return {"n": n, "k": len(cent), "version": v}
 
 
@@ -129,9 +175,17 @@ def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
         .select("vec_id", "celda", "ev")
     )
     v = vec_tx.append(nuevos)
-    try:  # keep the serve-time size policy current without a rescan
+    try:  # keep the serve-time size cache current without a rescan.
+        # This RMW is best-effort by design: the cache carries the
+        # posting version it describes, so a crash right here — or a
+        # concurrent add's lost increment — is caught by
+        # ``index_meta_current``'s version check and healed by a
+        # snapshot recount (ADVICE r10). vec_basis is intentionally NOT
+        # updated: it is the build corpus's query-sampling basis, and
+        # arbitrary-id growth must not move it.
         meta = read_index_meta(path)
         meta["n"] = meta.get("n", 0) + n_batch
+        meta["version"] = v
         _write_meta(path, meta)
     except FileNotFoundError:
         pass  # pre-meta index (built before r10) — serve paths fall back
@@ -316,12 +370,23 @@ def busqueda_maxsim_indexada(
     )
     # Corpus size for the query-modulus policy comes from the INDEX
     # metadata (ADVICE r9): serving must never pay a corpus-wide
-    # distinct().count() just to pick its query docs. vec_id is a dense
-    # surrogate (0..n-1, TESTDATA.md), so distinct (vec_id div G) is
-    # ceil(n/G) exactly — the same value the brute registry query counts.
+    # distinct().count() just to pick its query docs. The basis is
+    # ``vec_basis`` — the BUILD corpus's max vec_id + 1, frozen at build
+    # — NOT the raw vector count 'n' (ADVICE r10: 'n' grows under
+    # add_to_ivf_index with arbitrary vec_ids, which would silently move
+    # qmod away from the brute ``puntuacion_maxsim``'s corpus-derived
+    # value). With the dense surrogate ids TESTDATA.md documents,
+    # ceil(vec_basis/G) IS the distinct (vec_id div G) count; when the
+    # build ids were not dense the meta says so and we pay the one
+    # corpus count the policy then genuinely requires.
     try:
-        n_docs = -(-read_index_meta(path)["n"] // _MAXSIM_G)
+        meta = read_index_meta(path)
     except FileNotFoundError:  # pre-meta index — one-time legacy fallback
+        meta = {}
+    basis = meta.get("vec_basis", meta.get("n"))
+    if basis is not None and meta.get("dense_ids", True):
+        n_docs = -(-basis // _MAXSIM_G)
+    else:
         n_docs = toks.select("doc_id").distinct().count()
     qmod = max(1, n_docs // _MAXSIM_Q)
     qtoks = toks.where(F.col("doc_id") % qmod == 0).select(

@@ -1330,40 +1330,93 @@ class TxTable:
         idiom as ``_claim``): first link wins, EEXIST is the loud
         refusal. A marker whose staged manifest is gone is a crash
         leftover (publish/discard unlink the manifest FIRST, and the
-        marker is only ever linked after its manifest) — reclaimed in
-        place."""
+        marker is only ever linked after its manifest).
+
+        STALE-MARKER RECLAIM (ADVICE r10): reclaim is an atomic
+        ``os.rename`` to a unique tombstone — never a bare unlink. Two
+        racers that both read the same crash leftover would, under
+        unlink, both 'remove' it, and the slower unlink deletes the
+        faster racer's FRESHLY LINKED live marker, letting both claims
+        succeed (the duplicate-name bug this marker exists to prevent).
+        rename removes exactly the inode at the path ONCE: the loser
+        gets FileNotFoundError and retries the link, hitting EEXIST on
+        the winner's fresh marker. Two guards close the residual
+        read→rename window: the winner VERIFIES ownership by re-reading
+        the marker after linking, and a reclaimer that finds its
+        tombstone holds a LIVE claim (the holder linked between the read
+        and the rename) restores it and refuses. Exhausted retries raise
+        a contention error, not the misleading 'already active' (ADVICE
+        r10: repeated benign races — holder vanishing between the link
+        attempt and the marker read — are transient, not a live
+        duplicate)."""
         marker = self._stage_name_marker(name)
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as fh:
             json.dump({"name": name, "sid": sid}, fh)
             fh.flush()
             os.fsync(fh.fileno())
+        already = ValueError(
+            f"stage name {name!r} is already active on {self.path!r} "
+            "— publish or discard it first (names are unique among "
+            "live stages)"
+        )
         try:
-            for _ in range(3):
+            for _ in range(16):
                 try:
                     os.link(tmp, marker)
-                    return
                 except FileExistsError:
                     pass
+                else:
+                    # verify-after-link: a concurrent stale-reclaim that
+                    # read the OLD marker may have renamed OURS away in
+                    # its read→rename window; if the path no longer
+                    # carries our sid the claim was stolen — retry.
+                    try:
+                        with open(marker) as fh:
+                            if json.load(fh).get("sid") == sid:
+                                return
+                    except (FileNotFoundError, json.JSONDecodeError):
+                        pass
+                    continue
                 try:
                     with open(marker) as fh:
                         prev = json.load(fh)
                 except (FileNotFoundError, json.JSONDecodeError):
                     continue  # holder vanished / mid-race — retry the link
                 if os.path.exists(self._staged_path(prev.get("sid", ""))):
-                    raise ValueError(
-                        f"stage name {name!r} is already active on "
-                        f"{self.path!r} — publish or discard it first "
-                        "(names are unique among live stages)"
-                    )
-                try:  # stale marker from a crashed publish/discard
-                    os.unlink(marker)
+                    raise already
+                # stale marker from a crashed publish/discard: reclaim by
+                # atomic rename — only one racer wins removal
+                tomb = os.path.join(
+                    self.log_dir, f"_tomb_{uuid.uuid4().hex[:8]}.json"
+                )
+                try:
+                    os.rename(marker, tomb)
                 except FileNotFoundError:
-                    pass
-            raise ValueError(
-                f"stage name {name!r} is already active on {self.path!r} "
-                "— publish or discard it first (names are unique among "
-                "live stages)"
+                    continue  # another reclaimer won — retry the link
+                try:
+                    with open(tomb) as fh:
+                        got = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    got = {}
+                if got.get("sid") != prev.get("sid") and os.path.exists(
+                    self._staged_path(got.get("sid", ""))
+                ):
+                    # we renamed a DIFFERENT, live marker (holder claimed
+                    # between our read and our rename) — restore it and
+                    # refuse: the name is genuinely held.
+                    try:
+                        os.link(tomb, marker)
+                    except FileExistsError:
+                        pass
+                    finally:
+                        os.unlink(tomb)
+                    raise already
+                os.unlink(tomb)
+            raise RuntimeError(
+                f"stage-name claim for {name!r} on {self.path!r} lost "
+                "16 consecutive races (markers vanishing mid-claim) — "
+                "transient contention, retry the stage"
             )
         finally:
             os.unlink(tmp)
@@ -1420,7 +1473,9 @@ class TxTable:
             # racer mid-stage. Losing the claim unstages this batch.
             try:
                 self._claim_stage_name(name, sid)
-            except ValueError:
+            except (ValueError, RuntimeError):
+                # lost the name (live holder) OR exhausted contention
+                # retries — either way this batch must not stay staged
                 try:
                     os.unlink(self._staged_path(sid))
                 except FileNotFoundError:

@@ -472,9 +472,10 @@ def test_label_propagation_matches_numpy_vote(spark, sf_dir, tmp_path):
 
 
 def test_index_meta_tracks_size_without_corpus_rescan(spark, sf_dir, tmp_path):
-    """ADVICE r9: build persists {'n','k'} in index metadata;
-    add_to_ivf_index keeps n current; the maxsim serve path derives its
-    query modulus from the META (never a corpus-wide distinct count) and
+    """ADVICE r9/r10: build persists {'n','k','version','vec_basis',
+    'dense_ids'}; add_to_ivf_index keeps n+version current; the maxsim
+    serve path derives its query modulus from the FROZEN build basis
+    (never a corpus-wide distinct count, and never the growing n) and
     still matches the brute query — covered by the full-probe test; here
     the meta lifecycle itself is pinned."""
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
@@ -485,9 +486,55 @@ def test_index_meta_tracks_size_without_corpus_rescan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "idx")
     info = build_ivf_index(spark, emb, path)
     meta = read_index_meta(path)
-    assert meta == {"n": info["n"], "k": info["k"]}
+    assert meta == {
+        "n": info["n"],
+        "k": info["k"],
+        "version": info["version"],
+        "vec_basis": info["n"],  # TESTDATA ids are dense 0..n-1
+        "dense_ids": True,
+    }
     clon = emb.where(F.col("vec_id") < 3).select(
         (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding", "label"
     )
+    v2 = add_to_ivf_index(spark, clon, path)
+    despues = read_index_meta(path)
+    assert despues["n"] == info["n"] + 3
+    assert despues["version"] == v2
+    # ADVICE r10: the query-sampling basis does NOT move with arbitrary-
+    # id growth — qmod stays pinned to the build corpus
+    assert despues["vec_basis"] == info["n"]
+    assert despues["dense_ids"] is True
+
+
+def test_index_meta_current_self_heals_stale_n(spark, sf_dir, tmp_path):
+    """ADVICE r10: the json size cache is decoupled from the posting
+    append — a crash between them (simulated by rolling the cache back)
+    leaves n stale. index_meta_current detects the version mismatch,
+    recounts n from the CURRENT posting snapshot, heals the cache, and
+    preserves the frozen policy fields."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _write_meta,
+        index_meta_current,
+        read_index_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    info = build_ivf_index(spark, emb, path)
+    clon = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding", "label"
+    )
     add_to_ivf_index(spark, clon, path)
-    assert read_index_meta(path)["n"] == info["n"] + 3
+    # simulate the crash window: append landed, meta write did not
+    stale = read_index_meta(path)
+    stale["n"] = info["n"]
+    stale["version"] = info["version"]
+    _write_meta(path, stale)
+
+    healed = index_meta_current(spark, path)
+    assert healed["n"] == info["n"] + 5
+    assert healed["version"] == info["version"] + 1
+    assert healed["vec_basis"] == info["n"]  # policy fields preserved
+    assert healed["dense_ids"] is True
+    # the heal is persisted: a second read is the cheap cache hit
+    assert read_index_meta(path) == healed

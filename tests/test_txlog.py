@@ -1440,6 +1440,81 @@ def test_wap_name_claim_is_atomic_marker(spark, tmp_path):
     assert not os.path.exists(marker)
 
 
+def test_wap_name_reclaim_restores_stolen_live_marker(spark, tmp_path):
+    """ADVICE r10: stale-marker reclaim is an atomic rename to a unique
+    tombstone, and a reclaimer whose tombstone turns out to hold a LIVE
+    claim (the racer reclaimed-and-linked between our staleness read and
+    our rename) RESTORES it and refuses — never the old bare unlink,
+    which deleted the racer's fresh marker and let both claims
+    succeed."""
+    import json as _json
+
+    from etl_python_airflow_bigquery_spark.operators import txlog as txmod
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+
+    # a LIVE stage (the racer's) whose marker will be 'stolen mid-race'
+    sid_live = t.stage_append(_df(spark, 10, 12))
+    marker = t._stage_name_marker("etiqueta")
+    # crash leftover at the name: marker whose manifest is long gone
+    with open(marker, "w") as fh:
+        _json.dump({"name": "etiqueta", "sid": "deadbeef"}, fh)
+
+    real_rename = txmod.os.rename
+    hits = []
+
+    def racing_rename(src, dst, *a, **kw):
+        if src == marker and not hits:
+            hits.append(1)
+            # simulate the racer winning the reclaim AND linking its
+            # fresh live marker inside our read->rename window
+            with open(marker, "w") as fh:
+                _json.dump({"name": "etiqueta", "sid": sid_live}, fh)
+        return real_rename(src, dst, *a, **kw)
+
+    txmod.os.rename = racing_rename
+    try:
+        with pytest.raises(ValueError, match="already active"):
+            t.stage_append(_df(spark, 20, 21), name="etiqueta")
+    finally:
+        txmod.os.rename = real_rename
+    # the racer's live marker survived the steal — restored in place
+    with open(marker) as fh:
+        assert _json.load(fh)["sid"] == sid_live
+    # and no tombstone litter remains
+    assert not [f for f in os.listdir(t.log_dir) if f.startswith("_tomb_")]
+
+
+def test_wap_name_claim_contention_is_not_already_active(spark, tmp_path):
+    """ADVICE r10: exhausting the claim retries on benign races (holder
+    vanishing between the link attempt and the marker read) raises a
+    retryable contention error, not the misleading 'already active' —
+    and the failed stage does not stay staged."""
+    from etl_python_airflow_bigquery_spark.operators import txlog as txmod
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+    marker = t._stage_name_marker("etiqueta")
+
+    real_link = txmod.os.link
+
+    def always_losing_link(src, dst, *a, **kw):
+        if dst == marker:
+            raise FileExistsError(dst)  # racer always beat us...
+        return real_link(src, dst, *a, **kw)
+
+    txmod.os.link = always_losing_link
+    try:
+        # ...but the marker is never readable (holder vanished): the
+        # benign-race loop must exhaust into a CONTENTION error
+        with pytest.raises(RuntimeError, match="transient contention"):
+            t.stage_append(_df(spark, 20, 21), name="etiqueta")
+    finally:
+        txmod.os.link = real_link
+    assert t.staged() == {}  # the losing batch was unstaged
+
+
 def test_vacuum_consumes_fence_twin_before_dropping_manifest(spark, tmp_path):
     """ADVICE r9: vacuum must not drop a committed manifest carrying a
     ``staging_id`` while its leftover staged twin is alive — it consumes
