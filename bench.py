@@ -76,26 +76,29 @@ FAMILIES = {
     },
     # the hierarchical 2-probe frame (_PROBES_CACHE): one seed
     # collection + probe projection per dataset serves all six 2-probe
-    # consumers in a session
+    # consumers in a session. Round 11 renamed the members: the 2-probe
+    # forms were PROMOTED to the production names (dedup_semantico /
+    # grafo_knn_mutuo / agrupacion_densidad — formerly *_jerarquico*,
+    # which remain registered aliases), so this family's timing line
+    # continues the r9/r10 *_jerarquico* series under the new names.
     "hier_probes": {
-        "build": "dedup_semantico_jerarquico",
+        "build": "dedup_semantico",
         "members": (
-            "grafo_knn_mutuo_jerarquico",
-            "agrupacion_densidad_jerarquica",
+            "grafo_knn_mutuo",
+            "agrupacion_densidad",
             "cobertura_sondas",
             "clasificador_knn",
             "solapamiento_semantico_fuentes",
         ),
     },
     # the k-means coarse-quantizer fit (_KMEANS_CACHE): one Lloyd fit
-    # per dataset serves the whole cell-blocked family in a session
+    # per dataset serves the whole cell-blocked family in a session.
+    # The flat K_CAP=64 dedup/kNN/density forms left this family when
+    # they were demoted to pytest-tier *_plano* baselines (round 11).
     "kmeans_fit": {
         "build": "similarity_ivf_kmeans",
         "members": (
-            "dedup_semantico",
             "temas_centroides",
-            "grafo_knn_mutuo",
-            "agrupacion_densidad",
             "pureza_celdas",
         ),
     },

@@ -941,9 +941,19 @@ GROUP BY 1"""
     )
 
 
-@register("dedup_semantico", ops=("DD5", "NN2"), bench=True, driver=False)
-def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+@register("dedup_semantico_plano", ops=("DD5", "NN2"), driver=False)
+def dedup_semantico_plano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the FLAT K_CAP=64 quantizer — the pytest-tier
+    exactness baseline (the r2 ``similarity_topk`` precedent). The
+    PRODUCTION ``dedup_semantico`` is the hierarchical 2-probe form
+    (promoted round 11, VERDICT r10 #1): at fixed K_CAP the flat form's
+    Σ cell² pair work grows super-linearly with the corpus, while the
+    two-level form holds leaf sizes flat and probes 2 leaves so boundary
+    pairs still surface. This baseline stays registered because its
+    single-level pairing is the directly-auditable reference the
+    hierarchical oracle chain builds on.
+
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that only ever compares vectors INSIDE a trained
     k-means cell — the paper's device for making embedding-cosine dedup
     tractable at web scale. The flow is exactly the production one:
@@ -1029,7 +1039,7 @@ def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle needs _kmeans_ctes, defined later in this module — bind it
 # after definition (module import order), keeping the register() call
 # next to its family
-# (set at module end: REGISTRY["dedup_semantico"].oracle)
+# (set at module end: REGISTRY["dedup_semantico_plano"].oracle)
 
 
 # --------------------------------------------------------------------------
@@ -1083,10 +1093,15 @@ GROUP BY 1, mx.m"""
     )
 
 
-@register("grafo_knn_mutuo", ops=("NN2", "O7", "A1"),
-          bench=True, driver=False)
-def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MUTUAL-kNN GRAPH construction, cell-blocked — the graph behind
+@register("grafo_knn_mutuo_plano", ops=("NN2", "O7", "A1"), driver=False)
+def grafo_knn_mutuo_plano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the FLAT K_CAP=64 quantizer — the
+    pytest-tier exactness baseline; the PRODUCTION ``grafo_knn_mutuo``
+    is the hierarchical 2-probe form (promoted round 11, VERDICT r10
+    #1 — Σ cell² at fixed K_CAP loses to bounded leaves + boundary
+    probing at scale).
+
+    MUTUAL-kNN GRAPH construction, cell-blocked — the graph behind
     density clustering and graph-based label propagation (mutual-kNN is
     the standard symmetrization that kills hub nodes: an edge survives
     only when BOTH endpoints rank each other top-k). Neighbors come
@@ -1246,10 +1261,15 @@ GROUP BY 1"""
     )
 
 
-@register("agrupacion_densidad", ops=("NN2", "DD4", "A1"),
-          bench=True, driver=False)
-def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DENSITY CLUSTERING of the embedding space — connected components
+@register("agrupacion_densidad_plana", ops=("NN2", "DD4", "A1"), driver=False)
+def agrupacion_densidad_plana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering over the FLAT K_CAP=64 quantizer — the
+    pytest-tier exactness baseline; the PRODUCTION
+    ``agrupacion_densidad`` is the hierarchical 2-probe form (promoted
+    round 11, VERDICT r10 #1), whose mutual edges can cross leaf
+    borders — exactly the clusters this single-cell blocking splits.
+
+    DENSITY CLUSTERING of the embedding space — connected components
     over the MUTUAL-kNN graph (the DBSCAN-family construction: a mutual
     top-k edge is the symmetric density witness, so chaining them walks
     dense regions and never crosses a sparse gap the way raw kNN's hub
@@ -4897,11 +4917,17 @@ GROUP BY 1"""
 )
 
 
-@register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
+@register("dedup_semantico", oracle=_SEMDEDUP_H_ORACLE,
           ops=("DD5", "NN2"), bench=True)
-def dedup_semantico_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the HIERARCHICAL index with a 2-leaf probe — the
-    scale form of ``dedup_semantico`` (SCALING.md's K_CAP item): pair
+@register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
+          ops=("DD5", "NN2"), driver=False)
+def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production SemDeDup (promoted round 11, VERDICT r10 #1 —
+    ``dedup_semantico_jerarquico`` remains a back-compat alias; the old
+    flat form is the pytest-tier ``dedup_semantico_plano`` baseline).
+
+    SemDeDup over the HIERARCHICAL index with a 2-leaf probe — the
+    scale form of the flat K_CAP=64 baseline (SCALING.md's K_CAP item): pair
     work is Σ leaf² over k2 ≤ 256 leaves instead of Σ cell² over 64
     flat cells, and a vector blocks into its two nearest leaves so a
     duplicate straddling a leaf boundary is still caught (SemDeDup's
@@ -5040,11 +5066,18 @@ GROUP BY 1, mx.m"""
 )
 
 
-@register("grafo_knn_mutuo_jerarquico", oracle=_KNN_H_ORACLE,
+@register("grafo_knn_mutuo", oracle=_KNN_H_ORACLE,
           ops=("NN2", "O7", "A1"), driver=False, bench=True)
-def grafo_knn_mutuo_jerarquico(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-kNN graph over the HIERARCHICAL 2-probe index — the scale
-    form of ``grafo_knn_mutuo``: neighbor candidates come from the two
+@register("grafo_knn_mutuo_jerarquico", oracle=_KNN_H_ORACLE,
+          ops=("NN2", "O7", "A1"), driver=False)
+def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production mutual-kNN graph (promoted round 11, VERDICT r10
+    #1 — ``grafo_knn_mutuo_jerarquico`` remains a back-compat alias; the
+    old flat form is the pytest-tier ``grafo_knn_mutuo_plano``
+    baseline).
+
+    Mutual-kNN graph over the HIERARCHICAL 2-probe index — the scale
+    form of the flat baseline: neighbor candidates come from the two
     nearest leaves of the two-level quantizer (k2 ≤ 256 leaves, probes
     confined to the vector's level-1 cell), so candidate work per
     vector is ≈ 2·(n/k2) and a true neighbor across one leaf boundary
@@ -5115,11 +5148,18 @@ GROUP BY 1"""
 )
 
 
-@register("agrupacion_densidad_jerarquica", oracle=_DENSIDAD_H_ORACLE,
+@register("agrupacion_densidad", oracle=_DENSIDAD_H_ORACLE,
           ops=("NN2", "DD4", "A1"), driver=False, bench=True)
-def agrupacion_densidad_jerarquica(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density clustering over the HIERARCHICAL 2-probe mutual-kNN graph
-    — the scale form of ``agrupacion_densidad``, and the variant where
+@register("agrupacion_densidad_jerarquica", oracle=_DENSIDAD_H_ORACLE,
+          ops=("NN2", "DD4", "A1"), driver=False)
+def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production density clustering (promoted round 11, VERDICT
+    r10 #1 — ``agrupacion_densidad_jerarquica`` remains a back-compat
+    alias; the old flat form is the pytest-tier
+    ``agrupacion_densidad_plana`` baseline).
+
+    Density clustering over the HIERARCHICAL 2-probe mutual-kNN graph
+    — the scale form of the flat baseline, and the variant where
     the 2-leaf probe VISIBLY pays off: mutual edges can now cross leaf
     borders (both endpoints probe the shared neighbor leaf), so a dense
     region straddling a boundary forms ONE cluster where the 1-cell
@@ -5760,9 +5800,9 @@ def solapamiento_semantico_fuentes(spark: SparkSession, sf_dir: str) -> DataFram
 # query next to its dedup siblings without reordering 3k lines.
 from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
-_REGISTRY["dedup_semantico"].oracle = _semdedup_oracle()
+_REGISTRY["dedup_semantico_plano"].oracle = _semdedup_oracle()
 _REGISTRY["pureza_celdas"].oracle = _pureza_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
-_REGISTRY["grafo_knn_mutuo"].oracle = _knn_mutuo_oracle()
-_REGISTRY["agrupacion_densidad"].oracle = _densidad_oracle()
+_REGISTRY["grafo_knn_mutuo_plano"].oracle = _knn_mutuo_oracle()
+_REGISTRY["agrupacion_densidad_plana"].oracle = _densidad_oracle()
 _REGISTRY["deriva_embeddings"].oracle = _DERIVA_EMB_ORACLE.format(ints=_scaled_int_sql("embedding"))

@@ -161,6 +161,12 @@ SMOKE = [
     "prioridad_pedidos",
     "demanda_fraccionada",
     "clientes_volumen",
+    # round-11 promotion: the flat K_CAP baselines keep their
+    # empty-input pin under the demoted *_plano names (the production
+    # names above now run the hierarchical forms)
+    "dedup_semantico_plano",
+    "grafo_knn_mutuo_plano",
+    "agrupacion_densidad_plana",
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

@@ -667,6 +667,11 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "distribucion_pedidos",
         "variedad_proveedores",
         "latencia_conversion",
+        # round-11 promotion: the flat baselines keep the pin under
+        # their demoted *_plano names
+        "dedup_semantico_plano",
+        "grafo_knn_mutuo_plano",
+        "agrupacion_densidad_plana",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):

@@ -35,8 +35,10 @@ def n_docs(spark):
     return spark.read.parquet(os.path.join(SF1, "documents.parquet")).count()
 
 
-def test_sf1_dedup_semantico_conservation_and_bounds(spark, n_vectors):
-    rows = REGISTRY["dedup_semantico"].fn(spark, SF1).collect()
+def test_sf1_dedup_semantico_plano_conservation_and_bounds(spark, n_vectors):
+    # flat K_CAP=64 baseline (the production name is the 2-probe form
+    # since round 11; its conservation is pinned below)
+    rows = REGISTRY["dedup_semantico_plano"].fn(spark, SF1).collect()
     assert sum(r["vecs"] for r in rows) == n_vectors  # cells partition n
     for r in rows:
         assert 0 <= r["duplicados"] <= r["vecs"]
@@ -67,12 +69,12 @@ def test_sf1_semdedup_drop_rate_monotone_in_tau(spark, monkeypatch):
     assert lo > 0  # the fixture has signal at the registered τ
 
 
-def test_sf1_knn_mutuo_bounds_and_pairing(spark):
+def test_sf1_knn_mutuo_plano_bounds_and_pairing(spark):
     from etl_python_airflow_bigquery_spark.queries.similarity import (
         _KNN_GRAFO_K,
     )
 
-    rows = REGISTRY["grafo_knn_mutuo"].fn(spark, SF1).collect()
+    rows = REGISTRY["grafo_knn_mutuo_plano"].fn(spark, SF1).collect()
     assert rows
     for r in rows:
         assert 0 < r["aristas_knn"] <= _KNN_GRAFO_K * r["miembros"]
@@ -104,7 +106,7 @@ def test_sf1_densidad_components_cell_contained(spark):
     """Flat blocking forms mutual edges only WITHIN a cell, so every
     component must span exactly one cell — the containment the
     per-group union-find relies on, asserted at 10×."""
-    rows = REGISTRY["agrupacion_densidad"].fn(spark, SF1).collect()
+    rows = REGISTRY["agrupacion_densidad_plana"].fn(spark, SF1).collect()
     assert rows
     for r in rows:
         assert r["miembros"] >= 2  # components come from edges
