@@ -68,6 +68,7 @@ from etl_python_airflow_bigquery_spark.queries import reshape  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import analytic  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import text  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import similarity  # noqa: E402,F401
+from etl_python_airflow_bigquery_spark.queries import serving  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import dedup  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import lifecycle  # noqa: E402,F401
 from etl_python_airflow_bigquery_spark.queries import streaming_q  # noqa: E402,F401

@@ -122,6 +122,11 @@ def clear_session_caches() -> None:
     clear_kmeans_cache()
     # ...and the 2-probe frame cache (six hierarchical consumers)
     clear_probes_cache()
+    # ...and the stored-index cache (serving.py): a timed serve-path
+    # measurement must pay its build
+    from etl_python_airflow_bigquery_spark.queries import serving
+
+    serving.clear_session_caches()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

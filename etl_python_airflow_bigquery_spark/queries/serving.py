@@ -1,0 +1,312 @@
+"""Stored-index SERVING queries — the train-once/serve-many lifecycle
+as first-class registry rows (VERDICT r10 #3).
+
+The ANN family's registered queries fit their quantizers INLINE so the
+DuckDB oracle can replay everything; production does not — the index is
+built offline, persisted (operators/ann_index.py: two transactional
+tables + index_meta), and then served without refitting. Until round 11
+that lifecycle had module tests only; these wrappers give it
+CORRECTNESS rows: each builds (once per session, content-fingerprinted)
+the persistent IVF index for the dataset's embeddings into a temp
+directory, then runs the SERVE-side operator against the stored tables
+— and the oracle replays build+serve deterministically in SQL (the
+``similarity_ivf_search`` pattern: the same integer Lloyd rounds
+unrolled as CTEs, then the probe/rerank algebra).
+
+Reference scope: the reference repo has no vector serving; this extends
+the engine's LLM-data-pipeline surface (SURVEY §2 NN2/O7) with the
+part of the ANN story a retrieval user hits first.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import tempfile as _tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.queries import register
+from etl_python_airflow_bigquery_spark.queries.similarity import (
+    _D2_SQL,
+    _KMEANS_ITERS,
+    _MAXSIM_G,
+    _MAXSIM_K,
+    _MAXSIM_Q,
+    _NPROBE,
+    _emb,
+    _kmeans_ctes,
+    _path_signature,
+    _scaled_dot_sql,
+)
+
+# Arrivals split for the label-propagation serve: vectors with
+# vec_id ≡ 7 (mod 10) are ARRIVALS (unlabeled, to classify); the rest
+# are the STORED corpus the index is built on and whose labels vote.
+# Integer-modulus split so both engines select identical sets with no
+# sampling state. The residue is 7, NOT 0, on purpose: the k-means seed
+# set is the multiples of seed_mod, and when seed_mod is itself a
+# multiple of 10 a residue-0 arrival split would swallow EVERY seed —
+# leaving the stored fit to the Spark-side empty-seed sentinel, which
+# has no SQL mirror. Residue 7 keeps vec_id 0 (always a seed) stored.
+_ETIQ_MOD = 10
+_ETIQ_RESIDUE = 7
+_ETIQ_K = 3
+
+# ---------------------------------------------------------------------------
+# Session index cache: TRAIN ONCE, SERVE MANY — one persistent index per
+# (variant, dataset content) per process, the _KMEANS_CACHE discipline.
+# Keyed by the embeddings source's content fingerprint so a rewritten
+# dataset never serves stale centroids; values are temp dirs holding the
+# two txlog tables + index_meta.json.
+# ---------------------------------------------------------------------------
+_INDEX_CACHE: dict[tuple[str, str, str], str] = {}
+_INDEX_CACHE_MAX = 4
+
+
+def _served_index(
+    spark: SparkSession, sf_dir: str, tag: str, where=None
+) -> str:
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        build_ivf_index,
+    )
+
+    key = (tag, _os.path.abspath(sf_dir), _path_signature(sf_dir))
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None and _os.path.isdir(hit):
+        return hit
+    emb = _emb(spark, sf_dir)
+    if where is not None:
+        emb = emb.where(where)
+    path = _tempfile.mkdtemp(prefix=f"svc_idx_{tag}_")
+    build_ivf_index(spark, emb, path)
+    while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    _INDEX_CACHE[key] = path
+    return path
+
+
+def clear_session_caches() -> None:
+    """Timed harnesses clear this before measuring (the bench honesty
+    invariant) so a serve-path timing always includes its build."""
+    _INDEX_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# MaxSim served from the stored index, at PRODUCTION nprobe
+# ---------------------------------------------------------------------------
+
+_IT = _KMEANS_ITERS
+
+
+def _maxsim_indexada_oracle() -> str:
+    """Build+serve replayed in SQL: the index build is the deterministic
+    Lloyd fit + full-corpus assignment (cent{_IT} / asig{_IT+1} — exactly
+    what ``build_ivf_index`` persists), and the serve is the PLAID
+    two-stage shape at nprobe={_NPROBE}: every query token probes its
+    nprobe nearest stored cells, any document with a token in a probed
+    cell becomes a candidate, and candidates rerank with the exact
+    integer MaxSim on their FULL token sets."""
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(_IT))
+        + f""",
+toks AS (
+    SELECT vec_id // {_MAXSIM_G} AS doc_id, vec_id, embedding
+    FROM embeddings
+),
+qmod AS (
+    SELECT greatest(1, (count(DISTINCT doc_id)) // {_MAXSIM_Q}) AS m
+    FROM toks
+),
+qtoks AS (
+    SELECT t.doc_id AS q_doc, t.vec_id AS q_vec, t.embedding AS q_emb
+    FROM toks t, qmod WHERE t.doc_id % qmod.m = 0
+),
+qint AS (
+    SELECT q.q_vec, e.ev AS qv
+    FROM qtoks q JOIN enteros e ON e.vec_id = q.q_vec
+),
+qdist AS (
+    SELECT qi.q_vec, c.seed_id,
+           {_D2_SQL.format(a="qi.qv", b="c.sv")} AS d2
+    FROM qint qi CROSS JOIN cent{_IT} c
+),
+probed AS (
+    SELECT q_vec, seed_id AS celda FROM (
+        SELECT q_vec, seed_id,
+               row_number() OVER (PARTITION BY q_vec ORDER BY d2, seed_id)
+                   AS rn
+        FROM qdist) WHERE rn <= {_NPROBE}
+),
+postings AS (
+    SELECT celda, vec_id // {_MAXSIM_G} AS c_doc FROM asig{_IT + 1}
+),
+cand AS (
+    SELECT DISTINCT q.q_doc, p.c_doc
+    FROM probed pr
+    JOIN postings p USING (celda)
+    JOIN qtoks q ON q.q_vec = pr.q_vec
+    WHERE p.c_doc != q.q_doc
+),
+dots AS (
+    SELECT c.q_doc, c.c_doc, q.q_vec,
+           {_scaled_dot_sql("q.q_emb", "t.embedding")} AS dot
+    FROM cand c
+    JOIN toks t ON t.doc_id = c.c_doc
+    JOIN qtoks q ON q.q_doc = c.q_doc
+),
+maxsim AS (
+    SELECT q_doc, c_doc, q_vec, max(dot) AS mejor
+    FROM dots GROUP BY 1, 2, 3
+),
+puntajes AS (
+    SELECT q_doc, c_doc, sum(mejor) AS puntaje
+    FROM maxsim GROUP BY 1, 2
+)
+SELECT q_doc, c_doc,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(puntaje AS BIGINT) AS puntaje
+FROM (
+    SELECT q_doc, c_doc, puntaje,
+           row_number() OVER (PARTITION BY q_doc
+                              ORDER BY puntaje DESC, c_doc) AS pos
+    FROM puntajes
+) WHERE pos <= {_MAXSIM_K}"""
+    )
+
+
+@register("busqueda_maxsim_indexada", oracle=_maxsim_indexada_oracle(),
+          ops=("NN2", "O7", "A1"))
+def busqueda_maxsim_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR (ColBERT MaxSim) retrieval SERVED FROM THE STORED
+    INDEX at production nprobe — the registered face of
+    ``operators/ann_index.busqueda_maxsim_indexada`` (VERDICT r10 #3:
+    the train-once/serve-many lifecycle gets a CORRECTNESS row). The
+    index is built ONCE per session into a temp dir (two txlog tables +
+    metadata) and the serve plan touches ONLY the stored tables for
+    candidate generation: per query token, the {_NPROBE} nearest stored
+    cells; per candidate, exact integer-MaxSim rerank on full token
+    sets from the source. At 100 TB the posting scan reads nprobe/k of
+    the table (file-pruned on ``celda`` stats) — never the corpus —
+    and the brute ``puntuacion_maxsim`` twin is the recall ceiling the
+    full-probe test pins. Oracle: build+serve unrolled (Lloyd CTEs +
+    probe + rerank)."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_maxsim_indexada,
+    )
+
+    path = _served_index(spark, sf_dir, "full")
+    return busqueda_maxsim_indexada(spark, sf_dir, path, nprobe=_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation at ingest, served from the stored index
+# ---------------------------------------------------------------------------
+
+_STORED_WHERE = f"vec_id % {_ETIQ_MOD} != {_ETIQ_RESIDUE}"
+_ARRIVAL_WHERE = f"vec_id % {_ETIQ_MOD} = {_ETIQ_RESIDUE}"
+
+
+def _etiquetar_oracle() -> str:
+    """Build+serve replay for the weak-supervision ingest gate: the
+    index fits on the STORED subset (every vec_id not ≡ 0 mod
+    {_ETIQ_MOD}; the k/seed policy derives from the subset count exactly
+    like the Spark-side fit over the filtered frame), arrivals 2-probe
+    their nearest stored cells, candidates are the stored postings in
+    probed cells, k={_ETIQ_K} by (d2, vecino), majority label by
+    (count DESC, label)."""
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(_IT, where=_STORED_WHERE))
+        + f""",
+arr AS (
+    SELECT e.vec_id, e.ev FROM (
+        SELECT vec_id,
+               {_int_sql_expr()} AS ev
+        FROM embeddings WHERE {_ARRIVAL_WHERE}) e
+),
+adist AS (
+    SELECT a.vec_id, c.seed_id,
+           {_D2_SQL.format(a="a.ev", b="c.sv")} AS d2
+    FROM arr a CROSS JOIN cent{_IT} c
+),
+aprobes AS (
+    SELECT vec_id, seed_id AS celda FROM (
+        SELECT vec_id, seed_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id)
+                   AS rn
+        FROM adist) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT p.vec_id, s.vec_id AS vecino
+    FROM aprobes p JOIN asig{_IT + 1} s ON s.celda = p.celda
+),
+d2v AS (
+    SELECT c.vec_id, c.vecino,
+           {_D2_SQL.format(a="a.ev", b="e.ev")} AS d2
+    FROM cand c
+    JOIN arr a ON a.vec_id = c.vec_id
+    JOIN enteros e ON e.vec_id = c.vecino
+),
+knn AS (
+    SELECT vec_id, vecino FROM (
+        SELECT vec_id, vecino,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, vecino)
+                   AS rn
+        FROM d2v) WHERE rn <= {_ETIQ_K}
+),
+votos AS (
+    SELECT k.vec_id, lab.label, count(*) AS n
+    FROM knn k JOIN embeddings lab ON lab.vec_id = k.vecino
+    GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(label AS BIGINT) AS label_pred,
+       CAST(n AS BIGINT) AS votos
+FROM (
+    SELECT vec_id, label, n,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY n DESC, label) AS rn
+    FROM votos
+) WHERE rn = 1"""
+    )
+
+
+def _int_sql_expr() -> str:
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _scaled_int_sql,
+    )
+
+    return _scaled_int_sql("embedding")
+
+
+@register("etiquetar_por_vecinos", oracle=_etiquetar_oracle(),
+          ops=("NN2", "A1", "O7"))
+def etiquetar_por_vecinos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION AT INGEST served from the stored index — the
+    registered face of ``operators/ann_index.etiquetar_por_vecinos``
+    (VERDICT r10 #3). The corpus splits deterministically: vectors with
+    vec_id ≡ {_ETIQ_RESIDUE} (mod {_ETIQ_MOD}) are the ARRIVALS; the rest
+    are the STORED corpus the index is built on (once per session) and
+    whose labels vote. Each arrival 2-probes its nearest stored cells
+    (a voter just across the primary cell's border still counts),
+    candidates come ONLY from the stored postings in probed cells, and
+    the k={_ETIQ_K} nearest stored neighbors vote by majority —
+    (count DESC, label) tie-break, so batch evaluation and ingest
+    propagation can never disagree. Labels live OUTSIDE the posting
+    table (joined at vote time) so re-annotation never rewrites
+    postings. Oracle: subset Lloyd fit + 2-probe + vote unrolled."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        etiquetar_por_vecinos,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = _served_index(
+        spark, sf_dir, "stored", where=F.expr(_STORED_WHERE)
+    )
+    arrivals = emb.where(F.expr(_ARRIVAL_WHERE)).select("vec_id", "embedding")
+    labels = emb.where(F.expr(_STORED_WHERE)).select("vec_id", "label")
+    return etiquetar_por_vecinos(
+        spark, arrivals, path, labels, k=_ETIQ_K
+    )

@@ -2455,14 +2455,19 @@ def cuantizacion_vectores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ITERS = 2
 
 
-def _kmeans_ctes(iters: int) -> list[str]:
+def _kmeans_ctes(iters: int, where: str = "") -> list[str]:
     """Unroll `iters` assign+update rounds plus a final assign as CTEs —
     DuckDB runs the SAME deterministic integer iterations as the Spark
-    loop, so cell assignments match bit-for-bit."""
+    loop, so cell assignments match bit-for-bit. ``where`` restricts the
+    trained corpus (the stored-index serving oracles fit on a stored
+    SUBSET of the embeddings and keep the rest as arrivals); the k/seed
+    policy then derives from the subset count, exactly like a Spark-side
+    fit over the filtered frame."""
+    w = f" WHERE {where}" if where else ""
     parts = [
         f"enteros AS (SELECT vec_id, {_scaled_int_sql('embedding')} AS ev"
-        "  FROM embeddings)",
-        _PARAMS_SQL,
+        f"  FROM embeddings{w})",
+        _PARAMS_SQL.replace("FROM embeddings", f"FROM embeddings{w}"),
         "cent0 AS (SELECT vec_id AS seed_id, ev AS sv FROM enteros"
         "  WHERE vec_id % (SELECT seed_mod FROM params) = 0)",
     ]

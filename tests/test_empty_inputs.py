@@ -167,6 +167,10 @@ SMOKE = [
     "dedup_semantico_plano",
     "grafo_knn_mutuo_plano",
     "agrupacion_densidad_plana",
+    # round-11 stored-index serving rows (build on empty corpus falls
+    # back to the zero-centroid sentinel; zero queries/arrivals => empty)
+    "busqueda_maxsim_indexada",
+    "etiquetar_por_vecinos",
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

@@ -672,6 +672,10 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "dedup_semantico_plano",
         "grafo_knn_mutuo_plano",
         "agrupacion_densidad_plana",
+        # round-11 stored-index serving rows: probes are broadcast-NLJ
+        # against the centroid table, candidates equi-join on celda
+        "busqueda_maxsim_indexada",
+        "etiquetar_por_vecinos",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
