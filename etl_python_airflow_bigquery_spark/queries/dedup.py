@@ -1477,7 +1477,7 @@ FROM asig GROUP BY 1
 
 
 @register("particion_familias", oracle=_FAMILIAS_ORACLE,
-          ops=("DD4", "A8", "J2"), bench=True)
+          ops=("DD4", "A8", "J2"), bench=True, driver=False)
 def particion_familias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/val/test assignment — the fix paired with the
     `fuga_particiones` audit: the split key is the duplicate FAMILY

@@ -234,7 +234,8 @@ WHERE c_custkey IN (
 """
 
 
-@register("semi_join_mailing", oracle=_SEMI_ORACLE, ops=("J8",))
+@register("semi_join_mailing", oracle=_SEMI_ORACLE, ops=("J8",),
+          driver=False)
 def semi_join_mailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mailing-list membership: emails of users with qualifying consumption
     (reference Mailing_campaign_segmenttion.ipynb tag_shows cells) — a
@@ -995,7 +996,7 @@ FROM ventas
 
 
 @register("mercado_participacion", oracle=_MERCADO_ORACLE,
-          ops=("J1", "A1", "W1", "P3"))
+          ops=("J1", "A1", "W1", "P3"), driver=False)
 def mercado_participacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8-SHAPED MARKET SHARE: each supplier nation's floor-milli
     share of its REGION's revenue per year — the share-of-total pattern
@@ -1291,7 +1292,7 @@ GROUP BY 1, 2
 
 
 @register("proveedores_morosos", oracle=_MOROSOS_ORACLE,
-          ops=("J8", "J7", "A2", "A8"), driver=False, bench=True)
+          ops=("J8", "J7", "A2", "A8"), bench=True)
 def proveedores_morosos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-SHAPED sole-blame audit: suppliers who were the ONLY
     late shipper on a finished multi-supplier order (late = shipped ≥ 90

@@ -226,7 +226,8 @@ FROM f
 """
 
 
-@register("muestreo_fotogramas", oracle=_FOTOGRAMAS_ORACLE, ops=("MM1",))
+@register("muestreo_fotogramas", oracle=_FOTOGRAMAS_ORACLE, ops=("MM1",),
+          driver=False)
 def muestreo_fotogramas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO FRAME SAMPLING end to end — the fan-out mapInPandas shape
     (rows OUT exceed rows IN: each mp4 row emits one row per 1-in-5

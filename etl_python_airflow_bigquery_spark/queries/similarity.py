@@ -1195,7 +1195,7 @@ WHERE na > 0 AND nb > 0
 """
 
 
-@register("deriva_embeddings", ops=("NN2", "A8"))
+@register("deriva_embeddings", ops=("NN2", "A8"), driver=False)
 def deriva_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING DRIFT between two ingest waves (here vec_id parity
     stands in for old-batch/new-batch) — ``deriva_vocabulario``'s
@@ -5072,7 +5072,7 @@ GROUP BY 1, mx.m"""
 
 
 @register("grafo_knn_mutuo", oracle=_KNN_H_ORACLE,
-          ops=("NN2", "O7", "A1"), driver=False, bench=True)
+          ops=("NN2", "O7", "A1"), bench=True)
 @register("grafo_knn_mutuo_jerarquico", oracle=_KNN_H_ORACLE,
           ops=("NN2", "O7", "A1"), driver=False)
 def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5154,7 +5154,7 @@ GROUP BY 1"""
 
 
 @register("agrupacion_densidad", oracle=_DENSIDAD_H_ORACLE,
-          ops=("NN2", "DD4", "A1"), driver=False, bench=True)
+          ops=("NN2", "DD4", "A1"), bench=True)
 @register("agrupacion_densidad_jerarquica", oracle=_DENSIDAD_H_ORACLE,
           ops=("NN2", "DD4", "A1"), driver=False)
 def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5257,7 +5257,7 @@ FROM verif"""
 
 
 @register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
-          ops=("NN2", "DD5", "A6"), bench=True)
+          ops=("NN2", "DD5", "A6"), bench=True, driver=False)
 def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
     the hierarchical index, count the τ-verified near-dup pairs whose
@@ -5438,7 +5438,7 @@ GROUP BY m.celda, m.label_mayoria, m.n_mayoria"""
     )
 
 
-@register("pureza_celdas", ops=("NN2", "A2", "W1"), driver=False,
+@register("pureza_celdas", ops=("NN2", "A2", "W1"),
           bench=True)
 def pureza_celdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTIZER CELL PURITY against the label column — the standard
@@ -5524,7 +5524,7 @@ GROUP BY 1"""
 
 
 @register("clasificador_knn", oracle=_CLASIF_KNN_ORACLE,
-          ops=("NN2", "O7", "A8"), driver=False, bench=True)
+          ops=("NN2", "O7", "A8"), bench=True)
 def clasificador_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN CLASSIFIER leave-one-out evaluation over the hierarchical
     2-probe index — the label-propagation quality readout: predict each
@@ -5618,7 +5618,7 @@ FROM (
 
 
 @register("puntuacion_maxsim", oracle=_MAXSIM_ORACLE,
-          ops=("NN1", "O7", "A1"), driver=False)
+          ops=("NN1", "O7", "A1"))
 def puntuacion_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
     Khattab & Zaharia 2020, arXiv:2004.12832): a 'document' is a BAG of

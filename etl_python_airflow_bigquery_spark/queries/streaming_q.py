@@ -726,7 +726,7 @@ FROM largo_v GROUP BY 1, 2
 
 
 @register("streaming_reglas_ventana", oracle=_REGLAS_VENTANA_ORACLE,
-          ops=("ST1", "TX2", "W2", "A8"), driver=False)
+          ops=("ST1", "TX2", "W2", "A8"))
 def streaming_reglas_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher gate's WINDOWED streaming form (VERDICT r8 #9) —
     completing the batch/stream twin pattern: where

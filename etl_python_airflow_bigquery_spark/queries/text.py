@@ -2337,7 +2337,7 @@ FROM (
 
 
 @register("ngramas_caracteristicos", oracle=_CARACTERISTICOS_ORACLE,
-          ops=("TX1", "A3", "O7"))
+          ops=("TX1", "A3", "O7"), driver=False)
 def ngramas_caracteristicos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCTIVE TERMS per source — the interpretability readout
     "what makes this source different from the corpus" (the text-side
@@ -2569,7 +2569,8 @@ def _rollup_debil(d: DataFrame) -> DataFrame:
     )
 
 
-@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"))
+@register("etiquetado_debil", oracle=_DEBIL_ORACLE, ops=("TX2", "A8"),
+          driver=False)
 def etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEAK SUPERVISION vote audit (the Snorkel/labeling-function
     pattern, Ratner et al. 2017, arXiv:1711.10160): three deterministic
