@@ -484,10 +484,14 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the corpus index builds ONCE (static side, localCheckpoint)
     and joins each micro-batch stream-side via foreachBatch (the
     aggregation-per-batch form run_validated_ingest uses — per-batch
-    collect_set of cut tiles is batch-bounded, never corpus-sized). The
-    result rows here drain to the driver for the oracle check; a
-    production gate appends them to a TxTable exactly like
-    run_validated_ingest's clean path."""
+    collect_set of cut tiles is batch-bounded, never corpus-sized).
+    Each batch's cut rows APPEND TO A TxTABLE as one atomic manifest
+    flip, fenced with (app_id, batch_id) so a replayed batch is a no-op
+    (the run_semdedup_ingest contract; VERDICT r9 #6 / r10 #5 — the
+    old shape collected every batch to a driver list, which is
+    output-bounded at test scale but driver-resident at production
+    scale). The oracle compare reads the table back; nothing crosses
+    the driver but manifest metadata."""
     from etl_python_airflow_bigquery_spark.queries.text import (
         _cut_output,
         subcadena_hashes,
@@ -507,7 +511,15 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
-    resultados: list = []
+    import os as _os
+    import tempfile as _tempfile
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    sink = TxTable(
+        _os.path.join(_tempfile.mkdtemp(prefix="cortes_tx_"), "cortes")
+    )
+    app_id = f"cortes:{_os.path.abspath(sf_dir)}"
 
     def cortar(batch_df: DataFrame, batch_id: int) -> None:
         nuevos = batch_df.where(F.col("doc_id") % 10 == 0)
@@ -525,7 +537,9 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.collect_set("tile").alias("cortes"))
         )
-        resultados.extend(_cut_output(nuevos, cortes).collect())
+        # one atomic manifest flip per batch; the (app_id, batch_id)
+        # fence turns a crash-replayed batch into a no-op
+        sink.append(_cut_output(nuevos, cortes), txn=(app_id, batch_id))
 
     q = (
         stream.writeStream.foreachBatch(cortar)
@@ -534,9 +548,9 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     schema = "doc_id BIGINT, n_original BIGINT, n_limpio BIGINT, huella STRING"
-    if not resultados:
+    if sink.version() < 0:  # no batch carried a new doc
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(resultados, schema)
+    return sink.read(spark)
 
 
 # --------------------------------------------------------------------------
