@@ -319,6 +319,21 @@ def main() -> int:
             "marginal": marginal,
             "amortized_wall": round(build_s + sum(marginal.values()), 3),
         }
+        # Incremental-maintenance evidence (VERDICT r10 #6): rewrite the
+        # NEWEST day partition only — the daily-ingest shape — and report
+        # it next to the full cold build it replaces.
+        from etl_python_airflow_bigquery_spark.queries.marts import (
+            refresh_atomos_usuario_mart,
+        )
+
+        last_day = spark.table(
+            mart_name(MART_FAMILY["build_mart"], SF_DIR)
+        ).agg({"day_num": "max"}).first()[0]
+        t0 = time.perf_counter()
+        refresh_atomos_usuario_mart(spark, SF_DIR, [last_day])
+        families["mart_atoms"]["refresh_last_day"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     out = {
         "metric": "total_wall",

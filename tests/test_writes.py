@@ -216,6 +216,93 @@ def test_refresh_bucketed_mart(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_atom_mart_window_refresh_equals_full_rebuild(spark, sf_dir):
+    """VERDICT r10 #6: the atom mart's incremental maintenance.
+    A STALE mart (built from a source missing the last two days) plus
+    ``refresh_atomos_usuario_mart`` over exactly those days must equal
+    the full rebuild ROW FOR ROW — and the refresh must be surgical:
+    untouched day partitions keep their files byte-for-byte (names,
+    sizes, mtimes). Re-running the same refresh is idempotent."""
+    from urllib.parse import urlparse
+
+    from etl_python_airflow_bigquery_spark.catalog import (
+        mart_name,
+        refresh_bucketed_mart,
+    )
+    from etl_python_airflow_bigquery_spark.functions import event_day_num
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        _atoms_frame,
+        atomos_usuario_mart,
+        refresh_atomos_usuario_mart,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    name = mart_name("atomos_usuario_dia", sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        full = atomos_usuario_mart(spark, sf_dir)
+        want = sorted(map(tuple, full.collect()))
+        days = sorted(
+            r[0] for r in full.select("day_num").distinct().collect()
+        )
+        stale_days = days[-2:]
+
+        # stale mart: the source as it looked before the last two days
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        events = load_table(spark, sf_dir, "events")
+        viejo = events.where(
+            event_day_num(events).cast("bigint") <= days[-3]
+        )
+        refresh_bucketed_mart(
+            spark, _atoms_frame(viejo), name, "day_num", "user_id", 16,
+            sort_col="user_id",
+        )
+        assert spark.table(name).count() < len(want)
+
+        tdir = os.path.join(
+            urlparse(spark.conf.get("spark.sql.warehouse.dir")).path,
+            name.lower(),
+        )
+
+        def untouched_files():
+            out = {}
+            for raiz, _dirs, files in os.walk(tdir):
+                part = os.path.basename(raiz)
+                if any(part == f"day_num={d}" for d in stale_days):
+                    continue
+                for f in files:
+                    p = os.path.join(raiz, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        before = untouched_files()
+        refresh_atomos_usuario_mart(spark, sf_dir, stale_days)
+        got = sorted(map(tuple, spark.table(name).collect()))
+        assert got == want  # window-refresh ≡ full rebuild, row for row
+        assert untouched_files() == before  # surgical: other days untouched
+
+        refresh_atomos_usuario_mart(spark, sf_dir, stale_days)  # idempotent
+        assert sorted(map(tuple, spark.table(name).collect())) == want
+
+        # the refreshed mart keeps the zero-user_id-Exchange contract
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t = spark.table(name)
+            agg = t.groupBy("user_id", "day_num").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(user_id" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        # leave a FRESH full mart behind for any later mart consumer in
+        # this session (the build is idempotent-on-absence)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_zorder_layout_bounds_all_dims(spark, tmp_path):
     """Z-order vs single-column sort on a 64x64 grid split into 16
     files: the z-layout keeps BOTH dimensions' per-file min/max narrow
