@@ -158,12 +158,29 @@ def _stored_centroids(spark: SparkSession, path: str) -> dict[int, list[int]]:
     }
 
 
+# Posting-table file-count gate for the compaction trigger: a streaming
+# ingest appends one manifest of small files per batch, and past this
+# many files the per-file overhead (footer reads, task scheduling)
+# starts to dominate the probe scan. 32 ≈ one compaction per ~30 batches
+# at one file/batch — the rewrite cost stays bounded by the small tail.
+_COMPACT_FILE_GATE = 32
+
+
 def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
     """Incremental index growth: assign the new batch against the STORED
     centroids and append its postings — cost O(batch·k), one atomic
     manifest flip, never a refit. (Centroid drift under sustained skewed
     growth is the operational signal to schedule a rebuild; the two
-    tables' versions make before/after recall measurable.)"""
+    tables' versions make before/after recall measurable.)
+
+    COMPACTION (VERDICT r10 #7): once the posting manifest holds
+    ``_COMPACT_FILE_GATE``+ files, the small tail bin-packs into
+    ~k/8 files RANGE-CLUSTERED on ``celda`` — one manifest flip,
+    byte-identical data, and the per-file celda min/max stay tight so
+    the serve path's file pruning survives (a plain coalesce would
+    interleave cells and defeat it). index_meta stays version-stamped
+    through the flip; a crash between steps self-heals via
+    ``index_meta_current``."""
     _, vec_tx = _tables(path)
     cent = _stored_centroids(spark, path)
     enteros = _int_vectors(emb_new).localCheckpoint(eager=False)
@@ -175,6 +192,10 @@ def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
         .select("vec_id", "celda", "ev")
     )
     v = vec_tx.append(nuevos)
+    if len(vec_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
+        v = vec_tx.optimize_compact(
+            spark, n_files=max(1, len(cent) // 8), cluster_col="celda"
+        )
     try:  # keep the serve-time size cache current without a rescan.
         # This RMW is best-effort by design: the cache carries the
         # posting version it describes, so a crash right here — or a

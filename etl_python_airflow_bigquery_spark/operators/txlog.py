@@ -1111,6 +1111,7 @@ class TxTable:
         spark: SparkSession,
         small_bytes: int = 8 * 1024 * 1024,
         n_files: int = 1,
+        cluster_col: str | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE's bin-packing half):
         streaming appends land one small file per micro-batch, and a
@@ -1121,7 +1122,15 @@ class TxTable:
         big CARRY OVER untouched — the rewrite cost is bounded by the
         small tail, not the table. Data is byte-identical; prior
         versions stay readable; returns the new version (or the current
-        one if ≤1 small file exists — nothing to compact)."""
+        one if ≤1 small file exists — nothing to compact).
+
+        ``cluster_col``: range-cluster the rewrite on this column
+        (Delta OPTIMIZE's ZORDER half, one-dimensional) so each output
+        file covers a contiguous value range and the per-file min/max
+        stats stay TIGHT — without it a coalesce interleaves the small
+        files' rows and a stats-pruned scan (read_where) degrades to
+        reading every compacted file. The ANN posting table compacts
+        with cluster_col='celda' for exactly this reason."""
         parent = self.version()
         if parent < 0:
             raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
@@ -1136,7 +1145,11 @@ class TxTable:
         if len(small) <= 1:
             return parent
         df = self._read_entries(spark, small, m["schema"])
-        new = self._write_files(df.coalesce(n_files))
+        if cluster_col is None:
+            packed = df.coalesce(n_files)
+        else:
+            packed = df.repartitionByRange(n_files, cluster_col)
+        new = self._write_files(packed)
         return self._claim(
             {"files": big + new, "op": "optimize_compact", "schema": m["schema"]},
             parent,
