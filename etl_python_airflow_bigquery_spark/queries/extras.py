@@ -336,21 +336,58 @@ def rollup_periodos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("approx_distinct_devices", oracle=None, ops=("A2",), driver=False)
+# HLL++ at rsd 1%: the estimate's standard error is 1% of the true
+# cardinality. The banded oracle admits 5 standard errors (50 per-mille)
+# with an absolute floor of ±2 — at tiny cardinalities (sf0.001 has 15
+# users) the sparse-mode estimate can sit one off, where a relative
+# band is vacuous. Wide enough that a pass is deterministic for a
+# correct sketch; a broken one (wrong hash domain, dropped registers)
+# still fails loudly.
+_HLL_BAND_MILLI = 50
+_HLL_BAND_ABS = 2
+
+
+_APPROX_DIST_ORACLE = f"""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dispositivos_exactos,
+       CAST(1 AS BIGINT) AS dentro_banda
+FROM events GROUP BY 1
+"""
+
+
+@register("approx_distinct_devices", oracle=_APPROX_DIST_ORACLE,
+          ops=("A2",), driver=False)
 def approx_distinct_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale variant of the exact device counts: HyperLogLog++
-    via approx_count_distinct (rsd 1%). No oracle — sketch estimates are
-    engine-specific by design (SURVEY.md §7.4.3: exact kept for parity,
-    approx exposed for scale); the driver's rows-only check applies."""
+    via approx_count_distinct (rsd 1%). Sketch ESTIMATES are
+    engine-specific by construction, so the oracle is ERROR-BANDED
+    (VERDICT r10 #8): the query emits the exact count plus a verdict —
+    is the HLL estimate within ±50 per-mille (5 standard errors at
+    rsd 1%, absolute floor ±2 for tiny cardinalities) of the exact
+    value — and DuckDB independently recomputes the exact count and
+    asserts the verdict is 1. A drifting sketch flips dentro_banda to 0
+    and the value-hash catches it; the old rows-only check could not
+    see any of this."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct(
             F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type")),
             rsd=0.01,
-        ).alias("dispositivos_aprox"),
-        F.countDistinct(
-            F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type"))
-        ).alias("dispositivos_exactos"),
+        ).alias("aprox"),
+        F.countDistinct("user_id").cast("bigint").alias("dispositivos_exactos"),
+    ).select(
+        "event_type",
+        "dispositivos_exactos",
+        (
+            (
+                F.abs(F.col("aprox") - F.col("dispositivos_exactos")) * 1000
+                <= F.lit(_HLL_BAND_MILLI) * F.col("dispositivos_exactos")
+            )
+            | (
+                F.abs(F.col("aprox") - F.col("dispositivos_exactos"))
+                <= F.lit(_HLL_BAND_ABS)
+            )
+        ).cast("bigint").alias("dentro_banda"),
     )
 
 
@@ -900,29 +937,70 @@ def percentiles_pedidos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentiles_aprox", oracle=None, ops=("A1",), driver=False)
+# approx_percentile accuracy knob: rank error ≤ n/accuracy. The banded
+# oracle admits ±2% in VALUE space against the exact discrete
+# percentile — 2× the 1% relative error the module test pins on this
+# data, so a pass is deterministic while a mis-merged digest fails.
+_PCTL_BAND_MILLI = 20
+
+
+_PCTL_APROX_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS pedidos,
+       quantile_disc(o_totalprice, 0.5) AS p50_exacto,
+       quantile_disc(o_totalprice, 0.9) AS p90_exacto,
+       quantile_disc(o_totalprice, 0.99) AS p99_exacto,
+       CAST(1 AS BIGINT) AS dentro_banda
+FROM orders GROUP BY 1
+"""
+
+
+@register("percentiles_aprox", oracle=_PCTL_APROX_ORACLE,
+          ops=("A1",), driver=False)
 def percentiles_aprox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE PATH for `percentiles_pedidos`: ``approx_percentile``
     (t-digest) — mergeable partial sketches with map-side combine and
     bounded memory per group, the form that survives groups too large to
-    sort in one executor. Rows-only registry entry (sketch values are
-    engine-specific so no cross-engine oracle exists by construction);
+    sort in one executor. Sketch values are engine-specific, so the
+    oracle is ERROR-BANDED (VERDICT r10 #8): the query emits the exact
+    DISCRETE percentiles (actual data values — percentile_disc here,
+    quantile_disc in DuckDB: cross-engine comparable with no
+    interpolation float) plus a verdict — every t-digest estimate
+    within ±20 per-mille (_PCTL_BAND_MILLI) of its exact anchor — and
+    DuckDB independently recomputes the anchors and asserts the verdict
+    is 1.
     `tests/test_functions.py::test_approx_percentiles_within_tolerance`
-    pins it to the exact form at 1% relative error."""
+    pins the tighter 1% bound at module tier."""
     orders = load_table(spark, sf_dir, "orders")
     pct = F.expr(
         "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
     )
+    exacto = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(a)
+        for p, a in ((0.5, "p50_exacto"), (0.9, "p90_exacto"),
+                     (0.99, "p99_exacto"))
+    ]
     agg = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("pedidos"),
         pct.alias("pct"),
+        *exacto,
     )
+    en_banda = None
+    for i, a in enumerate(("p50_exacto", "p90_exacto", "p99_exacto")):
+        ok = (
+            F.abs(F.col("pct")[i] - F.col(a)) * 1000
+            <= F.lit(_PCTL_BAND_MILLI) * F.col(a)
+        )
+        en_banda = ok if en_banda is None else (en_banda & ok)
     return agg.select(
         "o_orderpriority",
         "pedidos",
-        F.col("pct")[0].alias("p50"),
-        F.col("pct")[1].alias("p90"),
-        F.col("pct")[2].alias("p99"),
+        "p50_exacto",
+        "p90_exacto",
+        "p99_exacto",
+        en_banda.cast("bigint").alias("dentro_banda"),
     )
 
 

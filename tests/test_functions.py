@@ -256,15 +256,28 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     relative (tightens with group size at real scale)."""
     from etl_python_airflow_bigquery_spark.queries import REGISTRY
 
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
     exact = {
         r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
         for r in REGISTRY["percentiles_pedidos"].fn(spark, sf_dir).collect()
     }
+    orders = load_table(spark, sf_dir, "orders")
     approx = {
-        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
-        for r in REGISTRY["percentiles_aprox"].fn(spark, sf_dir).collect()
+        r["o_orderpriority"]: tuple(r["pct"])
+        for r in orders.groupBy("o_orderpriority").agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D),"
+                " 10000)"
+            ).alias("pct")
+        ).collect()
     }
     assert set(exact) == set(approx)
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) <= 0.05 * abs(e), (k, e, a)
+    # the registered banded form (round 11): every verdict is in-band
+    # and the exact discrete anchors are self-consistent with pedidos
+    for r in REGISTRY["percentiles_aprox"].fn(spark, sf_dir).collect():
+        assert r["dentro_banda"] == 1, r
+        assert r["p50_exacto"] <= r["p90_exacto"] <= r["p99_exacto"], r
