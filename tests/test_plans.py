@@ -676,6 +676,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         # against the centroid table, candidates equi-join on celda
         "busqueda_maxsim_indexada",
         "etiquetar_por_vecinos",
+        "asignacion_k_grande",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
