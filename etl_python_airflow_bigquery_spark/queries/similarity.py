@@ -491,7 +491,11 @@ _HIB_RRF_K = 60
 _HIB_SCALE = 1_000_000
 
 
-def _hibrida_oracle() -> str:
+def _hibrida_lex_ctes() -> str:
+    """The hybrid's LEXICAL ranker as a reusable CTE chain ending in
+    ``lex`` (doc_id, pos_lex) — shared by the brute oracle and the
+    stored-index serving oracle (queries/serving.py) so the BM25
+    algebra can never drift between them."""
     from etl_python_airflow_bigquery_spark.queries.text import (
         _BM25_B,
         _BM25_K1,
@@ -499,8 +503,7 @@ def _hibrida_oracle() -> str:
         _floor_log2_sql,
     )
 
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 tf AS (
@@ -542,8 +545,41 @@ lex AS (
         WHERE t.doc_id != {_HIB_Q}
         GROUP BY t.doc_id
     ) WHERE pos_lex <= {_BM25_TOP}
-),
-{_NORMS_SQL.strip()},
+)"""
+
+
+def _hibrida_fusion_sql() -> str:
+    """The RRF fusion CTE + final projection over ``lex`` and ``vec`` —
+    the SQL mirror of ``rrf_fuse_hibrida``, shared by both hybrid
+    oracles."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    return f"""fusion AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + l.pos_lex), 0)
+           + COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + v.pos_vec), 0) AS rrf,
+           l.pos_lex, v.pos_vec
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS pos_fusion,
+           CAST(pos_lex AS BIGINT) AS pos_lex,
+           CAST(pos_vec AS BIGINT) AS pos_vec
+    FROM fusion
+) WHERE pos_fusion <= {_BM25_TOP}"""
+
+
+def _hibrida_oracle() -> str:
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    return (
+        "WITH "
+        + _hibrida_lex_ctes()
+        + ",\n"
+        + _NORMS_SQL.strip()
+        + f""",
 q_emb AS (SELECT embedding FROM embeddings WHERE vec_id = {_HIB_Q}),
 vec AS (
     SELECT vec_id AS doc_id, pos_vec FROM (
@@ -561,22 +597,9 @@ vec AS (
         WHERE c.vec_id != {_HIB_Q}
     ) WHERE pos_vec <= {_BM25_TOP}
 ),
-fusion AS (
-    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-           COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + l.pos_lex), 0)
-           + COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + v.pos_vec), 0) AS rrf,
-           l.pos_lex, v.pos_vec
-    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
-)
-SELECT doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
-    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
-           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
-               AS pos_fusion,
-           CAST(pos_lex AS BIGINT) AS pos_lex,
-           CAST(pos_vec AS BIGINT) AS pos_vec
-    FROM fusion
-) WHERE pos_fusion <= {_BM25_TOP}
 """
+        + _hibrida_fusion_sql()
+    )
 
 
 def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:

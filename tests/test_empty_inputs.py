@@ -172,6 +172,7 @@ SMOKE = [
     "busqueda_maxsim_indexada",
     "etiquetar_por_vecinos",
     "asignacion_k_grande",
+    "busqueda_hibrida_indexada",
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

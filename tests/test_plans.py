@@ -677,6 +677,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "busqueda_maxsim_indexada",
         "etiquetar_por_vecinos",
         "asignacion_k_grande",
+        "busqueda_hibrida_indexada",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
