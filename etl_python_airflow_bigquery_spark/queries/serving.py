@@ -201,13 +201,152 @@ def busqueda_maxsim_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Hybrid lexical+dense retrieval served from the stored index
+# Recall drift across posting versions — the rebuild-scheduling signal
 # ---------------------------------------------------------------------------
 
 _INT_DOT_SQL = (
     "CAST(list_sum(list_transform(generate_series(1, {dim}), "
     "k -> {a}[k] * {b}[k])) AS BIGINT)"
 )
+
+_DRIFT_N = 50  # clones appended as the v0 -> v1 growth batch
+
+
+def _drift_oracle() -> str:
+    """Build + grow + two-version search replay: v0 postings are the
+    build assignment, v1 adds {_DRIFT_N} id-shifted clones assigned
+    against the STORED centroids (add_to_ivf_index's no-refit
+    contract), and each policy query's top-k at both snapshots reduces
+    to the floor-milli overlap — the drift metric, exactly
+    ``recall_drift``'s algebra."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        DIM,
+        _NPROBE,
+        _SEARCH_K,
+    )
+
+    dot = lambda a, b: _INT_DOT_SQL.format(dim=DIM, a=a, b=b)  # noqa: E731
+    d2 = _D2_SQL.format
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(_IT))
+        + f""",
+arr AS (SELECT vec_id + 9000000 AS vec_id, ev FROM enteros
+        WHERE vec_id < {_DRIFT_N}),
+darr AS (SELECT a.vec_id, c.seed_id, {d2(a="a.ev", b="c.sv")} AS d2
+         FROM arr a CROSS JOIN cent{_IT} c),
+aarr AS (SELECT vec_id, seed_id AS celda FROM (
+           SELECT vec_id, seed_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, seed_id) AS rn
+           FROM darr) WHERE rn = 1),
+post0 AS (SELECT vec_id, celda FROM asig{_IT + 1}),
+post1 AS (SELECT vec_id, celda FROM post0
+          UNION ALL SELECT vec_id, celda FROM aarr),
+ev_all AS (SELECT vec_id, ev FROM enteros
+           UNION ALL SELECT vec_id, ev FROM arr),
+nn_all AS (SELECT vec_id, {dot("ev", "ev")} AS nn FROM ev_all),
+consultas AS (SELECT vec_id AS query_id, ev AS qv FROM enteros
+              WHERE vec_id % (SELECT query_mod FROM params) = 0),
+qd AS (SELECT q.query_id, c.seed_id,
+              {d2(a="q.qv", b="c.sv")} AS d2
+       FROM consultas q CROSS JOIN cent{_IT} c),
+qcells AS (SELECT query_id, seed_id AS celda FROM (
+             SELECT query_id, seed_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2, seed_id) AS rn
+             FROM qd) WHERE rn <= {_NPROBE}),
+top0 AS (SELECT query_id, cand_id FROM (
+           SELECT qc.query_id, p.vec_id AS cand_id,
+                  row_number() OVER (
+                      PARTITION BY qc.query_id
+                      ORDER BY CAST({dot("q.qv", "e.ev")} AS DOUBLE)
+                               / sqrt(CAST(nq.nn AS DOUBLE)
+                                      * CAST(nc.nn AS DOUBLE)) DESC,
+                               p.vec_id) AS pos
+           FROM qcells qc
+           JOIN post0 p USING (celda)
+           JOIN consultas q ON q.query_id = qc.query_id
+           JOIN ev_all e ON e.vec_id = p.vec_id
+           JOIN nn_all nq ON nq.vec_id = qc.query_id
+           JOIN nn_all nc ON nc.vec_id = p.vec_id
+           WHERE p.vec_id != qc.query_id
+         ) WHERE pos <= {_SEARCH_K}),
+top1 AS (SELECT query_id, cand_id FROM (
+           SELECT qc.query_id, p.vec_id AS cand_id,
+                  row_number() OVER (
+                      PARTITION BY qc.query_id
+                      ORDER BY CAST({dot("q.qv", "e.ev")} AS DOUBLE)
+                               / sqrt(CAST(nq.nn AS DOUBLE)
+                                      * CAST(nc.nn AS DOUBLE)) DESC,
+                               p.vec_id) AS pos
+           FROM qcells qc
+           JOIN post1 p USING (celda)
+           JOIN consultas q ON q.query_id = qc.query_id
+           JOIN ev_all e ON e.vec_id = p.vec_id
+           JOIN nn_all nq ON nq.vec_id = qc.query_id
+           JOIN nn_all nc ON nc.vec_id = p.vec_id
+           WHERE p.vec_id != qc.query_id
+         ) WHERE pos <= {_SEARCH_K}),
+s0 AS (SELECT query_id, list(DISTINCT cand_id) AS top_viejo
+       FROM top0 GROUP BY 1),
+s1 AS (SELECT query_id, list(DISTINCT cand_id) AS top_nuevo
+       FROM top1 GROUP BY 1)
+SELECT s0.query_id,
+       CAST(len(top_viejo) AS BIGINT) AS k_viejo,
+       CAST(len(top_nuevo) AS BIGINT) AS k_nuevo,
+       CAST((1000 * len(list_intersect(top_viejo, top_nuevo)))
+            // greatest(len(top_nuevo), 1) AS BIGINT) AS solape_mili
+FROM s0 JOIN s1 USING (query_id)"""
+    )
+
+
+@register("deriva_recall_indexada", oracle=_drift_oracle(),
+          ops=("NN2", "O7", "A3"), driver=False)
+def deriva_recall_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-DRIFT MONITORING across stored-index versions — the
+    registered face of ``operators/ann_index.recall_drift``, the
+    operational signal that decides when streamed growth has drifted
+    far enough from the stored centroids to schedule a rebuild. The
+    lifecycle replayed end to end: build (v0), grow by {_DRIFT_N}
+    id-shifted clones assigned against the STORED centroids (v1 — the
+    add_to_ivf_index no-refit path), then every policy query's top-k
+    overlap between the two PINNED posting snapshots in floor-milli.
+    Clones tie with their originals on cosine and lose the cand_id
+    tie-break, so the drift is deterministic and the oracle replays it
+    exactly. This row builds a FRESH index every call (never the shared
+    session cache — it mutates its index, and a second call against a
+    mutated cache would double the growth batch)."""
+    import tempfile as _tf
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        recall_drift,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _int_vectors,
+        _query_mod,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = _tf.mkdtemp(prefix="svc_idx_drift_")
+    build_ivf_index(spark, emb, path)  # -> posting v0
+    clones = emb.where(F.col("vec_id") < _DRIFT_N).select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    )
+    add_to_ivf_index(spark, clones, path)  # -> posting v1
+    enteros = _int_vectors(emb)
+    n = enteros.count()
+    consultas = enteros.where(F.col("vec_id") % _query_mod(n) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    return recall_drift(spark, consultas, path, v_old=0, v_new=1)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid lexical+dense retrieval served from the stored index
+# ---------------------------------------------------------------------------
 
 
 def _hibrida_indexada_oracle() -> str:

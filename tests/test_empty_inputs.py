@@ -173,6 +173,7 @@ SMOKE = [
     "etiquetar_por_vecinos",
     "asignacion_k_grande",
     "busqueda_hibrida_indexada",
+    "deriva_recall_indexada",
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

@@ -678,6 +678,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "etiquetar_por_vecinos",
         "asignacion_k_grande",
         "busqueda_hibrida_indexada",
+        "deriva_recall_indexada",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
