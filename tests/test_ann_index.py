@@ -139,6 +139,66 @@ def test_streaming_ingest_grows_the_index(spark, sf_dir, tmp_path):
     assert abs(top[0]["cos"] - 1.0) < 1e-9
 
 
+def test_streaming_ingest_compacts_midstream(spark, sf_dir, tmp_path):
+    """Soak: a long-running streaming ingest crosses the posting-table
+    file gate INSIDE foreachBatch — compaction fires mid-stream as its
+    own manifest flip, the final manifest is small, everything streamed
+    before AND after the compaction stays searchable, and a checkpoint
+    replay of the drained stream is still a no-op with the compaction
+    commit sitting in the middle of the version history."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _COMPACT_FILE_GATE,
+    )
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import run_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    tx = TxTable(f"{path}/vectores")
+    base_files = len(tx._manifest(tx.version())["files"])
+
+    # enough one-file micro-batches to cross the gate at least once
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    n_batches = _COMPACT_FILE_GATE - base_files + 3
+    total = 0
+    for i in range(n_batches):
+        lote = emb.where(
+            (F.col("vec_id") >= 2 * i) & (F.col("vec_id") < 2 * i + 2)
+        ).select(
+            (F.col("vec_id") + 8_000_000 + 10 * i).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        total += lote.count()
+        lote.coalesce(1).write.parquet(f"{src}/f{i:03d}.parquet")
+    run_ann_ingest(spark, src, path, str(tmp_path / "ck"))
+
+    ops = [tx._manifest(v)["op"] for v in range(tx.version() + 1)]
+    assert "optimize_compact" in ops[1:]  # fired mid-stream
+    m = tx._manifest(tx.version())
+    assert len(m["files"]) < _COMPACT_FILE_GATE
+    # row conservation: base corpus + every streamed arrival
+    n_base = emb.count()
+    assert tx.read(spark).count() == n_base + total
+    # an arrival streamed BEFORE the compaction is still searchable
+    consultas = _queries_from(spark, emb.where(F.col("vec_id") == 0), every=1)
+    top = search_ivf_index(spark, consultas, path).where(
+        F.col("pos") == 1
+    ).collect()
+    assert top and top[0]["cand_id"] == 8_000_000  # clone of vec 0, batch 0
+    # replaying the drained stream is a no-op: the stream checkpoint is
+    # this path's idempotency authority, and the compaction commit in
+    # the middle of the history does not confuse it
+    v_antes = tx.version()
+    run_ann_ingest(spark, src, path, str(tmp_path / "ck"))
+    assert tx.version() == v_antes
+    assert tx.read(spark).count() == n_base + total
+
+
 def test_recall_drift_across_versions(spark, sf_dir, tmp_path):
     """Version-pinned serving + drift: the pre-append snapshot still
     answers, and a query whose neighborhood the appended clone invades
