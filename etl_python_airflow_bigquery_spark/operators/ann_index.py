@@ -226,7 +226,10 @@ def search_ivf_index(
     nprobe nearest stored cells per query, exact integer-cosine rerank,
     top-k. Reads ONLY the index tables; ``version`` pins the POSTING
     snapshot (time-travel serving — centroids are append-invariant, so
-    the latest centroid table serves every posting version)."""
+    the latest centroid table serves every posting version). The
+    posting read is manifest-stats FILE-PRUNED to the probed cells
+    (round 11) — on a compacted, celda-range-clustered table the scan
+    touches ~nprobe/k of the files, not the table."""
     cent_tx, vec_tx = _tables(path)
     cent_df = cent_tx.read(spark).select(
         F.col("celda").alias("seed_id"), "sv"
@@ -245,8 +248,17 @@ def search_ivf_index(
         qdist.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
         .select("query_id", F.col("seed_id").alias("celda"))
+        .localCheckpoint(eager=False)  # consumed by the prune AND the join
     )
-    postings = vec_tx.read(spark, version=version)
+    # FILE PRUNING, ENFORCED (round 11): the probed cell set is bounded
+    # (≤ min(k, queries×nprobe) ids), so collect it and read ONLY the
+    # posting files whose celda stats admit a probed cell — on a
+    # compacted (celda-range-clustered) table the scan touches ~nprobe/k
+    # of the files instead of planning a dynamic join against the full
+    # table. Correctness is unchanged: read_in keeps the residual IN
+    # filter, and un-statted files are always read.
+    celdas = [r["celda"] for r in qcells.select("celda").distinct().collect()]
+    postings = vec_tx.read_in(spark, "celda", celdas, version=version)
     norma = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -438,8 +450,13 @@ def busqueda_maxsim_indexada(
         qdist.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
         .select("q_vec", F.col("seed_id").alias("celda"))
+        .localCheckpoint(eager=False)
     )
-    postings = vec_tx.read(spark).select(
+    # bounded probed-cell set -> manifest-stats file pruning (see
+    # search_ivf_index): candidate generation reads only the posting
+    # files whose celda range is actually probed
+    celdas = [r["celda"] for r in probed.select("celda").distinct().collect()]
+    postings = vec_tx.read_in(spark, "celda", celdas).select(
         "celda", F.expr(f"vec_id div {_MAXSIM_G}").alias("c_doc")
     )
     cand = (
@@ -517,8 +534,16 @@ def etiquetar_por_vecinos(
     cent = _stored_centroids(spark, path)
     _, vec_tx = _tables(path)
     enteros = _int_vectors(arrivals).localCheckpoint(eager=False)
-    probes = _assign_cells_2probe(enteros, cent).select("vec_id", "celda")
-    postings = vec_tx.read(spark).select(
+    probes = (
+        _assign_cells_2probe(enteros, cent)
+        .select("vec_id", "celda")
+        .localCheckpoint(eager=False)
+    )
+    # the DISTINCT probed-cell set is ≤ k ids no matter the arrival
+    # batch size — collect it and stats-prune the posting read (the
+    # search_ivf_index file-pruning discipline)
+    celdas = [r["celda"] for r in probes.select("celda").distinct().collect()]
+    postings = vec_tx.read_in(spark, "celda", celdas).select(
         "celda",
         F.col("vec_id").alias("vecino"),
         F.col("ev").alias("ev_s"),

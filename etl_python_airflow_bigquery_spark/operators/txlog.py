@@ -209,6 +209,35 @@ class TxTable:
         df = self._read_entries(spark, hits, m["schema"])
         return df.where(F.col(col).between(lo, hi))
 
+    def read_in(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned snapshot read of ``col IN values`` — the
+        SET-membership sibling of ``read_where``, built for serve paths
+        whose qualifying keys are known and BOUNDED (the ANN probe: the
+        distinct probed cells of a query batch, ≤ k ids): a file is
+        scanned only when its recorded min/max admits at least one of
+        the values, so a range-clustered table (optimize_compact's
+        cluster_col) serves a probe from the few files covering its
+        cells. Exact: the residual IN filter still applies per row; a
+        file without stats is always read. The membership test is
+        O(files × values) — callers keep ``values`` driver-bounded by
+        construction (probe sets, partition keys), never data-sized."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"txlog table {self.path!r} has no commits")
+        m = self._manifest(v)
+        vals = sorted(set(values))
+        if not vals:
+            return self._read_entries(spark, [], m["schema"])
+        hits = [
+            e
+            for e in m["files"]
+            if any(self._overlaps(e, col, x, x) for x in vals)
+        ]
+        df = self._read_entries(spark, hits, m["schema"])
+        return df.where(F.col(col).isin(vals))
+
     # -- write ------------------------------------------------------------
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Materialize df as immutable uuid-named parquet files in data/,

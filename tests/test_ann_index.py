@@ -662,3 +662,47 @@ def test_index_meta_current_self_heals_stale_n(spark, sf_dir, tmp_path):
     assert healed["dense_ids"] is True
     # the heal is persisted: a second read is the cheap cache hit
     assert read_index_meta(path) == healed
+
+
+def test_compacted_index_serves_from_pruned_files(spark, sf_dir, tmp_path):
+    """Round 11: the serve path's file pruning, end to end — after a
+    celda-range-clustered compaction the posting files carry DISJOINT
+    celda spans, a single-cell read scans a strict subset of the files,
+    and search results are unchanged through compaction + pruning."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import _tables
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    _, vec_tx = _tables(path)
+    # a few streamed batches so there IS a small tail to bin-pack
+    for i in range(3):
+        clon = emb.where(
+            (F.col("vec_id") >= 2 * i) & (F.col("vec_id") < 2 * i + 2)
+        ).select(
+            (F.col("vec_id") + 7_500_000 + 10 * i).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        add_to_ivf_index(spark, clon, path)
+    consultas = _queries_from(spark, emb)
+    pre = {(r["query_id"], r["cand_id"], r["pos"])
+           for r in search_ivf_index(spark, consultas, path).collect()}
+
+    v = vec_tx.optimize_compact(spark, n_files=4, cluster_col="celda")
+    m = vec_tx._manifest(v)
+    spans = sorted(
+        tuple(e["stats"]["celda"])
+        for e in m["files"]
+        if e.get("stats", {}).get("celda") is not None
+    )
+    assert len(spans) >= 2
+    for (_l1, h1), (l2, _h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, spans  # range clustering: disjoint per-file spans
+    # a one-cell read scans a strict subset of the compacted files
+    pruned = vec_tx.read_in(spark, "celda", [spans[0][0]])
+    assert 0 < len(pruned.inputFiles()) < len(m["files"])
+    # identical serving through compaction + the pruned read path
+    post = {(r["query_id"], r["cand_id"], r["pos"])
+            for r in search_ivf_index(spark, consultas, path).collect()}
+    assert post == pre

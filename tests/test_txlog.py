@@ -1541,3 +1541,24 @@ def test_vacuum_consumes_fence_twin_before_dropping_manifest(spark, tmp_path):
         t.publish(spark, sid)
     assert t.read(spark).count() == 10  # no duplicated rows, ever
     assert v_pub not in t._versions()  # the old manifest did get dropped
+
+
+def test_read_in_prunes_files_by_stats(spark, tmp_path):
+    """read_in (round 11): a set-membership read scans only the files
+    whose min/max stats admit at least one requested value — the ANN
+    probe's serve-path pruning primitive. Exact residual filter; empty
+    set reads nothing."""
+    t = TxTable(str(tmp_path / "t"), stats_cols=["c"])
+    for lo in (0, 10, 20):
+        df = spark.createDataFrame(
+            [(lo + i, i) for i in range(10)], "c long, x long"
+        ).coalesce(1)
+        t.append(df)
+    m = t._manifest(t.version())
+    assert len(m["files"]) == 3
+    hit = t.read_in(spark, "c", [5, 25])
+    assert sorted(r["c"] for r in hit.collect()) == [5, 25]
+    assert len(hit.inputFiles()) == 2  # the 10-19 file never scanned
+    assert t.read_in(spark, "c", []).count() == 0
+    # version pinning works through the pruned path too
+    assert t.read_in(spark, "c", [15], version=1).count() == 1
