@@ -303,6 +303,53 @@ def test_atom_mart_window_refresh_equals_full_rebuild(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_user_mart_window_refresh_equals_full_rebuild(spark, sf_dir):
+    """The user-facts mart's incremental maintenance (the eventos twin
+    of the atom-mart test): stale mart + day-window refresh ≡ full
+    rebuild row-for-row, with no lookback needed (facts don't spill
+    across days)."""
+    from etl_python_airflow_bigquery_spark.catalog import (
+        mart_name,
+        refresh_bucketed_mart,
+    )
+    from etl_python_airflow_bigquery_spark.functions import event_day_num
+    from etl_python_airflow_bigquery_spark.queries.marts import (
+        _eventos_facts,
+        eventos_usuario_mart,
+        refresh_eventos_usuario_mart,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    name = mart_name("eventos_usuario", sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        full = eventos_usuario_mart(spark, sf_dir)
+        want = sorted(map(tuple, full.collect()))
+        days = sorted(
+            r[0] for r in full.select("day_num").distinct().collect()
+        )
+        stale_days = days[-2:]
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        events = load_table(spark, sf_dir, "events")
+        viejo = events.where(
+            event_day_num(events).cast("bigint") <= days[-3]
+        )
+        refresh_bucketed_mart(
+            spark, _eventos_facts(viejo), name, "day_num", "user_id", 16,
+            sort_col="user_id",
+        )
+        assert spark.table(name).count() < len(want)
+
+        refresh_eventos_usuario_mart(spark, sf_dir, stale_days)
+        got = sorted(map(tuple, spark.table(name).collect()))
+        assert got == want
+        refresh_eventos_usuario_mart(spark, sf_dir, stale_days)  # idempotent
+        assert sorted(map(tuple, spark.table(name).collect())) == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_zorder_layout_bounds_all_dims(spark, tmp_path):
     """Z-order vs single-column sort on a 64x64 grid split into 16
     files: the z-layout keeps BOTH dimensions' per-file min/max narrow
