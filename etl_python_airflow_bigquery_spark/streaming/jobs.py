@@ -679,6 +679,66 @@ def run_semdedup_ingest(
     q.awaitTermination()
 
 
+def run_label_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    labels_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+) -> None:
+    """STREAMING WEAK-LABEL INGEST — ``etiquetar_por_vecinos``'s
+    production face, completing the stored-index ingest trio (semantic
+    dedup gate, index growth, label propagation): unlabeled embeddings
+    arrive as landed files, each micro-batch takes the majority label of
+    its k nearest INDEXED neighbors (2-probe candidates, stats-pruned
+    posting read), and the labeled rows (vec_id, label_pred, votos)
+    append to a txlog table as ONE atomic manifest flip, fenced with
+    txnAppId/txnVersion so a crash-replayed batch is a no-op (the
+    run_span_cut_ingest contract).
+
+    Per-arrival independence makes batch/stream equivalence EXACT: a
+    vote depends only on the arrival and the STORED postings, never on
+    batch-mates, so the drained table equals the one-shot batch call
+    row for row (test-pinned). The quantizer is never refit on the hot
+    path, and ``labels_df`` stays outside the posting table — a
+    re-annotation never rewrites postings."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        etiquetar_por_vecinos,
+    )
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    sink = TxTable(out_path)
+    app_id = f"labels:{os.path.abspath(src_dir)}"
+
+    def label(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = etiquetar_por_vecinos(
+            spark, batch_df.select("vec_id", "embedding"), index_path,
+            labels_df, k=k,
+        )
+        sink.append(out, txn=(app_id, batch_id))
+
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(label)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_span_cut_ingest(
     spark: SparkSession,
     src_dir: str,

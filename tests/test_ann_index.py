@@ -706,3 +706,59 @@ def test_compacted_index_serves_from_pruned_files(spark, sf_dir, tmp_path):
     post = {(r["query_id"], r["cand_id"], r["pos"])
             for r in search_ivf_index(spark, consultas, path).collect()}
     assert post == pre
+
+
+def test_streaming_label_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """run_label_ingest: arrivals labeled in-stream equal the one-shot
+    batch etiquetar_por_vecinos row for row (votes depend only on the
+    arrival and the STORED postings, never on batch-mates), the labeled
+    table lands one manifest flip per batch, and replaying the drained
+    stream is a no-op (txn fence + checkpoint)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        etiquetar_por_vecinos,
+    )
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_label_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.where(F.col("vec_id") % 10 != 7)
+    arrivals = emb.where(F.col("vec_id") % 10 == 7).select(
+        "vec_id", "embedding", "label"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, stored, path)
+    labels = stored.select("vec_id", "label")
+
+    # batch reference
+    want = sorted(
+        map(tuple, etiquetar_por_vecinos(
+            spark, arrivals.select("vec_id", "embedding"), path, labels
+        ).collect())
+    )
+    assert want  # fixture has arrivals
+
+    # stream the arrivals in two files -> two micro-batches
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    arrivals.where(F.col("vec_id") < 250).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    arrivals.where(F.col("vec_id") >= 250).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    out = str(tmp_path / "labeled")
+    run_label_ingest(spark, src, path, labels, out, str(tmp_path / "ck"))
+
+    tx = TxTable(out)
+    assert tx.version() == 1  # two batches, one flip each
+    got = sorted(map(tuple, tx.read(spark).collect()))
+    assert got == want  # batch/stream equivalence, exact
+
+    # replay: drained stream + fence -> nothing moves
+    run_label_ingest(spark, src, path, labels, out, str(tmp_path / "ck"))
+    assert tx.version() == 1
+    assert sorted(map(tuple, tx.read(spark).collect())) == want
