@@ -1867,3 +1867,324 @@ def variedad_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("proveedores"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 relational depth: Q3 / Q10 / Q14 / Q19 shapes
+# --------------------------------------------------------------------------
+# Epoch anchors (UTC dates, integer day arithmetic — no tz dependence):
+# 1996-06-01 = 833587200000000 µs, 1996-01-01 = 820454400000000,
+# 1996-04-01 = 828316800000000, 1996-09-01 = 841536000000000,
+# 1996-10-01 = 844128000000000.
+
+_PRIORIDAD_ENVIO_ORACLE = """
+WITH rev AS (
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                    * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+                // 1000 AS BIGINT) AS ingreso_centavos,
+           CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+               AS dia_pedido,
+           o.o_orderpriority AS prioridad
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND epoch_us(o.o_orderdate) < 833587200000000
+      AND epoch_us(l.l_shipdate) > 833587200000000
+    GROUP BY 1, 3, 4
+)
+SELECT l_orderkey, ingreso_centavos, dia_pedido, prioridad
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY ingreso_centavos DESC, l_orderkey) AS rn
+    FROM rev
+) WHERE rn <= 10
+"""
+
+
+@register("prioridad_envio", oracle=_PRIORIDAD_ENVIO_ORACLE,
+          ops=("J1", "O7", "P3"), driver=False)
+def prioridad_envio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-SHAPED shipping priority: the top-10 unshipped BUILDING
+    orders by outstanding revenue as of a cut date — orders placed
+    before it, line items shipping after it, so BOTH date predicates
+    push into their own fact scans (P3 on two tables at once, the shape
+    Q1's single-sided filter never exercises). Revenue follows the
+    comercio_bilateral exact-integer discipline (centavos ×
+    milli-discount, one final floor-div), so the top-k ordering is
+    integer-deterministic cross-engine. Plan: customer broadcasts into
+    orders, the order→lineitem join is the one fact shuffle, top-10 via
+    a single unpartitioned window over the ≤|orders| aggregated rows."""
+    from etl_python_airflow_bigquery_spark.functions import micros, ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    corte_o = ts_lit_for(orders, "o_orderdate", "1996-06-01 00:00:00")
+    corte_l = ts_lit_for(li, "l_shipdate", "1996-06-01 00:00:00")
+    base = (
+        li.where(F.col("l_shipdate") > corte_l)
+        .join(
+            orders.where(F.col("o_orderdate") < corte_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    bruto = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    return (
+        base.groupBy(
+            "l_orderkey",
+            F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("dia_pedido"),
+            F.col("o_orderpriority").alias("prioridad"),
+        )
+        .agg(bruto.cast("bigint").alias("_bruto"))
+        .select(
+            "l_orderkey",
+            F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+            "dia_pedido",
+            "prioridad",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("ingreso_centavos"), "l_orderkey")
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+_DEVOLUCIONES_ORACLE = """
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name, n.n_name AS nacion,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                    * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+                // 1000 AS BIGINT) AS ingreso_centavos,
+           CAST(count(*) AS BIGINT) AS lineas_devueltas
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND epoch_us(o.o_orderdate) >= 820454400000000
+      AND epoch_us(o.o_orderdate) < 828316800000000
+    GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, nacion, ingreso_centavos, lineas_devueltas
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY ingreso_centavos DESC, c_custkey) AS rn
+    FROM rev
+) WHERE rn <= 20
+"""
+
+
+@register("clientes_devoluciones", oracle=_DEVOLUCIONES_ORACLE,
+          ops=("J1", "A1", "O7", "P3"), driver=False)
+def clientes_devoluciones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-SHAPED returned-item report: the 20 customers who
+    returned the most revenue in a quarter, with their nation — the
+    4-table chain (fact → orders → customer → nation) whose selective
+    predicates live on DIFFERENT tables (returnflag on the fact, the
+    quarter on orders), so join reordering and both pushdowns matter at
+    once. Exact-integer revenue (comercio_bilateral discipline); top-20
+    by (revenue DESC, custkey) is integer-deterministic. Plan: the
+    quarter-filtered orders side shuffles once against the
+    returnflag-filtered fact; customer joins on the aggregated ≤
+    |customers| rows; nation broadcasts."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.where(
+        (F.col("o_orderdate")
+         >= ts_lit_for(orders, "o_orderdate", "1996-01-01 00:00:00"))
+        & (F.col("o_orderdate")
+           < ts_lit_for(orders, "o_orderdate", "1996-04-01 00:00:00"))
+    )
+    bruto = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    por_cliente = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            bruto.cast("bigint").alias("_bruto"),
+            F.count(F.lit(1)).cast("bigint").alias("lineas_devueltas"),
+        )
+    )
+    return (
+        por_cliente.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nacion"),
+            F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+            "lineas_devueltas",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("ingreso_centavos"), "c_custkey")
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+_PROMOCIONAL_ORACLE = """
+WITH base AS (
+    SELECT CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+           * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)) AS bruto,
+           CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS es_promo
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE epoch_us(l.l_shipdate) >= 841536000000000
+      AND epoch_us(l.l_shipdate) < 844128000000000
+)
+SELECT CAST(sum(es_promo * bruto) // 1000 AS BIGINT) AS promo_centavos,
+       CAST(sum(bruto) // 1000 AS BIGINT) AS total_centavos,
+       CAST((1000 * sum(es_promo * bruto)) // sum(bruto) AS BIGINT)
+           AS cuota_mili
+FROM base
+"""
+
+
+@register("cuota_promocional", oracle=_PROMOCIONAL_ORACLE,
+          ops=("A8", "A3", "J1", "P3"), driver=False)
+def cuota_promocional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-SHAPED promotion share: the fraction of one month's
+    shipped revenue that came from PROMO-typed parts — the conditional
+    aggregation (A8) computed as one scan with a broadcast dimension
+    join, and the share as a zero-safe integer floor-milli ratio (A3).
+    Exact-integer revenue; everything reduces to one global row."""
+    from etl_python_airflow_bigquery_spark.functions import ts_lit_for
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    mes = li.where(
+        (F.col("l_shipdate")
+         >= ts_lit_for(li, "l_shipdate", "1996-09-01 00:00:00"))
+        & (F.col("l_shipdate")
+           < ts_lit_for(li, "l_shipdate", "1996-10-01 00:00:00"))
+    )
+    bruto = (
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    base = mes.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        bruto.alias("bruto"),
+        F.when(F.col("p_type") == "PROMO", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("es_promo"),
+    )
+    return base.agg(
+        F.expr("sum(es_promo * bruto) div 1000")
+        .cast("bigint")
+        .alias("promo_centavos"),
+        F.expr("sum(bruto) div 1000").cast("bigint").alias("total_centavos"),
+        F.expr("(1000 * sum(es_promo * bruto)) div sum(bruto)")
+        .cast("bigint")
+        .alias("cuota_mili"),
+    )
+
+
+_BRACKETS_ORACLE = """
+SELECT bracket,
+       CAST(count(*) AS BIGINT) AS lineas,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+            // 1000 AS BIGINT) AS ingreso_centavos
+FROM (
+    SELECT l_extendedprice, l_discount,
+           CASE
+             WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                  AND l.l_quantity BETWEEN 1 AND 11 THEN 'chico'
+             WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                  AND l.l_quantity BETWEEN 10 AND 20 THEN 'mediano'
+             WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                  AND l.l_quantity BETWEEN 20 AND 30 THEN 'grande'
+           END AS bracket
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+) l
+WHERE bracket IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("ingreso_brackets", oracle=_BRACKETS_ORACLE,
+          ops=("J1", "A8", "P5"), driver=False)
+def ingreso_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-SHAPED discounted revenue under an OR-of-conjuncts
+    bracket predicate: three (brand, size range, quantity range)
+    brackets whose conditions span BOTH join sides — the disjunctive
+    multi-column filter class (P5's membership generalized to compound
+    brackets) that exercises Catalyst's CNF conversion and partial
+    pushdown (the part-side conjuncts can prune the dimension before
+    the join even though the full predicate needs both sides).
+    Per-bracket census instead of Q19's single scalar so every bracket
+    is value-checked independently. Exact-integer revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        F.when(
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11),
+            F.lit("chico"),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20),
+            F.lit("mediano"),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30),
+            F.lit("grande"),
+        )
+    )
+    bruto = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        * (1000 - F.floor(F.col("l_discount") * 1000).cast("bigint"))
+    )
+    return (
+        j.select("l_extendedprice", "l_discount", bracket.alias("bracket"))
+        .where(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lineas"),
+            bruto.cast("bigint").alias("_bruto"),
+        )
+        .select(
+            "bracket",
+            "lineas",
+            F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
+        )
+    )

@@ -174,6 +174,12 @@ SMOKE = [
     "asignacion_k_grande",
     "busqueda_hibrida_indexada",
     "deriva_recall_indexada",
+    # round-11 relational depth (Q3/Q10/Q14/Q19 shapes)
+    "prioridad_envio",
+    "clientes_devoluciones",
+    "ingreso_brackets",
+    # cuota_promocional is NOT here: on empty input it returns one
+    # global row with NULL sums (matching the oracle's global agg)
     # proveedor_estrella: the global-max equality against a NULL max
     # matches nothing, so the empty input yields an empty frame (verified)
     "proveedor_estrella",

@@ -679,6 +679,10 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "asignacion_k_grande",
         "busqueda_hibrida_indexada",
         "deriva_recall_indexada",
+        "prioridad_envio",
+        "clientes_devoluciones",
+        "cuota_promocional",
+        "ingreso_brackets",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
