@@ -4369,3 +4369,108 @@ def colisiones_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return fila("shingles", gramas).unionAll(fila("ventanas", ventanas))
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition signals — the quality rules the gate family lacked
+# --------------------------------------------------------------------------
+# Rae et al. 2021 (Gopher, arXiv:2112.11446, Appendix A) drop documents
+# dominated by REPETITION, not just by length/symbol pathologies: the
+# duplicate-line fraction and top-n-gram fraction families. The fixture
+# corpus is single-line word streams, so the signals take their word
+# grain: the share of word occurrences whose word repeats within the
+# document, and the share of adjacent-bigram positions held by the most
+# frequent bigram. Thresholds follow the published 2-gram cut (0.18)
+# and a 0.30 repeated-word cut.
+
+_REP_DUP_MILI = 300
+_REP_BIGRAMA_MILI = 180
+
+_REPETICION_ORACLE = f"""
+WITH por_doc AS (
+    SELECT source,
+           len(ws) AS n,
+           CAST(1000 * (len(ws) - len(list_filter(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)) = 1)))
+                // greatest(len(ws), 1) AS BIGINT) AS dup_mili,
+           CAST(1000 * COALESCE(list_max(list_transform(list_distinct(bgs),
+                    b -> len(list_filter(bgs, x -> x = b)))), 0)
+                // greatest(len(bgs), 1) AS BIGINT) AS bigrama_mili
+    FROM (
+        SELECT source, ws,
+               list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+        FROM (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents
+        )
+    )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(dup_mili) // count(*) AS BIGINT) AS promedio_dup_mili,
+       CAST(max(bigrama_mili) AS BIGINT) AS max_bigrama_mili,
+       CAST(sum(CASE WHEN dup_mili > {_REP_DUP_MILI}
+                       OR bigrama_mili > {_REP_BIGRAMA_MILI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS marcados
+FROM por_doc
+GROUP BY 1
+"""
+
+
+@register("senales_repeticion", oracle=_REPETICION_ORACLE,
+          ops=("TX2", "A8", "A3"), driver=False)
+def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION SIGNALS (Rae et al. 2021 Appendix A — the
+    quality-rule family ``reglas_gopher`` does NOT cover): per document,
+    the floor-milli share of word occurrences whose word repeats inside
+    the document and the floor-milli share of adjacent-bigram positions
+    held by the single most frequent bigram; per source, the census a
+    curation pipeline thresholds on (mean repeated-word share, worst
+    top-bigram share, documents breaking either published cut). All
+    map-only higher-order array expressions — per-doc cost is
+    O(words × distinct words), bounded by the document, zero shuffles
+    before the per-source rollup, no UDFs; at 100 TB throughput is
+    scan-bound exactly like the Gopher gate itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("ws"),
+    ).select(
+        "source",
+        "ws",
+        F.expr(
+            "transform(sequence(1, greatest(size(ws) - 1, 0)), "
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+        ).alias("bgs"),
+    )
+    por_doc = base.select(
+        "source",
+        F.expr(
+            "CAST(1000 * (size(ws) - aggregate(array_distinct(ws), 0L, "
+            "(a, w) -> a + IF(size(filter(ws, x -> x = w)) = 1, 1L, 0L))) "
+            "div greatest(size(ws), 1) AS BIGINT)"
+        ).alias("dup_mili"),
+        F.expr(
+            "CAST(1000 * aggregate(array_distinct(bgs), 0L, "
+            "(a, b) -> greatest(a, CAST(size(filter(bgs, x -> x = b)) AS BIGINT))) "
+            "div greatest(size(bgs), 1) AS BIGINT)"
+        ).alias("bigrama_mili"),
+    )
+    return por_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.expr("sum(dup_mili) div count(*)")
+        .cast("bigint")
+        .alias("promedio_dup_mili"),
+        F.max("bigrama_mili").cast("bigint").alias("max_bigrama_mili"),
+        F.sum(
+            F.when(
+                (F.col("dup_mili") > _REP_DUP_MILI)
+                | (F.col("bigrama_mili") > _REP_BIGRAMA_MILI),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("marcados"),
+    )

@@ -178,6 +178,7 @@ SMOKE = [
     "prioridad_envio",
     "clientes_devoluciones",
     "ingreso_brackets",
+    "senales_repeticion",
     # cuota_promocional is NOT here: on empty input it returns one
     # global row with NULL sums (matching the oracle's global agg)
     # proveedor_estrella: the global-max equality against a NULL max

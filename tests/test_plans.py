@@ -683,6 +683,7 @@ def test_round8_ops_no_cartesian(spark, sf_dir, name):
         "clientes_devoluciones",
         "cuota_promocional",
         "ingreso_brackets",
+        "senales_repeticion",
     ],
 )
 def test_round9_ops_no_cartesian(spark, sf_dir, name):
