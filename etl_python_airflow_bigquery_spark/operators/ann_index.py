@@ -588,3 +588,28 @@ def etiquetar_por_vecinos(
             F.col("n").cast("bigint").alias("votos"),
         )
     )
+
+
+def vacuum_index(
+    path: str, keep_versions: int = 8, retention_s: float = 3600.0
+) -> dict:
+    """INDEX MAINTENANCE, final stage of the lifecycle (build → ingest →
+    compact → VACUUM): reclaim the posting and centroid files that no
+    surviving version references — under streaming ingest every append
+    supersedes the previous manifest and every compaction supersedes its
+    small tail, so the data dir otherwise grows without bound even
+    though the LIVE file set stays flat.
+
+    ``keep_versions`` defaults GENEROUSLY (8, vs the table layer's 1) on
+    purpose: version-pinned serving is a first-class index feature —
+    ``search_ivf_index(version=...)`` and ``recall_drift`` read OLD
+    posting snapshots, and a vacuum that drops a snapshot a serving job
+    still pins breaks it loudly (FileNotFoundError on the manifest).
+    Keep the horizon wider than the oldest pinned snapshot; tag a
+    version (txlog ``tag``) to exempt it from any horizon. Returns
+    {'centroides': n_removed, 'vectores': n_removed}."""
+    cent_tx, vec_tx = _tables(path)
+    return {
+        "centroides": cent_tx.vacuum(keep_versions, retention_s),
+        "vectores": vec_tx.vacuum(keep_versions, retention_s),
+    }

@@ -762,3 +762,57 @@ def test_streaming_label_ingest_matches_batch(spark, sf_dir, tmp_path):
     run_label_ingest(spark, src, path, labels, out, str(tmp_path / "ck"))
     assert tx.version() == 1
     assert sorted(map(tuple, tx.read(spark).collect())) == want
+
+
+def test_vacuum_index_reclaims_superseded_files(spark, sf_dir, tmp_path):
+    """vacuum_index: after streamed growth + compaction, files only
+    superseded manifests reference are reclaimed, current searches are
+    unchanged, and a version inside the kept horizon still serves while
+    one beyond it is gone (the pinned-snapshot contract the generous
+    default horizon protects)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _tables,
+        vacuum_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    _, vec_tx = _tables(path)
+    for i in range(4):  # superseded appends + their files
+        clon = emb.where(F.col("vec_id") == i).select(
+            (F.col("vec_id") + 6_000_000).alias("vec_id"), "embedding", "label"
+        )
+        add_to_ivf_index(spark, clon, path)
+    vec_tx.optimize_compact(spark, n_files=2, cluster_col="celda")
+    consultas = _queries_from(spark, emb)
+    antes = {(r["query_id"], r["cand_id"], r["pos"])
+             for r in search_ivf_index(spark, consultas, path).collect()}
+
+    n_files_antes = len(os.listdir(vec_tx.data_dir))
+    # keep only the compacted head: every superseded append file (still
+    # referenced by the PRE-compaction manifest until now) reclaims
+    removed = vacuum_index(path, keep_versions=1, retention_s=0.0)
+    assert removed["vectores"] > 0
+    assert len(os.listdir(vec_tx.data_dir)) < n_files_antes
+    # current serving unchanged
+    despues = {(r["query_id"], r["cand_id"], r["pos"])
+               for r in search_ivf_index(spark, consultas, path).collect()}
+    assert despues == antes
+    # a snapshot pinned AFTER the vacuum horizon moves on still serves:
+    # grow once more, then read the pre-growth version
+    clon = emb.where(F.col("vec_id") == 9).select(
+        (F.col("vec_id") + 6_500_000).alias("vec_id"), "embedding", "label"
+    )
+    v_nuevo = add_to_ivf_index(spark, clon, path)
+    assert search_ivf_index(
+        spark, consultas, path, version=v_nuevo - 1
+    ).count() > 0
+    # beyond the vacuumed horizon: the pinned read fails LOUDLY, never
+    # silently wrong
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        vec_tx._manifest(0)
