@@ -810,3 +810,50 @@ def streaming_reglas_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"reglas_v_{uuid.uuid4().hex[:8]}")
+
+
+# --------------------------------------------------------------------------
+# Streaming repetition gate — the Gopher repetition signals in-stream
+# --------------------------------------------------------------------------
+
+from etl_python_airflow_bigquery_spark.queries.text import (  # noqa: E402
+    _REPETICION_ORACLE,
+)
+
+
+@register("streaming_senales_repeticion", oracle=_REPETICION_ORACLE,
+          ops=("ST1", "TX2", "A8"), driver=False)
+def streaming_senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION signals running IN-STREAM — documents
+    arrive as landed files, every micro-batch computes the SAME
+    ``repeticion_por_doc`` projection the batch query uses (stateless —
+    pure higher-order array expressions, append mode, no watermark, no
+    operator state), and the drained per-doc signals roll up through
+    the SAME ``_rollup_repeticion`` census that must equal the batch
+    oracle row for row. The gopher_flags / votos_debiles batch/stream
+    factoring applied to the repetition family: one definition, two
+    execution modes, zero drift possible. At 100 TB this is pure map
+    work per batch — throughput bounded by the scan, not by state."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _rollup_repeticion,
+        repeticion_por_doc,
+    )
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_to_memory_append,
+        table_dir_for,
+    )
+
+    docs_dir = table_dir_for(sf_dir, "documents")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    senales = repeticion_por_doc(stream).select(
+        "doc_id", "source", "dup_mili", "bigrama_mili"
+    )
+    tabla, _metrics = run_to_memory_append(
+        senales, f"repeticion_{uuid.uuid4().hex[:8]}"
+    )
+    return _rollup_repeticion(tabla)

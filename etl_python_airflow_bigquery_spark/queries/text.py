@@ -4419,25 +4419,18 @@ GROUP BY 1
 """
 
 
-@register("senales_repeticion", oracle=_REPETICION_ORACLE,
-          ops=("TX2", "A8", "A3"), driver=False)
-def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GOPHER REPETITION SIGNALS (Rae et al. 2021 Appendix A — the
-    quality-rule family ``reglas_gopher`` does NOT cover): per document,
-    the floor-milli share of word occurrences whose word repeats inside
-    the document and the floor-milli share of adjacent-bigram positions
-    held by the single most frequent bigram; per source, the census a
-    curation pipeline thresholds on (mean repeated-word share, worst
-    top-bigram share, documents breaking either published cut). All
-    map-only higher-order array expressions — per-doc cost is
-    O(words × distinct words), bounded by the document, zero shuffles
-    before the per-source rollup, no UDFs; at 100 TB throughput is
-    scan-bound exactly like the Gopher gate itself."""
-    docs = load_table(spark, sf_dir, "documents")
+def repeticion_por_doc(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals as a PURE PROJECTION (the
+    gopher_flags batch/stream factoring): (doc_id, source, dup_mili,
+    bigrama_mili). Stateless, so the SAME definition runs on the batch
+    frame (senales_repeticion) and on a document STREAM
+    (streaming_senales_repeticion) — one signal set, two modes."""
     base = docs.select(
+        "doc_id",
         "source",
         F.expr("filter(split(text, ' '), w -> w != '')").alias("ws"),
     ).select(
+        "doc_id",
         "source",
         "ws",
         F.expr(
@@ -4445,7 +4438,8 @@ def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
         ).alias("bgs"),
     )
-    por_doc = base.select(
+    return base.select(
+        "doc_id",
         "source",
         F.expr(
             "CAST(1000 * (size(ws) - aggregate(array_distinct(ws), 0L, "
@@ -4458,6 +4452,11 @@ def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div greatest(size(bgs), 1) AS BIGINT)"
         ).alias("bigrama_mili"),
     )
+
+
+def _rollup_repeticion(por_doc: DataFrame) -> DataFrame:
+    """The per-source census over the per-doc signals — shared by the
+    batch query and the drained stream so the rollup can never drift."""
     return por_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs"),
         F.expr("sum(dup_mili) div count(*)")
@@ -4474,3 +4473,21 @@ def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("marcados"),
     )
+
+
+@register("senales_repeticion", oracle=_REPETICION_ORACLE,
+          ops=("TX2", "A8", "A3"), driver=False)
+def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION SIGNALS (Rae et al. 2021 Appendix A — the
+    quality-rule family ``reglas_gopher`` does NOT cover): per document,
+    the floor-milli share of word occurrences whose word repeats inside
+    the document and the floor-milli share of adjacent-bigram positions
+    held by the single most frequent bigram; per source, the census a
+    curation pipeline thresholds on (mean repeated-word share, worst
+    top-bigram share, documents breaking either published cut). All
+    map-only higher-order array expressions — per-doc cost is
+    O(words × distinct words), bounded by the document, zero shuffles
+    before the per-source rollup, no UDFs; at 100 TB throughput is
+    scan-bound exactly like the Gopher gate itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _rollup_repeticion(repeticion_por_doc(docs))

@@ -179,6 +179,7 @@ SMOKE = [
     "clientes_devoluciones",
     "ingreso_brackets",
     "senales_repeticion",
+    "streaming_senales_repeticion",
     # cuota_promocional is NOT here: on empty input it returns one
     # global row with NULL sums (matching the oracle's global agg)
     # proveedor_estrella: the global-max equality against a NULL max
