@@ -137,7 +137,11 @@ def build_ivf_index(
     # dense_ids records whether basis == n, i.e. whether max+1 is
     # verifiably the distinct-id count; serve paths fall back to a
     # corpus count when it is not.
-    basis = (enteros.agg(F.max("vec_id")).first()[0] or -1) + 1
+    # explicit None check — `or -1` would treat a legitimate max vec_id
+    # of 0 (single-vector corpus) as falsy and force the serve-path
+    # fallback count (ADVICE r11).
+    _mx = enteros.agg(F.max("vec_id")).first()[0]
+    basis = (_mx if _mx is not None else -1) + 1
     _write_meta(
         path,
         {

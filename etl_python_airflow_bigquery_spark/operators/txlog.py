@@ -1426,6 +1426,13 @@ class TxTable:
                 except (FileNotFoundError, json.JSONDecodeError):
                     continue  # holder vanished / mid-race — retry the link
                 if os.path.exists(self._staged_path(prev.get("sid", ""))):
+                    if prev.get("sid") == sid:
+                        # the marker already carries OUR claim: a
+                        # reclaim-then-restore race can re-present our own
+                        # restored marker on the retry path — raising
+                        # 'already active' here would make the caller
+                        # unstage its own valid batch (ADVICE r11).
+                        return
                     raise already
                 # stale marker from a crashed publish/discard: reclaim by
                 # atomic rename — only one racer wins removal
@@ -1446,13 +1453,57 @@ class TxTable:
                 ):
                     # we renamed a DIFFERENT, live marker (holder claimed
                     # between our read and our rename) — restore it and
-                    # refuse: the name is genuinely held.
-                    try:
-                        os.link(tomb, marker)
-                    except FileExistsError:
-                        pass
-                    finally:
-                        os.unlink(tomb)
+                    # refuse: the name is genuinely held. The restore
+                    # itself can race a THIRD claimant linking a fresh
+                    # marker (ADVICE r11): blindly unlinking the tombstone
+                    # on FileExistsError would destroy the live holder's
+                    # claim record while the racer's survives — the exact
+                    # duplicate this mechanism exists to prevent. So on
+                    # EEXIST we validate the racer: stale → reclaim it and
+                    # retry the restore; live → hard error, KEEPING the
+                    # tombstone as the holder's durable record.
+                    for _ in range(16):
+                        try:
+                            os.link(tomb, marker)
+                        except FileExistsError:
+                            try:
+                                with open(marker) as fh:
+                                    cur = json.load(fh)
+                            except (FileNotFoundError, json.JSONDecodeError):
+                                continue  # racer vanished — retry restore
+                            if cur.get("sid") == got.get("sid"):
+                                break  # someone already restored the holder
+                            if os.path.exists(
+                                self._staged_path(cur.get("sid", ""))
+                            ):
+                                raise RuntimeError(
+                                    f"stage name {name!r} on {self.path!r}: "
+                                    "two LIVE claims collided during a "
+                                    "stale-marker reclaim (holder sid "
+                                    f"{got.get('sid')!r} preserved in "
+                                    f"{tomb!r}, racer sid "
+                                    f"{cur.get('sid')!r} holds the marker) "
+                                    "— manual reconciliation required"
+                                )
+                            racer_tomb = os.path.join(
+                                self.log_dir,
+                                f"_tomb_{uuid.uuid4().hex[:8]}.json",
+                            )
+                            try:
+                                os.rename(marker, racer_tomb)
+                            except FileNotFoundError:
+                                continue
+                            os.unlink(racer_tomb)
+                            continue
+                        else:
+                            break
+                    else:
+                        raise RuntimeError(
+                            f"stage-name restore for {name!r} on "
+                            f"{self.path!r} lost 16 consecutive races — "
+                            f"holder record preserved in {tomb!r}"
+                        )
+                    os.unlink(tomb)
                     raise already
                 os.unlink(tomb)
             raise RuntimeError(

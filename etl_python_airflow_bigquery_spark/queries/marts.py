@@ -301,6 +301,10 @@ def refresh_atomos_usuario_mart(
     never the table."""
     name = mart_name("atomos_usuario_dia", sf_dir)
     dias = sorted(int(d) for d in day_nums)
+    if not dias:
+        # mirror refresh_eventos_usuario_mart's tolerance of an empty
+        # refresh window instead of an IndexError on dias[0] (ADVICE r11)
+        return spark.table(name)
     events = load_table(spark, sf_dir, "events")
     max_min = events.agg(F.max("value")).first()[0] or 0.0
     margen = int(max_min // 1440) + 1

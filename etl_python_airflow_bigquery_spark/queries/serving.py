@@ -21,6 +21,7 @@ part of the ANN story a retrieval user hits first.
 from __future__ import annotations
 
 import os as _os
+import shutil as _shutil
 import tempfile as _tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,15 +82,25 @@ def _served_index(
     path = _tempfile.mkdtemp(prefix=f"svc_idx_{tag}_")
     build_ivf_index(spark, emb, path)
     while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
-        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        # reclaim the evicted mkdtemp index dir — a long session cycling
+        # many datasets would otherwise leak one persisted IVF index per
+        # eviction (ADVICE r11).
+        _shutil.rmtree(
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE))), ignore_errors=True
+        )
     _INDEX_CACHE[key] = path
     return path
 
 
 def clear_session_caches() -> None:
     """Timed harnesses clear this before measuring (the bench honesty
-    invariant) so a serve-path timing always includes its build."""
-    _INDEX_CACHE.clear()
+    invariant) so a serve-path timing always includes its build. The
+    discarded index dirs are reclaimed — same leak as eviction
+    (ADVICE r11)."""
+    while _INDEX_CACHE:
+        _shutil.rmtree(
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE))), ignore_errors=True
+        )
 
 
 # ---------------------------------------------------------------------------

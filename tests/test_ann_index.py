@@ -816,3 +816,38 @@ def test_vacuum_index_reclaims_superseded_files(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         vec_tx._manifest(0)
+
+
+def test_build_meta_basis_handles_vec_id_zero(spark, sf_dir, tmp_path):
+    """ADVICE r11: a corpus whose max vec_id is 0 (single vector, id 0)
+    must record vec_basis=1 / dense_ids=True — the old `or -1` treated
+    the legitimate 0 as falsy and forced the serve-path fallback count."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        read_index_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0)
+    assert emb.count() == 1
+    path = str(tmp_path / "idx0")
+    build_ivf_index(spark, emb, path)
+    meta = read_index_meta(path)
+    assert meta["vec_basis"] == 1
+    assert meta["dense_ids"] is True
+
+
+def test_index_cache_eviction_reclaims_dirs(spark, sf_dir, monkeypatch):
+    """ADVICE r11: evicting / clearing the session index cache must
+    rmtree the mkdtemp index dirs, not leak one per eviction."""
+    import os as _os
+
+    from etl_python_airflow_bigquery_spark.queries import serving
+
+    serving.clear_session_caches()
+    monkeypatch.setattr(serving, "_INDEX_CACHE_MAX", 1)
+    p1 = serving._served_index(spark, sf_dir, "evict_a")
+    assert _os.path.isdir(p1)
+    p2 = serving._served_index(spark, sf_dir, "evict_b")  # evicts p1
+    assert not _os.path.exists(p1)  # reclaimed, not leaked
+    assert _os.path.isdir(p2)
+    serving.clear_session_caches()
+    assert not _os.path.exists(p2)  # clear reclaims too

@@ -1562,3 +1562,121 @@ def test_read_in_prunes_files_by_stats(spark, tmp_path):
     assert t.read_in(spark, "c", []).count() == 0
     # version pinning works through the pruned path too
     assert t.read_in(spark, "c", [15], version=1).count() == 1
+
+
+def test_wap_name_claim_own_sid_is_success(spark, tmp_path):
+    """ADVICE r11: re-presenting a marker that already carries the
+    caller's OWN sid (the reclaim-then-restore race can make a claimant
+    re-read its restored marker) is success, not 'already active' —
+    the old behavior made stage_append unstage its own valid batch."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+    sid = t.stage_append(_df(spark, 10, 12), name="etiqueta")
+    t._claim_stage_name("etiqueta", sid)  # no raise: it's our claim
+    with pytest.raises(ValueError, match="already active"):
+        t._claim_stage_name("etiqueta", "otro_sid")
+    assert sid in t.staged()  # the valid batch was never unstaged
+
+
+def test_wap_name_restore_race_keeps_holder_record(spark, tmp_path):
+    """ADVICE r11 (medium): if a THIRD claimant links a fresh LIVE
+    marker while we are restoring a stolen live claim from our
+    tombstone, the old path unlinked the tombstone — destroying the
+    original holder's claim record while the racer's survived (two live
+    stages, one name). Now: hard error, tombstone KEPT."""
+    import json as _json
+
+    from etl_python_airflow_bigquery_spark.operators import txlog as txmod
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+
+    sid_live = t.stage_append(_df(spark, 10, 12))    # the stolen holder
+    sid_racer = t.stage_append(_df(spark, 14, 16))   # the third claimant
+    marker = t._stage_name_marker("etiqueta")
+    with open(marker, "w") as fh:  # crash leftover at the name
+        _json.dump({"name": "etiqueta", "sid": "deadbeef"}, fh)
+
+    real_rename = txmod.os.rename
+    real_link = txmod.os.link
+    stole = []
+
+    def racing_rename(src, dst, *a, **kw):
+        if src == marker and not stole:
+            stole.append(1)
+            # holder claims inside our staleness-read -> rename window
+            with open(marker, "w") as fh:
+                _json.dump({"name": "etiqueta", "sid": sid_live}, fh)
+        return real_rename(src, dst, *a, **kw)
+
+    def third_claimant_link(src, dst, *a, **kw):
+        if dst == marker and "_tomb_" in src and not os.path.exists(marker):
+            # the third claimant wins the path just before our restore
+            with open(marker, "w") as fh:
+                _json.dump({"name": "etiqueta", "sid": sid_racer}, fh)
+        return real_link(src, dst, *a, **kw)
+
+    txmod.os.rename = racing_rename
+    txmod.os.link = third_claimant_link
+    try:
+        with pytest.raises(RuntimeError, match="two LIVE claims collided"):
+            t.stage_append(_df(spark, 20, 21), name="etiqueta")
+    finally:
+        txmod.os.rename = real_rename
+        txmod.os.link = real_link
+    # the racer holds the path, but the holder's record SURVIVES in the
+    # tombstone — nothing was silently destroyed
+    with open(marker) as fh:
+        assert _json.load(fh)["sid"] == sid_racer
+    tombs = [f for f in os.listdir(t.log_dir) if f.startswith("_tomb_")]
+    assert len(tombs) == 1
+    with open(os.path.join(t.log_dir, tombs[0])) as fh:
+        assert _json.load(fh)["sid"] == sid_live
+
+
+def test_wap_name_restore_reclaims_stale_racer(spark, tmp_path):
+    """ADVICE r11: the restore path validates an EEXIST racer — a STALE
+    third marker (manifest gone) is reclaimed and the restore retried,
+    so the live holder's claim lands back at the path."""
+    import json as _json
+
+    from etl_python_airflow_bigquery_spark.operators import txlog as txmod
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 3))
+
+    sid_live = t.stage_append(_df(spark, 10, 12))
+    marker = t._stage_name_marker("etiqueta")
+    with open(marker, "w") as fh:
+        _json.dump({"name": "etiqueta", "sid": "deadbeef"}, fh)
+
+    real_rename = txmod.os.rename
+    real_link = txmod.os.link
+    stole, blocked = [], []
+
+    def racing_rename(src, dst, *a, **kw):
+        if src == marker and not stole:
+            stole.append(1)
+            with open(marker, "w") as fh:
+                _json.dump({"name": "etiqueta", "sid": sid_live}, fh)
+        return real_rename(src, dst, *a, **kw)
+
+    def stale_racer_link(src, dst, *a, **kw):
+        if (dst == marker and "_tomb_" in src and not blocked
+                and not os.path.exists(marker)):
+            blocked.append(1)
+            with open(marker, "w") as fh:  # stale: no manifest for it
+                _json.dump({"name": "etiqueta", "sid": "feedface"}, fh)
+        return real_link(src, dst, *a, **kw)
+
+    txmod.os.rename = racing_rename
+    txmod.os.link = stale_racer_link
+    try:
+        with pytest.raises(ValueError, match="already active"):
+            t.stage_append(_df(spark, 20, 21), name="etiqueta")
+    finally:
+        txmod.os.rename = real_rename
+        txmod.os.link = real_link
+    with open(marker) as fh:
+        assert _json.load(fh)["sid"] == sid_live  # holder restored
+    assert not [f for f in os.listdir(t.log_dir) if f.startswith("_tomb_")]

@@ -285,6 +285,11 @@ def test_atom_mart_window_refresh_equals_full_rebuild(spark, sf_dir):
         refresh_atomos_usuario_mart(spark, sf_dir, stale_days)  # idempotent
         assert sorted(map(tuple, spark.table(name).collect())) == want
 
+        # ADVICE r11: an empty refresh window is a clean no-op, not an
+        # IndexError on dias[0]
+        refresh_atomos_usuario_mart(spark, sf_dir, [])
+        assert sorted(map(tuple, spark.table(name).collect())) == want
+
         # the refreshed mart keeps the zero-user_id-Exchange contract
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
