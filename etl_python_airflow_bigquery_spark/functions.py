@@ -256,3 +256,24 @@ def _log2_ladder(expr: str, cap: int = 20) -> str:
         f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(cap, 0, -1)
     )
     return f"(CASE {branches} ELSE 0 END)"
+
+
+def ranked_topk(
+    df: DataFrame, k: int, order_by: list[Column], pos_col: str = "pos"
+) -> DataFrame:
+    """GLOBAL top-k WITH a contiguous 1-based position column, the
+    scale-correct way (VERDICT r11: the unpartitioned-window top-k
+    family). orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition bounded heap + single-driver merge of k rows per
+    partition — so the corpus-sized input is never sorted in one task;
+    the row_number window then ranks only the ≤k survivors (a
+    single-partition sort of k rows, which is the POINT). ``order_by``
+    must be deterministic — include a unique tiebreak key — or the
+    survivors themselves are unstable."""
+    from pyspark.sql import Window
+
+    return (
+        df.orderBy(*order_by)
+        .limit(k)
+        .withColumn(pos_col, F.row_number().over(Window.orderBy(*order_by)))
+    )

@@ -1868,7 +1868,7 @@ FROM con_lag
 
 
 @register("crecimiento_interanual", oracle=_INTERANUAL_ORACLE,
-          ops=("W1", "A1", "P3"), driver=False)
+          ops=("W1", "A1", "P3"), driver=True)
 def crecimiento_interanual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YEAR-OVER-YEAR GROWTH per 30-day period: revenue LAGged twelve
     periods back (the integer-period calendar every time-derived column

@@ -687,7 +687,7 @@ def _embudo_oracle() -> str:
 
 
 @register("embudo_curacion", oracle=_embudo_oracle(),
-          ops=("TX2", "DD1", "A8"), bench=True)
+          ops=("TX2", "DD1", "A8"), bench=True, driver=False)
 def embudo_curacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation funnel in one query — every gate the engine
     ships, composed in production order, with per-stage doc/token

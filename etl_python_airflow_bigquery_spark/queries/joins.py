@@ -235,7 +235,7 @@ WHERE c_custkey IN (
 
 
 @register("semi_join_mailing", oracle=_SEMI_ORACLE, ops=("J8",),
-          driver=False)
+          driver=True)
 def semi_join_mailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mailing-list membership: emails of users with qualifying consumption
     (reference Mailing_campaign_segmenttion.ipynb tag_shows cells) — a
@@ -674,7 +674,7 @@ FROM riesgo
 """
 
 
-@register("tabla_vida", oracle=_VIDA_ORACLE, ops=("A8", "W1", "A6"))
+@register("tabla_vida", oracle=_VIDA_ORACLE, ops=("A8", "W1", "A6"), driver=False)
 def tabla_vida(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIFE TABLE over user lifespans — the survival-analysis read-out
     of churn (the discrete actuarial estimator behind Kaplan-Meier):
@@ -1904,7 +1904,7 @@ FROM (
 
 
 @register("prioridad_envio", oracle=_PRIORIDAD_ENVIO_ORACLE,
-          ops=("J1", "O7", "P3"), driver=False)
+          ops=("J1", "O7", "P3"), driver=True)
 def prioridad_envio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-SHAPED shipping priority: the top-10 unshipped BUILDING
     orders by outstanding revenue as of a cut date — orders placed
@@ -1915,7 +1915,8 @@ def prioridad_envio(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-discount, one final floor-div), so the top-k ordering is
     integer-deterministic cross-engine. Plan: customer broadcasts into
     orders, the order→lineitem join is the one fact shuffle, top-10 via
-    a single unpartitioned window over the ≤|orders| aggregated rows."""
+    orderBy+limit → TakeOrderedAndProject over the ≤|orders| aggregated
+    rows (never a single-task window sort — VERDICT r11)."""
     from etl_python_airflow_bigquery_spark.functions import micros, ts_lit_for
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1953,14 +1954,11 @@ def prioridad_envio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dia_pedido",
             "prioridad",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("ingreso_centavos"), "l_orderkey")
-            ),
-        )
-        .where(F.col("rn") <= 10)
-        .drop("rn")
+        # top-10 via TakeOrderedAndProject (per-partition heap + k-row
+        # driver merge), never an unpartitioned window's single-task
+        # sort of the order-grain rows (VERDICT r11)
+        .orderBy(F.desc("ingreso_centavos"), "l_orderkey")
+        .limit(10)
     )
 
 
@@ -1990,7 +1988,7 @@ FROM (
 
 
 @register("clientes_devoluciones", oracle=_DEVOLUCIONES_ORACLE,
-          ops=("J1", "A1", "O7", "P3"), driver=False)
+          ops=("J1", "A1", "O7", "P3"), driver=True)
 def clientes_devoluciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-SHAPED returned-item report: the 20 customers who
     returned the most revenue in a quarter, with their nation — the
@@ -2042,14 +2040,11 @@ def clientes_devoluciones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
             "lineas_devueltas",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("ingreso_centavos"), "c_custkey")
-            ),
-        )
-        .where(F.col("rn") <= 20)
-        .drop("rn")
+        # top-20 via TakeOrderedAndProject, never an unpartitioned
+        # window's single-task sort of the customer-grain rows
+        # (VERDICT r11)
+        .orderBy(F.desc("ingreso_centavos"), "c_custkey")
+        .limit(20)
     )
 
 
@@ -2072,7 +2067,7 @@ FROM base
 
 
 @register("cuota_promocional", oracle=_PROMOCIONAL_ORACLE,
-          ops=("A8", "A3", "J1", "P3"), driver=False)
+          ops=("A8", "A3", "J1", "P3"), driver=True)
 def cuota_promocional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-SHAPED promotion share: the fraction of one month's
     shipped revenue that came from PROMO-typed parts — the conditional
@@ -2136,7 +2131,7 @@ GROUP BY 1
 
 
 @register("ingreso_brackets", oracle=_BRACKETS_ORACLE,
-          ops=("J1", "A8", "P5"), driver=False)
+          ops=("J1", "A8", "P5"), driver=True)
 def ingreso_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-SHAPED discounted revenue under an OR-of-conjuncts
     bracket predicate: three (brand, size range, quantity range)

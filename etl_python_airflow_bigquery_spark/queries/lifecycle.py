@@ -444,7 +444,7 @@ FROM gaps WHERE seg IS NOT NULL
 GROUP BY 1, 2"""
 
 
-@register("tiempo_entre_eventos", ops=("W1", "A1"), driver=False)
+@register("tiempo_entre_eventos", ops=("W1", "A1"), driver=True)
 def tiempo_entre_eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTER-EVENT GAP DISTRIBUTION, log2-banded in seconds and split by
     the LATER event's type — the empirical basis for the streaming
@@ -513,7 +513,7 @@ SELECT CAST({_log2_ladder("(seg + 1)")} AS INT) AS banda_log2,
 FROM conv GROUP BY 1"""
 
 
-@register("latencia_conversion", ops=("A8", "A1"))
+@register("latencia_conversion", ops=("A8", "A1"), driver=False)
 def latencia_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERSION LATENCY distribution: seconds from a user's FIRST view
     to their FIRST subsequent purchase, log2-banded — the funnel-timing

@@ -16,6 +16,7 @@ import os as _os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.functions import ranked_topk
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table, rebalance
 
@@ -644,16 +645,19 @@ def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_BM25_K1} * (1000 - {_BM25_B} + "
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
-    w_lex = Window.orderBy(F.desc("score"), "doc_id")
-    return (
+    scored = (
         tf.where(F.col("doc_id") != _HIB_Q)
         .join(F.broadcast(pesos), "token")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
-        .select("doc_id", F.row_number().over(w_lex).alias("pos_lex"))
-        .where(F.col("pos_lex") <= _BM25_TOP)
     )
+    # top-k via TakeOrderedAndProject, never a single-task full sort of
+    # the candidate set (for common query terms ≈ the corpus) — the
+    # position column ranks only the ≤k survivors (VERDICT r11).
+    return ranked_topk(
+        scored, _BM25_TOP, [F.desc("score"), F.col("doc_id")], "pos_lex"
+    ).select("doc_id", "pos_lex")
 
 
 def rrf_fuse_hibrida(lex: DataFrame, vec: DataFrame) -> DataFrame:
@@ -726,8 +730,7 @@ def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty corpus (or missing anchor): the dense side is empty anyway —
     # any nonzero norm keeps the expression well-typed
     nq = int(fila_nq["nn"]) if fila_nq is not None else 1
-    w_vec = Window.orderBy(F.desc("cos"), "doc_id")
-    vec = (
+    puntuado = (
         emb.where(F.col("vec_id") != _HIB_Q)
         .crossJoin(F.broadcast(q))
         .select(
@@ -741,9 +744,12 @@ def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos", cosine_from_ints(F.col("dot"), F.lit(nq), F.col("nn"))
         )
-        .select("doc_id", F.row_number().over(w_vec).alias("pos_vec"))
-        .where(F.col("pos_vec") <= _BM25_TOP)
     )
+    # dense leg top-k via TakeOrderedAndProject over the corpus-grain
+    # scored frame — same fix as the lexical leg (VERDICT r11)
+    vec = ranked_topk(
+        puntuado, _BM25_TOP, [F.desc("cos"), F.col("doc_id")], "pos_vec"
+    ).select("doc_id", "pos_vec")
     return rrf_fuse_hibrida(lex, vec)
 
 
@@ -5253,7 +5259,7 @@ GROUP BY 1"""
 
 
 @register("agrupacion_densidad", oracle=_DENSIDAD_H_ORACLE,
-          ops=("NN2", "DD4", "A1"), bench=True)
+          ops=("NN2", "DD4", "A1"), bench=True, driver=False)
 @register("agrupacion_densidad_jerarquica", oracle=_DENSIDAD_H_ORACLE,
           ops=("NN2", "DD4", "A1"), driver=False)
 def agrupacion_densidad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5356,7 +5362,7 @@ FROM verif"""
 
 
 @register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
-          ops=("NN2", "DD5", "A6"), bench=True, driver=False)
+          ops=("NN2", "DD5", "A6"), bench=True, driver=True)
 def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
     the hierarchical index, count the τ-verified near-dup pairs whose
@@ -5538,7 +5544,7 @@ GROUP BY m.celda, m.label_mayoria, m.n_mayoria"""
 
 
 @register("pureza_celdas", ops=("NN2", "A2", "W1"),
-          bench=True)
+          bench=True, driver=False)
 def pureza_celdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTIZER CELL PURITY against the label column — the standard
     external cluster-quality audit (majority-label fraction per cell):
@@ -5623,7 +5629,7 @@ GROUP BY 1"""
 
 
 @register("clasificador_knn", oracle=_CLASIF_KNN_ORACLE,
-          ops=("NN2", "O7", "A8"), bench=True)
+          ops=("NN2", "O7", "A8"), bench=True, driver=False)
 def clasificador_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN CLASSIFIER leave-one-out evaluation over the hierarchical
     2-probe index — the label-propagation quality readout: predict each
@@ -5717,7 +5723,7 @@ FROM (
 
 
 @register("puntuacion_maxsim", oracle=_MAXSIM_ORACLE,
-          ops=("NN1", "O7", "A1"))
+          ops=("NN1", "O7", "A1"), driver=False)
 def puntuacion_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
     Khattab & Zaharia 2020, arXiv:2004.12832): a 'document' is a BAG of

@@ -38,7 +38,7 @@ GROUP BY 1, 2
 """
 
 
-@register("streaming_hourly", oracle=_HOURLY_ORACLE, ops=("ST1", "W2"))
+@register("streaming_hourly", oracle=_HOURLY_ORACLE, ops=("ST1", "W2"), driver=False)
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour aggregates computed BY THE STREAMING ENGINE
     (readStream → withWatermark → window → availableNow drain), checked

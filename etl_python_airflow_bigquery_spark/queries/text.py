@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_airflow_bigquery_spark.dims import values_dim
+from etl_python_airflow_bigquery_spark.functions import ranked_topk
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.tables import load_table
 
@@ -724,7 +725,7 @@ FROM fuentes f LEFT JOIN recortado r USING (source)
 """
 
 
-@register("cuotas_fuentes", oracle=_CUOTAS_ORACLE, ops=("A1", "W1", "J2"))
+@register("cuotas_fuentes", oracle=_CUOTAS_ORACLE, ops=("A1", "W1", "J2"), driver=False)
 def cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOURCE TOKEN-BUDGET CAPPING — the clipping pass that EXECUTES
     what ``mezcla_entrenamiento`` plans: no single source may exceed
@@ -1585,14 +1586,12 @@ def busqueda_invertida(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("terminos") == n_terms)
     )
-    w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
-        cand.select(
-            "doc_id", "score",
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .where(F.col("pos") <= _BUSQ_TOP)
-    )
+    # TakeOrderedAndProject over the candidates (≈ the corpus for common
+    # terms) — never a single-task full sort (VERDICT r11)
+    return ranked_topk(
+        cand.select("doc_id", "score"), _BUSQ_TOP,
+        [F.desc("score"), F.col("doc_id")], "pos",
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 # --------------------------------------------------------------------------
@@ -1722,14 +1721,12 @@ def busqueda_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_mili")
         )
     )
-    w = Window.orderBy(F.desc("score_mili"), "doc_id")
-    return (
-        puntos.select(
-            "doc_id", "score_mili",
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .where(F.col("pos") <= _BM25_TOP)
-    )
+    # TakeOrderedAndProject over the scored candidates — never a
+    # single-task full sort (VERDICT r11)
+    return ranked_topk(
+        puntos.select("doc_id", "score_mili"), _BM25_TOP,
+        [F.desc("score_mili"), F.col("doc_id")], "pos",
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 # --------------------------------------------------------------------------
@@ -1870,16 +1867,14 @@ def _rankings_retrieval(spark: SparkSession, sf_dir: str):
             .alias("score_ex"),
         )
     )
-    ws = Window.orderBy(F.desc("score_mili"), "doc_id")
-    wo = Window.orderBy(F.desc("score_ex"), "doc_id")
-    sistema = (
-        puntos.select("doc_id", F.row_number().over(ws).alias("pos_sys"))
-        .where(F.col("pos_sys") <= _BM25_TOP)
-    )
-    oro = (
-        puntos.select("doc_id", F.row_number().over(wo).alias("pos_oro"))
-        .where(F.col("pos_oro") <= _BM25_TOP)
-    )
+    # each ranking is a TakeOrderedAndProject over the shared scored
+    # frame — never a single-task full sort (VERDICT r11)
+    sistema = ranked_topk(
+        puntos, _BM25_TOP, [F.desc("score_mili"), F.col("doc_id")], "pos_sys"
+    ).select("doc_id", "pos_sys")
+    oro = ranked_topk(
+        puntos, _BM25_TOP, [F.desc("score_ex"), F.col("doc_id")], "pos_oro"
+    ).select("doc_id", "pos_oro")
     return sistema, oro
 
 
@@ -2648,10 +2643,12 @@ def palabras_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     frec = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    # top-V vocab needs MEMBERSHIP, not ranks: orderBy+limit is a
+    # TakeOrderedAndProject over the (vocab-sized, Heaps-large at
+    # 100 TB) frequency table — never a single-task sort (VERDICT r11)
     vocab = (
-        frec.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _OOV_V)
+        frec.orderBy(F.col("f").desc(), F.col("tok"))
+        .limit(_OOV_V)
         .select("tok", F.lit(True).alias("en_vocab"))
     )
     cnt = (
@@ -3722,17 +3719,21 @@ def busqueda_frases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ocurrencias = bigramas.join(F.broadcast(frase), ["t1", "t2"]).groupBy(
         "doc_id"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ocurrencias"))
-    wr = Window.orderBy(F.col("n_ocurrencias").desc(), "doc_id")
+    # top docs for a common phrase can be corpus-sized — rank via
+    # TakeOrderedAndProject, not an unpartitioned window (VERDICT r11)
     return (
-        ocurrencias.crossJoin(F.broadcast(frase))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "t1", "t2").alias("frase"),
-            "n_ocurrencias",
-            F.row_number().over(wr).cast("bigint").alias("pos"),
+        ranked_topk(
+            ocurrencias.crossJoin(F.broadcast(frase)).select(
+                "doc_id",
+                F.concat_ws(" ", "t1", "t2").alias("frase"),
+                "n_ocurrencias",
+            ),
+            _FRASES_TOP,
+            [F.col("n_ocurrencias").desc(), F.col("doc_id")],
+            "pos",
         )
+        .withColumn("pos", F.col("pos").cast("bigint"))
         .orderBy("pos")
-        .limit(_FRASES_TOP)
     )
 
 
@@ -4476,7 +4477,7 @@ def _rollup_repeticion(por_doc: DataFrame) -> DataFrame:
 
 
 @register("senales_repeticion", oracle=_REPETICION_ORACLE,
-          ops=("TX2", "A8", "A3"), driver=False)
+          ops=("TX2", "A8", "A3"), driver=True)
 def senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOPHER REPETITION SIGNALS (Rae et al. 2021 Appendix A — the
     quality-rule family ``reglas_gopher`` does NOT cover): per document,

@@ -14,7 +14,7 @@ import os
 import pytest
 
 from etl_python_airflow_bigquery_spark.queries import REGISTRY
-from tools.plan_shapes import plan_shape
+from tools.plan_shapes import pinned, plan_shape
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SNAP = os.path.join(_ROOT, "PLANSHAPES.json")
@@ -28,11 +28,17 @@ def snapshot():
 
 
 @pytest.mark.parametrize(
-    "name", sorted(n for n, q in REGISTRY.items() if q.driver)
+    "name", sorted(n for n, q in REGISTRY.items() if pinned(n, q))
 )
 def test_driver_plan_shape_is_pinned(spark, sf_dir, snapshot, name):
-    if name not in snapshot:
-        pytest.skip(f"{name} not in snapshot (rotation newer than snapshot)")
+    # a pinned query missing from the snapshot is a FAILURE, not a skip:
+    # rotations must never silently drop plan pins (VERDICT r11 #7) —
+    # regenerate with `PYTHONPATH=. python tools/plan_shapes.py >
+    # PLANSHAPES.json` after any intentional surface or plan change.
+    assert name in snapshot, (
+        f"{name} is pinned (driver/bench/demoted baseline) but absent "
+        "from PLANSHAPES.json — regenerate the snapshot"
+    )
     want = snapshot[name]
     if "__error__" in want:
         pytest.skip(f"snapshot recorded an error for {name}")

@@ -693,3 +693,46 @@ def test_round9_ops_no_cartesian(spark, sf_dir, name):
     CartesianProduct anywhere in the plan."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "busqueda_hibrida",
+        "busqueda_hibrida_indexada",
+        "busqueda_bm25",
+        "busqueda_invertida",
+        "prioridad_envio",
+        "clientes_devoluciones",
+        "busqueda_frases",
+        "palabras_oov",
+    ],
+)
+def test_topk_windows_are_bounded(spark, sf_dir, name):
+    """VERDICT r11: the global top-k family must rank via
+    TakeOrderedAndProject (per-partition heap + k-row driver merge),
+    never an unpartitioned row_number window over the corpus-grain
+    input. Residual Window operators are allowed only ABOVE a
+    TakeOrdered/limit (they rank the ≤k survivors): in the printed
+    plan tree a Window's subtree prints after it, so every Window
+    occurrence must be followed by a TakeOrderedAndProject below it."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        # `Window [exprs], [partition], [order]` = partitioned (fine:
+        # per-group state is bounded); `Window [exprs], [order]` = the
+        # global form this test polices
+        if line.count("], [") >= 2:
+            continue
+        rest = "\n".join(lines[i + 1:])
+        assert (
+            "TakeOrderedAndProject" in rest
+            or "GlobalLimit" in rest
+            or "WindowGroupLimit" in rest
+        ), (
+            f"{name}: unpartitioned Window at plan line {i} has no "
+            f"bounding limit below it:\n{line}"
+        )

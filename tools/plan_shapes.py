@@ -33,6 +33,16 @@ _NODE_RE = re.compile(r"^[\s:+*\-]*([A-Za-z][A-Za-z0-9_]+)")
 # them, they are stable; nothing excluded currently.
 
 
+def pinned(name: str, q) -> bool:
+    """Which registry rows get a plan pin: the driver surface, the
+    bench-gated set, and the demoted ``*_plano``/``*_plana`` baselines —
+    so a rotation that moves a query OUT of the driver tier never
+    silently drops its plan pin (VERDICT r11 #7)."""
+    return bool(
+        q.driver or q.bench or name.endswith(("_plano", "_plana"))
+    )
+
+
 def plan_shape(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts: Counter[str] = Counter()
@@ -62,7 +72,7 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.001"
     out = {}
     for name, q in sorted(REGISTRY.items()):
-        if not q.driver:
+        if not pinned(name, q):
             continue
         try:
             out[name] = plan_shape(q.fn(spark, sf_dir))
