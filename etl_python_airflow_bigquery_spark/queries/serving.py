@@ -333,6 +333,7 @@ def deriva_recall_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
         add_to_ivf_index,
         build_ivf_index,
+        pin_index_version,
         recall_drift,
     )
     from etl_python_airflow_bigquery_spark.queries.similarity import (
@@ -343,6 +344,11 @@ def deriva_recall_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     path = _tf.mkdtemp(prefix="svc_idx_drift_")
     build_ivf_index(spark, emb, path)  # -> posting v0
+    # PIN the baseline snapshot before growing: under the auto-vacuum
+    # ingest policy (VERDICT r11 #3) a long-lived old-version read must
+    # hold a tag — tags are vacuum GC roots, so v0 provably survives
+    # however many ingest+vacuum cycles land before this monitor runs.
+    pin_index_version(path, "drift_baseline", version=0)
     clones = emb.where(F.col("vec_id") < _DRIFT_N).select(
         (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
     )
