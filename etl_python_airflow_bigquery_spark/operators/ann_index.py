@@ -372,6 +372,49 @@ def busqueda_hibrida_indexada(
     return rrf_fuse_hibrida(lex, vec)
 
 
+def busqueda_hibrida_indexada_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    qids: DataFrame,
+    nprobe: int = _NPROBE,
+    corpus=None,
+) -> DataFrame:
+    """``busqueda_hibrida_indexada`` generalized to a QUERY SET — the
+    per-batch serve the streaming hybrid job (streaming/jobs.py
+    ``run_hybrid_serve``) runs inside foreachBatch: ``qids`` (query_id)
+    are arriving more-like-this anchors, the lexical ranker is the
+    shared multi-query BM25 frame, the dense ranker probes the stored
+    IVF tables (``search_ivf_index`` is multi-query native, file-pruned
+    to the probed cells), and the fusion is the shared
+    ``rrf_fuse_hibrida_multi``. Output: (query_id, doc_id, rrf_micro,
+    pos_fusion, pos_lex, pos_vec), ≤ top-k rows per query. A query's
+    result depends only on itself and the STORED corpus/index — never
+    on batch-mates — which is what makes the streaming drain equal the
+    one-shot batch call exactly."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        hibrida_lexical_top_multi,
+        rrf_fuse_hibrida_multi,
+    )
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    lex = hibrida_lexical_top_multi(spark, sf_dir, qids, corpus=corpus)
+    emb = load_table(spark, sf_dir, "embeddings")
+    consultas = _int_vectors(
+        emb.join(
+            F.broadcast(qids), emb["vec_id"] == qids["query_id"], "left_semi"
+        )
+    ).select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    vec = search_ivf_index(
+        spark, consultas, path, nprobe=nprobe, topk=_BM25_TOP
+    ).select(
+        "query_id", F.col("cand_id").alias("doc_id"),
+        F.col("pos").alias("pos_vec"),
+    )
+    return rrf_fuse_hibrida_multi(lex, vec)
+
+
 def busqueda_maxsim_indexada(
     spark: SparkSession,
     sf_dir: str,

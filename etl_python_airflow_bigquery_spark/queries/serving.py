@@ -188,7 +188,7 @@ FROM (
 
 
 @register("busqueda_maxsim_indexada", oracle=_maxsim_indexada_oracle(),
-          ops=("NN2", "O7", "A1"))
+          ops=("NN2", "O7", "A1"), bench=True)
 def busqueda_maxsim_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-VECTOR (ColBERT MaxSim) retrieval SERVED FROM THE STORED
     INDEX at production nprobe — the registered face of
@@ -313,7 +313,7 @@ FROM s0 JOIN s1 USING (query_id)"""
 
 
 @register("deriva_recall_indexada", oracle=_drift_oracle(),
-          ops=("NN2", "O7", "A3"), driver=True)
+          ops=("NN2", "O7", "A3"), driver=True, bench=True)
 def deriva_recall_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL-DRIFT MONITORING across stored-index versions — the
     registered face of ``operators/ann_index.recall_drift``, the
@@ -425,7 +425,7 @@ vec AS (
 
 
 @register("busqueda_hibrida_indexada", oracle=_hibrida_indexada_oracle(),
-          ops=("NN2", "O7"), driver=True)
+          ops=("NN2", "O7"), driver=True, bench=True)
 def busqueda_hibrida_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID lexical+dense retrieval SERVED FROM THE STORED INDEX at
     production nprobe — the registered face of
@@ -529,7 +529,7 @@ def _int_sql_expr() -> str:
 
 
 @register("etiquetar_por_vecinos", oracle=_etiquetar_oracle(),
-          ops=("NN2", "A1", "O7"), driver=False)
+          ops=("NN2", "A1", "O7"), driver=False, bench=True)
 def etiquetar_por_vecinos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL PROPAGATION AT INGEST served from the stored index — the
     registered face of ``operators/ann_index.etiquetar_por_vecinos``

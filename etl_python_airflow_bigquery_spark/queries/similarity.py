@@ -693,6 +693,212 @@ def rrf_fuse_hibrida(lex: DataFrame, vec: DataFrame) -> DataFrame:
     )
 
 
+def hibrida_corpus_stats(spark: SparkSession, sf_dir: str):
+    """The lexical corpus statistics the hybrid ranker serves from —
+    (tf, dl, n, avgdl_mili). Factored out so a STREAMING serve computes
+    them ONCE (localCheckpoint, the static-side discipline of
+    streaming_cortes_subcadenas) instead of rescanning the corpus every
+    micro-batch; at 100 TB these are the stored inverted-index tables,
+    not a per-request recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n = docs.count()
+    avgdl_mili = int(
+        dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
+    )
+    return tf, dl, n, avgdl_mili
+
+
+def hibrida_lexical_top_multi(
+    spark: SparkSession, sf_dir: str, qids: DataFrame, corpus=None
+) -> DataFrame:
+    """The hybrid's lexical ranker GENERALIZED TO A QUERY SET —
+    (query_id, doc_id, pos_lex): per arriving query document, BM25 over
+    its distinct terms, top-{10} per query. Same constants and integer
+    algebra as ``hibrida_lexical_top`` (the single-anchor form keeps
+    its TakeOrdered plan); here the ranking window partitions by
+    query_id, so per-group state is top-k-bounded and Spark pushes a
+    WindowGroupLimit — scale-safe at any query-batch size. ``qids`` is
+    batch-sized (the arrivals), always broadcast. ``corpus``: a
+    precomputed ``hibrida_corpus_stats`` tuple — pass it when serving
+    many batches so the corpus scan happens once."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOP,
+        _floor_log2_sql,
+    )
+
+    tf, dl, n, avgdl_mili = (
+        corpus if corpus is not None else hibrida_corpus_stats(spark, sf_dir)
+    )
+    consulta = (
+        tf.join(F.broadcast(qids), tf["doc_id"] == qids["query_id"])
+        .select("query_id", "token")
+        .distinct()
+    )
+    df_t = (
+        tf.join(F.broadcast(consulta.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pesos = df_t.select(
+        "token",
+        F.expr(
+            _floor_log2_sql(f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))")
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    scored = (
+        tf.join(F.broadcast(consulta.join(pesos, "token")), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("pos_lex", F.row_number().over(w_lex))
+        .where(F.col("pos_lex") <= _BM25_TOP)
+        .select("query_id", "doc_id", "pos_lex")
+    )
+
+
+def rrf_fuse_hibrida_multi(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """``rrf_fuse_hibrida`` keyed by query: fuse (query_id, doc_id,
+    pos_lex) × (query_id, doc_id, pos_vec), ranking within each query —
+    the fusion input is ≤ 2·top-k rows PER QUERY, and the window
+    partitions by query_id, so the stage is bounded at any arrival
+    rate."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    fusion = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_HIB_SCALE} div ({_HIB_RRF_K} + pos_vec)"), F.lit(0)
+            )
+        ).alias("rrf"),
+        "pos_lex",
+        "pos_vec",
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fusion.withColumn("pos_fusion", F.row_number().over(w_f))
+        .where(F.col("pos_fusion") <= _BM25_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rrf").cast("bigint").alias("rrf_micro"),
+            F.col("pos_fusion").cast("bigint").alias("pos_fusion"),
+            F.col("pos_lex").cast("bigint").alias("pos_lex"),
+            F.col("pos_vec").cast("bigint").alias("pos_vec"),
+        )
+    )
+
+
+def _hibrida_lex_ctes_multi() -> str:
+    """``_hibrida_lex_ctes`` keyed by query_id — expects a preceding
+    ``consultas(query_id)`` CTE naming the arriving query documents;
+    ends in ``lex (query_id, doc_id, pos_lex)``. Shared by the
+    streaming hybrid serve's oracle so the multi-query BM25 algebra has
+    exactly one SQL definition."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOP,
+        _floor_log2_sql,
+    )
+
+    return f"""tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT sum(dl) * 1000 // count(*) FROM dl) AS avgdl_mili
+),
+consulta AS (
+    SELECT DISTINCT c.query_id, t.token
+    FROM tf t JOIN consultas c ON c.query_id = t.doc_id
+),
+df AS (
+    SELECT t.token, count(*) AS df FROM tf t
+    WHERE t.token IN (SELECT DISTINCT token FROM consulta) GROUP BY 1
+),
+pesos AS (
+    SELECT d.token,
+           {_floor_log2_sql("greatest(1, (s.n * 1000) // (d.df * 1000 + 500))")}
+               AS idf_q
+    FROM df d, stats s
+),
+lex AS (
+    SELECT query_id, doc_id, pos_lex FROM (
+        SELECT c.query_id, t.doc_id,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY sum(
+                       ((t.tf * {_BM25_K1 + 1000} * 1000)
+                        // (t.tf * 1000
+                            + ({_BM25_K1} * (1000 - {_BM25_B}
+                               + (({_BM25_B} * d.dl * 1000)
+                                  // s.avgdl_mili))) // 1000))
+                       * w.idf_q
+                   ) DESC, t.doc_id) AS pos_lex
+        FROM consulta c
+        JOIN tf t ON t.token = c.token AND t.doc_id != c.query_id
+        JOIN pesos w ON w.token = c.token
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY c.query_id, t.doc_id
+    ) WHERE pos_lex <= {_BM25_TOP}
+)"""
+
+
+def _hibrida_fusion_sql_multi() -> str:
+    """``_hibrida_fusion_sql`` keyed by query_id — the SQL mirror of
+    ``rrf_fuse_hibrida_multi`` over ``lex``/``vec`` CTEs that carry
+    (query_id, doc_id, pos_*)."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    return f"""fusion AS (
+    SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+           COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + l.pos_lex), 0)
+           + COALESCE({_HIB_SCALE} // ({_HIB_RRF_K} + v.pos_vec), 0) AS rrf,
+           l.pos_lex, v.pos_vec
+    FROM lex l FULL OUTER JOIN vec v
+        ON v.doc_id = l.doc_id AND v.query_id = l.query_id
+)
+SELECT query_id, doc_id, rrf_micro, pos_fusion, pos_lex, pos_vec FROM (
+    SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS pos_fusion,
+           CAST(pos_lex AS BIGINT) AS pos_lex,
+           CAST(pos_vec AS BIGINT) AS pos_vec
+    FROM fusion
+) WHERE pos_fusion <= {_BM25_TOP}"""
+
+
 @register("busqueda_hibrida", oracle=_hibrida_oracle(),
           ops=("NN1", "O7", "J11"), bench=True)
 def busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -857,3 +857,144 @@ def streaming_senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
         senales, f"repeticion_{uuid.uuid4().hex[:8]}"
     )
     return _rollup_repeticion(tabla)
+
+
+# --------------------------------------------------------------------------
+# Streaming HYBRID SERVE — per-batch RRF against the stored ANN index
+# --------------------------------------------------------------------------
+
+_HIB_STREAM_QUERIES = 3  # deterministic arrival set: ~3 anchors at any sf
+
+
+def _hibrida_stream_oracle() -> str:
+    """Build+serve replay for the STREAMING hybrid: the deterministic
+    arrival set (doc_id % (n_docs // {q}) == 0), the shared multi-query
+    BM25 lexical chain, a dense side probing the replayed index build's
+    nearest cells PER QUERY (search_ivf_index's algebra, partitioned by
+    query), and the shared multi-query RRF fusion tail. One SQL
+    definition with the batch serving oracle's pieces — the algebra
+    cannot drift between the batch and streaming faces."""
+    from etl_python_airflow_bigquery_spark.queries.serving import (
+        _INT_DOT_SQL,
+        _IT,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        DIM,
+        _D2_SQL,
+        _NPROBE,
+        _hibrida_fusion_sql_multi,
+        _hibrida_lex_ctes_multi,
+        _kmeans_ctes,
+    )
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
+
+    dot = lambda a, b: _INT_DOT_SQL.format(dim=DIM, a=a, b=b)  # noqa: E731
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(_IT))
+        + f""",
+qmodq AS (
+    SELECT greatest(1, count(*) // {_HIB_STREAM_QUERIES}) AS m
+    FROM documents
+),
+consultas AS (
+    SELECT doc_id AS query_id FROM documents, qmodq WHERE doc_id % m = 0
+),
+"""
+        + _hibrida_lex_ctes_multi()
+        + f""",
+q_int AS (
+    SELECT c.query_id, e.ev AS qv
+    FROM consultas c JOIN enteros e ON e.vec_id = c.query_id
+),
+qd AS (
+    SELECT q.query_id, c.seed_id,
+           {_D2_SQL.format(a="q.qv", b="c.sv")} AS d2
+    FROM q_int q CROSS JOIN cent{_IT} c
+),
+probed AS (
+    SELECT query_id, seed_id AS celda FROM (
+        SELECT query_id, seed_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2, seed_id) AS rn
+        FROM qd) WHERE rn <= {_NPROBE}
+),
+nvec AS (SELECT vec_id, {dot("ev", "ev")} AS nn FROM enteros),
+vec AS (
+    SELECT query_id, vec_id AS doc_id, pos_vec FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY CAST({dot("q.qv", "e.ev")} AS DOUBLE)
+                            / sqrt(CAST(nq.nn AS DOUBLE)
+                                   * CAST(nc.nn AS DOUBLE)) DESC,
+                            a.vec_id) AS pos_vec
+        FROM asig{_IT + 1} a
+        JOIN probed p ON p.celda = a.celda
+        JOIN q_int q ON q.query_id = p.query_id
+        JOIN enteros e ON e.vec_id = a.vec_id
+        JOIN nvec nq ON nq.vec_id = p.query_id
+        JOIN nvec nc ON nc.vec_id = a.vec_id
+        WHERE a.vec_id != p.query_id
+    ) WHERE pos_vec <= {_BM25_TOP}
+),
+"""
+        + _hibrida_fusion_sql_multi()
+    )
+
+
+@register("streaming_busqueda_hibrida", oracle=_hibrida_stream_oracle(),
+          ops=("ST1", "NN2", "O7"), driver=False, bench=True)
+def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL SERVED IN-STREAM from the stored ANN index —
+    ``busqueda_hibrida_indexada``'s streaming face (ROADMAP r11 (d)),
+    completing the stored-index streaming quartet: more-like-this query
+    anchors (a deterministic doc_id % (n//{3}) == 0 set, one arrival
+    file EACH so every anchor lands in its own micro-batch) stream
+    through ``run_hybrid_serve``, where each batch RRF-fuses the shared
+    multi-query BM25 lexical ranking with a dense probe of the PERSISTED
+    IVF tables and appends the fused top-k atomically to a txlog sink
+    (txn-fenced: a crash-replayed batch is a no-op). The drained table
+    is compared against the full build+serve SQL replay — per-query
+    independence makes batch/stream equivalence exact, and the
+    batch-twin identity is separately test-pinned."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.queries.serving import _served_index
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_hybrid_serve,
+        table_dir_for,
+    )
+
+    docs = spark.read.parquet(table_dir_for(sf_dir, "documents"))
+    n = docs.count()
+    qmod = max(1, n // _HIB_STREAM_QUERIES)
+    qids = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % qmod == 0)
+        .select("doc_id").collect()
+    )
+    _schema = (
+        "query_id BIGINT, doc_id BIGINT, rrf_micro BIGINT, "
+        "pos_fusion BIGINT, pos_lex BIGINT, pos_vec BIGINT"
+    )
+    if not qids:  # empty corpus: nothing arrives, nothing to index
+        return spark.createDataFrame([], _schema)
+    index_path = _served_index(spark, sf_dir, "full")
+
+    raiz = _tempfile.mkdtemp(prefix="hib_stream_")
+    src = _os.path.join(raiz, "llegadas")
+    _os.makedirs(src)
+    for i, q in enumerate(qids):  # one file per anchor = one batch each
+        spark.createDataFrame(
+            [(q,)], "query_id BIGINT"
+        ).coalesce(1).write.parquet(f"{src}/q{i:03d}.parquet")
+
+    sink_path = _os.path.join(raiz, "servido")
+    run_hybrid_serve(
+        spark, src, sf_dir, index_path, sink_path,
+        _os.path.join(raiz, "ck"),
+    )
+    return TxTable(sink_path).read(spark)

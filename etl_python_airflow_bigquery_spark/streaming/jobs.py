@@ -546,6 +546,85 @@ def run_ann_ingest(
     q.awaitTermination()
 
 
+def run_hybrid_serve(
+    spark: SparkSession,
+    src_dir: str,
+    sf_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    nprobe: int | None = None,
+) -> None:
+    """STREAMING HYBRID SERVE — ``busqueda_hibrida_indexada``'s
+    production face, completing the stored-index streaming quartet
+    (index growth, semantic-dedup gate, weak labels, HYBRID RETRIEVAL):
+    more-like-this query anchors arrive as landed files (rows carrying
+    ``query_id``), and each micro-batch RRF-fuses the shared multi-query
+    BM25 lexical ranking with a dense probe of the STORED IVF tables —
+    never a corpus rescan, never a refit — then appends the fused
+    top-k rows (query_id, doc_id, rrf_micro, pos_fusion, pos_lex,
+    pos_vec) to a txlog table as ONE atomic manifest flip, fenced with
+    txnAppId/txnVersion so a crash-replayed batch is a no-op (the
+    run_label_ingest contract).
+
+    Per-query independence makes batch/stream equivalence EXACT: a
+    query's fused ranking depends only on the query and the stored
+    corpus/index, never on batch-mates, so the drained table equals the
+    one-shot ``busqueda_hibrida_indexada_multi`` call row for row
+    (test-pinned)."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _NPROBE as _np_default,
+    )
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_hibrida_indexada_multi,
+    )
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        hibrida_corpus_stats,
+    )
+
+    np_ = _np_default if nprobe is None else nprobe
+    sink = TxTable(out_path)
+    app_id = f"hybrid_serve:{os.path.abspath(src_dir)}"
+    # corpus stats compute ONCE for the whole stream (the static-side
+    # localCheckpoint discipline) — a per-batch recompute would rescan
+    # the corpus on every arrival batch
+    tf, dl, n, avgdl_mili = hibrida_corpus_stats(spark, sf_dir)
+    corpus = (
+        tf.localCheckpoint(eager=True),
+        dl.localCheckpoint(eager=True),
+        n,
+        avgdl_mili,
+    )
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qids = batch_df.select("query_id").distinct()
+        out = busqueda_hibrida_indexada_multi(
+            spark, sf_dir, index_path, qids, nprobe=np_, corpus=corpus
+        )
+        sink.append(out, txn=(app_id, batch_id))
+
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_semdedup_ingest(
     spark: SparkSession,
     src_dir: str,

@@ -929,3 +929,72 @@ def test_auto_vacuum_soak_bounded_files_and_pinned_reader(
     import pytest as _pytest
     with _pytest.raises((FileNotFoundError, ValueError)):
         vec_tx.read(spark, version=pinned_v).collect()
+
+
+def test_streaming_hybrid_serve_matches_batch(spark, sf_dir, tmp_path):
+    """run_hybrid_serve (ROADMAP r11 (d)): query anchors served
+    in-stream equal the one-shot batch busqueda_hibrida_indexada_multi
+    row for row (a query's fused ranking depends only on the query and
+    the STORED corpus/index, never on batch-mates), the served table
+    lands one manifest flip per batch, and replaying the drained stream
+    is a no-op (txn fence + checkpoint). The single-anchor batch serve
+    is also the multi form's degenerate case (one algebra, two faces)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_hibrida_indexada,
+        busqueda_hibrida_indexada_multi,
+    )
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_hybrid_serve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+
+    qids_l = [0, 7, 19]
+    qids = spark.createDataFrame([(q,) for q in qids_l], "query_id BIGINT")
+    want = sorted(
+        map(tuple, busqueda_hibrida_indexada_multi(
+            spark, sf_dir, path, qids
+        ).collect())
+    )
+    assert want
+
+    # the single-anchor serve is the degenerate case of the multi form
+    uno = spark.createDataFrame([(0,)], "query_id BIGINT")
+    multi0 = sorted(
+        (r["doc_id"], r["pos_fusion"], r["pos_lex"], r["pos_vec"])
+        for r in busqueda_hibrida_indexada_multi(
+            spark, sf_dir, path, uno
+        ).collect()
+    )
+    solo = sorted(
+        (r["doc_id"], r["pos_fusion"], r["pos_lex"], r["pos_vec"])
+        for r in busqueda_hibrida_indexada(spark, sf_dir, path).collect()
+    )
+    assert multi0 == solo
+
+    # stream the anchors in two files -> two micro-batches
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    spark.createDataFrame([(0,), (7,)], "query_id BIGINT").coalesce(
+        1
+    ).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame([(19,)], "query_id BIGINT").coalesce(
+        1
+    ).write.parquet(src + "/f2.parquet")
+    out = str(tmp_path / "servido")
+    run_hybrid_serve(spark, src, sf_dir, path, out, str(tmp_path / "ck"))
+
+    tx = TxTable(out)
+    assert tx.version() == 1  # two batches, one flip each
+    got = sorted(map(tuple, tx.read(spark).collect()))
+    assert got == want  # batch/stream equivalence, exact
+
+    # replay: drained stream + fence -> nothing moves
+    run_hybrid_serve(spark, src, sf_dir, path, out, str(tmp_path / "ck"))
+    assert tx.version() == 1
+    assert sorted(map(tuple, tx.read(spark).collect())) == want

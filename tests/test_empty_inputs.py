@@ -37,6 +37,7 @@ SMOKE = [
     "zorden_poda",
     "tendencia_ewma",
     "busqueda_invertida",
+    "streaming_busqueda_hibrida",
     "cadena_markov",
     # round-5 operator families
     "superposicion_programas",
