@@ -736,3 +736,15 @@ def test_topk_windows_are_bounded(spark, sf_dir, name):
             f"{name}: unpartitioned Window at plan line {i} has no "
             f"bounding limit below it:\n{line}"
         )
+
+
+def test_rfm_aproximada_has_no_global_sort(spark, sf_dir):
+    """VERDICT r11 #6: the approx-RFM scale path must bucket by
+    broadcast quantile boundaries — no ntile, no unpartitioned Window,
+    no global Sort of the customer rows anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "rfm_segmentacion_aproximada")
+    # Window-absence covers ntile too (ntile only exists over a window);
+    # a bare substring check would false-positive on perce_NTILE(_disc
+    assert "Window" not in plan
+    # percentile aggregates are fine; a SortExec over base rows is not
+    assert "Sort [" not in plan.replace("SortAggregate", "XAggregate"), plan
