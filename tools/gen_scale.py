@@ -3,8 +3,14 @@ sf1-equivalent) for scale-point measurements: the same deterministic
 consistently-shifted-keys replication as tools/scale_probe.py, written to
 a named directory instead of a throwaway tmp dir.
 
-Usage: PYTHONPATH=. python tools/gen_scale.py [K] [out_dir]
+Usage: PYTHONPATH=. python tools/gen_scale.py [K] [out_dir] [--extended]
 Defaults: K=10, out_dir=/root/repo/.scale/sf1
+
+``--extended`` (VERDICT r11 #8): the TIME-EXTENDED replica — copy i's
+events shift by i × the source calendar span, so the calendar grows
+with the volume and per-day density stays ~constant. This is the
+linear regime interval joins target; the default +i-days replica
+densifies a fixed calendar (the quadratic stress mode).
 """
 
 from __future__ import annotations
@@ -19,12 +25,17 @@ def main() -> int:
     from etl_python_airflow_bigquery_spark.session import get_spark
     from tools.scale_probe import replicate
 
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    args = [a for a in sys.argv[1:] if a != "--extended"]
+    extended = "--extended" in sys.argv[1:]
+    k = int(args[0]) if len(args) > 0 else 10
+    out = args[1] if len(args) > 1 else (
+        "/root/repo/.scale/sf1ext" if extended else "/root/repo/.scale/sf1"
+    )
     spark = get_spark("gen-scale")
     os.makedirs(out, exist_ok=True)
-    replicate(spark, "/root/testdata/sf0.1", out, k)
-    print(f"wrote x{k} replica of sf0.1 to {out}")
+    replicate(spark, "/root/testdata/sf0.1", out, k, time_extended=extended)
+    print(f"wrote x{k}{' time-extended' if extended else ''} replica of "
+          f"sf0.1 to {out}")
     return 0
 
 

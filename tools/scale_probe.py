@@ -17,25 +17,48 @@ import time
 from pyspark.sql import functions as F
 
 
-def replicate(spark, src_dir: str, out_dir: str, k: int) -> None:
+def replicate(
+    spark, src_dir: str, out_dir: str, k: int, time_extended: bool = False
+) -> None:
     """events: K copies with shifted event/user ids and a +k-days time
     shift (keeps per-day densities realistic). documents/embeddings: K
     copies with shifted ids (distinct texts stay distinct). Dim tables
-    copy as-is."""
+    copy as-is.
+
+    ``time_extended`` (VERDICT r11 #8): shift copy i by i × the SOURCE
+    CALENDAR SPAN instead of +i days, so the calendar grows with the
+    volume and per-day density stays ~constant — the linear regime the
+    interval-join plans actually target. The default +i-days replica
+    DENSIFIES the calendar (k× sessions over the same days), which
+    drives interval-pair counts toward k² — the audited quadratic
+    artifact of the r5 sf1 rows, useful as a stress mode but not as the
+    scaling read."""
     from pyspark.sql.types import LongType
 
+    from etl_python_airflow_bigquery_spark.functions import event_day_num
     from etl_python_airflow_bigquery_spark.tables import TABLES, load_table
+
+    day_shift = 1
+    if time_extended:
+        ev = load_table(spark, src_dir, "events")
+        d = event_day_num(ev).cast("bigint")
+        lo, hi = ev.agg(F.min(d), F.max(d)).first()
+        day_shift = int(hi - lo) + 1
 
     for t in TABLES:
         df = load_table(spark, src_dir, t)
         if t == "events":
-            # shift copy i by +i days, respecting the drop's physical
+            # shift copy i by +i*day_shift days, respecting the physical
             # encoding (raw-nanos BIGINT vs timestamp) — the engine-wide
             # rule that ts's type is never assumed applies here too
             if isinstance(df.schema["ts"].dataType, LongType):
-                shifted = lambda i: F.col("ts") + F.lit(i * 86_400_000_000_000)  # noqa: E731
+                shifted = lambda i: F.col("ts") + F.lit(  # noqa: E731
+                    i * day_shift * 86_400_000_000_000
+                )
             else:
-                shifted = lambda i: F.timestamp_add("DAY", F.lit(i), F.col("ts"))  # noqa: E731
+                shifted = lambda i: F.timestamp_add(  # noqa: E731
+                    "DAY", F.lit(i * day_shift), F.col("ts")
+                )
             parts = [
                 df.select(
                     (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
