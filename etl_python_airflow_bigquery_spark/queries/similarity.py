@@ -608,7 +608,9 @@ def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     query document's distinct terms, top-{10} as (doc_id, pos_lex).
     Consumed by busqueda_hibrida (brute dense side) and by
     operators/ann_index.busqueda_hibrida_indexada (stored-IVF dense
-    side) — one lexical definition, two serving paths."""
+    side) — one lexical definition, two serving paths. Corpus stats
+    come from the shared ``hibrida_corpus_stats`` (one tf/dl/n/avgdl
+    definition with the multi-query and streaming forms)."""
     from etl_python_airflow_bigquery_spark.queries.text import (
         _BM25_B,
         _BM25_K1,
@@ -616,18 +618,7 @@ def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         _floor_log2_sql,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    n = docs.count()
-    avgdl_mili = int(
-        dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
-    )
+    tf, dl, n, avgdl_mili = hibrida_corpus_stats(spark, sf_dir)
     consulta = (
         tf.where(F.col("doc_id") == _HIB_Q).select("token").distinct()
     )
