@@ -1,0 +1,238 @@
+"""Persistent LEXICAL index: the inverted-postings twin of the ANN
+index (operators/ann_index.py) — BM25 serving without a corpus rescan.
+
+Every registered BM25 query (busqueda_bm25 / busqueda_invertida / the
+hybrid's lexical leg) rebuilds tf/dl from the documents table inline so
+the DuckDB oracle can replay the whole computation. Production does
+not: an inverted index is built offline, STORED, and served per query —
+the scan cost of a search is the QUERY TERMS' posting lists, not the
+corpus. This module is that lifecycle over the engine's own txlog
+tables:
+
+* ``build_lex_index`` — one token explode → ``postings`` (token,
+  doc_id, tf; range-clustered on token so per-file token min/max stats
+  stay tight) + ``longitudes`` (doc_id, dl) + index metadata
+  (n docs, avgdl in milli-units).
+* ``add_to_lex_index`` — incremental growth: new documents' postings
+  and lengths append as one manifest flip each; n/avgdl maintained in
+  the metadata read-modify-write with the ann_index version-stamp
+  self-heal discipline.
+* ``search_bm25_lex_index`` — the serve: reads ONLY the query terms'
+  posting files (``TxTable.read_in`` stats pruning on token), derives
+  idf from those postings, scores with the engine's integer BM25
+  (exactly busqueda_bm25's milli algebra — the index is EXACT, not
+  approximate: served output equals the brute query row for row), and
+  returns top-k via TakeOrderedAndProject.
+
+At 100 TB: postings are token-clustered so a 3-term query touches the
+files covering 3 token ranges; ``longitudes`` joins doc-keyed on the
+candidate set; the only corpus-scale work happened once, at build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.functions import ranked_topk
+from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+
+# Target file count for the token-range clustering of the postings
+# table: enough ranges that a few-term query prunes most files, few
+# enough that per-file overhead stays negligible.
+_LEX_FILES = 16
+
+
+def _tables(path: str) -> tuple[TxTable, TxTable]:
+    return (
+        TxTable(f"{path}/postings", stats_cols=["token"]),
+        TxTable(f"{path}/longitudes"),
+    )
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "lex_meta.json")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, f"_tmp_meta_{_uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _meta_path(path))
+
+
+def read_lex_meta(path: str) -> dict:
+    """{'n': doc count, 'dl_total': Σ doc lengths, 'avgdl_mili':
+    (dl_total*1000) div n, 'version': postings version the counts were
+    computed at}. Serve paths read corpus constants from HERE, never by
+    recounting the source (the ann_index read_index_meta contract)."""
+    with open(_meta_path(path)) as fh:
+        return json.load(fh)
+
+
+def lex_meta_current(spark: SparkSession, path: str) -> dict:
+    """``read_lex_meta`` with the version-stamp self-heal (ADVICE r10
+    discipline): on version mismatch, n/dl_total recount from the
+    CURRENT longitudes snapshot and the cache heals."""
+    post_tx, dl_tx = _tables(path)
+    v = post_tx.version()
+    meta = read_lex_meta(path)
+    if meta.get("version") == v:
+        return meta
+    fila = dl_tx.read(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    meta["n"] = int(fila["n"])
+    meta["dl_total"] = int(fila["t"] or 0)
+    meta["avgdl_mili"] = (
+        (meta["dl_total"] * 1000) // meta["n"] if meta["n"] else 1
+    ) or 1
+    meta["version"] = v
+    _write_meta(path, meta)
+    return meta
+
+
+def _postings_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, longitudes) from a documents frame — the one token
+    explode; identical algebra to the inline BM25 queries
+    (queries/text.py busqueda_bm25, similarity.hibrida_corpus_stats)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    return tf.select("token", "doc_id", "tf"), dl
+
+
+def build_lex_index(spark: SparkSession, docs: DataFrame, path: str) -> dict:
+    """Tokenize + invert + persist. Returns {'n', 'avgdl_mili',
+    'version'}."""
+    postings, dl = _postings_frame(docs)
+    post_tx, dl_tx = _tables(path)
+    v = post_tx.overwrite(
+        postings.repartitionByRange(_LEX_FILES, "token", "doc_id")
+    )
+    dl_tx.overwrite(dl)
+    fila = dl_tx.read(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    n = int(fila["n"])
+    dl_total = int(fila["t"] or 0)
+    meta = {
+        "n": n,
+        "dl_total": dl_total,
+        "avgdl_mili": ((dl_total * 1000) // n if n else 1) or 1,
+        "version": v,
+    }
+    _write_meta(path, meta)
+    return {"n": n, "avgdl_mili": meta["avgdl_mili"], "version": v}
+
+
+def add_to_lex_index(spark: SparkSession, docs_new: DataFrame, path: str) -> int:
+    """Incremental growth: the new documents' postings and lengths
+    append — one manifest flip per table, no corpus retokenize. The
+    postings table compacts (token-range-clustered) past the shared
+    ann_index file gate so stats pruning survives streamed ingest;
+    corpus constants maintain via the version-stamped metadata RMW
+    (crash / lost-increment healed by ``lex_meta_current``)."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _COMPACT_FILE_GATE,
+    )
+
+    postings, dl = _postings_frame(docs_new)
+    post_tx, dl_tx = _tables(path)
+    fila = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    v = post_tx.append(postings)
+    dl_tx.append(dl)
+    if len(post_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
+        v = post_tx.optimize_compact(
+            spark, n_files=_LEX_FILES, cluster_col="token"
+        )
+    try:
+        meta = read_lex_meta(path)
+        meta["n"] = meta.get("n", 0) + int(fila["n"])
+        meta["dl_total"] = meta.get("dl_total", 0) + int(fila["t"] or 0)
+        meta["avgdl_mili"] = (
+            (meta["dl_total"] * 1000) // meta["n"] if meta["n"] else 1
+        ) or 1
+        meta["version"] = v
+        _write_meta(path, meta)
+    except FileNotFoundError:
+        pass  # pre-meta index — serve heals via lex_meta_current
+    return v
+
+
+def search_bm25_lex_index(
+    spark: SparkSession,
+    terms: list[str],
+    path: str,
+    topk: int = 10,
+    version: int | None = None,
+) -> DataFrame:
+    """BM25 top-k SERVED FROM THE STORED POSTINGS: reads only the files
+    whose token stats admit a query term (``read_in`` — on the
+    token-range-clustered table that is ~|terms|/|ranges| of the
+    files), derives per-term df from those postings, scores candidates
+    with the engine's integer BM25 (same k1/b/log2-idf ladder as
+    busqueda_bm25 — the served ranking equals the brute query row for
+    row, test-pinned), and ranks via TakeOrderedAndProject. ``version``
+    pins the postings snapshot (time-travel serving)."""
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _floor_log2_sql,
+    )
+
+    post_tx, dl_tx = _tables(path)
+    if version is None:
+        meta = lex_meta_current(spark, path)
+        n, avgdl_mili = meta["n"], meta["avgdl_mili"]
+        longitudes = dl_tx.read(spark)
+    else:
+        # a pinned serve pins the WHOLE snapshot: postings, lengths,
+        # and the corpus constants (n/avgdl recomputed from the pinned
+        # longitudes — idf and length normalization must not leak
+        # post-pin growth into a time-travel read)
+        longitudes = dl_tx.read(spark, version=version)
+        fila = longitudes.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).first()
+        n = int(fila["n"])
+        avgdl_mili = ((int(fila["t"] or 0) * 1000) // n if n else 1) or 1
+    postings = post_tx.read_in(spark, "token", terms, version=version)
+    df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pesos = df_t.select(
+        "token",
+        F.expr(
+            _floor_log2_sql(
+                f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))"
+            )
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    scored = (
+        postings.join(F.broadcast(pesos), "token")
+        .join(longitudes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"({tf_comp}) * idf_q")).cast("bigint")
+            .alias("score_mili")
+        )
+    )
+    return ranked_topk(
+        scored, topk, [F.desc("score_mili"), F.col("doc_id")], "pos"
+    ).withColumn("pos", F.col("pos").cast("bigint"))

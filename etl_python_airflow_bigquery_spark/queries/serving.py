@@ -557,3 +557,99 @@ def etiquetar_por_vecinos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etiquetar_por_vecinos(
         spark, arrivals, path, labels, k=_ETIQ_K
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 served from the stored LEXICAL (inverted-postings) index
+# ---------------------------------------------------------------------------
+
+_LEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _served_lex_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached persistent lexical index over the dataset's
+    documents — the _served_index discipline (content-fingerprinted,
+    cleared by clear_session_caches so timed serves pay their build)."""
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        build_lex_index,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    key = (_os.path.abspath(sf_dir), _path_signature(sf_dir))
+    hit = _LEX_CACHE.get(key)
+    if hit is not None and _os.path.isdir(hit):
+        return hit
+    path = _tempfile.mkdtemp(prefix="svc_lex_")
+    build_lex_index(spark, load_table(spark, sf_dir, "documents"), path)
+    while len(_LEX_CACHE) >= _INDEX_CACHE_MAX:
+        _shutil.rmtree(
+            _LEX_CACHE.pop(next(iter(_LEX_CACHE))), ignore_errors=True
+        )
+    _LEX_CACHE[key] = path
+    return path
+
+
+_clear_vec_caches = clear_session_caches
+
+
+def clear_session_caches() -> None:  # noqa: F811 — deliberate extension
+    """Vector index cache + lexical index cache, one clear."""
+    _clear_vec_caches()
+    while _LEX_CACHE:
+        _shutil.rmtree(
+            _LEX_CACHE.pop(next(iter(_LEX_CACHE))), ignore_errors=True
+        )
+
+
+def _bm25_indexada_oracle() -> str:
+    """The brute BM25 oracle verbatim: the lexical index is EXACT (no
+    probe approximation — the posting lists are the corpus inverted),
+    so the served ranking must equal busqueda_bm25's row for row."""
+    from etl_python_airflow_bigquery_spark.queries.text import _BM25_ORACLE
+
+    return _BM25_ORACLE
+
+
+@register("busqueda_bm25_indexada", oracle=_bm25_indexada_oracle(),
+          ops=("TX1", "O7", "A3"), driver=False)
+def busqueda_bm25_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL SERVED FROM THE STORED INVERTED INDEX
+    (operators/lex_index.py) — the lexical twin of the ANN serving
+    rows, and the production shape busqueda_bm25's inline tf/dl
+    rebuild stands in for: the postings persist once (token-range-
+    clustered txlog table), and a search reads ONLY the query terms'
+    posting files (read_in stats pruning, pinned by module test).
+    Query-term derivation (most selective tokens above the 5% df
+    floor) and the integer k1/b/log2-idf scoring are the brute query's
+    exact algebra over the stored postings, so the output is
+    row-identical to busqueda_bm25 and the oracle is the SAME SQL —
+    the exactness of the index IS the correctness claim."""
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        _tables as _lex_tables,
+    )
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        lex_meta_current,
+        search_bm25_lex_index,
+    )
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_TERMS,
+        _BM25_TOP,
+    )
+
+    path = _served_lex_index(spark, sf_dir)
+    post_tx, _ = _lex_tables(path)
+    n = lex_meta_current(spark, path)["n"]
+    # term derivation = busqueda_bm25's (selective above the 5% floor),
+    # computed from the stored postings — serve setup, not per-request
+    # work (a production deployment derives/caches its query terms)
+    df_t = post_tx.read(spark).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    terms = [
+        r["token"]
+        for r in df_t.where(F.col("df") * 20 >= n)
+        .orderBy("df", "token")
+        .limit(_BM25_TERMS)
+        .collect()
+    ]
+    return search_bm25_lex_index(spark, terms, path, topk=_BM25_TOP)

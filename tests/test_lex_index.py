@@ -1,0 +1,130 @@
+"""Persistent lexical (inverted-postings) index lifecycle
+(operators/lex_index.py): build once, serve from the stored tables
+only, append without retokenizing the corpus, stats-pruned posting
+reads — the BM25 twin of test_ann_index.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.lex_index import (
+    _tables,
+    add_to_lex_index,
+    build_lex_index,
+    lex_meta_current,
+    read_lex_meta,
+    search_bm25_lex_index,
+)
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+
+def _terms_for(spark, path, k=3):
+    post_tx, _ = _tables(path)
+    n = read_lex_meta(path)["n"]
+    df_t = post_tx.read(spark).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return [
+        r["token"]
+        for r in df_t.where(F.col("df") * 20 >= n)
+        .orderBy("df", "token").limit(k).collect()
+    ]
+
+
+def test_build_and_serve_equals_brute_bm25(spark, sf_dir, tmp_path):
+    """The index is EXACT: serving the brute query's own terms from the
+    stored postings reproduces busqueda_bm25 row for row."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    stats = build_lex_index(spark, docs, path)
+    assert stats["n"] == docs.count() and stats["version"] == 0
+
+    got = sorted(
+        map(tuple, search_bm25_lex_index(
+            spark, _terms_for(spark, path), path
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, REGISTRY["busqueda_bm25"].fn(spark, sf_dir).collect())
+    )
+    assert got == want
+
+
+def test_serve_reads_only_query_term_files(spark, sf_dir, tmp_path):
+    """The posting read must be stats-PRUNED to the query terms' token
+    ranges — fewer input files than the manifest holds (the read_in
+    contract on the token-range-clustered layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs, path)
+    post_tx, _ = _tables(path)
+    total = len(post_tx._manifest(post_tx.version())["files"])
+    assert total > 1  # range clustering produced a multi-file layout
+    pruned = post_tx.read_in(spark, "token", _terms_for(spark, path))
+    assert 0 < len(pruned.inputFiles()) < total
+
+
+def test_append_equals_rebuild_and_meta_heals(spark, sf_dir, tmp_path):
+    """Incremental growth: building on half the corpus then appending
+    the other half serves exactly like a from-scratch build (the
+    posting algebra is per-document); metadata maintains n/avgdl and
+    self-heals from a stale version stamp."""
+    docs = load_table(spark, sf_dir, "documents")
+    mitad_a = docs.where(F.col("doc_id") % 2 == 0)
+    mitad_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    build_lex_index(spark, mitad_a, inc)
+    add_to_lex_index(spark, mitad_b, inc)
+    full = str(tmp_path / "full")
+    build_lex_index(spark, docs, full)
+
+    assert read_lex_meta(inc)["n"] == read_lex_meta(full)["n"]
+    assert read_lex_meta(inc)["avgdl_mili"] == read_lex_meta(full)["avgdl_mili"]
+    terms = _terms_for(spark, full)
+    a = sorted(map(tuple, search_bm25_lex_index(spark, terms, inc).collect()))
+    b = sorted(map(tuple, search_bm25_lex_index(spark, terms, full).collect()))
+    assert a == b
+
+    # stale meta (simulated lost RMW) heals by snapshot recount
+    import json
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        _meta_path,
+        _write_meta,
+    )
+
+    meta = json.load(open(_meta_path(inc)))
+    meta["n"], meta["version"] = 1, -99
+    _write_meta(inc, meta)
+    healed = lex_meta_current(spark, inc)
+    assert healed["n"] == read_lex_meta(full)["n"]
+
+
+def test_version_pinned_lexical_serve(spark, sf_dir, tmp_path):
+    """Time-travel serving: a search pinned to the pre-append postings
+    version must not see the appended documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs, path)
+    terms = _terms_for(spark, path)
+    antes = sorted(
+        map(tuple, search_bm25_lex_index(spark, terms, path).collect())
+    )
+    # append CLONES of the top doc under new ids — current serve shifts,
+    # pinned serve must not
+    clones = docs.limit(5).select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    add_to_lex_index(spark, clones, path)
+    pinned = sorted(
+        map(tuple,
+            search_bm25_lex_index(spark, terms, path, version=0).collect())
+    )
+    assert pinned == antes
+    ahora = search_bm25_lex_index(spark, terms, path).where(
+        F.col("doc_id") >= 9_000_000
+    )
+    assert ahora.count() >= 0  # current snapshot readable with the adds
