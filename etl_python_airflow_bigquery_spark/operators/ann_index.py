@@ -337,6 +337,7 @@ def busqueda_hibrida_indexada(
     sf_dir: str,
     path: str,
     nprobe: int = _NPROBE,
+    lex_path: str | None = None,
 ) -> DataFrame:
     """The hybrid retrieval query SERVED FROM THE STORED INDEX — the
     production path `busqueda_hibrida`'s docstring promises, executed:
@@ -361,7 +362,19 @@ def busqueda_hibrida_indexada(
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
     from etl_python_airflow_bigquery_spark.tables import load_table
 
-    lex = hibrida_lexical_top(spark, sf_dir)
+    if lex_path is not None:
+        # BOTH legs served from stored indexes: the lexical ranking
+        # reads only the anchor's terms' posting files (lex_index is
+        # exact, so the output is row-identical to the brute frame)
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            hibrida_lexical_top_multi_indexada,
+        )
+
+        lex = hibrida_lexical_top_multi_indexada(
+            spark, sf_dir, lex_path, [_HIB_Q], topk=_BM25_TOP
+        ).select("doc_id", "pos_lex")
+    else:
+        lex = hibrida_lexical_top(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     consulta = _int_vectors(emb.where(F.col("vec_id") == _HIB_Q)).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
@@ -379,6 +392,7 @@ def busqueda_hibrida_indexada_multi(
     qids: DataFrame,
     nprobe: int = _NPROBE,
     corpus=None,
+    lex_path: str | None = None,
 ) -> DataFrame:
     """``busqueda_hibrida_indexada`` generalized to a QUERY SET — the
     per-batch serve the streaming hybrid job (streaming/jobs.py
@@ -399,7 +413,17 @@ def busqueda_hibrida_indexada_multi(
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
     from etl_python_airflow_bigquery_spark.tables import load_table
 
-    lex = hibrida_lexical_top_multi(spark, sf_dir, qids, corpus=corpus)
+    if lex_path is not None:
+        # stored-postings lexical serve: per-batch work is the anchors'
+        # term lookups + their terms' posting files, never a tf rebuild
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            hibrida_lexical_top_multi_indexada,
+        )
+
+        ids = [r["query_id"] for r in qids.select("query_id").collect()]
+        lex = hibrida_lexical_top_multi_indexada(spark, sf_dir, lex_path, ids)
+    else:
+        lex = hibrida_lexical_top_multi(spark, sf_dir, qids, corpus=corpus)
     emb = load_table(spark, sf_dir, "embeddings")
     consultas = _int_vectors(
         emb.join(

@@ -236,3 +236,74 @@ def search_bm25_lex_index(
     return ranked_topk(
         scored, topk, [F.desc("score_mili"), F.col("doc_id")], "pos"
     ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+def hibrida_lexical_top_multi_indexada(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    qids: list[int],
+    topk: int = 10,
+) -> DataFrame:
+    """The hybrid's multi-query lexical ranker SERVED FROM THE STORED
+    POSTINGS — per arriving anchor, BM25 over its distinct terms with
+    the per-batch scan bounded by (a) the anchors' own rows in the
+    documents table (doc_id IN pushdown — row-group pruned) for term
+    lookup and (b) the UNION of their terms' posting files (read_in
+    stats pruning). No per-batch tf/dl rebuild: the corpus-scale work
+    happened once, at index build. Output (query_id, doc_id, pos_lex),
+    the ranking window partitioned by query_id (WindowGroupLimit).
+    Algebra identical to queries.similarity.hibrida_lexical_top_multi
+    (exact index ⇒ row-identical output, test-pinned)."""
+    from pyspark.sql import Window
+
+    from etl_python_airflow_bigquery_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _floor_log2_sql,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    post_tx, dl_tx = _tables(path)
+    meta = lex_meta_current(spark, path)
+    n, avgdl_mili = meta["n"], meta["avgdl_mili"]
+
+    docs = load_table(spark, sf_dir, "documents")
+    consulta = (
+        docs.where(F.col("doc_id").isin([int(q) for q in qids]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    terms = [r["token"] for r in consulta.select("token").distinct().collect()]
+    postings = post_tx.read_in(spark, "token", terms)
+    df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pesos = df_t.select(
+        "token",
+        F.expr(
+            _floor_log2_sql(
+                f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))"
+            )
+        ).cast("bigint").alias("idf_q"),
+    )
+    tf_comp = (
+        f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
+        f"({_BM25_K1} * (1000 - {_BM25_B} + "
+        f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
+    )
+    scored = (
+        postings.join(F.broadcast(consulta.join(pesos, "token")), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl_tx.read(spark), "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("pos_lex", F.row_number().over(w_lex))
+        .where(F.col("pos_lex") <= topk)
+        .select("query_id", "doc_id", "pos_lex")
+    )

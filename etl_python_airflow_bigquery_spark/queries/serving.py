@@ -444,7 +444,10 @@ def busqueda_hibrida_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _served_index(spark, sf_dir, "full")
-    return busqueda_hibrida_indexada(spark, sf_dir, path, nprobe=_NPROBE)
+    return busqueda_hibrida_indexada(
+        spark, sf_dir, path, nprobe=_NPROBE,
+        lex_path=_served_lex_index(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

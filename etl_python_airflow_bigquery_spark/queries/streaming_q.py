@@ -982,7 +982,12 @@ def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not qids:  # empty corpus: nothing arrives, nothing to index
         return spark.createDataFrame([], _schema)
+    from etl_python_airflow_bigquery_spark.queries.serving import (
+        _served_lex_index,
+    )
+
     index_path = _served_index(spark, sf_dir, "full")
+    lex_path = _served_lex_index(spark, sf_dir)
 
     raiz = _tempfile.mkdtemp(prefix="hib_stream_")
     src = _os.path.join(raiz, "llegadas")
@@ -1004,6 +1009,6 @@ def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_path = _os.path.join(raiz, "servido")
     run_hybrid_serve(
         spark, src, sf_dir, index_path, sink_path,
-        _os.path.join(raiz, "ck"),
+        _os.path.join(raiz, "ck"), lex_path=lex_path,
     )
     return TxTable(sink_path).read(spark)

@@ -554,6 +554,7 @@ def run_hybrid_serve(
     out_path: str,
     checkpoint: str,
     nprobe: int | None = None,
+    lex_path: str | None = None,
 ) -> None:
     """STREAMING HYBRID SERVE — ``busqueda_hibrida_indexada``'s
     production face, completing the stored-index streaming quartet
@@ -587,23 +588,26 @@ def run_hybrid_serve(
     np_ = _np_default if nprobe is None else nprobe
     sink = TxTable(out_path)
     app_id = f"hybrid_serve:{os.path.abspath(src_dir)}"
-    # corpus stats compute ONCE for the whole stream (the static-side
-    # localCheckpoint discipline) — a per-batch recompute would rescan
-    # the corpus on every arrival batch
-    tf, dl, n, avgdl_mili = hibrida_corpus_stats(spark, sf_dir)
-    corpus = (
-        tf.localCheckpoint(eager=True),
-        dl.localCheckpoint(eager=True),
-        n,
-        avgdl_mili,
-    )
+    corpus = None
+    if lex_path is None:
+        # no stored lexical index: corpus stats compute ONCE for the
+        # whole stream (static-side localCheckpoint discipline) — a
+        # per-batch recompute would rescan the corpus on every batch
+        tf, dl, n, avgdl_mili = hibrida_corpus_stats(spark, sf_dir)
+        corpus = (
+            tf.localCheckpoint(eager=True),
+            dl.localCheckpoint(eager=True),
+            n,
+            avgdl_mili,
+        )
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         qids = batch_df.select("query_id").distinct()
         out = busqueda_hibrida_indexada_multi(
-            spark, sf_dir, index_path, qids, nprobe=np_, corpus=corpus
+            spark, sf_dir, index_path, qids, nprobe=np_, corpus=corpus,
+            lex_path=lex_path,
         )
         sink.append(out, txn=(app_id, batch_id))
 

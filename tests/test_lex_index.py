@@ -128,3 +128,30 @@ def test_version_pinned_lexical_serve(spark, sf_dir, tmp_path):
         F.col("doc_id") >= 9_000_000
     )
     assert ahora.count() >= 0  # current snapshot readable with the adds
+
+
+def test_indexed_hybrid_lexical_equals_brute_multi(spark, sf_dir, tmp_path):
+    """The stored-postings hybrid lexical ranker must equal the brute
+    multi-query frame row for row (the index is exact; only the SCAN
+    shape changes — posting-file reads instead of a tf rebuild)."""
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        hibrida_lexical_top_multi_indexada,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        hibrida_lexical_top_multi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs, path)
+    qids_l = [0, 7, 19]
+    qids = spark.createDataFrame([(q,) for q in qids_l], "query_id BIGINT")
+    brute = sorted(
+        map(tuple, hibrida_lexical_top_multi(spark, sf_dir, qids).collect())
+    )
+    served = sorted(
+        map(tuple, hibrida_lexical_top_multi_indexada(
+            spark, sf_dir, path, qids_l
+        ).collect())
+    )
+    assert served == brute and served
