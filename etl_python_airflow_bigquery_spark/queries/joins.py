@@ -2183,3 +2183,265 @@ def ingreso_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_bruto div 1000").cast("bigint").alias("ingreso_centavos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q2-shaped regional minimum-cost offer — correlated MIN decorrelated
+# --------------------------------------------------------------------------
+
+_COSTO_MINIMO_ORACLE = """
+WITH regional AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+), ofertas AS (
+    SELECT l.l_partkey, rg.s_name, rg.s_acctbal,
+           CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS precio_centavos,
+           min(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l.l_partkey) AS minimo
+    FROM lineitem l JOIN regional rg ON rg.s_suppkey = l.l_suppkey
+)
+SELECT DISTINCT o.l_partkey AS parte, p.p_brand AS marca,
+       o.s_name AS proveedor,
+       CAST(floor(o.s_acctbal * 100) AS BIGINT) AS saldo_centavos,
+       o.precio_centavos
+FROM ofertas o JOIN part p ON p.p_partkey = o.l_partkey
+WHERE o.precio_centavos = o.minimo
+"""
+
+
+@register("costo_minimo_regional", oracle=_COSTO_MINIMO_ORACLE,
+          ops=("J1", "J8", "W1", "P10"), driver=False)
+def costo_minimo_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-SHAPED minimum-cost offer: for every part, the EUROPE
+    supplier(s) whose line price hits that part's regional minimum —
+    Q2's correlated `price = (SELECT min(..) WHERE same part)`
+    subquery. The decorrelation is the point: instead of re-scanning
+    the fact per part (what the correlated form literally says), the
+    per-part minimum is a window `min() OVER (PARTITION BY partkey)`
+    on ONE scan — one hash-partition shuffle on the part key, then a
+    same-row equality filter keeps the offers that achieve it (ties
+    kept, Q2 semantics). The regional supplier set is a two-dim snow-
+    flake (supplier⨝nation⨝region) collapsed driver-free and BROADCAST
+    into the fact scan, so the fact never shuffles for the region
+    filter; part attributes attach by broadcast after the minimum
+    filter has already shrunk the rows. Prices and balances egress as
+    centavos BIGINTs (the engine-wide exact-integer money rule).
+
+    Reference parity: the warehouse-side min-cost lookups the DAGs
+    push into BigQuery SQL (SURVEY §2.4 correlated-aggregate family).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    regional = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    ofertas = li.join(
+        F.broadcast(regional), li.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        "s_name",
+        "s_acctbal",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("precio_centavos"),
+    )
+    w = Window.partitionBy("l_partkey")
+    minimas = ofertas.withColumn(
+        "_minimo", F.min("precio_centavos").over(w)
+    ).where(F.col("precio_centavos") == F.col("_minimo"))
+    return (
+        minimas.join(
+            F.broadcast(part), minimas.l_partkey == part.p_partkey
+        )
+        .select(
+            F.col("l_partkey").alias("parte"),
+            F.col("p_brand").alias("marca"),
+            F.col("s_name").alias("proveedor"),
+            F.floor(F.col("s_acctbal") * 100)
+            .cast("bigint")
+            .alias("saldo_centavos"),
+            "precio_centavos",
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9-shaped profit rollup — product-line profit by nation and year
+# --------------------------------------------------------------------------
+
+_BENEFICIO_ORACLE = """
+SELECT n.n_name AS nacion,
+       CAST(year(o.o_orderdate) AS BIGINT) AS anio,
+       CAST(sum(
+         (CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+           * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT))) // 1000
+         - (CAST(floor(p.p_retailprice * 100) AS BIGINT)
+           * CAST(floor(l.l_quantity) AS BIGINT)) // 2
+       ) AS BIGINT) AS beneficio_centavos
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("beneficio_por_nacion", oracle=_BENEFICIO_ORACLE,
+          ops=("J1", "A1", "P8"), driver=False)
+def beneficio_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-SHAPED product-line profit: for the parts whose name
+    matches a product family ('%widget%' — Q9's `LIKE '%green%'`),
+    profit per supplier nation per order year, where profit =
+    discounted revenue minus a quantity-scaled cost basis (the fixture
+    has no partsupp, so half the part's retail price stands in for
+    ps_supplycost — same arithmetic shape, exact-integer centavos ×
+    milli-discount with one final floor-div each).
+
+    Plan shape is what Q9 exists to test: the name-filtered part set
+    and the supplier→nation map are SMALL and broadcast into the
+    lineitem scan (the LIKE filter prunes ~1/8 of parts BEFORE any
+    fact row moves), leaving exactly ONE big-big join — lineitem ⨝
+    orders on the order key — as the only shuffle besides the final
+    nation×year aggregate (25 nations × ~7 years: bounded output,
+    map-side combinable). year() on the tz-naive order timestamp is
+    tz-independent on both engines (the crecimiento_interanual
+    precedent, hostile-tz validated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    familia = part.where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    proveedor_nacion = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    ingreso = F.expr(
+        "(cast(floor(l_extendedprice * 100) as bigint)"
+        " * (1000 - cast(floor(l_discount * 1000) as bigint))) div 1000"
+    )
+    costo = F.expr(
+        "(cast(floor(p_retailprice * 100) as bigint)"
+        " * cast(floor(l_quantity) as bigint)) div 2"
+    )
+    return (
+        li.join(F.broadcast(familia), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(proveedor_nacion),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nacion"),
+            F.year("o_orderdate").cast("bigint").alias("anio"),
+        )
+        .agg(
+            F.sum(ingreso - costo)
+            .cast("bigint")
+            .alias("beneficio_centavos")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-shaped inventory concentration — group value vs a global-share bar
+# --------------------------------------------------------------------------
+
+_PARTICIPACION_ORACLE = """
+WITH valores AS (
+    SELECT l.l_partkey,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS valor_centavos
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+), escala AS (
+    SELECT sum(valor_centavos) AS total, count(*) AS grupos FROM valores
+)
+SELECT v.l_partkey AS parte, v.valor_centavos
+FROM valores v, escala e
+WHERE v.valor_centavos * e.grupos > 2 * e.total
+"""
+
+
+@register("participacion_inventario", oracle=_PARTICIPACION_ORACLE,
+          ops=("A1", "A6", "J1"), driver=False)
+def participacion_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-SHAPED concentration screen: parts whose ASIA-supplied
+    line value exceeds TWICE the average per-part share — Q11's
+    `HAVING sum(..) > (SELECT sum(..) * fraction)` where the scalar
+    threshold is an aggregate over the very relation being grouped.
+    Q11's fixed fraction is scale-dependent (0.0001/SF in the spec);
+    the share-of-average form keeps the screen meaningful at every SF
+    without a tuning knob.
+
+    The decorrelation: group ONCE (region-filtered fact → per-part
+    value; the region filter rides a broadcast supplier snowflake so
+    the fact shuffles only on the group key), then derive the global
+    scalar by RE-AGGREGATING THE GROUPED RESULT — parts-sized, not
+    fact-sized, so the 'subquery' costs one extra reduce over data
+    already in hand — and broadcast the one-row threshold back as a
+    cross join. The grouped frame is localCheckpoint-ed (the engine's
+    corpus-stats idiom) so BOTH consumers — the scalar and the probe —
+    read the materialized group-grain result instead of re-running the
+    fact scan (static planning does not reuse the exchange across the
+    two aggregates; the checkpoint makes single-scan a guarantee, not
+    an AQE maybe). Integer cross-multiply (valor × grupos > 2 × total)
+    replaces the fractional compare, so no float threshold ever
+    exists on either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asiaticos = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    valores = (
+        li.join(F.broadcast(asiaticos), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("valor_centavos")
+        )
+    ).localCheckpoint()
+    escala = valores.agg(
+        F.sum("valor_centavos").alias("_total"),
+        F.count(F.lit(1)).alias("_grupos"),
+    )
+    return (
+        valores.crossJoin(F.broadcast(escala))
+        .where(
+            F.col("valor_centavos") * F.col("_grupos")
+            > F.lit(2) * F.col("_total")
+        )
+        .select(F.col("l_partkey").alias("parte"), "valor_centavos")
+    )

@@ -772,3 +772,52 @@ def test_approx_quantile_swaps_have_no_unbounded_window(spark, sf_dir, name):
     # substring needs the window-function call form (perceNTILE(_disc
     # is a different function)
     assert "ntile(10)" not in plan and "ntile(5)" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-12 relational-depth shapes: Q2 / Q9 / Q11
+# ---------------------------------------------------------------------------
+
+
+def test_costo_minimo_window_is_partitioned_and_dims_broadcast(spark, sf_dir):
+    """Q2 shape: the per-part minimum must be a PARTITIONED window (one
+    hash shuffle on the part key, never a single-task global sort) and
+    every dim — the regional supplier snowflake and part — must ride a
+    broadcast, leaving the fact scan shuffle-free until the window."""
+    plan = plan_of(spark, sf_dir, "costo_minimo_regional")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "l_partkey" in m.group(1)  # never an empty (global) spec
+    assert "BroadcastHashJoin" in plan
+
+
+def test_beneficio_single_big_join(spark, sf_dir):
+    """Q9 shape: part (name-filtered) and supplier→nation broadcast into
+    the fact; lineitem⨝orders is the ONLY shuffle join; the LIKE filter
+    reaches the part scan."""
+    plan = plan_of(spark, sf_dir, "beneficio_por_nacion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    part_scan = next(l for l in scans if "p_name" in l)
+    assert "widget" in part_scan  # pushed LIKE/Contains filter
+
+
+def test_participacion_single_fact_scan(spark, sf_dir):
+    """Q11 shape: the grouped frame is localCheckpoint-ed, so the global
+    threshold re-aggregates the group-grain result — the lineitem fact
+    must appear in the executed plan EXACTLY once (the 'subquery' never
+    re-reads the fact), and the one-row threshold joins by broadcast."""
+    plan = plan_of(spark, sf_dir, "participacion_inventario")
+    fact_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(fact_scans) <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
