@@ -24,6 +24,14 @@ tables:
   approximate: served output equals the brute query row for row), and
   returns top-k via TakeOrderedAndProject.
 
+* ``pin_lex_version`` / ``vacuum_lex_index`` / ``maybe_auto_vacuum_lex``
+  — the same operational lifecycle as the ANN index (one shared
+  keep+slack policy): ingest-triggered reclamation of superseded
+  posting history, with tags as GC roots so a pinned time-travel serve
+  provably survives any vacuum horizon. ``streaming.jobs.run_lex_ingest``
+  is the continuous face: batch-only tokenize per micro-batch, flip,
+  compact past the gate, vacuum past the horizon.
+
 At 100 TB: postings are token-clustered so a 3-term query touches the
 files covering 3 token ranges; ``longitudes`` joins doc-keyed on the
 candidate set; the only corpus-scale work happened once, at build.
@@ -169,6 +177,7 @@ def add_to_lex_index(spark: SparkSession, docs_new: DataFrame, path: str) -> int
         _write_meta(path, meta)
     except FileNotFoundError:
         pass  # pre-meta index — serve heals via lex_meta_current
+    maybe_auto_vacuum_lex(path)
     return v
 
 
@@ -306,4 +315,62 @@ def hibrida_lexical_top_multi_indexada(
         scored.withColumn("pos_lex", F.row_number().over(w_lex))
         .where(F.col("pos_lex") <= topk)
         .select("query_id", "doc_id", "pos_lex")
+    )
+
+
+def pin_lex_version(path: str, name: str, version: int | None = None) -> int:
+    """PIN a postings/lengths snapshot against vacuum — the lexical twin
+    of ``ann_index.pin_index_version``: tags are GC roots at the table
+    layer, so a pinned version's manifest and data files survive ANY
+    vacuum horizon until ``unpin_lex_version``. This is the survival
+    contract for time-travel serving (``search_bm25_lex_index(version=)``
+    pins idf/avgdl/postings to one snapshot). Pins the POSTINGS version
+    given (default: current) and the CURRENT lengths version under the
+    same name; returns the pinned postings version."""
+    post_tx, dl_tx = _tables(path)
+    v = post_tx.version() if version is None else version
+    post_tx.create_tag(name, v)
+    dl_tx.create_tag(name, dl_tx.version())
+    return v
+
+
+def unpin_lex_version(path: str, name: str) -> None:
+    """Release a ``pin_lex_version`` pin; the next vacuum may reclaim
+    the snapshot once it falls outside the keep horizon."""
+    post_tx, dl_tx = _tables(path)
+    post_tx.delete_tag(name)
+    dl_tx.delete_tag(name)
+
+
+def vacuum_lex_index(
+    path: str, keep_versions: int = 8, retention_s: float = 3600.0
+) -> dict:
+    """Reclaim posting/length files no surviving version references —
+    same lifecycle stage and same generous default horizon as
+    ``ann_index.vacuum_index`` (version-pinned serving is first-class;
+    tag a snapshot via ``pin_lex_version`` to exempt it from any
+    horizon). Returns {'postings': n_removed, 'longitudes': n_removed}.
+    """
+    post_tx, dl_tx = _tables(path)
+    return {
+        "postings": post_tx.vacuum(keep_versions, retention_s),
+        "longitudes": dl_tx.vacuum(keep_versions, retention_s),
+    }
+
+
+def maybe_auto_vacuum_lex(path: str) -> dict | None:
+    """Run ``vacuum_lex_index`` iff the postings table's manifest count
+    exceeds the SHARED keep+slack gate (one policy governs both index
+    families — the knobs live on ``operators.ann_index``). Called from
+    ``add_to_lex_index``, so every batch or streaming ingest that grows
+    the lexical index also bounds its on-disk footprint."""
+    from etl_python_airflow_bigquery_spark.operators import ann_index as _ai
+
+    post_tx, _ = _tables(path)
+    if len(post_tx._versions()) < _ai._AUTO_VACUUM_KEEP + _ai._AUTO_VACUUM_SLACK:
+        return None
+    return vacuum_lex_index(
+        path,
+        keep_versions=_ai._AUTO_VACUUM_KEEP,
+        retention_s=_ai._AUTO_VACUUM_RETENTION_S,
     )

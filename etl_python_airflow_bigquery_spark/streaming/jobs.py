@@ -546,6 +546,51 @@ def run_ann_ingest(
     q.awaitTermination()
 
 
+def run_lex_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str,
+) -> None:
+    """STREAMING LEXICAL-INDEX INGEST — run_ann_ingest's inverted-
+    postings twin: documents arrive as landed files and each micro-
+    batch tokenizes ONLY the batch (operators/lex_index.add_to_lex_index
+    — the stored corpus is never retokenized), appending postings and
+    lengths as one manifest flip each; the token-range compaction and
+    the shared keep+slack auto-vacuum ride the same call, so a
+    continuously-fed lexical index keeps pruned serve reads AND a
+    bounded on-disk footprint without operator intervention. Crash
+    replay re-runs a batch against the checkpoint's file tracking;
+    n/avgdl survive the crash window via the version-stamped metadata
+    self-heal (lex_meta_current)."""
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        add_to_lex_index,
+    )
+
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_to_lex_index(spark, batch_df, index_path)
+
+    q = (
+        src.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_hybrid_serve(
     spark: SparkSession,
     src_dir: str,

@@ -155,3 +155,129 @@ def test_indexed_hybrid_lexical_equals_brute_multi(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert served == brute and served
+
+
+def test_lex_auto_vacuum_soak_bounded_files_and_pinned_reader(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Lifecycle parity with the ANN index: a long lexical ingest soak
+    must leave a BOUNDED on-disk file count (the ingest-triggered
+    vacuum reclaims superseded posting manifests/files), while a
+    pin_lex_version-tagged snapshot survives every concurrent vacuum —
+    and keeps SERVING the same ranking — until it is unpinned."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        maybe_auto_vacuum_lex,
+        pin_lex_version,
+        unpin_lex_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    pinned_v = pin_lex_version(path, "release_v0")
+    terms = _terms_for(spark, path)
+    quiero = sorted(map(tuple, search_bm25_lex_index(
+        spark, terms, path, version=pinned_v
+    ).collect()))
+
+    # tight SHARED policy (the lex gate reads ann_index's knobs) so the
+    # soak exercises many vacuum cycles; retention 0 = no in-flight
+    # writers in this single-threaded test
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_KEEP", 3)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_SLACK", 2)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_RETENTION_S", 0.0)
+
+    def files_on_disk():
+        n = 0
+        for _raiz, _d, files in _os.walk(path):
+            n += len(files)
+        return n
+
+    conteos = []
+    base = docs.where(F.col("doc_id") % 2 == 1).limit(20)
+    for i in range(24):
+        lote = base.select(
+            (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias("doc_id"),
+            "text",
+        )
+        add_to_lex_index(spark, lote, path)
+        conteos.append(files_on_disk())
+
+    post_tx, _ = _tables(path)
+    assert conteos[-1] <= max(conteos)
+    assert conteos[-1] < 2 * 2 * 24  # two tables, no-GC worst case
+    assert len(post_tx._versions()) <= 3 + 2 + 1
+
+    # the pinned snapshot still serves the original ranking
+    got = sorted(map(tuple, search_bm25_lex_index(
+        spark, terms, path, version=pinned_v
+    ).collect()))
+    assert got == quiero
+
+    # and the tag is the protection: unpin + enough cycles reclaims it
+    unpin_lex_version(path, "release_v0")
+    for i in range(3):
+        lote = base.select(
+            (F.col("doc_id") + F.lit(99_000_000 + i * 1000)).alias("doc_id"),
+            "text",
+        )
+        add_to_lex_index(spark, lote, path)
+    maybe_auto_vacuum_lex(path)
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        search_bm25_lex_index(spark, terms, path, version=pinned_v).collect()
+
+
+def test_streaming_lex_ingest_grows_index_and_replays_as_noop(
+    spark, sf_dir, tmp_path
+):
+    """run_lex_ingest: documents stream into the persistent lexical
+    index batch-by-batch (batch-only tokenize, one manifest flip per
+    micro-batch per table); after draining, the served BM25 over the
+    streamed-complete corpus equals the brute registry query row for
+    row, and replaying the drained stream from its checkpoint is a
+    no-op (file-tracking idempotency)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+    from etl_python_airflow_bigquery_spark.streaming.jobs import run_lex_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    post_tx, _ = _tables(path)
+    v0 = post_tx.version()
+
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    impar = docs.where(F.col("doc_id") % 2 == 1)
+    impar.where(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    impar.where(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    ck = str(tmp_path / "ck")
+    run_lex_ingest(spark, src, path, ck)
+    assert post_tx.version() == v0 + 2  # one flip per micro-batch
+    assert read_lex_meta(path)["n"] == docs.count()
+
+    # streamed-complete corpus == the brute query's corpus ⇒ identical
+    # ranking (the index is exact, not approximate)
+    got = sorted(map(tuple, search_bm25_lex_index(
+        spark, _terms_for(spark, path), path
+    ).collect()))
+    want = sorted(
+        map(tuple, REGISTRY["busqueda_bm25"].fn(spark, sf_dir).collect())
+    )
+    assert got == want
+
+    # crash-replay: re-running the drained stream moves nothing
+    n_antes = read_lex_meta(path)["n"]
+    run_lex_ingest(spark, src, path, ck)
+    assert post_tx.version() == v0 + 2
+    assert read_lex_meta(path)["n"] == n_antes
