@@ -1473,7 +1473,7 @@ GROUP BY 1, 2
 
 
 @register("rfm_segmentacion_aproximada", oracle=_RFM_APROX_ORACLE,
-          ops=("W1", "A1", "A3"), driver=False)
+          ops=("W1", "A1", "A3"), driver=True)
 def rfm_segmentacion_aproximada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE PATH for ``rfm_segmentacion`` (VERDICT r11 #6): the
     exact form ntiles customer-grain rows through three UNPARTITIONED

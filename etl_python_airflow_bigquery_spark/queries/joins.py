@@ -143,7 +143,7 @@ GROUP BY l.l_partkey
 """
 
 
-@register("anti_join_nulos", oracle=_ANTI_NULOS_ORACLE, ops=("J7", "P10", "A2"))
+@register("anti_join_nulos", oracle=_ANTI_NULOS_ORACLE, ops=("J7", "P10", "A2"), driver=False)
 def anti_join_nulos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality anti-join: fact rows whose dimension key is missing
     from the (gappy) available-shows dim — the reference's scheduled
@@ -1292,7 +1292,7 @@ GROUP BY 1, 2
 
 
 @register("proveedores_morosos", oracle=_MOROSOS_ORACLE,
-          ops=("J8", "J7", "A2", "A8"), bench=True)
+          ops=("J8", "J7", "A2", "A8"), bench=True, driver=False)
 def proveedores_morosos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-SHAPED sole-blame audit: suppliers who were the ONLY
     late shipper on a finished multi-supplier order (late = shipped ≥ 90
@@ -2213,7 +2213,7 @@ WHERE o.precio_centavos = o.minimo
 
 
 @register("costo_minimo_regional", oracle=_COSTO_MINIMO_ORACLE,
-          ops=("J1", "J8", "W1", "P10"), driver=False)
+          ops=("J1", "W1", "P10"), driver=True)
 def costo_minimo_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2-SHAPED minimum-cost offer: for every part, the EUROPE
     supplier(s) whose line price hits that part's regional minimum —
@@ -2303,7 +2303,7 @@ GROUP BY 1, 2
 
 
 @register("beneficio_por_nacion", oracle=_BENEFICIO_ORACLE,
-          ops=("J1", "A1", "P8"), driver=False)
+          ops=("J1", "A1", "P8"), driver=True)
 def beneficio_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-SHAPED product-line profit: for the parts whose name
     matches a product family ('%widget%' — Q9's `LIKE '%green%'`),
@@ -2385,7 +2385,7 @@ WHERE v.valor_centavos * e.grupos > 2 * e.total
 
 
 @register("participacion_inventario", oracle=_PARTICIPACION_ORACLE,
-          ops=("A1", "A6", "J1"), driver=False)
+          ops=("A1", "A6", "J1"), driver=True)
 def participacion_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-SHAPED concentration screen: parts whose ASIA-supplied
     line value exceeds TWICE the average per-part share — Q11's

@@ -614,7 +614,7 @@ def _bm25_indexada_oracle() -> str:
 
 
 @register("busqueda_bm25_indexada", oracle=_bm25_indexada_oracle(),
-          ops=("TX1", "O7", "A3"), driver=False)
+          ops=("TX1", "O7", "A3"), driver=True)
 def busqueda_bm25_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 RANKED RETRIEVAL SERVED FROM THE STORED INVERTED INDEX
     (operators/lex_index.py) — the lexical twin of the ANN serving

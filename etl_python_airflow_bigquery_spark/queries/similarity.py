@@ -325,7 +325,7 @@ def _mmr_argmax(df: DataFrame) -> DataFrame:
     )
 
 
-@register("puntuacion_mmr", oracle=_MMR_ORACLE, ops=("NN1", "O7", "W1"))
+@register("puntuacion_mmr", oracle=_MMR_ORACLE, ops=("NN1", "O7", "W1"), driver=False)
 def puntuacion_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
     — the retrieval-diversity pass between ANN shortlist and serving: a
@@ -5374,7 +5374,7 @@ GROUP BY 1, mx.m"""
 
 
 @register("grafo_knn_mutuo", oracle=_KNN_H_ORACLE,
-          ops=("NN2", "O7", "A1"), bench=True)
+          ops=("NN2", "O7", "A1"), bench=True, driver=False)
 @register("grafo_knn_mutuo_jerarquico", oracle=_KNN_H_ORACLE,
           ops=("NN2", "O7", "A1"), driver=False)
 def grafo_knn_mutuo(spark: SparkSession, sf_dir: str) -> DataFrame:

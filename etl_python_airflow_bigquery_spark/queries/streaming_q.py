@@ -944,7 +944,7 @@ vec AS (
 
 
 @register("streaming_busqueda_hibrida", oracle=_hibrida_stream_oracle(),
-          ops=("ST1", "NN2", "O7"), driver=False, bench=True)
+          ops=("ST1", "NN2", "O7"), driver=True, bench=True)
 def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID RETRIEVAL SERVED IN-STREAM from the stored ANN index —
     ``busqueda_hibrida_indexada``'s streaming face (ROADMAP r11 (d)),

@@ -1446,7 +1446,7 @@ def _fertilidad_oracle(rounds: int) -> str:
 
 
 @register("fertilidad_tokenizador", oracle=_fertilidad_oracle(_BPE_ROUNDS),
-          ops=("TX1", "A3", "A1"))
+          ops=("TX1", "A3", "A1"), driver=False)
 def fertilidad_tokenizador(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER FERTILITY BY LANGUAGE — the multilingual-fairness audit
     (Petrov et al. 2023, arXiv:2305.15425 'Language Model Tokenizers
@@ -3962,7 +3962,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"))
+@register("reglas_gopher", oracle=_GOPHER_ORACLE, ops=("TX2", "A8", "A9"), driver=False)
 def reglas_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GOPHER QUALITY-FILTER rule set (Rae et al. 2021's
     MassiveText heuristics — the published gate real pre-training
