@@ -35,6 +35,37 @@ from etl_python_airflow_bigquery_spark.operators.writes import refresh_window
 WATERMARK = "4 days"  # the reference's dias_remplazo lookback
 SESSION_GAP = "30 minutes"
 
+# Sink-side maintenance policy: a long-running stream appends ONE
+# manifest + >=1 small file per micro-batch, so an unmaintained output
+# table accrues a year of hourly commits as ~9k files whose per-file
+# overhead dominates any later drain (the classic small-files problem —
+# the INDEX tables already solved it via add_to_ivf_index /
+# add_to_lex_index; this is the same policy for the OUTPUT tables).
+# Compact past the file gate, vacuum past keep+slack versions. Safe
+# under the txn fence: the appId→version watermark is carried forward
+# into every child manifest (txlog append's parent_txn merge), so
+# pruning old manifests can never un-fence a replayed batch; and a
+# fenced (replayed) append adds no files, so a replay can never newly
+# cross the compaction gate — version history is untouched by replays.
+_SINK_FILE_GATE = 32
+_SINK_KEEP = 8
+_SINK_SLACK = 8
+_SINK_RETENTION_S = 3600.0
+
+
+def _maintain_sink(spark: SparkSession, tx) -> None:
+    """Bin-pack the sink's small-file tail once the live manifest holds
+    ``_SINK_FILE_GATE`` files, and reclaim superseded history once the
+    version count passes keep+slack (tagged snapshots and the keep
+    horizon survive by vacuum's GC-root rules). Called after every
+    micro-batch append by the sink-writing streaming jobs; both halves
+    are gated, so the steady-state per-batch cost is two stat calls."""
+    v = tx.version()
+    if v >= 0 and len(tx._manifest(v)["files"]) >= _SINK_FILE_GATE:
+        tx.optimize_compact(spark)
+    if len(tx._versions()) >= _SINK_KEEP + _SINK_SLACK:
+        tx.vacuum(_SINK_KEEP, _SINK_RETENTION_S)
+
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over events parquet. The stream schema is taken
@@ -455,6 +486,10 @@ def run_validated_ingest(
         .parquet(src_dir)
     )
 
+    # CHECKPOINT-keyed fence: batch ids only mean anything within one
+    # checkpoint lineage, so a fresh checkpoint is a NEW logical stream
+    # (reprocesses everything — point it at a fresh sink or accept
+    # duplicates). Safe under ANY source evolution.
     app_id = f"validated_ingest:{os.path.abspath(checkpoint)}"
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -492,6 +527,7 @@ def run_validated_ingest(
             else:
                 main.overwrite(batch_df, txn=txn)
             stats["commits"] += 1
+        _maintain_sink(spark, cuarentena if rotas else main)
 
     q = (
         src.writeStream.foreachBatch(gate)
@@ -632,6 +668,12 @@ def run_hybrid_serve(
 
     np_ = _np_default if nprobe is None else nprobe
     sink = TxTable(out_path)
+    # SRC-keyed fence: survives checkpoint LOSS (wipe + redeliver is a
+    # fenced no-op) at the cost of a constraint — the landing dir must
+    # be append-stable (new files list strictly after old ones, the
+    # mtime/path-monotone landing pattern), or a fresh checkpoint's
+    # renumbered batches misfence. validated/span_cut show the
+    # checkpoint-keyed alternative trade-off.
     app_id = f"hybrid_serve:{os.path.abspath(src_dir)}"
     corpus = None
     if lex_path is None:
@@ -655,6 +697,7 @@ def run_hybrid_serve(
             lex_path=lex_path,
         )
         sink.append(out, txn=(app_id, batch_id))
+        _maintain_sink(spark, sink)
 
     schema = (
         spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
@@ -703,8 +746,12 @@ def run_semdedup_ingest(
     state is bounded by the index, not the stream. Candidate volume is
     Σ cell-local products per batch — never batch × corpus."""
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _COMPACT_FILE_GATE as _ANN_FILE_GATE,
+    )
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
         _stored_centroids,
         _tables,
+        maybe_auto_vacuum,
     )
     from etl_python_airflow_bigquery_spark.queries.similarity import (
         _assign_cells,
@@ -715,6 +762,10 @@ def run_semdedup_ingest(
 
     _, vec_tx = _tables(index_path)
     cent = _stored_centroids(spark, index_path)
+    # SRC-keyed fence (see run_hybrid_serve): checkpoint-loss recovery
+    # is test-pinned here, and the gate is additionally idempotent at
+    # the DATA level — a replayed arrival is dropped as a duplicate of
+    # its own stored twin — so misfencing cannot corrupt the index.
     app_id = f"semdedup:{os.path.abspath(src_dir)}"
 
     def _dot(a: str, b: str):
@@ -787,7 +838,16 @@ def run_semdedup_ingest(
             "vec_id",
             "left_anti",
         ).select("vec_id", "celda", "ev")
-        vec_tx.append(survivors, txn=(app_id, batch_id))
+        v = vec_tx.append(survivors, txn=(app_id, batch_id))
+        # same maintenance as add_to_ivf_index: celda-clustered compact
+        # past the gate, then the shared keep+slack auto-vacuum — the
+        # gate table IS the index, so its footprint policy is the
+        # index's, not the generic sink's
+        if len(vec_tx._manifest(v)["files"]) >= _ANN_FILE_GATE:
+            vec_tx.optimize_compact(
+                spark, n_files=max(1, len(cent) // 8), cluster_col="celda"
+            )
+        maybe_auto_vacuum(index_path)
 
     schema = (
         spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
@@ -838,6 +898,7 @@ def run_label_ingest(
     from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 
     sink = TxTable(out_path)
+    # SRC-keyed fence (see run_hybrid_serve for the trade-off).
     app_id = f"labels:{os.path.abspath(src_dir)}"
 
     def label(batch_df: DataFrame, batch_id: int) -> None:
@@ -848,6 +909,7 @@ def run_label_ingest(
             labels_df, k=k,
         )
         sink.append(out, txn=(app_id, batch_id))
+        _maintain_sink(spark, sink)
 
     schema = (
         spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
@@ -955,6 +1017,7 @@ def run_span_cut_ingest(
             tabla.append(limpio, txn=(app_id, batch_id))
         else:
             tabla.overwrite(limpio, txn=(app_id, batch_id))
+        _maintain_sink(spark, tabla)
         stats["commits"] += 1
         stats["docs"] += limpio.count()
 

@@ -524,3 +524,73 @@ def test_transform_with_state_requires_protobuf(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         conteo_estado_stream(stream)
+
+
+def test_sink_maintenance_soak_bounds_files_and_history(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """_maintain_sink: a long-running validated ingest must leave a
+    BOUNDED sink — small-file tail compacted past the gate, superseded
+    manifests vacuumed past keep+slack — while the drain stays complete
+    and a fresh-checkpoint replay is fenced into a no-op by the
+    txnAppId watermark (which survives vacuum because every child
+    manifest carries the merged fence forward)."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
+    from etl_python_airflow_bigquery_spark.streaming import jobs
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_validated_ingest,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    monkeypatch.setattr(jobs, "_SINK_FILE_GATE", 4)
+    monkeypatch.setattr(jobs, "_SINK_KEEP", 2)
+    monkeypatch.setattr(jobs, "_SINK_SLACK", 2)
+    monkeypatch.setattr(jobs, "_SINK_RETENTION_S", 0.0)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .where(F.col("user_id").isNotNull() & (F.col("value") >= 0))
+        .limit(48)
+    )
+    total = base.count()
+    n_batches = 12
+    per = total // n_batches
+    rows = base.collect()
+    for i in range(n_batches):
+        spark.createDataFrame(
+            rows[i * per:(i + 1) * per], base.schema
+        ).coalesce(1).write.parquet(f"{src}/f{i:02d}.parquet")
+
+    out = str(tmp_path / "out")
+    stats = run_validated_ingest(spark, src, out, str(tmp_path / "ck"))
+    assert stats["commits"] == n_batches and stats["cuarentenas"] == 0
+
+    datos = TxTable(out + "/datos")
+    # drain completeness: every admitted row present exactly once
+    assert datos.read(spark).count() == per * n_batches
+    # small-file tail bounded by the gate — 12 un-compacted appends
+    # would leave 12 files in the live manifest, so < gate+1 proves
+    # compaction fired even though vacuum has since pruned the
+    # optimize_compact commits out of the surviving history
+    m = datos._manifest(datos.version())
+    assert len(m["files"]) < 4 + 1
+    # history bounded by keep+slack (vacuum fired mid-stream)
+    assert len(datos._versions()) <= 2 + 2 + 1
+    # on-disk footprint bounded: far under one-file-per-batch + rewrites
+    n_disk = sum(len(fs) for _r, _d, fs in os.walk(out + "/datos"))
+    assert n_disk < 2 * n_batches
+
+    # same-checkpoint replay: the drained stream re-delivers nothing and
+    # the (gated) maintenance is a no-op — data count and version
+    # unchanged. (The txn fence is keyed on the CHECKPOINT path — batch
+    # ids only mean anything within one checkpoint lineage, so a fresh
+    # checkpoint is deliberately a NEW logical stream, not a replay.)
+    v_antes = datos.version()
+    run_validated_ingest(spark, src, out, str(tmp_path / "ck"))
+    assert datos.read(spark).count() == per * n_batches
+    assert datos.version() == v_antes
