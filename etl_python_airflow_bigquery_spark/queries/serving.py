@@ -656,3 +656,203 @@ def busqueda_bm25_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return search_bm25_lex_index(spark, terms, path, topk=_BM25_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Probe calibration — pick nprobe from a recall TARGET, not folklore
+# ---------------------------------------------------------------------------
+
+_CAL_LADDER = (1, 2, 3, 4)  # candidate nprobe rungs (3 = production _NPROBE)
+_CAL_TARGET_MILI = 900  # accept the cheapest rung with recall@k >= 0.900
+
+
+def _calibracion_oracle() -> str:
+    """Build + ladder-serve replay: the Lloyd CTEs rebuild the stored
+    index, each policy query's cells get a PROBE RANK (one pass — a
+    candidate found via the rank-r cell is visible to every rung
+    nprobe >= r, so one ranked candidate set serves all rungs), the
+    brute ranking over the same integer algebra is the ground truth,
+    and per rung the served top-k's overlap with the truth reduces to
+    the floor-milli recall."""
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        DIM,
+        _SEARCH_K,
+    )
+
+    dot = lambda a, b: _INT_DOT_SQL.format(dim=DIM, a=a, b=b)  # noqa: E731
+    d2 = _D2_SQL.format
+    max_np = max(_CAL_LADDER)
+    rungs = ", ".join(str(np_) for np_ in _CAL_LADDER)
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(_IT))
+        + f""",
+nn_all AS (SELECT vec_id, {dot("ev", "ev")} AS nn FROM enteros),
+consultas AS (SELECT vec_id AS query_id, ev AS qv FROM enteros
+              WHERE vec_id % (SELECT query_mod FROM params) = 0),
+qd AS (SELECT q.query_id, c.seed_id, {d2(a="q.qv", b="c.sv")} AS d2
+       FROM consultas q CROSS JOIN cent{_IT} c),
+qrank AS (SELECT query_id, seed_id AS celda, rn FROM (
+            SELECT query_id, seed_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, seed_id) AS rn
+            FROM qd) WHERE rn <= {max_np}),
+post AS (SELECT vec_id, celda FROM asig{_IT + 1}),
+cand AS (SELECT qr.query_id, p.vec_id AS cand_id, min(qr.rn) AS rango
+         FROM qrank qr JOIN post p USING (celda)
+         WHERE p.vec_id != qr.query_id
+         GROUP BY 1, 2),
+puntuada AS (SELECT c.query_id, c.cand_id, c.rango,
+                    CAST({dot("q.qv", "e.ev")} AS DOUBLE)
+                        / sqrt(CAST(nq.nn AS DOUBLE)
+                               * CAST(nc.nn AS DOUBLE)) AS cos
+             FROM cand c
+             JOIN consultas q ON q.query_id = c.query_id
+             JOIN enteros e ON e.vec_id = c.cand_id
+             JOIN nn_all nq ON nq.vec_id = c.query_id
+             JOIN nn_all nc ON nc.vec_id = c.cand_id),
+verdad AS (SELECT query_id, cand_id FROM (
+             SELECT q.query_id, e.vec_id AS cand_id,
+                    row_number() OVER (
+                        PARTITION BY q.query_id
+                        ORDER BY CAST({dot("q.qv", "e.ev")} AS DOUBLE)
+                                 / sqrt(CAST(nq.nn AS DOUBLE)
+                                        * CAST(nc.nn AS DOUBLE)) DESC,
+                                 e.vec_id) AS pos
+             FROM consultas q
+             JOIN enteros e ON e.vec_id != q.query_id
+             JOIN nn_all nq ON nq.vec_id = q.query_id
+             JOIN nn_all nc ON nc.vec_id = e.vec_id
+           ) WHERE pos <= {_SEARCH_K}),
+rungs AS (SELECT unnest([{rungs}]) AS nprobe),
+servida AS (SELECT nprobe, query_id, cand_id FROM (
+              SELECT r.nprobe, p.query_id, p.cand_id,
+                     row_number() OVER (PARTITION BY r.nprobe, p.query_id
+                                        ORDER BY p.cos DESC, p.cand_id)
+                         AS pos
+              FROM rungs r JOIN puntuada p ON p.rango <= r.nprobe
+            ) WHERE pos <= {_SEARCH_K}),
+aciertos AS (SELECT r.nprobe, CAST(count(g.query_id) AS BIGINT) AS hits
+             FROM rungs r
+             LEFT JOIN (SELECT s.nprobe, s.query_id FROM servida s
+                        JOIN verdad v USING (query_id, cand_id)) g
+               ON g.nprobe = r.nprobe
+             GROUP BY 1),
+total AS (SELECT count(*) AS t FROM verdad),
+recalls AS (SELECT nprobe,
+                   CAST((1000 * hits) // t AS BIGINT) AS recall_mili
+            FROM aciertos, total),
+minimo AS (SELECT min(nprobe) AS np_min FROM recalls
+           WHERE recall_mili >= {_CAL_TARGET_MILI})
+SELECT CAST(r.nprobe AS BIGINT) AS nprobe, r.recall_mili,
+       COALESCE(r.nprobe = m.np_min, FALSE) AS elegida
+FROM recalls r, minimo m"""
+    )
+
+
+@register("calibracion_sondas", oracle=_calibracion_oracle(),
+          ops=("NN2", "O7", "A3"), driver=False)
+def calibracion_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE CALIBRATION against the stored index: serve the policy
+    query set at every rung of an nprobe ladder, measure recall@k of
+    each rung against the brute integer-cosine ground truth, and flag
+    the CHEAPEST rung meeting the recall target — nprobe chosen from a
+    measured recall/cost curve instead of folklore. Completes the
+    serving lifecycle's tuning loop: deriva_recall_indexada says WHEN
+    the stored fit has drifted (rebuild signal); this says HOW MANY
+    cells a serve must probe to hit its recall budget (the knob a
+    100 TB deployment actually turns, since serve cost is linear in
+    nprobe while recall saturates).
+
+    Scale shape: the ladder reuses ONE index (the shared session-cache
+    build — calibration never mutates) and each rung is the production
+    ``search_ivf_index`` serve itself on the FIXED-SIZE sampled query
+    set, so the whole calibration costs |ladder| sampled serves plus
+    one brute pass over queries × corpus — the brute leg is the
+    recall ceiling and is sample-bounded, never corpus × corpus. The
+    per-rung hit counts are single-row aggregates unioned into a
+    |ladder|-row frame; the argmin rung derives with a broadcast
+    one-row cross join (no window, no collect)."""
+    from functools import reduce
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        search_ivf_index,
+    )
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _SEARCH_K,
+        _int_vectors,
+        _query_mod,
+        cosine_from_ints,
+    )
+
+    path = _served_index(spark, sf_dir, "full")
+    emb = _emb(spark, sf_dir)
+    enteros = _int_vectors(emb).localCheckpoint(eager=False)
+    consultas = (
+        enteros.where(F.col("vec_id") % _query_mod(emb.count()) == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    norma = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pares = (
+        enteros.join(
+            F.broadcast(consultas), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("ev"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            norma("qv").alias("nq"),
+            norma("ev").alias("nc"),
+        )
+        .withColumn(
+            "cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc"))
+        )
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    verdad = (
+        pares.withColumn("pos", F.row_number().over(wv))
+        .where(F.col("pos") <= _SEARCH_K)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    partes = []
+    for np_ in _CAL_LADDER:
+        servida = search_ivf_index(
+            spark, consultas, path, nprobe=np_
+        ).select("query_id", "cand_id")
+        partes.append(
+            servida.join(verdad, ["query_id", "cand_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"), "hits"
+            )
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), partes)
+    total = verdad.agg(F.count(F.lit(1)).alias("t"))
+    recalls = hits.crossJoin(F.broadcast(total)).select(
+        "nprobe",
+        F.expr("(1000 * hits) div t").cast("bigint").alias("recall_mili"),
+    )
+    minimo = recalls.where(
+        F.col("recall_mili") >= _CAL_TARGET_MILI
+    ).agg(F.min("nprobe").alias("np_min"))
+    return recalls.crossJoin(F.broadcast(minimo)).select(
+        "nprobe",
+        "recall_mili",
+        F.coalesce(
+            F.col("nprobe") == F.col("np_min"), F.lit(False)
+        ).alias("elegida"),
+    )
