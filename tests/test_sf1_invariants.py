@@ -144,3 +144,87 @@ def test_sf1_cobertura_sondas_identity_and_gain(spark):
     row = REGISTRY["cobertura_sondas"].fn(spark, SF1).collect()[0]
     assert row["pares_2sondas"] == row["pares_1sonda"] + row["ganancia"]
     assert row["ganancia"] > 0 and row["pares_1sonda"] > 0
+
+
+def test_sf1_calibracion_sondas_monotone_and_unique_choice(spark):
+    """Recall@k can only grow with nprobe (a rung-r candidate set is a
+    subset of every rung >= r), and the choice flag marks exactly the
+    cheapest qualifying rung — checked on the real 10x corpus, where
+    the curve's shape (not its small-SF values) is the deliverable."""
+    from etl_python_airflow_bigquery_spark.queries.serving import (
+        _CAL_TARGET_MILI,
+    )
+
+    rows = sorted(
+        REGISTRY["calibracion_sondas"].fn(spark, SF1).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recalls = [r["recall_mili"] for r in rows]
+    assert all(0 <= x <= 1000 for x in recalls)
+    assert recalls == sorted(recalls)  # monotone in nprobe
+    elegidas = [r for r in rows if r["elegida"]]
+    qualifying = [r for r in rows if r["recall_mili"] >= _CAL_TARGET_MILI]
+    if qualifying:
+        assert len(elegidas) == 1
+        assert elegidas[0]["nprobe"] == qualifying[0]["nprobe"]
+    else:
+        assert not elegidas
+
+
+def test_sf1_costo_minimo_regional_is_a_per_part_minimum(spark):
+    """Q2 shape at 10x: every surviving offer's price IS its part's
+    minimum (one distinct price per part), and parts don't leak."""
+    df = REGISTRY["costo_minimo_regional"].fn(spark, SF1)
+    from pyspark.sql import functions as F
+
+    por_parte = df.groupBy("parte").agg(
+        F.min("precio_centavos").alias("mn"),
+        F.max("precio_centavos").alias("mx"),
+    )
+    assert por_parte.where(F.col("mn") != F.col("mx")).count() == 0
+    n_parts = spark.read.parquet(os.path.join(SF1, "part.parquet")).count()
+    assert 0 < por_parte.count() <= n_parts
+
+
+def test_sf1_participacion_inventario_threshold_holds(spark):
+    """Q11 shape at 10x: every emitted part really exceeds twice the
+    average share, recomputed independently from the grouped frame."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["participacion_inventario"].fn(spark, SF1)
+    fila = out.agg(
+        F.count(F.lit(1)).alias("emitidos"), F.min("valor_centavos").alias("mn")
+    ).first()
+    # reconstruct the global scalars the query derived
+    li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(SF1, "supplier.parquet"))
+    nat = spark.read.parquet(os.path.join(SF1, "nation.parquet"))
+    reg = spark.read.parquet(os.path.join(SF1, "region.parquet"))
+    asia = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(
+            reg.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    valores = (
+        li.join(asia, li.l_suppkey == asia.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("v")
+        )
+    )
+    esc = valores.agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("grupos")
+    ).first()
+    assert fila["emitidos"] > 0
+    # the smallest emitted value still clears the bar
+    assert fila["mn"] * esc["grupos"] > 2 * esc["total"]
+    # and the emitted count equals the independent recount
+    recuento = valores.where(
+        F.col("v") * F.lit(esc["grupos"]) > F.lit(2) * F.lit(esc["total"])
+    ).count()
+    assert fila["emitidos"] == recuento
