@@ -2445,3 +2445,62 @@ def participacion_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_partkey").alias("parte"), "valor_centavos")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6-shaped discount-revenue forecast — the pure pushdown scan
+# --------------------------------------------------------------------------
+
+_PRONOSTICO_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS lineas,
+       CAST(sum((CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 * CAST(floor(l_discount * 1000) AS BIGINT)) // 1000)
+            AS BIGINT) AS ingreso_extra_centavos
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND floor(l_discount * 1000) BETWEEN 50 AND 70
+  AND l_quantity < 24
+"""
+
+
+@register("pronostico_descuento", oracle=_PRONOSTICO_ORACLE,
+          ops=("P3", "A6", "P1"), driver=False)
+def pronostico_descuento(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-SHAPED revenue-forecast scalar: how much revenue the
+    mid-band discounts (5.0-7.0%) gave away on small 1996 shipments —
+    Q6's join-free, group-free aggregate whose entire value is the SCAN
+    SHAPE: every predicate (ship-date range, quantity cap) reaches the
+    parquet reader as a pushed filter, the read schema is exactly the
+    three touched columns, and the plan is one whole-stage-codegen map
+    pass into a single-row partial-aggregable sum — the query every
+    column store must execute at IO speed, here the pushdown floor the
+    plan pin keeps honest at 100 TB. The discount band compares in
+    exact milli-integers on both engines (floor(x*1000)), never a
+    float epsilon."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_mili = F.floor(F.col("l_discount") * 1000).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            # redundant FLOAT envelope of the exact milli band below:
+            # a plain column range is the form the parquet reader can
+            # take as a pushed filter + row-group stat prune; the
+            # floor(x*1000) band itself is an expression no source can
+            # push. Envelope ⊇ band, so semantics are the band's alone.
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & disc_mili.between(50, 70)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lineas"),
+            F.sum(
+                F.expr(
+                    "(cast(floor(l_extendedprice * 100) as bigint)"
+                    " * cast(floor(l_discount * 1000) as bigint)) div 1000"
+                )
+            ).cast("bigint").alias("ingreso_extra_centavos"),
+        )
+    )

@@ -821,3 +821,18 @@ def test_participacion_single_fact_scan(spark, sf_dir):
     assert len(fact_scans) <= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pronostico_descuento_is_a_pure_pushdown_scan(spark, sf_dir):
+    """Q6 shape: the whole query is one scan → partial agg → single-row
+    final agg. Ship-date range, the float discount envelope, and the
+    quantity cap all reach the reader as pushed filters; the read
+    schema holds only the three touched columns; no join, no window,
+    no shuffle beyond the single-row aggregate exchange."""
+    plan = plan_of(spark, sf_dir, "pronostico_descuento")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan and "l_discount" in scan
+    assert "l_quantity" in scan
+    assert "l_partkey" not in scan and "l_orderkey" not in scan
+    for nodo in ("Join", "Window", "Sort"):
+        assert nodo not in plan
