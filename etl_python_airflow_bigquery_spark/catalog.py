@@ -124,3 +124,73 @@ def refresh_bucketed_mart(
     # can never scramble the mart
     df.select(*spark.table(table).columns).write.mode("overwrite").insertInto(table)
     return table
+
+
+# ---------------------------------------------------------------------------
+# Source-content staleness for marts (the index-cache discipline,
+# applied to the warehouse layer)
+# ---------------------------------------------------------------------------
+
+
+def source_signature(sf_dir: str, table: str = "events") -> str:
+    """Cheap content fingerprint of a mart's SOURCE table: the sorted
+    (relpath, size, mtime_ns) walk of ``<sf_dir>/<table>.parquet`` — one
+    listdir + one stat per file, no data read (the ANN index cache's
+    ``_path_signature`` idea, pointed at the mart's own source). The
+    warehouse outlives sessions AND datasets: a regenerated dataset at
+    the same path must never be served a stale mart, and table
+    existence alone cannot tell — only the source's content can."""
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(target):
+        target = sf_dir
+    sig: list[tuple[str, int, int]] = []
+    if os.path.isdir(target):
+        for raiz, dirs, files in os.walk(target):
+            dirs.sort()
+            for f in sorted(files):
+                st = os.stat(os.path.join(raiz, f))
+                rel = os.path.relpath(os.path.join(raiz, f), target)
+                sig.append((rel, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(target)
+        sig.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    return repr(sig)
+
+
+def _sig_file(spark: SparkSession, table: str) -> str:
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, f"{table.lower()}._source_sig")
+
+
+def stored_mart_signature(spark: SparkSession, table: str) -> str | None:
+    """The source signature recorded when ``table`` was last built or
+    refreshed; None for a mart that predates signatures (treated as
+    stale once, then self-heals on the rebuild's record)."""
+    try:
+        with open(_sig_file(spark, table), encoding="utf-8") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def record_mart_signature(spark: SparkSession, table: str, sig: str) -> None:
+    """Best-effort atomic write (tmp + rename) next to the table's
+    warehouse dir. Failure is non-fatal by design: a mart without a
+    signature rebuilds on next access, which is the safe direction."""
+    path = _sig_file(spark, table)
+    try:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(sig)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def mart_is_stale(spark: SparkSession, table: str, source_sig: str) -> bool:
+    """True when the table EXISTS but was built from different source
+    content (or has no recorded signature). A missing table is not
+    'stale' — it is simply unbuilt; callers branch on existence next."""
+    if not spark.catalog.tableExists(table):
+        return False
+    return stored_mart_signature(spark, table) != source_sig

@@ -39,6 +39,10 @@ from etl_python_airflow_bigquery_spark.operators.intervals import (
 )
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.queries.analytic import _SUPER_ORACLE
+from etl_python_airflow_bigquery_spark.catalog import (
+    record_mart_signature,
+    source_signature,
+)
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 _log = logging.getLogger(__name__)
@@ -95,6 +99,23 @@ def _eventos_facts(events: DataFrame) -> DataFrame:
     )
 
 
+def _vigencia_mart(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Staleness gate every mart getter runs first: fingerprint the
+    source table's content and DROP the mart if it was built from
+    different content (the warehouse outlives datasets — regenerated
+    testdata at the same path must never serve a stale layout). Returns
+    the signature for the builder to record on success."""
+    from etl_python_airflow_bigquery_spark.catalog import (
+        mart_is_stale,
+        source_signature,
+    )
+
+    sig = source_signature(sf_dir, "events")
+    if mart_is_stale(spark, name, sig):
+        spark.sql(f"DROP TABLE `{name}`")
+    return sig
+
+
 def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event user-day facts (user_id, day_num, event_type, value)
     persisted PARTITIONED BY day_num and bucketed+sorted by user_id,
@@ -107,6 +128,7 @@ def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day_num derives from ts directly, nothing spills across days), so
     the refresh needs no lookback margin at all."""
     name = mart_name("eventos_usuario", sf_dir)
+    sig = _vigencia_mart(spark, name, sf_dir)
     if not spark.catalog.tableExists(name):
         facts = _eventos_facts(load_table(spark, sf_dir, "events"))
         try:
@@ -114,6 +136,7 @@ def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, facts, name, "day_num", "user_id", DEFAULT_BUCKETS,
                 sort_col="user_id",
             )
+            record_mart_signature(spark, name, sig)
         except Exception as exc:  # noqa: BLE001 — triaged by _fallback
             # warehouse not writable in this harness (e.g. a read-only
             # driver cwd): answer from the unbucketed frame — correctness
@@ -139,6 +162,9 @@ def refresh_eventos_usuario_mart(
     refresh_bucketed_mart(
         spark, facts, name, "day_num", "user_id", DEFAULT_BUCKETS,
         sort_col="user_id",
+    )
+    record_mart_signature(
+        spark, name, source_signature(sf_dir, "events")
     )
     return spark.table(name)
 
@@ -262,6 +288,7 @@ def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     across tasks (one bucket file per day partition), the same de-skew
     the compound key bought."""
     name = mart_name("atomos_usuario_dia", sf_dir)
+    sig = _vigencia_mart(spark, name, sf_dir)
     if not spark.catalog.tableExists(name):
         atoms = _atoms_frame(load_table(spark, sf_dir, "events"))
         try:
@@ -274,6 +301,7 @@ def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 DEFAULT_BUCKETS,
                 sort_col="user_id",
             )
+            record_mart_signature(spark, name, sig)
         except Exception as exc:  # noqa: BLE001 — triaged by _fallback
             # warehouse not writable here — serve the unbucketed atoms
             # (same rows; only the amortized-shuffle layout is lost);
@@ -314,6 +342,9 @@ def refresh_atomos_usuario_mart(
     refresh_bucketed_mart(
         spark, atoms, name, "day_num", "user_id", DEFAULT_BUCKETS,
         sort_col="user_id",
+    )
+    record_mart_signature(
+        spark, name, source_signature(sf_dir, "events")
     )
     return spark.table(name)
 
@@ -365,6 +396,7 @@ def eventos_particionados_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = mart_name("eventos_part", sf_dir)
+    sig = _vigencia_mart(spark, name, sf_dir)
     if not spark.catalog.tableExists(name):
         events = load_table(spark, sf_dir, "events")
         facts = events.select(
@@ -377,6 +409,7 @@ def eventos_particionados_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             refresh_bucketed_mart(
                 spark, facts, name, partition_col="dia", bucket_col="user_id"
             )
+            record_mart_signature(spark, name, sig)
         except Exception as exc:  # noqa: BLE001 — triaged by _fallback
             return _fallback(name, exc, facts)
     return spark.table(name)
