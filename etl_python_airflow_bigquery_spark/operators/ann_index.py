@@ -225,7 +225,7 @@ def search_ivf_index(
     spark: SparkSession,
     queries: DataFrame,
     path: str,
-    nprobe: int = _NPROBE,
+    nprobe: int | None = None,
     topk: int = _SEARCH_K,
     version: int | None = None,
 ) -> DataFrame:
@@ -237,7 +237,18 @@ def search_ivf_index(
     the latest centroid table serves every posting version). The
     posting read is manifest-stats FILE-PRUNED to the probed cells
     (round 11) — on a compacted, celda-range-clustered table the scan
-    touches ~nprobe/k of the files, not the table."""
+    touches ~nprobe/k of the files, not the table.
+
+    ``nprobe=None`` (the default) resolves to the index's CALIBRATED
+    rung when ``calibrate_index`` has recorded one in the metadata,
+    else the engine constant ``_NPROBE`` — so a deployment that ran the
+    calibration once serves at its measured recall target without every
+    call site knowing the number; explicit values always win."""
+    if nprobe is None:
+        try:
+            nprobe = int(read_index_meta(path).get("nprobe_calibrado", _NPROBE))
+        except FileNotFoundError:
+            nprobe = _NPROBE
     cent_tx, vec_tx = _tables(path)
     cent_df = cent_tx.read(spark).select(
         F.col("celda").alias("seed_id"), "sv"
@@ -330,6 +341,82 @@ def recall_drift(
             " div greatest(size(top_nuevo), 1) AS BIGINT)"
         ).alias("solape_mili"),
     )
+
+
+def calibrate_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    ladder: tuple[int, ...] = (1, 2, 3, 4),
+    topk: int = _SEARCH_K,
+    target_mili: int = 900,
+) -> int:
+    """CALIBRATE the serving probe count against a recall target and
+    RECORD it in the index metadata (the operator face of the
+    registered ``calibracion_sondas`` row): serve ``queries`` (sampled,
+    fixed-size — the caller's recall-measurement set) at every ladder
+    rung, measure micro-averaged recall@k against the brute
+    integer-cosine ranking over the STORED vectors, pick the cheapest
+    rung whose floor-milli recall meets ``target_mili`` (the most
+    accurate rung if none does), write it as ``nprobe_calibrado`` via
+    the metadata RMW, and return it. ``search_ivf_index`` then uses the
+    recorded rung whenever the caller does not pass an explicit nprobe.
+    Cost: |ladder| sampled serves + one brute pass of queries × stored
+    vectors (sample-bounded; the brute leg is the recall ceiling)."""
+    _, vec_tx = _tables(path)
+    stored = vec_tx.read(spark).select("vec_id", "ev")
+    norma = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pares = (
+        stored.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("ev"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            norma("qv").alias("nq"),
+            norma("ev").alias("nc"),
+        )
+        .withColumn(
+            "cos", cosine_from_ints(F.col("dot"), F.col("nq"), F.col("nc"))
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    verdad = (
+        pares.withColumn("pos", F.row_number().over(wv))
+        .where(F.col("pos") <= topk)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+    )
+    total = verdad.count()
+    medido: dict[int, int] = {}
+    elegido = None
+    for rung in sorted(ladder):
+        servida = search_ivf_index(
+            spark, queries, path, nprobe=rung, topk=topk
+        ).select("query_id", "cand_id")
+        hits = servida.join(verdad, ["query_id", "cand_id"]).count()
+        medido[rung] = (1000 * hits) // total if total else 1000
+        if medido[rung] >= target_mili:
+            elegido = rung  # cheapest qualifying rung — stop paying
+            break
+    if elegido is None:  # none qualified: the most accurate rung wins
+        elegido = max(medido, key=lambda r: (medido[r], -r))
+    meta = read_index_meta(path)
+    meta["nprobe_calibrado"] = int(elegido)
+    meta["recall_mili_calibrado"] = int(medido[elegido])
+    _write_meta(path, meta)
+    return int(elegido)
 
 
 def busqueda_hibrida_indexada(

@@ -998,3 +998,49 @@ def test_streaming_hybrid_serve_matches_batch(spark, sf_dir, tmp_path):
     run_hybrid_serve(spark, src, sf_dir, path, out, str(tmp_path / "ck"))
     assert tx.version() == 1
     assert sorted(map(tuple, tx.read(spark).collect())) == want
+
+
+def test_calibrate_index_records_and_serves_the_chosen_rung(
+    spark, sf_dir, tmp_path
+):
+    """calibrate_index picks the cheapest ladder rung meeting the recall
+    target, records it in the index metadata, and parameterless
+    search_ivf_index serves AT that rung from then on (explicit nprobe
+    still wins). The chosen rung's recall, recomputed independently,
+    meets the target unless the rung is the ladder's most accurate."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        calibrate_index,
+        read_index_meta,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    consultas = _queries_from(spark, emb)
+
+    ladder = (1, 2, 4)
+    rung = calibrate_index(
+        spark, consultas, path, ladder=ladder, target_mili=900
+    )
+    meta = read_index_meta(path)
+    assert rung in ladder
+    assert meta["nprobe_calibrado"] == rung
+    assert 0 <= meta["recall_mili_calibrado"] <= 1000
+    if rung != max(ladder):
+        assert meta["recall_mili_calibrado"] >= 900
+
+    # the default serve now runs at the calibrated rung
+    auto = sorted(map(tuple, search_ivf_index(
+        spark, consultas, path
+    ).collect()))
+    explicit = sorted(map(tuple, search_ivf_index(
+        spark, consultas, path, nprobe=rung
+    ).collect()))
+    assert auto == explicit
+    # and an explicit override still wins (rung-1 differs when rung > 1)
+    if rung > 1:
+        uno = sorted(map(tuple, search_ivf_index(
+            spark, consultas, path, nprobe=1
+        ).collect()))
+        assert uno != auto
