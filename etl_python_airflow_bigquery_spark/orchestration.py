@@ -99,3 +99,127 @@ def job_matrix(**axes: Iterable) -> list[dict]:
     becomes one DataFrame branch, unioned by the caller."""
     names = list(axes)
     return [dict(zip(names, combo)) for combo in itertools.product(*axes.values())]
+
+
+def maintenance_pipeline(
+    spark,
+    sf_dir: str,
+    index_path: str | None = None,
+    lex_path: str | None = None,
+    calibration_target_mili: int = 900,
+) -> RunManifest:
+    """THE OPERATIONAL RUNBOOK AS A TASK GRAPH — everything round 11/12
+    added to keep a deployment healthy, composed into one G1-G6
+    pipeline the way the reference composes its nightly DAGs:
+
+      marts_frescos ────────────────────────────┐
+      ann_compacto → ann_vacuum → ann_calibrado ├→ (manifest)
+      lex_compacto → lex_vacuum ────────────────┘
+
+    * marts_frescos — run every mart getter: the source-signature gate
+      drops + rebuilds anything whose source content changed.
+    * ann/lex compacto — bin-pack each index's small-file tail past the
+      shared file gate (celda/token-range clustered, stats pruning
+      preserved).
+    * ann/lex vacuum — reclaim superseded history past keep+slack
+      (pinned snapshots survive as GC roots).
+    * ann_calibrado — re-measure the recall ladder on the policy query
+      sample and persist the cheapest qualifying nprobe
+      (``calibrate_index``); parameterless serves pick it up.
+
+    Index tasks are gated on their path being provided; each task
+    retries once and failures block only their downstream (the Airflow
+    upstream_failed semantic), so a broken index never stops mart
+    maintenance or vice versa."""
+
+    def _marts() -> None:
+        from etl_python_airflow_bigquery_spark.queries.marts import (
+            atomos_usuario_mart,
+            eventos_particionados_mart,
+            eventos_usuario_mart,
+        )
+
+        for getter in (
+            eventos_usuario_mart,
+            atomos_usuario_mart,
+            eventos_particionados_mart,
+        ):
+            getter(spark, sf_dir)
+
+    def _ann_compact() -> None:
+        from etl_python_airflow_bigquery_spark.operators.ann_index import (
+            _COMPACT_FILE_GATE,
+            _tables,
+        )
+
+        _, vec_tx = _tables(index_path)
+        v = vec_tx.version()
+        if len(vec_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
+            vec_tx.optimize_compact(spark, cluster_col="celda")
+
+    def _ann_vacuum() -> None:
+        from etl_python_airflow_bigquery_spark.operators.ann_index import (
+            maybe_auto_vacuum,
+        )
+
+        maybe_auto_vacuum(index_path)
+
+    def _ann_calibrate() -> None:
+        from pyspark.sql import functions as F
+
+        from etl_python_airflow_bigquery_spark.operators.ann_index import (
+            calibrate_index,
+        )
+        from etl_python_airflow_bigquery_spark.queries.similarity import (
+            _emb,
+            _int_vectors,
+            _query_mod,
+        )
+
+        emb = _emb(spark, sf_dir)
+        consultas = _int_vectors(emb).where(
+            F.col("vec_id") % _query_mod(emb.count()) == 0
+        ).select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+        calibrate_index(
+            spark, consultas, index_path, target_mili=calibration_target_mili
+        )
+
+    def _lex_compact() -> None:
+        from etl_python_airflow_bigquery_spark.operators.ann_index import (
+            _COMPACT_FILE_GATE,
+        )
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            _LEX_FILES,
+            _tables,
+        )
+
+        post_tx, _ = _tables(lex_path)
+        v = post_tx.version()
+        if len(post_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
+            post_tx.optimize_compact(
+                spark, n_files=_LEX_FILES, cluster_col="token"
+            )
+
+    def _lex_vacuum() -> None:
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            maybe_auto_vacuum_lex,
+        )
+
+        maybe_auto_vacuum_lex(lex_path)
+
+    con_ann = index_path is not None
+    con_lex = lex_path is not None
+    tasks = [
+        Task("marts_frescos", _marts, retries=2),
+        Task("ann_compacto", _ann_compact, retries=2,
+             gate=lambda: con_ann),
+        Task("ann_vacuum", _ann_vacuum, depends_on=("ann_compacto",),
+             retries=2, gate=lambda: con_ann),
+        Task("ann_calibrado", _ann_calibrate, depends_on=("ann_vacuum",),
+             retries=2, gate=lambda: con_ann),
+        Task("lex_compacto", _lex_compact, retries=2,
+             gate=lambda: con_lex),
+        Task("lex_vacuum", _lex_vacuum, depends_on=("lex_compacto",),
+             retries=2, gate=lambda: con_lex),
+    ]
+    return run_pipeline(tasks)
