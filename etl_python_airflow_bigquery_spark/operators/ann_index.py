@@ -364,6 +364,13 @@ def calibrate_index(
     Cost: |ladder| sampled serves + one brute pass of queries × stored
     vectors (sample-bounded; the brute leg is the recall ceiling)."""
     _, vec_tx = _tables(path)
+    try:  # rungs past the cell count are the same serve — don't pay twice
+        k_celdas = int(read_index_meta(path).get("k", 0)) or None
+    except FileNotFoundError:
+        k_celdas = None
+    if k_celdas:
+        capped = tuple(r for r in ladder if r <= k_celdas) or (k_celdas,)
+        ladder = capped
     stored = vec_tx.read(spark).select("vec_id", "ev")
     norma = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),

@@ -1044,3 +1044,23 @@ def test_calibrate_index_records_and_serves_the_chosen_rung(
             spark, consultas, path, nprobe=1
         ).collect()))
         assert uno != auto
+
+
+def test_calibrate_index_caps_ladder_at_cell_count(spark, sf_dir, tmp_path):
+    """A tiny corpus has fewer cells than the ladder's top rungs —
+    calibration must not pay identical serves past k, and the recorded
+    rung can never exceed the cell count."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        calibrate_index,
+        read_index_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    k = read_index_meta(path)["k"]
+    consultas = _queries_from(spark, emb, every=1)
+    rung = calibrate_index(
+        spark, consultas, path, ladder=(1, 2, 4, 8), target_mili=1001
+    )  # unreachable target -> most accurate rung, still capped at k
+    assert rung <= max(1, k)
