@@ -419,7 +419,13 @@ def calibrate_index(
             break
     if elegido is None:  # none qualified: the most accurate rung wins
         elegido = max(medido, key=lambda r: (medido[r], -r))
-    meta = read_index_meta(path)
+    try:
+        meta = read_index_meta(path)
+    except FileNotFoundError:
+        # pre-meta index (tolerated at the top of this function): the
+        # measured rung must still persist — an empty meta is healed by
+        # index_meta_current on the next versioned read (ADVICE r12)
+        meta = {}
     meta["nprobe_calibrado"] = int(elegido)
     meta["recall_mili_calibrado"] = int(medido[elegido])
     _write_meta(path, meta)

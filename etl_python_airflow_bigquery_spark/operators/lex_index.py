@@ -106,6 +106,28 @@ def lex_meta_current(spark: SparkSession, path: str) -> dict:
     return meta
 
 
+def _resolve_dl_version(path: str, postings_version: int, dl_tx: TxTable) -> int:
+    """Map a POSTINGS version to the LENGTHS version that was current
+    when it committed. The two tables' version counters desync the
+    moment a postings-only compaction runs (``add_to_lex_index`` past
+    the file gate compacts postings but not lengths), so a pinned serve
+    or a pin tag must NOT reuse the postings version number against the
+    lengths table — it would read a lengths manifest that never existed
+    or one the vacuum is free to reclaim. The authoritative mapping is
+    persisted in the index metadata (``dl_por_version``, maintained by
+    every commit path); for pre-mapping indexes the counters were in
+    lockstep, so fall back to the same number clamped to the lengths
+    table's current version."""
+    try:
+        mapa = read_lex_meta(path).get("dl_por_version") or {}
+    except FileNotFoundError:
+        mapa = {}
+    v = mapa.get(str(postings_version))
+    if v is not None:
+        return int(v)
+    return min(postings_version, dl_tx.version())
+
+
 def _postings_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(postings, longitudes) from a documents frame — the one token
     explode; identical algebra to the inline BM25 queries
@@ -128,7 +150,7 @@ def build_lex_index(spark: SparkSession, docs: DataFrame, path: str) -> dict:
     v = post_tx.overwrite(
         postings.repartitionByRange(_LEX_FILES, "token", "doc_id")
     )
-    dl_tx.overwrite(dl)
+    dl_v = dl_tx.overwrite(dl)
     fila = dl_tx.read(spark).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).first()
@@ -139,6 +161,7 @@ def build_lex_index(spark: SparkSession, docs: DataFrame, path: str) -> dict:
         "dl_total": dl_total,
         "avgdl_mili": ((dl_total * 1000) // n if n else 1) or 1,
         "version": v,
+        "dl_por_version": {str(v): dl_v},
     }
     _write_meta(path, meta)
     return {"n": n, "avgdl_mili": meta["avgdl_mili"], "version": v}
@@ -160,8 +183,9 @@ def add_to_lex_index(spark: SparkSession, docs_new: DataFrame, path: str) -> int
     fila = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).first()
-    v = post_tx.append(postings)
-    dl_tx.append(dl)
+    v_append = post_tx.append(postings)
+    dl_v = dl_tx.append(dl)
+    v = v_append
     if len(post_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
         v = post_tx.optimize_compact(
             spark, n_files=_LEX_FILES, cluster_col="token"
@@ -174,6 +198,17 @@ def add_to_lex_index(spark: SparkSession, docs_new: DataFrame, path: str) -> int
             (meta["dl_total"] * 1000) // meta["n"] if meta["n"] else 1
         ) or 1
         meta["version"] = v
+        # postings→lengths version map: the append AND the compacted
+        # postings version both read lengths at dl_v (compaction touches
+        # only the postings table). Prune entries whose postings
+        # manifest is gone so the map stays bounded by version history.
+        mapa = meta.get("dl_por_version") or {}
+        mapa[str(v_append)] = dl_v
+        mapa[str(v)] = dl_v
+        vivos = {str(x) for x in post_tx._versions()}
+        meta["dl_por_version"] = {
+            k: x for k, x in mapa.items() if k in vivos
+        }
         _write_meta(path, meta)
     except FileNotFoundError:
         pass  # pre-meta index — serve heals via lex_meta_current
@@ -211,8 +246,13 @@ def search_bm25_lex_index(
         # a pinned serve pins the WHOLE snapshot: postings, lengths,
         # and the corpus constants (n/avgdl recomputed from the pinned
         # longitudes — idf and length normalization must not leak
-        # post-pin growth into a time-travel read)
-        longitudes = dl_tx.read(spark, version=version)
+        # post-pin growth into a time-travel read). The lengths version
+        # is RESOLVED from the postings→lengths map, never reused
+        # verbatim: postings-only compaction advances one counter and
+        # not the other.
+        longitudes = dl_tx.read(
+            spark, version=_resolve_dl_version(path, version, dl_tx)
+        )
         fila = longitudes.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
         ).first()
@@ -325,12 +365,15 @@ def pin_lex_version(path: str, name: str, version: int | None = None) -> int:
     vacuum horizon until ``unpin_lex_version``. This is the survival
     contract for time-travel serving (``search_bm25_lex_index(version=)``
     pins idf/avgdl/postings to one snapshot). Pins the POSTINGS version
-    given (default: current) and the CURRENT lengths version under the
-    same name; returns the pinned postings version."""
+    given (default: current) and the lengths version the pinned serve
+    will actually read — resolved through the metadata's
+    postings→lengths version map, because a postings-only compaction
+    desyncs the two tables' counters — under the same name; returns the
+    pinned postings version."""
     post_tx, dl_tx = _tables(path)
     v = post_tx.version() if version is None else version
     post_tx.create_tag(name, v)
-    dl_tx.create_tag(name, dl_tx.version())
+    dl_tx.create_tag(name, _resolve_dl_version(path, v, dl_tx))
     return v
 
 

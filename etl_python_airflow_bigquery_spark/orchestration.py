@@ -150,12 +150,30 @@ def maintenance_pipeline(
         from etl_python_airflow_bigquery_spark.operators.ann_index import (
             _COMPACT_FILE_GATE,
             _tables,
+            read_index_meta,
         )
 
         _, vec_tx = _tables(index_path)
         v = vec_tx.version()
         if len(vec_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
-            vec_tx.optimize_compact(spark, cluster_col="celda")
+            # same target layout as add_to_ivf_index's compaction:
+            # ~k/8 celda-range-clustered files, so the serve path's
+            # per-cell file pruning survives the rewrite (ADVICE r12 —
+            # the n_files=1 default would bin-pack the tail into ONE
+            # full-range file and defeat stats pruning)
+            try:
+                k = int(read_index_meta(index_path).get("k", 0))
+            except FileNotFoundError:
+                k = 0
+            if not k:  # pre-meta index: count the stored centroids
+                from etl_python_airflow_bigquery_spark.operators.ann_index import (
+                    _stored_centroids,
+                )
+
+                k = len(_stored_centroids(spark, index_path))
+            vec_tx.optimize_compact(
+                spark, n_files=max(1, k // 8), cluster_col="celda"
+            )
 
     def _ann_vacuum() -> None:
         from etl_python_airflow_bigquery_spark.operators.ann_index import (

@@ -99,21 +99,62 @@ def _eventos_facts(events: DataFrame) -> DataFrame:
     )
 
 
-def _vigencia_mart(spark: SparkSession, name: str, sf_dir: str) -> str:
+def _vigencia_mart(
+    spark: SparkSession, name: str, sf_dir: str, table: str = "events"
+) -> str:
     """Staleness gate every mart getter runs first: fingerprint the
-    source table's content and DROP the mart if it was built from
-    different content (the warehouse outlives datasets — regenerated
-    testdata at the same path must never serve a stale layout). Returns
-    the signature for the builder to record on success."""
+    mart's OWN source table's content (``table`` — generalized in r13,
+    ROADMAP r13 #4: a mart derived from documents must gate on
+    documents, not on the events fingerprint) and DROP the mart if it
+    was built from different content (the warehouse outlives datasets —
+    regenerated testdata at the same path must never serve a stale
+    layout). Returns the signature for the builder to record on
+    success."""
     from etl_python_airflow_bigquery_spark.catalog import (
         mart_is_stale,
         source_signature,
     )
 
-    sig = source_signature(sf_dir, "events")
+    sig = source_signature(sf_dir, table)
     if mart_is_stale(spark, name, sig):
         spark.sql(f"DROP TABLE `{name}`")
     return sig
+
+
+def _sello_refresh_ventana(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    table: str,
+    covers_source_changes: bool,
+) -> None:
+    """Signature stamping for a WINDOWED partial refresh (ADVICE r12,
+    medium): a refresh of some day partitions only covers the source
+    changes inside its window. Stamping the full current source
+    signature after it would mark the whole mart fresh even when the
+    source changed OUTSIDE the window (the regenerated-dataset scenario
+    the staleness gate exists for), and ``_vigencia_mart`` would never
+    drop/rebuild the untouched-but-stale partitions. So:
+
+    * stored == current — the source did not change; the refresh was a
+      recompute; re-stamp (a no-op) for symmetry.
+    * stored != current and the caller ASSERTS coverage
+      (``covers_source_changes=True`` — e.g. an orchestrator that
+      derived ``day_nums`` from the change feed and therefore knows the
+      delta is exactly those days) — stamp the current signature; the
+      incremental path stays incremental.
+    * stored != current otherwise — do NOT stamp. The stale stored
+      signature stands, and the next getter access force-drops and
+      full-rebuilds: correctness over amortization by default."""
+    from etl_python_airflow_bigquery_spark.catalog import (
+        record_mart_signature,
+        source_signature,
+        stored_mart_signature,
+    )
+
+    sig = source_signature(sf_dir, table)
+    if covers_source_changes or stored_mart_signature(spark, name) == sig:
+        record_mart_signature(spark, name, sig)
 
 
 def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,13 +188,17 @@ def eventos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def refresh_eventos_usuario_mart(
-    spark: SparkSession, sf_dir: str, day_nums
+    spark: SparkSession, sf_dir: str, day_nums,
+    covers_source_changes: bool = False,
 ) -> DataFrame:
     """Incremental maintenance for the user-facts mart: recompute the
     facts for ``day_nums`` only and dynamic-partition-overwrite exactly
     those day partitions (K3 semantics on the managed bucketed layout).
     Unlike the atom mart there is no session spill — a fact's day is its
-    own event's day — so the source window IS the refresh window."""
+    own event's day — so the source window IS the refresh window.
+    ``covers_source_changes``: see ``_sello_refresh_ventana`` — pass
+    True only when ``day_nums`` provably spans every source change
+    since the recorded signature (change-feed-derived windows)."""
     name = mart_name("eventos_usuario", sf_dir)
     dias = [int(d) for d in day_nums]
     events = load_table(spark, sf_dir, "events")
@@ -163,8 +208,8 @@ def refresh_eventos_usuario_mart(
         spark, facts, name, "day_num", "user_id", DEFAULT_BUCKETS,
         sort_col="user_id",
     )
-    record_mart_signature(
-        spark, name, source_signature(sf_dir, "events")
+    _sello_refresh_ventana(
+        spark, name, sf_dir, "events", covers_source_changes
     )
     return spark.table(name)
 
@@ -311,7 +356,8 @@ def atomos_usuario_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def refresh_atomos_usuario_mart(
-    spark: SparkSession, sf_dir: str, day_nums
+    spark: SparkSession, sf_dir: str, day_nums,
+    covers_source_changes: bool = False,
 ) -> DataFrame:
     """INCREMENTAL MAINTENANCE for the atom mart (VERDICT r10 #6 /
     ROADMAP #6): recompute atoms for ``day_nums`` only and
@@ -343,8 +389,8 @@ def refresh_atomos_usuario_mart(
         spark, atoms, name, "day_num", "user_id", DEFAULT_BUCKETS,
         sort_col="user_id",
     )
-    record_mart_signature(
-        spark, name, source_signature(sf_dir, "events")
+    _sello_refresh_ventana(
+        spark, name, sf_dir, "events", covers_source_changes
     )
     return spark.table(name)
 
@@ -487,4 +533,75 @@ def ventana_particionada(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("eventos"),
             F.countDistinct("user_id").cast("bigint").alias("usuarios"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Second-source mart (ROADMAP r13 #4): the staleness gate generalized
+# --------------------------------------------------------------------------
+
+
+def documentos_calidad_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain quality projection (doc_id, lang, source, n_chars,
+    n_tokens) persisted partitioned by lang and bucketed by doc_id — the
+    clustered base the text-analysis family's per-doc aggregations read
+    without re-tokenizing or re-shuffling the corpus. Its staleness gate
+    fingerprints the DOCUMENTS table (``_vigencia_mart(table=
+    'documents')``): this is the second source family the generalized
+    signature plumbing exists for — regenerating events must NOT
+    invalidate it, regenerating documents MUST."""
+    name = mart_name("documentos_calidad", sf_dir)
+    sig = _vigencia_mart(spark, name, sf_dir, table="documents")
+    if not spark.catalog.tableExists(name):
+        from etl_python_airflow_bigquery_spark.catalog import (
+            record_mart_signature as _record,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).cast("bigint").alias("n_tokens"),
+        )
+        try:
+            refresh_bucketed_mart(
+                spark, base, name, partition_col="lang",
+                bucket_col="doc_id",
+            )
+            _record(spark, name, sig)
+        except Exception as exc:  # noqa: BLE001 — triaged by _fallback
+            return _fallback(name, exc, base)
+    return spark.table(name)
+
+
+_CALIDAD_FUENTE_ORACLE = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(len(list_filter(str_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS tokens_total
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("calidad_por_fuente", oracle=_CALIDAD_FUENTE_ORACLE,
+          ops=("A1", "P1"), driver=False)
+def calidad_por_fuente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality rollup per (source, lang) over the documents-
+    gated quality mart: doc counts, char mass, token mass — the
+    monitoring query a training-data pipeline runs after every ingest.
+    Reads the mart (tokenize paid once, at build); the oracle replays
+    the same algebra over the raw documents table, so the mart's
+    content — and its staleness gate — are value-checked, not just
+    row-counted."""
+    mart = documentos_calidad_mart(spark, sf_dir)
+    return mart.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
     )

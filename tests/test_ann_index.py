@@ -1064,3 +1064,30 @@ def test_calibrate_index_caps_ladder_at_cell_count(spark, sf_dir, tmp_path):
         spark, consultas, path, ladder=(1, 2, 4, 8), target_mili=1001
     )  # unreachable target -> most accurate rung, still capped at k
     assert rung <= max(1, k)
+
+
+def test_calibrate_index_survives_missing_meta(spark, sf_dir, tmp_path):
+    """ADVICE r12 (low): on a pre-meta index (no index_meta.json — the
+    case the top of calibrate_index already tolerates) the final
+    metadata RMW must not crash after paying for the full brute pass:
+    the measured rung persists into a fresh meta file."""
+    import os
+
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _meta_path,
+        calibrate_index,
+        read_index_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    os.remove(_meta_path(path))  # simulate a pre-meta / legacy index
+
+    consultas = _queries_from(spark, emb)
+    rung = calibrate_index(
+        spark, consultas, path, ladder=(1, 2), target_mili=900
+    )
+    meta = read_index_meta(path)  # file exists again
+    assert meta["nprobe_calibrado"] == rung
+    assert 0 <= meta["recall_mili_calibrado"] <= 1000

@@ -232,6 +232,73 @@ def test_lex_auto_vacuum_soak_bounded_files_and_pinned_reader(
         search_bm25_lex_index(spark, terms, path, version=pinned_v).collect()
 
 
+def test_pin_after_compaction_survives_vacuum_desynced_counters(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE-r12 (high): postings-only compaction advances the
+    postings version counter past the lengths counter. A pin taken at
+    the CURRENT postings version after such a compaction must tag the
+    lengths version the serve actually reads (via the metadata's
+    postings→lengths map), so the pinned time-travel serve (a) never
+    asks the lengths table for a version that does not exist and (b)
+    provably survives vacuum cycles that reclaim untagged history."""
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        _resolve_dl_version,
+        maybe_auto_vacuum_lex,
+        pin_lex_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lex")
+    build_lex_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    # force a compaction on EVERY add: any append puts the postings
+    # manifest past the gate, so the postings counter advances twice
+    # per add while the lengths counter advances once — guaranteed
+    # desync after the first batch
+    monkeypatch.setattr(ai, "_COMPACT_FILE_GATE", 2)
+
+    base = docs.where(F.col("doc_id") % 2 == 1).limit(20)
+    for i in range(3):
+        lote = base.select(
+            (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias("doc_id"),
+            "text",
+        )
+        add_to_lex_index(spark, lote, path)
+
+    post_tx, dl_tx = _tables(path)
+    assert post_tx.version() > dl_tx.version()  # counters ARE desynced
+
+    terms = _terms_for(spark, path)
+    pinned_v = pin_lex_version(path, "release_post_compact")
+    # the resolved lengths version must exist (the raw postings number
+    # does not, in the lengths table's history)
+    dl_v = _resolve_dl_version(path, pinned_v, dl_tx)
+    assert dl_v in dl_tx._versions() and dl_v == dl_tx.version()
+    quiero = sorted(map(tuple, search_bm25_lex_index(
+        spark, terms, path, version=pinned_v
+    ).collect()))
+    assert quiero
+
+    # grow + vacuum aggressively; the pinned serve must keep returning
+    # the pinned ranking (both tables' tagged snapshots are GC roots)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_KEEP", 2)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_SLACK", 1)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_RETENTION_S", 0.0)
+    for i in range(6):
+        lote = base.select(
+            (F.col("doc_id") + F.lit(50_000_000 + i * 1000)).alias("doc_id"),
+            "text",
+        )
+        add_to_lex_index(spark, lote, path)
+    maybe_auto_vacuum_lex(path)
+
+    got = sorted(map(tuple, search_bm25_lex_index(
+        spark, terms, path, version=pinned_v
+    ).collect()))
+    assert got == quiero
+
+
 def test_streaming_lex_ingest_grows_index_and_replays_as_noop(
     spark, sf_dir, tmp_path
 ):

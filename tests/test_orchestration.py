@@ -43,3 +43,65 @@ def test_maintenance_pipeline_runs_the_operational_runbook(
     assert m2.statuses["ann_calibrado"] == "skipped"
     assert m2.statuses["lex_vacuum"] == "skipped"
     assert m2.statuses["marts_frescos"] == "ok"
+
+
+def test_maintenance_ann_compaction_preserves_cell_pruning(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE-r12 (medium): the runbook's ann_compacto must bin-pack
+    into ~k/8 celda-range-clustered files like add_to_ivf_index's own
+    compaction — NOT into one full-range file, which would defeat the
+    serve path's per-cell file pruning. After a maintenance compaction
+    of a fragmented posting tail, a probed-cell read must still touch a
+    strict subset of the manifest's files."""
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        _tables,
+        add_to_ivf_index,
+        build_ivf_index,
+        read_index_meta,
+    )
+    from etl_python_airflow_bigquery_spark.orchestration import (
+        maintenance_pipeline,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    from etl_python_airflow_bigquery_spark.queries import similarity as sim
+
+    idx = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # small corpus: shrink the per-cell target so k is production-like
+    # (k//8 > 1) and the compaction policy's multi-file layout is
+    # observable at test scale
+    monkeypatch.setattr(sim, "CELL_TARGET", 10)
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), idx)
+    k = int(read_index_meta(idx)["k"])
+    assert k // 8 > 1  # the policy target is a MULTI-file layout here
+
+    # fragment the posting tail without triggering add's own compaction
+    # (default gate stays high during the adds)
+    base = emb.where(F.col("vec_id") % 2 == 1).limit(24)
+    for i in range(8):
+        lote = base.select(
+            (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias("vec_id"),
+            "embedding",
+        )
+        add_to_ivf_index(spark, lote, idx)
+
+    _, vec_tx = _tables(idx)
+    antes = len(vec_tx._manifest(vec_tx.version())["files"])
+    assert antes > k // 8  # genuinely fragmented
+
+    # now let the RUNBOOK compact it (gate lowered so ann_compacto fires)
+    monkeypatch.setattr(ai, "_COMPACT_FILE_GATE", 2)
+    m = maintenance_pipeline(spark, sf_dir, index_path=idx)
+    assert m.statuses["ann_compacto"] == "ok"
+
+    files = vec_tx._manifest(vec_tx.version())["files"]
+    assert 1 < len(files) <= antes  # NOT collapsed into one file
+    # per-cell pruning survives: a single-cell probe reads fewer files
+    celda0 = vec_tx.read(spark).select("celda").first()["celda"]
+    pruned = vec_tx.read_in(spark, "celda", [celda0])
+    assert 0 < len(pruned.inputFiles()) < len(files)
