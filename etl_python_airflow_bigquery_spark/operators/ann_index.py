@@ -228,6 +228,7 @@ def search_ivf_index(
     nprobe: int | None = None,
     topk: int = _SEARCH_K,
     version: int | None = None,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """``queries``: (query_id, qv: array<bigint>) — scaled-int vectors
     (route raw embeddings through ``_int_vectors`` first). Probes the
@@ -245,14 +246,24 @@ def search_ivf_index(
     calibration once serves at its measured recall target without every
     call site knowing the number; explicit values always win."""
     if nprobe is None:
-        try:
-            nprobe = int(read_index_meta(path).get("nprobe_calibrado", _NPROBE))
-        except FileNotFoundError:
-            nprobe = _NPROBE
+        if ctx is not None:
+            nprobe = ctx["nprobe"]
+        else:
+            try:
+                nprobe = int(
+                    read_index_meta(path).get("nprobe_calibrado", _NPROBE)
+                )
+            except FileNotFoundError:
+                nprobe = _NPROBE
     cent_tx, vec_tx = _tables(path)
-    cent_df = cent_tx.read(spark).select(
-        F.col("celda").alias("seed_id"), "sv"
-    )
+    if ctx is not None:
+        # stream-static centroids (make_serve_context): a local relation
+        # instead of an index-table scan subtree in every batch's plan
+        cent_df = _ctx_centroids(spark, ctx)
+    else:
+        cent_df = cent_tx.read(spark).select(
+            F.col("celda").alias("seed_id"), "sv"
+        )
     qdist = queries.crossJoin(F.broadcast(cent_df)).select(
         "query_id",
         "seed_id",
@@ -485,6 +496,75 @@ def busqueda_hibrida_indexada(
     return rrf_fuse_hibrida(lex, vec)
 
 
+def make_serve_context(
+    spark: SparkSession,
+    path: str,
+    lex_path: str | None = None,
+    nprobe: int | None = None,
+) -> dict:
+    """STREAM-STATIC serve state, computed ONCE per serving stream and
+    reused by every micro-batch (VERDICT r12 #1 — the per-batch plan-JIT
+    amortization): the per-batch serve plan should contain only the
+    BATCH-bounded work (the anchors' pruned reads + the probed posting
+    files), never re-derivations of state that cannot change while the
+    stream's index snapshot is fixed. Contents:
+
+    * ``cent_rows`` — the centroid table collected (k-bounded by the
+      corpus-size policy, ≤ K_CAP×DIM ints): each batch rebuilds it as
+      a LOCAL relation, so the probe-cell ranking is a tiny local job
+      instead of a posting-table-adjacent scan subtree in every plan.
+    * ``nprobe`` — resolved once (explicit > calibrated > default).
+    * ``lex_n`` / ``lex_avgdl_mili`` — the lexical corpus constants
+      from the index metadata (one read, not one per batch).
+    * ``longitudes`` — the lengths table localCheckpoint'ed (lazily —
+      it materializes inside the first batch's job and is reused from
+      then on): the same static-side discipline run_hybrid_serve
+      already applies to inline corpus stats; bounded by corpus DOC
+      COUNT (doc_id, dl — two bigints per doc), it is the one
+      corpus-sized piece of serve state, paid once per stream instead
+      of re-planned per batch.
+
+    The context is advisory: every consumer accepts ``ctx=None`` and
+    falls back to its self-contained form (the batch/one-shot paths)."""
+    ctx: dict = {"path": path, "lex_path": lex_path}
+    if nprobe is None:
+        try:
+            nprobe = int(read_index_meta(path).get("nprobe_calibrado", _NPROBE))
+        except FileNotFoundError:
+            nprobe = _NPROBE
+    ctx["nprobe"] = int(nprobe)
+    cent_tx, _ = _tables(path)
+    ctx["cent_rows"] = [
+        (int(r["celda"]), [int(x) for x in r["sv"]])
+        for r in cent_tx.read(spark).collect()
+    ]
+    if lex_path is not None:
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            _tables as _lex_tables,
+        )
+        from etl_python_airflow_bigquery_spark.operators.lex_index import (
+            lex_meta_current,
+        )
+
+        meta = lex_meta_current(spark, lex_path)
+        ctx["lex_n"] = int(meta["n"])
+        ctx["lex_avgdl_mili"] = int(meta["avgdl_mili"])
+        _, dl_tx = _lex_tables(lex_path)
+        # lazy checkpoint: materializes inside the FIRST batch's job and
+        # is reused by every later batch — no upfront stream-start job
+        ctx["longitudes"] = dl_tx.read(spark).localCheckpoint(eager=False)
+    return ctx
+
+
+def _ctx_centroids(spark: SparkSession, ctx: dict) -> DataFrame:
+    """The context's centroid rows as a LOCAL relation (seed_id, sv) —
+    rebuilt per use from the driver list (k-bounded), so consuming
+    plans carry no index-table scan subtree for the centroids."""
+    return spark.createDataFrame(
+        ctx["cent_rows"], "seed_id BIGINT, sv ARRAY<BIGINT>"
+    )
+
+
 def busqueda_hibrida_indexada_multi(
     spark: SparkSession,
     sf_dir: str,
@@ -493,6 +573,7 @@ def busqueda_hibrida_indexada_multi(
     nprobe: int = _NPROBE,
     corpus=None,
     lex_path: str | None = None,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """``busqueda_hibrida_indexada`` generalized to a QUERY SET — the
     per-batch serve the streaming hybrid job (streaming/jobs.py
@@ -521,17 +602,37 @@ def busqueda_hibrida_indexada_multi(
         )
 
         ids = [r["query_id"] for r in qids.select("query_id").collect()]
-        lex = hibrida_lexical_top_multi_indexada(spark, sf_dir, lex_path, ids)
+        lex = hibrida_lexical_top_multi_indexada(
+            spark, sf_dir, lex_path, ids, ctx=ctx
+        )
     else:
+        ids = None
         lex = hibrida_lexical_top_multi(spark, sf_dir, qids, corpus=corpus)
     emb = load_table(spark, sf_dir, "embeddings")
-    consultas = _int_vectors(
-        emb.join(
-            F.broadcast(qids), emb["vec_id"] == qids["query_id"], "left_semi"
+    if ids is not None:
+        # anchors known on the driver: a LITERAL IN predicate reaches
+        # the parquet scan (row-group pruned), and the anchors' int
+        # vectors COLLECT to a local relation (|batch|×DIM ints) — the
+        # fused plan carries no embeddings-scan subtree, and the probe
+        # ranking inside search_ivf_index becomes local×local work
+        filas = _int_vectors(
+            emb.where(F.col("vec_id").isin([int(q) for q in ids]))
+        ).collect()
+        consultas = spark.createDataFrame(
+            [(int(r["vec_id"]), [int(x) for x in r["ev"]]) for r in filas],
+            "query_id BIGINT, qv ARRAY<BIGINT>",
         )
-    ).select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    else:
+        consultas = _int_vectors(
+            emb.join(
+                F.broadcast(qids), emb["vec_id"] == qids["query_id"],
+                "left_semi",
+            )
+        ).select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
     vec = search_ivf_index(
-        spark, consultas, path, nprobe=nprobe, topk=_BM25_TOP
+        spark, consultas, path,
+        nprobe=(ctx["nprobe"] if ctx is not None else nprobe),
+        topk=_BM25_TOP, ctx=ctx,
     ).select(
         "query_id", F.col("cand_id").alias("doc_id"),
         F.col("pos").alias("pos_vec"),

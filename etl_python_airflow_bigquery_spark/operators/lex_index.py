@@ -287,12 +287,19 @@ def search_bm25_lex_index(
     ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
+# Driver-state guard for the collected (query_id, token) anchor pairs:
+# past this row count the serve falls back to the distributed frame
+# (the collect is an optimization, never a scalability cliff).
+_CONSULTA_COLLECT_CAP = 200_000
+
+
 def hibrida_lexical_top_multi_indexada(
     spark: SparkSession,
     sf_dir: str,
     path: str,
     qids: list[int],
     topk: int = 10,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """The hybrid's multi-query lexical ranker SERVED FROM THE STORED
     POSTINGS — per arriving anchor, BM25 over its distinct terms with
@@ -314,8 +321,13 @@ def hibrida_lexical_top_multi_indexada(
     from etl_python_airflow_bigquery_spark.tables import load_table
 
     post_tx, dl_tx = _tables(path)
-    meta = lex_meta_current(spark, path)
-    n, avgdl_mili = meta["n"], meta["avgdl_mili"]
+    if ctx is not None:
+        n, avgdl_mili = ctx["lex_n"], ctx["lex_avgdl_mili"]
+        longitudes = ctx["longitudes"]
+    else:
+        meta = lex_meta_current(spark, path)
+        n, avgdl_mili = meta["n"], meta["avgdl_mili"]
+        longitudes = dl_tx.read(spark)
 
     docs = load_table(spark, sf_dir, "documents")
     consulta = (
@@ -327,7 +339,24 @@ def hibrida_lexical_top_multi_indexada(
         .where(F.col("token") != "")
         .distinct()
     )
-    terms = [r["token"] for r in consulta.select("token").distinct().collect()]
+    # ONE anchor-pruned documents job yields BOTH the term set (for the
+    # posting-file pruning below) and the (query_id, token) pairs — as
+    # a local relation the fused plan carries no documents-scan subtree
+    # and no second collect (the prior shape scanned documents once for
+    # the term collect and AGAIN inside the scored plan). Driver state
+    # is |anchors|×terms-per-doc pairs, capped: a pathologically large
+    # batch falls back to the distributed frame unchanged.
+    pares = consulta.limit(_CONSULTA_COLLECT_CAP + 1).collect()
+    if len(pares) <= _CONSULTA_COLLECT_CAP:
+        terms = sorted({r["token"] for r in pares})
+        consulta = spark.createDataFrame(
+            [(int(r["query_id"]), r["token"]) for r in pares],
+            "query_id BIGINT, token STRING",
+        )
+    else:
+        terms = [
+            r["token"] for r in consulta.select("token").distinct().collect()
+        ]
     postings = post_tx.read_in(spark, "token", terms)
     df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     pesos = df_t.select(
@@ -346,7 +375,7 @@ def hibrida_lexical_top_multi_indexada(
     scored = (
         postings.join(F.broadcast(consulta.join(pesos, "token")), "token")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(dl_tx.read(spark), "doc_id")
+        .join(longitudes, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
     )

@@ -999,12 +999,21 @@ def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a fresh serve plan, and at 3-5 s of JIT per plan the per-anchor
     # form spent most of its wall on compilation, not serving.
     grupos = [qids[:1], qids[1:]] if len(qids) > 1 else [qids]
+    # arrival files land via pyarrow on the DRIVER: the anchor list is
+    # tiny and driver-known, and a LocalRelation routed through the JVM
+    # write committer costs seconds of fixed overhead per file on this
+    # filesystem (measured ~5 s each, r13) — a pure harness tax that was
+    # charged to the streaming serve's bench row
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
     for i, grupo in enumerate(grupos):
         if not grupo:
             continue
-        spark.createDataFrame(
-            [(q,) for q in grupo], "query_id BIGINT"
-        ).coalesce(1).write.parquet(f"{src}/q{i:03d}.parquet")
+        _pq.write_table(
+            _pa.table({"query_id": _pa.array(grupo, type=_pa.int64())}),
+            f"{src}/q{i:03d}.parquet",
+        )
 
     sink_path = _os.path.join(raiz, "servido")
     run_hybrid_serve(

@@ -666,7 +666,17 @@ def run_hybrid_serve(
         hibrida_corpus_stats,
     )
 
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        make_serve_context,
+    )
+
     np_ = _np_default if nprobe is None else nprobe
+    # STREAM-STATIC serve context (VERDICT r12 #1): centroids, lexical
+    # corpus constants, and the lengths checkpoint compute ONCE here;
+    # each micro-batch's plan then contains only batch-bounded work
+    # (anchor-pruned reads + probed posting files) — the per-batch JIT
+    # pays for a far smaller plan with no corpus-table subtrees.
+    ctx = make_serve_context(spark, index_path, lex_path=lex_path, nprobe=np_)
     sink = TxTable(out_path)
     # SRC-keyed fence: survives checkpoint LOSS (wipe + redeliver is a
     # fenced no-op) at the cost of a constraint — the landing dir must
@@ -694,7 +704,7 @@ def run_hybrid_serve(
         qids = batch_df.select("query_id").distinct()
         out = busqueda_hibrida_indexada_multi(
             spark, sf_dir, index_path, qids, nprobe=np_, corpus=corpus,
-            lex_path=lex_path,
+            lex_path=lex_path, ctx=ctx,
         )
         sink.append(out, txn=(app_id, batch_id))
         _maintain_sink(spark, sink)

@@ -1091,3 +1091,57 @@ def test_calibrate_index_survives_missing_meta(spark, sf_dir, tmp_path):
     meta = read_index_meta(path)  # file exists again
     assert meta["nprobe_calibrado"] == rung
     assert 0 <= meta["recall_mili_calibrado"] <= 1000
+
+
+def test_serve_context_parity_both_legs(spark, sf_dir, tmp_path):
+    """make_serve_context (VERDICT r12 #1): the stream-static serve
+    context is an OPTIMIZATION, never a semantics change — the hybrid
+    multi serve with ctx equals the self-contained form row for row,
+    with and without a stored lexical index, and search_ivf_index with
+    ctx equals the plain serve."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_hibrida_indexada_multi,
+        make_serve_context,
+        search_ivf_index,
+    )
+    from etl_python_airflow_bigquery_spark.operators.lex_index import (
+        build_lex_index,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    lex = str(tmp_path / "lex")
+    build_lex_index(spark, load_table(spark, sf_dir, "documents"), lex)
+
+    qids_l = [0, 7, 19]
+    qids = spark.createDataFrame([(q,) for q in qids_l], "query_id BIGINT")
+
+    # hybrid serve, stored-lex leg: ctx vs no ctx
+    ctx = make_serve_context(spark, path, lex_path=lex)
+    a = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids, lex_path=lex
+    ).collect()))
+    b = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids, lex_path=lex, ctx=ctx
+    ).collect()))
+    assert a == b and a
+
+    # hybrid serve, inline-corpus leg: ctx (dense side only) vs no ctx
+    ctx2 = make_serve_context(spark, path)
+    c = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids
+    ).collect()))
+    d = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids, ctx=ctx2
+    ).collect()))
+    assert c == d and c
+
+    # raw dense serve: ctx centroids/nprobe vs table-read centroids
+    consultas = _queries_from(spark, emb)
+    e = sorted(map(tuple, search_ivf_index(spark, consultas, path).collect()))
+    f = sorted(map(tuple, search_ivf_index(
+        spark, consultas, path, ctx=ctx
+    ).collect()))
+    assert e == f and e
