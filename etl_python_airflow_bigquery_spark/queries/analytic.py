@@ -124,7 +124,7 @@ GROUP BY d.day_num
 
 
 @register("acumulado_diario", oracle=_ACUMULADO_ORACLE, ops=("A7", "W1", "A2"),
-          driver=False)
+          driver=True)
 def acumulado_diario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-to-date expanding distinct audience per day.
 
@@ -1868,7 +1868,7 @@ FROM con_lag
 
 
 @register("crecimiento_interanual", oracle=_INTERANUAL_ORACLE,
-          ops=("W1", "A1", "P3"), driver=True)
+          ops=("W1", "A1", "P3"), driver=False)
 def crecimiento_interanual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YEAR-OVER-YEAR GROWTH per 30-day period: revenue LAGged twelve
     periods back (the integer-period calendar every time-derived column
@@ -2229,7 +2229,7 @@ def _kcore_oracle(rounds: int) -> str:
 
 
 @register("grafo_kcore", oracle=_kcore_oracle(_KCORE_ROUNDS),
-          ops=("J1", "A1", "A6"), driver=False, bench=True)
+          ops=("J1", "A1", "A6"), driver=True, bench=True)
 def grafo_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-CORE PEELING on the customer-supplier trade graph: round by
     round, every node whose degree fell below the data-derived k (half

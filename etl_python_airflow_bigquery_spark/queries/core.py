@@ -82,8 +82,7 @@ JOIN agg a ON a.user_id = r.user_id
     "indicadores_total",
     oracle=_INDICADORES_ORACLE,
     ops=("J1", "J3", "A1", "A2", "A3", "A4", "P2", "P3", "P6", "P7"),
-    bench=True,
-)
+    bench=True, driver=False)
 def indicadores_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user listening indicators over business days (flagship).
 
@@ -154,8 +153,7 @@ GROUP BY l_returnflag, l_linestatus
     "pricing_summary",
     oracle=_PRICING_ORACLE,
     ops=("A1", "A2", "P1", "P3"),
-    bench=True,
-)
+    bench=True, driver=False)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary — the bench workhorse for grouped
     sums/counts with a pushed-down date filter (reference analog: every

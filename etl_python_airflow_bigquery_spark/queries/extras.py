@@ -572,7 +572,7 @@ ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.t_us >= o.o_us
 
 
 @register("asof_ultima_orden", oracle=_ASOF_ORACLE, ops=("J3", "W1"),
-          driver=False)
+          driver=True)
 def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event picks up the LATEST
     order of its user at or before the event instant — the time-series
@@ -650,7 +650,7 @@ GROUP BY event_type
 """
 
 
-@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",), driver=False)
+@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",), driver=True)
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct sketch (the public KMV/bottom-k
     estimator): keep the k smallest 60-bit hashes per group; the kth

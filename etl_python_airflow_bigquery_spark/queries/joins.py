@@ -235,7 +235,7 @@ WHERE c_custkey IN (
 
 
 @register("semi_join_mailing", oracle=_SEMI_ORACLE, ops=("J8",),
-          driver=True)
+          driver=False)
 def semi_join_mailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mailing-list membership: emails of users with qualifying consumption
     (reference Mailing_campaign_segmenttion.ipynb tag_shows cells) — a
@@ -342,8 +342,7 @@ GROUP BY p.programa_id
     "programas_live",
     oracle=_PROGRAMA_ORACLE,
     ops=("J3", "A4", "A2", "P6"),
-    bench=True,
-)
+    bench=True, driver=False)
 def programas_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live-program audience: sessions interval-overlap-joined to program
     airing windows with clipping (reference programas_live.py:443-452 +
@@ -612,7 +611,7 @@ GROUP BY 1, 2
 
 
 @register("retencion_cohortes", oracle=_RETENCION_ORACLE,
-          ops=("A2", "J1", "W2"), driver=False)
+          ops=("A2", "J1", "W2"), driver=True)
 def retencion_cohortes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the audience-analytics staple: users
     cohorted by FIRST active day, then counted per (cohort, day-offset)
@@ -1292,7 +1291,7 @@ GROUP BY 1, 2
 
 
 @register("proveedores_morosos", oracle=_MOROSOS_ORACLE,
-          ops=("J8", "J7", "A2", "A8"), bench=True, driver=False)
+          ops=("J8", "J7", "A2", "A8"), bench=True, driver=True)
 def proveedores_morosos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-SHAPED sole-blame audit: suppliers who were the ONLY
     late shipper on a finished multi-supplier order (late = shipped ≥ 90
@@ -1904,7 +1903,7 @@ FROM (
 
 
 @register("prioridad_envio", oracle=_PRIORIDAD_ENVIO_ORACLE,
-          ops=("J1", "O7", "P3"), driver=True)
+          ops=("J1", "O7", "P3"), driver=False)
 def prioridad_envio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-SHAPED shipping priority: the top-10 unshipped BUILDING
     orders by outstanding revenue as of a cut date — orders placed
@@ -1988,7 +1987,7 @@ FROM (
 
 
 @register("clientes_devoluciones", oracle=_DEVOLUCIONES_ORACLE,
-          ops=("J1", "A1", "O7", "P3"), driver=True)
+          ops=("J1", "A1", "O7", "P3"), driver=False)
 def clientes_devoluciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-SHAPED returned-item report: the 20 customers who
     returned the most revenue in a quarter, with their nation — the
@@ -2303,7 +2302,7 @@ GROUP BY 1, 2
 
 
 @register("beneficio_por_nacion", oracle=_BENEFICIO_ORACLE,
-          ops=("J1", "A1", "P8"), driver=True)
+          ops=("J1", "A1", "P8"), driver=False)
 def beneficio_por_nacion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-SHAPED product-line profit: for the parts whose name
     matches a product family ('%widget%' — Q9's `LIKE '%green%'`),
@@ -2385,7 +2384,7 @@ WHERE v.valor_centavos * e.grupos > 2 * e.total
 
 
 @register("participacion_inventario", oracle=_PARTICIPACION_ORACLE,
-          ops=("A1", "A6", "J1"), driver=True)
+          ops=("A1", "A6", "J1"), driver=False)
 def participacion_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-SHAPED concentration screen: parts whose ASIA-supplied
     line value exceeds TWICE the average per-part share — Q11's
@@ -2465,7 +2464,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 @register("pronostico_descuento", oracle=_PRONOSTICO_ORACLE,
-          ops=("P3", "A6", "P1"), driver=False)
+          ops=("P3", "A6", "P1"), driver=True)
 def pronostico_descuento(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-SHAPED revenue-forecast scalar: how much revenue the
     mid-band discounts (5.0-7.0%) gave away on small 1996 shipments —

@@ -444,7 +444,7 @@ FROM gaps WHERE seg IS NOT NULL
 GROUP BY 1, 2"""
 
 
-@register("tiempo_entre_eventos", ops=("W1", "A1"), driver=True)
+@register("tiempo_entre_eventos", ops=("W1", "A1"), driver=False)
 def tiempo_entre_eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTER-EVENT GAP DISTRIBUTION, log2-banded in seconds and split by
     the LATER event's type — the empirical basis for the streaming

@@ -590,7 +590,7 @@ GROUP BY 1, 2
 
 
 @register("calidad_por_fuente", oracle=_CALIDAD_FUENTE_ORACLE,
-          ops=("A1", "P1"), driver=False)
+          ops=("A1", "P1"), driver=True)
 def calidad_por_fuente(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality rollup per (source, lang) over the documents-
     gated quality mart: doc counts, char mass, token mass — the

@@ -188,7 +188,7 @@ FROM (
 
 
 @register("busqueda_maxsim_indexada", oracle=_maxsim_indexada_oracle(),
-          ops=("NN2", "O7", "A1"), bench=True)
+          ops=("NN2", "O7", "A1"), bench=True, driver=False)
 def busqueda_maxsim_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-VECTOR (ColBERT MaxSim) retrieval SERVED FROM THE STORED
     INDEX at production nprobe — the registered face of
@@ -532,7 +532,7 @@ def _int_sql_expr() -> str:
 
 
 @register("etiquetar_por_vecinos", oracle=_etiquetar_oracle(),
-          ops=("NN2", "A1", "O7"), driver=False, bench=True)
+          ops=("NN2", "A1", "O7"), driver=True, bench=True)
 def etiquetar_por_vecinos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL PROPAGATION AT INGEST served from the stored index — the
     registered face of ``operators/ann_index.etiquetar_por_vecinos``
@@ -751,7 +751,7 @@ FROM recalls r, minimo m"""
 
 
 @register("calibracion_sondas", oracle=_calibracion_oracle(),
-          ops=("NN2", "O7", "A3"), driver=False)
+          ops=("NN2", "O7", "A3"), driver=True)
 def calibracion_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROBE CALIBRATION against the stored index: serve the policy
     query set at every rung of an nprobe ladder, measure recall@k of

@@ -5225,7 +5225,7 @@ GROUP BY 1"""
 
 
 @register("dedup_semantico", oracle=_SEMDEDUP_H_ORACLE,
-          ops=("DD5", "NN2"), bench=True)
+          ops=("DD5", "NN2"), bench=True, driver=False)
 @register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
           ops=("DD5", "NN2"), driver=False)
 def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5559,7 +5559,7 @@ FROM verif"""
 
 
 @register("cobertura_sondas", oracle=_COBERTURA_SONDAS_ORACLE,
-          ops=("NN2", "DD5", "A6"), bench=True, driver=True)
+          ops=("NN2", "DD5", "A6"), bench=True, driver=False)
 def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-probe RECALL PIN (VERDICT r8 #2's 'done' evidence): over
     the hierarchical index, count the τ-verified near-dup pairs whose

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from etl_python_airflow_bigquery_spark.queries import register
 from etl_python_airflow_bigquery_spark.streaming.jobs import (
     events_dir_for,
+    files_per_trigger_for,
     hourly_counts,
     read_events_stream,
     run_to_memory,
@@ -44,7 +45,10 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream → withWatermark → window → availableNow drain), checked
     against the batch oracle — late-data tolerance comes from the
     watermark instead of the reference's delete-and-reload lookback."""
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     agg = hourly_counts(stream).select(
         F.unix_micros("hora_inicio").alias("hora_us"),
         "event_type",
@@ -90,7 +94,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window semantics: events merge while the next arrives
     strictly inside the previous event's 30-min horizon, and the session
     end extends 30 min past the last event — the oracle mirrors both."""
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     ses = sessionize(stream).select(
         "user_id",
         F.unix_micros("inicio").alias("inicio_us"),
@@ -123,7 +130,10 @@ def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_append,
     )
 
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     pairs = daily_users_dedup(stream)
     tabla, _metrics = run_to_memory_append(
         pairs, f"dedup_{uuid.uuid4().hex[:8]}"
@@ -152,7 +162,10 @@ def streaming_expanding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanding_distinct_stream,
     )
 
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     out = expanding_distinct_stream(stream.select("ts", "user_id"))
     df = run_to_memory_update(out, f"acum_{uuid.uuid4().hex[:8]}")
     return df
@@ -185,7 +198,10 @@ def streaming_enriquecido(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_airflow_bigquery_spark.streaming.jobs import WATERMARK
     from etl_python_airflow_bigquery_spark.tables import load_table
 
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     seg = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segmento"),
@@ -239,7 +255,10 @@ def streaming_atribucion(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_append,
     )
 
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     vistas = (
         stream.where(F.col("event_type") == "view")
         .select("user_id", F.col("ts_utc").alias("ts_vista"))
@@ -307,7 +326,10 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_distinct_stream,
     )
 
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     name = f"kmv_{uuid.uuid4().hex[:8]}"
     q = (
         kmv_distinct_stream(stream)
@@ -345,7 +367,7 @@ GROUP BY 1, 2
 
 
 @register("streaming_hopping", oracle=_HOPPING_ORACLE, ops=("ST1", "W2"),
-          driver=False)
+          driver=True)
 def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOPPING (sliding) windows from the STREAMING ENGINE — 2-hour
     windows advancing every hour (`window(ts, '2 hours', '1 hour')`):
@@ -356,7 +378,10 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality exactly like the tumbling case, ×2 for the overlap.
     Oracle: the two-anchor explode — an event at hour h belongs to the
     windows starting at h and h−1 — aggregated in batch SQL."""
-    stream = read_events_stream(spark, events_dir_for(sf_dir))
+    stream = read_events_stream(
+        spark, events_dir_for(sf_dir),
+        files_per_trigger_for(events_dir_for(sf_dir)),
+    )
     agg = (
         stream.withWatermark("ts_utc", "4 days")
         .groupBy(
@@ -442,7 +467,7 @@ def streaming_reglas_calidad(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     flags = gopher_flags(stream).select("doc_id", "source", "aprobado")
@@ -508,7 +533,7 @@ def streaming_cortes_subcadenas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(static_docs.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     import os as _os
@@ -589,7 +614,7 @@ def streaming_etiquetado_debil(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     votos = votos_debiles(stream).select(
@@ -675,7 +700,7 @@ def streaming_cuotas_fuentes(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     out = cuota_stream(stream)
@@ -740,7 +765,7 @@ FROM largo_v GROUP BY 1, 2
 
 
 @register("streaming_reglas_ventana", oracle=_REGLAS_VENTANA_ORACLE,
-          ops=("ST1", "TX2", "W2", "A8"))
+          ops=("ST1", "TX2", "W2", "A8"), driver=False)
 def streaming_reglas_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher gate's WINDOWED streaming form (VERDICT r8 #9) —
     completing the batch/stream twin pattern: where
@@ -765,7 +790,7 @@ def streaming_reglas_ventana(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     reglas = gopher_flags(stream).withColumn(
@@ -847,7 +872,7 @@ def streaming_senales_repeticion(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger_for(docs_dir))
         .parquet(docs_dir)
     )
     senales = repeticion_por_doc(stream).select(

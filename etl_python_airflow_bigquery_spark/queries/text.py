@@ -582,7 +582,7 @@ GROUP BY 1, 2
 
 
 @register("muestra_estratificada", oracle=_MUESTRA_ORACLE, ops=("A8", "J1"),
-          driver=False)
+          driver=True)
 def muestra_estratificada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the data-mixing primitive of
     a training pipeline: each source gets a target rate (here derived
@@ -907,7 +907,7 @@ FROM limpio
 """
 
 
-@register("pii_scrub", oracle=_PII_ORACLE, ops=("TX2", "P8"), driver=False)
+@register("pii_scrub", oracle=_PII_ORACLE, ops=("TX2", "P8"), driver=True)
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction for training corpora: emails, IPv4 addresses, and
     8+-digit numbers (card/account shapes) replaced with typed
