@@ -379,6 +379,8 @@ def calibrate_index(
         k_celdas = int(read_index_meta(path).get("k", 0)) or None
     except FileNotFoundError:
         k_celdas = None
+    if not k_celdas:  # pre-meta index: count the stored centroids
+        k_celdas = len(_stored_centroids(spark, path)) or None
     if k_celdas:
         capped = tuple(r for r in ladder if r <= k_celdas) or (k_celdas,)
         ladder = capped
@@ -419,16 +421,41 @@ def calibrate_index(
     total = verdad.count()
     medido: dict[int, int] = {}
     elegido = None
-    for rung in sorted(ladder):
+
+    def _mide(rung: int) -> int:
         servida = search_ivf_index(
             spark, queries, path, nprobe=rung, topk=topk
         ).select("query_id", "cand_id")
         hits = servida.join(verdad, ["query_id", "cand_id"]).count()
-        medido[rung] = (1000 * hits) // total if total else 1000
+        return (1000 * hits) // total if total else 1000
+
+    for rung in sorted(ladder):
+        medido[rung] = _mide(rung)
         if medido[rung] >= target_mili:
             elegido = rung  # cheapest qualifying rung — stop paying
             break
-    if elegido is None:  # none qualified: the most accurate rung wins
+    if elegido is None and k_celdas and max(medido) < k_celdas:
+        # AUTO-EXTEND (r13): the fixed ladder topping out under target
+        # is a GEOMETRY property, not a ceiling — probing all k cells
+        # is the exact ranking (recall 1000 by construction), so the
+        # target is always reachable. Climb geometrically from the
+        # ladder's top until the target is met or the rung covers every
+        # cell; each extra rung costs one sampled serve, and the
+        # calibrated output stays "cheapest rung that meets the target"
+        # instead of silently under-delivering (sf0.1 natural geometry:
+        # rungs 1-4 of k=20 measure <=708 milli; the extension finds
+        # the true qualifying rung).
+        rung = max(medido) * 2
+        while True:
+            rung = min(rung, k_celdas)
+            medido[rung] = _mide(rung)
+            if medido[rung] >= target_mili:
+                elegido = rung
+                break
+            if rung >= k_celdas:
+                break
+            rung *= 2
+    if elegido is None:  # unreachable target: the most accurate rung wins
         elegido = max(medido, key=lambda r: (medido[r], -r))
     try:
         meta = read_index_meta(path)

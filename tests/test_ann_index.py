@@ -1145,3 +1145,36 @@ def test_serve_context_parity_both_legs(spark, sf_dir, tmp_path):
         spark, consultas, path, ctx=ctx
     ).collect()))
     assert e == f and e
+
+
+def test_calibrate_index_auto_extends_ladder_to_target(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13: a fixed ladder topping out under the recall target is a
+    geometry property, not a ceiling — calibration must climb past the
+    ladder (geometrically, capped at the cell count) until the target
+    is met. With target 1000 the climb provably terminates at a full
+    probe (all k cells = the exact ranking), so the calibrated rung
+    serves recall 1000 by construction."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        calibrate_index,
+        read_index_meta,
+    )
+    from etl_python_airflow_bigquery_spark.queries import similarity as sim
+
+    # many small cells so nprobe=1 is genuinely lossy
+    monkeypatch.setattr(sim, "CELL_TARGET", 10)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    k = int(read_index_meta(path)["k"])
+    assert k > 2
+
+    consultas = _queries_from(spark, emb)
+    rung = calibrate_index(
+        spark, consultas, path, ladder=(1,), target_mili=1000
+    )
+    meta = read_index_meta(path)
+    assert rung > 1  # extended past the given ladder
+    assert rung <= k
+    assert meta["recall_mili_calibrado"] == 1000
