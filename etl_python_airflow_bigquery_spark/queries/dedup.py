@@ -129,6 +129,30 @@ def clear_session_caches() -> None:
     serving.clear_session_caches()
 
 
+def shingle_postings(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) postings from a documents FRAME —
+    the one shingle definition (see _SHINGLES_SQL for the hashing
+    rationale), frame-shaped so the persistent dedup state
+    (operators/dedup_state.py) can shingle an arriving batch without
+    the sf_dir-keyed cache."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> CAST(conv(substring(md5("
+                    "concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15), 16, 10)"
+                    " AS BIGINT))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash) postings; see _SHINGLES_SQL for
     the hashing rationale.
@@ -149,23 +173,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    out = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3),"
-                    " i -> CAST(conv(substring(md5("
-                    "concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15), 16, 10)"
-                    " AS BIGINT))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    out = shingle_postings(docs).localCheckpoint(eager=False)
     while len(_SHINGLES_CACHE) >= _SHINGLES_CACHE_MAX:
         _SHINGLES_CACHE.pop(next(iter(_SHINGLES_CACHE)))
     _SHINGLES_CACHE[key] = out
@@ -192,28 +200,13 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True,
-          driver=False)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup with PREFIX FILTERING (the
-    All-Pairs/PPJoin candidate scheme): shingles get a global rarity
-    order (ascending document frequency df, hash tie-break). A pair with
-    J ≥ τ must overlap in ≥ ⌈τ·|d|⌉ shingles of EACH side, so the two
-    docs' PREFIXES — each doc's first |d| − ⌈τ·|d|⌉ + 1 shingles in that
-    order — must intersect. Candidates therefore come from a self-join
-    on prefix postings only; the integer test 2·∩ ≥ ∪ then verifies on
-    FULL sets. Same exact answer as the naive posting-list join (same
-    oracle), but candidate volume tracks true duplicates, not per-shingle
-    df² — the clone-heavy 10× probe drops from 141× to near-linear,
-    because a high-df shingle enters a prefix only when a doc has few
-    rarer shingles, i.e. when it is genuinely near-duplicate material."""
-    import os as _os
-
-    _key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    _hit = _PARES_CACHE.get(_key)
-    if _hit is not None:
-        return _hit
-    sh = _shingles(spark, sf_dir)
+def pares_jaccard_prefijo(sh: DataFrame) -> DataFrame:
+    """The PPJoin prefix-filtered exact-Jaccard pair engine over a
+    shingle-posting FRAME (doc_id, s) — factored from
+    ``dedup_ngram_jaccard`` (whose docstring carries the filter
+    derivations) so the persistent dedup state can run the SAME exact
+    engine over a batch's postings. Returns verified pairs
+    (doc_a < doc_b, jaccard) at J ≥ 0.5."""
     df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # one shuffle on doc_id serves both the rarity rank and the set size
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -254,7 +247,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    out = _verify_jaccard(candidatos, sh).localCheckpoint(eager=False)
+    return _verify_jaccard(candidatos, sh)
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, ops=("DD4",), bench=True,
+          driver=False)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup with PREFIX FILTERING (the
+    All-Pairs/PPJoin candidate scheme): shingles get a global rarity
+    order (ascending document frequency df, hash tie-break). A pair with
+    J ≥ τ must overlap in ≥ ⌈τ·|d|⌉ shingles of EACH side, so the two
+    docs' PREFIXES — each doc's first |d| − ⌈τ·|d|⌉ + 1 shingles in that
+    order — must intersect. Candidates therefore come from a self-join
+    on prefix postings only; the integer test 2·∩ ≥ ∪ then verifies on
+    FULL sets. Same exact answer as the naive posting-list join (same
+    oracle), but candidate volume tracks true duplicates, not per-shingle
+    df² — the clone-heavy 10× probe drops from 141× to near-linear,
+    because a high-df shingle enters a prefix only when a doc has few
+    rarer shingles, i.e. when it is genuinely near-duplicate material."""
+    import os as _os
+
+    _key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    _hit = _PARES_CACHE.get(_key)
+    if _hit is not None:
+        return _hit
+    sh = _shingles(spark, sf_dir)
+    out = pares_jaccard_prefijo(sh).localCheckpoint(eager=False)
     while len(_PARES_CACHE) >= _SHINGLES_CACHE_MAX:
         _PARES_CACHE.pop(next(iter(_PARES_CACHE)))
     _PARES_CACHE[_key] = out
@@ -1132,6 +1150,35 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM descartados)
 GROUP BY 1, 2
 """
+
+
+@register("dedup_estado_incremental", oracle=_INCREMENTAL_ORACLE,
+          ops=("DD1", "DD4", "J2"), driver=True)
+def dedup_estado_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` SERVED FROM THE PERSISTENT DEDUP STATE
+    (operators/dedup_state.py — the third stored-index family): the
+    established world (doc_id % 10 != 0) is built ONCE into stored
+    hash/posting/array/label tables, and the batch (every 10th doc)
+    probes those tables stats-pruned to its own values instead of
+    rebuilding corpus-side frames inline. The prefix-filter engine is
+    exact, so the classification hash-matches the inline row's oracle
+    bit for bit — the strongest possible statement that the stored
+    read path changed only the SCAN shape, not the answer. Cold
+    contract: the build runs inside the call (bench honesty), like the
+    other serving rows."""
+    import tempfile as _tempfile
+
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        build_dedup_state,
+        ingest_dedup_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tempfile.mkdtemp(prefix="dedup_state_")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    return ingest_dedup_state(
+        spark, docs.where(F.col("doc_id") % 10 == 0), path
+    )
 
 
 @register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,

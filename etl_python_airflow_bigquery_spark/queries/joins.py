@@ -2130,7 +2130,7 @@ GROUP BY 1
 
 
 @register("ingreso_brackets", oracle=_BRACKETS_ORACLE,
-          ops=("J1", "A8", "P5"), driver=True)
+          ops=("J1", "A8", "P5"), driver=False)
 def ingreso_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-SHAPED discounted revenue under an OR-of-conjuncts
     bracket predicate: three (brand, size range, quantity range)

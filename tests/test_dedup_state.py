@@ -1,0 +1,102 @@
+"""Persistent dedup-state lifecycle (operators/dedup_state.py): build
+once, probe per batch, fold labels incrementally — the DD twin of
+test_ann_index.py / test_lex_index.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+    _tables,
+    build_dedup_state,
+    ingest_dedup_state,
+    read_dedup_labels,
+)
+from etl_python_airflow_bigquery_spark.tables import load_table
+
+
+def test_ingest_classification_matches_inline_row(spark, sf_dir, tmp_path):
+    """The stored-state probe is EXACT: classifying the %10 batch against
+    a state built on the %10!=0 world reproduces the inline
+    dedup_incremental row for row (same prefix-filter engine, same
+    tiers, only the scan shape differs)."""
+    from etl_python_airflow_bigquery_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    got = sorted(map(tuple, ingest_dedup_state(
+        spark, docs.where(F.col("doc_id") % 10 == 0), path
+    ).collect()))
+    want = sorted(
+        map(tuple, REGISTRY["dedup_incremental"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and got
+
+
+def test_multi_batch_ingest_labels_equal_full_recluster(spark, sf_dir, tmp_path):
+    """Star-contraction exactness across MULTIPLE folds: after building
+    on the established world and ingesting the batch in two separate
+    slices, the stored labels' cluster PARTITION equals the one-shot
+    full recluster's (same doc groupings; representative ids may differ
+    across fold orders, the partition may not)."""
+    from etl_python_airflow_bigquery_spark.queries.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    ingest_dedup_state(spark, docs.where(F.col("doc_id") % 20 == 0), path)
+    ingest_dedup_state(
+        spark,
+        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)),
+        path,
+    )
+
+    def partition_of(rows):
+        grupos: dict = {}
+        for doc, cl in rows:
+            grupos.setdefault(cl, set()).add(doc)
+        return {frozenset(v) for v in grupos.values()}
+
+    got = partition_of(
+        (r["doc_id"], r["cluster_id"])
+        for r in read_dedup_labels(spark, path).collect()
+    )
+    want = partition_of(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(spark, sf_dir).collect()
+    )
+    # the stored labels may include pair-free docs' self-clusters; the
+    # full recluster's surface is pairs-only — compare on its support
+    want_docs = set().union(*want) if want else set()
+    got_on_support = {fs & frozenset(want_docs) for fs in got}
+    got_on_support.discard(frozenset())
+    assert got_on_support == want
+
+
+def test_probe_reads_are_stats_pruned(spark, sf_dir, tmp_path):
+    """Delta discipline, enforced: a batch probe must read a strict
+    subset of the posting/hash files (the read_in stats pruning on the
+    range-clustered layout) — the corpus-side cost is the batch's own
+    value ranges, never the table."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    h_tx, s_tx, a_tx, _ = _tables(path)
+    total_h = len(h_tx._manifest(h_tx.version())["files"])
+    total_s = len(s_tx._manifest(s_tx.version())["files"])
+    assert total_h > 1 and total_s > 1
+
+    un_doc = docs.where(F.col("doc_id") % 10 == 0).limit(1)
+    h = un_doc.select(F.md5("text").alias("h")).first()["h"]
+    pruned_h = h_tx.read_in(spark, "h", [h])
+    assert 0 < len(pruned_h.inputFiles()) < total_h
+
+    from etl_python_airflow_bigquery_spark.queries.dedup import (
+        shingle_postings,
+    )
+
+    un_s = [r["s"] for r in shingle_postings(un_doc).limit(3).collect()]
+    if un_s:
+        pruned_s = s_tx.read_in(spark, "s", un_s)
+        assert 0 < len(pruned_s.inputFiles()) < total_s
