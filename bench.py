@@ -356,6 +356,46 @@ def main() -> int:
             time.perf_counter() - t0, 3
         )
 
+    # Dedup-state family (round 13): the third stored-index lifecycle's
+    # build/serve split — build the state COLD on the established world,
+    # then time each batch's incremental fold (the daily-ingest shape;
+    # the registered dedup_estado_incremental row pays build+first-fold
+    # in full every call — this is the amortized production view).
+    if "dedup_estado_incremental" in names:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+            build_dedup_state,
+            ingest_dedup_state,
+        )
+        from etl_python_airflow_bigquery_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        st_path = _tempfile.mkdtemp(prefix="bench_ds_")
+        t0 = time.perf_counter()
+        build_dedup_state(
+            spark, docs.where(F.col("doc_id") % 10 != 0), st_path
+        )
+        ds_build = time.perf_counter() - t0
+        ds_marginal = {}
+        for i in range(2):
+            lote = docs.where(
+                (F.col("doc_id") % 10 == 0)
+                & ((F.col("doc_id") / 10).cast("bigint") % 2 == i)
+            )
+            t0 = time.perf_counter()
+            ingest_dedup_state(spark, lote, st_path).count()
+            ds_marginal[f"ingest_b{i}"] = round(time.perf_counter() - t0, 3)
+        families["dedup_state"] = {
+            "build": round(ds_build, 3),
+            "marginal": ds_marginal,
+            "amortized_wall": round(ds_build + sum(ds_marginal.values()), 3),
+        }
+        _shutil.rmtree(st_path, ignore_errors=True)
+
     out = {
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),

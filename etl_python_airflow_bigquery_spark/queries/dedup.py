@@ -1153,7 +1153,7 @@ GROUP BY 1, 2
 
 
 @register("dedup_estado_incremental", oracle=_INCREMENTAL_ORACLE,
-          ops=("DD1", "DD4", "J2"), driver=True)
+          ops=("DD1", "DD4", "J2"), driver=True, bench=True)
 def dedup_estado_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_incremental`` SERVED FROM THE PERSISTENT DEDUP STATE
     (operators/dedup_state.py — the third stored-index family): the
