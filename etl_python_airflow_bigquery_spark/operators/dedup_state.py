@@ -249,10 +249,13 @@ def ingest_dedup_state(
     )
 
 
-def read_dedup_labels(spark: SparkSession, path: str) -> DataFrame:
-    """The current (doc_id, cluster_id) label snapshot."""
+def read_dedup_labels(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The (doc_id, cluster_id) label snapshot — current, or a pinned
+    prior version (``pin_dedup_version``'s time-travel contract)."""
     _, _, _, e_tx = _tables(path)
-    return e_tx.read(spark)
+    return e_tx.read(spark, version=version)
 
 
 def maybe_auto_vacuum_dedup(path: str) -> dict | None:
@@ -271,3 +274,31 @@ def maybe_auto_vacuum_dedup(path: str) -> dict | None:
             ("conjuntos", a_tx), ("etiquetas", e_tx),
         )
     }
+
+
+def pin_dedup_version(path: str, name: str) -> dict:
+    """PIN the dedup state's CURRENT snapshot against vacuum — lifecycle
+    parity with ``ann_index.pin_index_version`` / ``pin_lex_version``:
+    tags are GC roots at the table layer, so each of the four tables'
+    current version survives ANY vacuum horizon until
+    ``unpin_dedup_version``. Returns {table: pinned_version}. The use
+    case is time-travel CLASSIFICATION audits: yesterday's cluster view
+    (``read_dedup_labels(version=)``) stays readable while today's
+    ingests fold new batches."""
+    h_tx, s_tx, a_tx, e_tx = _tables(path)
+    pins = {}
+    for nombre, tx in (
+        ("hashes", h_tx), ("postings", s_tx),
+        ("conjuntos", a_tx), ("etiquetas", e_tx),
+    ):
+        v = tx.version()
+        tx.create_tag(name, v)
+        pins[nombre] = v
+    return pins
+
+
+def unpin_dedup_version(path: str, name: str) -> None:
+    """Release a ``pin_dedup_version`` pin on all four tables."""
+    h_tx, s_tx, a_tx, e_tx = _tables(path)
+    for tx in (h_tx, s_tx, a_tx, e_tx):
+        tx.delete_tag(name)

@@ -100,3 +100,51 @@ def test_probe_reads_are_stats_pruned(spark, sf_dir, tmp_path):
     if un_s:
         pruned_s = s_tx.read_in(spark, "s", un_s)
         assert 0 < len(pruned_s.inputFiles()) < total_s
+
+
+def test_pinned_labels_survive_ingest_and_vacuum(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Time-travel classification audit: a pin_dedup_version snapshot
+    of the labels keeps serving yesterday's cluster view through later
+    ingests and aggressive auto-vacuum; unpinning releases it."""
+    import pytest as _pytest
+
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        maybe_auto_vacuum_dedup,
+        pin_dedup_version,
+        unpin_dedup_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    pins = pin_dedup_version(path, "ayer")
+    ayer = sorted(map(tuple, read_dedup_labels(
+        spark, path, version=pins["etiquetas"]
+    ).collect()))
+    assert ayer
+
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_KEEP", 2)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_SLACK", 1)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_RETENTION_S", 0.0)
+    lote = docs.where(F.col("doc_id") % 10 == 0)
+    for i in range(5):
+        b = lote.where((F.col("doc_id") / 10).cast("bigint") % 5 == i)
+        ingest_dedup_state(spark, b.select(
+            (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        ), path)
+    maybe_auto_vacuum_dedup(path)
+
+    got = sorted(map(tuple, read_dedup_labels(
+        spark, path, version=pins["etiquetas"]
+    ).collect()))
+    assert got == ayer  # the pinned view is byte-stable
+
+    unpin_dedup_version(path, "ayer")
+    _, _, _, e_tx = _tables(path)
+    e_tx.vacuum(keep_versions=1, retention_s=0.0)
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        read_dedup_labels(spark, path, version=pins["etiquetas"]).collect()
