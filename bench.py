@@ -123,6 +123,32 @@ FAMILIES = {
         "build": "etiquetar_por_vecinos",
         "members": ("etiquetar_por_vecinos",),
     },
+    # The ctx-WARM serving family (VERDICT r13 #5): the serving rows
+    # route through the session serve-context cache
+    # (queries/serving._served_ctx — centroid local relations, lexical
+    # corpus constants, cached query terms: the state make_serve_context
+    # hoists for the streaming serve, session-scoped for batch calls).
+    # `build` is a TUPLE — all three indexes (full IVF, labels-subset
+    # IVF, lexical postings) plus their contexts build cold first; each
+    # member's marginal is then what a RESIDENT serving tier pays per
+    # call: index warm AND context warm. busqueda_bm25_indexada is
+    # driver-tier (not bench-gated), so this family is its only timing
+    # row — members are resolved against the REGISTRY, not the gated
+    # set.
+    "serve_ctx": {
+        "build": (
+            "busqueda_maxsim_indexada",
+            "etiquetar_por_vecinos",
+            "busqueda_bm25_indexada",
+        ),
+        "members": (
+            "busqueda_maxsim_indexada",
+            "busqueda_hibrida_indexada",
+            "busqueda_bm25_indexada",
+            "etiquetar_por_vecinos",
+        ),
+        "registry_scope": True,
+    },
 }
 
 # The bucketed atom-mart family (VERDICT r8 #6): build is NOT a registry
@@ -138,6 +164,37 @@ MART_FAMILY = {
         "superposicion_segmentos",
     ),
 }
+
+
+# Machine-noise tripwire (VERDICT r13 #2): a FIXED-COST synthetic probe —
+# pure-CPU xxhash aggregation over a constant row count, no I/O, no SF
+# dependence — timed immediately before CORE_12 and again after the full
+# gated set. Twice now (r10, r13) the round's official core_wall was an
+# environment artifact that needed a manual judge re-run to adjudicate;
+# the probe gives the record a self-contained health reading.
+# noise_index = max(best-of-2 before, best-of-2 after) / _PROBE_REF_SEC;
+# BASELINE.md states the adjudication rule (> _PROBE_NOISE_GATE ⇒ the
+# round's walls are machine state — re-run before reading core_wall
+# against the baseline).
+_PROBE_N = 1 << 26
+# Calibration (r14, idle local[32]): warm best-of-2 reads 0.11-0.35
+# across sessions (sub-second scheduling variance is inherently ~2x);
+# under a fully CPU-contended machine (a concurrent full-registry
+# selftest) the same probe reads 0.67-1.08. Ref = the idle band's top;
+# gate = 2.0 — only gross contention (the r10/r13 class, where queries
+# ran 2-10x slow) trips, idle variance never does.
+_PROBE_REF_SEC = 0.30
+_PROBE_NOISE_GATE = 2.0
+
+
+def _noise_probe(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(_PROBE_N, numPartitions=32).select(
+        F.xxhash64("id").alias("h")
+    ).agg(F.expr("bit_xor(h)")).collect()
+    return time.perf_counter() - t0
 
 
 def sf_of(path: str) -> float:
@@ -246,6 +303,12 @@ def main() -> int:
         atomos_usuario_mart(spark, SF_DIR).count()
         mart_build["atomos_usuario_dia"] = round(time.perf_counter() - t0, 3)
 
+    # Noise tripwire, leg 1: one unrecorded run warms the probe plan's
+    # codegen, then best-of-2 reads the machine immediately before the
+    # pinned CORE_12 window.
+    _noise_probe(spark)
+    probe_before = round(min(_noise_probe(spark), _noise_probe(spark)), 3)
+
     # Best-of-2 per query by default: the second run re-plans from
     # scratch (no caching of results) but amortizes codegen/classload
     # noise — the number reported is the plan's cost, not the JIT's.
@@ -293,13 +356,25 @@ def main() -> int:
     # Supplementary family pass: one shared build, then marginal costs.
     families: dict[str, dict] = {}
     for fam, spec in FAMILIES.items():
-        members = [m for m in spec["members"] if m in names]
-        if spec["build"] not in names or not members:
+        # registry_scope families time members that are not bench-gated
+        # (their family line is their only timing row); others keep the
+        # gated-set filter
+        universo = REGISTRY if spec.get("registry_scope") else names
+        members = [m for m in spec["members"] if m in universo]
+        builds = (
+            spec["build"]
+            if isinstance(spec["build"], tuple)
+            else (spec["build"],)
+        )
+        if any(b not in universo for b in builds) or not members:
             continue
         clear_session_caches()
-        t0 = time.perf_counter()
-        _materialize(REGISTRY[spec["build"]].fn(spark, SF_DIR))
-        build_s = time.perf_counter() - t0
+        builds_s: dict[str, float] = {}
+        for b in builds:
+            t0 = time.perf_counter()
+            _materialize(REGISTRY[b].fn(spark, SF_DIR))
+            builds_s[b] = round(time.perf_counter() - t0, 3)
+        build_s = sum(builds_s.values())
         marginal: dict[str, float] = {}
         for m in members:  # NO cache clear — measuring the warm margin
             t0 = time.perf_counter()
@@ -312,6 +387,8 @@ def main() -> int:
             # consumers share one build, vs sum of the cold numbers above
             "amortized_wall": round(build_s + sum(marginal.values()), 3),
         }
+        if len(builds) > 1:
+            families[fam]["builds"] = builds_s
 
     # Mart family (build is the mart itself, not a registry query): drop
     # the bucketed table so the build is timed cold, then each consumer
@@ -396,10 +473,25 @@ def main() -> int:
         }
         _shutil.rmtree(st_path, ignore_errors=True)
 
+    # Noise tripwire, leg 2: the same probe after the full gated set —
+    # late-session GC/heap state and external load both show here.
+    probe_after = round(min(_noise_probe(spark), _noise_probe(spark)), 3)
+    noise_index = round(max(probe_before, probe_after) / _PROBE_REF_SEC, 2)
+
     out = {
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # fixed-cost probe walls + their healthy-machine reference: the
+        # self-adjudication record (BASELINE.md "Reading a round's
+        # bench" states the rule: noise_index > 1.5 ⇒ machine state)
+        "noise_probe": {
+            "before": probe_before,
+            "after": probe_after,
+            "ref": _PROBE_REF_SEC,
+            "noise_index": noise_index,
+            "noisy": noise_index > _PROBE_NOISE_GATE,
+        },
         # fixed-membership subtotal (CORE_12): THE round-over-round
         # comparable number — total_wall changes meaning as the set grows
         "core_wall": round(sum(timings[n] for n in CORE_12 if n in timings), 3),
@@ -431,6 +523,7 @@ def main() -> int:
         pass  # read-only checkout: the stdout line still carries the headline
     lean = {k: out[k] for k in
             ("metric", "value", "unit", "core_wall", "queries", "sf")}
+    lean["noise_index"] = noise_index
     lean["full"] = "BENCH_LAST.json"
     line = json.dumps(lean)
     if len(line) > 1900:  # tail-capture guard: drop per-query detail last

@@ -44,6 +44,15 @@ from etl_python_airflow_bigquery_spark.queries.similarity import (
 )
 
 
+# Driver-collect guard for the hybrid serve's anchor-vector local
+# relation (ADVICE r13): the literal-IN path collects |batch|×DIM ints;
+# a checkpoint-loss replay can redeliver every anchor file in one
+# availableNow batch, so past this many anchors the serve switches to
+# the distributed broadcast left-semi form — the same discipline as
+# dedup_state._PROBE_COLLECT_CAP / lex_index._CONSULTA_COLLECT_CAP.
+_ANCHOR_COLLECT_CAP = 4096
+
+
 def _tables(path: str) -> tuple[TxTable, TxTable]:
     return (
         TxTable(f"{path}/centroides"),
@@ -476,6 +485,7 @@ def busqueda_hibrida_indexada(
     path: str,
     nprobe: int = _NPROBE,
     lex_path: str | None = None,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """The hybrid retrieval query SERVED FROM THE STORED INDEX — the
     production path `busqueda_hibrida`'s docstring promises, executed:
@@ -509,7 +519,7 @@ def busqueda_hibrida_indexada(
         )
 
         lex = hibrida_lexical_top_multi_indexada(
-            spark, sf_dir, lex_path, [_HIB_Q], topk=_BM25_TOP
+            spark, sf_dir, lex_path, [_HIB_Q], topk=_BM25_TOP, ctx=ctx
         ).select("doc_id", "pos_lex")
     else:
         lex = hibrida_lexical_top(spark, sf_dir)
@@ -518,7 +528,7 @@ def busqueda_hibrida_indexada(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
     )
     vec = search_ivf_index(
-        spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP
+        spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP, ctx=ctx
     ).select(F.col("cand_id").alias("doc_id"), F.col("pos").alias("pos_vec"))
     return rrf_fuse_hibrida(lex, vec)
 
@@ -597,7 +607,7 @@ def busqueda_hibrida_indexada_multi(
     sf_dir: str,
     path: str,
     qids: DataFrame,
-    nprobe: int = _NPROBE,
+    nprobe: int | None = None,
     corpus=None,
     lex_path: str | None = None,
     ctx: dict | None = None,
@@ -636,12 +646,18 @@ def busqueda_hibrida_indexada_multi(
         ids = None
         lex = hibrida_lexical_top_multi(spark, sf_dir, qids, corpus=corpus)
     emb = load_table(spark, sf_dir, "embeddings")
-    if ids is not None:
+    if ids is not None and len(ids) <= _ANCHOR_COLLECT_CAP:
         # anchors known on the driver: a LITERAL IN predicate reaches
         # the parquet scan (row-group pruned), and the anchors' int
         # vectors COLLECT to a local relation (|batch|×DIM ints) — the
         # fused plan carries no embeddings-scan subtree, and the probe
-        # ranking inside search_ivf_index becomes local×local work
+        # ranking inside search_ivf_index becomes local×local work.
+        # Capped (ADVICE r13): a checkpoint-loss replay can redeliver
+        # EVERY anchor file in one availableNow batch, and |batch|×DIM
+        # is then unbounded — past the cap the distributed broadcast
+        # left-semi form below serves the batch instead (the same guard
+        # discipline as dedup_state._PROBE_COLLECT_CAP and
+        # lex_index._CONSULTA_COLLECT_CAP).
         filas = _int_vectors(
             emb.where(F.col("vec_id").isin([int(q) for q in ids]))
         ).collect()
@@ -656,9 +672,14 @@ def busqueda_hibrida_indexada_multi(
                 "left_semi",
             )
         ).select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    # Probe-width precedence (ADVICE r13): an EXPLICITLY passed nprobe
+    # beats the context's resolved value — ctx is a cache of
+    # stream-static state, not an override channel. Passing nprobe
+    # through unresolved lets search_ivf_index run its canonical
+    # explicit > ctx > calibrated > default ladder.
     vec = search_ivf_index(
         spark, consultas, path,
-        nprobe=(ctx["nprobe"] if ctx is not None else nprobe),
+        nprobe=nprobe,
         topk=_BM25_TOP, ctx=ctx,
     ).select(
         "query_id", F.col("cand_id").alias("doc_id"),
@@ -672,6 +693,7 @@ def busqueda_maxsim_indexada(
     sf_dir: str,
     path: str,
     nprobe: int = _NPROBE,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """MULTI-VECTOR (ColBERT MaxSim) retrieval SERVED FROM THE STORED
     INDEX — the production path ``puntuacion_maxsim``'s docstring
@@ -732,9 +754,16 @@ def busqueda_maxsim_indexada(
     ).localCheckpoint(eager=False)
 
     # stage 1: probe cells per query token against the STORED centroids,
-    # candidates from the stored postings only
+    # candidates from the stored postings only. With a warm serve
+    # context (VERDICT r13 #5) the centroids come as a LOCAL relation —
+    # no index-table scan subtree in the probe plan.
     cent_tx, vec_tx = _tables(path)
-    cent_df = cent_tx.read(spark).select(F.col("celda").alias("seed_id"), "sv")
+    if ctx is not None:
+        cent_df = _ctx_centroids(spark, ctx)
+    else:
+        cent_df = cent_tx.read(spark).select(
+            F.col("celda").alias("seed_id"), "sv"
+        )
     q_int = _int_vectors(
         qtoks.select(F.col("q_vec").alias("vec_id"),
                      F.col("q_emb").alias("embedding"))
@@ -813,6 +842,7 @@ def etiquetar_por_vecinos(
     path: str,
     labels_df: DataFrame,
     k: int = 3,
+    ctx: dict | None = None,
 ) -> DataFrame:
     """LABEL PROPAGATION AT INGEST — ``clasificador_knn``'s stored-index
     face: new vectors (vec_id, embedding) take the majority label of
@@ -834,7 +864,12 @@ def etiquetar_por_vecinos(
         _assign_cells_2probe,
     )
 
-    cent = _stored_centroids(spark, path)
+    # warm serve context (VERDICT r13 #5): the centroid dict is
+    # stream-static — a resident serving tier reuses it across calls
+    if ctx is not None:
+        cent = {int(c): list(sv) for c, sv in ctx["cent_rows"]}
+    else:
+        cent = _stored_centroids(spark, path)
     _, vec_tx = _tables(path)
     enteros = _int_vectors(arrivals).localCheckpoint(eager=False)
     probes = (

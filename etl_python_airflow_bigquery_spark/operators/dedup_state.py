@@ -127,7 +127,10 @@ def _probe_read(spark: SparkSession, tx: TxTable, col: str, frame: DataFrame):
 
 
 def ingest_dedup_state(
-    spark: SparkSession, docs_new: DataFrame, path: str
+    spark: SparkSession,
+    docs_new: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Classify the batch against the stored state, fold it in, and
     return (doc_id, estado ∈ {exacto, cercano, nuevo}, dup_de) — the
@@ -138,7 +141,19 @@ def ingest_dedup_state(
     batch's own hash/shingle/candidate values; the batch's in-batch
     pairs run the shared exact prefix-filter engine over batch-only
     postings; the label fold is ``cc_incremental`` — O(batch + labels).
-    Nothing re-tokenizes or re-scans the corpus."""
+    Nothing re-tokenizes or re-scans the corpus.
+
+    ``txn=(app_id, batch_id)``: the SAME application-transaction fence
+    the other two index families' streaming ingests carry (ADVICE r13 —
+    this path mutates FOUR tables with retries in the rehearsal graph,
+    so a partial failure + retry without a fence double-appends:
+    duplicated ``conjuntos`` rows inflate ``_verify_jaccard``'s na/nb
+    while ``array_intersect`` dedups c, permanently false-negativing
+    true near-dups). With the fence, each table independently skips an
+    already-applied (app_id, batch_id); and the stored reads below
+    anti-join the batch's OWN doc_ids out, so a full replay returns the
+    first run's classification bit for bit instead of matching the
+    batch against itself."""
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
         _COMPACT_FILE_GATE,
     )
@@ -153,10 +168,21 @@ def ingest_dedup_state(
     sh_n = sh_n.localCheckpoint(eager=False)
     arrays_n = arrays_n.localCheckpoint(eager=False)
 
+    # Replay determinism: a fenced replay finds the batch's OWN rows
+    # already stored (the first run appended them) — without this
+    # exclusion every replayed doc would classify "exacto" against
+    # itself. On a first run the split is disjoint and the anti join
+    # filters nothing (the registered oracle is unchanged); the batch
+    # id set broadcasts (batch-bounded).
+    lote_ids = F.broadcast(docs_new.select("doc_id"))
+
+    def _sin_lote(frame: DataFrame) -> DataFrame:
+        return frame.join(lote_ids, "doc_id", "left_anti")
+
     # exact tier: the batch's hashes probe the stored hash table
     exacto = (
         hashes_n.join(
-            _probe_read(spark, h_tx, "h", hashes_n).select(
+            _sin_lote(_probe_read(spark, h_tx, "h", hashes_n)).select(
                 "h", F.col("doc_id").alias("viejo")
             ),
             "h",
@@ -177,7 +203,9 @@ def ingest_dedup_state(
     # prefix slots). Without this filter the raw s-join explodes on
     # high-df shingles: 6.7M candidate pairs for a 1.7k-doc batch on
     # the clone-heavy 10x replica, and the verify pays 115 s for them.
-    probe = _probe_read(spark, s_tx, "s", sh_n).localCheckpoint(eager=False)
+    probe = _sin_lote(
+        _probe_read(spark, s_tx, "s", sh_n)
+    ).localCheckpoint(eager=False)
     df_s = probe.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     w_all = Window.partitionBy("doc_id")
@@ -224,12 +252,12 @@ def ingest_dedup_state(
     )
     etiquetas = e_tx.read(spark).select("doc_id", "cluster_id")
     nuevas = cc_incremental(etiquetas, aristas).select("doc_id", "cluster_id")
-    e_tx.overwrite(nuevas)
+    e_tx.overwrite(nuevas, txn=txn)
 
     # the batch joins the memory: tomorrow's batch probes today's docs
-    h_tx.append(hashes_n)
-    v = s_tx.append(sh_n)
-    a_tx.append(arrays_n)
+    h_tx.append(hashes_n, txn=txn)
+    v = s_tx.append(sh_n, txn=txn)
+    a_tx.append(arrays_n, txn=txn)
     if len(s_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
         s_tx.optimize_compact(spark, n_files=_STATE_FILES, cluster_col="s")
     maybe_auto_vacuum_dedup(path)

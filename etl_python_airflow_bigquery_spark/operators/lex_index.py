@@ -321,7 +321,7 @@ def hibrida_lexical_top_multi_indexada(
     from etl_python_airflow_bigquery_spark.tables import load_table
 
     post_tx, dl_tx = _tables(path)
-    if ctx is not None:
+    if ctx is not None and "lex_n" in ctx:
         n, avgdl_mili = ctx["lex_n"], ctx["lex_avgdl_mili"]
         longitudes = ctx["longitudes"]
     else:

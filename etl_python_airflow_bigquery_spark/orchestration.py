@@ -347,11 +347,15 @@ def operational_rehearsal(
             ingest_dedup_state,
         )
 
+        app = f"dedup_lotes:{_os.path.abspath(llegada_docs)}"
         for i in range(n_batches):
             lote = spark.read.parquet(f"{llegada_docs}/b{i:03d}.parquet")
             # count() forces the fold + appends; the classification
-            # frame itself is the stage's product in production
-            ingest_dedup_state(spark, lote, estado_path).count()
+            # frame itself is the stage's product in production. The
+            # txn fence makes the stage's retries=2 safe: a partial
+            # failure + retry skips already-applied table writes
+            # instead of double-appending (ADVICE r13, medium).
+            ingest_dedup_state(spark, lote, estado_path, txn=(app, i)).count()
 
     def _mart_refresco() -> None:
         from etl_python_airflow_bigquery_spark.functions import event_day_num

@@ -1173,12 +1173,21 @@ def dedup_estado_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_dedup_state,
     )
 
+    import shutil as _shutil
+
     docs = load_table(spark, sf_dir, "documents")
     path = _tempfile.mkdtemp(prefix="dedup_state_")
-    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
-    return ingest_dedup_state(
-        spark, docs.where(F.col("doc_id") % 10 == 0), path
-    )
+    try:
+        build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+        # materialize BEFORE the cleanup (localCheckpoint severs the
+        # lineage from the state tables) so the returned frame survives
+        # the rmtree — ADVICE r13: repeated bench/correctness runs were
+        # leaking corpus-sized temp state dirs per invocation
+        return ingest_dedup_state(
+            spark, docs.where(F.col("doc_id") % 10 == 0), path
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
 
 
 @register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,

@@ -101,6 +101,35 @@ def clear_session_caches() -> None:
         _shutil.rmtree(
             _INDEX_CACHE.pop(next(iter(_INDEX_CACHE))), ignore_errors=True
         )
+    _SERVE_CTX_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# Session serve-context cache (VERDICT r13 #5 / ROADMAP r14 #3): the
+# stream-static state make_serve_context hoists for the STREAMING serve
+# (centroid local relations, lexical corpus constants, the lazily
+# checkpointed lengths table) is just as static for a RESIDENT BATCH
+# serving tier — one context per (index, lex index) per session, reused
+# across busqueda_maxsim/hibrida/bm25_indexada + etiquetar_por_vecinos
+# calls. Cold calls still pay it (cleared with the index caches — the
+# bench's headline numbers keep their cold contract; the families
+# `serve_ctx` entry pins the ctx-warm walls).
+# ---------------------------------------------------------------------------
+_SERVE_CTX_CACHE: dict[tuple, object] = {}
+
+
+def _served_ctx(spark: SparkSession, index_path: str, lex_path=None) -> dict:
+    key = ("ctx", index_path, lex_path)
+    hit = _SERVE_CTX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        make_serve_context,
+    )
+
+    ctx = make_serve_context(spark, index_path, lex_path=lex_path)
+    _SERVE_CTX_CACHE[key] = ctx
+    return ctx
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +237,9 @@ def busqueda_maxsim_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _served_index(spark, sf_dir, "full")
-    return busqueda_maxsim_indexada(spark, sf_dir, path, nprobe=_NPROBE)
+    return busqueda_maxsim_indexada(
+        spark, sf_dir, path, nprobe=_NPROBE, ctx=_served_ctx(spark, path)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -444,9 +475,10 @@ def busqueda_hibrida_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _served_index(spark, sf_dir, "full")
+    lex = _served_lex_index(spark, sf_dir)
     return busqueda_hibrida_indexada(
-        spark, sf_dir, path, nprobe=_NPROBE,
-        lex_path=_served_lex_index(spark, sf_dir),
+        spark, sf_dir, path, nprobe=_NPROBE, lex_path=lex,
+        ctx=_served_ctx(spark, path, lex_path=lex),
     )
 
 
@@ -558,7 +590,8 @@ def etiquetar_por_vecinos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = emb.where(F.expr(_ARRIVAL_WHERE)).select("vec_id", "embedding")
     labels = emb.where(F.expr(_STORED_WHERE)).select("vec_id", "label")
     return etiquetar_por_vecinos(
-        spark, arrivals, path, labels, k=_ETIQ_K
+        spark, arrivals, path, labels, k=_ETIQ_K,
+        ctx=_served_ctx(spark, path),
     )
 
 
@@ -640,21 +673,26 @@ def busqueda_bm25_indexada(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _served_lex_index(spark, sf_dir)
-    post_tx, _ = _lex_tables(path)
-    n = lex_meta_current(spark, path)["n"]
     # term derivation = busqueda_bm25's (selective above the 5% floor),
     # computed from the stored postings — serve setup, not per-request
-    # work (a production deployment derives/caches its query terms)
-    df_t = post_tx.read(spark).groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    terms = [
-        r["token"]
-        for r in df_t.where(F.col("df") * 20 >= n)
-        .orderBy("df", "token")
-        .limit(_BM25_TERMS)
-        .collect()
-    ]
+    # work: a production deployment derives/caches its query terms, so
+    # the derived list joins the session serve-context cache (VERDICT
+    # r13 #5) and a warm serve pays only the terms' posting reads
+    terms = _SERVE_CTX_CACHE.get(("terms", path))
+    if terms is None:
+        post_tx, _ = _lex_tables(path)
+        n = lex_meta_current(spark, path)["n"]
+        df_t = post_tx.read(spark).groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        terms = [
+            r["token"]
+            for r in df_t.where(F.col("df") * 20 >= n)
+            .orderBy("df", "token")
+            .limit(_BM25_TERMS)
+            .collect()
+        ]
+        _SERVE_CTX_CACHE[("terms", path)] = terms
     return search_bm25_lex_index(spark, terms, path, topk=_BM25_TOP)
 
 

@@ -677,9 +677,6 @@ def run_hybrid_serve(
     one-shot ``busqueda_hibrida_indexada_multi`` call row for row
     (test-pinned)."""
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
-        _NPROBE as _np_default,
-    )
-    from etl_python_airflow_bigquery_spark.operators.ann_index import (
         busqueda_hibrida_indexada_multi,
     )
     from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
@@ -692,13 +689,18 @@ def run_hybrid_serve(
         make_serve_context,
     )
 
-    np_ = _np_default if nprobe is None else nprobe
     # STREAM-STATIC serve context (VERDICT r12 #1): centroids, lexical
     # corpus constants, and the lengths checkpoint compute ONCE here;
     # each micro-batch's plan then contains only batch-bounded work
     # (anchor-pruned reads + probed posting files) — the per-batch JIT
     # pays for a far smaller plan with no corpus-table subtrees.
-    ctx = make_serve_context(spark, index_path, lex_path=lex_path, nprobe=np_)
+    # nprobe passes through UNRESOLVED (ADVICE r13): None lets
+    # make_serve_context's explicit > calibrated > default ladder run,
+    # so a calibrate_index'd index streams at its measured rung instead
+    # of the hardcoded engine constant.
+    ctx = make_serve_context(
+        spark, index_path, lex_path=lex_path, nprobe=nprobe
+    )
     sink = TxTable(out_path)
     # SRC-keyed fence: survives checkpoint LOSS (wipe + redeliver is a
     # fenced no-op) at the cost of a constraint — the landing dir must
@@ -725,7 +727,7 @@ def run_hybrid_serve(
             return
         qids = batch_df.select("query_id").distinct()
         out = busqueda_hibrida_indexada_multi(
-            spark, sf_dir, index_path, qids, nprobe=np_, corpus=corpus,
+            spark, sf_dir, index_path, qids, corpus=corpus,
             lex_path=lex_path, ctx=ctx,
         )
         sink.append(out, txn=(app_id, batch_id))

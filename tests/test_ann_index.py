@@ -1147,6 +1147,71 @@ def test_serve_context_parity_both_legs(spark, sf_dir, tmp_path):
     assert e == f and e
 
 
+def test_explicit_nprobe_beats_ctx(spark, sf_dir, tmp_path):
+    """ADVICE r13: an explicitly passed nprobe must win over the serve
+    context's resolved value — a caller passing both used to silently
+    get the (possibly stale) ctx rung. With a 1-probe ctx, an explicit
+    full-width nprobe must reproduce the full-probe serve."""
+    from etl_python_airflow_bigquery_spark.operators.ann_index import (
+        busqueda_hibrida_indexada_multi,
+        make_serve_context,
+        read_index_meta,
+    )
+    from etl_python_airflow_bigquery_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, path)
+    k = int(read_index_meta(path)["k"])
+    qids = spark.createDataFrame([(0,), (7,)], "query_id BIGINT")
+
+    ctx = make_serve_context(spark, path, nprobe=1)
+    assert ctx["nprobe"] == 1
+    full = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids, nprobe=k
+    ).collect()))
+    con_ctx = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+        spark, sf_dir, path, qids, nprobe=k, ctx=ctx
+    ).collect()))
+    assert con_ctx == full and full
+    if k > 1:
+        # and with NO explicit value the ctx rung applies (1-probe serve
+        # genuinely differs from the full probe on this corpus, or the
+        # precedence test would be vacuous)
+        solo_ctx = sorted(map(tuple, busqueda_hibrida_indexada_multi(
+            spark, sf_dir, path, qids, ctx=ctx
+        ).collect()))
+        assert solo_ctx != full or k == 1
+
+
+def test_hybrid_serve_passes_nprobe_through_unresolved(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r13: run_hybrid_serve must NOT pre-resolve nprobe=None to
+    the engine default — None has to reach make_serve_context so a
+    calibrate_index'd index streams at its measured rung."""
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.streaming.jobs import (
+        run_hybrid_serve,
+    )
+
+    visto: list = []
+
+    def _captura(spark_, path_, lex_path=None, nprobe="MISSING", **kw):
+        visto.append(nprobe)
+        raise RuntimeError("stop-after-capture")
+
+    monkeypatch.setattr(ai, "make_serve_context", _captura)
+    try:
+        run_hybrid_serve(
+            spark, str(tmp_path / "src"), sf_dir, str(tmp_path / "idx"),
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+        )
+    except RuntimeError as e:
+        assert "stop-after-capture" in str(e)
+    assert visto == [None]
+
+
 def test_calibrate_index_auto_extends_ladder_to_target(
     spark, sf_dir, tmp_path, monkeypatch
 ):

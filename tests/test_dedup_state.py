@@ -102,6 +102,46 @@ def test_probe_reads_are_stats_pruned(spark, sf_dir, tmp_path):
         assert 0 < len(pruned_s.inputFiles()) < total_s
 
 
+def test_fenced_replay_is_noop_and_classification_stable(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13 (medium): ingest_dedup_state mutates FOUR tables and
+    runs under retries in the rehearsal graph — a replayed batch must
+    (a) leave every table's version unchanged (no double-appended
+    hashes/postings/conjuntos rows poisoning _verify_jaccard's na/nb)
+    and (b) return the FIRST run's classification, not a self-match of
+    the batch against its own stored rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    lote = docs.where(F.col("doc_id") % 10 == 0)
+
+    primera = sorted(map(tuple, ingest_dedup_state(
+        spark, lote, path, txn=("lotes", 0)
+    ).collect()))
+    h_tx, s_tx, a_tx, e_tx = _tables(path)
+    vs = [tx.version() for tx in (h_tx, s_tx, a_tx, e_tx)]
+    filas_s = s_tx.read(spark).count()
+
+    # crash-replay: same batch id redelivered — every write must skip
+    replay = sorted(map(tuple, ingest_dedup_state(
+        spark, lote, path, txn=("lotes", 0)
+    ).collect()))
+    assert replay == primera
+    assert [tx.version() for tx in (h_tx, s_tx, a_tx, e_tx)] == vs
+    assert s_tx.read(spark).count() == filas_s
+
+    # and the tiers stay sound afterwards: a fresh batch of exact
+    # clones of stored docs still classifies "exacto" (no inflated
+    # na/nb false-negatives from duplicate state rows)
+    clones = lote.limit(3).select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    got = ingest_dedup_state(spark, clones, path, txn=("lotes", 1))
+    assert got.where(F.col("estado") == "exacto").count() == 3
+
+
 def test_pinned_labels_survive_ingest_and_vacuum(
     spark, sf_dir, tmp_path, monkeypatch
 ):

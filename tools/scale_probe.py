@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 
 def replicate(
-    spark, src_dir: str, out_dir: str, k: int, time_extended: bool = False
+    spark,
+    src_dir: str,
+    out_dir: str,
+    k: int,
+    time_extended: bool = False,
+    dedup_real: bool = False,
 ) -> None:
     """events: K copies with shifted event/user ids and a +k-days time
     shift (keeps per-day densities realistic). documents/embeddings: K
@@ -32,7 +37,21 @@ def replicate(
     DENSIFIES the calendar (k× sessions over the same days), which
     drives interval-pair counts toward k² — the audited quadratic
     artifact of the r5 sf1 rows, useful as a stress mode but not as the
-    scaling read."""
+    scaling read.
+
+    ``dedup_real`` (VERDICT r13 #3): the PRODUCTION-SHAPED dedup
+    replica. The default documents replication appends " copia{i}" to
+    the SAME base text, so every source doc becomes a K-member near-dup
+    family — adversarial clone density (~100%), the dedup stress mode.
+    With dedup_real, copy i>0 instead REHASHES each word with a
+    copy-specific salt: word w → substr(md5(w || 'c{i}'), 1, 8). The
+    map is per-copy injective over words, so word-3-gram shingle sets
+    transform injectively too — every intra-copy Jaccard relationship
+    (the source's NATURAL near-dup rate) is preserved exactly, while
+    cross-copy overlap drops to ~zero. A deterministic ~3% of base docs
+    (doc_id % 33 == 0) keep the " copia{i}" suffix form instead,
+    seeding realistic K-member clone families — total near-dup density
+    a few %, the regime a real corpus feeds a daily dedup fold."""
     from pyspark.sql.types import LongType
 
     from etl_python_airflow_bigquery_spark.functions import event_day_num
@@ -71,14 +90,33 @@ def replicate(
                 for i in range(k)
             ]
         elif t == "documents":
+            def _texto(i: int):
+                clonado = F.concat(F.col("text"), F.lit(f" copia{i}"))
+                if not dedup_real or i == 0:
+                    return clonado
+                # per-copy word rehash: preserves intra-copy Jaccard
+                # (injective word map ⇒ injective 3-gram shingle map),
+                # kills cross-copy overlap; ~3% of base docs keep the
+                # clone form — realistic near-dup density
+                distinto = F.array_join(
+                    F.expr(
+                        f"transform(split(text, ' '),"
+                        f" w -> substring(md5(concat(w, 'c{i}')), 1, 8))"
+                    ),
+                    " ",
+                )
+                return F.when(
+                    F.col("doc_id") % 33 == 0, clonado
+                ).otherwise(distinto)
+
             parts = [
                 df.select(
                     (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(f" copia{i}")).alias("text"),
+                    _texto(i).alias("text"),
                     "lang",
                     "source",
-                    (F.col("n_chars") + F.lit(len(f" copia{i}"))).alias("n_chars"),
                 )
+                .withColumn("n_chars", F.length("text"))
                 for i in range(k)
             ]
         elif t == "embeddings":
