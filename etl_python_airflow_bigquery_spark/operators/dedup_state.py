@@ -112,16 +112,22 @@ def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
     }
 
 
-def _probe_read(spark: SparkSession, tx: TxTable, col: str, frame: DataFrame):
+def _probe_read(
+    spark: SparkSession,
+    tx: TxTable,
+    col: str,
+    frame: DataFrame,
+    version: int | None = None,
+):
     """Read of ``tx`` restricted to ``frame``'s distinct values of
     ``col``: file-pruned ``read_in`` when the value set is small enough
     for the driver-side stats loop, else ONE map-side-filtered scan via
     a broadcast left-semi join (no shuffle of the stored side, no
-    driver collect)."""
+    driver collect). ``version`` pins the snapshot (time travel)."""
     filas = frame.select(col).distinct().limit(_PROBE_COLLECT_CAP + 1).collect()
     if len(filas) <= _PROBE_COLLECT_CAP:
-        return tx.read_in(spark, col, [r[0] for r in filas])
-    return tx.read(spark).join(
+        return tx.read_in(spark, col, [r[0] for r in filas], version=version)
+    return tx.read(spark, version=version).join(
         F.broadcast(frame.select(col).distinct()), col, "left_semi"
     )
 
@@ -158,12 +164,73 @@ def ingest_dedup_state(
         _COMPACT_FILE_GATE,
     )
     from etl_python_airflow_bigquery_spark.queries.dedup import (
-        _verify_jaccard,
         cc_incremental,
-        pares_jaccard_prefijo,
     )
 
     h_tx, s_tx, a_tx, e_tx = _tables(path)
+    c = _clasificar(spark, docs_new, h_tx, s_tx, a_tx)
+    hashes_n, sh_n, arrays_n = c["hashes_n"], c["sh_n"], c["arrays_n"]
+    verificados, pares_lote = c["verificados"], c["pares_lote"]
+
+    # fold every new edge into the stored labels (star contraction)
+    aristas = (
+        verificados.select("doc_a", "doc_b")
+        .unionByName(pares_lote)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    etiquetas = e_tx.read(spark).select("doc_id", "cluster_id")
+    nuevas = cc_incremental(etiquetas, aristas).select("doc_id", "cluster_id")
+    e_tx.overwrite(nuevas, txn=txn)
+
+    # the batch joins the memory: tomorrow's batch probes today's docs
+    h_tx.append(hashes_n, txn=txn)
+    v = s_tx.append(sh_n, txn=txn)
+    a_tx.append(arrays_n, txn=txn)
+    if len(s_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
+        s_tx.optimize_compact(spark, n_files=_STATE_FILES, cluster_col="s")
+    maybe_auto_vacuum_dedup(path)
+    return c["salida"]
+
+
+def classify_dedup_state(
+    spark: SparkSession,
+    docs_new: DataFrame,
+    path: str,
+    pins: dict | None = None,
+) -> DataFrame:
+    """READ-ONLY classification of a batch against the stored state —
+    nothing folds, nothing appends. ``pins`` (the
+    ``pin_dedup_version`` return value: {table: version}) pins the
+    probed snapshot, which is the TIME-TRAVEL CLASSIFICATION AUDIT:
+    "what would YESTERDAY's dedup memory have said about this batch" —
+    run after later ingests folded more batches in, and diffed against
+    the current-snapshot answer to show exactly which verdicts the
+    interleaved ingests changed (the registered
+    ``dedup_clasificacion_pinada`` row)."""
+    h_tx, s_tx, a_tx, _ = _tables(path)
+    return _clasificar(spark, docs_new, h_tx, s_tx, a_tx, pins=pins)["salida"]
+
+
+def _clasificar(
+    spark: SparkSession,
+    docs_new: DataFrame,
+    h_tx: TxTable,
+    s_tx: TxTable,
+    a_tx: TxTable,
+    pins: dict | None = None,
+) -> dict:
+    """The classification algebra shared by ``ingest_dedup_state``
+    (current snapshot, then folds) and ``classify_dedup_state``
+    (optionally pinned snapshot, read-only). Returns the output frame
+    plus the intermediates the ingest's fold/appends need."""
+    from etl_python_airflow_bigquery_spark.queries.dedup import (
+        _verify_jaccard,
+        pares_jaccard_prefijo,
+    )
+
+    vh = (pins or {}).get("hashes")
+    vs = (pins or {}).get("postings")
+    va = (pins or {}).get("conjuntos")
     hashes_n, sh_n, arrays_n = _frames(docs_new)
     sh_n = sh_n.localCheckpoint(eager=False)
     arrays_n = arrays_n.localCheckpoint(eager=False)
@@ -182,9 +249,9 @@ def ingest_dedup_state(
     # exact tier: the batch's hashes probe the stored hash table
     exacto = (
         hashes_n.join(
-            _sin_lote(_probe_read(spark, h_tx, "h", hashes_n)).select(
-                "h", F.col("doc_id").alias("viejo")
-            ),
+            _sin_lote(
+                _probe_read(spark, h_tx, "h", hashes_n, version=vh)
+            ).select("h", F.col("doc_id").alias("viejo")),
             "h",
         )
         .groupBy("doc_id")
@@ -204,7 +271,7 @@ def ingest_dedup_state(
     # high-df shingles: 6.7M candidate pairs for a 1.7k-doc batch on
     # the clone-heavy 10x replica, and the verify pays 115 s for them.
     probe = _sin_lote(
-        _probe_read(spark, s_tx, "s", sh_n)
+        _probe_read(spark, s_tx, "s", sh_n, version=vs)
     ).localCheckpoint(eager=False)
     df_s = probe.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -231,7 +298,8 @@ def ingest_dedup_state(
         .localCheckpoint(eager=False)
     )
     arr_viejos = _probe_read(
-        spark, a_tx, "doc_id", cand.select(F.col("doc_b").alias("doc_id"))
+        spark, a_tx, "doc_id", cand.select(F.col("doc_b").alias("doc_id")),
+        version=va,
     )
     sh_para_verificar = arrays_n.unionByName(arr_viejos).select(
         "doc_id", F.explode("arr").alias("s")
@@ -244,37 +312,29 @@ def ingest_dedup_state(
     # in-batch near-dups: the shared exact engine over batch postings
     pares_lote = pares_jaccard_prefijo(sh_n).select("doc_a", "doc_b")
 
-    # fold every new edge into the stored labels (star contraction)
-    aristas = (
-        verificados.select("doc_a", "doc_b")
-        .unionByName(pares_lote)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    etiquetas = e_tx.read(spark).select("doc_id", "cluster_id")
-    nuevas = cc_incremental(etiquetas, aristas).select("doc_id", "cluster_id")
-    e_tx.overwrite(nuevas, txn=txn)
-
-    # the batch joins the memory: tomorrow's batch probes today's docs
-    h_tx.append(hashes_n, txn=txn)
-    v = s_tx.append(sh_n, txn=txn)
-    a_tx.append(arrays_n, txn=txn)
-    if len(s_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
-        s_tx.optimize_compact(spark, n_files=_STATE_FILES, cluster_col="s")
-    maybe_auto_vacuum_dedup(path)
-
     salida = (
         hashes_n.select("doc_id")
         .join(exacto, "doc_id", "left")
         .join(cercano, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_exacto").isNotNull(), F.lit("exacto"))
+            .when(F.col("dup_cercano").isNotNull(), F.lit("cercano"))
+            .otherwise(F.lit("nuevo"))
+            .alias("estado"),
+            F.coalesce("dup_exacto", "dup_cercano")
+            .cast("bigint")
+            .alias("dup_de"),
+        )
     )
-    return salida.select(
-        "doc_id",
-        F.when(F.col("dup_exacto").isNotNull(), F.lit("exacto"))
-        .when(F.col("dup_cercano").isNotNull(), F.lit("cercano"))
-        .otherwise(F.lit("nuevo"))
-        .alias("estado"),
-        F.coalesce("dup_exacto", "dup_cercano").cast("bigint").alias("dup_de"),
-    )
+    return {
+        "salida": salida,
+        "verificados": verificados,
+        "pares_lote": pares_lote,
+        "hashes_n": hashes_n,
+        "sh_n": sh_n,
+        "arrays_n": arrays_n,
+    }
 
 
 def read_dedup_labels(

@@ -1190,6 +1190,124 @@ def dedup_estado_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(path, ignore_errors=True)
 
 
+_CLASIFICACION_PINADA_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+lote AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 = 10
+),
+corpus_ayer AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+),
+corpus_hoy AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+    WHERE doc_id % 10 != 0 OR doc_id % 20 = 0
+),
+exacto_a AS (
+    SELECT l.doc_id, min(c.doc_id) AS dup
+    FROM lote l JOIN corpus_ayer c ON c.h = l.h GROUP BY 1
+),
+exacto_h AS (
+    SELECT l.doc_id, min(c.doc_id) AS dup
+    FROM lote l JOIN corpus_hoy c ON c.h = l.h GROUP BY 1
+),
+inter_a AS (
+    SELECT a.doc_id AS nuevo, b.doc_id AS viejo, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % 20 = 10 AND b.doc_id % 10 != 0
+    GROUP BY 1, 2
+),
+inter_h AS (
+    SELECT a.doc_id AS nuevo, b.doc_id AS viejo, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % 20 = 10
+      AND (b.doc_id % 10 != 0 OR b.doc_id % 20 = 0)
+    GROUP BY 1, 2
+),
+cercano_a AS (
+    SELECT i.nuevo AS doc_id, min(i.viejo) AS dup
+    FROM inter_a i
+    JOIN tam ta ON ta.doc_id = i.nuevo
+    JOIN tam tb ON tb.doc_id = i.viejo
+    WHERE 2 * i.c >= ta.n + tb.n - i.c
+    GROUP BY 1
+),
+cercano_h AS (
+    SELECT i.nuevo AS doc_id, min(i.viejo) AS dup
+    FROM inter_h i
+    JOIN tam ta ON ta.doc_id = i.nuevo
+    JOIN tam tb ON tb.doc_id = i.viejo
+    WHERE 2 * i.c >= ta.n + tb.n - i.c
+    GROUP BY 1
+)
+SELECT l.doc_id,
+       CASE WHEN ea.dup IS NOT NULL THEN 'exacto'
+            WHEN ca.dup IS NOT NULL THEN 'cercano'
+            ELSE 'nuevo' END AS estado_ayer,
+       CAST(coalesce(ea.dup, ca.dup) AS BIGINT) AS dup_ayer,
+       CASE WHEN eh.dup IS NOT NULL THEN 'exacto'
+            WHEN ch.dup IS NOT NULL THEN 'cercano'
+            ELSE 'nuevo' END AS estado_hoy,
+       CAST(coalesce(eh.dup, ch.dup) AS BIGINT) AS dup_hoy
+FROM lote l
+LEFT JOIN exacto_a ea ON ea.doc_id = l.doc_id
+LEFT JOIN cercano_a ca ON ca.doc_id = l.doc_id
+LEFT JOIN exacto_h eh ON eh.doc_id = l.doc_id
+LEFT JOIN cercano_h ch ON ch.doc_id = l.doc_id
+"""
+
+
+@register("dedup_clasificacion_pinada", oracle=_CLASIFICACION_PINADA_ORACLE,
+          ops=("DD1", "DD4", "J2"), driver=False, bench=True)
+def dedup_clasificacion_pinada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL CLASSIFICATION AUDIT over the persistent dedup state
+    (VERDICT r13 #8): the established world (doc_id % 10 != 0) builds
+    the stored state, the snapshot is PINNED (``pin_dedup_version`` —
+    tags as GC roots, the contract every index family shares), batch A
+    (doc_id % 20 == 0) folds in via the fenced ingest, and THEN batch B
+    (doc_id % 20 == 10) is classified twice from the same store:
+    against the PINNED pre-A snapshot ("what would yesterday's memory
+    have said") and against the current snapshot. Output per B-doc:
+    (estado_ayer, dup_ayer, estado_hoy, dup_hoy) — rows whose verdicts
+    differ are exactly the docs whose duplicates arrived IN batch A,
+    the provenance question a classification audit answers. Oracle:
+    both classifications replayed inline against the two corpus
+    predicates; the pinned read path changing only the SNAPSHOT, never
+    the algebra, is the claim the hash match pins."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        build_dedup_state,
+        classify_dedup_state,
+        ingest_dedup_state,
+        pin_dedup_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tempfile.mkdtemp(prefix="dedup_pin_")
+    try:
+        build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+        pins = pin_dedup_version(path, "ayer")
+        ingest_dedup_state(
+            spark, docs.where(F.col("doc_id") % 20 == 0), path,
+            txn=("clasificacion_pinada", 0),
+        )
+        lote_b = docs.where(F.col("doc_id") % 20 == 10)
+        ayer = classify_dedup_state(spark, lote_b, path, pins=pins).select(
+            "doc_id",
+            F.col("estado").alias("estado_ayer"),
+            F.col("dup_de").alias("dup_ayer"),
+        )
+        hoy = classify_dedup_state(spark, lote_b, path).select(
+            "doc_id",
+            F.col("estado").alias("estado_hoy"),
+            F.col("dup_de").alias("dup_hoy"),
+        )
+        return ayer.join(hoy, "doc_id").localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+
+
 @register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,
           ops=("DD4", "J7", "A1"), driver=False, bench=True)
 def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:
