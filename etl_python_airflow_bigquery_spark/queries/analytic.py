@@ -124,7 +124,7 @@ GROUP BY d.day_num
 
 
 @register("acumulado_diario", oracle=_ACUMULADO_ORACLE, ops=("A7", "W1", "A2"),
-          driver=True)
+          driver=False)
 def acumulado_diario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-to-date expanding distinct audience per day.
 
@@ -518,7 +518,7 @@ GROUP BY 1, 2
 
 
 @register("mapa_consumo", oracle=_MAPA_ORACLE, ops=("A1", "A2", "A4", "W2"),
-          driver=False)
+          driver=True)
 def mapa_consumo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumption heatmap: clipped listening minutes + distinct
     audience per (day-of-week, hour) cell — the reference's
@@ -871,7 +871,7 @@ GROUP BY 1
 
 
 @register("atribucion_multitoque", oracle=_MULTITOQUE_ORACLE,
-          ops=("J3", "W1", "A12"), driver=False)
+          ops=("J3", "W1", "A12"), driver=True)
 def atribucion_multitoque(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TOUCH ATTRIBUTION: every purchase distributes its credit
     over the same user's views in the preceding hour, linearly decaying

@@ -82,7 +82,7 @@ JOIN agg a ON a.user_id = r.user_id
     "indicadores_total",
     oracle=_INDICADORES_ORACLE,
     ops=("J1", "J3", "A1", "A2", "A3", "A4", "P2", "P3", "P6", "P7"),
-    bench=True, driver=False)
+    bench=True, driver=True)
 def indicadores_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user listening indicators over business days (flagship).
 

@@ -1257,7 +1257,7 @@ LEFT JOIN cercano_h ch ON ch.doc_id = l.doc_id
 
 
 @register("dedup_clasificacion_pinada", oracle=_CLASIFICACION_PINADA_ORACLE,
-          ops=("DD1", "DD4", "J2"), driver=False, bench=True)
+          ops=("DD1", "DD4", "J2"), driver=True, bench=True)
 def dedup_clasificacion_pinada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-TRAVEL CLASSIFICATION AUDIT over the persistent dedup state
     (VERDICT r13 #8): the established world (doc_id % 10 != 0) builds

@@ -128,7 +128,7 @@ GROUP BY ALL
 """
 
 
-@register("geo_enrich", oracle=_GEO_ORACLE, ops=("U2", "J2"), driver=True)
+@register("geo_enrich", oracle=_GEO_ORACLE, ops=("U2", "J2"), driver=False)
 def geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoIP enrichment with the FULL 15-column MaxMind ladder: distinct
     IPs → per-partition db handle (real ``maxminddb.open_database`` when

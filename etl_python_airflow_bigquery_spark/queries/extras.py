@@ -572,7 +572,7 @@ ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.t_us >= o.o_us
 
 
 @register("asof_ultima_orden", oracle=_ASOF_ORACLE, ops=("J3", "W1"),
-          driver=True)
+          driver=False)
 def asof_ultima_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event picks up the LATEST
     order of its user at or before the event instant — the time-series
@@ -650,7 +650,7 @@ GROUP BY event_type
 """
 
 
-@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",), driver=True)
+@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, ops=("A2",), driver=False)
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct sketch (the public KMV/bottom-k
     estimator): keep the k smallest 60-bit hashes per group; the kth
@@ -2434,7 +2434,7 @@ GROUP BY a.nacion, a.n_clase, t.m, t.n_total
 """
 
 
-@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"), driver=False)
+@register("t_cercania", oracle=_TCERCA_ORACLE, ops=("A8", "J11", "W1"), driver=True)
 def t_cercania(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian, ICDE 2007) — the
     third leg of the release triad next to ``anonimato_k`` and

@@ -342,7 +342,7 @@ GROUP BY p.programa_id
     "programas_live",
     oracle=_PROGRAMA_ORACLE,
     ops=("J3", "A4", "A2", "P6"),
-    bench=True, driver=False)
+    bench=True, driver=True)
 def programas_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live-program audience: sessions interval-overlap-joined to program
     airing windows with clipping (reference programas_live.py:443-452 +
@@ -611,7 +611,7 @@ GROUP BY 1, 2
 
 
 @register("retencion_cohortes", oracle=_RETENCION_ORACLE,
-          ops=("A2", "J1", "W2"), driver=True)
+          ops=("A2", "J1", "W2"), driver=False)
 def retencion_cohortes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the audience-analytics staple: users
     cohorted by FIRST active day, then counted per (cohort, day-offset)
@@ -2066,7 +2066,7 @@ FROM base
 
 
 @register("cuota_promocional", oracle=_PROMOCIONAL_ORACLE,
-          ops=("A8", "A3", "J1", "P3"), driver=True)
+          ops=("A8", "A3", "J1", "P3"), driver=False)
 def cuota_promocional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-SHAPED promotion share: the fraction of one month's
     shipped revenue that came from PROMO-typed parts — the conditional
@@ -2464,7 +2464,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 @register("pronostico_descuento", oracle=_PRONOSTICO_ORACLE,
-          ops=("P3", "A6", "P1"), driver=True)
+          ops=("P3", "A6", "P1"), driver=False)
 def pronostico_descuento(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-SHAPED revenue-forecast scalar: how much revenue the
     mid-band discounts (5.0-7.0%) gave away on small 1996 shipments —

@@ -148,7 +148,7 @@ FROM versiones
 """
 
 
-@register("scd2_historia", oracle=_SCD2_ORACLE, ops=("W1", "P9"), driver=False)
+@register("scd2_historia", oracle=_SCD2_ORACLE, ops=("W1", "P9"), driver=True)
 def scd2_historia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD TYPE-2 HISTORY BUILD — the WRITE side of the validity-window
     pattern (`validity_window` is its read side; reference vigencia

@@ -235,7 +235,7 @@ FROM demo d JOIN totals t USING (event_type)
 
 
 @register("allocation_demografica", oracle=_ALLOC_ORACLE, ops=("A12", "W1"),
-          driver=False)
+          driver=True)
 def allocation_demografica(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribute a per-metric total across demographic splits pro-rata
     with rounding — the reference's ``unir_demograficos``

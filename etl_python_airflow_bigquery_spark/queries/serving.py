@@ -789,7 +789,7 @@ FROM recalls r, minimo m"""
 
 
 @register("calibracion_sondas", oracle=_calibracion_oracle(),
-          ops=("NN2", "O7", "A3"), driver=True)
+          ops=("NN2", "O7", "A3"), driver=False)
 def calibracion_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROBE CALIBRATION against the stored index: serve the policy
     query set at every rung of an nprobe ladder, measure recall@k of

@@ -5225,7 +5225,7 @@ GROUP BY 1"""
 
 
 @register("dedup_semantico", oracle=_SEMDEDUP_H_ORACLE,
-          ops=("DD5", "NN2"), bench=True, driver=False)
+          ops=("DD5", "NN2"), bench=True, driver=True)
 @register("dedup_semantico_jerarquico", oracle=_SEMDEDUP_H_ORACLE,
           ops=("DD5", "NN2"), driver=False)
 def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,7 +87,7 @@ GROUP BY user_id, sesion
 
 
 @register("streaming_sessions", oracle=_SESSIONS_ORACLE, ops=("ST2", "W1"),
-          driver=False)
+          driver=True)
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session intervals rebuilt BY ``session_window`` in a streaming
     job, oracle-checked against the gaps-and-islands batch formulation.
@@ -367,7 +367,7 @@ GROUP BY 1, 2
 
 
 @register("streaming_hopping", oracle=_HOPPING_ORACLE, ops=("ST1", "W2"),
-          driver=True)
+          driver=False)
 def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOPPING (sliding) windows from the STREAMING ENGINE — 2-hour
     windows advancing every hour (`window(ts, '2 hours', '1 hour')`):

@@ -582,7 +582,7 @@ GROUP BY 1, 2
 
 
 @register("muestra_estratificada", oracle=_MUESTRA_ORACLE, ops=("A8", "J1"),
-          driver=True)
+          driver=False)
 def muestra_estratificada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the data-mixing primitive of
     a training pipeline: each source gets a target rate (here derived
@@ -907,7 +907,7 @@ FROM limpio
 """
 
 
-@register("pii_scrub", oracle=_PII_ORACLE, ops=("TX2", "P8"), driver=True)
+@register("pii_scrub", oracle=_PII_ORACLE, ops=("TX2", "P8"), driver=False)
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction for training corpora: emails, IPv4 addresses, and
     8+-digit numbers (card/account shapes) replaced with typed
@@ -2092,7 +2092,7 @@ SELECT doc_id, rrf_micro, pos_fusion, pos_sys, pos_oro FROM (
 """
 
 
-@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"), driver=False)
+@register("fusion_rrf", oracle=_RRF_ORACLE, ops=("O7", "J11", "W1"), driver=True)
 def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009)
     of the two retrieval rankings the eval harness already builds —

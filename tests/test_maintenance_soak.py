@@ -174,3 +174,96 @@ def test_interleaved_multi_table_soak(spark, sf_dir, tmp_path, monkeypatch):
         F.col("vec_id") % 2 == 0
     ).count()
     assert sink.read(spark).count() == 5 + 3 * 8
+
+
+def test_dedup_state_maintenance_soak(spark, sf_dir, tmp_path, monkeypatch):
+    """The dedup-state lane (VERDICT r13 #7): continuous fenced ingest
+    into the FOUR state tables with a mid-flip kill rotated across all
+    of them, compaction + keep/slack auto-vacuum firing under a tight
+    policy, and through every cycle:
+
+    * the killed ingest leaves a PARTIAL commit (this operator mutates
+      four tables in sequence — exactly the ADVICE-r13 failure), and
+      the fenced retry completes it with NO double-applied table:
+      per-doc row counts stay exact, so _verify_jaccard's arrays never
+      inflate;
+    * a pin_dedup_version label snapshot keeps serving yesterday's
+      cluster view byte-stable across every later fold, compaction,
+      and vacuum;
+    * exact-dup detection stays sound at the end (a clone of a stored
+      doc still classifies 'exacto' — the symptom duplicated state
+      rows would break)."""
+    from etl_python_airflow_bigquery_spark.operators import ann_index as ai
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        _tables as dd_tables,
+    )
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        build_dedup_state,
+        ingest_dedup_state,
+        pin_dedup_version,
+        read_dedup_labels,
+    )
+
+    monkeypatch.setattr(ai, "_COMPACT_FILE_GATE", 4)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_KEEP", 3)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_SLACK", 2)
+    monkeypatch.setattr(ai, "_AUTO_VACUUM_RETENTION_S", 0.0)
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    h_tx, s_tx, a_tx, e_tx = dd_tables(path)
+    n_base = h_tx.read(spark).count()
+
+    pins = pin_dedup_version(path, "soak_dd")
+    ayer = sorted(map(tuple, read_dedup_labels(
+        spark, path, version=pins["etiquetas"]
+    ).collect()))
+    assert ayer
+
+    lote_base = docs.where(F.col("doc_id") % 10 == 0).limit(40)
+    app = "soak_dd"
+    ingeridos = 0
+    tablas = [e_tx, h_tx, s_tx, a_tx]  # the ingest's write order
+    for ciclo in range(4):
+        lote = lote_base.select(
+            (F.col("doc_id") + F.lit(1_000_000 * (ciclo + 1))).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        # kill the NEXT flip of a rotating victim table mid-ingest —
+        # the write order means later victims leave earlier tables
+        # already committed (the partial-failure shape the fence exists
+        # for)
+        killer = _KillOnce(tablas[ciclo % 4].path)
+        monkeypatch.setattr(txmod.os, "link", killer)
+        try:
+            with pytest.raises(OSError, match="injected"):
+                ingest_dedup_state(spark, lote, path, txn=(app, ciclo)).count()
+        finally:
+            monkeypatch.setattr(txmod.os, "link", killer.real_link)
+
+        # fenced retry completes the partial commit; no table double-
+        # applies: one hash row and one array row per doc, exactly
+        ingest_dedup_state(spark, lote, path, txn=(app, ciclo)).count()
+        ingeridos += lote.count()
+        assert h_tx.read(spark).count() == n_base + ingeridos
+        assert a_tx.read(spark).groupBy("doc_id").count().where(
+            F.col("count") > 1
+        ).count() == 0
+
+        # yesterday's pinned cluster view is byte-stable through folds,
+        # compaction, and auto-vacuum
+        got = sorted(map(tuple, read_dedup_labels(
+            spark, path, version=pins["etiquetas"]
+        ).collect()))
+        assert got == ayer, f"cycle {ciclo}: pinned labels moved"
+
+    # version histories stayed bounded (pinned roots excepted)
+    assert len(s_tx._versions()) <= 3 + 2 + 2
+    # the tiers stay sound: clones of stored docs classify exacto
+    clones = lote_base.limit(3).select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    got = ingest_dedup_state(spark, clones, path, txn=(app, 99))
+    assert got.where(F.col("estado") == "exacto").count() == 3
