@@ -1256,8 +1256,15 @@ LEFT JOIN cercano_h ch ON ch.doc_id = l.doc_id
 """
 
 
+# bench=False deliberately (the busqueda_bm25_indexada precedent): the
+# row's cold contract stacks FOUR lifecycle stages (build + fenced
+# ingest + two classifications ≈ 65 s at sf0.1, flat at 10× — measured
+# in BASELINE.md round-14), and the shared machinery is already
+# regression-gated by dedup_estado_incremental's bench row; this row's
+# unique surface (the pinned read path) is value-checked by its driver
+# seat + the 3-SF oracle.
 @register("dedup_clasificacion_pinada", oracle=_CLASIFICACION_PINADA_ORACLE,
-          ops=("DD1", "DD4", "J2"), driver=True, bench=True)
+          ops=("DD1", "DD4", "J2"), driver=True, bench=False)
 def dedup_clasificacion_pinada(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-TRAVEL CLASSIFICATION AUDIT over the persistent dedup state
     (VERDICT r13 #8): the established world (doc_id % 10 != 0) builds
