@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+# Exact-tile-border cardinality cap for optimize_zorder: up to this many
+# distinct values per z column, tile borders compute from the exact
+# per-value histogram (deterministic — a pure function of the data
+# multiset); past it, approxQuantile (deterministic per physical
+# layout only). 256k (value, count) rows ≈ 4 MB on the driver.
+_Z_DISTINCT_CAP = 262_144
+
 # bucket-to-partition inverse-hash keys, cached per partition count —
 # the probe job is tiny (one range scan) and its answer is a pure
 # function of Spark's fixed Murmur3, so it never goes stale
@@ -1131,10 +1138,14 @@ class TxTable:
         16/64 vs 12/64).
 
         Each column is first bucketed into 2^bits quantile tiles
-        (value-distribution-proof, like Delta's range ids). The tile
-        boundaries come from ``approxQuantile`` — a mergeable sketch
-        aggregate broadcast as ≤2^bits literals — and assignment is a
-        map-side comparison sum, so the maintenance op performs NO
+        (value-distribution-proof, like Delta's range ids). Tile
+        boundaries are EXACT row-rank quantiles from the per-value
+        histogram when the column's distinct cardinality is within
+        ``_Z_DISTINCT_CAP`` (a pure function of the data multiset —
+        deterministic across sessions and layouts; ``approxQuantile``
+        past the cap, deterministic per layout only), broadcast as
+        ≤2^bits literals — and assignment is a
+        map-side comparison sum, sothe maintenance op performs NO
         global sort of the table (VERDICT r11 flagged the former
         unpartitioned-ntile form as a one-task sort at scale; tied
         values now share a tile, which only widens that value's
@@ -1161,13 +1172,42 @@ class TxTable:
         aux = []
         for ci, c in enumerate(cols):
             bcol = f"__zb{ci}"
-            qs = [i / nb for i in range(1, nb)]
-            bordes = sorted(
-                set(
-                    df.select(F.col(c).cast("double").alias("__q"))
-                    .stat.approxQuantile("__q", qs, 1.0 / (4 * nb))
-                )
+            vals = df.select(F.col(c).cast("double").alias("__q")).where(
+                F.col("__q").isNotNull()
             )
+            # Tile borders are EXACT row-rank quantiles whenever the
+            # column's distinct cardinality is bounded: the per-value
+            # histogram (one map-side-combined groupBy) collects and the
+            # borders derive by cumulative count — a pure function of
+            # the DATA MULTISET, independent of file layout, splits, and
+            # parallelism (approxQuantile's GK sketch is deterministic
+            # only per physical layout, and repartitionByRange seeds by
+            # session RDD id, so "the same data" can tile differently
+            # across sessions). Realistic z-order dimensions (days,
+            # bucketed ids, categories) sit far under the cap; past it
+            # the approx path still yields a valid monotone tiling,
+            # deterministic per snapshot layout.
+            pares = vals.groupBy("__q").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).limit(_Z_DISTINCT_CAP + 1).collect()
+            if len(pares) <= _Z_DISTINCT_CAP:
+                pares.sort(key=lambda r: r["__q"])
+                n_col = sum(r["cnt"] for r in pares)
+                objetivos = [
+                    -(-(n_col * i) // nb) for i in range(1, nb)
+                ]
+                bordes, acumulado, ti = [], 0, 0
+                for r in pares:
+                    acumulado += r["cnt"]
+                    while ti < nb - 1 and acumulado >= objetivos[ti]:
+                        bordes.append(float(r["__q"]))
+                        ti += 1
+                bordes = sorted(set(bordes))
+            else:
+                qs = [i / nb for i in range(1, nb)]
+                bordes = sorted(
+                    set(vals.stat.approxQuantile("__q", qs, 1.0 / (4 * nb)))
+                )
             tile = F.lit(0)
             for b in bordes:
                 tile = tile + (F.col(c).cast("double") > F.lit(b)).cast("int")

