@@ -186,6 +186,17 @@ _PROBE_N = 1 << 26
 _PROBE_REF_SEC = 0.30
 _PROBE_NOISE_GATE = 2.0
 
+# SCAN-shaped probe leg (r14, second calibration pass): the pure-CPU
+# probe missed an end-of-r14 machine state where scan/shuffle-path
+# rows ran 1.5-2x their bands while range+hash stayed fast — whatever
+# degrades Spark's parquet-scan task path is invisible to a generated
+# range. The scan probe reads a FIXED synthetic parquet table (written
+# once per bench run, outside the timing; SF-independent) through a
+# filter + hash aggregate — the pricing_summary shape at constant
+# data. Both legs are recorded; noise_index is the max ratio.
+_SCAN_PROBE_ROWS = 4_000_000
+_SCAN_PROBE_REF_SEC = 0.45  # calibrated r14; see BASELINE.md caveat
+
 
 def _noise_probe(spark) -> float:
     from pyspark.sql import functions as F
@@ -194,6 +205,30 @@ def _noise_probe(spark) -> float:
     spark.range(_PROBE_N, numPartitions=32).select(
         F.xxhash64("id").alias("h")
     ).agg(F.expr("bit_xor(h)")).collect()
+    return time.perf_counter() - t0
+
+
+def _make_scan_probe(spark) -> str:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = tempfile.mkdtemp(prefix="bench_probe_") + "/t"
+    spark.range(_SCAN_PROBE_ROWS, numPartitions=32).select(
+        "id",
+        F.xxhash64("id").alias("a"),
+        (F.col("id") % 97).alias("b"),
+    ).write.parquet(path)
+    return path
+
+
+def _scan_probe(spark, path: str) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.read.parquet(path).where(F.col("b") < 50).agg(
+        F.expr("bit_xor(xxhash64(id, a))")
+    ).collect()
     return time.perf_counter() - t0
 
 
@@ -303,11 +338,18 @@ def main() -> int:
         atomos_usuario_mart(spark, SF_DIR).count()
         mart_build["atomos_usuario_dia"] = round(time.perf_counter() - t0, 3)
 
-    # Noise tripwire, leg 1: one unrecorded run warms the probe plan's
+    # Noise tripwire, leg 1: one unrecorded run warms each probe plan's
     # codegen, then best-of-2 reads the machine immediately before the
-    # pinned CORE_12 window.
+    # pinned CORE_12 window — a pure-CPU leg and a parquet-scan leg
+    # (they catch different degradation modes; r14 showed scan-path
+    # noise the CPU leg misses).
+    scan_path = _make_scan_probe(spark)
     _noise_probe(spark)
+    _scan_probe(spark, scan_path)
     probe_before = round(min(_noise_probe(spark), _noise_probe(spark)), 3)
+    scan_before = round(min(
+        _scan_probe(spark, scan_path), _scan_probe(spark, scan_path)
+    ), 3)
 
     # Best-of-2 per query by default: the second run re-plans from
     # scratch (no caching of results) but amortizes codegen/classload
@@ -329,7 +371,16 @@ def main() -> int:
     # is under half the best (the bar BENCH spreads are read against),
     # capped at SPARK_GRAFT_BENCH_REPS_FAST total reps (default 4).
     reps_fast = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_FAST", "4")))
+    scan_mid = None
     for name in names:
+        if scan_mid is None and name not in CORE_12:
+            # Noise tripwire, mid leg: host-side degradation arrives in
+            # WAVES a before/after pair can miss entirely (observed
+            # r14) — this reading brackets the CORE_12 window itself,
+            # the one the round gate reads.
+            scan_mid = round(min(
+                _scan_probe(spark, scan_path), _scan_probe(spark, scan_path)
+            ), 3)
         runs = []
         while len(runs) < reps or (
             len(runs) < reps_fast
@@ -473,10 +524,19 @@ def main() -> int:
         }
         _shutil.rmtree(st_path, ignore_errors=True)
 
-    # Noise tripwire, leg 2: the same probe after the full gated set —
+    # Noise tripwire, leg 2: the same probes after the full gated set —
     # late-session GC/heap state and external load both show here.
     probe_after = round(min(_noise_probe(spark), _noise_probe(spark)), 3)
-    noise_index = round(max(probe_before, probe_after) / _PROBE_REF_SEC, 2)
+    scan_after = round(min(
+        _scan_probe(spark, scan_path), _scan_probe(spark, scan_path)
+    ), 3)
+    import shutil as _shutil_probe
+
+    _shutil_probe.rmtree(os.path.dirname(scan_path), ignore_errors=True)
+    noise_index = round(max(
+        max(probe_before, probe_after) / _PROBE_REF_SEC,
+        max(scan_before, scan_mid or 0.0, scan_after) / _SCAN_PROBE_REF_SEC,
+    ), 2)
 
     out = {
         "metric": "total_wall",
@@ -489,6 +549,10 @@ def main() -> int:
             "before": probe_before,
             "after": probe_after,
             "ref": _PROBE_REF_SEC,
+            "scan_before": scan_before,
+            "scan_mid": scan_mid,
+            "scan_after": scan_after,
+            "scan_ref": _SCAN_PROBE_REF_SEC,
             "noise_index": noise_index,
             "noisy": noise_index > _PROBE_NOISE_GATE,
         },
