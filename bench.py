@@ -517,12 +517,35 @@ def main() -> int:
             t0 = time.perf_counter()
             ingest_dedup_state(spark, lote, st_path).count()
             ds_marginal[f"ingest_b{i}"] = round(time.perf_counter() - t0, 3)
+        _shutil.rmtree(st_path, ignore_errors=True)
+
+        # Multi-batch fold (round 14): the SAME two lotes folded as ONE
+        # ingest_dedup_state_lotes call against an identically prebuilt
+        # state — multi_fold vs sum(marginal) reads the per-call plan
+        # constant amortization directly (builds excluded from both).
+        from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+            ingest_dedup_state_lotes,
+        )
+
+        ml_path = _tempfile.mkdtemp(prefix="bench_dsm_")
+        build_dedup_state(
+            spark, docs.where(F.col("doc_id") % 10 != 0), ml_path
+        )
+        lotes = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "lote",
+            ((F.col("doc_id") / 10).cast("bigint") % 2 + 1).cast("int"),
+        )
+        t0 = time.perf_counter()
+        ingest_dedup_state_lotes(spark, lotes, ml_path).count()
+        ds_multi = round(time.perf_counter() - t0, 3)
+        _shutil.rmtree(ml_path, ignore_errors=True)
+
         families["dedup_state"] = {
             "build": round(ds_build, 3),
             "marginal": ds_marginal,
+            "multi_fold_2lotes": ds_multi,
             "amortized_wall": round(ds_build + sum(ds_marginal.values()), 3),
         }
-        _shutil.rmtree(st_path, ignore_errors=True)
 
     # Noise tripwire, leg 2: the same probes after the full gated set —
     # late-session GC/heap state and external load both show here.

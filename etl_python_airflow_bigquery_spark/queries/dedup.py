@@ -1315,6 +1315,102 @@ def dedup_clasificacion_pinada(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(path, ignore_errors=True)
 
 
+_INGESTA_MULTILOTE_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+lotes AS (
+    SELECT doc_id, md5(text) AS h,
+           CASE WHEN doc_id % 30 = 0 THEN 1
+                WHEN doc_id % 30 = 10 THEN 2
+                ELSE 3 END AS lote
+    FROM documents WHERE doc_id % 10 = 0
+),
+visibles AS (
+    SELECT doc_id, md5(text) AS h, 0 AS lote
+    FROM documents WHERE doc_id % 10 != 0
+    UNION ALL
+    SELECT doc_id, h, lote FROM lotes
+),
+exacto AS (
+    SELECT l.doc_id, min(v.doc_id) AS dup
+    FROM lotes l JOIN visibles v ON v.h = l.h AND v.lote < l.lote
+    GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS nuevo, b.doc_id AS viejo, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % 10 = 0
+      AND (b.doc_id % 10 != 0
+           OR (CASE WHEN b.doc_id % 30 = 0 THEN 1
+                    WHEN b.doc_id % 30 = 10 THEN 2 ELSE 3 END)
+              < (CASE WHEN a.doc_id % 30 = 0 THEN 1
+                      WHEN a.doc_id % 30 = 10 THEN 2 ELSE 3 END))
+    GROUP BY 1, 2
+),
+cercano AS (
+    SELECT i.nuevo AS doc_id, min(i.viejo) AS dup
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.nuevo
+    JOIN tam tb ON tb.doc_id = i.viejo
+    WHERE 2 * i.c >= ta.n + tb.n - i.c
+    GROUP BY 1
+)
+SELECT CAST(l.lote AS INT) AS lote, l.doc_id,
+       CASE WHEN e.dup IS NOT NULL THEN 'exacto'
+            WHEN c2.dup IS NOT NULL THEN 'cercano'
+            ELSE 'nuevo' END AS estado,
+       CAST(coalesce(e.dup, c2.dup) AS BIGINT) AS dup_de
+FROM lotes l
+LEFT JOIN exacto e ON e.doc_id = l.doc_id
+LEFT JOIN cercano c2 ON c2.doc_id = l.doc_id
+"""
+
+
+# bench=False by the dedup_clasificacion_pinada precedent: the row's
+# cold contract stacks a full state build ahead of the fold, and the
+# amortization claim itself is measured where it's legible — the
+# families.dedup_state bench entry times the SAME two lotes folded
+# sequentially and as one multi call against prebuilt states, so the
+# plan-constant saving reads directly without the build in the way.
+@register("dedup_ingesta_multilote", oracle=_INGESTA_MULTILOTE_ORACLE,
+          ops=("DD1", "DD4", "J2"), driver=False, bench=False)
+def dedup_ingesta_multilote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-BATCH dedup-state fold (``ingest_dedup_state_lotes``): the
+    %10 batch arrives as THREE ordered lotes (doc_id % 30 ∈ {0,10,20}
+    → lotes 1..3) folded into the stored state in ONE call — one
+    classification plan, one label fold, one commit set, instead of
+    three of each. The amortization target is the ~17 s per-call plan
+    constant that dominates realistic batch sizes (VERDICT r13).
+
+    Per-doc verdicts are SEQUENTIAL semantics: a lote-2 doc sees the
+    established corpus plus lote 1, never lote 3 — the oracle replays
+    that visibility rule inline (partners visible iff corpus or
+    strictly-earlier lote), so the value-hash match pins the collapsed
+    plan to the k-sequential-ingest answer."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        build_dedup_state,
+        ingest_dedup_state_lotes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tempfile.mkdtemp(prefix="dedup_multilote_")
+    try:
+        build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+        lotes = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "lote",
+            F.when(F.col("doc_id") % 30 == 0, F.lit(1))
+            .when(F.col("doc_id") % 30 == 10, F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        return ingest_dedup_state_lotes(
+            spark, lotes, path, txn=("ingesta_multilote", 0)
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+
+
 @register("corpus_desduplicado", oracle=_CORPUS_DEDUP_ORACLE,
           ops=("DD4", "J7", "A1"), driver=False, bench=True)
 def corpus_desduplicado(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from etl_python_airflow_bigquery_spark.operators.dedup_state import (
     ingest_dedup_state,
     read_dedup_labels,
 )
+from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 from etl_python_airflow_bigquery_spark.tables import load_table
 
 
@@ -188,3 +189,101 @@ def test_pinned_labels_survive_ingest_and_vacuum(
     e_tx.vacuum(keep_versions=1, retention_s=0.0)
     with _pytest.raises((FileNotFoundError, ValueError)):
         read_dedup_labels(spark, path, version=pins["etiquetas"]).collect()
+
+
+def test_multilote_equals_sequential_ingests(spark, sf_dir, tmp_path):
+    """The multi-batch fold's equivalence contract, checked literally:
+    one ``ingest_dedup_state_lotes`` call over three ordered lotes
+    reproduces three sequential ``ingest_dedup_state`` calls — the same
+    per-lote verdicts, the same final label partition, and the same
+    stored hash/posting/array row sets."""
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        ingest_dedup_state_lotes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    partes = [
+        docs.where(F.col("doc_id") % 30 == r) for r in (0, 10, 20)
+    ]
+
+    sec_path = str(tmp_path / "secuencial")
+    build_dedup_state(spark, corpus, sec_path)
+    sec = []
+    for i, parte in enumerate(partes):
+        sec.append(
+            ingest_dedup_state(spark, parte, sec_path, txn=("sec", i))
+            .select("doc_id", "estado", "dup_de")
+            .withColumn("lote", F.lit(i + 1).cast("int"))
+        )
+    want = sorted(
+        (r["lote"], r["doc_id"], r["estado"], r["dup_de"])
+        for frame in sec for r in frame.collect()
+    )
+
+    multi_path = str(tmp_path / "multi")
+    build_dedup_state(spark, corpus, multi_path)
+    lotes = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "lote",
+        F.when(F.col("doc_id") % 30 == 0, F.lit(1))
+        .when(F.col("doc_id") % 30 == 10, F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    got_frame = ingest_dedup_state_lotes(
+        spark, lotes, multi_path, txn=("multi", 0)
+    )
+    got = sorted(
+        (r["lote"], r["doc_id"], r["estado"], r["dup_de"])
+        for r in got_frame.collect()
+    )
+    assert got == want and got
+
+    # final stored state matches table by table: identical row sets...
+    for tabla, cols in (
+        ("hashes", ("doc_id", "h")),
+        ("conjuntos", ("doc_id",)),
+        ("postings", ("doc_id", "s")),
+    ):
+        a = sorted(map(tuple, TxTable(f"{sec_path}/{tabla}")
+                       .read(spark).select(*cols).collect()))
+        b = sorted(map(tuple, TxTable(f"{multi_path}/{tabla}")
+                       .read(spark).select(*cols).collect()))
+        assert a == b, tabla
+    # ...and the same cluster partition (min-label canonical form)
+    def particion(path):
+        grupos: dict = {}
+        for r in read_dedup_labels(spark, path).collect():
+            grupos.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in grupos.values()}
+
+    assert particion(sec_path) == particion(multi_path)
+
+
+def test_multilote_fenced_replay_is_noop(spark, sf_dir, tmp_path):
+    """The multi-batch commit is ONE application-transaction: a full
+    replay skips every table write and returns the first run's
+    classification bit for bit."""
+    from etl_python_airflow_bigquery_spark.operators.dedup_state import (
+        ingest_dedup_state_lotes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "estado")
+    build_dedup_state(spark, docs.where(F.col("doc_id") % 10 != 0), path)
+    lotes = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "lote",
+        F.when(F.col("doc_id") % 30 == 0, F.lit(1))
+        .when(F.col("doc_id") % 30 == 10, F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    primera = sorted(map(tuple, ingest_dedup_state_lotes(
+        spark, lotes, path, txn=("ml", 0)
+    ).collect()))
+    h_tx, s_tx, a_tx, e_tx = _tables(path)
+    vs = [tx.version() for tx in (h_tx, s_tx, a_tx, e_tx)]
+
+    replay = sorted(map(tuple, ingest_dedup_state_lotes(
+        spark, lotes, path, txn=("ml", 0)
+    ).collect()))
+    assert replay == primera
+    assert [tx.version() for tx in (h_tx, s_tx, a_tx, e_tx)] == vs
