@@ -238,6 +238,7 @@ def search_ivf_index(
     topk: int = _SEARCH_K,
     version: int | None = None,
     ctx: dict | None = None,
+    local_rows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """``queries``: (query_id, qv: array<bigint>) — scaled-int vectors
     (route raw embeddings through ``_int_vectors`` first). Probes the
@@ -248,6 +249,16 @@ def search_ivf_index(
     posting read is manifest-stats FILE-PRUNED to the probed cells
     (round 11) — on a compacted, celda-range-clustered table the scan
     touches ~nprobe/k of the files, not the table.
+
+    ``local_rows``: the SAME (query_id, qv) rows as ``queries`` when
+    the caller already holds them on the driver (the hybrid serve's
+    literal-anchor path collects them anyway). With a serve context
+    this moves the probed-cell computation entirely onto the driver —
+    |batch|×k integer distances against the context's centroid rows,
+    the identical (d2, seed_id) ordering — so the per-batch serve runs
+    ZERO Spark jobs before the fused plan itself (the qcells window
+    job and the probed-cell collect were ~1-2 s/batch of pure
+    job-scheduling overhead at sf0.1; the arithmetic is microseconds).
 
     ``nprobe=None`` (the default) resolves to the index's CALIBRATED
     rung when ``calibrate_index`` has recorded one in the metadata,
@@ -265,38 +276,68 @@ def search_ivf_index(
             except FileNotFoundError:
                 nprobe = _NPROBE
     cent_tx, vec_tx = _tables(path)
-    if ctx is not None:
-        # stream-static centroids (make_serve_context): a local relation
-        # instead of an index-table scan subtree in every batch's plan
-        cent_df = _ctx_centroids(spark, ctx)
-    else:
-        cent_df = cent_tx.read(spark).select(
-            F.col("celda").alias("seed_id"), "sv"
+    if ctx is not None and local_rows is not None:
+        # driver-side probe: exact twin of the Spark window below —
+        # integer d2 against the context's centroid rows, ties broken
+        # by seed_id, nprobe smallest kept. Python ints are exact, and
+        # the magnitudes (scaled components² × dim) sit far inside
+        # int64, so parity with the long arithmetic in codegen holds.
+        pares = []
+        celdas_set: set[int] = set()
+        for qid, qv in local_rows:
+            dists = sorted(
+                (
+                    sum((x - y) * (x - y) for x, y in zip(qv, sv)),
+                    int(sid),
+                )
+                for sid, sv in ctx["cent_rows"]
+            )[: int(nprobe)]
+            for _, sid in dists:
+                pares.append((int(qid), sid))
+                celdas_set.add(sid)
+        qcells = spark.createDataFrame(
+            pares, "query_id BIGINT, celda BIGINT"
         )
-    qdist = queries.crossJoin(F.broadcast(cent_df)).select(
-        "query_id",
-        "seed_id",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
-    )
-    wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
-    qcells = (
-        qdist.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", F.col("seed_id").alias("celda"))
-        .localCheckpoint(eager=False)  # consumed by the prune AND the join
-    )
-    # FILE PRUNING, ENFORCED (round 11): the probed cell set is bounded
-    # (≤ min(k, queries×nprobe) ids), so collect it and read ONLY the
-    # posting files whose celda stats admit a probed cell — on a
-    # compacted (celda-range-clustered) table the scan touches ~nprobe/k
-    # of the files instead of planning a dynamic join against the full
-    # table. Correctness is unchanged: read_in keeps the residual IN
-    # filter, and un-statted files are always read.
-    celdas = [r["celda"] for r in qcells.select("celda").distinct().collect()]
+        celdas = sorted(celdas_set)
+    else:
+        if ctx is not None:
+            # stream-static centroids (make_serve_context): a local
+            # relation instead of an index-table scan subtree in every
+            # batch's plan
+            cent_df = _ctx_centroids(spark, ctx)
+        else:
+            cent_df = cent_tx.read(spark).select(
+                F.col("celda").alias("seed_id"), "sv"
+            )
+        qdist = queries.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            "seed_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("sv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        wq = Window.partitionBy("query_id").orderBy("d2", "seed_id")
+        qcells = (
+            qdist.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= nprobe)
+            .select("query_id", F.col("seed_id").alias("celda"))
+            .localCheckpoint(eager=False)  # consumed by prune AND join
+        )
+        # FILE PRUNING, ENFORCED (round 11): the probed cell set is
+        # bounded (≤ min(k, queries×nprobe) ids), so collect it and
+        # read ONLY the posting files whose celda stats admit a probed
+        # cell — on a compacted (celda-range-clustered) table the scan
+        # touches ~nprobe/k of the files instead of planning a dynamic
+        # join against the full table. Correctness is unchanged:
+        # read_in keeps the residual IN filter, and un-statted files
+        # are always read.
+        celdas = [
+            r["celda"] for r in qcells.select("celda").distinct().collect()
+        ]
     postings = vec_tx.read_in(spark, "celda", celdas, version=version)
     norma = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
@@ -661,11 +702,14 @@ def busqueda_hibrida_indexada_multi(
         filas = _int_vectors(
             emb.where(F.col("vec_id").isin([int(q) for q in ids]))
         ).collect()
+        local_rows = [
+            (int(r["vec_id"]), [int(x) for x in r["ev"]]) for r in filas
+        ]
         consultas = spark.createDataFrame(
-            [(int(r["vec_id"]), [int(x) for x in r["ev"]]) for r in filas],
-            "query_id BIGINT, qv ARRAY<BIGINT>",
+            local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
         )
     else:
+        local_rows = None
         consultas = _int_vectors(
             emb.join(
                 F.broadcast(qids), emb["vec_id"] == qids["query_id"],
@@ -680,7 +724,7 @@ def busqueda_hibrida_indexada_multi(
     vec = search_ivf_index(
         spark, consultas, path,
         nprobe=nprobe,
-        topk=_BM25_TOP, ctx=ctx,
+        topk=_BM25_TOP, ctx=ctx, local_rows=local_rows,
     ).select(
         "query_id", F.col("cand_id").alias("doc_id"),
         F.col("pos").alias("pos_vec"),
