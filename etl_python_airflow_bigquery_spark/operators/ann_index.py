@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_python_airflow_bigquery_spark.functions import in_literals
 from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 from etl_python_airflow_bigquery_spark.queries.similarity import (
     _KMEANS_ITERS,
@@ -700,7 +701,7 @@ def busqueda_hibrida_indexada_multi(
         # discipline as dedup_state._PROBE_COLLECT_CAP and
         # lex_index._CONSULTA_COLLECT_CAP).
         filas = _int_vectors(
-            emb.where(F.col("vec_id").isin([int(q) for q in ids]))
+            emb.where(in_literals("vec_id", [int(q) for q in ids]))
         ).collect()
         local_rows = [
             (int(r["vec_id"]), [int(x) for x in r["ev"]]) for r in filas

@@ -92,7 +92,16 @@ def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
 
     hashes, sh, arrays = _frames(docs)
     sh = sh.localCheckpoint(eager=False)  # pair engine + arrays share it
-    pares = pares_jaccard_prefijo(sh).select("doc_a", "doc_b")
+    # checkpoint the verified pair list ONCE: three consumers (the
+    # symmetric edge list -> labels, n_pares, and nothing else) would
+    # otherwise each re-run the full prefix-filter + verify engine
+    # (~2-4 s per extra run at sf0.1 — measured r14); the pair list
+    # itself is tiny (true near-dups only)
+    pares = (
+        pares_jaccard_prefijo(sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     sym = pares.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -505,7 +514,14 @@ def _clasificar(
     sh_para_verificar = arrays_n.unionByName(arr_viejos).select(
         "doc_id", F.explode("arr").alias("s")
     )
-    verificados = _verify_jaccard(cand, sh_para_verificar)
+    # checkpoint: the verified pairs feed THREE consumers (salida's
+    # cercano tier, the ingest's fold edges, and the label overwrite's
+    # write job) — without it the probe+explode+verify chain re-executes
+    # per consumer (the fold's etiquetas overwrite alone re-paid ~6 s
+    # at sf0.1, measured r14)
+    verificados = _verify_jaccard(cand, sh_para_verificar).localCheckpoint(
+        eager=False
+    )
     cercano = verificados.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.min("doc_b").alias("dup_cercano")
     )

@@ -46,7 +46,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import ranked_topk
+from etl_python_airflow_bigquery_spark.functions import in_literals, ranked_topk
 from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 
 # Target file count for the token-range clustering of the postings
@@ -331,7 +331,7 @@ def hibrida_lexical_top_multi_indexada(
 
     docs = load_table(spark, sf_dir, "documents")
     consulta = (
-        docs.where(F.col("doc_id").isin([int(q) for q in qids]))
+        docs.where(in_literals("doc_id", [int(q) for q in qids]))
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.split("text", " ")).alias("token"),

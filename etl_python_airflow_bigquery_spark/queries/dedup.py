@@ -817,6 +817,17 @@ FROM comp
 """
 
 
+# Driver-state guard for the CC fast path below: under this many
+# SYMMETRIC edges (2x the undirected pair count) the component labels
+# compute on the driver in one collect; past it the distributed
+# propagate+shortcut loop runs. Near-dup edge lists track TRUE
+# duplicates (the prefix filter keeps candidates near-linear), so even
+# the clone-heavy 10x replica sits thousands of times under this cap —
+# but a 100 TB corpus with a pathological duplicate mass still has the
+# distributed path, same answer.
+_CC_COLLECT_CAP = 200_000
+
+
 def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Distributed connected components via min-label propagation WITH
     POINTER JUMPING over a symmetric edge list (src, dst). Each round:
@@ -849,6 +860,42 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     # round — rounds × pipeline cost, the r4 bench's 11.4s pathology.
     # The edge list is tiny next to the corpus (near-dup pairs only).
     sym = iter_checkpoint(sym)
+    # SMALL-GRAPH FAST PATH (guide §2.4/§5 — the near-dup edge list is
+    # bounded by true duplicate pairs, orders of magnitude below the
+    # corpus): when the edge list fits under the driver cap, collect it
+    # once and run union-find-by-min-root — the same min-label fixed
+    # point, bit for bit (the per-cell applyInPandas CC in
+    # similarity.py uses the identical algebra), for ONE job instead of
+    # rounds × (2 joins + checkpoint + count) ≈ 10-18 scheduled jobs.
+    # The result returns as a LocalRelation, so downstream joins against
+    # the labels BROADCAST instead of shuffling. Past the cap the
+    # distributed propagate+shortcut loop below runs unchanged — the
+    # 100 TB regime, where the edge list may be data-sized (the
+    # _PROBE_COLLECT_CAP dispatch discipline).
+    filas = sym.limit(_CC_COLLECT_CAP + 1).collect()
+    if len(filas) <= _CC_COLLECT_CAP:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for fila in filas:
+            s, d = int(fila["src"]), int(fila["dst"])
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = _find(s), _find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        return sym.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in parent],
+            "doc_id BIGINT, cluster_id BIGINT",
+        )
     labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
