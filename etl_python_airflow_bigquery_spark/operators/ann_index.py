@@ -126,17 +126,21 @@ def build_ivf_index(
 ) -> dict:
     """Fit + assign + persist. Returns {'n', 'k', 'version'}."""
     enteros = _int_vectors(emb).localCheckpoint(eager=False)
-    n = enteros.count()
+    # one pass yields BOTH build-meta scalars (count for the seed/k
+    # policy, max id for vec_basis) — previously two separate jobs
+    n, _mx = enteros.agg(
+        F.count(F.lit(1)), F.max("vec_id")
+    ).first()
     cent = _kmeans_fit(spark, enteros, iters, n=n)
     cent_tx, vec_tx = _tables(path)
     cent_df = _centroid_values_df(spark, cent).select(
         F.col("seed_id").alias("celda"), "sv"
     )
-    asignados = (
-        _assign_cells(enteros, cent)
-        .select("vec_id", "celda")
-        .join(enteros, "vec_id")
-        .select("vec_id", "celda", "ev")
+    # keep_ev: the posting frame (vec_id, celda, ev) comes straight off
+    # the map-only assign — the former join(enteros) shuffled both
+    # sides once per build (guide §2.4)
+    asignados = _assign_cells(enteros, cent, keep_ev=True).select(
+        "vec_id", "celda", "ev"
     )
     cent_tx.overwrite(cent_df)
     v = vec_tx.overwrite(asignados)
@@ -150,7 +154,6 @@ def build_ivf_index(
     # explicit None check — `or -1` would treat a legitimate max vec_id
     # of 0 (single-vector corpus) as falsy and force the serve-path
     # fallback count (ADVICE r11).
-    _mx = enteros.agg(F.max("vec_id")).first()[0]
     basis = (_mx if _mx is not None else -1) + 1
     _write_meta(
         path,
@@ -199,11 +202,8 @@ def add_to_ivf_index(spark: SparkSession, emb_new: DataFrame, path: str) -> int:
     cent = _stored_centroids(spark, path)
     enteros = _int_vectors(emb_new).localCheckpoint(eager=False)
     n_batch = enteros.count()
-    nuevos = (
-        _assign_cells(enteros, cent)
-        .select("vec_id", "celda")
-        .join(enteros, "vec_id")
-        .select("vec_id", "celda", "ev")
+    nuevos = _assign_cells(enteros, cent, keep_ev=True).select(
+        "vec_id", "celda", "ev"
     )
     v = vec_tx.append(nuevos)
     if len(vec_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:

@@ -1345,9 +1345,8 @@ def grafo_knn_mutuo_plano(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
     )
     m = (
-        _assign_cells(enteros, cent)
-        .select("vec_id", "celda")
-        .join(enteros, "vec_id")
+        _assign_cells(enteros, cent, keep_ev=True)
+        .select("vec_id", "celda", "ev")
         .localCheckpoint(eager=False)
     )
     a = m.select(
@@ -1515,11 +1514,11 @@ def agrupacion_densidad_plana(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, enteros, _KMEANS_ITERS, cache_key=_os.path.abspath(sf_dir)
     )
     asig = (
-        _assign_cells(enteros, cent)
-        .select("vec_id", "celda")
+        _assign_cells(enteros, cent, keep_ev=True)
+        .select("vec_id", "celda", "ev")
         .localCheckpoint(eager=False)
     )
-    m = asig.join(enteros, "vec_id")
+    m = asig
     a = m.select(
         "celda", F.col("vec_id").alias("src"), F.col("ev").alias("ev_a")
     )
@@ -2773,7 +2772,9 @@ def _centroid_values_df(spark: SparkSession, cent: dict[int, list[int]]) -> Data
 LITERAL_ASSIGN_MAX = 256
 
 
-def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
+def _assign_cells(
+    enteros: DataFrame, cent: dict[int, list[int]], keep_ev: bool = False
+) -> DataFrame:
     """Argmin over the centroid table — the IVF assign step — with a
     size-dispatched physical form:
 
@@ -2796,9 +2797,22 @@ def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
     Tie-break matches the oracle's (d2, seed_id) order in BOTH forms:
     literal — sid-sorted array, only a STRICTLY smaller d2 replaces the
     best; broadcast — struct ordering breaks d2 ties on the smaller
-    seed_id."""
+    seed_id.
+
+    ``keep_ev=True`` carries the vector itself through the assign —
+    consumers that need (vec_id, celda, ev) previously re-JOINED
+    ``enteros`` on vec_id (an exchange of both sides per use: the Lloyd
+    update, the index build's posting frame, the streaming gate). In
+    the literal form the vector is already in the row, so keeping it
+    is free and the join (and its shuffles) disappears outright
+    (guide §2.4); the broadcast form keeps the prior join internally —
+    its groupBy argmin collapses the n×k rows before ev could ride
+    along."""
     if len(cent) > LITERAL_ASSIGN_MAX:
-        return _assign_cells_broadcast(enteros, cent)
+        out = _assign_cells_broadcast(enteros, cent)
+        if keep_ev:
+            out = out.join(enteros, "vec_id")
+        return out
     items = sorted(cent.items())
     lit = "array(" + ", ".join(
         "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
@@ -2813,11 +2827,14 @@ def _assign_cells(enteros: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
         "struct(CAST(-1 AS BIGINT) AS sid, CAST(9223372036854775807 AS BIGINT) AS d2), "
         "(acc, t) -> CASE WHEN t.d2 < acc.d2 THEN t ELSE acc END)"
     )
+    extra = ["ev"] if keep_ev else []
     return enteros.select(
         "vec_id",
+        *extra,
         F.expr(best).alias("__best"),
     ).select(
         "vec_id",
+        *extra,
         F.col("__best.sid").alias("celda"),
         F.col("__best.d2").alias("d2"),
     )
@@ -3558,10 +3575,16 @@ def _kmeans_fit(
         # expression analyzable (it never evaluates on zero rows)
         cent = {0: [0] * DIM}
     for _ in range(iters):
-        asig = _assign_cells(enteros, cent)
-        elems = asig.join(enteros, "vec_id").select(
-            "celda", F.posexplode("ev").alias("k0", "x")
-        )
+        # keep_ev: the vector rides the map-only assign, so the former
+        # asig.join(enteros) — an exchange of both sides per Lloyd
+        # round — is gone (guide §2.4). The update keeps the posexplode
+        # + (celda, k) partial aggregation: the explode is map-side and
+        # collapses to k×DIM partials before the exchange, and it
+        # measurably beats a DIM-column sum aggregate (r14 A/B: 64 agg
+        # expressions blow past codegen's comfortable width — 2.1 s vs
+        # 1.0 s per 2-round fit at sf0.1).
+        asig = _assign_cells(enteros, cent, keep_ev=True)
+        elems = asig.select("celda", F.posexplode("ev").alias("k0", "x"))
         upd = (
             elems.groupBy("celda", (F.col("k0") + 1).alias("k"))
             .agg(
@@ -4512,12 +4535,10 @@ def similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, enteros, _KMEANS_ITERS, n=n, cache_key=_os.path.abspath(sf_dir)
     )
     cent_df = _centroid_values_df(spark, cent)
-    asig = _assign_cells(enteros, cent)
+    asig = _assign_cells(enteros, cent, keep_ev=True)
     case_cent = _cent_case_arrays(cent)
     resid = (
-        asig.select("vec_id", "celda")
-        .join(enteros, "vec_id")
-        .select(
+        asig.select(
             "vec_id",
             "celda",
             F.expr(f"zip_with(ev, {case_cent}, (x, c) -> x - c)").alias("ev"),

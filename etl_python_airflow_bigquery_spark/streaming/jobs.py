@@ -814,9 +814,8 @@ def run_semdedup_ingest(
             return
         enteros = _int_vectors(batch_df)
         asig = (
-            _assign_cells(enteros, cent)
-            .select("vec_id", "celda")
-            .join(enteros, "vec_id")
+            _assign_cells(enteros, cent, keep_ev=True)
+            .select("vec_id", "celda", "ev")
             .localCheckpoint(eager=False)
         )
         # DUP CHECKS probe the arrival's TWO nearest cells (round-9

@@ -66,6 +66,7 @@ def main() -> int:
     for name in names:
         spark.sparkContext.setJobDescription(f"opt: {name}")
         runs = []
+        # --reps 0: plan-dump only, skip the timed materializations
         for _ in range(reps):
             clear_session_caches()
             t0 = time.perf_counter()
@@ -85,7 +86,7 @@ def main() -> int:
                 fh.write(plan.rstrip() + "\n")
         spark.sparkContext.setJobDescription(None)
     print(json.dumps({
-        "queries": {n: min(r) for n, r in out_runs.items()},
+        "queries": {n: min(r) for n, r in out_runs.items() if r},
         "runs": out_runs,
         "sf_dir": SF_DIR,
     }))
