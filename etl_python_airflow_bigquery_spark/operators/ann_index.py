@@ -277,6 +277,13 @@ def search_ivf_index(
             except FileNotFoundError:
                 nprobe = _NPROBE
     cent_tx, vec_tx = _tables(path)
+    if local_rows is not None:
+        # the caller materialized the batch on the driver, so `queries`
+        # is an RDD-backed local relation (unknown stats → the planner
+        # assumes huge and flips its joins to sort-merge). It is
+        # ≤ the collect cap rows by construction: broadcast it
+        # everywhere it joins (guide §3.1).
+        queries = F.broadcast(queries)
     if ctx is not None and local_rows is not None:
         # driver-side probe: exact twin of the Spark window below —
         # integer d2 against the context's centroid rows, ties broken
@@ -296,8 +303,13 @@ def search_ivf_index(
             for _, sid in dists:
                 pares.append((int(qid), sid))
                 celdas_set.add(sid)
-        qcells = spark.createDataFrame(
-            pares, "query_id BIGINT, celda BIGINT"
+        # qcells is RDD-backed too: without the hint the planner
+        # broadcasts the POSTINGS side of the celda join (wrong side at
+        # scale — a cell is ~n/k vectors) and keeps qcells, which is
+        # ≤ |batch|×nprobe rows, distributed. Broadcast qcells and keep
+        # the postings scan distributed (guide §3.1).
+        qcells = F.broadcast(
+            spark.createDataFrame(pares, "query_id BIGINT, celda BIGINT")
         )
         celdas = sorted(celdas_set)
     else:
@@ -569,8 +581,25 @@ def busqueda_hibrida_indexada(
     consulta = _int_vectors(emb.where(F.col("vec_id") == _HIB_Q)).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
     )
+    local_rows = None
+    if ctx is not None:
+        # the one anchor vector is driver-bounded (1×DIM ints): collect
+        # it and let search_ivf_index run its driver-side probed-cell
+        # math (the _multi literal-anchor path) — the serve then runs
+        # ZERO Spark jobs before the fused plan itself, where the
+        # distributed form paid a crossJoin+window job plus a probed-cell
+        # collect during plan CONSTRUCTION (guide §5: the driver should
+        # do tiny work, not schedule jobs for it)
+        local_rows = [
+            (int(r["query_id"]), [int(x) for x in r["qv"]])
+            for r in consulta.collect()
+        ]
+        consulta = spark.createDataFrame(
+            local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
+        )
     vec = search_ivf_index(
-        spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP, ctx=ctx
+        spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP, ctx=ctx,
+        local_rows=local_rows,
     ).select(F.col("cand_id").alias("doc_id"), F.col("pos").alias("pos_vec"))
     return rrf_fuse_hibrida(lex, vec)
 

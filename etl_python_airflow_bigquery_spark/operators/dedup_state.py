@@ -67,19 +67,18 @@ def _tables(path: str) -> tuple[TxTable, TxTable, TxTable, TxTable]:
     )
 
 
-def _frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(hashes, postings, arrays) for a documents frame — one shingle
-    pass shared by build and ingest."""
+def _frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(hashes, postings) for a documents frame. The per-doc shingle
+    ARRAYS are deliberately NOT derived here: every consumer checkpoints
+    the postings first and aggregates arrays from the checkpoint, so an
+    arrays lineage rooted at the raw documents would silently
+    re-tokenize the corpus on its first materialization."""
     from etl_python_airflow_bigquery_spark.queries.dedup import (
         shingle_postings,
     )
 
     hashes = docs.select("doc_id", F.md5("text").alias("h"))
-    sh = shingle_postings(docs)
-    arrays = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("arr")
-    )
-    return hashes, sh, arrays
+    return hashes, shingle_postings(docs)
 
 
 def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
@@ -90,15 +89,28 @@ def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
         propagate_min_labels,
     )
 
-    hashes, sh, arrays = _frames(docs)
+    hashes, sh = _frames(docs)
+    # three consumers (the range partitioner's SAMPLING pass, the write
+    # itself, and the n_docs count) would each re-scan documents and
+    # re-md5 the full text — checkpoint the narrow (doc_id, h) frame
+    # once instead (guide §2.4)
+    hashes = hashes.localCheckpoint(eager=False)
     sh = sh.localCheckpoint(eager=False)  # pair engine + arrays share it
+    # the arrays aggregate feeds BOTH the conjuntos table and the pair
+    # engine's verify step — derive it from the CHECKPOINTED postings
+    # (the _frames lineage would re-shingle the corpus) and checkpoint
+    # it once instead of paying the groupBy+collect_list over the
+    # corpus postings twice (guide §2.4)
+    arrays = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    ).localCheckpoint(eager=False)
     # checkpoint the verified pair list ONCE: three consumers (the
     # symmetric edge list -> labels, n_pares, and nothing else) would
     # otherwise each re-run the full prefix-filter + verify engine
     # (~2-4 s per extra run at sf0.1 — measured r14); the pair list
     # itself is tiny (true near-dups only)
     pares = (
-        pares_jaccard_prefijo(sh)
+        pares_jaccard_prefijo(sh, arr=arrays)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -115,7 +127,9 @@ def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
     a_tx.overwrite(arrays.repartitionByRange(_STATE_FILES, "doc_id"))
     e_tx.overwrite(etiquetas)
     return {
-        "n_docs": docs.count(),
+        # one hash row per doc — counts the checkpointed narrow frame
+        # instead of re-scanning documents
+        "n_docs": hashes.count(),
         "n_pares": pares.count(),
         "version": v,
     }
@@ -253,15 +267,18 @@ def ingest_dedup_state_lotes(
         _COMPACT_FILE_GATE,
     )
     from etl_python_airflow_bigquery_spark.queries.dedup import (
-        _verify_jaccard,
+        _verify_jaccard_arrays,
         cc_incremental,
     )
 
     h_tx, s_tx, a_tx, e_tx = _tables(path)
     lote_map = docs_lotes.select("doc_id", "lote")
-    hashes_n, sh_n, arrays_n = _frames(docs_lotes)
+    hashes_n, sh_n = _frames(docs_lotes)
     sh_n = sh_n.localCheckpoint(eager=False)
-    arrays_n = arrays_n.localCheckpoint(eager=False)
+    # arrays from the CHECKPOINTED postings (see _clasificar)
+    arrays_n = sh_n.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    ).localCheckpoint(eager=False)
     hashes_l = hashes_n.join(F.broadcast(lote_map), "doc_id")
     sh_l = sh_n.join(F.broadcast(lote_map), "doc_id")
 
@@ -336,12 +353,10 @@ def ingest_dedup_state_lotes(
             cand.select(F.col("doc_b").alias("doc_id")),
         )
     )
-    sh_para_verificar = arrays_n.unionByName(arr_viejos).select(
-        "doc_id", F.explode("arr").alias("s")
-    )
-    verificados = _verify_jaccard(cand, sh_para_verificar).localCheckpoint(
-        eager=False
-    )
+    # arrays verify directly (see _clasificar) — no explode+re-aggregate
+    verificados = _verify_jaccard_arrays(
+        cand, arrays_n.unionByName(arr_viejos)
+    ).localCheckpoint(eager=False)
     # estado reads strictly-earlier partners only (stored docs carry no
     # lote row → coalesce 0); same-lote pairs remain fold edges below
     cercano = (
@@ -434,16 +449,20 @@ def _clasificar(
     (optionally pinned snapshot, read-only). Returns the output frame
     plus the intermediates the ingest's fold/appends need."""
     from etl_python_airflow_bigquery_spark.queries.dedup import (
-        _verify_jaccard,
+        _verify_jaccard_arrays,
         pares_jaccard_prefijo,
     )
 
     vh = (pins or {}).get("hashes")
     vs = (pins or {}).get("postings")
     va = (pins or {}).get("conjuntos")
-    hashes_n, sh_n, arrays_n = _frames(docs_new)
+    hashes_n, sh_n = _frames(docs_new)
     sh_n = sh_n.localCheckpoint(eager=False)
-    arrays_n = arrays_n.localCheckpoint(eager=False)
+    # arrays from the CHECKPOINTED postings — the _frames lineage would
+    # re-tokenize the batch for its first materialization
+    arrays_n = sh_n.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    ).localCheckpoint(eager=False)
 
     # Replay determinism: a fenced replay finds the batch's OWN rows
     # already stored (the first run appended them) — without this
@@ -511,17 +530,19 @@ def _clasificar(
         spark, a_tx, "doc_id", cand.select(F.col("doc_b").alias("doc_id")),
         version=va,
     )
-    sh_para_verificar = arrays_n.unionByName(arr_viejos).select(
-        "doc_id", F.explode("arr").alias("s")
-    )
+    # both sides are ALREADY (doc_id, arr) — the batch aggregated its
+    # arrays for the append, the stored side IS the conjuntos table —
+    # so verification joins them directly; the former explode back to
+    # posting rows + re-collect_list cost a full extra shuffle of the
+    # batch+candidate shingle mass per classify (guide §2.4)
     # checkpoint: the verified pairs feed THREE consumers (salida's
     # cercano tier, the ingest's fold edges, and the label overwrite's
-    # write job) — without it the probe+explode+verify chain re-executes
+    # write job) — without it the probe+verify chain re-executes
     # per consumer (the fold's etiquetas overwrite alone re-paid ~6 s
     # at sf0.1, measured r14)
-    verificados = _verify_jaccard(cand, sh_para_verificar).localCheckpoint(
-        eager=False
-    )
+    verificados = _verify_jaccard_arrays(
+        cand, arrays_n.unionByName(arr_viejos)
+    ).localCheckpoint(eager=False)
     cercano = verificados.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.min("doc_b").alias("dup_cercano")
     )

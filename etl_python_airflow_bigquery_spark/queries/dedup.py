@@ -48,6 +48,19 @@ def _verify_jaccard(candidatos: DataFrame, sh: DataFrame) -> DataFrame:
     worse whenever candidates ≫ true pairs. Keeps pairs at J ≥ 0.5
     (integer test 2·∩ ≥ ∪) with the floor-scaled ratio."""
     arr = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("arr"))
+    return _verify_jaccard_arrays(candidatos, arr)
+
+
+def _verify_jaccard_arrays(candidatos: DataFrame, arr: DataFrame) -> DataFrame:
+    """``_verify_jaccard`` taking the per-doc shingle ARRAYS directly —
+    for callers that already hold (doc_id, arr) frames (the dedup-state
+    classify probes stored ``conjuntos`` arrays; its batch side
+    aggregates arrays once for the table append). Re-exploding those to
+    posting rows just so the row form could re-aggregate them cost an
+    extra explode + full shuffle + collect_list per classify (guide
+    §2.4: the arrays ARE the map-side aggregate). array_intersect and
+    size() never depend on element order, so sortedness of ``arr`` does
+    not affect the verified answer."""
     aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     scored = (
@@ -200,13 +213,19 @@ WHERE 2 * i.c >= (ta.n + tb.n - i.c)
 """
 
 
-def pares_jaccard_prefijo(sh: DataFrame) -> DataFrame:
+def pares_jaccard_prefijo(sh: DataFrame, arr: DataFrame | None = None) -> DataFrame:
     """The PPJoin prefix-filtered exact-Jaccard pair engine over a
     shingle-posting FRAME (doc_id, s) — factored from
     ``dedup_ngram_jaccard`` (whose docstring carries the filter
     derivations) so the persistent dedup state can run the SAME exact
     engine over a batch's postings. Returns verified pairs
-    (doc_a < doc_b, jaccard) at J ≥ 0.5."""
+    (doc_a < doc_b, jaccard) at J ≥ 0.5.
+
+    ``arr``: optionally the per-doc (doc_id, arr) shingle arrays of the
+    SAME postings — callers that already materialize that aggregate (the
+    dedup-state build persists it as the ``conjuntos`` table) pass it so
+    the verify step joins it directly instead of re-aggregating ``sh``
+    (one exchange + collect_list of the full posting mass saved)."""
     df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # one shuffle on doc_id serves both the rarity rank and the set size
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -247,6 +266,8 @@ def pares_jaccard_prefijo(sh: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if arr is not None:
+        return _verify_jaccard_arrays(candidatos, arr)
     return _verify_jaccard(candidatos, sh)
 
 
