@@ -172,12 +172,18 @@ def test_geo_ladder_fallbacks_and_optional_mmdb():
     assert str(out["asn"].dtype) == "Int64" and pd.isna(out["asn"].iloc[1])
 
 
-def test_propagate_min_labels_converges_or_raises(spark):
+def test_propagate_min_labels_converges_or_raises(spark, monkeypatch):
     """Min-label propagation on a 7-node path converges (one component,
-    min label everywhere); a round cap smaller than the diameter RAISES
-    instead of returning wrong cluster_ids."""
+    min label everywhere). The round-cap guard splits by path since the
+    r14 small-graph fast path: under the driver collect cap, union-find
+    computes the EXACT fixed point in one pass, so any round cap yields
+    correct labels (never a spurious raise); on the distributed loop
+    (forced here by zeroing the cap) a round cap smaller than
+    log2(diameter) still RAISES instead of returning wrong
+    cluster_ids."""
     import pytest as _pytest
 
+    from etl_python_airflow_bigquery_spark.queries import dedup as dedup_mod
     from etl_python_airflow_bigquery_spark.queries.dedup import propagate_min_labels
 
     edges = [(i, i + 1) for i in range(6)]
@@ -189,6 +195,14 @@ def test_propagate_min_labels_converges_or_raises(spark):
         for r in propagate_min_labels(sym, max_rounds=10).collect()
     }
     assert labels == {i: 0 for i in range(7)}
+    # fast path: exact labels even under a cap below the diameter
+    labels_fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in propagate_min_labels(sym, max_rounds=2).collect()
+    }
+    assert labels_fast == {i: 0 for i in range(7)}
+    # distributed loop (cap forced to 0): the loud safety bound holds
+    monkeypatch.setattr(dedup_mod, "_CC_COLLECT_CAP", 0)
     with _pytest.raises(RuntimeError, match="converge"):
         propagate_min_labels(sym, max_rounds=2)
 
