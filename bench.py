@@ -185,6 +185,16 @@ _PROBE_N = 1 << 26
 # ran 2-10x slow) trips, idle variance never does.
 _PROBE_REF_SEC = 0.30
 _PROBE_NOISE_GATE = 2.0
+# Both probe refs were calibrated on idle local[32]. The probes are
+# FIXED work (numPartitions=32, embarrassingly parallel), so at the
+# driver's lower-core re-runs they take ~32/cpus longer on a perfectly
+# healthy machine — an unscaled ref would stamp every low-core bench
+# "noisy" (measured: noise_index 2.83 on an idle local[8] run) and
+# corrupt the adjudication signal for the scaling measurement. Scale
+# the refs by 32/cpus below the calibration core count; the slight
+# sublinearity of real scaling makes the scaled tripwire UNDER-read
+# noise at low cores, the safe direction for a gate.
+_PROBE_CAL_CPUS = 32
 
 # SCAN-shaped probe leg (r14, second calibration pass): the pure-CPU
 # probe missed an end-of-r14 machine state where scan/shuffle-path
@@ -573,10 +583,14 @@ def main() -> int:
     import shutil as _shutil_probe
 
     _shutil_probe.rmtree(os.path.dirname(scan_path), ignore_errors=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    ref_scale = max(1.0, _PROBE_CAL_CPUS / max(cpus, 1))
+    probe_ref = round(_PROBE_REF_SEC * ref_scale, 3)
+    scan_ref = round(_SCAN_PROBE_REF_SEC * ref_scale, 3)
     noise_index = round(max(
-        max(probe_before, probe_after) / _PROBE_REF_SEC,
+        max(probe_before, probe_after) / probe_ref,
         max(scan_before, scan_mid or 0.0, scan_after, *scan_series, 0.0)
-        / _SCAN_PROBE_REF_SEC,
+        / scan_ref,
     ), 2)
 
     out = {
@@ -589,12 +603,14 @@ def main() -> int:
         "noise_probe": {
             "before": probe_before,
             "after": probe_after,
-            "ref": _PROBE_REF_SEC,
+            "ref": probe_ref,
             "scan_before": scan_before,
             "scan_mid": scan_mid,
             "scan_after": scan_after,
             "scan_series": scan_series,
-            "scan_ref": _SCAN_PROBE_REF_SEC,
+            "scan_ref": scan_ref,
+            "ref_scale": round(ref_scale, 2),
+            "cal_cpus": _PROBE_CAL_CPUS,
             "noise_index": noise_index,
             "noisy": noise_index > _PROBE_NOISE_GATE,
         },
