@@ -3078,6 +3078,47 @@ def _argmin_literal_excl(
     )
 
 
+_INT64_MAX = "CAST(9223372036854775807 AS BIGINT)"
+
+# (best, second) sentinel pair — the ELSE arm of the argmin2 CASE
+# dispatch (a celda1 with no level-2 seeds) and the fold's initial
+# accumulator. Only the sids are ever read downstream; d2 stays INT64
+# max so the fold's strict `<` comparisons work unchanged.
+_NO_LEAF2_SENTINEL = (
+    f"named_struct('b', named_struct('sid', CAST(-1 AS BIGINT), 'd2', {_INT64_MAX}), "
+    f"'s', named_struct('sid', CAST(-1 AS BIGINT), 'd2', {_INT64_MAX}))"
+)
+
+
+def _argmin2_literal(items: list[tuple[int, list[int]]]) -> str:
+    """Best AND second-best seed in ONE fold over the literal seed
+    array — fuses `_argmin_literal` + `_argmin_literal_excl` (which
+    together evaluated every seed distance twice and doubled the
+    literal mass in the plan). Items must be sid-sorted; both strict
+    `<` tests keep the smallest sid on d2 ties, so (b, s) equals
+    (argmin, argmin-excluding-argmin) of the two-pass form exactly:
+    a tie with the current best falls through to the second slot (the
+    excl form would rank it first among the rest), and a tie with the
+    current second keeps the earlier sid (the excl form's row_number
+    tie-break)."""
+    lit = "array(" + ", ".join(
+        "struct(CAST({sid} AS BIGINT) AS sid, array({vs}) AS sv)".format(
+            sid=sid, vs=", ".join(f"{v}L" for v in sv)
+        )
+        for sid, sv in items
+    ) + ")"
+    return (
+        f"aggregate(transform({lit}, c -> named_struct('sid', c.sid, "
+        "'d2', aggregate(zip_with(ev, c.sv, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v))), "
+        f"{_NO_LEAF2_SENTINEL}, "
+        "(acc, t) -> CASE WHEN t.d2 < acc.b.d2 "
+        "THEN named_struct('b', t, 's', acc.b) "
+        "WHEN t.d2 < acc.s.d2 THEN named_struct('b', acc.b, 's', t) "
+        "ELSE acc END)"
+    )
+
+
 def _argmin_literal(items: list[tuple[int, list[int]]]) -> str:
     """SQL argmin-by-integer-L2 over a LITERAL (sid, sv) seed array —
     shared by the flat (_assign_cells) and hierarchical assigns. Items
@@ -3128,16 +3169,21 @@ def _hier_seeds(
 ) -> tuple[list, dict[int, list[tuple[int, list[int]]]]]:
     """Collect the two bounded seed tiers and group level-2 seeds by
     their own level-1 cell (computed driver-side with the identical
-    integer argmin)."""
+    integer argmin).
+
+    ONE collect job for both tiers (guide §2.4 — don't scan twice): the
+    union filter pulls every seed row in a single pass and the tier
+    split replays the same modulus test driver-side, so s1/s2 are
+    bit-identical to the former two-scan form."""
     m1, m2 = _hier_mods(n)
-    s1 = sorted(
+    seed_rows = [
         (r["vec_id"], list(r["ev"]))
-        for r in enteros.where(F.col("vec_id") % m1 == 0).collect()
-    )
-    s2_raw = sorted(
-        (r["vec_id"], list(r["ev"]))
-        for r in enteros.where(F.col("vec_id") % m2 == 0).collect()
-    )
+        for r in enteros.select("vec_id", "ev")
+        .where((F.col("vec_id") % m1 == 0) | (F.col("vec_id") % m2 == 0))
+        .collect()
+    ]
+    s1 = sorted((vid, ev) for vid, ev in seed_rows if vid % m1 == 0)
+    s2_raw = sorted((vid, ev) for vid, ev in seed_rows if vid % m2 == 0)
     if not s1:  # empty corpus: one zero seed keeps the literal argmin
         # expression analyzable (it never evaluates on zero rows) —
         # the _kmeans_fit empty-cent guard, mirrored
@@ -5111,30 +5157,69 @@ def atipicos_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _hier_probes(enteros: DataFrame, n: int) -> DataFrame:
-    """(vec_id, celda1, hoja, sonda): one row per PROBED leaf — ``hoja``
-    is the primary (nearest) leaf on every row; ``sonda`` explodes to
-    the 1-2 leaves the vector blocks into (second-nearest leaf via the
-    same CASE-dispatched literal argmin the hierarchical search probes
-    with, so the assign stays map-only: no joins, no shuffles)."""
-    asig, _s1, por_celda = _hier_assign(enteros, n)
+def _hier_probes(vecs: DataFrame, n: int) -> DataFrame:
+    """(vec_id, celda1, hoja, sonda, ev, embedding, nn): one row per
+    PROBED leaf — ``hoja`` is the primary (nearest) leaf on every row;
+    ``sonda`` explodes to the 1-2 leaves the vector blocks into. The
+    assign stays map-only (no joins, no shuffles), and two round-14
+    optimizations fold in (guide §2.4):
+
+    - best + second leaf come from ONE ``_argmin2_literal`` fold per
+      cell instead of the former argmin + argmin-excl pair — half the
+      literal mass in the plan and half the per-row distance work;
+    - the vector itself (``ev`` ints, raw ``embedding``, its ``nn``
+      norm) RIDES the probe row, so every consumer's candidate pair
+      carries both vectors out of the sonda self-join directly — the
+      two corpus re-joins (and the corpus-sized Exchanges they cost)
+      per consumer disappear; at 100 TB the vector crosses the probe
+      exchange once instead of re-shuffling the corpus per query.
+
+    ``vecs`` must carry (vec_id, embedding, ev)."""
+    s1, por_celda = _hier_seeds(vecs, n)
     leaf2_branches = " ".join(
         "WHEN CAST({c} AS BIGINT) THEN {e}".format(
-            c=c, e=_argmin_literal_excl(sorted(seeds), "hoja")
+            c=c, e=_argmin2_literal(sorted(seeds))
         )
         for c, seeds in sorted(por_celda.items())
     )
-    leaf2_expr = _case_dispatch(leaf2_branches)
-    return asig.withColumn("l2", F.expr(leaf2_expr)).select(
+    leaf2_expr = (
+        f"CASE celda1 {leaf2_branches} ELSE {_NO_LEAF2_SENTINEL} END"
+        if leaf2_branches
+        else _NO_LEAF2_SENTINEL
+    )
+    base = vecs.select(
+        "vec_id",
+        "embedding",
+        "ev",
+        F.expr(_argmin_literal(s1)).alias("b1"),
+    ).select(
+        "vec_id", "embedding", "ev", F.col("b1.sid").alias("celda1")
+    )
+    two = base.withColumn("b2", F.expr(leaf2_expr)).select(
+        "vec_id",
+        "embedding",
+        "ev",
+        "celda1",
+        # b2.b.sid == -1 ⇔ the cell has no level-2 seeds (the old
+        # nivel == 'l1'); b2.s.sid == -1 ⇔ only one seed (the old
+        # excl-argmin sentinel) — single probe either way
+        F.when(F.col("b2.b.sid") == -1, F.col("celda1"))
+        .otherwise(F.col("b2.b.sid"))
+        .cast("bigint")
+        .alias("hoja"),
+        F.col("b2.s.sid").alias("l2"),
+    )
+    return two.select(
         "vec_id",
         "celda1",
         "hoja",
         F.explode(
-            F.when(
-                (F.col("nivel") == "l1") | (F.col("l2.sid") == -1),
-                F.array(F.col("hoja")),
-            ).otherwise(F.array(F.col("hoja"), F.col("l2.sid")))
+            F.when(F.col("l2") == -1, F.array(F.col("hoja")))
+            .otherwise(F.array(F.col("hoja"), F.col("l2")))
         ).alias("sonda"),
+        "ev",
+        "embedding",
+        scaled_dot(F.col("embedding"), F.col("embedding")).alias("nn"),
     )
 
 
@@ -5165,13 +5250,58 @@ def _hier_probes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     emb = _emb(spark, sf_dir)
-    probes = _hier_probes(_int_vectors(emb), emb.count()).localCheckpoint(
-        eager=False
+    # row count off the bare table scan (no rebalance exchange in the
+    # count job); the value is the same, the job is a near-free
+    # parquet-metadata aggregate (session sets parquet.aggregatePushdown)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)"
+            " AS BIGINT))"
+        ).alias("ev"),
     )
+    probes = _hier_probes(vecs, n).localCheckpoint(eager=False)
     while len(_PROBES_CACHE) >= _PROBES_CACHE_MAX:
         _PROBES_CACHE.pop(next(iter(_PROBES_CACHE)))
     _PROBES_CACHE[key] = probes
     return probes
+
+
+def _pares_sonda_verificados(probes: DataFrame) -> DataFrame:
+    """τ-verified candidate pairs straight off the sonda self-join:
+    (va, vb, hoja_a, hoja_b), NOT deduplicated — a pair sharing both
+    probed leaves appears twice; callers apply distinct at their own
+    grain AFTER the τ filter, which is strictly cheaper than the old
+    all-candidates distinct (verified pairs are a small fraction of
+    candidates). The cosine computes map-side from the vectors riding
+    the probe rows — `scaled_dot` on the same embedding arrays and the
+    same carried norms as the former corpus re-joins, so the verdict
+    per pair is bit-identical (guide §2.4: the re-join Exchanges and
+    the candidate-grain distinct shuffle both disappear)."""
+    pa = probes.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+        F.col("hoja").alias("hoja_a"),
+        "sonda",
+    )
+    pb = probes.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+        F.col("hoja").alias("hoja_b"),
+        F.col("sonda").alias("sonda_b"),
+    )
+    cos = cosine_from_ints(
+        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    return (
+        pa.join(pb, (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select("va", "vb", "hoja_a", "hoja_b")
+    )
 
 
 def _hier_probe_ctes() -> str:
@@ -5264,39 +5394,14 @@ def dedup_semantico(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus². Keep-min-id convention unchanged; the census is per
     PRIMARY leaf. Oracle: the two-level assign + probe union unrolled
     as CTEs (rank-1/rank-2 of the same integer argmin)."""
-    emb = _emb(spark, sf_dir)
     # probes feed both pair sides + the per-leaf census AND five sibling
-    # queries in a session — the session-cached checkpointed frame
+    # queries in a session — the session-cached checkpointed frame;
+    # vectors + norms ride the probe rows, so the verify is map-side off
+    # the sonda self-join (no corpus re-joins, no candidate-grain
+    # distinct — the dedup happens on the verified vb set, which is the
+    # only grain this query consumes)
     probes = _hier_probes_cached(spark, sf_dir)
-    cand = (
-        probes.select(F.col("vec_id").alias("va"), "sonda")
-        .join(
-            probes.select(F.col("vec_id").alias("vb"),
-                          F.col("sonda").alias("sonda_b")),
-            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
-        )
-        .select("va", "vb")
-        .distinct()
-    )
-    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
-    ea = m.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nn").alias("na"),
-    )
-    eb = m.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nn").alias("nb"),
-    )
-    cos = cosine_from_ints(
-        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-    )
-    dups = (
-        cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
-        .select("vb")
-        .distinct()
-    )
+    dups = _pares_sonda_verificados(probes).select("vb").distinct()
     prim = probes.select("vec_id", "hoja").distinct()
     per_leaf = prim.groupBy("hoja").agg(
         F.count(F.lit(1)).cast("bigint").alias("vecs")
@@ -5328,33 +5433,33 @@ def _knn_probe_edges(
     (knn, prim) where knn = the directed top-k edge list over 2-probe
     candidates (checkpointed — both the mutual join and the census
     consume it) and prim = one (vec_id, celda1, hoja) row per vector."""
-    enteros = _int_vectors(_emb(spark, sf_dir))
     probes = _hier_probes_cached(spark, sf_dir)
     prim = probes.select("vec_id", "celda1", "hoja").distinct()
-    cand = (
-        probes.select(F.col("vec_id").alias("src"), "sonda")
-        .join(
-            probes.select(F.col("vec_id").alias("dst"),
-                          F.col("sonda").alias("sonda_b")),
-            (F.col("sonda") == F.col("sonda_b"))
-            & (F.col("src") != F.col("dst")),
-        )
-        .select("src", "dst")
-        .distinct()
-    )
-    ea = enteros.select(F.col("vec_id").alias("src"), F.col("ev").alias("ev_a"))
-    eb = enteros.select(F.col("vec_id").alias("dst"), F.col("ev").alias("ev_b"))
+    # int vectors ride the probe rows: d2 computes map-side off the
+    # sonda self-join and the candidate distinct carries (src, dst, d2)
+    # — same cardinality as the old (src, dst) distinct (d2 is a
+    # function of the pair), but the two corpus re-joins are gone
     d2 = F.aggregate(
         F.zip_with(F.col("ev_a"), F.col("ev_b"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    cand = (
+        probes.select(F.col("vec_id").alias("src"),
+                      F.col("ev").alias("ev_a"), "sonda")
+        .join(
+            probes.select(F.col("vec_id").alias("dst"),
+                          F.col("ev").alias("ev_b"),
+                          F.col("sonda").alias("sonda_b")),
+            (F.col("sonda") == F.col("sonda_b"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst", d2.alias("d2"))
+        .distinct()
+    )
     w = Window.partitionBy("src").orderBy("d2", "dst")
     knn = (
-        cand.join(ea, "src")
-        .join(eb, "dst")
-        .select("src", "dst", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KNN_GRAFO_K)
         .select("src", "dst")
         .localCheckpoint(eager=False)
@@ -5591,52 +5696,22 @@ def cobertura_sondas(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-cell form silently missed. tests/test_similarity_recall.py pins
     ganancia > 0 on the fixture, making a silent probe regression a
     test failure."""
-    emb = _emb(spark, sf_dir)
     probes = _hier_probes_cached(spark, sf_dir)
-    prim = probes.select("vec_id", "hoja").distinct()
-    cand = (
-        probes.select(F.col("vec_id").alias("va"), "sonda")
-        .join(
-            probes.select(F.col("vec_id").alias("vb"),
-                          F.col("sonda").alias("sonda_b")),
-            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
-        )
-        .select("va", "vb")
-        .distinct()
-    )
-    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
-    ea = m.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nn").alias("na"),
-    )
-    eb = m.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nn").alias("nb"),
-    )
-    cos = cosine_from_ints(
-        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-    )
-    # prim is corpus-sized (one row per vector) — these are shuffle
-    # joins by design; only the 5-column verified-pair frame moves
+    # vectors, norms AND the primary leaf all ride the probe rows: the
+    # verify + misma_hoja flag are map-side off the sonda self-join and
+    # the pair dedup moves AFTER the τ filter (distinct on the few
+    # verified pairs instead of all candidates); hoja is a function of
+    # the vec_id, so distinct (va, vb, misma_hoja) ≡ distinct (va, vb)
     verif = (
-        cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
-        .join(
-            prim.select(F.col("vec_id").alias("va"),
-                        F.col("hoja").alias("hoja_a")),
-            "va",
-        )
-        .join(
-            prim.select(F.col("vec_id").alias("vb"),
-                        F.col("hoja").alias("hoja_b")),
-            "vb",
-        )
+        _pares_sonda_verificados(probes)
         .select(
+            "va",
+            "vb",
             F.when(F.col("hoja_a") == F.col("hoja_b"), 1)
             .otherwise(0)
-            .alias("misma_hoja")
+            .alias("misma_hoja"),
         )
+        .distinct()
     )
     return verif.agg(
         F.sum("misma_hoja").cast("bigint").alias("pares_1sonda"),
@@ -6058,36 +6133,14 @@ def solapamiento_semantico_fuentes(spark: SparkSession, sf_dir: str) -> DataFram
     (integer floor-div, no float division). Candidate work is the
     shared Σ leaf² regime, the pair→source map is two doc-grain joins,
     the output is sources²-bounded."""
-    emb = _emb(spark, sf_dir)
+    # vectors + norms ride the probe rows: τ-verify map-side off the
+    # sonda self-join, dedup on the verified pairs (the grain the
+    # source matrix counts), then map onto documents
     probes = _hier_probes_cached(spark, sf_dir)
-    cand = (
-        probes.select(F.col("vec_id").alias("va"), "sonda")
-        .join(
-            probes.select(F.col("vec_id").alias("vb"),
-                          F.col("sonda").alias("sonda_b")),
-            (F.col("sonda") == F.col("sonda_b")) & (F.col("va") < F.col("vb")),
-        )
-        .select("va", "vb")
-        .distinct()
-    )
-    m = emb.select("vec_id", "embedding").join(_norms(spark, sf_dir), "vec_id")
-    ea = m.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nn").alias("na"),
-    )
-    eb = m.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nn").alias("nb"),
-    )
-    cos = cosine_from_ints(
-        scaled_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-    )
-    verif = cand.join(ea, "va").join(eb, "vb").where(cos >= _SEMDEDUP_TAU)
+    verif = _pares_sonda_verificados(probes).select("va", "vb").distinct()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pares_f = (
-        verif.select("va", "vb")
+        verif
         .join(docs.select(F.col("doc_id").alias("va"),
                           F.col("source").alias("src_a")), "va")
         .join(docs.select(F.col("doc_id").alias("vb"),
