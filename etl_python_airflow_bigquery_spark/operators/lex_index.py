@@ -259,14 +259,21 @@ def search_bm25_lex_index(
         n = int(fila["n"])
         avgdl_mili = ((int(fila["t"] or 0) * 1000) // n if n else 1) or 1
     postings = post_tx.read_in(spark, "token", terms, version=version)
-    df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    pesos = df_t.select(
-        "token",
+    # df via a token-partitioned window over the same pruned posting
+    # rows the scoring consumes (one read of the pruned files instead
+    # of two — posting lists are unique per (token, doc), so the window
+    # count equals the old groupBy df exactly); idf computes inline
+    from pyspark.sql import Window as _W
+
+    con_df = postings.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("token"))
+    ).withColumn(
+        "idf_q",
         F.expr(
             _floor_log2_sql(
                 f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))"
             )
-        ).cast("bigint").alias("idf_q"),
+        ).cast("bigint"),
     )
     tf_comp = (
         f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
@@ -274,7 +281,7 @@ def search_bm25_lex_index(
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
     scored = (
-        postings.join(F.broadcast(pesos), "token")
+        con_df
         .join(longitudes, "doc_id")
         .groupBy("doc_id")
         .agg(
@@ -358,14 +365,23 @@ def hibrida_lexical_top_multi_indexada(
             r["token"] for r in consulta.select("token").distinct().collect()
         ]
     postings = post_tx.read_in(spark, "token", terms)
-    df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    pesos = df_t.select(
-        "token",
+    # df via a token-partitioned window over the SAME pruned posting
+    # rows the scoring consumes (guide §2.4: the old groupBy-df subtree
+    # re-read every pruned posting file a second time; posting lists are
+    # unique per (token, doc), and the window sits BEFORE the consulta
+    # join, so the count is exactly the old per-token df even when
+    # several queries share a term). idf then computes inline per row —
+    # same integer formula, same per-row product, one posting scan.
+    w_df = Window.partitionBy("token")
+    con_df = postings.withColumn(
+        "df", F.count(F.lit(1)).over(w_df)
+    ).withColumn(
+        "idf_q",
         F.expr(
             _floor_log2_sql(
                 f"greatest(1L, ({n}L * 1000) div (df * 1000 + 500))"
             )
-        ).cast("bigint").alias("idf_q"),
+        ).cast("bigint"),
     )
     tf_comp = (
         f"(tf * {_BM25_K1 + 1000}L * 1000) div (tf * 1000 + "
@@ -373,7 +389,7 @@ def hibrida_lexical_top_multi_indexada(
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
     scored = (
-        postings.join(F.broadcast(consulta.join(pesos, "token")), "token")
+        con_df.join(F.broadcast(consulta), "token")
         .where(F.col("doc_id") != F.col("query_id"))
         .join(longitudes, "doc_id")
         .groupBy("query_id", "doc_id")

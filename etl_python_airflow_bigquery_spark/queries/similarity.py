@@ -657,7 +657,21 @@ def rrf_fuse_hibrida(lex: DataFrame, vec: DataFrame) -> DataFrame:
     can never drift between them."""
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
 
-    fusion = lex.join(vec, "doc_id", "full_outer").select(
+    # full-outer-by-key as ONE aggregation instead of a join: each side
+    # carries a doc at most once (top-k per ranker), so union + max per
+    # doc reproduces the outer join's (pos_lex, pos_vec) rows exactly —
+    # and the k-bounded sides stop paying a SortMergeJoin (2 Exchanges +
+    # 2 Sorts → 1 Exchange with partial aggregation, guide §2.4)
+    unidos = lex.select(
+        "doc_id", "pos_lex", F.lit(None).cast("bigint").alias("pos_vec")
+    ).unionByName(
+        vec.select(
+            "doc_id", F.lit(None).cast("bigint").alias("pos_lex"), "pos_vec"
+        )
+    )
+    fusion = unidos.groupBy("doc_id").agg(
+        F.max("pos_lex").alias("pos_lex"), F.max("pos_vec").alias("pos_vec")
+    ).select(
         "doc_id",
         (
             F.coalesce(
@@ -773,7 +787,20 @@ def rrf_fuse_hibrida_multi(lex: DataFrame, vec: DataFrame) -> DataFrame:
     rate."""
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
 
-    fusion = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+    # same union+aggregate outer-join rewrite as rrf_fuse_hibrida (one
+    # definition per key grain): ≤ 2·top-k rows per query, one Exchange
+    unidos = lex.select(
+        "query_id", "doc_id", "pos_lex",
+        F.lit(None).cast("bigint").alias("pos_vec"),
+    ).unionByName(
+        vec.select(
+            "query_id", "doc_id",
+            F.lit(None).cast("bigint").alias("pos_lex"), "pos_vec",
+        )
+    )
+    fusion = unidos.groupBy("query_id", "doc_id").agg(
+        F.max("pos_lex").alias("pos_lex"), F.max("pos_vec").alias("pos_vec")
+    ).select(
         "query_id",
         "doc_id",
         (
