@@ -5,6 +5,8 @@ windows, top-k, date-part joins, and cross-join grid completion.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1530,29 +1532,39 @@ def grafo_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nacion_semilla = supplier.agg(F.min("s_nationkey")).collect()[0][0]
+    # graph membership via left_semi: suppliers are unique per key, so
+    # the semi join IS the old inner-join-against-distinct-src —
+    # without the O(edges) distinct pass over the edge list (guide §2.4)
     semillas = (
         supplier.where(F.col("s_nationkey") == F.lit(nacion_semilla))
         .select((F.col("s_suppkey") * 2 + 1).alias("nodo"))
-        .join(
-            aristas.select(F.col("src").alias("nodo")).distinct(), "nodo"
-        )
-        .distinct()
+        .join(aristas.select(F.col("src").alias("nodo")), "nodo", "left_semi")
     )
-    settled = iter_checkpoint(semillas.select("nodo", F.lit(0).alias("d")))
-    frontier = settled
+    # settled = the list of per-round frontier checkpoints, union'ed
+    # lazily where consumed: the old per-round
+    # iter_checkpoint(settled ∪ frontier) re-materialized the WHOLE
+    # settled set every round — O(nodes · diameter) copied rows and one
+    # extra eager job per round; each frontier is already checkpointed,
+    # so the union of d tiny frames costs only plan nodes (guide §2.4)
+    frontier = iter_checkpoint(semillas.select("nodo", F.lit(0).alias("d")))
+    capas = [frontier]
     for d in range(1, _BFS_MAX_D + 1):
+        settled_ids = reduce(
+            lambda a, b: a.unionByName(b), (c.select("nodo") for c in capas)
+        )
         siguiente = (
             frontier.join(aristas, frontier.nodo == aristas.src)
             .select(F.col("dst").alias("nodo"))
             .distinct()
-            .join(settled.select("nodo"), "nodo", "left_anti")
+            .join(settled_ids, "nodo", "left_anti")
             .select("nodo", F.lit(d).alias("d"))
         )
         siguiente = iter_checkpoint(siguiente)
         if siguiente.isEmpty():
             break
-        settled = iter_checkpoint(settled.unionByName(siguiente))
+        capas.append(siguiente)
         frontier = siguiente
+    settled = reduce(lambda a, b: a.unionByName(b), capas)
     return settled.select(
         F.when(F.col("nodo") % 2 == 0, "cliente").otherwise("proveedor").alias("tipo"),
         F.expr("nodo div 2").cast("bigint").alias("id"),
