@@ -277,3 +277,134 @@ def test_two_probe_rescues_cross_leaf_clusters(spark):
     single-cell blocking would have split."""
     rows = REGISTRY["agrupacion_densidad_jerarquica"].fn(spark, SF_DIR).collect()
     assert rows and any(r["hoja_min"] != r["hoja_max"] for r in rows)
+
+
+def test_argmin2_fold_matches_two_pass_argmin(spark):
+    """Round-14 optimization pin: the fused best+second fold
+    (`_argmin2_literal`) must reproduce the two-pass form it replaced —
+    `_argmin_literal` for the best seed and `_argmin_literal_excl`
+    (best excluded) for the second — including on crafted DISTANCE TIES,
+    where the smallest sid must win each slot (the probe frame's leaf
+    assignment and second probe both ride on this equivalence)."""
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _argmin2_literal,
+        _argmin_literal,
+        _argmin_literal_excl,
+    )
+
+    dim = 4
+    # seeds crafted so some test vectors tie two seeds exactly:
+    # s10 == s11 mirrored; s12 far; s13 equidistant from several probes
+    seeds = sorted([
+        (10, [0, 0, 0, 0]),
+        (11, [2, 0, 0, 0]),
+        (12, [100, 100, 100, 100]),
+        (13, [0, 2, 0, 0]),
+    ])
+    vecs = [
+        (0, [1, 0, 0, 0]),    # d2: s10=1, s11=1, s13=5  -> tie best 10/11
+        (1, [1, 1, 0, 0]),    # d2: s10=2, s11=2, s13=2  -> three-way tie
+        (2, [0, 0, 0, 0]),    # exact hit on s10; second ties 11/13
+        (3, [50, 50, 50, 50]),
+        (4, [2, 0, 0, 0]),    # exact hit on s11
+    ]
+    df = spark.createDataFrame(vecs, "vec_id BIGINT, ev ARRAY<BIGINT>")
+    two = df.select(
+        "vec_id",
+        "ev",
+        F.expr(_argmin2_literal(seeds)).alias("b2"),
+        F.expr(_argmin_literal(seeds)).alias("b1"),
+    ).select(
+        "vec_id",
+        "ev",
+        F.col("b2.b.sid").alias("fused_best"),
+        F.col("b2.s.sid").alias("fused_second"),
+        F.col("b1.sid").alias("best"),
+    )
+    old_second = two.withColumn("hoja", F.col("best")).select(
+        "vec_id",
+        "fused_best",
+        "fused_second",
+        "best",
+        F.expr(_argmin_literal_excl(seeds, "hoja")).alias("l2"),
+    )
+    for r in old_second.collect():
+        assert r["fused_best"] == r["best"], r
+        assert r["fused_second"] == r["l2"]["sid"], r
+
+
+def test_rrf_fuse_union_form_equals_full_outer(spark):
+    """Round-14 optimization pin: the union+max-per-key RRF fuse must
+    equal the full-outer-join form it replaced — overlapping docs get
+    both positions, one-sided docs keep a NULL partner rank, and the
+    fused ranking (rrf desc, doc_id) is identical. Checked for both the
+    single-anchor and the query-keyed multi fuse."""
+    from pyspark.sql import functions as F
+
+    from etl_python_airflow_bigquery_spark.queries.similarity import (
+        _HIB_RRF_K,
+        _HIB_SCALE,
+        rrf_fuse_hibrida,
+        rrf_fuse_hibrida_multi,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (2, 201, 1)],
+        "query_id BIGINT, doc_id BIGINT, pos_lex BIGINT",
+    )
+    vec = spark.createDataFrame(
+        [(1, 102, 1), (1, 103, 2), (2, 202, 1)],
+        "query_id BIGINT, doc_id BIGINT, pos_vec BIGINT",
+    )
+
+    def _reference(lex_pdf, vec_pdf, keys):
+        # full-outer by hand: dict keyed on the join key tuple
+        both = {}
+        for r in lex_pdf:
+            both[tuple(r[k] for k in keys)] = [r["pos_lex"], None]
+        for r in vec_pdf:
+            k = tuple(r[k2] for k2 in keys)
+            both.setdefault(k, [None, None])[1] = r["pos_vec"]
+        out = []
+        for k, (pl, pv) in both.items():
+            rrf = (_HIB_SCALE // (_HIB_RRF_K + pl) if pl is not None else 0) \
+                + (_HIB_SCALE // (_HIB_RRF_K + pv) if pv is not None else 0)
+            out.append((*k, rrf, pl, pv))
+        return out
+
+    # multi: key (query_id, doc_id)
+    got = {
+        (r["query_id"], r["doc_id"]):
+            (r["rrf_micro"], r["pos_lex"], r["pos_vec"], r["pos_fusion"])
+        for r in rrf_fuse_hibrida_multi(lex, vec).collect()
+    }
+    ref = _reference(lex.collect(), vec.collect(), ("query_id", "doc_id"))
+    for q, d, rrf, pl, pv in ref:
+        assert got[(q, d)][0] == rrf and got[(q, d)][1] == pl \
+            and got[(q, d)][2] == pv, (q, d, got[(q, d)])
+    # per-query fusion ranks: rrf desc, doc_id asc
+    for q in (1, 2):
+        orden = sorted(
+            ((d2, v2) for (q2, d2), v2 in got.items() if q2 == q),
+            key=lambda t: (-t[1][0], t[0]),
+        )
+        for pos, (d2, v2) in enumerate(orden, start=1):
+            assert v2[3] == pos, (q, d2, v2)
+
+    # single-anchor: key doc_id only
+    got1 = {
+        r["doc_id"]: (r["rrf_micro"], r["pos_lex"], r["pos_vec"])
+        for r in rrf_fuse_hibrida(
+            lex.where("query_id = 1").drop("query_id"),
+            vec.where("query_id = 1").drop("query_id"),
+        ).collect()
+    }
+    ref1 = _reference(
+        lex.where("query_id = 1").collect(),
+        vec.where("query_id = 1").collect(),
+        ("doc_id",),
+    )
+    for d, rrf, pl, pv in ref1:
+        assert got1[d] == (rrf, pl, pv), (d, got1[d])
