@@ -1831,10 +1831,18 @@ def _rankings_retrieval(spark: SparkSession, sf_dir: str):
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
+    # tf feeds FOUR consumers (dl, the df/consulta term pick, and the
+    # scored frame), dl feeds two (the avgdl scalar + the scored join),
+    # and puntos feeds both rankings — without checkpoints every
+    # consumer re-executes the tokenize+groupBy lineage (the r14 plan:
+    # 24 documents scans / 66 Exchanges for one logical pass; guide
+    # §2.4 — the grafo_triangulos backbone discipline)
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     n = docs.count()
     avgdl_mili = int(
         dl.agg(F.expr("sum(dl) * 1000 div count(1)")).first()[0] or 1
@@ -1866,6 +1874,7 @@ def _rankings_retrieval(spark: SparkSession, sf_dir: str):
             F.sum(F.expr("tf * (1000000L div df)")).cast("bigint")
             .alias("score_ex"),
         )
+        .localCheckpoint(eager=False)
     )
     # each ranking is a TakeOrderedAndProject over the shared scored
     # frame — never a single-task full sort (VERDICT r11)

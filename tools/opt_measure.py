@@ -1,7 +1,7 @@
-"""Optimization-loop measurement harness (round 14): time a subset of
+"""Optimization-loop measurement harness (rounds 14-15): time a subset of
 registry queries with the bench's exact methodology (cache-cleared reps,
 checksum materialization) and optionally dump each query's formatted
-plan to plans/r14/<name>_<tag>.txt — the before/after evidence files the
+plan to plans/r15/<name>_<tag>.txt — the before/after evidence files the
 round's deliverables require.
 
 Usage:
@@ -61,7 +61,7 @@ def main() -> int:
     out_runs: dict[str, list[float]] = {}
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", "r15",
     )
     for name in names:
         spark.sparkContext.setJobDescription(f"opt: {name}")
