@@ -131,15 +131,28 @@ def _resolve_dl_version(path: str, postings_version: int, dl_tx: TxTable) -> int
 def _postings_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(postings, longitudes) from a documents frame — the one token
     explode; identical algebra to the inline BM25 queries
-    (queries/text.py busqueda_bm25, similarity.hibrida_corpus_stats)."""
+    (queries/text.py busqueda_bm25, similarity.hibrida_corpus_stats).
+
+    The postings rows carry the document length DENORMALIZED
+    (token, doc_id, tf, dl): BM25's per-row score needs dl, and storing
+    it next to tf means every serve reads it from the already-pruned
+    posting files instead of joining the corpus-sized ``longitudes``
+    table per call (guide §6/§3 — at 100 TB that join is a full scan of
+    one row per corpus document on every query). ``longitudes`` still
+    persists as the authority for the corpus constants (n, avgdl) and
+    for pre-denormalization readers. tf is checkpointed because BOTH
+    the dl aggregate and the postings join consume it — the old shape
+    re-tokenized the corpus once per output table anyway."""
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    return tf.select("token", "doc_id", "tf"), dl
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
+    return tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"), dl
 
 
 def build_lex_index(spark: SparkSession, docs: DataFrame, path: str) -> dict:
@@ -280,9 +293,12 @@ def search_bm25_lex_index(
         f"({_BM25_K1} * (1000 - {_BM25_B} + "
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
+    # dl rides the posting row (denormalized at build) — no corpus-sized
+    # lengths join per serve; pre-denormalization snapshots fall back
+    if "dl" not in con_df.columns:
+        con_df = con_df.join(longitudes, "doc_id")
     scored = (
         con_df
-        .join(longitudes, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.sum(F.expr(f"({tf_comp}) * idf_q")).cast("bigint")
@@ -388,10 +404,15 @@ def hibrida_lexical_top_multi_indexada(
         f"({_BM25_K1} * (1000 - {_BM25_B} + "
         f"(({_BM25_B} * dl * 1000) div {avgdl_mili}L))) div 1000)"
     )
+    # dl rides the posting row (denormalized at build) — no corpus-sized
+    # lengths join per serve; pre-denormalization snapshots fall back
+    puntuable = con_df.join(F.broadcast(consulta), "token").where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    if "dl" not in con_df.columns:
+        puntuable = puntuable.join(longitudes, "doc_id")
     scored = (
-        con_df.join(F.broadcast(consulta), "token")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .join(longitudes, "doc_id")
+        puntuable
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.expr(f"({tf_comp}) * idf_q")).alias("score"))
     )
