@@ -83,56 +83,83 @@ def _frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def build_dedup_state(spark: SparkSession, docs: DataFrame, path: str) -> dict:
     """One corpus pass: shingle, hash, cluster, persist. Returns
-    {'n_docs', 'n_pares', 'version'} (the postings version)."""
+    {'n_docs', 'n_pares', 'version'} (the postings version).
+
+    The four table commits are INDEPENDENT once their inputs are
+    checkpointed, so the hash/posting/array writes run as overlapped
+    driver-thread jobs (guide §2.6) while the main thread walks the
+    critical path (postings → arrays → pair engine → labels → label
+    write): the scheduler back-fills the side lanes' tasks under the
+    pair engine's stages instead of running four write jobs end to end
+    (r15 profile: the sequential writes added ~1.7 s warm / ~3.9 s cold
+    on top of the critical path at sf0.1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_python_airflow_bigquery_spark.queries.dedup import (
         pares_jaccard_prefijo,
         propagate_min_labels,
     )
 
     hashes, sh = _frames(docs)
-    # three consumers (the range partitioner's SAMPLING pass, the write
-    # itself, and the n_docs count) would each re-scan documents and
-    # re-md5 the full text — checkpoint the narrow (doc_id, h) frame
-    # once instead (guide §2.4)
+    # two consumers in the hash lane (the range partitioner's SAMPLING
+    # pass + the write) plus the n_docs count would each re-scan
+    # documents and re-md5 the full text — checkpoint the narrow
+    # (doc_id, h) frame once instead (guide §2.4); it materializes
+    # inside the hash lane's first job, exclusively
     hashes = hashes.localCheckpoint(eager=False)
     sh = sh.localCheckpoint(eager=False)  # pair engine + arrays share it
     # the arrays aggregate feeds BOTH the conjuntos table and the pair
     # engine's verify step — derive it from the CHECKPOINTED postings
-    # (the _frames lineage would re-shingle the corpus) and checkpoint
-    # it once instead of paying the groupBy+collect_list over the
-    # corpus postings twice (guide §2.4)
+    # (the _frames lineage would re-shingle the corpus, guide §2.4)
     arrays = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("arr")
     ).localCheckpoint(eager=False)
-    # checkpoint the verified pair list ONCE: three consumers (the
-    # symmetric edge list -> labels, n_pares, and nothing else) would
-    # otherwise each re-run the full prefix-filter + verify engine
-    # (~2-4 s per extra run at sf0.1 — measured r14); the pair list
-    # itself is tiny (true near-dups only)
-    pares = (
-        pares_jaccard_prefijo(sh, arr=arrays)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    sym = pares.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pares.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    etiquetas = propagate_min_labels(sym).select("doc_id", "cluster_id")
-
     h_tx, s_tx, a_tx, e_tx = _tables(path)
-    h_tx.overwrite(hashes.repartitionByRange(_STATE_FILES, "h"))
-    v = s_tx.overwrite(sh.repartitionByRange(_STATE_FILES, "s"))
-    a_tx.overwrite(arrays.repartitionByRange(_STATE_FILES, "doc_id"))
-    e_tx.overwrite(etiquetas)
-    return {
+
+    def _lane_hashes() -> int:
+        h_tx.overwrite(hashes.repartitionByRange(_STATE_FILES, "h"))
         # one hash row per doc — counts the checkpointed narrow frame
-        # instead of re-scanning documents
-        "n_docs": hashes.count(),
-        "n_pares": pares.count(),
-        "version": v,
-    }
+        return hashes.count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        # the hash lane shares no frame with the pair chain — it
+        # back-fills under the pair engine's stages from the start
+        f_hash = pool.submit(_lane_hashes)
+        # checkpoint the verified pair list ONCE: the symmetric edge
+        # list -> labels and n_pares would otherwise each re-run the
+        # full prefix-filter + verify engine (~2-4 s per extra run at
+        # sf0.1 — measured r14); the pair list itself is tiny. Its
+        # first materialization (inside propagate_min_labels' edge
+        # checkpoint) finalizes the sh/arrays checkpoints too — the
+        # posting/array lanes launch AFTER it so they read checkpoint
+        # blocks instead of re-tokenizing the corpus concurrently.
+        pares = (
+            pares_jaccard_prefijo(sh, arr=arrays)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        sym = pares.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pares.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        etiquetas = propagate_min_labels(sym).select("doc_id", "cluster_id")
+        f_post = pool.submit(
+            lambda: s_tx.overwrite(sh.repartitionByRange(_STATE_FILES, "s"))
+        )
+        f_arr = pool.submit(
+            lambda: a_tx.overwrite(
+                arrays.repartitionByRange(_STATE_FILES, "doc_id")
+            )
+        )
+        e_tx.overwrite(etiquetas)
+        n_pares = pares.count()
+        n_docs = f_hash.result()
+        v = f_post.result()
+        f_arr.result()
+    return {"n_docs": n_docs, "n_pares": n_pares, "version": v}
 
 
 def _probe_read(
@@ -203,12 +230,25 @@ def ingest_dedup_state(
     )
     etiquetas = e_tx.read(spark).select("doc_id", "cluster_id")
     nuevas = cc_incremental(etiquetas, aristas).select("doc_id", "cluster_id")
-    e_tx.overwrite(nuevas, txn=txn)
 
-    # the batch joins the memory: tomorrow's batch probes today's docs
-    h_tx.append(hashes_n, txn=txn)
-    v = s_tx.append(sh_n, txn=txn)
-    a_tx.append(arrays_n, txn=txn)
+    # the four commits are independent (four tables; every shared input
+    # is checkpoint-materialized by cc_incremental's edge collect), so
+    # they run as overlapped driver-thread jobs (guide §2.6) instead of
+    # four back-to-back write jobs; each keeps its own (app_id, batch)
+    # fence, so replay semantics are unchanged. The label read above is
+    # pinned to its manifest at construction (snapshot isolation), so
+    # overlapping its overwrite with the appends cannot race it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_e = pool.submit(lambda: e_tx.overwrite(nuevas, txn=txn))
+        f_h = pool.submit(lambda: h_tx.append(hashes_n, txn=txn))
+        f_s = pool.submit(lambda: s_tx.append(sh_n, txn=txn))
+        f_a = pool.submit(lambda: a_tx.append(arrays_n, txn=txn))
+        f_e.result()
+        f_h.result()
+        v = f_s.result()
+        f_a.result()
     if len(s_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
         s_tx.optimize_compact(spark, n_files=_STATE_FILES, cluster_col="s")
     maybe_auto_vacuum_dedup(path)
@@ -287,9 +327,18 @@ def ingest_dedup_state_lotes(
     def _sin_lote(frame: DataFrame) -> DataFrame:
         return frame.join(lote_ids, "doc_id", "left_anti")
 
+    # overlap the two independent probe collects (see _clasificar)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ph = pool.submit(_probe_read, spark, h_tx, "h", hashes_n)
+        f_ps = pool.submit(_probe_read, spark, s_tx, "s", sh_n)
+        probe_h_raw = f_ph.result()
+        probe_s_raw = f_ps.result()
+
     # exact tier: stored hashes (lote 0) ⊎ earlier-lote batch hashes
     probe_h = (
-        _sin_lote(_probe_read(spark, h_tx, "h", hashes_n))
+        _sin_lote(probe_h_raw)
         .select("h", F.col("doc_id").alias("viejo"), F.lit(0).alias("lote_b"))
         .unionByName(
             hashes_l.select(
@@ -310,7 +359,7 @@ def ingest_dedup_state_lotes(
     # does not depend on the order (see docstring), and a shingle
     # absent everywhere still ranks last via the coalesce sentinel.
     probe = (
-        _sin_lote(_probe_read(spark, s_tx, "s", sh_n))
+        _sin_lote(probe_s_raw)
         .select(F.col("doc_id").alias("doc_b"), "s", F.lit(0).alias("lote_b"))
         .unionByName(
             sh_l.select(
@@ -401,16 +450,25 @@ def ingest_dedup_state_lotes(
         )
     )
 
-    # one fold, one commit set — the amortization itself
+    # one fold, one commit set — the amortization itself; the four
+    # commits overlap as independent driver-thread jobs (guide §2.6,
+    # see ingest_dedup_state)
     aristas = verificados.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     etiquetas = e_tx.read(spark).select("doc_id", "cluster_id")
     nuevas = cc_incremental(etiquetas, aristas).select("doc_id", "cluster_id")
-    e_tx.overwrite(nuevas, txn=txn)
-    h_tx.append(hashes_n, txn=txn)
-    v = s_tx.append(sh_n, txn=txn)
-    a_tx.append(arrays_n, txn=txn)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_e = pool.submit(lambda: e_tx.overwrite(nuevas, txn=txn))
+        f_h = pool.submit(lambda: h_tx.append(hashes_n, txn=txn))
+        f_s = pool.submit(lambda: s_tx.append(sh_n, txn=txn))
+        f_a = pool.submit(lambda: a_tx.append(arrays_n, txn=txn))
+        f_e.result()
+        f_h.result()
+        v = f_s.result()
+        f_a.result()
     if len(s_tx._manifest(v)["files"]) >= _COMPACT_FILE_GATE:
         s_tx.optimize_compact(spark, n_files=_STATE_FILES, cluster_col="s")
     maybe_auto_vacuum_dedup(path)
@@ -475,12 +533,24 @@ def _clasificar(
     def _sin_lote(frame: DataFrame) -> DataFrame:
         return frame.join(lote_ids, "doc_id", "left_anti")
 
+    # the exact-tier hash probe and the near-tier shingle probe each
+    # collect the batch's own value set before pruning the stored read
+    # — two independent driver round-trips that overlap as threads
+    # (guide §2.6; hashes_n and sh_n have disjoint lineages)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ph = pool.submit(_probe_read, spark, h_tx, "h", hashes_n, vh)
+        f_ps = pool.submit(_probe_read, spark, s_tx, "s", sh_n, vs)
+        probe_h_raw = f_ph.result()
+        probe_s_raw = f_ps.result()
+
     # exact tier: the batch's hashes probe the stored hash table
     exacto = (
         hashes_n.join(
-            _sin_lote(
-                _probe_read(spark, h_tx, "h", hashes_n, version=vh)
-            ).select("h", F.col("doc_id").alias("viejo")),
+            _sin_lote(probe_h_raw).select(
+                "h", F.col("doc_id").alias("viejo")
+            ),
             "h",
         )
         .groupBy("doc_id")
@@ -499,9 +569,7 @@ def _clasificar(
     # prefix slots). Without this filter the raw s-join explodes on
     # high-df shingles: 6.7M candidate pairs for a 1.7k-doc batch on
     # the clone-heavy 10x replica, and the verify pays 115 s for them.
-    probe = _sin_lote(
-        _probe_read(spark, s_tx, "s", sh_n, version=vs)
-    ).localCheckpoint(eager=False)
+    probe = _sin_lote(probe_s_raw).localCheckpoint(eager=False)
     df_s = probe.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     w_all = Window.partitionBy("doc_id")
@@ -547,8 +615,13 @@ def _clasificar(
         F.min("doc_b").alias("dup_cercano")
     )
 
-    # in-batch near-dups: the shared exact engine over batch postings
-    pares_lote = pares_jaccard_prefijo(sh_n).select("doc_a", "doc_b")
+    # in-batch near-dups: the shared exact engine over batch postings —
+    # the batch's shingle arrays are already aggregated for the append,
+    # so the verify joins them directly instead of re-collecting the
+    # batch posting mass (the arrays-direct form, guide §2.4)
+    pares_lote = pares_jaccard_prefijo(sh_n, arr=arrays_n).select(
+        "doc_a", "doc_b"
+    )
 
     salida = (
         hashes_n.select("doc_id")

@@ -874,13 +874,6 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     component minimum. The cap remains a loud safety bound: on the
     pathological non-convergence it raises instead of returning wrong
     cluster_ids."""
-    # materialize the edge list ONCE: every round's propagate join and
-    # convergence count are separate Spark actions, and without this the
-    # full upstream pair-generation plan (the 2.4s prefix-filtered
-    # Jaccard pipeline when called from dedup_clusters) re-executes per
-    # round — rounds × pipeline cost, the r4 bench's 11.4s pathology.
-    # The edge list is tiny next to the corpus (near-dup pairs only).
-    sym = iter_checkpoint(sym)
     # SMALL-GRAPH FAST PATH (guide §2.4/§5 — the near-dup edge list is
     # bounded by true duplicate pairs, orders of magnitude below the
     # corpus): when the edge list fits under the driver cap, collect it
@@ -893,6 +886,15 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
     # distributed propagate+shortcut loop below runs unchanged — the
     # 100 TB regime, where the edge list may be data-sized (the
     # _PROBE_COLLECT_CAP dispatch discipline).
+    #
+    # The edge list materializes ONCE (eager checkpoint) BEFORE the
+    # capped collect: when the true edge count is under the cap —
+    # every measured dataset — CollectLimit's scale-up loop never
+    # satisfies its limit, so collecting the raw lineage would run
+    # log(partitions) sequential jobs that each re-execute the pair
+    # chain (r15 A/B: the "collect first, checkpoint on the over-cap
+    # branch" variant DOUBLED the fold wall, 10 → 21 s at sf0.1).
+    sym = iter_checkpoint(sym)
     filas = sym.limit(_CC_COLLECT_CAP + 1).collect()
     if len(filas) <= _CC_COLLECT_CAP:
         parent: dict[int, int] = {}
@@ -913,8 +915,18 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
             if rs != rd:
                 lo, hi = (rs, rd) if rs < rd else (rd, rs)
                 parent[hi] = lo
+        # ONE slice at parallelize time: the frame is ≤ _CC_COLLECT_CAP
+        # rows by construction, and the default parallelization spread
+        # it over defaultParallelism pickled slices — every task over
+        # the frame then paid one Python-worker partition evaluation
+        # per core (measured: a 4.5k-row table write read 2.8 s at 32
+        # slices, 0.33 s at one; a coalesce(1) on top was WORSE, 4.7 s,
+        # one task walking all 32 python partitions sequentially), and
+        # a downstream table write produced one near-empty file per
+        # core (guide §6: small files hurt twice).
+        filas_uf = [(n, _find(n)) for n in parent]
         return sym.sparkSession.createDataFrame(
-            [(n, _find(n)) for n in parent],
+            sym.sparkSession.sparkContext.parallelize(filas_uf, 1),
             "doc_id BIGINT, cluster_id BIGINT",
         )
     labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
