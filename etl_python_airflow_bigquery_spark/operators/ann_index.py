@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import in_literals
+from etl_python_airflow_bigquery_spark.functions import in_literals, local_df
 from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 from etl_python_airflow_bigquery_spark.queries.similarity import (
     _KMEANS_ITERS,
@@ -309,7 +309,7 @@ def search_ivf_index(
         # ≤ |batch|×nprobe rows, distributed. Broadcast qcells and keep
         # the postings scan distributed (guide §3.1).
         qcells = F.broadcast(
-            spark.createDataFrame(pares, "query_id BIGINT, celda BIGINT")
+            local_df(spark, pares, "query_id BIGINT, celda BIGINT")
         )
         celdas = sorted(celdas_set)
     else:
@@ -594,8 +594,8 @@ def busqueda_hibrida_indexada(
             (int(r["query_id"]), [int(x) for x in r["qv"]])
             for r in consulta.collect()
         ]
-        consulta = spark.createDataFrame(
-            local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
+        consulta = local_df(
+            spark, local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
         )
     vec = search_ivf_index(
         spark, consulta, path, nprobe=nprobe, topk=_BM25_TOP, ctx=ctx,
@@ -668,8 +668,8 @@ def _ctx_centroids(spark: SparkSession, ctx: dict) -> DataFrame:
     """The context's centroid rows as a LOCAL relation (seed_id, sv) —
     rebuilt per use from the driver list (k-bounded), so consuming
     plans carry no index-table scan subtree for the centroids."""
-    return spark.createDataFrame(
-        ctx["cent_rows"], "seed_id BIGINT, sv ARRAY<BIGINT>"
+    return local_df(
+        spark, ctx["cent_rows"], "seed_id BIGINT, sv ARRAY<BIGINT>"
     )
 
 
@@ -735,8 +735,8 @@ def busqueda_hibrida_indexada_multi(
         local_rows = [
             (int(r["vec_id"]), [int(x) for x in r["ev"]]) for r in filas
         ]
-        consultas = spark.createDataFrame(
-            local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
+        consultas = local_df(
+            spark, local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
         )
     else:
         local_rows = None

@@ -46,7 +46,11 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_python_airflow_bigquery_spark.functions import in_literals, ranked_topk
+from etl_python_airflow_bigquery_spark.functions import (
+    in_literals,
+    local_df,
+    ranked_topk,
+)
 from etl_python_airflow_bigquery_spark.operators.txlog import TxTable
 
 # Target file count for the token-range clustering of the postings
@@ -372,7 +376,8 @@ def hibrida_lexical_top_multi_indexada(
     pares = consulta.limit(_CONSULTA_COLLECT_CAP + 1).collect()
     if len(pares) <= _CONSULTA_COLLECT_CAP:
         terms = sorted({r["token"] for r in pares})
-        consulta = spark.createDataFrame(
+        consulta = local_df(
+            spark,
             [(int(r["query_id"]), r["token"]) for r in pares],
             "query_id BIGINT, token STRING",
         )

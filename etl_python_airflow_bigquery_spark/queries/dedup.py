@@ -924,9 +924,11 @@ def propagate_min_labels(sym: DataFrame, max_rounds: int = 20) -> DataFrame:
         # one task walking all 32 python partitions sequentially), and
         # a downstream table write produced one near-empty file per
         # core (guide §6: small files hurt twice).
-        filas_uf = [(n, _find(n)) for n in parent]
-        return sym.sparkSession.createDataFrame(
-            sym.sparkSession.sparkContext.parallelize(filas_uf, 1),
+        from etl_python_airflow_bigquery_spark.functions import local_df
+
+        return local_df(
+            sym.sparkSession,
+            [(n, _find(n)) for n in parent],
             "doc_id BIGINT, cluster_id BIGINT",
         )
     labels = sym.select(F.col("src").alias("doc_id")).distinct().withColumn(
