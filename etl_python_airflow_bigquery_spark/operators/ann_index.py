@@ -142,8 +142,16 @@ def build_ivf_index(
     asignados = _assign_cells(enteros, cent, keep_ev=True).select(
         "vec_id", "celda", "ev"
     )
-    cent_tx.overwrite(cent_df)
-    v = vec_tx.overwrite(asignados)
+    # the two commits are independent (the centroid VALUES relation
+    # shares nothing with the posting frame, and enteros' checkpoint is
+    # already materialized by the scalar agg above) — overlap them
+    # (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_cent = pool.submit(lambda: cent_tx.overwrite(cent_df))
+        v = vec_tx.overwrite(asignados)
+        f_cent.result()
     # vec_basis: the build corpus's id basis (max vec_id + 1), the
     # EXPLICIT doc-count basis for per-doc serve policies (ADVICE r10 —
     # 'n' grows with adds of arbitrary vec_ids, so ceil(n/G) silently

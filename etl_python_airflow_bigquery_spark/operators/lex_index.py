@@ -161,16 +161,33 @@ def _postings_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def build_lex_index(spark: SparkSession, docs: DataFrame, path: str) -> dict:
     """Tokenize + invert + persist. Returns {'n', 'avgdl_mili',
-    'version'}."""
+    'version'}.
+
+    The lengths write and the corpus-constant aggregate run overlapped
+    with the postings write (guide §2.6): dl materializes eagerly first
+    (its job also finalizes the shared tf checkpoint, so neither lane
+    re-tokenizes), then the two table commits and the n/avgdl scalar
+    are independent. The constants aggregate reads the dl FRAME (the
+    exact rows both writes persist) instead of re-reading the table
+    just written."""
+    from concurrent.futures import ThreadPoolExecutor
+
     postings, dl = _postings_frame(docs)
     post_tx, dl_tx = _tables(path)
-    v = post_tx.overwrite(
-        postings.repartitionByRange(_LEX_FILES, "token", "doc_id")
-    )
-    dl_v = dl_tx.overwrite(dl)
-    fila = dl_tx.read(spark).agg(
+    # the constants aggregate runs FIRST: its job finalizes the shared
+    # tf and dl checkpoints, so the two write lanes below read blocks
+    # instead of re-tokenizing the corpus concurrently
+    fila = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).first()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_post = pool.submit(
+            lambda: post_tx.overwrite(
+                postings.repartitionByRange(_LEX_FILES, "token", "doc_id")
+            )
+        )
+        dl_v = dl_tx.overwrite(dl)
+        v = f_post.result()
     n = int(fila["n"])
     dl_total = int(fila["t"] or 0)
     meta = {
