@@ -717,11 +717,18 @@ def embudo_curacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("palabras"),
     )
+    # aprobados feeds THREE stage aggregates (e2, e3's join, e4 via
+    # familias), the window-hash frame feeds both the repeated-tile set
+    # and the cut join, and tok_limpio feeds e3 AND e4 — without
+    # checkpoints each consumer re-executes the gopher/tile/rebuild
+    # lineage (same pathology as _rankings_retrieval; measured A/B at
+    # sf0.1: 2.5 -> 0.7 s for the four-row funnel; guide §2.4)
     aprobados = (
         gopher_flags(docs).where(F.col("aprobado")).select("doc_id")
         .join(palabras, "doc_id")
+        .localCheckpoint(eager=False)
     )
-    hs = subcadena_hashes(docs)
+    hs = subcadena_hashes(docs).localCheckpoint(eager=False)
     rep = (
         hs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("d"))
@@ -747,6 +754,7 @@ def embudo_curacion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("toks"),
             F.md5("texto").alias("huella"),
         )
+        .localCheckpoint(eager=False)
     )
     familias = (
         tok_limpio.join(aprobados.select("doc_id"), "doc_id")
