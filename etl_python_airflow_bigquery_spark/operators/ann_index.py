@@ -405,9 +405,33 @@ def recall_drift(
     and ``v_new`` (default latest), in floor-milli. A fleet-wide drop in
     ``solape_mili`` without a data incident means new vectors are
     landing in ill-fitting cells. Both searches read pinned snapshots of
-    the SAME tables — no recompute, no refit."""
-    viejo = search_ivf_index(spark, queries, path, topk=topk, version=v_old)
-    nuevo = search_ivf_index(spark, queries, path, topk=topk, version=v_new)
+    the SAME tables — no recompute, no refit.
+
+    The probe is HOISTED: centroids are append-invariant, so the two
+    searches' probed-cell sets are identical — under the anchor cap the
+    queries collect once and both searches take the driver-side probe
+    (the exact Spark-window twin, r14), replacing two qcells window
+    jobs + two probed-cell collects per monitor call with zero; past
+    the cap both searches keep the distributed probe unchanged."""
+    ctx = None
+    local_rows = None
+    filas = queries.limit(_ANCHOR_COLLECT_CAP + 1).collect()
+    if len(filas) <= _ANCHOR_COLLECT_CAP:
+        local_rows = [
+            (int(r["query_id"]), [int(x) for x in r["qv"]]) for r in filas
+        ]
+        queries = local_df(
+            spark, local_rows, "query_id BIGINT, qv ARRAY<BIGINT>"
+        )
+        ctx = make_serve_context(spark, path)
+    viejo = search_ivf_index(
+        spark, queries, path, topk=topk, version=v_old,
+        ctx=ctx, local_rows=local_rows,
+    )
+    nuevo = search_ivf_index(
+        spark, queries, path, topk=topk, version=v_new,
+        ctx=ctx, local_rows=local_rows,
+    )
     a = viejo.groupBy("query_id").agg(
         F.collect_set("cand_id").alias("top_viejo")
     )
