@@ -470,12 +470,19 @@ def busqueda_hibrida_indexada_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (the serving path's arithmetic, not the brute raw-embedding
     dot), so this row value-checks the SELECTIVE probe itself — not
     just the full-probe degenerate case the module test pins."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_python_airflow_bigquery_spark.operators.ann_index import (
         busqueda_hibrida_indexada,
     )
 
-    path = _served_index(spark, sf_dir, "full")
-    lex = _served_lex_index(spark, sf_dir)
+    # the two index builds are INDEPENDENT (IVF over embeddings, the
+    # lexical postings over documents) — overlap them as driver threads
+    # (guide §2.6); each session-caches under its own key
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_lex = pool.submit(_served_lex_index, spark, sf_dir)
+        path = _served_index(spark, sf_dir, "full")
+        lex = f_lex.result()
     return busqueda_hibrida_indexada(
         spark, sf_dir, path, nprobe=_NPROBE, lex_path=lex,
         ctx=_served_ctx(spark, path, lex_path=lex),

@@ -1007,12 +1007,18 @@ def streaming_busqueda_hibrida(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not qids:  # empty corpus: nothing arrives, nothing to index
         return spark.createDataFrame([], _schema)
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_python_airflow_bigquery_spark.queries.serving import (
         _served_lex_index,
     )
 
-    index_path = _served_index(spark, sf_dir, "full")
-    lex_path = _served_lex_index(spark, sf_dir)
+    # the IVF and lexical builds are independent (embeddings vs
+    # documents) — overlap them as driver threads (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_lex = pool.submit(_served_lex_index, spark, sf_dir)
+        index_path = _served_index(spark, sf_dir, "full")
+        lex_path = f_lex.result()
 
     raiz = _tempfile.mkdtemp(prefix="hib_stream_")
     src = _os.path.join(raiz, "llegadas")
