@@ -410,6 +410,12 @@ def hibrida_lexical_top_multi_indexada(
     # join, so the count is exactly the old per-token df even when
     # several queries share a term). idf then computes inline per row —
     # same integer formula, same per-row product, one posting scan.
+    # SKEW NOTE (ADVICE r14): the window lands every posting row of a
+    # token in one task (no partial aggregation) — a very common query
+    # term over a large corpus becomes a single-partition hotspot. If
+    # profiling ever shows it, pre-aggregate df per (token, doc-bucket)
+    # and sum, or salt; at current scales the pruned per-term lists are
+    # far below task size.
     w_df = Window.partitionBy("token")
     con_df = postings.withColumn(
         "df", F.count(F.lit(1)).over(w_df)

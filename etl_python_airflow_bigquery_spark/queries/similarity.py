@@ -654,7 +654,14 @@ def hibrida_lexical_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rrf_fuse_hibrida(lex: DataFrame, vec: DataFrame) -> DataFrame:
     """RRF-fuse (doc_id, pos_lex) × (doc_id, pos_vec) into the hybrid's
     output shape — shared by both serving paths so the fusion algebra
-    can never drift between them."""
+    can never drift between them.
+
+    PRECONDITION (ADVICE r14): each input side must carry a doc_id at
+    most once — both callers produce top-k rankings via row_number, so
+    this holds by construction. The union+max rewrite below is exact
+    ONLY under that key-uniqueness; a non-deduplicated side would get
+    its positions silently merged via max where the old full-outer join
+    would have surfaced duplicate rows."""
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
 
     # full-outer-by-key as ONE aggregation instead of a join: each side
@@ -784,7 +791,8 @@ def rrf_fuse_hibrida_multi(lex: DataFrame, vec: DataFrame) -> DataFrame:
     pos_lex) × (query_id, doc_id, pos_vec), ranking within each query —
     the fusion input is ≤ 2·top-k rows PER QUERY, and the window
     partitions by query_id, so the stage is bounded at any arrival
-    rate."""
+    rate. Same PRECONDITION as ``rrf_fuse_hibrida``: each side must be
+    (query_id, doc_id)-unique (both callers rank with row_number)."""
     from etl_python_airflow_bigquery_spark.queries.text import _BM25_TOP
 
     # same union+aggregate outer-join rewrite as rrf_fuse_hibrida (one
